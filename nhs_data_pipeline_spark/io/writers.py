@@ -1,0 +1,45 @@
+"""Sinks.
+
+Default sink is parquet (partitioned, predicate-pushdown-friendly); the
+single-file CSV sink exists for golden-file parity with the reference's
+``write.csv`` outputs (S9 — build_datasets_wait_times.R:558-567).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+
+def write_single_csv(df: DataFrame, path: str, order_by: list[str] | None = None) -> str:
+    """Write one headered CSV file at ``path`` (reference parity:
+    ``to_csv(index=False)``, scripts/build_datasets_main.py:289).
+
+    ``coalesce(1)`` is correct *only* for reference-sized outputs (tens
+    of thousands of rows); large results should use ``write_parquet``.
+    An optional sink-time sort reproduces the reference's ordered CSVs
+    (O1 — ``arrange(org_code, year, quarter)``).
+    """
+    if order_by:
+        df = df.orderBy(*order_by)
+    tmp = path + "__tmp"
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+    shutil.move(part, path)
+    shutil.rmtree(tmp)
+    return path
+
+
+def write_parquet(
+    df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+) -> str:
+    """Canonical sink: parquet, optionally hive-partitioned so downstream
+    readers get partition pruning for free."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    return path

@@ -1,0 +1,245 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design
+------------
+- *Exact*: hash-groupBy on a normalized fingerprint — one shuffle keyed
+  by md5, keeps the canonical (min-id) representative. At 100 TB the
+  shuffle carries (fingerprint, id), never the text.
+- *MinHash+LSH*: shingle -> k min-hashes -> b bands; candidate pairs
+  come from a self-join on (band_idx, band_hash) buckets — the classic
+  sub-quadratic near-dup join. Only bucket-mates are compared; the
+  banded join is the *only* pairwise step, so cost tracks true-duplicate
+  density rather than n^2.
+- *SimHash*: 64-bit weighted-bit fingerprint; near-dups = pairs whose
+  fingerprints agree on a 16-bit chunk (4-chunk banding => guaranteed
+  recall at Hamming distance <= 3) and pass a bit_count(xor) check.
+- *n-gram Jaccard*: exact verification on candidate pairs (array
+  intersection/union cardinalities) — used as the confirm stage after
+  LSH, or standalone on blocked pairs.
+
+All stages are native expressions (explode/groupBy/array ops); nothing
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from nhs_data_pipeline_spark.llm.text import fingerprint_md5, normalize_text
+
+# Large prime below 2^31 for the universal-hash family.
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative (min id) per exact normalized-text match;
+    adds ``dup_count``. One hash aggregate keyed on the md5 fingerprint."""
+    fp = fingerprint_md5(F.col(text_col))
+    keyed = df.withColumn("__fp", fp)
+    reps = keyed.groupBy("__fp").agg(
+        F.min(id_col).alias("__rep"), F.count("*").alias("dup_count")
+    )
+    return (
+        keyed.join(reps, "__fp")
+        .filter(F.col(id_col) == F.col("__rep"))
+        .drop("__fp", "__rep")
+    )
+
+
+def char_shingles(text_col_name: str, k: int = 5) -> Column:
+    """Distinct character k-shingles of normalized text, as an array.
+    Takes a column *name* (dynamic-start substring needs the SQL lambda
+    form); stays fully JVM-side."""
+    norm = f"trim(regexp_replace(lower({text_col_name}), '\\\\s+', ' '))"
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length({norm}) - {k} + 1, 1)), "
+        f"i -> substring({norm}, i, {k})))"
+    )
+
+
+def word_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined) of normalized text."""
+    c = text if isinstance(text, Column) else F.col(text)
+    toks = F.split(normalize_text(c), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 42) -> Column:
+    """MinHash signature: array of ``num_hashes`` min-values of universal
+    hashes ``(a*h + b) mod p`` over the shingle set's xxhash64 values.
+    Deterministic in ``seed``; pure array expressions (no UDF)."""
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    sigs = [
+        F.array_min(
+            F.transform(base, lambda h: F.pmod(a * h + b, F.lit(_MERSENNE)))
+        )
+        for a, b in coeffs
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    Returns ``(id_a, id_b, n_shared_bands)`` with ``id_a < id_b``.
+    rows/bands chosen by the caller: 64 hashes x 16 bands = r=4 rows per
+    band (s-curve threshold ~ (1/16)^(1/4) ~ 0.5 Jaccard)."""
+    rows_per_band = num_hashes // bands
+    shingled = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__shingle_src"),
+    ).withColumn("__sh", char_shingles("__shingle_src", k=shingle_k))
+    sig = shingled.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes, seed))
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    candidate_pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact word-``n``-gram Jaccard on candidate pairs: the verification
+    stage after LSH (or any blocking). ``candidate_pairs`` has
+    ``(id_a, id_b)``. Returns pairs with ``jaccard >= threshold``."""
+    grams = df.select(
+        F.col(id_col), word_ngrams(F.col(text_col), ngram_n).alias("__g")
+    )
+    ga = grams.select(F.col(id_col).alias("id_a"), F.col("__g").alias("__ga"))
+    gb = grams.select(F.col(id_col).alias("id_b"), F.col("__g").alias("__gb"))
+    joined = candidate_pairs.join(ga, "id_a").join(gb, "id_b")
+    inter = F.size(F.array_intersect("__ga", "__gb"))
+    union = F.size(F.array_union("__ga", "__gb"))
+    return (
+        joined.withColumn(
+            "jaccard",
+            F.when(union == 0, F.lit(None)).otherwise(inter.cast("double") / union),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(text: Column | str, token_pattern: str = r"\w+") -> Column:
+    """64-bit SimHash of the token multiset: per bit, the sign of the
+    (+1/-1) vote sum across token hashes. Implemented as 64 parallel
+    native aggregate-free expressions over the token array."""
+    c = text if isinstance(text, Column) else F.col(text)
+    toks = F.regexp_extract_all(F.lower(c), F.lit(token_pattern), 0)
+    hashes = F.transform(toks, F.xxhash64)
+    acc = F.lit(0).cast("long")
+    for bit in range(64):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda a, h, b=bit: a
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        acc = acc + F.when(vote > 0, F.lit(1 << bit if bit < 63 else -(1 << 63)).cast("long")).otherwise(0)
+    return acc
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit fingerprint into four
+    16-bit chunks (pigeonhole: hamming<=3 pairs share >=1 exact chunk),
+    bucket-join, verify with bit_count(xor). Returns
+    ``(id_a, id_b, hamming)``."""
+    sh = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("__sh"))
+    chunks = sh.select(
+        id_col,
+        "__sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftright("__sh", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "__sh", "c.chunk_idx", "c.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__sh").alias("sh_a"),
+            F.col("b.__sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

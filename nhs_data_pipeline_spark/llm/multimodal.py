@@ -1,0 +1,113 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+typed metadata struct — the Spark-side contract (schema, partitioning,
+Arrow batch shape) is real and tested; the actual decoders are stubbed
+behind ``NotImplementedError`` / a deterministic fake because this
+container ships no media libraries.
+
+Scale design: decode/feature-extract runs as ``mapInPandas`` — one
+Arrow batch in, one out, executor-parallel, no shuffle. Batch size is
+bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a row of
+large blobs can't blow executor memory. Frame-sampling/resize emit one
+row per artifact (flat, join-able by id).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def _fake_decode(content: bytes | None, dim: int = 8) -> list[float] | None:
+    """Deterministic stand-in for a real decoder: md5-seeded unit-range
+    floats. Replace with a real image/audio decode when the libs exist.
+    """
+    if content is None:
+        return None
+    digest = hashlib.md5(bytes(content)).digest()
+    return [b / 255.0 for b in digest[:dim]]
+
+
+def decode_features(media: DataFrame, dim: int = 8, real_decoder=None) -> DataFrame:
+    """Feature-extract every media row via Arrow-batched ``mapInPandas``.
+
+    ``real_decoder`` is the production hook: ``bytes -> list[float]``.
+    Without one, the deterministic fake keeps the distributed plumbing
+    (schema, batching, null handling) fully testable."""
+    decoder = real_decoder or (lambda b: _fake_decode(b, dim))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decoder(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "feature": feats,
+                    "decode_ok": [f is not None for f in feats],
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Plan-level frame sampling: one row per sampled timestamp, derived
+    from metadata duration — native ``sequence``/``explode`` so the fan-
+    out happens JVM-side; the (stubbed) per-frame decode then runs via
+    ``decode_features`` on the exploded rows."""
+    vids = media.filter(F.col("media_type") == "video")
+    return vids.select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ts_ms"),
+        "content",
+    )
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Stub for image resize: raises at *call* time (not plan time) with
+    a clear message — no silent fakery for a lossy transform."""
+    raise NotImplementedError(
+        "image resize requires an imaging library (PIL/opencv) not present "
+        "in this environment; wire a real_decoder-style hook into "
+        "mapInPandas exactly as decode_features does"
+    )

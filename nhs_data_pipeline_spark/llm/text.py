@@ -1,0 +1,128 @@
+"""Text analysis columns for a training-data pipeline.
+
+Token counting, quality scoring, language ID, and document
+fingerprinting as *native* column expressions (JVM-side, codegen'd) —
+at 100 TB these run inside the parquet scan stage with zero shuffles.
+
+Each expression is written to be exactly reproducible in ANSI SQL (the
+DuckDB oracle): same tokenizer (whitespace split), same word-boundary
+regexes, same edge-case handling for empty strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    t = F.trim(_c(text))
+    return F.when(t == "", 0).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """A BPE-flavored proxy count: word pieces + digits + punctuation
+    runs, via one regex pass (``\\w+|[^\\w\\s]``). Deterministic and
+    SQL-reproducible — a stand-in where a real tokenizer would be a
+    Pandas UDF."""
+    return F.size(F.regexp_extract_all(_c(text), F.lit(r"\w+|[^\w\s]"), 0))
+
+
+def char_count(text: Column | str) -> Column:
+    return F.length(_c(text))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Punctuation chars / total chars; NULL on empty text."""
+    t = _c(text)
+    n = F.length(t)
+    p = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0))
+    return F.when(n == 0, F.lit(None)).otherwise(p.cast("double") / n)
+
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# heuristic language ID. Deliberately small + word-boundary anchored so
+# the same pattern runs identically under Java regex and RE2 (DuckDB).
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|is|in|that|for|with)\b",
+    "fr": r"\b(le|la|les|et|des|une|est|dans|pour)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|mit|ein|zu)\b",
+    "es": r"\b(el|los|las|una|es|en|que|por|con)\b",
+}
+
+
+def stopword_hits(text: Column | str, pattern: str) -> Column:
+    """Count of marker-word occurrences (lower-cased match)."""
+    return F.size(F.regexp_extract_all(F.lower(_c(text)), F.lit(pattern), 0))
+
+
+def stopword_ratio(text: Column | str, pattern: str = LANG_MARKERS["en"]) -> Column:
+    """Marker-stopword hits / token count; NULL for empty text."""
+    n = token_count(text)
+    return F.when(n == 0, F.lit(None)).otherwise(
+        stopword_hits(text, pattern).cast("double") / n
+    )
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: argmax of per-language marker hits, ties
+    broken by language code order; NULL when no marker hits at all."""
+    t = _c(text)
+    hits = {lang: stopword_hits(t, pat) for lang, pat in LANG_MARKERS.items()}
+    best = None
+    best_hits = None
+    for lang in sorted(LANG_MARKERS):  # deterministic tie order
+        h = hits[lang]
+        if best is None:
+            best, best_hits = F.lit(lang), h
+        else:
+            cond = h > best_hits
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_hits = F.when(cond, h).otherwise(best_hits)
+    return F.when(best_hits > 0, best)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length sweet-spot x (1 - punct
+    excess) x stopword presence. A cheap filterable signal, not a model.
+    All terms SQL-expressible for the oracle."""
+    n_tok = token_count(text)
+    len_term = F.least(n_tok.cast("double") / 20.0, F.lit(1.0))
+    punct = F.coalesce(punct_ratio(text), F.lit(0.0))
+    punct_term = F.greatest(F.lit(0.0), 1.0 - 2.0 * punct)
+    stop_term = F.least(
+        F.coalesce(stopword_ratio(text), F.lit(0.0)) * 4.0, F.lit(1.0)
+    )
+    return F.round(len_term * punct_term * (0.5 + 0.5 * stop_term), 6)
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical form for exact-dup detection: lower, collapse
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(_c(text)), r"\s+", " "))
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (portable across engines — DuckDB md5 matches)."""
+    return F.md5(normalize_text(text))
+
+
+def rolling_hash_fingerprint(text_col_name: str, window: int = 8) -> Column:
+    """Winnowing-style content fingerprint: min xxhash64 over character
+    ``window``-grams of the normalized text. Spark-native (no SQL oracle
+    — xxhash64 is engine-specific); used for cheap near-dup candidate
+    keying. Takes a column *name* (the dynamic-start substring needs the
+    SQL lambda form)."""
+    norm = (
+        f"trim(regexp_replace(lower({text_col_name}), '\\\\s+', ' '))"
+    )
+    return F.expr(
+        f"array_min(transform(sequence(1, greatest(length({norm}) - {window} + 1, 1)), "
+        f"i -> xxhash64(substring({norm}, i, {window}))))"
+    )

@@ -1,0 +1,30 @@
+"""Relational core operators (SURVEY §2 surface).
+
+Every op is a pure ``DataFrame -> DataFrame`` (or Column) function built
+from native Catalyst expressions; chains fuse into one optimized plan.
+"""
+
+from nhs_data_pipeline_spark.ops.core import (  # noqa: F401
+    clean_names,
+    coalesce_columns,
+    cumulative_sum,
+    distinct_union,
+    drop_all_null_columns,
+    fill_directional,
+    filter_rows_from_marker,
+    first_per_group,
+    grouped_any_flag,
+    grouped_max_over,
+    grouped_sum_na_preserving,
+    last_per_group,
+    natural_join,
+    rename_columns,
+    select_by_pattern,
+    slice_rows,
+    union_by_name,
+    unpivot,
+)
+from nhs_data_pipeline_spark.ops.binned import (  # noqa: F401
+    binned_median,
+    pct_within_threshold,
+)

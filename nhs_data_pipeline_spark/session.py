@@ -1,0 +1,63 @@
+"""SparkSession factory.
+
+One place to encode the engine's execution posture:
+
+- AQE on (runtime re-planning, partition coalescing, skew-join splitting)
+  so plans adapt between sf0.001 local runs and 100 TB cluster runs.
+- Arrow on for any pandas-boundary crossing (ingest, pandas UDFs).
+- ``spark.sql.shuffle.partitions`` sized to the local core count rather
+  than the 200 default; on a real cluster AQE's coalescing makes the
+  initial number mostly a ceiling.
+- Session timezone pinned to UTC so timestamp semantics are stable and
+  match the DuckDB oracle (naive parquet timestamps).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "nhs_data_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Honors ``SPARK_GRAFT_CPUS`` for local-mode parallelism so the bench
+    harness can pin core counts.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def read_tables(spark: SparkSession, sf_dir: str, *names: str):
+    """Load the named parquet tables from an sf directory as DataFrames."""
+    dfs = [spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names]
+    return dfs[0] if len(dfs) == 1 else dfs

@@ -1,0 +1,124 @@
+"""Local mimic of the driver's DuckDB-oracle correctness gate.
+
+Runs every declared query at a given sf dir through Spark AND its
+oracle SQL through DuckDB, then compares row count + (sorted-column,
+sorted-row) values. Floats are compared exactly first, with a small
+tolerance fallback reported separately — the real driver hashes values,
+so "close" is not good enough; this surfaces which queries are at risk.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from nhs_data_pipeline_spark.queries import ORACLES, QUERIES  # noqa: E402
+from nhs_data_pipeline_spark.session import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
+    return v
+
+
+def rows_canon(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon(r[i]) for i in idx) for r in rows]
+    return sorted(out, key=repr)
+
+
+def close(a, b):
+    if a == b:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+    if isinstance(a, tuple) and isinstance(b, tuple) and len(a) == len(b):
+        return all(close(x, y) for x, y in zip(a, b))
+    return False
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check")
+    con = duck_con(sf_dir)
+    failures = []
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in ORACLES:
+            print(f"rows  {name}: {len(s_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(ORACLES[name])
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        status = []
+        if sorted(s_cols) != sorted(d_cols):
+            status.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        if len(s_rows) != len(d_rows):
+            status.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
+        if not status:
+            sc, dc = rows_canon(s_cols, s_rows), rows_canon(d_cols, d_rows)
+            exact = sc == dc
+            if not exact:
+                near = len(sc) == len(dc) and all(close(a, b) for a, b in zip(sc, dc))
+                if near:
+                    diffs = [(a, b) for a, b in zip(sc, dc) if a != b][:2]
+                    status.append(f"FLOAT-RISK (near but not exact): {diffs}")
+                else:
+                    diffs = [(a, b) for a, b in zip(sc, dc) if not close(a, b)][:3]
+                    status.append(f"values differ, e.g. {diffs}")
+        if status:
+            failures.append(name)
+            print(f"FAIL  {name}: {'; '.join(status)} [{time.time()-t0:.1f}s]")
+        else:
+            print(f"ok    {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nall green")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
