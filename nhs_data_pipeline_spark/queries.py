@@ -1027,3 +1027,375 @@ def f13_safe_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(nf.safe_div("__num", "__den"), 6).alias("price_per_unit"),
         F.round(nf.safe_div("__num2", "__zero"), 6).alias("div_by_zero_is_null"),
     )
+
+
+# ===========================================================================
+# Org-change adjustment composite (SURVEY §2.10)
+# ===========================================================================
+
+@query(
+    "orgchange_adjust_panel",
+    """
+    WITH panel AS (
+      SELECT 'T' || CAST(o_custkey % 20 AS VARCHAR) AS org_code,
+             CAST(year(o_orderdate) AS INTEGER) AS period,
+             'Trust ' || CAST(o_custkey % 20 AS VARCHAR) AS org_name,
+             o_totalprice AS val
+      FROM orders
+    ),
+    lookup(old_code, final_code, experiences_split, problematic) AS (
+      VALUES ('T10','T0',0,0), ('T11','T1',0,0), ('T12','T2',0,1), ('T13','T3',1,0)
+    ),
+    names AS (
+      SELECT org_code, org_name FROM (
+        SELECT org_code, org_name,
+               row_number() OVER (PARTITION BY org_code ORDER BY period) AS rn
+        FROM panel
+      ) WHERE rn = 1
+    ),
+    flagged AS (
+      SELECT p.*, l.final_code, l.problematic,
+             CASE WHEN l.problematic = 1 THEN 1 ELSE 0 END AS exp_prob,
+             (l.final_code IS NOT NULL AND COALESCE(l.problematic, 0) = 0) AS adj
+      FROM panel p LEFT JOIN lookup l ON p.org_code = l.old_code
+    ),
+    chg AS (
+      SELECT final_code, MAX(period) AS change_period FROM flagged WHERE adj GROUP BY final_code
+    ),
+    recoded AS (
+      SELECT CASE WHEN adj THEN final_code ELSE org_code END AS org_code,
+             period, val, exp_prob,
+             CASE WHEN adj THEN 1 ELSE 0 END AS unprob
+      FROM flagged
+    ),
+    agg AS (
+      SELECT org_code, period, ROUND(SUM(val), 2) AS val,
+             MAX(exp_prob) AS exp_problematic_org_change,
+             MAX(unprob) AS unproblematic_org_change
+      FROM recoded GROUP BY org_code, period
+    )
+    SELECT a.org_code, a.period, a.val,
+           a.exp_problematic_org_change, a.unproblematic_org_change,
+           n.org_name, c.change_period,
+           MAX(a.unproblematic_org_change) OVER (PARTITION BY a.org_code) AS exp_unproblematic_org_change
+    FROM agg a
+    LEFT JOIN names n USING (org_code)
+    LEFT JOIN chg c ON a.org_code = c.final_code
+    """,
+)
+def orgchange_adjust_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — the full org-change adjustment composite on a synthetic
+    trust panel derived from orders: merger recode (T10->T0, T11->T1),
+    a problematic trust (T12, flagged not adjusted), a split origin
+    (T13->T3), NA-preserving re-aggregation, name re-attach, change
+    indicator, and group-level flags. One lazy DAG; lookup broadcast.
+
+    Parity: build_datasets_wait_times.R:433-549."""
+    panel = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("T"), (F.col("o_custkey") % 20).cast("string")).alias("org_code"),
+        F.year("o_orderdate").alias("period"),
+        F.concat(F.lit("Trust "), (F.col("o_custkey") % 20).cast("string")).alias("org_name"),
+        F.col("o_totalprice").alias("val"),
+    )
+    lookup = spark.createDataFrame(
+        [("T10", "T0", 0, 0), ("T11", "T1", 0, 0), ("T12", "T2", 0, 1), ("T13", "T3", 1, 0)],
+        ["old_code", "final_code", "experiences_split", "problematic"],
+    )
+    out = oa.adjust_org_changes(
+        panel, lookup, keys=["org_code", "period"], sum_cols=["val"],
+        org_col="org_code", period_col="period", name_col="org_name",
+    )
+    return out.select(
+        "org_code", "period", F.round("val", 2).alias("val"),
+        "exp_problematic_org_change", "unproblematic_org_change",
+        "org_name", "change_period", "exp_unproblematic_org_change",
+    )
+
+
+# ===========================================================================
+# Events: time-windowed aggregation + JSON extraction (streaming-mirror)
+# ===========================================================================
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events table reader: the synthetic events.parquet carries
+    TIMESTAMP(NANOS) which Spark 4 rejects by default — read nanos as
+    long (runtime-settable legacy conf) and rebuild a micros timestamp
+    (matching DuckDB's nanos->micros truncation)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    return ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+@query(
+    "events_hourly_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup over the events table — the batch twin of
+    the Structured Streaming pipeline (same window expression runs
+    under readStream + watermark in streaming/pipeline.py)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("value_sum"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n", "value_sum")
+    )
+
+
+@query(
+    "events_json_extract",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS value_sum
+    FROM events GROUP BY 1
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props: JSON path extraction + numeric cast,
+    native get_json_object (no UDF)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(
+            (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_mod"),
+            "value",
+        )
+        .groupBy("k_mod")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("value_sum"))
+    )
+
+
+# ===========================================================================
+# LLM-pipeline: text analysis (oracle-checked)
+# ===========================================================================
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_EN_PAT = r"\b(the|and|of|to|is|in|that|for|with)\b"
+
+
+@query(
+    "text_stats",
+    f"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+           length(text) AS n_chars,
+           ROUND(CASE WHEN length(text) = 0 THEN NULL
+                 ELSE len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text) END, 6) AS punct_ratio,
+           ROUND(CASE WHEN trim(text) = '' THEN NULL
+                 ELSE len(regexp_extract_all(lower(text), '{_EN_PAT}')) * 1.0
+                      / len(regexp_split_to_array(trim(text), '\\s+')) END, 6) AS stop_ratio
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-quality signal columns: token count, char count, punctuation
+    ratio, stopword ratio — all single-pass native expressions (run
+    inside the scan stage at 100 TB; zero shuffles)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens"),
+        tx.char_count("text").cast("long").alias("n_chars"),
+        F.round(tx.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(tx.stopword_ratio("text"), 6).alias("stop_ratio"),
+    )
+
+
+@query(
+    "text_lang_id",
+    """
+    WITH hits AS (
+      SELECT doc_id, lang AS lang_actual,
+        len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|mit|ein|zu)\\b')) AS h_de,
+        len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|in|that|for|with)\\b')) AS h_en,
+        len(regexp_extract_all(lower(text), '\\b(el|los|las|una|es|en|que|por|con)\\b')) AS h_es,
+        len(regexp_extract_all(lower(text), '\\b(le|la|les|et|des|une|est|dans|pour)\\b')) AS h_fr
+      FROM documents
+    )
+    SELECT doc_id, lang_actual,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN NULL
+                WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+                WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+                WHEN h_es >= h_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM hits
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword-marker
+    hits (tie -> first language in code order), NULL when no markers
+    hit. The oracle CASE chain encodes the same tie-breaking."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        tx.lang_id("text").alias("lang_pred"),
+    )
+
+
+@query(
+    "text_quality_score",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text) END AS punct,
+             len(regexp_extract_all(lower(text), '{_EN_PAT}')) AS hits
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(least(n_tok / 20.0, 1.0)
+                 * greatest(0.0, 1.0 - 2.0 * punct)
+                 * (0.5 + 0.5 * least(CASE WHEN n_tok = 0 THEN 0.0
+                                           ELSE hits * 1.0 / n_tok END * 4.0, 1.0)), 6) AS quality
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic (length sweet-spot x punctuation
+    penalty x stopword presence) — a filterable [0,1] signal."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.quality_score("text").alias("quality"))
+
+
+@query(
+    "text_fingerprint",
+    f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable document fingerprint: md5 over normalized text (the
+    exact-dedup key)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.fingerprint_md5("text").alias("fp"))
+
+
+# ===========================================================================
+# LLM-pipeline: deduplication
+# ===========================================================================
+
+@query(
+    "dedup_exact",
+    f"""
+    WITH un AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents
+    )
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+    FROM (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM un)
+    GROUP BY fp
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via fingerprint hash-groupBy, keeping the min-id
+    representative. The corpus is unioned with an id-shifted copy of
+    itself so every document has exactly one duplicate (the synthetic
+    corpus has no natural exact dups); shuffle carries only
+    (fingerprint, id), never text."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copy = d.withColumn("doc_id", F.col("doc_id") + 100000)
+    out = dd.exact_dedup(oc.union_by_name([d, copy]))
+    return out.select("doc_id", "dup_count")
+
+
+@query(
+    "dedup_jaccard_pairs",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    d2 AS (SELECT * FROM d WHERE len(toks) >= 3),
+    grams AS (
+      SELECT DISTINCT doc_id, source, array_to_string(toks[i:i+2], ' ') AS gram
+      FROM d2, unnest(range(1, len(toks) - 1)) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT g1.doc_id AS id_a, g2.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM grams g1 JOIN grams g2
+        ON g1.gram = g2.gram AND g1.source = g2.source AND g1.doc_id < g2.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+    FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id JOIN sizes sb ON i.id_b = sb.doc_id
+    WHERE n_inter * 1.0 / (sa.sz + sb.sz - n_inter) >= 0.02
+    """,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs, blocked by source (the
+    blocking key stands in for any cheap candidate generator — at scale
+    the candidates come from minhash_lsh_pairs instead of a blind
+    same-block cross join)."""
+    d = _t(spark, sf_dir, "documents").filter(tx.token_count("text") >= 3)
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("source").alias("__src_a"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("source").alias("__src_b"))
+    cand = a.join(b, (F.col("__src_a") == F.col("__src_b")) & (F.col("id_a") < F.col("id_b"))).select(
+        "id_a", "id_b"
+    )
+    out = dd.jaccard_pairs(d, cand, ngram_n=3, threshold=0.02)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query("minhash_lsh_pairs")  # engine-specific hashing: rows-only check
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (64 hashes, 16 bands over 5-char
+    shingles). xxhash64-based — no cross-engine oracle; correctness is
+    property-tested (near-dup recall) in tests/test_llm.py."""
+    d = _t(spark, sf_dir, "documents")
+    near = d.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    return dd.minhash_lsh_pairs(oc.union_by_name([d.select("doc_id", "text"), near]))
+
+
+@query("simhash_fingerprints")  # engine-specific hashing: rows-only check
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (token-vote bits, xxhash64-based —
+    no cross-engine oracle)."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.simhash64(d, "text", "doc_id")
+
+
+# ===========================================================================
+# LLM-pipeline: similarity search
+# ===========================================================================
+
+@query(
+    "embed_topk_bruteforce",
+    """
+    SELECT query_id, neighbor_id, rank, ROUND(cosine, 6) AS cosine FROM (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])) AS cosine
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+      )
+    ) WHERE rank <= 5
+    """,
+)
+def embed_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the first 10 query vectors:
+    broadcast query side, JVM-native zip_with/aggregate dot products,
+    row_number top-k with deterministic tiebreak."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim.brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    return out.select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+
+
+@query("embed_topk_lsh")  # approximate: rows-only check (recall tested in tests)
+def embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (16 bits, 4 bands) re-ranked by exact
+    cosine — the sub-quadratic scale path; recall vs brute force is
+    property-tested."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
