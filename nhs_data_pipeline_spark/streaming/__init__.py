@@ -1,0 +1,7 @@
+"""Structured Streaming mirrors of the batch engine."""
+
+from nhs_data_pipeline_spark.streaming.pipeline import (  # noqa: F401
+    run_stream_to_memory,
+    stream_files,
+    windowed_rollup,
+)

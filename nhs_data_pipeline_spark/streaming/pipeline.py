@@ -1,0 +1,76 @@
+"""Structured Streaming mirror of the batch ingest + rollup.
+
+The reference is batch-only (SURVEY §2.11) — this module is the
+additive streaming surface: the same declarative transforms run under
+``readStream`` with watermarked event-time windows, so a file-arrival
+pipeline (new monthly NHS releases, or an event firehose) incrementally
+maintains the same rollups the batch engine computes.
+
+Design: transforms are shared ``DataFrame -> DataFrame`` functions —
+the *same* ``windowed_rollup`` is applied to a batch frame in
+``queries.events_hourly_rollup`` and to a stream here; Structured
+Streaming's incrementalization is exactly Spark's intended reuse path.
+``trigger(availableNow=True)`` gives reproducible catch-up runs (and
+testability without a live source).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def stream_files(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-arrival source: each new file in ``path`` becomes a
+    micro-batch (the streaming twin of the reference's 'download new
+    monthly release, re-run' loop)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def windowed_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    keys: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Event-time tumbling-window aggregate with late-data watermark.
+
+    On a batch frame the watermark is a no-op and this computes the
+    exact batch rollup; on a stream it bounds state so the aggregation
+    runs indefinitely at scale. One shuffle on (window, keys)."""
+    keys = keys or ["event_type"]
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, window).alias("w"), *keys)
+        .agg(F.count("*").alias("n"), F.round(F.sum(value_col), 2).alias("value_sum"))
+        .select(F.col("w.start").alias("window_start"), *keys, "n", "value_sum")
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+) -> None:
+    """Run a streaming frame to completion (availableNow) into an
+    in-memory table named ``query_name`` — deterministic catch-up
+    processing; results then queryable via spark.table(query_name)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

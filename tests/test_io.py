@@ -1,0 +1,100 @@
+"""Ingest/sink tests: messy CSV with preamble + header-in-data,
+sentinels, filename metadata, single-file CSV sink."""
+
+from __future__ import annotations
+
+import csv
+import os
+
+import pytest
+
+from nhs_data_pipeline_spark.io import (
+    detect_header_row,
+    read_messy_csv,
+    read_messy_excel,
+    with_filename_metadata,
+    write_single_csv,
+)
+
+
+def _write_messy(tmp_path, name="Theatres_Quarter_2_2013_14.csv"):
+    p = tmp_path / name
+    rows = [
+        ["NHS England Statistics", "", "", ""],
+        ["Release: quarterly", "", "", ""],
+        ["SHA", "OrgID", "Name", "Number of Operating Theatres"],
+        ["Q30", "RX1", "SOME TRUST", "12"],
+        ["Q30", "RX2", "OTHER TRUST", "-"],
+        ["Q30", "", "England (Including Independent Sector)", "3001"],
+    ]
+    with open(p, "w", newline="") as f:
+        csv.writer(f).writerows(rows)
+    return str(p)
+
+
+def test_read_messy_csv_detects_header_and_sentinels(spark, tmp_path):
+    path = _write_messy(tmp_path)
+    df = read_messy_csv(spark, path)
+    assert df.columns == [
+        "_row_idx", "_source_file", "sha", "orgid", "name",
+        "number_of_operating_theatres",
+    ]
+    rows = df.orderBy("_row_idx").collect()
+    assert len(rows) == 3
+    assert rows[0].number_of_operating_theatres == "12"
+    assert rows[1].number_of_operating_theatres is None  # '-' sentinel
+    assert rows[1].orgid == "RX2"
+    assert rows[2].orgid is None  # empty string -> null
+
+
+def test_read_messy_csv_marker_mode(spark, tmp_path):
+    path = _write_messy(tmp_path)
+    df = read_messy_csv(spark, path, marker="Operating Theatres")
+    assert "number_of_operating_theatres" in df.columns
+    assert df.count() == 3
+
+
+def test_read_messy_csv_fixed_skip(spark, tmp_path):
+    path = _write_messy(tmp_path)
+    df = read_messy_csv(spark, path, skip=2, header=0)
+    assert df.count() == 3
+
+
+def test_row_idx_is_stable_file_order(spark, tmp_path):
+    path = _write_messy(tmp_path)
+    df = read_messy_csv(spark, path)
+    idx = [r._row_idx for r in df.orderBy("_row_idx").collect()]
+    assert idx == [0, 1, 2]
+
+
+def test_with_filename_metadata(spark, tmp_path):
+    path = _write_messy(tmp_path)
+    df = with_filename_metadata(read_messy_csv(spark, path))
+    r = df.first()
+    assert r.file_year == 2013
+    assert r.file_quarter == "Q2"
+    assert r.file_pathway is None
+
+
+def test_detect_header_row_heuristic():
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [["title only", None, None], [None, None, None], ["a", "b", "c"], ["1", "2", "3"]]
+    )
+    assert detect_header_row(pdf) == 2
+
+
+def test_excel_reader_gated_without_engine(spark, tmp_path):
+    with pytest.raises(ImportError, match="openpyxl"):
+        read_messy_excel(spark, str(tmp_path / "x.xlsx"))
+
+
+def test_write_single_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(2, "b"), (1, "a")], ["id", "v"])
+    out = str(tmp_path / "out.csv")
+    write_single_csv(df, out, order_by=["id"])
+    assert os.path.isfile(out)
+    with open(out) as f:
+        lines = [line.strip() for line in f]
+    assert lines == ["id,v", "1,a", "2,b"]

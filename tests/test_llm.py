@@ -1,0 +1,173 @@
+"""LLM-pipeline op tests: dedup recall, similarity correctness vs
+numpy, text signals, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from nhs_data_pipeline_spark.llm import dedup as dd
+from nhs_data_pipeline_spark.llm import multimodal as mm
+from nhs_data_pipeline_spark.llm import similarity as sim
+from nhs_data_pipeline_spark.llm import text as tx
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep dark forest to find some food for the long cold winter"
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, BASE.replace("winter", "summer")),  # near dup of 1
+        (4, "completely different text about spark shuffles and partitions "
+            "with broadcast joins and adaptive query execution at scale"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark):
+    out = dd.exact_dedup(_docs(spark))
+    got = {r.doc_id: r.dup_count for r in out.collect()}
+    assert got[1] == 2  # rep of {1,2}
+    assert 2 not in got
+    assert got[3] == 1 and got[4] == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = dd.minhash_lsh_pairs(_docs(spark).filter(F.col("doc_id") < 5))
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got  # exact dup always collides
+    assert (1, 3) in got or (2, 3) in got  # near dup found
+    assert (1, 4) not in got and (3, 4) not in got  # unrelated not paired
+
+
+def test_jaccard_pairs_exact_value(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"]
+    )
+    cand = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    out = dd.jaccard_pairs(docs, cand, ngram_n=2).first()
+    # 2-grams: {a b, b c, c d} vs {a b, b c, c e}: inter 2, union 4
+    assert out.jaccard == 0.5
+
+
+def test_simhash_identical_and_near(spark):
+    sh = dd.simhash64(_docs(spark).filter(F.col("doc_id").isin(1, 2, 3, 4)))
+    vals = {r.doc_id: r.simhash for r in sh.collect()}
+    assert vals[1] == vals[2]  # identical text -> identical fingerprint
+    ham13 = bin(vals[1] ^ vals[3]).count("1")
+    ham14 = bin(vals[1] ^ vals[4]).count("1")
+    assert ham13 < ham14  # near dup closer than unrelated
+
+
+def test_simhash_pairs_banding(spark):
+    pairs = dd.simhash_pairs(_docs(spark).filter(F.col("doc_id").isin(1, 2, 4)))
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got.get((1, 2)) == 0
+    assert (1, 4) not in got
+
+
+def _emb(spark, n=50, dim=16, seed=3):
+    rng = np.random.RandomState(seed)
+    vecs = rng.normal(size=(n, dim))
+    return (
+        spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+            ["vec_id", "embedding"],
+        ),
+        vecs,
+    )
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    df, vecs = _emb(spark)
+    out = sim.brute_force_topk(df.filter(F.col("vec_id") < 3), df, k=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.cosine))
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = norm @ norm.T
+    for q in range(3):
+        order = [i for i in np.argsort(-cos[q]) if i != q][:4]
+        mine = [nid for _, nid, _ in sorted(got[q])]
+        assert mine == order
+        for rank, nid, c in got[q]:
+            assert abs(c - cos[q][nid]) < 1e-9
+
+
+def test_lsh_topk_recall(spark):
+    df, vecs = _emb(spark, n=100, dim=16)
+    exact = sim.brute_force_topk(df.filter(F.col("vec_id") < 10), df, k=5)
+    approx = sim.lsh_topk(
+        df.filter(F.col("vec_id") < 10), df, k=5, num_bits=16, bands=8, dim=16
+    )
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_text_signals(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog!"), (2, "")], ["doc_id", "text"]
+    )
+    out = df.select(
+        "doc_id",
+        tx.token_count("text").alias("n_tok"),
+        tx.punct_ratio("text").alias("punct"),
+        tx.stopword_ratio("text").alias("stop"),
+        tx.lang_id("text").alias("lang"),
+        tx.fingerprint_md5("text").alias("fp"),
+        tx.bpe_ish_token_count("text").alias("bpe"),
+    ).collect()
+    r1, r2 = out
+    assert r1.n_tok == 5
+    assert abs(r1.punct - 1 / 20) < 1e-9
+    assert r1.stop == 3 / 5  # 'the' x2 + 'and'
+    assert r1.lang == "en"
+    assert r2.n_tok == 0 and r2.punct is None and r2.lang is None
+    assert r1.bpe == 6  # 5 words + '!'
+    # fingerprint is normalization-invariant
+    df2 = spark.createDataFrame([(1, "  THE cat   and the DOG!  ")], ["doc_id", "text"])
+    fp2 = df2.select(tx.fingerprint_md5("text").alias("fp")).first().fp
+    assert fp2 == r1.fp
+
+
+def test_rolling_hash_fingerprint_deterministic(spark):
+    df = spark.createDataFrame([(1, "hello world text"), (2, "hello world text")], ["doc_id", "text"])
+    out = df.select(tx.rolling_hash_fingerprint("text").alias("rh")).collect()
+    assert out[0].rh == out[1].rh
+
+
+def test_multimodal_decode_plumbing(spark):
+    rows = [
+        (1, "image", bytearray(b"\x01\x02"), ("image/png", 2, 2, None)),
+        (2, "image", None, ("image/png", None, None, None)),
+        (3, "video", bytearray(b"\x03"), ("video/mp4", None, None, 2500)),
+    ]
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in mm.decode_features(media, dim=4).collect()}
+    assert feats[1].decode_ok and len(feats[1].feature) == 4
+    assert not feats[2].decode_ok and feats[2].feature is None
+    # deterministic fake: same bytes -> same features
+    again = {r.media_id: r.feature for r in mm.decode_features(media, dim=4).collect()}
+    assert again[1] == feats[1].feature
+
+
+def test_multimodal_frame_sampling(spark):
+    rows = [(3, "video", bytearray(b"\x03"), ("video/mp4", None, None, 2500))]
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    frames = mm.sample_video_frames(media, every_ms=1000)
+    assert [r.frame_ts_ms for r in frames.collect()] == [0, 1000, 2000]
+
+
+def test_resize_is_honest_stub(spark):
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        mm.resize_images(None, 100, 100)

@@ -1,0 +1,172 @@
+"""Relational core op tests (SURVEY §2 surface)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from nhs_data_pipeline_spark.ops import core as oc
+from nhs_data_pipeline_spark.ops.binned import binned_median, pct_within_threshold
+
+
+def test_clean_names_janitor_rules(spark):
+    df = spark.createDataFrame(
+        [(1, 2, 3, 4, 5)],
+        ["Org Name!", "1st Value", "  total ", "Total", "% occupied"],
+    )
+    out = oc.clean_names(df)
+    assert out.columns == ["org_name", "x1st_value", "total_3", "total_4", "percent_occupied"]
+
+
+def test_rename_skip_absent(spark):
+    df = spark.createDataFrame([(1, 2)], ["a", "b"])
+    out = oc.rename_columns(df, {"a": "x", "missing": "y"})
+    assert out.columns == ["x", "b"]
+
+
+def test_select_by_pattern_negate(spark):
+    df = spark.createDataFrame([(1, 2, 3)], ["keep_a", "keep_b", "drop_me"])
+    assert oc.select_by_pattern(df, "^keep").columns == ["keep_a", "keep_b"]
+    assert oc.select_by_pattern(df, "^keep", negate=True).columns == ["drop_me"]
+
+
+def test_drop_all_null_columns(spark):
+    df = spark.createDataFrame(
+        [(1, None, "x"), (2, None, None)], "a int, b string, c string"
+    )
+    out = oc.drop_all_null_columns(df)
+    assert out.columns == ["a", "c"]
+
+
+def test_filter_rows_from_marker(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "preamble junk", None),
+            (1, "more junk", None),
+            (2, "Number of THEATRES", "hdr"),
+            (3, "RX1", "10"),
+        ],
+        ["_row_idx", "col1", "col2"],
+    )
+    out = oc.filter_rows_from_marker(df, "number of theatres")
+    assert [r._row_idx for r in out.orderBy("_row_idx").collect()] == [2, 3]
+    out2 = oc.filter_rows_from_marker(df, "number of theatres", drop_marker_row=True)
+    assert [r._row_idx for r in out2.collect()] == [3]
+    # marker absent -> unchanged
+    assert oc.filter_rows_from_marker(df, "zzz-not-there").count() == 4
+
+
+def test_first_last_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, "y"), ("b", 5, "z")], ["k", "ord", "v"]
+    )
+    first = {r.k: r.v for r in oc.first_per_group(df, ["k"], ["ord"]).collect()}
+    last = {r.k: r.v for r in oc.last_per_group(df, ["k"], ["ord"]).collect()}
+    assert first == {"a": "x", "b": "z"}
+    assert last == {"a": "y", "b": "z"}
+
+
+def test_natural_join_keys_and_multiplicity(spark):
+    left = spark.createDataFrame([("k1", 1), ("k2", 2)], ["k", "lv"])
+    right = spark.createDataFrame([("k1", "a"), ("k1", "b")], ["k", "rv"])
+    out = oc.natural_join(left, right, how="left").orderBy("k", "rv")
+    rows = [(r.k, r.lv, r.rv) for r in out.collect()]
+    # duplicate-key multiplicity matches plyr::join left semantics
+    assert rows == [("k1", 1, "a"), ("k1", 1, "b"), ("k2", 2, None)]
+
+
+def test_natural_join_no_common_cols_raises(spark):
+    a = spark.createDataFrame([(1,)], ["x"])
+    b = spark.createDataFrame([(1,)], ["y"])
+    try:
+        oc.natural_join(a, b)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_coalesce_columns(spark):
+    df = spark.createDataFrame(
+        [(None, "b1", "z"), ("a2", None, "z"), (None, None, "z")],
+        ["OrgID", "Organisation Code", "other"],
+    )
+    out = oc.coalesce_columns(df, {"org_code": ["OrgID", "Organisation Code"]})
+    assert set(out.columns) == {"org_code", "other"}
+    assert [r.org_code for r in out.collect()] == ["b1", "a2", None]
+
+
+def test_union_by_name_missing_columns(spark):
+    a = spark.createDataFrame([(1, "x")], ["id", "only_a"])
+    b = spark.createDataFrame([(2,)], ["id"])
+    out = oc.union_by_name([a, b]).orderBy("id")
+    rows = out.collect()
+    assert rows[0].only_a == "x" and rows[1].only_a is None
+
+
+def test_grouped_sum_na_preserving(spark):
+    df = spark.createDataFrame(
+        [("g1", 1.0), ("g1", None), ("g2", None)], ["k", "v"]
+    )
+    out = {r.k: r.v for r in oc.grouped_sum_na_preserving(df, ["k"], ["v"]).collect()}
+    assert out == {"g1": 1.0, "g2": None}  # all-null group -> NULL, not 0
+
+
+def test_fill_directional_matches_pandas(spark):
+    import pandas as pd
+
+    vals = [None, 1.0, None, None, 4.0, None]
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)], ["k", "ord", "v"]
+    )
+    down = [r.v for r in oc.fill_directional(df, ["v"], ["k"], ["ord"], "down").orderBy("ord").collect()]
+    up = [r.v for r in oc.fill_directional(df, ["v"], ["k"], ["ord"], "up").orderBy("ord").collect()]
+    updown = [r.v for r in oc.fill_directional(df, ["v"], ["k"], ["ord"], "updown").orderBy("ord").collect()]
+    s = pd.Series(vals)
+
+    def expect(series):
+        return [None if pd.isna(v) else v for v in series]
+
+    assert down == expect(s.ffill())
+    assert up == expect(s.bfill())
+    assert updown == expect(s.ffill().bfill())
+
+
+def test_cumulative_sum(spark):
+    df = spark.createDataFrame([("g", 1, 10.0), ("g", 2, 5.0)], ["k", "ord", "v"])
+    out = oc.cumulative_sum(df, ["k"], ["ord"], "v", "cum").orderBy("ord")
+    assert [r.cum for r in out.collect()] == [10.0, 15.0]
+
+
+def test_unpivot(spark):
+    df = spark.createDataFrame([(1, 10.0, 20.0)], ["id", "a", "b"])
+    out = oc.unpivot(df, ["id"], ["a", "b"], "name", "val").orderBy("name")
+    assert [(r.name, r.val) for r in out.collect()] == [("a", 10.0), ("b", 20.0)]
+
+
+def test_binned_median_against_exact_quantile(spark):
+    # binned median over fine bins approximates the exact median
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    vals = rng.uniform(0, 100, 2000)
+    df = spark.createDataFrame([("g", float(v)) for v in vals], ["k", "v"])
+    bins = df.groupBy("k", (F.floor(F.col("v"))).alias("bin_lower")).agg(
+        F.count("*").alias("cnt")
+    )
+    med = binned_median(bins, ["k"], "bin_lower", "cnt").first().median
+    assert abs(med - np.median(vals)) < 1.5  # within one bin width
+
+
+def test_binned_median_zero_total_is_null(spark):
+    bins = spark.createDataFrame(
+        [("g", 0.0, None), ("g", 1.0, None)], "k string, bin_lower double, cnt bigint"
+    )
+    assert binned_median(bins, ["k"], "bin_lower", "cnt").first().median is None
+
+
+def test_pct_within_threshold(spark):
+    bins = spark.createDataFrame(
+        [("g", 0.0, 3), ("g", 10.0, 1)], ["k", "bin_lower", "cnt"]
+    )
+    out = pct_within_threshold(bins, ["k"], "bin_lower", "cnt", 5.0).first()
+    assert out.pct_within == 0.75

@@ -1,0 +1,99 @@
+"""End-to-end series pipeline: the supporting-facilities minimum slice
+(SURVEY §7) on synthetic two-era raw files, through org-change
+adjustment — the spine the reference's four series builders share."""
+
+from __future__ import annotations
+
+import csv
+
+from pyspark.sql import functions as F
+
+from nhs_data_pipeline_spark.pipelines import SeriesConfig, run_series
+
+
+def _write(path, rows):
+    with open(path, "w", newline="") as f:
+        csv.writer(f).writerows(rows)
+    return str(path)
+
+
+def _era_a(tmp_path):
+    # pre-2013 layout: SHA / OrgID / Name, preamble + junk England row
+    return _write(
+        tmp_path / "Theatres_Quarter_1_2012_13.csv",
+        [
+            ["Supporting Facilities release", "", "", ""],
+            ["", "", "", ""],
+            ["SHA", "OrgID", "Name", "Number of Operating Theatres"],
+            ["Q30", "OLD1", "OLD TRUST ONE", "4"],
+            ["Q30", "NEW", "NEW TRUST", "10"],
+            ["Q30", "", "England (Including Independent Sector)", "3000"],
+        ],
+    )
+
+
+def _era_b(tmp_path):
+    # 2013+ layout: Organisation Code / Organisation Name + region cols
+    return _write(
+        tmp_path / "Theatres_Quarter_2_2013_14.csv",
+        [
+            ["Supporting Facilities release", "", "", "", ""],
+            ["Region Code", "Organisation Code", "Organisation Name",
+             "Area Team Code", "Number of Operating Theatres"],
+            ["Y56", "OLD1", "OLD TRUST ONE", "A1", "5"],
+            ["Y56", "NEW", "NEW TRUST", "A1", "11"],
+            ["Y56", "RX9", "FREE TRUST", "A1", "-"],
+        ],
+    )
+
+
+def test_supporting_facilities_slice(spark, tmp_path):
+    lookup = spark.createDataFrame(
+        [("OLD1", "NEW", 0, 0)],
+        ["old_code", "final_code", "experiences_split", "problematic"],
+    )
+    cfg = SeriesConfig(
+        name="supporting_facilities",
+        files=[_era_a(tmp_path), _era_b(tmp_path)],
+        marker="Operating Theatres",
+        rename={"orgid": "org_code", "name": "org_name",
+                "organisation_code": "org_code_b", "organisation_name": "org_name_b",
+                "number_of_operating_theatres": "nr_operating_theatres"},
+        coalesce={"org_code": ["org_code", "org_code_b"],
+                  "org_name": ["org_name", "org_name_b"]},
+        numeric_cols=["nr_operating_theatres"],
+        require_cols=["org_code"],
+        drop_name_values=["England (Including Independent Sector)"],
+        keys=["org_code", "file_year"],
+        sum_cols=["nr_operating_theatres"],
+        org_lookup=lookup,
+    )
+    out = run_series(spark, cfg)
+    rows = {(r.org_code, r.file_year): r for r in out.collect()}
+
+    # era A's OLD1 merged into NEW: 4 + 10 in 2012
+    assert rows[("NEW", 2012)].nr_operating_theatres == 14.0
+    assert rows[("NEW", 2013)].nr_operating_theatres == 16.0
+    # England junk row filtered, sentinel '-' coerced to NULL then
+    # NA-preserving sum keeps RX9's year NULL
+    assert ("", 3000) not in rows
+    assert rows[("RX9", 2013)].nr_operating_theatres is None
+    # no OLD1 rows survive adjustment
+    assert not any(k[0] == "OLD1" for k in rows)
+    # names re-attached
+    assert rows[("NEW", 2012)].org_name == "NEW TRUST"
+
+
+def test_pipeline_without_adjustment(spark, tmp_path):
+    cfg = SeriesConfig(
+        name="raw_only",
+        files=[_era_a(tmp_path)],
+        marker="Operating Theatres",
+        rename={"orgid": "org_code", "name": "org_name",
+                "number_of_operating_theatres": "nr_operating_theatres"},
+        numeric_cols=["nr_operating_theatres"],
+        require_cols=["org_code"],
+    )
+    out = run_series(spark, cfg)
+    got = {r.org_code: r.nr_operating_theatres for r in out.collect()}
+    assert got == {"OLD1": 4.0, "NEW": 10.0}
