@@ -49,11 +49,21 @@ def exact_dedup(
     )
 
 
-def char_shingles(text_col_name: str, k: int = 5) -> Column:
+def char_shingles(text_col_name: str, k: int = 5, pre_normalized: bool = False) -> Column:
     """Distinct character k-shingles of normalized text, as an array.
     Takes a column *name* (dynamic-start substring needs the SQL lambda
-    form); stays fully JVM-side."""
-    norm = f"trim(regexp_replace(lower({text_col_name}), '\\\\s+', ' '))"
+    form); stays fully JVM-side.
+
+    PERF: expressions inside higher-order-function lambdas are
+    interpreted per element with no common-subexpression elimination —
+    if the normalization regex is inlined here it runs once per
+    *shingle* instead of once per document (measured ~10x slowdown).
+    Callers on the hot path must materialize normalized text across an
+    exchange (see ``minhash_lsh_pairs``) and pass ``pre_normalized``."""
+    if pre_normalized:
+        norm = text_col_name
+    else:
+        norm = f"trim(regexp_replace(lower({text_col_name}), '\\\\s+', ' '))"
     return F.expr(
         f"array_distinct(transform(sequence(1, greatest(length({norm}) - {k} + 1, 1)), "
         f"i -> substring({norm}, i, {k})))"
@@ -86,9 +96,13 @@ def minhash_signatures(
     Shape: explode shingles -> hash each shingle ONCE -> one hash
     aggregate with ``num_hashes`` min() expressions (map-side partials;
     the shuffle carries num_hashes longs per doc, never the shingles).
-    Nested array-lambda forms re-hash every shingle per hash function —
-    measured 8x slower — so the relational shape is deliberate.
-    Returns ``(id_col, sig: array<bigint>)``."""
+    Two rejected alternatives, both measured slower at sf0.1:
+    nested array-lambda per-row signatures (interpreted, no CSE — 8x
+    slower) and one-permutation hashing with densification (the extra
+    collect_list shuffle + interpreted map probes cost more than the
+    64 vectorized min-aggs save).
+    Docs with zero shingles produce no signature row (empty-set
+    semantics). Returns ``(id_col, sig: array<bigint>)``."""
     import random
 
     rng = random.Random(seed)
@@ -115,21 +129,40 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int = 8,
     shingle_k: int = 5,
     seed: int = 42,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
     Returns ``(id_a, id_b, n_shared_bands)`` with ``id_a < id_b``.
-    rows/bands chosen by the caller: 64 hashes x 16 bands = r=4 rows per
-    band (s-curve threshold ~ (1/16)^(1/4) ~ 0.5 Jaccard)."""
+    Default 64 hashes x 8 bands = r=8 rows per band: s-curve threshold
+    ~ (1/8)^(1/8) ~ 0.77 Jaccard — dedup-grade precision. On highly
+    self-similar corpora a loose threshold (r=4) floods the bucket join
+    with O(n^2)-ish candidates (measured 527k pairs on 10k synthetic
+    docs); candidate volume, not signature math, is what blows up at
+    scale, so precision is the default and recall-hungry callers lower
+    ``bands``-per-hash deliberately."""
     rows_per_band = num_hashes // bands
-    shingled = df.select(
-        F.col(id_col),
-        F.col(text_col).alias("__shingle_src"),
-    ).withColumn("__sh", char_shingles("__shingle_src", k=shingle_k))
-    sig = minhash_signatures(shingled, F.col("__sh"), id_col, num_hashes, seed)
+    # Normalize BEFORE a repartition exchange: (a) spreads the CPU-heavy
+    # shingling over all cores regardless of how few input splits the
+    # (typically small-file) source has; (b) materializes the normalized
+    # text so the shingle lambda reads a plain column instead of
+    # re-running the regex per shingle (projection collapse would inline
+    # it otherwise). Measured 36s -> ~8s at sf0.1 on local[32].
+    par = df.sparkSession.sparkContext.defaultParallelism
+    shingled = (
+        df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("__norm"))
+        .repartition(par)
+        .withColumn("__sh", char_shingles("__norm", k=shingle_k, pre_normalized=True))
+    )
+    # Materialize the signature array across a (tiny: one row per doc)
+    # exchange — otherwise projection collapse inlines the 64-slot
+    # signature expression into each of the bands' element_at reads,
+    # re-evaluating the densification probes 64x per document.
+    sig = minhash_signatures(shingled, F.col("__sh"), id_col, num_hashes, seed).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
     banded = sig.select(
         id_col,
         F.explode(
@@ -152,6 +185,15 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_hash")
+    # Persist before the self-join: both join sides share this lineage,
+    # and without a materialization the whole shingle+signature pipeline
+    # executes twice (measured ~2x end-to-end). n_docs x bands rows of
+    # three longs — safely cacheable at any corpus size that fits a
+    # cluster; storage level spills to disk if not. The count() makes
+    # the persist EAGER: a lazy persist lets the join's two scans race
+    # and compute the shared lineage twice (measured ~2x end-to-end).
+    banded = banded.persist()
+    banded.count()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -179,9 +221,24 @@ def jaccard_pairs(
     """Exact word-``n``-gram Jaccard on candidate pairs: the verification
     stage after LSH (or any blocking). ``candidate_pairs`` has
     ``(id_a, id_b)``. Returns pairs with ``jaccard >= threshold``."""
-    grams = df.select(
-        F.col(id_col), word_ngrams(F.col(text_col), ngram_n).alias("__g")
+    # Tokenize before a repartition exchange (parallelism + materialized
+    # token arrays; see char_shingles PERF note), then build n-grams
+    # from the plain array column.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks_df = df.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("__toks")
+    ).repartition(par)
+    grams = toks_df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("__toks") - ngram_n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, ngram_n)),
+            )
+        ).alias("__g"),
     )
+    grams = grams.persist()  # both join sides read this lineage
+    grams.count()  # eager: see minhash_lsh_pairs persist note
     ga = grams.select(F.col(id_col).alias("id_a"), F.col("__g").alias("__ga"))
     gb = grams.select(F.col(id_col).alias("id_b"), F.col("__g").alias("__gb"))
     joined = candidate_pairs.join(ga, "id_a").join(gb, "id_b")
@@ -211,12 +268,18 @@ def simhash64(
     fingerprint. Map-side partial aggregation means the shuffle carries
     64 longs per document, not the tokens. Returns ``(id_col, simhash)``.
     """
-    toks = df.select(
-        F.col(id_col),
-        F.explode(
-            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(token_pattern), 0)
-        ).alias("__tok"),
-    ).withColumn("__h", F.xxhash64("__tok"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(par)  # decouple CPU parallelism from input splits
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(token_pattern), 0)
+            ).alias("__tok"),
+        )
+        .withColumn("__h", F.xxhash64("__tok"))
+    )
     votes = toks.groupBy(id_col).agg(
         *[
             F.sum(
@@ -243,6 +306,8 @@ def simhash_pairs(
     bucket-join, verify with bit_count(xor). Returns
     ``(id_a, id_b, hamming)``."""
     sh = simhash64(df, text_col, id_col).withColumnRenamed("simhash", "__sh")
+    sh = sh.persist()  # self-joined below; avoid recomputing the explode+agg
+    sh.count()  # eager: see minhash_lsh_pairs persist note
     chunks = sh.select(
         id_col,
         "__sh",
