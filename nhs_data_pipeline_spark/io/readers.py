@@ -105,6 +105,20 @@ def _finalize(
     return sdf.withColumn("_row_idx", F.col("_row_idx").cast("long"))
 
 
+def file_matches_skip_predicate(
+    pdf: pd.DataFrame, skip_markers: Sequence[str], scan_rows: int = 10
+) -> bool:
+    """P12 — file-level predicate: True when any of ``skip_markers``
+    appears in the first ``scan_rows`` rows, meaning the whole file
+    should be dropped ("adjusted"/"The 18 weeks rules" releases,
+    build_datasets_wait_times.R:72-83)."""
+    head = pdf.iloc[: min(scan_rows, len(pdf))]
+    blob = " ".join(
+        str(v).lower() for v in head.to_numpy().ravel() if pd.notna(v)
+    )
+    return any(m.lower() in blob for m in skip_markers)
+
+
 def read_messy_csv(
     spark: SparkSession,
     path: str,
@@ -112,13 +126,18 @@ def read_messy_csv(
     header: str | int | None = "detect",
     marker: str | None = None,
     na_tokens: Sequence[str] = NA_TOKENS,
-) -> DataFrame:
+    skip_markers: Sequence[str] = (),
+) -> DataFrame | None:
     """Read a messy small CSV: optional fixed ``skip``, then header
     detection/promotion (``header='detect'`` | row int | None for
     headerless), sentinel cleanup, ``_row_idx`` + ``_source_file``.
+    Returns None when a ``skip_markers`` file-level predicate matches
+    (P12: the whole release is excluded).
     """
     pdf = pd.read_csv(path, header=None, dtype=str, skiprows=skip, keep_default_na=False)
     pdf = pdf.replace({"": None})
+    if skip_markers and file_matches_skip_predicate(pdf, skip_markers):
+        return None
     if header == "detect":
         hr = detect_header_row(pdf, marker=marker)
         pdf = _promote_header(pdf, hr)

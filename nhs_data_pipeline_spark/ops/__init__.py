@@ -9,6 +9,7 @@ from nhs_data_pipeline_spark.ops.core import (  # noqa: F401
     coalesce_columns,
     cumulative_sum,
     distinct_union,
+    drop_positional,
     drop_all_null_columns,
     fill_directional,
     filter_rows_from_marker,
@@ -19,6 +20,7 @@ from nhs_data_pipeline_spark.ops.core import (  # noqa: F401
     last_per_group,
     natural_join,
     rename_columns,
+    reorder_columns,
     select_by_pattern,
     slice_rows,
     union_by_name,

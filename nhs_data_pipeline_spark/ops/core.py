@@ -313,3 +313,19 @@ def unpivot(
     build_datasets_wait_times.R:508-511). Uses the native ``unpivot``
     operator (Spark >= 3.4) — one generate, no shuffle."""
     return df.unpivot(list(ids), list(values), var_name, value_name)
+
+
+def drop_positional(df: DataFrame, positions: Sequence[int]) -> DataFrame:
+    """Drop columns by 0-based position (P4 — ``x[, -4]`` dropping the
+    SHA column, build_datasets_overnight_day_beds.R:355-357). Positions
+    resolve against the current schema at plan-build time."""
+    drop = {p if p >= 0 else len(df.columns) + p for p in positions}
+    return df.select(*[c for i, c in enumerate(df.columns) if i not in drop])
+
+
+def reorder_columns(df: DataFrame, first: Sequence[str]) -> DataFrame:
+    """Move the named columns to the front, preserving the relative
+    order of the rest (P5 — year/quarter-first reorder,
+    scripts/build_datasets_main.py:53-55). Pure projection."""
+    rest = [c for c in df.columns if c not in set(first)]
+    return df.select(*first, *rest)

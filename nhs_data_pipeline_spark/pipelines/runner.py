@@ -40,6 +40,7 @@ class SeriesConfig:
     files: Sequence[str]                                  # raw file paths (S4 discovery output)
     marker: str | None = None                             # header-in-data marker (P10)
     skip: int = 0                                         # fixed preamble rows (S5)
+    skip_markers: Sequence[str] = ()                      # drop whole file if seen (P12)
     rename: dict[str, str] = field(default_factory=dict)  # era-variant renames (R5)
     coalesce: dict[str, Sequence[str]] = field(default_factory=dict)  # J2
     numeric_cols: Sequence[str] = ()                      # coerce to double (F12)
@@ -62,10 +63,16 @@ def run_series(spark: SparkSession, cfg: SeriesConfig) -> DataFrame:
     """
     frames = []
     for path in cfg.files:
-        df = read_messy_csv(spark, path, skip=cfg.skip, marker=cfg.marker)
+        df = read_messy_csv(
+            spark, path, skip=cfg.skip, marker=cfg.marker, skip_markers=cfg.skip_markers
+        )
+        if df is None:  # P12: whole-file exclusion predicate matched
+            continue
         df = with_filename_metadata(df)
         df = rename_columns(df, cfg.rename)
         frames.append(df)
+    if not frames:
+        raise ValueError(f"series {cfg.name}: every input file was skipped")
     panel = union_by_name(frames)
     panel = coalesce_columns(panel, cfg.coalesce)
     for c in cfg.require_cols:

@@ -98,3 +98,17 @@ def test_write_single_csv_roundtrip(spark, tmp_path):
     with open(out) as f:
         lines = [line.strip() for line in f]
     assert lines == ["id,v", "1,a", "2,b"]
+
+
+def test_file_level_skip_predicate(spark, tmp_path):
+    import csv as _csv
+
+    p = tmp_path / "adjusted_release.csv"
+    with open(p, "w", newline="") as f:
+        _csv.writer(f).writerows(
+            [["This file uses the Adjusted methodology", ""],
+             ["org", "value"], ["RX1", "3"]]
+        )
+    assert read_messy_csv(spark, str(p), skip_markers=["adjusted"]) is None
+    ok = read_messy_csv(spark, str(p), skip_markers=["the 18 weeks rules"])
+    assert ok is not None and ok.count() >= 1

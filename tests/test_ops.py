@@ -170,3 +170,14 @@ def test_pct_within_threshold(spark):
     )
     out = pct_within_threshold(bins, ["k"], "bin_lower", "cnt", 5.0).first()
     assert out.pct_within == 0.75
+
+
+def test_drop_positional(spark):
+    df = spark.createDataFrame([(1, 2, 3, 4)], ["a", "b", "c", "d"])
+    assert oc.drop_positional(df, [1]).columns == ["a", "c", "d"]
+    assert oc.drop_positional(df, [-1, 0]).columns == ["b", "c"]
+
+
+def test_reorder_columns(spark):
+    df = spark.createDataFrame([(1, 2, 3)], ["a", "b", "year"])
+    assert oc.reorder_columns(df, ["year"]).columns == ["year", "a", "b"]

@@ -97,3 +97,19 @@ def test_pipeline_without_adjustment(spark, tmp_path):
     out = run_series(spark, cfg)
     got = {r.org_code: r.nr_operating_theatres for r in out.collect()}
     assert got == {"OLD1": 4.0, "NEW": 10.0}
+
+
+def test_harmonize_wait_bins(spark):
+    from nhs_data_pipeline_spark.pipelines.wait_times import harmonize_wait_bins
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 3.0, 4.0, 9.0)],
+        ["between_0_1", "between_51_52", "between_52_53", "between_52_plus",
+         "total_52_plus_weeks"],
+    )
+    out = harmonize_wait_bins(df)
+    assert sorted(out.columns) == ["between_0_1", "between_51_52", "between_52_plus"]
+    assert out.first().between_52_plus == 9.0
+    # schema already harmonized -> untouched
+    df2 = spark.createDataFrame([(1.0, 2.0)], ["between_0_1", "between_52_plus"])
+    assert harmonize_wait_bins(df2).columns == df2.columns
