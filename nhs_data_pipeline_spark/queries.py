@@ -1399,3 +1399,157 @@ def embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     property-tested."""
     emb = _t(spark, sf_dir, "embeddings")
     return sim.lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+# ===========================================================================
+# Row-order semantics, EDA, skew, date arithmetic (P10/P11, S8/S10, F8)
+# ===========================================================================
+
+@query(
+    "p10_marker_row_slice",
+    """
+    WITH idx AS (
+      SELECT n_name, n_regionkey,
+             row_number() OVER (ORDER BY n_nationkey) - 1 AS _row_idx
+      FROM nation
+    )
+    SELECT _row_idx, n_name FROM idx
+    WHERE _row_idx >= (SELECT MIN(_row_idx) FROM idx WHERE lower(n_name) LIKE '%nation_10%')
+    """,
+)
+def p10_marker_row_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10/P11 — marker-based row slice over an explicit row index: the
+    header-in-data pattern made deterministic under Spark (ordered
+    window assigns _row_idx; the slice is a plain filter)."""
+    n = _t(spark, sf_dir, "nation")
+    idx = n.select(
+        "n_name",
+        "n_regionkey",
+        (F.row_number().over(Window.orderBy("n_nationkey")) - 1).alias("_row_idx"),
+    )
+    return oc.filter_rows_from_marker(
+        idx.select("_row_idx", "n_name"), "nation_10"
+    ).select("_row_idx", "n_name")
+
+
+@query(
+    "s8_filename_metadata",
+    """
+    SELECT CAST(regexp_extract(fname, '(19[5-9][0-9]|20[0-2][0-9])', 1) AS INTEGER) AS file_year,
+           'Q' || regexp_extract(fname, '(?:Quarter[_\\s]*|Q)([0-9])', 1) AS file_quarter,
+           COUNT(*) AS n
+    FROM (
+      SELECT 'Beds_Open_' || CAST(year(o_orderdate) AS VARCHAR) || '_Quarter_'
+             || CAST(quarter(o_orderdate) AS VARCHAR) || '_provider.xls' AS fname
+      FROM orders
+    ) GROUP BY 1, 2
+    """,
+)
+def s8_filename_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 — filename year/quarter extraction via the engine's metadata
+    regexes, round-tripped through constructed release filenames."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.concat(
+            F.lit("Beds_Open_"),
+            F.year("o_orderdate").cast("string"),
+            F.lit("_Quarter_"),
+            F.quarter("o_orderdate").cast("string"),
+            F.lit("_provider.xls"),
+        ).alias("fname")
+    )
+    return (
+        o.select(
+            nf.extract_year("fname").alias("file_year"),
+            nf.extract_quarter("fname").alias("file_quarter"),
+        )
+        .groupBy("file_year", "file_quarter")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "f8_change_date_arithmetic",
+    """
+    SELECT o_custkey,
+           CAST(MAX(o_orderdate) + INTERVAL 1 MONTH AS DATE) AS change_date,
+           CAST(MAX(o_orderdate) + INTERVAL 3 MONTH AS DATE) AS change_quarter
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def f8_change_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 — change-indicator date arithmetic: last period + 1 month
+    (monthly series) / + 3 months (quarterly yq()+months(3)),
+    build_datasets_overnight_day_beds.R:513-516."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.add_months(F.max("o_orderdate"), 1).alias("change_date"),
+        F.add_months(F.max("o_orderdate"), 3).alias("change_quarter"),
+    )
+
+
+@query(
+    "w3_fill_updown",
+    """
+    SELECT o_custkey, o_orderkey,
+           COALESCE(
+             last_value(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END IGNORE NULLS)
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             first_value(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END IGNORE NULLS)
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           ) AS filled
+    FROM orders
+    """,
+)
+def w3_fill_updown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — bidirectional fill (tidyr .direction='updown'): carry last
+    non-null down, then backfill leading nulls from below."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")).alias("filled"),
+    )
+    out = oc.fill_directional(
+        o, ["filled"], ["o_custkey"], ["o_orderdate", "o_orderkey"], "updown"
+    )
+    return out.select("o_custkey", "o_orderkey", "filled")
+
+
+@query(
+    "s10_histogram",
+    """
+    SELECT FLOOR(o_totalprice / 50000) * 50000 AS bin_lower, COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def s10_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 — the EDA histogram (explore.py's plt.hist) as a distributed
+    bin-count aggregate; plotting stays driver-side on the tiny result."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy((F.floor(F.col("o_totalprice") / 50000) * 50000).alias("bin_lower"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "skew_salted_sum",
+    """
+    SELECT o_orderstatus, ROUND(SUM(o_totalprice), 2) AS total, COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def skew_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase salted aggregation over a deliberately
+    skewed key (o_orderstatus: one dominant value) — bit-identical
+    results to the direct group-by the oracle runs, via two balanced
+    shuffles instead of one skewed one."""
+    from nhs_data_pipeline_spark.ops.skew import salted_grouped_sum
+
+    o = _t(spark, sf_dir, "orders")
+    out = salted_grouped_sum(o, ["o_orderstatus"], ["o_totalprice"], count_col="n")
+    return out.select(
+        "o_orderstatus", F.round("o_totalprice", 2).alias("total"), "n"
+    )

@@ -181,3 +181,22 @@ def test_drop_positional(spark):
 def test_reorder_columns(spark):
     df = spark.createDataFrame([(1, 2, 3)], ["a", "b", "year"])
     assert oc.reorder_columns(df, ["year"]).columns == ["year", "a", "b"]
+
+
+def test_salted_grouped_sum_matches_direct(spark):
+    from nhs_data_pipeline_spark.ops.skew import salted_grouped_sum
+
+    df = spark.createDataFrame(
+        [("hot", float(i)) for i in range(1000)] + [("cold", 5.0), ("nullish", None)],
+        "k string, v double",
+    )
+    salted = {
+        r.k: (r.v, r.n)
+        for r in salted_grouped_sum(df, ["k"], ["v"], count_col="n").collect()
+    }
+    direct = {
+        r.k: (r.v, r.n)
+        for r in df.groupBy("k").agg(F.sum("v").alias("v"), F.count("*").alias("n")).collect()
+    }
+    assert salted == direct
+    assert salted["nullish"] == (None, 1)  # NA-preserving through both phases
