@@ -45,6 +45,13 @@ def successor_closure(
     )
     hop = e.select(F.col("__o").alias("__ho"), F.col("__n").alias("__hn"))
 
+    # One Spark action per iteration: the step join carries a __moved
+    # flag, a lazy localCheckpoint truncates lineage, and the single
+    # count() both materializes the checkpoint and answers convergence.
+    # (The previous shape — eager checkpoint + a semi-join probe — was
+    # two jobs per iteration; driver-loop job overhead dominates on
+    # lookup-sized graphs.) Fixpoint = a round where nothing moved, so
+    # the loop runs chain-length + 1 rounds.
     for _ in range(max_iter):
         advanced = (
             mapping.join(
@@ -56,21 +63,18 @@ def successor_closure(
                 F.when(F.col("__hn").isNotNull(), F.col("n_hops") + 1)
                 .otherwise(F.col("n_hops"))
                 .alias("n_hops"),
+                F.col("__hn").isNotNull().alias("__moved"),
             )
-            .distinct()
+            # dedup + flag-merge in one aggregate (a plain distinct would
+            # keep (row, moved) and (row, not-moved) as separate rows)
+            .groupBy(old, "final_code", "n_hops")
+            .agg(F.max("__moved").alias("__moved"))
         )
         if checkpoint:
-            advanced = advanced.localCheckpoint(eager=True)
-        # Convergence check: any final_code that still has an outgoing edge?
-        unresolved = (
-            advanced.join(
-                F.broadcast(hop), advanced["final_code"] == hop["__ho"], "left_semi"
-            )
-            .limit(1)
-            .count()
-        )
-        mapping = advanced
-        if unresolved == 0:
+            advanced = advanced.localCheckpoint(eager=False)
+        moved = advanced.filter("__moved").limit(1).count()
+        mapping = advanced.drop("__moved")
+        if moved == 0:
             break
     return mapping
 
