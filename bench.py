@@ -25,6 +25,9 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q4_order_priority_exists",
+    "q10_returned_item_topk",
+    "q14_promo_revenue_ratio",
     "j1_natural_left_join",
     "j3_transitive_closure",
     "a1_na_preserving_sum",
