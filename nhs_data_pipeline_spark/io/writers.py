@@ -43,3 +43,28 @@ def write_parquet(
         w = w.partitionBy(*partition_by)
     w.parquet(path)
     return path
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Bucketed managed-table sink: co-locates rows by hash(bucket_cols)
+    at WRITE time so every later equi-join or aggregation on those
+    columns skips its shuffle (Exchange) entirely.
+
+    The scale play: fact tables that are repeatedly joined on the same
+    key (lineitem/orders on orderkey; panels on org_code) pay one
+    bucketed write, then every downstream join is exchange-free on both
+    sides when bucket counts match. ``sort_cols`` additionally makes
+    the join sort-free (SortMergeJoin reads pre-sorted buckets).
+    """
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+    return table

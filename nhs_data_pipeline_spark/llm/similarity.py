@@ -170,3 +170,83 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 11,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means cells + multi-probe.
+
+    Build: fit KMeans centroids (driver-side model over the corpus —
+    centroid count is tiny; the fit itself is distributed), assign each
+    corpus vector to its nearest cell (one shuffle-free transform).
+    Query: score each query against the centroid table (literal arrays,
+    n_centroids dot products), keep the ``n_probe`` nearest cells,
+    join corpus rows in those cells, exact-cosine re-rank.
+
+    Scale shape: the candidate join is keyed on cell id — the shuffle
+    carries (id, cell) pairs and only same-cell vectors meet; recall is
+    tuned by ``n_probe`` (probing all cells == brute force). Compared
+    to ``lsh_topk`` this adapts to the data's cluster structure at the
+    cost of a training pass.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = _as_double(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+        "__cv",
+    ).withColumn("__vec", array_to_vector("__cv"))
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="__vec", predictionCol="__cell")
+    model = km.fit(c)
+    cells = model.transform(c).select("neighbor_id", "__cv", "__cell")
+
+    centers = [[float(x) for x in ctr] for ctr in model.clusterCenters()]
+    q = _as_double(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
+        "__qv",
+    )
+    # distance to each centroid as literal-array dot products; keep the
+    # n_probe nearest cells per query
+    scored_cells = q.select(
+        "query_id",
+        "__qv",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("__cell"),
+                        _dot(
+                            F.col("__qv"), F.array(*[F.lit(w) for w in ctr])
+                        ).alias("__sim"),
+                    )
+                    for i, ctr in enumerate(centers)
+                ]
+            )
+        ).alias("s"),
+    ).select("query_id", "__qv", "s.__cell", "s.__sim")
+    w_probe = Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("__cell"))
+    probes = (
+        scored_cells.withColumn("__pr", F.row_number().over(w_probe))
+        .filter(F.col("__pr") <= n_probe)
+        .select("query_id", "__qv", "__cell")
+    )
+
+    cand = probes.join(cells, "__cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    rescored = cand.withColumn(
+        "cosine",
+        _dot(F.col("__qv"), F.col("__cv")) / (_norm(F.col("__qv")) * _norm(F.col("__cv"))),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

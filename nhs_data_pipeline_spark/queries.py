@@ -1656,3 +1656,12 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue_pct")
         )
     )
+
+
+@query("embed_topk_ivf")  # approximate: rows-only check (recall + full-probe
+# equality vs brute force tested in tests/test_llm.py)
+def embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (KMeans cells + multi-probe) — the cluster-adaptive
+    scale path alongside the hyperplane-LSH variant."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=5, n_centroids=8, n_probe=3)

@@ -112,3 +112,35 @@ def test_file_level_skip_predicate(spark, tmp_path):
     assert read_messy_csv(spark, str(p), skip_markers=["adjusted"]) is None
     ok = read_messy_csv(spark, str(p), skip_markers=["the 18 weeks rules"])
     assert ok is not None and ok.count() >= 1
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    import contextlib
+    import io as _io
+
+    from pyspark.sql import functions as F
+
+    from nhs_data_pipeline_spark.io.writers import write_bucketed_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try:
+        left = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn(
+            "lv", F.col("k") * 2
+        )
+        right = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn(
+            "rv", F.col("k") + 1
+        )
+        write_bucketed_table(left, "bk_left", ["k"], num_buckets=8, sort_cols=["k"])
+        write_bucketed_table(right, "bk_right", ["k"], num_buckets=8, sort_cols=["k"])
+        joined = spark.table("bk_left").join(spark.table("bk_right"), "k")
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain()
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")

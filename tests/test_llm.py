@@ -171,3 +171,22 @@ def test_resize_is_honest_stub(spark):
 
     with pytest.raises(NotImplementedError):
         mm.resize_images(None, 100, 100)
+
+
+def test_ivf_topk_recall(spark):
+    df, vecs = _emb(spark, n=200, dim=16, seed=5)
+    exact = sim.brute_force_topk(df.filter(F.col("vec_id") < 10), df, k=5)
+    approx = sim.ivf_topk(
+        df.filter(F.col("vec_id") < 10), df, k=5, n_centroids=8, n_probe=4
+    )
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+    # probing every cell must equal brute force exactly
+    full = sim.ivf_topk(
+        df.filter(F.col("vec_id") < 10), df, k=5, n_centroids=8, n_probe=8
+    )
+    f = {(r.query_id, r.neighbor_id, r.rank) for r in full.collect()}
+    ee = {(r.query_id, r.neighbor_id, r.rank) for r in exact.collect()}
+    assert f == ee
