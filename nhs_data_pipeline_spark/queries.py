@@ -1123,7 +1123,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (matching DuckDB's nanos->micros truncation)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
-    return ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # integer division: `/` on longs is double division in Spark and the
+    # FP quotient can land 1us off after the cast
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 @query(
@@ -1665,3 +1667,35 @@ def embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path alongside the hyperplane-LSH variant."""
     emb = _t(spark, sf_dir, "embeddings")
     return sim.ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=5, n_centroids=8, n_probe=3)
+
+
+@query(
+    "events_sessionize",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+                  THEN 1 ELSE 0 END AS newf
+      FROM events
+    ), sid AS (
+      SELECT *, SUM(newf) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum
+    FROM sid GROUP BY user_id, s
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch twin of the
+    applyInPandasWithState streaming operator; 30-min inactivity gap).
+    Native lag + running-sum session ids — one shuffle on user_id."""
+    from nhs_data_pipeline_spark.streaming.sessionize import sessionize_batch
+
+    ev = _events(spark, sf_dir)
+    out = sessionize_batch(ev, gap_seconds=1800)
+    return out.select(
+        "user_id", "session_start", "session_end", "n_events",
+        F.round("value_sum", 2).alias("value_sum"),
+    )

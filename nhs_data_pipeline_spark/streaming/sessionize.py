@@ -1,0 +1,120 @@
+"""Custom stateful streaming operator: gap-based sessionization.
+
+The one operator class Structured Streaming's built-in windows can't
+express: sessions end after ``gap`` of inactivity, so window bounds
+depend on the data. Implemented with ``applyInPandasWithState`` — the
+engine's only stateful Python crossing, Arrow-batched per key group.
+
+State per user: (session_start, last_ts, n_events, value_sum). On each
+micro-batch the incoming rows for a key are folded in event-time order;
+a gap closes the open session (emitted) and starts a new one; timeout
+flushes idle sessions. Batch callers get the same semantics through
+``sessionize_batch`` (native expressions — window lag + cumulative
+session ids), which doubles as the oracle for the streaming path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("value_sum", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = "start long, last long, n long, vsum double"
+
+
+def sessionize_stream(
+    events: DataFrame, gap_seconds: int = 1800, ts_col: str = "ts",
+    user_col: str = "user_id", value_col: str = "value",
+) -> DataFrame:
+    """Streaming gap sessionization via applyInPandasWithState.
+
+    Emits CLOSED sessions only (a session closes when a later event
+    arrives past the gap, or the state times out). Requires a watermark
+    on ``ts_col`` upstream for event-time timeout."""
+    gap_us = gap_seconds * 1_000_000
+
+    def fold(
+        key: Tuple[Any], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        if state.exists:
+            start, last, n, vsum = state.get
+        else:
+            start = last = None
+            n, vsum = 0, 0.0
+        closed = []
+        if state.hasTimedOut:
+            if n:
+                closed.append((user, start, last, n, vsum))
+            state.remove()
+        else:
+            rows = pd.concat(list(pdfs)).sort_values(ts_col)
+            for ts, val in zip(rows[ts_col], rows[value_col]):
+                t = int(ts.value // 1000)  # pandas ns -> us
+                if last is not None and t - last > gap_us:
+                    closed.append((user, start, last, n, vsum))
+                    start, n, vsum = t, 0, 0.0
+                if start is None:
+                    start = t
+                last = t
+                n += 1
+                vsum += float(val) if val == val else 0.0
+            state.update((start, last, n, vsum))
+            state.setTimeoutTimestamp(last // 1000 + gap_seconds * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": [pd.Timestamp(c[1], unit="us") for c in closed],
+                    "session_end": [pd.Timestamp(c[2], unit="us") for c in closed],
+                    "n_events": [c[3] for c in closed],
+                    "value_sum": [c[4] for c in closed],
+                }
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fold,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def sessionize_batch(
+    events: DataFrame, gap_seconds: int = 1800, ts_col: str = "ts",
+    user_col: str = "user_id", value_col: str = "value",
+) -> DataFrame:
+    """Batch twin (and oracle) of the streaming sessionizer: session id
+    = cumulative count of gap-exceeding steps per user (lag + running
+    sum), then one aggregate per session. All native expressions."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = events.withColumn(
+        "__new",
+        F.when(
+            F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+            > gap_seconds,
+            1,
+        ).otherwise(0),
+    ).withColumn("__sid", F.sum("__new").over(wrun))
+    return marked.groupBy(user_col, "__sid").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.sum(value_col).alias("value_sum"),
+    ).drop("__sid")

@@ -55,3 +55,48 @@ def test_stream_matches_batch(spark, tmp_path):
         for r in windowed_rollup(batch, window="30 minutes").collect()
     }
     assert got == expected
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from nhs_data_pipeline_spark.streaming.sessionize import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # user 1: two sessions separated by a 2-hour gap; user 2: one session
+    for m in [0, 5, 10, 130, 135]:
+        rows.append((base + datetime.timedelta(minutes=m), 1, 1.0))
+    for m in [0, 20]:
+        rows.append((base + datetime.timedelta(minutes=m), 2, 2.0))
+    # sentinel far-future event per user advances the watermark so all
+    # real sessions close during the availableNow run
+    for u in (1, 2):
+        rows.append((base + datetime.timedelta(days=30), u, 0.0))
+    ev = spark.createDataFrame(rows, "ts timestamp, user_id long, value double")
+
+    src = str(tmp_path / "sess_src")
+    ev.coalesce(1).write.parquet(src)
+    schema = ev.schema
+    stream = stream_files(spark, src, schema)
+    sessions = sessionize_stream(stream.withWatermark("ts", "0 seconds"), gap_seconds=1800)
+    run_stream_to_memory(sessions, "sessions_test", output_mode="append")
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.value_sum)
+        for r in spark.table("sessions_test").collect()
+    }
+
+    batch = sessionize_batch(ev, gap_seconds=1800)
+    exp = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.value_sum)
+        for r in batch.collect()
+        # the sentinel sessions never close in the stream; exclude them
+        if r.session_start < base + datetime.timedelta(days=1)
+    }
+    assert exp  # sanity: 3 real sessions
+    assert got == exp
