@@ -76,7 +76,12 @@ def pct_within_threshold(
     """
     return df.groupBy(*keys).agg(
         safe_div(
-            F.sum(F.when(F.col(bin_lower) < threshold, F.col(count))),
+            # no (non-null) counts below the threshold means 0% within,
+            # not unknown — but only when the group has a real total
+            F.coalesce(
+                F.sum(F.when(F.col(bin_lower) < threshold, F.col(count))),
+                F.lit(0.0),
+            ),
             F.sum(count),
         ).alias("pct_within")
     )

@@ -113,3 +113,32 @@ def test_harmonize_wait_bins(spark):
     # schema already harmonized -> untouched
     df2 = spark.createDataFrame([(1.0, 2.0)], ["between_0_1", "between_52_plus"])
     assert harmonize_wait_bins(df2).columns == df2.columns
+
+
+def test_rtt_recompute_binned_stats(spark):
+    from nhs_data_pipeline_spark.pipelines.rtt import recompute_binned_stats
+
+    # org A: 10 waits in 0-1wk, 10 in 17-18, 20 in 20-21
+    #   -> 25% within 18 excludes [18,..); within-18 counts bins < 18:
+    #      (10+10)/40 = 0.5; median: cum 10,20(=0.5),40 -> bin 17 + .5
+    # org B: all 8 in 52+ -> 0 within 18; median 52.5
+    # org C: zero totals -> both stats NULL
+    rows = [
+        ("A", 10.0, 10.0, 20.0, None),
+        ("B", None, None, None, 8.0),
+        ("C", 0.0, 0.0, 0.0, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "org_code string, between_0_1 double, between_17_18 double, "
+        "between_20_21 double, between_52_plus double",
+    )
+    out = {r.org_code: r for r in recompute_binned_stats(df, ["org_code"]).collect()}
+    assert out["A"].percent_within_18_weeks == 0.5
+    assert out["A"].median_waiting_time_in_weeks == 17.5
+    assert out["B"].percent_within_18_weeks == 0.0
+    assert out["B"].median_waiting_time_in_weeks == 52.5
+    assert out["C"].percent_within_18_weeks is None
+    assert out["C"].median_waiting_time_in_weeks is None
+    # wide panel columns intact
+    assert "between_17_18" in recompute_binned_stats(df, ["org_code"]).columns
