@@ -142,3 +142,50 @@ def test_rtt_recompute_binned_stats(spark):
     assert out["C"].median_waiting_time_in_weeks is None
     # wide panel columns intact
     assert "between_17_18" in recompute_binned_stats(df, ["org_code"]).columns
+
+
+def test_beds_quarterly_harmonization(spark):
+    from nhs_data_pipeline_spark.pipelines.beds import (
+        harmonize_beds_quarterly,
+        with_occupancy,
+    )
+
+    rows = [
+        ("2019-20", "June", "RX1", "100", "80", None),
+        ("2019-20", "March", "RX1", "90", "0", None),
+        ("2019-20", "December", "RX2", "-", "10", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "year string, period_end string, org_code string, "
+              "total_6 string, total_12 string, x11 string"
+    )
+    out = harmonize_beds_quarterly(df, measure_cols=["total_6", "total_12"])
+    assert "x11" not in out.columns  # spacer dropped
+    got = {(r.org_code, r.quarter): r for r in out.collect()}
+    assert got[("RX1", "Q1")].calendar_year == 2019  # June -> Q1, start year
+    assert got[("RX1", "Q4")].calendar_year == 2020  # March -> Q4, end year
+    assert got[("RX2", "Q3")].total_6 is None        # '-' sentinel
+    occ = with_occupancy(out, "total_12", "total_6")
+    vals = {(r.org_code, r.quarter): r.percent_occupied for r in occ.collect()}
+    assert vals[("RX1", "Q1")] == 0.8
+    assert vals[("RX2", "Q3")] is None   # null available -> null ratio
+
+
+def test_critical_care_positional_and_fiscal(spark):
+    from nhs_data_pipeline_spark.pipelines.critical_care import (
+        calendar_year_from_fiscal,
+        recompute_occupancy_all_types,
+        rename_positional_measures,
+    )
+
+    cols = ["month", "year", "org_code", "org_name", "region"] + [f"c{i}" for i in range(10)]
+    row = ["February", "2010-11", "RX1", "T", "Y56"] + ["10", "5", "8", "2", "6", "3", "x", "x", "x", "1"]
+    df = spark.createDataFrame([tuple(row)], cols)
+    df = rename_positional_measures(df, start=5)
+    assert "number_of_adult_critical_care_beds_open" in df.columns
+    df = calendar_year_from_fiscal(df)
+    assert df.first().calendar_year == 2011  # Feb -> end year
+    out = recompute_occupancy_all_types(df).first()
+    assert out.adult_critical_care_percent_occupied == 0.5
+    assert out.paediatric_intensive_care_percent_occupied == 0.25
+    assert out.neonatal_critical_care_percent_occupied == 0.5  # 3rd type too
