@@ -67,3 +67,30 @@ def recompute_occupancy_all_types(df: DataFrame) -> DataFrame:
                 safe_div(to_numeric(occ_c), to_numeric(open_c)),
             )
     return out
+
+
+MONTHS = [
+    "january", "february", "march", "april", "may", "june", "july",
+    "august", "september", "october", "november", "december",
+]
+
+
+def split_dated_measure_column(
+    df: DataFrame, new_name: str = "open_and_staffed_beds"
+) -> DataFrame:
+    """Era-A critical care: the measure column's NAME embeds the release
+    date ("Open and staffed adult critical care beds — January 2009";
+    build_datasets_critical_care_beds.R:74-89 promotes the header then
+    pulls the date out of the column name). Renames the dated column to
+    ``new_name`` and adds a ``date`` column (first of month).
+    """
+    import datetime
+    import re
+
+    for c in df.columns:
+        m = re.search(r"(" + "|".join(MONTHS) + r")_?(\d{4})$", c.lower())
+        if m:
+            month = MONTHS.index(m.group(1)) + 1
+            d = datetime.date(int(m.group(2)), month, 1)
+            return df.withColumnRenamed(c, new_name).withColumn("date", F.lit(d))
+    raise ValueError("no dated measure column found in schema")

@@ -189,3 +189,19 @@ def test_critical_care_positional_and_fiscal(spark):
     assert out.adult_critical_care_percent_occupied == 0.5
     assert out.paediatric_intensive_care_percent_occupied == 0.25
     assert out.neonatal_critical_care_percent_occupied == 0.5  # 3rd type too
+
+
+def test_critical_care_dated_column_extraction(spark):
+    import datetime
+
+    from nhs_data_pipeline_spark.pipelines.critical_care import (
+        split_dated_measure_column,
+    )
+
+    df = spark.createDataFrame(
+        [("RX1", "T", "12")],
+        ["org_id", "name", "open_and_staffed_adult_critical_care_beds_january_2009"],
+    )
+    out = split_dated_measure_column(df)
+    assert "open_and_staffed_beds" in out.columns
+    assert out.first().date == datetime.date(2009, 1, 1)
