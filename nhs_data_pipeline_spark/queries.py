@@ -1398,9 +1398,13 @@ def embed_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN (16 bits, 4 bands) re-ranked by exact
     cosine — the sub-quadratic scale path; recall vs brute force is
-    property-tested."""
+    property-tested; the DuckDB oracle injects the same seeded
+    hyperplanes, making even this approximate op exactly checkable."""
     emb = _t(spark, sf_dir, "embeddings")
-    return sim.lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    out = sim.lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
 
 
 # ===========================================================================
@@ -1699,3 +1703,52 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "session_start", "session_end", "n_events",
         F.round("value_sum", 2).alias("value_sum"),
     )
+
+
+def _lsh_oracle_sql(num_bits: int = 16, bands: int = 4, dim: int = 64, seed: int = 7, k: int = 5) -> str:
+    """Build the DuckDB oracle for embed_topk_lsh by inlining the SAME
+    seeded hyperplanes the Spark implementation uses — the LSH
+    candidate set is then bit-identical across engines, and the rerank
+    is plain cosine."""
+    from nhs_data_pipeline_spark.llm.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, num_bits, seed)
+    bits_per_band = num_bits // bands
+    plane_lits = ", ".join(
+        "[" + ", ".join(repr(w) for w in plane) + "]" for plane in planes
+    )
+    return f"""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), sigs AS (
+      SELECT vec_id, v,
+             (SELECT SUM(CASE WHEN list_dot_product(v, p.plane) > 0
+                              THEN (1::BIGINT << (p.i - 1)) ELSE 0 END)
+              FROM (SELECT unnest([{plane_lits}]) AS plane,
+                           generate_subscripts([{plane_lits}], 1) AS i) p
+             ) AS sig
+      FROM vecs
+    ), banded AS (
+      SELECT vec_id, v, b.band_idx,
+             (sig >> (b.band_idx * {bits_per_band})) & {(1 << bits_per_band) - 1} AS band_val
+      FROM sigs, (SELECT unnest(range(0, {bands})) AS band_idx) b
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, q.v AS qv, c.vec_id AS neighbor_id, c.v AS cv
+      FROM banded q JOIN banded c
+        ON q.band_idx = c.band_idx AND q.band_val = c.band_val
+       AND q.vec_id < 10 AND c.vec_id <> q.vec_id
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(cosine, 6) AS cosine FROM (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+ORACLES["embed_topk_lsh"] = _lsh_oracle_sql()
