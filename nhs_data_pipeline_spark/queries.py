@@ -1752,3 +1752,85 @@ def _lsh_oracle_sql(num_bits: int = 16, bands: int = 4, dim: int = 64, seed: int
 
 
 ORACLES["embed_topk_lsh"] = _lsh_oracle_sql()
+
+
+# ===========================================================================
+# Engine breadth: rollup hierarchy, pivot, sketches
+# ===========================================================================
+
+@query(
+    "a7_rollup_hierarchy",
+    """
+    SELECT COALESCE(r.r_name, '<all>') AS region_name,
+           COALESCE(n.n_name, '<all>') AS nation_name,
+           COUNT(*) AS n_customers, ROUND(SUM(c.c_acctbal), 2) AS acctbal_sum
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def a7_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (region -> nation -> grand
+    total) — one pass, Catalyst expands the grouping sets; the NHS twin
+    is region -> trust subtotal reporting."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum"))
+        .select(
+            F.coalesce("r_name", F.lit("<all>")).alias("region_name"),
+            F.coalesce("n_name", F.lit("<all>")).alias("nation_name"),
+            "n_customers",
+            "acctbal_sum",
+        )
+    )
+
+
+@query(
+    "r2_pivot_quarters",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           ROUND(SUM(CASE WHEN quarter(o_orderdate) = 1 THEN o_totalprice END), 2) AS q1,
+           ROUND(SUM(CASE WHEN quarter(o_orderdate) = 2 THEN o_totalprice END), 2) AS q2,
+           ROUND(SUM(CASE WHEN quarter(o_orderdate) = 3 THEN o_totalprice END), 2) AS q3,
+           ROUND(SUM(CASE WHEN quarter(o_orderdate) = 4 THEN o_totalprice END), 2) AS q4
+    FROM orders GROUP BY 1
+    """,
+)
+def r2_pivot_quarters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long -> wide pivot (year x quarter panel reshaping): Spark's
+    native pivot with explicit value list (no extra distinct-values
+    job) compiles to the same conditional aggregation the oracle
+    spells out."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("order_year"),
+        F.concat(F.lit("q"), F.quarter("o_orderdate").cast("string")).alias("q"),
+        "o_totalprice",
+    )
+    piv = (
+        o.groupBy("order_year")
+        .pivot("q", ["q1", "q2", "q3", "q4"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return piv
+
+
+@query("sketch_approx_distinct")  # HLL sketch differs per engine: rows-only;
+# relative-error property asserted in tests/test_ops.py
+def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality sketch (HyperLogLog++): approx distinct customers
+    per priority at 1% target rsd — at 100 TB this replaces exact
+    countDistinct's full shuffle with mergeable fixed-size sketches."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )

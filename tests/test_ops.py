@@ -200,3 +200,12 @@ def test_salted_grouped_sum_matches_direct(spark):
     }
     assert salted == direct
     assert salted["nullish"] == (None, 1)  # NA-preserving through both phases
+
+
+def test_approx_count_distinct_error_bound(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    row = o.agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("a"),
+        F.countDistinct("o_custkey").alias("e"),
+    ).first()
+    assert abs(row.a - row.e) / row.e < 0.05
