@@ -1834,3 +1834,40 @@ def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
         )
     )
+
+
+@query(
+    "u3_intersect",
+    """
+    SELECT custkey FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+)
+def u3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersect: customers with both an 'F' and an 'O' order."""
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    op = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return f.intersect(op)
+
+
+@query(
+    "u4_except",
+    """
+    SELECT custkey FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+)
+def u4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference: customers with open orders but no finished ones
+    (EXCEPT/anti-join duality)."""
+    o = _t(spark, sf_dir, "orders")
+    op = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return op.subtract(f)

@@ -190,3 +190,41 @@ def test_ivf_topk_recall(spark):
     f = {(r.query_id, r.neighbor_id, r.rank) for r in full.collect()}
     ee = {(r.query_id, r.neighbor_id, r.rank) for r in exact.collect()}
     assert f == ee
+
+
+def _tiny_png(w, h):
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+    )
+
+
+def _tiny_jpeg(w, h):
+    import struct
+
+    sof = struct.pack(">BBHHB", 8, 0, 0, 0, 0)  # placeholder precision etc.
+    seg = b"\xff\xc0" + struct.pack(">H", 8 + 3) + bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
+    return b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"JF" + seg
+
+
+def test_extract_image_meta_real_headers(spark):
+    rows = [
+        (1, "image", bytearray(_tiny_png(640, 480)), ("image/png", None, None, None)),
+        (2, "image", bytearray(_tiny_jpeg(100, 50)), ("image/jpeg", None, None, None)),
+        (3, "image", bytearray(b"not an image"), (None, None, None, None)),
+        (4, "image", None, (None, None, None, None)),
+    ]
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    got = {r.media_id: (r.detected_format, r.width, r.height)
+           for r in mm.extract_image_meta(media).collect()}
+    assert got[1] == ("png", 640, 480)
+    assert got[2] == ("jpeg", 100, 50)
+    assert got[3] == (None, None, None)
+    assert got[4] == (None, None, None)
