@@ -70,6 +70,30 @@ def char_shingles(text_col_name: str, k: int = 5, pre_normalized: bool = False) 
     )
 
 
+def char_shingle_hashes(
+    text_col_name: str, k: int = 5, sample_mod: int = 1, pre_normalized: bool = False
+) -> Column:
+    """Distinct xxhash64 values of character k-shingles, optionally
+    mod-``sample_mod`` sampled (Broder's shingle sampling: estimating
+    Jaccard over the hash-sampled shingle universe is unbiased).
+
+    The MinHash pipeline never needs the shingle *strings* — hashing
+    inline means array_distinct dedupes longs instead of strings and the
+    downstream explode carries 8-byte values; sampling divides the
+    signature aggregate's input by ``sample_mod``."""
+    if pre_normalized:
+        norm = text_col_name
+    else:
+        norm = f"trim(regexp_replace(lower({text_col_name}), '\\\\s+', ' '))"
+    grams = (
+        f"transform(sequence(1, greatest(length({norm}) - {k} + 1, 1)), "
+        f"i -> xxhash64(substring({norm}, i, {k})))"
+    )
+    if sample_mod > 1:
+        grams = f"filter({grams}, h -> pmod(h, {sample_mod}) = 0)"
+    return F.expr(f"array_distinct({grams})")
+
+
 def word_ngrams(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-grams (space-joined) of normalized text."""
     c = text if isinstance(text, Column) else F.col(text)
@@ -110,9 +134,11 @@ def minhash_signatures(
         (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
         for _ in range(num_hashes)
     ]
-    exploded = df.select(
-        F.col(id_col), F.explode(shingles).alias("__s")
-    ).withColumn("__h", F.pmod(F.xxhash64("__s"), F.lit(_MERSENNE)))
+    exploded = df.select(F.col(id_col), F.explode(shingles).alias("__s"))
+    if dict(exploded.dtypes)["__s"] == "bigint":  # pre-hashed shingles
+        exploded = exploded.withColumn("__h", F.pmod("__s", F.lit(_MERSENNE)))
+    else:
+        exploded = exploded.withColumn("__h", F.pmod(F.xxhash64("__s"), F.lit(_MERSENNE)))
     mins = exploded.groupBy(id_col).agg(
         *[
             F.min(F.pmod(a * F.col("__h") + b, F.lit(_MERSENNE))).alias(f"__m{j}")
@@ -124,6 +150,25 @@ def minhash_signatures(
     )
 
 
+
+def _signature_cols(hashes_df: DataFrame, id_col: str, num_hashes: int, seed: int) -> DataFrame:
+    """64-min signature aggregate over row-form distinct shingle hashes
+    ``(id_col, __h)`` -> one row per doc with __m0..__m{n-1} columns."""
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [
+        (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
+    ]
+    return hashes_df.groupBy(id_col).agg(
+        *[
+            F.min(F.pmod(a * F.col("__h") + b, F.lit(_MERSENNE))).alias(f"__m{j}")
+            for j, (a, b) in enumerate(coeffs)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -131,6 +176,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 8,
     shingle_k: int = 5,
+    shingle_sample_mod: int = 4,
     seed: int = 42,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
@@ -144,24 +190,42 @@ def minhash_lsh_pairs(
     scale, so precision is the default and recall-hungry callers lower
     ``bands``-per-hash deliberately."""
     rows_per_band = num_hashes // bands
-    # Normalize BEFORE a repartition exchange: (a) spreads the CPU-heavy
-    # shingling over all cores regardless of how few input splits the
-    # (typically small-file) source has; (b) materializes the normalized
-    # text so the shingle lambda reads a plain column instead of
-    # re-running the regex per shingle (projection collapse would inline
-    # it otherwise). Measured 36s -> ~8s at sf0.1 on local[32].
+    # PERF shape (each step measured at sf0.1, local[32]):
+    # 1. normalize BEFORE a repartition exchange — parallelism decoupled
+    #    from input splits, normalization materialized (10x on inlined
+    #    regex, 4x on 2-split parallelism).
+    # 2. ROW-LEVEL shingling: explode positions, then substring/hash/
+    #    sample-filter as ordinary row expressions. Higher-order array
+    #    lambdas (transform/filter) are ALWAYS interpreted — the array
+    #    form of this same pipeline ran 3.3x slower (19.7s -> 5.9s).
+    # 3. distinct via (id, hash) partial-aggregate, then the 64-min
+    #    signature aggregate — map-side combines keep both shuffles at
+    #    ~|distinct shingles| and |docs| rows respectively.
     par = df.sparkSession.sparkContext.defaultParallelism
-    shingled = (
-        df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("__norm"))
-        .repartition(par)
-        .withColumn("__sh", char_shingles("__norm", k=shingle_k, pre_normalized=True))
+    norm = df.select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("__norm")
+    ).repartition(par)
+    pos = norm.select(
+        F.col(id_col),
+        "__norm",
+        F.explode(
+            F.expr(f"sequence(1, greatest(length(__norm) - {shingle_k} + 1, 1))")
+        ).alias("__i"),
     )
-    # Materialize the signature array across a (tiny: one row per doc)
-    # exchange — otherwise projection collapse inlines the 64-slot
-    # signature expression into each of the bands' element_at reads,
-    # re-evaluating the densification probes 64x per document.
-    sig = minhash_signatures(shingled, F.col("__sh"), id_col, num_hashes, seed).repartition(
-        df.sparkSession.sparkContext.defaultParallelism
+    hashed = pos.select(
+        F.col(id_col),
+        F.xxhash64(F.expr(f"substring(__norm, __i, {shingle_k})")).alias("__sh64"),
+    )
+    if shingle_sample_mod > 1:
+        hashed = hashed.filter(F.pmod("__sh64", F.lit(shingle_sample_mod)) == 0)
+    distinct_h = (
+        hashed.groupBy(id_col, "__sh64")
+        .agg(F.first("__sh64").alias("__dummy"))
+        .select(F.col(id_col), F.pmod("__sh64", F.lit(_MERSENNE)).alias("__h"))
+    )
+    mins = _signature_cols(distinct_h, id_col, num_hashes, seed)
+    sig = mins.select(
+        F.col(id_col), F.array(*[f"__m{j}" for j in range(num_hashes)]).alias("sig")
     )
     banded = sig.select(
         id_col,
