@@ -144,3 +144,26 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS bk_left")
         spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_filename_metadata_distributed_path(spark, tmp_path):
+    """S8 on the distributed read path: metadata regexes applied to
+    F.input_file_name() instead of the driver-side _source_file."""
+    import csv as _csv
+
+    d = tmp_path / "Theatres_Quarter_3_2015_16"
+    d.mkdir()
+    p = d / "Theatres_Quarter_3_2015_16.csv"
+    with open(p, "w", newline="") as f:
+        _csv.writer(f).writerows([["org", "v"], ["RX1", "1"], ["RX2", "2"]])
+
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.option("header", True)
+        .csv(str(d))
+        .withColumn("_source_file", F.input_file_name())
+    )
+    out = with_filename_metadata(df)
+    rows = out.collect()
+    assert all(r.file_year == 2015 and r.file_quarter == "Q3" for r in rows)
