@@ -68,3 +68,24 @@ def write_bucketed_table(
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
     return table
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> str:
+    """Incremental refresh sink: dynamic partition overwrite — only the
+    partitions present in ``df`` are replaced; everything else on disk
+    is untouched.
+
+    This is the monthly-release production shape: a new NHS quarter
+    lands, the pipeline recomputes that (year, quarter) slice, and the
+    sink rewrites one partition instead of 100 TB. Requires partitioned
+    layout (see ``write_parquet(partition_by=...)``)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return path

@@ -167,3 +167,21 @@ def test_filename_metadata_distributed_path(spark, tmp_path):
     out = with_filename_metadata(df)
     rows = out.collect()
     assert all(r.file_year == 2015 and r.file_quarter == "Q3" for r in rows)
+
+
+def test_overwrite_partitions_is_incremental(spark, tmp_path):
+    from nhs_data_pipeline_spark.io.writers import overwrite_partitions, write_parquet
+
+    p = str(tmp_path / "panel")
+    base = spark.createDataFrame(
+        [(2023, "Q1", "RX1", 1.0), (2023, "Q2", "RX1", 2.0)],
+        "year int, quarter string, org string, v double",
+    )
+    write_parquet(base, p, partition_by=["year", "quarter"])
+    # refresh ONLY Q2 with a corrected value
+    fix = spark.createDataFrame(
+        [(2023, "Q2", "RX1", 99.0)], "year int, quarter string, org string, v double"
+    )
+    overwrite_partitions(fix, p, ["year", "quarter"])
+    got = {(r.quarter): r.v for r in spark.read.parquet(p).collect()}
+    assert got == {"Q1": 1.0, "Q2": 99.0}  # Q1 untouched, Q2 replaced

@@ -1,0 +1,48 @@
+"""Plan-quality regression tests: the physical plans the engine was
+tuned to produce must not silently regress — broadcast joins on
+dimension sides, predicate pushdown + column pruning into the parquet
+scan. (.explain audits, locked in as assertions.)"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from nhs_data_pipeline_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str, mode: str = "formatted") -> str:
+    df = QUERIES[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("q", ["q3_shipping_priority", "q5_local_supplier_volume",
+                               "q10_returned_item_topk", "j1_natural_left_join",
+                               "orgchange_adjust_panel"])
+def test_no_sort_merge_joins_in_headline_suite(spark, q):
+    p = plan_of(spark, q)
+    assert "SortMergeJoin" not in p, f"{q} regressed to a shuffle join:\n{p[:2000]}"
+    assert "BroadcastHashJoin" in p
+
+
+def test_q1_pushdown_and_pruning(spark):
+    p = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # pruned scan: the 4 unused lineitem columns must not be read
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    for unused in ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]:
+        assert unused not in read_schema, read_schema
+
+
+def test_dedup_shuffle_carries_fingerprint_not_text(spark):
+    p = plan_of(spark, "dedup_exact")
+    exchanges = [l for l in p.splitlines() if "hashpartitioning" in l]
+    assert exchanges, p
+    assert all("text" not in l for l in exchanges), exchanges
