@@ -1871,3 +1871,19 @@ def u4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     op = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
     f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
     return op.subtract(f)
+
+
+@query("sketch_quantiles")  # t-digest-style sketch differs per engine:
+# rows-only; bracketing property asserted in tests/test_ops.py
+def sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch: approx percentiles of order value per status —
+    the mergeable-sketch path that replaces exact sort-based quantiles
+    at scale (pairs with the exact binned_median operator)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 10000).alias("quartiles"),
+            F.count("*").alias("n"),
+        )
+    )

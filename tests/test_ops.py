@@ -209,3 +209,12 @@ def test_approx_count_distinct_error_bound(spark, sf_dir):
         F.countDistinct("o_custkey").alias("e"),
     ).first()
     assert abs(row.a - row.e) / row.e < 0.05
+
+
+def test_percentile_approx_brackets_exact(spark, sf_dir):
+    import numpy as np
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    got = o.agg(F.percentile_approx("o_totalprice", 0.5, 10000).alias("m")).first().m
+    exact = np.median([r.o_totalprice for r in o.select("o_totalprice").collect()])
+    assert abs(got - exact) / exact < 0.01
