@@ -14,19 +14,27 @@ import shutil
 from pyspark.sql import DataFrame
 
 
-def write_single_csv(df: DataFrame, path: str, order_by: list[str] | None = None) -> str:
+def write_single_csv(
+    df: DataFrame,
+    path: str,
+    order_by: list[str] | None = None,
+    null_value: str = "",
+) -> str:
     """Write one headered CSV file at ``path`` (reference parity:
     ``to_csv(index=False)``, scripts/build_datasets_main.py:289).
 
     ``coalesce(1)`` is correct *only* for reference-sized outputs (tens
     of thousands of rows); large results should use ``write_parquet``.
     An optional sink-time sort reproduces the reference's ordered CSVs
-    (O1 — ``arrange(org_code, year, quarter)``).
+    (O1 — ``arrange(org_code, year, quarter)``); ``null_value="NA"``
+    reproduces R ``write.csv``'s NA rendering.
     """
     if order_by:
         df = df.orderBy(*order_by)
     tmp = path + "__tmp"
-    df.coalesce(1).write.mode("overwrite").option("header", True).csv(tmp)
+    (df.coalesce(1).write.mode("overwrite").option("header", True)
+       .option("nullValue", null_value).option("emptyValue", "")
+       .csv(tmp))
     part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
     shutil.move(part, path)
     shutil.rmtree(tmp)
