@@ -1887,3 +1887,29 @@ def sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@query(
+    "o3_exact_percentiles",
+    """
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def o3_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (sort-based aggregate) — the
+    exact counterpart to the sketch_quantiles path; Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the linear-
+    interpolation definition."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+            F.round(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+        )
+    )
