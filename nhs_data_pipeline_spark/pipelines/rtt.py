@@ -63,3 +63,15 @@ def bin_lower_from_name(name: str) -> float | None:
 
     m = re.search(r"^between_(\d+)", name)
     return float(m.group(1)) if m else None
+
+
+def prefix_measures(df: DataFrame, prefix: str, cols: Sequence[str] | None = None) -> DataFrame:
+    """Per-pathway measure prefixing (F5 — ``paste0(pathway, "_", names)``,
+    build_datasets_wait_times.R:53,194-205): admitted/non_admitted/
+    incomplete panels share a schema, distinguished by column prefix
+    before the cross-pathway natural join."""
+    from nhs_data_pipeline_spark.ops.core import rename_columns
+
+    if cols is None:
+        cols = [c for c in df.columns if c.startswith(("between_", "total_", "percent_"))]
+    return rename_columns(df, {c: f"{prefix}_{c}" for c in cols})

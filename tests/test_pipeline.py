@@ -205,3 +205,55 @@ def test_critical_care_dated_column_extraction(spark):
     out = split_dated_measure_column(df)
     assert "open_and_staffed_beds" in out.columns
     assert out.first().date == datetime.date(2009, 1, 1)
+
+
+def test_rtt_full_series_composition(spark):
+    """The RTT spine end-to-end on a synthetic fixture: era-variant bin
+    harmonization -> org-change adjustment (merge OLD->NEW sums bins)
+    -> binned-stat recomputation -> pathway prefixing."""
+    from nhs_data_pipeline_spark.orgchange import adjust_org_changes
+    from nhs_data_pipeline_spark.pipelines.rtt import (
+        prefix_measures,
+        recompute_binned_stats,
+    )
+    from nhs_data_pipeline_spark.pipelines.wait_times import harmonize_wait_bins
+
+    rows = [
+        # org, period, 0-1wk, 17-18wk, 52-53wk(extra era bins), 52+total
+        ("OLD", 200601, 10.0, 10.0, 1.0, 5.0),
+        ("NEW", 200601, 0.0, 20.0, 0.0, 5.0),
+        ("FREE", 200601, 8.0, 0.0, 0.0, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "org_code string, period int, between_0_1 double, between_17_18 double, "
+        "between_52_53 double, total_52_plus_weeks double",
+    )
+    df = harmonize_wait_bins(df)  # drops >=52 sub-bins, renames total
+    assert "between_52_53" not in df.columns and "between_52_plus" in df.columns
+
+    lookup = spark.createDataFrame(
+        [("OLD", "NEW", 0, 0)],
+        ["old_code", "final_code", "experiences_split", "problematic"],
+    )
+    bins = ["between_0_1", "between_17_18", "between_52_plus"]
+    adj = adjust_org_changes(
+        df, lookup, keys=["org_code", "period"], sum_cols=bins,
+        org_col="org_code", period_col="period", name_col=None,
+    )
+    merged = {r.org_code: r for r in adj.collect()}
+    assert merged["NEW"].between_17_18 == 30.0  # 10+20 merged
+    assert merged["NEW"].between_52_plus == 10.0
+
+    stats = recompute_binned_stats(adj, ["org_code", "period"], bins)
+    got = {r.org_code: r for r in stats.collect()}
+    # NEW: 50 waits, 40 below 18 -> 80% within; cum 10,40(>=0.5 at bin17) -> median 17.5
+    assert got["NEW"].percent_within_18_weeks == 0.8
+    assert got["NEW"].median_waiting_time_in_weeks == 17.5
+    # FREE: all 8 in bin 0 -> 100% within, median 0.5
+    assert got["FREE"].percent_within_18_weeks == 1.0
+    assert got["FREE"].median_waiting_time_in_weeks == 0.5
+
+    wide = prefix_measures(stats, "admitted", bins + ["percent_within_18_weeks"])
+    assert "admitted_between_0_1" in wide.columns
+    assert "admitted_percent_within_18_weeks" in wide.columns
