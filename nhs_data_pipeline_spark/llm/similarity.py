@@ -172,6 +172,101 @@ def lsh_topk(
     )
 
 
+def cosine_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_bits: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all ``(id_a, id_b)`` with
+    ``id_a < id_b`` and exact cosine >= ``threshold``.
+
+    Scale path (default): random-hyperplane LSH banding blocks the
+    quadratic pair space — the banded self-join shuffles only
+    ``(id, band_idx, band_val)`` triples (no vectors), candidate pairs
+    are distinct'd as bare id pairs, and vectors are joined back only
+    for surviving candidates before the exact-cosine filter. At a
+    near-dup threshold of ~0.9 (angle ~26 deg) the default 16-bit /
+    4-band config collides true pairs in some band with p ~ 0.95;
+    recall is property-tested in tests/test_llm.py.
+
+    ``exact=True`` switches to the brute-force O(n^2) self-join — the
+    correctness baseline, and the right plan when one side fits in a
+    broadcast.
+
+    Reference parity: the reference has no embedding ops; this extends
+    its dedup family (exact / MinHash / SimHash / Jaccard) with the
+    embedding-cosine variant a training-data pipeline needs.
+    """
+    vecs = _as_double(
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")), "__v"
+    )
+    if exact:
+        a = vecs.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+        b = vecs.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+        cand = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        planes = _hyperplanes(dim, num_bits, seed)
+        bits_per_band = num_bits // bands
+        banded = (
+            vecs.withColumn("__sig", signature_bits(F.col("__v"), planes))
+            .select(
+                "__id",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(i).alias("band_idx"),
+                                F.shiftright("__sig", i * bits_per_band)
+                                .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                                .alias("band_val"),
+                            )
+                            for i in range(bands)
+                        ]
+                    )
+                ).alias("b"),
+            )
+            .select("__id", "b.band_idx", "b.band_val")
+        )
+        # eager persist: the banded table feeds both sides of the
+        # self-join; lazy persist would race and compute signatures twice
+        banded = banded.persist()
+        banded.count()
+        qa = banded.select(
+            F.col("__id").alias("id_a"), "band_idx", "band_val"
+        )
+        qb = banded.select(
+            F.col("__id").alias("id_b"), "band_idx", "band_val"
+        )
+        ids = (
+            qa.join(qb, ["band_idx", "band_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        cand = ids.join(
+            vecs.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va")), "id_a"
+        ).join(
+            vecs.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb")), "id_b"
+        )
+    na, nb = _norm(F.col("__va")), _norm(F.col("__vb"))
+    return (
+        cand.withColumn(
+            "cosine",
+            F.when((na == 0) | (nb == 0), F.lit(None)).otherwise(
+                _dot(F.col("__va"), F.col("__vb")) / (na * nb)
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -1754,6 +1754,64 @@ def _lsh_oracle_sql(num_bits: int = 16, bands: int = 4, dim: int = 64, seed: int
 ORACLES["embed_topk_lsh"] = _lsh_oracle_sql()
 
 
+@query("dedup_embed_cosine_pairs")  # oracle attached below (inlined hyperplanes)
+def dedup_embed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH-banded candidate blocking +
+    exact cosine >= 0.35 (threshold fitted to the synthetic embedding
+    spread; real near-dup corpora use ~0.9, where banding recall is
+    ~0.95 — property-tested). The DuckDB oracle injects the SAME seeded
+    hyperplanes, so even the blocked candidate set matches exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim.cosine_dedup_pairs(emb, threshold=0.35)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _cosine_dedup_oracle_sql(
+    threshold: float = 0.35, num_bits: int = 16, bands: int = 4, dim: int = 64, seed: int = 7
+) -> str:
+    """DuckDB oracle for dedup_embed_cosine_pairs: replicate the LSH
+    banding with the same seeded hyperplanes, then the exact-cosine
+    threshold filter over candidate pairs."""
+    from nhs_data_pipeline_spark.llm.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, num_bits, seed)
+    bits_per_band = num_bits // bands
+    plane_lits = ", ".join(
+        "[" + ", ".join(repr(w) for w in plane) + "]" for plane in planes
+    )
+    return f"""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), sigs AS (
+      SELECT vec_id, v,
+             (SELECT SUM(CASE WHEN list_dot_product(v, p.plane) > 0
+                              THEN (1::BIGINT << (p.i - 1)) ELSE 0 END)
+              FROM (SELECT unnest([{plane_lits}]) AS plane,
+                           generate_subscripts([{plane_lits}], 1) AS i) p
+             ) AS sig
+      FROM vecs
+    ), banded AS (
+      SELECT vec_id, v, b.band_idx,
+             (sig >> (b.band_idx * {bits_per_band})) & {(1 << bits_per_band) - 1} AS band_val
+      FROM sigs, (SELECT unnest(range(0, {bands})) AS band_idx) b
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, a.v AS va, b.vec_id AS id_b, b.v AS vb
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM (
+      SELECT id_a, id_b,
+             list_dot_product(va, vb) /
+               (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) AS cosine
+      FROM cand
+    ) WHERE cosine >= {threshold}
+    """
+
+
+ORACLES["dedup_embed_cosine_pairs"] = _cosine_dedup_oracle_sql()
+
+
 # ===========================================================================
 # Engine breadth: rollup hierarchy, pivot, sketches
 # ===========================================================================

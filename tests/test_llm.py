@@ -112,6 +112,56 @@ def test_lsh_topk_recall(spark):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def _clustered_emb(spark, n_clusters=10, per_cluster=6, dim=16, seed=5, noise=0.08):
+    """Clusters of near-duplicate vectors: each cluster is one base
+    vector plus small Gaussian noise — within-cluster cosines are high
+    (~>0.95), cross-cluster cosines are low."""
+    rng = np.random.RandomState(seed)
+    rows, vecs = [], []
+    for c in range(n_clusters):
+        base = rng.normal(size=dim)
+        base /= np.linalg.norm(base)
+        for _ in range(per_cluster):
+            v = base + rng.normal(scale=noise, size=dim)
+            rows.append((len(rows), [float(x) for x in v]))
+            vecs.append(v)
+    return (
+        spark.createDataFrame(rows, ["vec_id", "embedding"]),
+        np.array(vecs),
+    )
+
+
+def test_cosine_dedup_exact_matches_numpy(spark):
+    df, vecs = _emb(spark, n=40, dim=16)
+    thr = 0.3
+    out = sim.cosine_dedup_pairs(df, threshold=thr, dim=16, exact=True)
+    got = {(r.id_a, r.id_b): r.cosine for r in out.collect()}
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = norm @ norm.T
+    want = {
+        (a, b): cos[a][b]
+        for a in range(40)
+        for b in range(a + 1, 40)
+        if cos[a][b] >= thr
+    }
+    assert set(got) == set(want)
+    for k, v in got.items():
+        assert abs(v - want[k]) < 1e-9
+
+
+def test_cosine_dedup_lsh_subset_and_recall(spark):
+    df, vecs = _clustered_emb(spark)
+    thr = 0.9
+    exact = sim.cosine_dedup_pairs(df, threshold=thr, dim=16, exact=True)
+    lsh = sim.cosine_dedup_pairs(df, threshold=thr, dim=16)
+    e = {(r.id_a, r.id_b) for r in exact.collect()}
+    a = {(r.id_a, r.id_b) for r in lsh.collect()}
+    assert a <= e, "LSH pairs must be a subset of exact pairs (no false positives)"
+    assert len(e) > 0
+    recall = len(a & e) / len(e)
+    assert recall >= 0.8, f"near-dup recall too low at thr=0.9: {recall}"
+
+
 def test_text_signals(spark):
     df = spark.createDataFrame(
         [(1, "The cat and the dog!"), (2, "")], ["doc_id", "text"]
