@@ -28,6 +28,9 @@ BENCH_QUERIES = [
     "q4_order_priority_exists",
     "q10_returned_item_topk",
     "q14_promo_revenue_ratio",
+    "q7_volume_shipping",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
     "j1_natural_left_join",
     "j3_transitive_closure",
     "a1_na_preserving_sum",
@@ -41,6 +44,7 @@ BENCH_QUERIES = [
     "text_stats",
     "minhash_lsh_pairs",
     "embed_topk_bruteforce",
+    "dedup_embed_cosine_pairs",
 ]
 
 

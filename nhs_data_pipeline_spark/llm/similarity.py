@@ -99,15 +99,37 @@ def _hyperplanes(dim: int, num_bits: int, seed: int) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_bits)]
 
 
+def _nested_array_lit(rows: list[list[float]]) -> Column:
+    """A list-of-lists as ONE parsed array<array<double>> literal.
+
+    Building this element-wise (``F.array(*[F.lit(w) ...])`` per row)
+    costs one py4j round-trip per element — ~3-5 s of driver time for
+    a 48x64 plane set, which dominated the whole LSH stage. A single
+    ``F.expr`` string is one parse call; ``repr`` round-trips doubles
+    exactly."""
+    return F.expr(
+        "array(" + ",".join("array(" + ",".join(repr(w) for w in r) + ")" for r in rows) + ")"
+    )
+
+
 def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit signature of ``vec`` against fixed hyperplanes, packed
-    into a long. Native expressions only."""
-    acc = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(w) for w in plane])
-        bit = (_dot(vec, lit_plane) > 0).cast("long")
-        acc = acc + F.shiftleft(bit, i)
-    return acc
+    into a long (bit i = sign of dot with plane i). Native expressions
+    only: one nested-array literal for the planes, a ``transform`` for
+    the dots, and a struct-accumulator ``aggregate`` (running weight
+    2^i) to pack the bits — constant-size expression tree regardless
+    of plane count."""
+    dots = F.transform(_nested_array_lit(planes), lambda p: _dot(vec, p))
+    acc0 = F.struct(F.lit(0).cast("long").alias("s"), F.lit(1).cast("long").alias("w"))
+    return F.aggregate(
+        dots,
+        acc0,
+        lambda a, d: F.struct(
+            (a["s"] + F.when(d > 0, a["w"]).otherwise(F.lit(0).cast("long"))).alias("s"),
+            (a["w"] * F.lit(2).cast("long")).alias("w"),
+        ),
+        lambda a: a["s"],
+    )
 
 
 def lsh_topk(
@@ -177,8 +199,8 @@ def cosine_dedup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_bits: int = 16,
-    bands: int = 4,
+    num_bits: int = 48,
+    bands: int = 6,
     dim: int = 64,
     seed: int = 7,
     exact: bool = False,
@@ -189,11 +211,15 @@ def cosine_dedup_pairs(
     Scale path (default): random-hyperplane LSH banding blocks the
     quadratic pair space — the banded self-join shuffles only
     ``(id, band_idx, band_val)`` triples (no vectors), candidate pairs
-    are distinct'd as bare id pairs, and vectors are joined back only
-    for surviving candidates before the exact-cosine filter. At a
-    near-dup threshold of ~0.9 (angle ~26 deg) the default 16-bit /
-    4-band config collides true pairs in some band with p ~ 0.95;
-    recall is property-tested in tests/test_llm.py.
+    are distinct'd as bare id pairs, and vectors (with norms
+    precomputed once per vector, not per pair) are joined back only
+    for surviving candidates before the exact-cosine filter. The
+    default 48-bit / 6-band config (8-bit bands = 256 buckets/band)
+    collides a true pair at cosine 0.9 (angle ~26 deg) in some band
+    with p ~ 0.87 — recall is property-tested in tests/test_llm.py —
+    while keeping candidate volume ~bands*n^2/512 on spread-out data;
+    raise ``num_bits`` (wider bands) as corpus size grows, keeping
+    bands <= 10 so signatures stay in one packed long (<= 63 bits).
 
     ``exact=True`` switches to the brute-force O(n^2) self-join — the
     correctness baseline, and the right plan when one side fits in a
@@ -205,16 +231,25 @@ def cosine_dedup_pairs(
     """
     vecs = _as_double(
         df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")), "__v"
-    )
+    ).withColumn("__n", _norm(F.col("__v")))
     if exact:
-        a = vecs.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
-        b = vecs.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+        a = vecs.select(
+            F.col("__id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na")
+        )
+        b = vecs.select(
+            F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
+        )
         cand = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
         planes = _hyperplanes(dim, num_bits, seed)
         bits_per_band = num_bits // bands
+        # small parquet inputs arrive in 1-3 splits; the signature pass is
+        # pure CPU (num_bits interpreted dot products per row) — spread it
+        # across all cores before computing
+        sc = vecs.sparkSession.sparkContext
         banded = (
-            vecs.withColumn("__sig", signature_bits(F.col("__v"), planes))
+            vecs.repartition(sc.defaultParallelism)
+            .withColumn("__sig", signature_bits(F.col("__v"), planes))
             .select(
                 "__id",
                 F.explode(
@@ -250,11 +285,21 @@ def cosine_dedup_pairs(
             .distinct()
         )
         cand = ids.join(
-            vecs.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va")), "id_a"
+            vecs.select(
+                F.col("__id").alias("id_a"),
+                F.col("__v").alias("__va"),
+                F.col("__n").alias("__na"),
+            ),
+            "id_a",
         ).join(
-            vecs.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb")), "id_b"
+            vecs.select(
+                F.col("__id").alias("id_b"),
+                F.col("__v").alias("__vb"),
+                F.col("__n").alias("__nb"),
+            ),
+            "id_b",
         )
-    na, nb = _norm(F.col("__va")), _norm(F.col("__vb"))
+    na, nb = F.col("__na"), F.col("__nb")
     return (
         cand.withColumn(
             "cosine",
@@ -308,25 +353,19 @@ def ivf_topk(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
         "__qv",
     )
-    # distance to each centroid as literal-array dot products; keep the
-    # n_probe nearest cells per query
-    scored_cells = q.select(
-        "query_id",
-        "__qv",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("__cell"),
-                        _dot(
-                            F.col("__qv"), F.array(*[F.lit(w) for w in ctr])
-                        ).alias("__sim"),
-                    )
-                    for i, ctr in enumerate(centers)
-                ]
-            )
-        ).alias("s"),
-    ).select("query_id", "__qv", "s.__cell", "s.__sim")
+    # distance to each centroid: posexplode ONE nested-array literal of
+    # all centroids (per-element F.lit would cost a py4j call each),
+    # then a native dot per (query, centroid) row; keep the n_probe
+    # nearest cells per query
+    scored_cells = (
+        q.select(
+            "query_id",
+            "__qv",
+            F.posexplode(_nested_array_lit(centers)).alias("__cell", "__ctr"),
+        )
+        .withColumn("__sim", _dot(F.col("__qv"), F.col("__ctr")))
+        .select("query_id", "__qv", "__cell", "__sim")
+    )
     w_probe = Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("__cell"))
     probes = (
         scored_cells.withColumn("__pr", F.row_number().over(w_probe))

@@ -1664,6 +1664,156 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(CAST(SUM(CAST(volume AS DECIMAL(30,10))) AS DOUBLE), 4) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    ) GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (bilateral trade volume by year). Scale plan:
+    both dimension filters (2 of 25 nations) are applied BEFORE the
+    fact joins — orders is semi-reduced through a broadcast join with
+    the filtered customer side, lineitem through the filtered supplier
+    side, so the one unavoidable shuffle (orderkey equi-join) moves
+    ~8%% of each fact table instead of all of it."""
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "cust_nation")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(30,10)"
+                    )
+                ).cast("double"),
+                4,
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           ROUND(t.sum_qty, 2) AS sum_qty
+    FROM (
+      SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+    ) t
+      JOIN orders o ON o.o_orderkey = t.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-quantity orders). The lineitem aggregate
+    is map-side partial then a keyed shuffle; the HAVING filter leaves
+    a tiny key set that is broadcast back against orders — the big
+    fact tables never shuffle-join each other."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    """
+    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,10))) AS DOUBLE), 4) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 20 AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunctive brand/size/quantity predicate).
+    The part side is pre-filtered to the union of brand/size clauses
+    (pushed to the parquet scan) and broadcast; the per-clause quantity
+    conjunctions evaluate inside the broadcast hash join's codegen —
+    no shuffle at all."""
+    p = _t(spark, sf_dir, "part").filter(
+        (
+            (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+        )
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 25))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    joined = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 20) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(20, 40))
+    )
+    return joined.filter(cond).agg(
+        F.round(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,10)")).cast("double"),
+            4,
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
 @query("embed_topk_ivf")  # approximate: rows-only check (recall + full-probe
 # equality vs brute force tested in tests/test_llm.py)
 def embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1767,7 +1917,7 @@ def dedup_embed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cosine_dedup_oracle_sql(
-    threshold: float = 0.35, num_bits: int = 16, bands: int = 4, dim: int = 64, seed: int = 7
+    threshold: float = 0.35, num_bits: int = 48, bands: int = 6, dim: int = 64, seed: int = 7
 ) -> str:
     """DuckDB oracle for dedup_embed_cosine_pairs: replicate the LSH
     banding with the same seeded hyperplanes, then the exact-cosine

@@ -25,7 +25,8 @@ def plan_of(spark, name: str, mode: str = "formatted") -> str:
 
 @pytest.mark.parametrize("q", ["q3_shipping_priority", "q5_local_supplier_volume",
                                "q10_returned_item_topk", "j1_natural_left_join",
-                               "orgchange_adjust_panel"])
+                               "orgchange_adjust_panel", "q18_large_orders",
+                               "q19_disjunctive_revenue"])
 def test_no_sort_merge_joins_in_headline_suite(spark, q):
     p = plan_of(spark, q)
     assert "SortMergeJoin" not in p, f"{q} regressed to a shuffle join:\n{p[:2000]}"
@@ -39,6 +40,27 @@ def test_q1_pushdown_and_pruning(spark):
     read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
     for unused in ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]:
         assert unused not in read_schema, read_schema
+
+
+def test_q7_single_fact_fact_shuffle_join(spark):
+    """q7's only non-broadcast join is the lineitem-orders orderkey
+    equi-join (both sides semi-reduced by the nation filters first);
+    every dimension side must broadcast."""
+    p = plan_of(spark, "q7_volume_shipping")
+    import re
+
+    smj_nodes = re.findall(r"^\(\d+\) SortMergeJoin", p, re.M)
+    assert len(smj_nodes) <= 1, p[:2000]
+    assert "BroadcastHashJoin" in p
+
+
+def test_q19_disjunction_pushed_to_both_scans(spark):
+    """The brand/size union must reach the part scan and the derived
+    quantity disjunction must reach the lineitem scan."""
+    p = plan_of(spark, "q19_disjunctive_revenue")
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any("p_brand,Brand#12" in l for l in pushed), pushed
+    assert any("l_quantity" in l for l in pushed), pushed
 
 
 def test_dedup_shuffle_carries_fingerprint_not_text(spark):
