@@ -30,3 +30,7 @@ from nhs_data_pipeline_spark.ops.binned import (  # noqa: F401
     binned_median,
     pct_within_threshold,
 )
+from nhs_data_pipeline_spark.ops.temporal import (  # noqa: F401
+    asof_join,
+    range_join_binned,
+)

@@ -1,0 +1,145 @@
+"""Temporal joins: as-of (point-in-time) and banded range joins.
+
+The reference pipeline is quarterly-batch and has no temporal join
+operators; these are the time-series shapes an event / training-data
+pipeline needs (additive surface, like streaming — SURVEY §2.11).
+
+Both operators avoid the trap Spark falls into when you write the
+semantics naively: a join with an inequality condition (and no usable
+equi-key reduction) executes as a nested-loop per key, which is
+quadratic in the hottest key's row count. Instead:
+
+- ``asof_join`` is ONE hash-partition shuffle + per-key sort: both
+  sides are unioned, ordered by time, and each right row's payload is
+  carried forward to later left rows with ``last(ignorenulls)`` over a
+  running window — the merge-scan plan a time-series engine would pick.
+- ``range_join_binned`` turns the range predicate into an equi-join on
+  (keys, time-bin) with bin width = the range width: every left row
+  reaches at most 2 bins, hot keys are split across time bins so no
+  single reducer sees a key's whole history, and the exact range
+  predicate filters after the equi-join. (This is the same rewrite as
+  Databricks' range-join hint; OSS Catalyst doesn't do it itself.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _keys(on: str | list[str]) -> list[str]:
+    return [on] if isinstance(on, str) else list(on)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    tolerance_seconds: int | None = None,
+    prefix: str = "r_",
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the right row
+    with the greatest ``right_ts`` <= ``left_ts`` within the same
+    ``on`` keys — pandas ``merge_asof`` / DuckDB ``ASOF JOIN``
+    semantics (exact timestamp matches allowed; unmatched left rows
+    keep nulls, i.e. left-join semantics).
+
+    Output: every left column, plus ``prefix + c`` for each right
+    value column and ``prefix + right_ts`` for the matched timestamp.
+
+    The right row's payload travels as ONE struct so all attached
+    columns always come from the SAME right row (per-column
+    last(ignorenulls) would mix rows when right values contain nulls).
+
+    Determinism: if right holds several rows at the same (keys, ts)
+    the survivor is tie-broken by the struct's natural ordering;
+    pre-aggregate right to one row per (keys, ts) when that matters.
+
+    ``tolerance_seconds`` nulls the attachment when the match is older
+    than ``left_ts - tolerance`` (merge_asof's ``tolerance``).
+    """
+    keys = _keys(on)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in set(keys) | {right_ts}]
+
+    payload = F.struct(
+        F.col(right_ts).alias("__mts"), *[F.col(c).alias(c) for c in value_cols]
+    )
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        payload.alias("__payload"),
+    )
+    l = left.select("*", F.col(left_ts).alias("__ts"), F.lit(1).alias("__side"))
+    combined = l.unionByName(r, allowMissingColumns=True)
+
+    # right rows (__side 0) sort before left rows at equal ts, so exact
+    # matches attach; the frame ends at the current row
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__side", "__payload")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = combined.withColumn("__m", F.last("__payload", ignorenulls=True).over(w))
+
+    m = F.col("__m")
+    if tolerance_seconds is not None:
+        in_tol = m["__mts"] >= F.col("__ts") - F.expr(
+            f"INTERVAL {int(tolerance_seconds)} SECONDS"
+        )
+        filled = filled.withColumn("__m", F.when(in_tol, m))
+    out_cols = [c for c in left.columns] + [
+        m["__mts"].alias(prefix + right_ts),
+        *[m[c].alias(prefix + c) for c in value_cols],
+    ]
+    return filled.filter(F.col("__side") == 1).select(*out_cols)
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    upper_seconds: int = 900,
+    prefix: str = "r_",
+) -> DataFrame:
+    """Inner range join: all pairs with equal ``on`` keys and
+    ``right_ts`` in ``[left_ts, left_ts + upper_seconds]``.
+
+    Output: every left column plus ``prefix + c`` for every non-key
+    right column.
+
+    Plan shape: both sides get a time bin of width ``upper_seconds``
+    (floored epoch seconds); each left row explodes to the two bins
+    its window can touch; the join is a plain shuffle hash join on
+    (keys, bin); the exact range predicate filters after. Each
+    (left, right) pair meets in exactly one bin, so no distinct is
+    needed. Bin width = range width keeps the fan-out at 2 regardless
+    of data density.
+    """
+    keys = _keys(on)
+    rv = [c for c in right.columns if c not in set(keys)]
+    w = int(upper_seconds)
+
+    r = right.select(*keys, *[F.col(c).alias(prefix + c) for c in rv]).withColumn(
+        "__bin", F.floor(F.unix_timestamp(F.col(prefix + right_ts)) / w)
+    )
+    l = (
+        left.withColumn("__b0", F.floor(F.unix_timestamp(F.col(left_ts)) / w))
+        .withColumn("__bin", F.explode(F.array(F.col("__b0"), F.col("__b0") + 1)))
+        .drop("__b0")
+    )
+    rts = F.col(prefix + right_ts)
+    return (
+        l.join(r, keys + ["__bin"])
+        .filter(
+            (rts >= F.col(left_ts))
+            & (rts <= F.col(left_ts) + F.expr(f"INTERVAL {w} SECONDS"))
+        )
+        .drop("__bin")
+    )

@@ -30,6 +30,7 @@ from nhs_data_pipeline_spark.llm import similarity as sim
 from nhs_data_pipeline_spark.llm import text as tx
 from nhs_data_pipeline_spark.ops import binned as ob
 from nhs_data_pipeline_spark.ops import core as oc
+from nhs_data_pipeline_spark.ops import temporal as ot
 from nhs_data_pipeline_spark.orgchange import adjust as oa
 from nhs_data_pipeline_spark.orgchange import closure as ocl
 
@@ -1852,6 +1853,70 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "session_start", "session_end", "n_events",
         F.round("value_sum", 2).alias("value_sum"),
+    )
+
+
+@query(
+    "j5_asof_join",
+    """
+    SELECT l.event_id, l.user_id, l.ts, r.ts AS view_ts, r.v AS view_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (
+      SELECT user_id, ts, MAX(value) AS v
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ) r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def j5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click gets the user's most recent view at or
+    before it (point-in-time enrichment). The engine's asof_join is a
+    single shuffle + per-key merge scan (union + ordered window), not
+    an inequality join; the oracle is DuckDB's native ASOF LEFT JOIN.
+    The view side is pre-aggregated to one row per (user, ts) so the
+    as-of survivor is deterministic in both engines."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("v"))
+    )
+    out = ot.asof_join(clicks, views, on="user_id", value_cols=["v"], prefix="view_")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("view_ts").alias("view_ts"),
+        F.col("view_v").alias("view_value"),
+    )
+
+
+@query(
+    "j6_range_join",
+    """
+    SELECT l.event_id AS left_id, r.event_id AS right_id, l.user_id,
+           l.ts AS left_ts, r.ts AS right_ts
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 15 MINUTE
+     AND l.event_id <> r.event_id
+    """,
+)
+def j6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: all event pairs of the same user within a forward
+    15-minute window. The engine rewrites the range predicate as an
+    equi-join on (user, time-bin) with bin width = window width
+    (each left row reaches <= 2 bins; hot users split across bins),
+    then filters exactly — vs the naive inequality join Spark would
+    run as a per-key nested loop."""
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    out = ot.range_join_binned(ev, ev, on="user_id", upper_seconds=900)
+    return out.filter(F.col("event_id") != F.col("r_event_id")).select(
+        F.col("event_id").alias("left_id"),
+        F.col("r_event_id").alias("right_id"),
+        "user_id",
+        F.col("ts").alias("left_ts"),
+        F.col("r_ts").alias("right_ts"),
     )
 
 

@@ -1,6 +1,8 @@
 """Structured Streaming mirrors of the batch engine."""
 
 from nhs_data_pipeline_spark.streaming.pipeline import (  # noqa: F401
+    dedup_stream,
+    interval_join_streams,
     run_stream_to_memory,
     stream_files,
     windowed_rollup,

@@ -60,6 +60,56 @@ def windowed_rollup(
     )
 
 
+def dedup_stream(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact dedup, batch or stream, from one function.
+
+    On a stream: ``dropDuplicatesWithinWatermark`` — duplicates whose
+    first occurrence is within the watermark horizon are dropped, and
+    the dedup state is EVICTED once the watermark passes, so state
+    stays bounded on an infinite stream (plain ``dropDuplicates`` on a
+    stream grows state forever — the classic 100-TB streaming-dedup
+    failure mode). On a batch frame: plain ``dropDuplicates(keys)``,
+    the exact twin."""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "1 hour",
+    upper: str = "15 minutes",
+) -> DataFrame:
+    """Stream-stream inner join on ``key`` where the right event lands
+    in ``[left_ts, left_ts + upper]`` — the enrichment shape (match a
+    response/settlement event to its trigger within a bounded horizon).
+
+    Both sides carry watermarks and the join condition bounds the two
+    event times against each other, which is exactly what Structured
+    Streaming needs to size and EVICT join state; without the time
+    bound a stream-stream join buffers both streams forever. Works
+    unchanged on batch frames (watermark is skipped; the condition is
+    an ordinary range predicate → Spark picks a broadcast/hash join
+    with the range as a post-filter)."""
+    lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    rw = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}"))
+    )
+    return lw.alias("l").join(rw.alias("r"), cond, "inner")
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> None:

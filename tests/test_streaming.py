@@ -57,6 +57,83 @@ def test_stream_matches_batch(spark, tmp_path):
     assert got == expected
 
 
+def test_dedup_stream_matches_batch(spark, tmp_path):
+    import datetime
+
+    from nhs_data_pipeline_spark.streaming import dedup_stream
+
+    base = datetime.datetime(2024, 1, 1)
+    # duplicate rows are FULL duplicates so "which copy survived" is
+    # unobservable and stream/batch results are set-comparable
+    rows = [
+        (base + datetime.timedelta(minutes=m), k, float(v))
+        for m, k, v in [
+            (0, "a", 1), (5, "a", 1), (0, "a", 1),   # a twice at t0 + near-dup at t5
+            (1, "b", 2), (1, "b", 2),                  # b duplicated
+            (9, "c", 3),
+        ]
+    ]
+    ev = spark.createDataFrame(rows, SCHEMA)
+    src = str(tmp_path / "dedup_src")
+    ev.coalesce(1).write.parquet(src)
+
+    stream = stream_files(spark, src, SCHEMA)
+    deduped = dedup_stream(stream, ["ts", "event_type", "value"], watermark="1 hour")
+    run_stream_to_memory(deduped, "dedup_test", output_mode="append")
+    got = {(r.ts, r.event_type, r.value) for r in spark.table("dedup_test").collect()}
+
+    batch = dedup_stream(ev, ["ts", "event_type", "value"])
+    exp = {(r.ts, r.event_type, r.value) for r in batch.collect()}
+    assert len(exp) == 4
+    assert got == exp
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    import datetime
+
+    from nhs_data_pipeline_spark.streaming import interval_join_streams
+
+    base = datetime.datetime(2024, 1, 1)
+    trig_rows = [
+        (base + datetime.timedelta(minutes=m), k, 0.0)
+        for m, k in [(0, "a"), (10, "b"), (40, "a")]
+    ]
+    resp_rows = [
+        (base + datetime.timedelta(minutes=m), k, 1.0)
+        for m, k in [(5, "a"), (12, "b"), (30, "a"), (41, "a"), (400, "a")]
+    ]
+    # sentinel far-future rows on both sides advance the watermark so
+    # all real matches emit during the availableNow run
+    far = base + datetime.timedelta(days=30)
+    trig_rows.append((far, "zz", 0.0))
+    resp_rows.append((far, "zz", 1.0))
+
+    trig = spark.createDataFrame(trig_rows, SCHEMA)
+    resp = spark.createDataFrame(resp_rows, SCHEMA)
+    tsrc, rsrc = str(tmp_path / "trig"), str(tmp_path / "resp")
+    trig.coalesce(1).write.parquet(tsrc)
+    resp.coalesce(1).write.parquet(rsrc)
+
+    js = interval_join_streams(
+        stream_files(spark, tsrc, SCHEMA),
+        stream_files(spark, rsrc, SCHEMA),
+        key="event_type",
+        watermark="1 hour",
+        upper="15 minutes",
+    ).selectExpr("l.ts AS lts", "r.ts AS rts", "l.event_type AS k")
+    run_stream_to_memory(js, "ij_test", output_mode="append")
+    got = {(r.lts, r.rts, r.k) for r in spark.table("ij_test").collect()}
+
+    jb = interval_join_streams(
+        trig, resp, key="event_type", upper="15 minutes"
+    ).selectExpr("l.ts AS lts", "r.ts AS rts", "l.event_type AS k")
+    exp = {(r.lts, r.rts, r.k) for r in jb.collect()}
+    # expected: a@0 matches resp@5; b@10 matches resp@12; a@40 matches
+    # resp@41; the zz sentinels match each other; resp@30/@400 match nothing
+    assert len(exp) == 4
+    assert got == exp
+
+
 def test_sessionize_stream_matches_batch(spark, tmp_path):
     import datetime
 

@@ -1,0 +1,120 @@
+"""Temporal join operators vs pandas/naive-join ground truth."""
+
+from __future__ import annotations
+
+import datetime
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from nhs_data_pipeline_spark.ops import temporal as ot
+
+BASE = datetime.datetime(2024, 1, 1)
+
+
+def _frames(spark, seed=0, n_left=120, n_right=80, n_keys=5):
+    rng = np.random.RandomState(seed)
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, n_keys, n_left),
+            "ts": [BASE + datetime.timedelta(seconds=int(s)) for s in rng.randint(0, 3600, n_left)],
+            "lval": rng.randint(0, 1000, n_left),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.randint(0, n_keys, n_right),
+            "ts": [BASE + datetime.timedelta(seconds=int(s)) for s in rng.randint(0, 3600, n_right)],
+            "rval": rng.randint(0, 1000, n_right),
+        }
+    )
+    # dedup right per (k, ts): keep max rval, so the as-of survivor is
+    # deterministic in every engine (incl. pandas)
+    right = right.groupby(["k", "ts"], as_index=False)["rval"].max()
+    return left, right
+
+
+def test_asof_join_matches_pandas(spark):
+    left, right = _frames(spark)
+    got = (
+        ot.asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="k",
+            value_cols=["rval"],
+        )
+        .toPandas()
+        .sort_values(["k", "ts", "lval"])
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values("ts"),
+        on="ts",
+        by="k",
+        direction="backward",
+    ).sort_values(["k", "ts", "lval"]).reset_index(drop=True)
+    assert len(got) == len(exp) == len(left)
+    assert list(got["r_rval"].fillna(-1)) == list(exp["rval"].fillna(-1))
+
+
+def test_asof_join_exact_match_and_unmatched(spark):
+    l = spark.createDataFrame(
+        [(1, BASE, "a"), (1, BASE + datetime.timedelta(seconds=10), "b"),
+         (2, BASE, "c")],
+        "k int, ts timestamp, tag string",
+    )
+    r = spark.createDataFrame(
+        [(1, BASE, 100.0), (1, BASE + datetime.timedelta(seconds=10), 200.0)],
+        "k int, ts timestamp, v double",
+    )
+    out = {row.tag: (row.r_v, row.r_ts) for row in ot.asof_join(l, r, on="k").collect()}
+    assert out["a"] == (100.0, BASE)  # exact ts match attaches
+    assert out["b"] == (200.0, BASE + datetime.timedelta(seconds=10))
+    assert out["c"] == (None, None)  # no right row for k=2 -> left join nulls
+
+
+def test_asof_join_tolerance(spark):
+    l = spark.createDataFrame(
+        [(1, BASE + datetime.timedelta(seconds=100), "late")],
+        "k int, ts timestamp, tag string",
+    )
+    r = spark.createDataFrame([(1, BASE, 7.0)], "k int, ts timestamp, v double")
+    with_tol = ot.asof_join(l, r, on="k", tolerance_seconds=50).collect()[0]
+    assert with_tol.r_v is None  # match is 100s old, tolerance 50s
+    no_tol = ot.asof_join(l, r, on="k", tolerance_seconds=200).collect()[0]
+    assert no_tol.r_v == 7.0
+
+
+def test_range_join_binned_matches_naive(spark):
+    left, right = _frames(spark, seed=1)
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    got = {
+        (r.k, r.ts, r.lval, r.r_ts, r.r_rval)
+        for r in ot.range_join_binned(ldf, rdf, on="k", upper_seconds=300).collect()
+    }
+    naive = (
+        ldf.alias("l")
+        .join(rdf.alias("r"), F.expr(
+            "l.k = r.k AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 300 SECONDS"
+        ))
+        .selectExpr("l.k", "l.ts", "l.lval", "r.ts AS rts", "r.rval")
+    )
+    exp = {(r.k, r.ts, r.lval, r.rts, r.rval) for r in naive.collect()}
+    assert got == exp
+    assert len(exp) > 0
+
+
+def test_range_join_binned_hot_key(spark):
+    # every row shares one key: the binned join must still be exact
+    rows = [(1, BASE + datetime.timedelta(seconds=i * 37), float(i)) for i in range(60)]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    got = ot.range_join_binned(df, df, on="k", upper_seconds=100)
+    n = got.count()
+    naive = df.alias("l").join(
+        df.alias("r"),
+        F.expr("l.k = r.k AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 100 SECONDS"),
+    )
+    assert n == naive.count()
