@@ -2065,6 +2065,34 @@ def a7_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a8_cube_flags",
+    """
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS qty_sum
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a8_cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-subtotal cross-tab via CUBE — every combination of the two
+    grouping dimensions plus marginals and grand total in one pass
+    (Catalyst expands to grouping sets; one shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty_sum"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "n",
+            "qty_sum",
+        )
+    )
+
+
+@query(
     "r2_pivot_quarters",
     """
     SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,

@@ -63,6 +63,23 @@ def test_q19_disjunction_pushed_to_both_scans(spark):
     assert any("l_quantity" in l for l in pushed), pushed
 
 
+def test_asof_join_is_single_shuffle_not_nested_loop(spark):
+    """asof_join must stay a union + one hash-partition window — never
+    a BroadcastNestedLoopJoin / CartesianProduct (the plan Spark picks
+    for naive inequality joins)."""
+    p = plan_of(spark, "j5_asof_join")
+    assert "NestedLoop" not in p and "CartesianProduct" not in p, p[:2000]
+    assert "Window" in p
+
+
+def test_range_join_is_equi_join_on_bins(spark):
+    """range_join_binned must execute as an equi-join keyed on
+    (user_id, __bin) — not a nested-loop range join."""
+    p = plan_of(spark, "j6_range_join")
+    assert "NestedLoop" not in p and "CartesianProduct" not in p, p[:2000]
+    assert "__bin" in p
+
+
 def test_dedup_shuffle_carries_fingerprint_not_text(spark):
     p = plan_of(spark, "dedup_exact")
     exchanges = [l for l in p.splitlines() if "hashpartitioning" in l]
