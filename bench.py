@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "q19_disjunctive_revenue",
     "j1_natural_left_join",
     "j3_transitive_closure",
+    "j5_asof_join",
+    "j6_range_join",
     "a1_na_preserving_sum",
     "w1_cumulative_sum",
     "w5_binned_median",

@@ -410,3 +410,70 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    id_col: str = "id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Undirected connected components over a near-duplicate pair list:
+    the final step of near-dedup, turning pairwise matches into dup
+    CLUSTERS. Returns ``(id, component)`` where ``component`` is the
+    smallest id in the cluster — the canonical survivor; drop every row
+    whose id != component to dedup.
+
+    ``nodes`` (optional, with ``id_col``) includes isolated ids as
+    singleton components; otherwise only ids appearing in pairs are
+    labeled.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbors' labels; fixpoint
+    when nothing moves. One shuffle join + one aggregate per round;
+    rounds = component diameter, and near-dup clusters are shallow
+    (dup groups, not long chains), so convergence is fast. For graphs
+    with adversarially long paths swap the per-round step for the
+    large-star/small-star rewrite (Kiveris et al., "Connected
+    Components in MapReduce") — same join primitive, O(log n) rounds.
+    Like orgchange.closure, one Spark action per round: a lazy
+    localCheckpoint truncates lineage and the convergence count
+    materializes it.
+    """
+    e = pairs.select(F.col(id_a).alias("__s"), F.col(id_b).alias("__d"))
+    edges = (
+        e.unionByName(e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d")))
+        .distinct()
+        .persist()
+    )
+    edges.count()
+
+    if nodes is not None:
+        base = nodes.select(F.col(id_col).alias("id")).distinct()
+    else:
+        base = edges.select(F.col("__s").alias("id")).distinct()
+    labels = base.select("id", F.col("id").alias("component"))
+
+    for _ in range(max_iter):
+        nb = (
+            edges.join(labels, edges["__s"] == labels["id"])
+            .select(F.col("__d").alias("id"), F.col("component").alias("__nb"))
+            .groupBy("id")
+            .agg(F.min("__nb").alias("__nb"))
+        )
+        upd = labels.join(nb, "id", "left").select(
+            "id",
+            F.least(F.col("component"), F.coalesce("__nb", F.col("component"))).alias(
+                "component"
+            ),
+            (F.coalesce("__nb", F.col("component")) < F.col("component")).alias("__moved"),
+        )
+        upd = upd.localCheckpoint(eager=False)
+        moved = upd.filter("__moved").limit(1).count()
+        labels = upd.drop("__moved")
+        if moved == 0:
+            break
+    edges.unpersist()
+    return labels

@@ -243,14 +243,36 @@ def cosine_dedup_pairs(
     else:
         planes = _hyperplanes(dim, num_bits, seed)
         bits_per_band = num_bits // bands
-        # small parquet inputs arrive in 1-3 splits; the signature pass is
-        # pure CPU (num_bits interpreted dot products per row) — spread it
-        # across all cores before computing
+        # Signatures via a broadcast JOIN against a tiny planes table,
+        # not plan literals: a 48x64 literal set inlined into
+        # whole-stage codegen generates huge classes whose compilation
+        # cost ~10s in a session busy with other queries (measured in
+        # the bench suite). The crossJoin emits the 48 plane rows
+        # contiguously per vector, so the partial aggregate combines
+        # map-side and the groupBy shuffle carries one row per vector.
         sc = vecs.sparkSession.sparkContext
+        planes_df = vecs.sparkSession.createDataFrame(
+            [(i, [float(x) for x in p]) for i, p in enumerate(planes)],
+            "i int, p array<double>",
+        )
+        sigs = (
+            vecs.select("__id", "__v")
+            # small parquet inputs arrive in 1-3 splits; spread the
+            # CPU-heavy dot products across all cores first
+            .repartition(sc.defaultParallelism)
+            .crossJoin(F.broadcast(planes_df))
+            .select("__id", "i", _dot(F.col("__v"), F.col("p")).alias("__d"))
+            .groupBy("__id")
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("__d") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), i)")
+                    ).otherwise(F.lit(0).cast("long"))
+                ).alias("__sig")
+            )
+        )
         banded = (
-            vecs.repartition(sc.defaultParallelism)
-            .withColumn("__sig", signature_bits(F.col("__v"), planes))
-            .select(
+            sigs.select(
                 "__id",
                 F.explode(
                     F.array(

@@ -34,3 +34,8 @@ from nhs_data_pipeline_spark.ops.temporal import (  # noqa: F401
     asof_join,
     range_join_binned,
 )
+from nhs_data_pipeline_spark.ops.sampling import (  # noqa: F401
+    deterministic_sample,
+    hash_bucket,
+    hash_split,
+)

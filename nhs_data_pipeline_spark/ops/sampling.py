@@ -1,0 +1,71 @@
+"""Deterministic, key-stable sampling and dataset splitting.
+
+A training-data pipeline cannot use RNG-state sampling (`df.sample`,
+`TABLESAMPLE`): results change with partitioning, retries re-draw rows,
+and a document can hop between train and test across snapshots. These
+ops derive the decision from a HASH OF THE KEY, which buys:
+
+- reproducibility: same key + salt -> same decision on any cluster,
+  any partitioning, any engine (md5 is engine-portable — the DuckDB
+  oracles replicate the exact expression);
+- key stability: a document keeps its split assignment forever, so no
+  train/test leakage when the corpus grows;
+- full distribution: a pure scalar expression — codegen'd, no shuffle,
+  no driver round-trip, pushes through any plan.
+
+The bucket is the first 8 hex chars of ``md5(key || ':' || salt)``
+read as a 32-bit integer — uniform over [0, 2^32); thresholds are
+exact integer literals so float rounding can't flip a row between
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1 << 32
+
+
+def hash_bucket(key: Column | str, salt: str = "") -> Column:
+    """Uniform bucket in [0, 2^32) from ``md5(key ':' salt)``.
+    The key is cast to string so numeric and string keys hash alike
+    (and alike across engines)."""
+    k = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(k.cast("string"), F.lit(":" + salt)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = "s0"
+) -> DataFrame:
+    """Keep rows whose key-bucket falls below ``fraction`` of the hash
+    space — a reproducible Bernoulli sample keyed on ``key_col``.
+    Duplicate keys are kept or dropped together (group-coherent)."""
+    threshold = int(fraction * _BUCKETS)
+    return df.filter(hash_bucket(key_col, salt) < F.lit(threshold))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row a split label ("train"/"val"/"test" by default)
+    by hash-bucket range — disjoint, exhaustive, key-stable. Weights
+    are normalized; the last split absorbs the rounding remainder."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    names = list(weights)
+    bucket = hash_bucket(key_col, salt)
+    expr: Column | None = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name] / total
+        bound = int(cum * _BUCKETS)
+        branch = F.when(bucket < F.lit(bound), F.lit(name))
+        expr = branch if expr is None else expr.when(bucket < F.lit(bound), F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(out_col, expr)

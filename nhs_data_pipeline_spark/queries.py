@@ -30,6 +30,7 @@ from nhs_data_pipeline_spark.llm import similarity as sim
 from nhs_data_pipeline_spark.llm import text as tx
 from nhs_data_pipeline_spark.ops import binned as ob
 from nhs_data_pipeline_spark.ops import core as oc
+from nhs_data_pipeline_spark.ops import sampling as osmp
 from nhs_data_pipeline_spark.ops import temporal as ot
 from nhs_data_pipeline_spark.orgchange import adjust as oa
 from nhs_data_pipeline_spark.orgchange import closure as ocl
@@ -1857,6 +1858,52 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_deterministic",
+    f"""
+    SELECT o_orderkey FROM orders
+    WHERE CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || ':s0'), 1, 8)) AS BIGINT)
+          < {int(0.1 * (1 << 32))}
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 10%% Bernoulli sample keyed on the order key:
+    md5-bucket < threshold — same rows on any engine, partitioning, or
+    retry (RNG-state sampling guarantees none of those). Pure scalar
+    expression: no shuffle, codegen'd, engine-portable (the oracle is
+    the same arithmetic in DuckDB)."""
+    o = _t(spark, sf_dir, "orders")
+    return osmp.deterministic_sample(o, "o_orderkey", 0.1).select("o_orderkey")
+
+
+@query(
+    "sample_split_counts",
+    f"""
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT CASE
+        WHEN b < {int(0.8 * (1 << 32))} THEN 'train'
+        WHEN b < {int(0.9 * (1 << 32))} THEN 'val'
+        ELSE 'test' END AS split
+      FROM (
+        SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)) AS BIGINT) AS b
+        FROM documents
+      )
+    ) GROUP BY split
+    """,
+)
+def sample_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-stable train/val/test split (80/10/10) over documents:
+    hash-bucket ranges are disjoint + exhaustive, and a doc keeps its
+    split forever as the corpus grows — no train/test leakage across
+    snapshots."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        osmp.hash_split(d, "doc_id")
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
     "j5_asof_join",
     """
     SELECT l.event_id, l.user_id, l.ts, r.ts AS view_ts, r.v AS view_value
@@ -2025,6 +2072,75 @@ def _cosine_dedup_oracle_sql(
 
 
 ORACLES["dedup_embed_cosine_pairs"] = _cosine_dedup_oracle_sql()
+
+
+@query("dedup_components")  # oracle attached below (recursive CTE over the same LSH edges)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> duplicate CLUSTERS: connected components over
+    the embedding-cosine pair graph (min-label propagation driver loop,
+    one shuffle join per round). component == smallest vec_id in the
+    cluster = the canonical survivor; all embeddings appear (isolated
+    vectors are singleton components)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = sim.cosine_dedup_pairs(emb, threshold=0.35)
+    cc = dd.connected_components(pairs, nodes=emb, id_col="vec_id")
+    return cc.select(F.col("id").alias("vec_id"), "component")
+
+
+def _components_oracle_sql(
+    threshold: float = 0.35, num_bits: int = 48, bands: int = 6, dim: int = 64, seed: int = 7
+) -> str:
+    """Recursive-CTE oracle for dedup_components: rebuild the SAME
+    LSH-blocked cosine pair list (inlined hyperplanes), then component
+    = min reachable id via transitive closure of the undirected edges."""
+    from nhs_data_pipeline_spark.llm.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, num_bits, seed)
+    bits_per_band = num_bits // bands
+    plane_lits = ", ".join(
+        "[" + ", ".join(repr(w) for w in plane) + "]" for plane in planes
+    )
+    return f"""
+    WITH RECURSIVE vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), sigs AS (
+      SELECT vec_id, v,
+             (SELECT SUM(CASE WHEN list_dot_product(v, p.plane) > 0
+                              THEN (1::BIGINT << (p.i - 1)) ELSE 0 END)
+              FROM (SELECT unnest([{plane_lits}]) AS plane,
+                           generate_subscripts([{plane_lits}], 1) AS i) p
+             ) AS sig
+      FROM vecs
+    ), banded AS (
+      SELECT vec_id, v, b.band_idx,
+             (sig >> (b.band_idx * {bits_per_band})) & {(1 << bits_per_band) - 1} AS band_val
+      FROM sigs, (SELECT unnest(range(0, {bands})) AS band_idx) b
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, a.v AS va, b.vec_id AS id_b, b.v AS vb
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.vec_id < b.vec_id
+    ), prs AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+               list_dot_product(va, vb) /
+                 (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) AS cosine
+        FROM cand
+      ) WHERE cosine >= {threshold}
+    ), edges AS (
+      SELECT id_a AS s, id_b AS d FROM prs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM prs
+    ), reach(id, r) AS (
+      SELECT vec_id, vec_id FROM vecs
+      UNION
+      SELECT re.id, e.d FROM reach re JOIN edges e ON e.s = re.r
+    )
+    SELECT id AS vec_id, MIN(r) AS component FROM reach GROUP BY id
+    """
+
+
+ORACLES["dedup_components"] = _components_oracle_sql()
 
 
 # ===========================================================================

@@ -278,3 +278,39 @@ def test_extract_image_meta_real_headers(spark):
     assert got[2] == ("jpeg", 100, 50)
     assert got[3] == (None, None, None)
     assert got[4] == (None, None, None)
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    rng = random.Random(11)
+    n = 200
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    # ground truth: plain union-find
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for i in range(n):
+        root = find(i)
+        expected.setdefault(root, set()).add(i)
+    exp_label = {i: min(members) for members in expected.values() for i in members}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    nodes = spark.range(n).withColumnRenamed("id", "nid")
+    got = {
+        r.id: r.component
+        for r in dd.connected_components(pairs, nodes=nodes, id_col="nid").collect()
+    }
+    assert got == exp_label

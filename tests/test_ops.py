@@ -218,3 +218,33 @@ def test_percentile_approx_brackets_exact(spark, sf_dir):
     got = o.agg(F.percentile_approx("o_totalprice", 0.5, 10000).alias("m")).first().m
     exact = np.median([r.o_totalprice for r in o.select("o_totalprice").collect()])
     assert abs(got - exact) / exact < 0.01
+
+
+def test_deterministic_sample_stable_and_accurate(spark):
+    from nhs_data_pipeline_spark.ops import sampling as smp
+
+    df = spark.range(20000).withColumnRenamed("id", "k")
+    s1 = {r.k for r in smp.deterministic_sample(df, "k", 0.2).collect()}
+    # same result under a different partitioning (RNG sampling fails this)
+    s2 = {r.k for r in smp.deterministic_sample(df.repartition(17), "k", 0.2).collect()}
+    assert s1 == s2
+    assert abs(len(s1) / 20000 - 0.2) < 0.01
+    # nested sample property: a 10% sample is a subset of the 20% sample
+    s3 = {r.k for r in smp.deterministic_sample(df, "k", 0.1).collect()}
+    assert s3 <= s1
+
+
+def test_hash_split_disjoint_exhaustive_stable(spark):
+    from nhs_data_pipeline_spark.ops import sampling as smp
+
+    df = spark.range(10000).withColumnRenamed("id", "k")
+    out = smp.hash_split(df, "k")
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 10000  # exhaustive, disjoint by construction
+    assert abs(counts["train"] / 10000 - 0.8) < 0.02
+    # key stability: the split of the first 5000 keys is unchanged when
+    # the corpus doubles (no train/test leakage across snapshots)
+    small = {r.k: r.split for r in smp.hash_split(df.filter(F.col("k") < 5000), "k").collect()}
+    full = {r.k: r.split for r in out.filter(F.col("k") < 5000).collect()}
+    assert small == full
