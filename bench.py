@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "f9_fiscal_calendar",
     # LLM-pipeline ops (present from round 1+ as implemented)
     "dedup_exact",
+    "curate_corpus",
     "text_stats",
     "minhash_lsh_pairs",
     "embed_topk_bruteforce",

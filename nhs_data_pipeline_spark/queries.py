@@ -1904,6 +1904,68 @@ def sample_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "curate_corpus",
+    f"""
+    WITH q AS (
+      SELECT doc_id,
+             ROUND(least(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END / 20.0, 1.0)
+             * greatest(0.0, 1.0 - 2.0 * (CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text) END))
+             * (0.5 + 0.5 * least((CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) = 0 THEN 0.0
+                        ELSE len(regexp_extract_all(lower(text), '{_EN_PAT}')) * 1.0 /
+                             (CASE WHEN trim(text) = '' THEN 0
+                              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) END) * 4.0, 1.0)), 6)
+             AS quality
+      FROM documents
+    ), reps AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents)
+      GROUP BY fp
+    ), cur AS (
+      SELECT d.doc_id, d.lang, q.quality
+      FROM documents d
+        JOIN q ON q.doc_id = d.doc_id
+        JOIN reps ON reps.doc_id = d.doc_id
+      WHERE q.quality >= 0.5
+    ), spl AS (
+      SELECT lang, quality,
+             CASE WHEN b < {int(0.8 * (1 << 32))} THEN 'train'
+                  WHEN b < {int(0.9 * (1 << 32))} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT *, CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)) AS BIGINT) AS b
+        FROM cur
+      )
+    )
+    SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n, ROUND(AVG(quality), 6) AS avg_quality
+    FROM spl GROUP BY split, lang
+    """,
+)
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation composite, every stage a
+    prior verified op: quality-score filter (>= 0.5) -> exact-dedup
+    survivors (min-id rep per normalized-text fingerprint) -> key-stable
+    80/10/10 hash split -> per-(split, lang) counts + mean quality. One
+    scan of documents; dedup shuffles fingerprints only; split adds no
+    shuffle; final rollup is a tiny aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select("doc_id", "lang", "text", tx.quality_score("text").alias("quality"))
+    reps = dd.exact_dedup(d.select("doc_id", "text")).select("doc_id")
+    cur = (
+        scored.filter(F.col("quality") >= 0.5)
+        .join(reps, "doc_id", "left_semi")
+        .select("doc_id", "lang", "quality")
+    )
+    return (
+        osmp.hash_split(cur, "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n"), F.round(F.avg("quality"), 6).alias("avg_quality"))
+    )
+
+
+@query(
     "j5_asof_join",
     """
     SELECT l.event_id, l.user_id, l.ts, r.ts AS view_ts, r.v AS view_value
