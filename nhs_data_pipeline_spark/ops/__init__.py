@@ -38,4 +38,5 @@ from nhs_data_pipeline_spark.ops.sampling import (  # noqa: F401
     deterministic_sample,
     hash_bucket,
     hash_split,
+    stratified_sample,
 )

@@ -46,6 +46,35 @@ def deterministic_sample(
     return df.filter(hash_bucket(key_col, salt) < F.lit(threshold))
 
 
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "s0",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the key-stable twin of
+    ``df.sampleBy``): each stratum gets its own keep-fraction — the
+    up/down-weighting move of training-data mixes (e.g. keep 100% of
+    curated sources, 10% of web crawl). Strata missing from
+    ``fractions`` get ``default_fraction``. Same hash-bucket decision
+    as ``deterministic_sample``, so results are engine-portable and
+    partitioning-independent; one codegen'd CASE chain, no shuffle."""
+    bucket = hash_bucket(key_col, salt)
+    expr = None
+    for stratum, frac in fractions.items():
+        cond = F.col(strata_col) == stratum
+        thr = F.lit(int(frac * _BUCKETS))
+        expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
+    thr_col = (
+        F.lit(int(default_fraction * _BUCKETS))
+        if expr is None
+        else expr.otherwise(F.lit(int(default_fraction * _BUCKETS)))
+    )
+    return df.filter(bucket < thr_col)
+
+
 def hash_split(
     df: DataFrame,
     key_col: str,

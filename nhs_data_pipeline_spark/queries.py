@@ -1904,6 +1904,32 @@ def sample_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_stratified",
+    f"""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT source,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':s0'), 1, 8)) AS BIGINT) AS b
+      FROM documents
+    )
+    WHERE b < CASE WHEN source = 'src0' THEN {int(1.0 * (1 << 32))}
+                   WHEN source = 'src1' THEN {int(0.5 * (1 << 32))}
+                   ELSE {int(0.1 * (1 << 32))} END
+    GROUP BY source
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic sampling (training-mix reweighting):
+    keep all of src0, half of src1, 10%% of everything else — same
+    hash-bucket decision as the Bernoulli sample, so the kept set is
+    stable across engines, partitionings, and corpus growth."""
+    d = _t(spark, sf_dir, "documents")
+    out = osmp.stratified_sample(
+        d, "doc_id", "source", {"src0": 1.0, "src1": 0.5}, default_fraction=0.1
+    )
+    return out.groupBy("source").agg(F.count("*").alias("n"))
+
+
+@query(
     "curate_corpus",
     f"""
     WITH q AS (

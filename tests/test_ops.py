@@ -248,3 +248,23 @@ def test_hash_split_disjoint_exhaustive_stable(spark):
     small = {r.k: r.split for r in smp.hash_split(df.filter(F.col("k") < 5000), "k").collect()}
     full = {r.k: r.split for r in out.filter(F.col("k") < 5000).collect()}
     assert small == full
+
+
+def test_stratified_sample_fractions_and_stability(spark):
+    from nhs_data_pipeline_spark.ops import sampling as smp
+
+    df = (
+        spark.range(30000)
+        .withColumnRenamed("id", "k")
+        .withColumn("g", (F.col("k") % 3).cast("string"))
+    )
+    out = smp.stratified_sample(df, "k", "g", {"0": 1.0, "1": 0.3}, default_fraction=0.0)
+    counts = {r.g: r.n for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts["0"] == 10000  # fraction 1.0 keeps everything
+    assert abs(counts["1"] / 10000 - 0.3) < 0.02
+    assert "2" not in counts  # default 0.0 drops the stratum
+    # partitioning-independent
+    again = smp.stratified_sample(
+        df.repartition(13), "k", "g", {"0": 1.0, "1": 0.3}, default_fraction=0.0
+    )
+    assert {r.k for r in again.collect()} == {r.k for r in out.collect()}
