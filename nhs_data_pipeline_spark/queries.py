@@ -2269,6 +2269,36 @@ def a7_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "w7_rank_family",
+    """
+    SELECT c_custkey,
+           ntile(10) OVER w AS decile,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           ROUND(percent_rank() OVER w, 6) AS prank
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def w7_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function family (ntile/rank/dense_rank/percent_rank)
+    per market segment — one shuffle on the partition key; the order-by
+    carries the custkey tiebreak so every rank is total-order
+    deterministic."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        F.ntile(10).over(w).alias("decile"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+    )
+
+
+@query(
     "a8_cube_flags",
     """
     SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
