@@ -2269,6 +2269,30 @@ def a7_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a9_descriptive_stats",
+    """
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_extendedprice), 4) AS price_sd,
+           ROUND(var_samp(l_discount), 6) AS disc_var,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_cov
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a9_descriptive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped second-moment statistics (stddev/variance/correlation/
+    covariance) — single-pass partial-aggregable moments, so the
+    shuffle carries one moment tuple per (group, partition)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_sd"),
+        F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_cov"),
+    )
+
+
+@query(
     "w7_rank_family",
     """
     SELECT c_custkey,
