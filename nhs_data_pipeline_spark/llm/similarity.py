@@ -2,11 +2,11 @@
 
 Two paths:
 
-- ``brute_force_topk``: exact cosine top-k. The dot product is a native
-  ``zip_with``/``aggregate`` expression (JVM-side, no UDF); norms are
-  precomputed once per side. Cost is |Q| x |N| — the correctness
-  baseline and the right plan when one side is small enough to
-  broadcast.
+- ``brute_force_topk``: exact cosine top-k. Pair dot products run
+  through an Arrow-vectorized pandas UDF (one BLAS einsum per batch);
+  norms are precomputed once per side with native expressions. Cost is
+  |Q| x |N| — the correctness baseline and the right plan when one
+  side is small enough to broadcast.
 - ``lsh_topk``: random-hyperplane LSH. Each vector gets a ``num_bits``
   sign signature against a fixed seeded Gaussian projection; candidates
   = vectors sharing a signature band; exact cosine re-ranks candidates.
@@ -19,16 +19,82 @@ double-precision oracle bit-for-bit modulo rounding.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, LongType
 
 
 def _dot(a: Column, b: Column) -> Column:
+    """Native higher-order-function dot product.
+
+    Catalyst interprets HOF lambdas per element with no codegen and no
+    CSE (measured ~1 ms per 64-dim pair) — fine for per-vector work
+    (norms, a handful of centroid scores), ruinous on candidate-pair
+    scoring where volume is O(n^2/buckets). Hot pair-scoring paths use
+    ``_dot_pairs`` instead; this stays for small per-row expressions
+    where a Python worker round-trip would cost more than it saves."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+@pandas_udf(DoubleType())  # DataType object: a DDL string would need an active session at import
+def _dot_pairs(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-vectorized batch dot product over two array<double> columns.
+
+    Each Arrow batch arrives as Series of numpy arrays; stacking to a
+    2-D matrix turns the whole batch into ONE BLAS einsum — ~100x the
+    throughput of the interpreted HOF lambda on candidate-pair scoring
+    (the all-survivors rerank in ``cosine_dedup_pairs`` and the |Q|x|N|
+    brute-force baseline). Falls back to per-row numpy dots for ragged
+    or null-bearing batches so the UDF stays total."""
+    import numpy as np
+
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    try:
+        av = np.vstack(a.to_numpy())
+        bv = np.vstack(b.to_numpy())
+        return pd.Series(np.einsum("ij,ij->i", av, bv))
+    except ValueError:  # ragged dims or nulls: row-at-a-time numpy
+        return pd.Series(
+            [
+                float(np.dot(np.asarray(x, dtype=float), np.asarray(y, dtype=float)))
+                if x is not None and y is not None
+                else None
+                for x, y in zip(a, b)
+            ],
+            dtype="float64",
+        )
+
+
+def _make_signature_udf(planes: list[list[float]]):
+    """Arrow-vectorized packed LSH signature: one ``V @ P.T`` matmul per
+    batch, sign bits packed into a long. The plane matrix rides along
+    as a closure constant (cloudpickled with the UDF) — unlike the
+    literal-array form it never enters whole-stage codegen, whose
+    generated-class compilation cost ~10 s for a 48x64 plane set in a
+    busy session (measured; see SCALE.md), and unlike the
+    broadcast-join form it needs no crossJoin + re-aggregation shuffle."""
+    import numpy as np
+
+    plane_mat = np.asarray(planes, dtype=float)  # (num_bits, dim)
+    weights = (np.uint64(1) << np.arange(plane_mat.shape[0], dtype=np.uint64))
+
+    @pandas_udf(LongType())
+    def signature(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        vecs = np.vstack(v.to_numpy())
+        bits = (vecs @ plane_mat.T) > 0  # (batch, num_bits)
+        packed = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+        return pd.Series(packed)
+
+    return signature
 
 
 def _norm(a: Column) -> Column:
@@ -78,7 +144,7 @@ def brute_force_topk(
         .withColumn(
             "cosine",
             F.when((F.col("__qn") == 0) | (F.col("__cn") == 0), F.lit(None)).otherwise(
-                _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+                _dot_pairs(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
             ),
         )
     )
@@ -151,12 +217,13 @@ def lsh_topk(
     (rank may hold fewer than k rows when buckets are sparse)."""
     planes = _hyperplanes(dim, num_bits, seed)
     bits_per_band = num_bits // bands
+    sig_udf = _make_signature_udf(planes)
 
     def banded(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
         d = _as_double(
             df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias)),
             vec_alias,
-        ).withColumn("__sig", signature_bits(F.col(vec_alias), planes))
+        ).withColumn("__sig", sig_udf(F.col(vec_alias)))
         return d.select(
             id_alias,
             vec_alias,
@@ -184,7 +251,9 @@ def lsh_topk(
         .distinct()
     )
     scored = cand.withColumn(
-        "cosine", _dot(F.col("__qv"), F.col("__cv")) / (_norm(F.col("__qv")) * _norm(F.col("__cv")))
+        "cosine",
+        _dot_pairs(F.col("__qv"), F.col("__cv"))
+        / (_norm(F.col("__qv")) * _norm(F.col("__cv"))),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -243,34 +312,20 @@ def cosine_dedup_pairs(
     else:
         planes = _hyperplanes(dim, num_bits, seed)
         bits_per_band = num_bits // bands
-        # Signatures via a broadcast JOIN against a tiny planes table,
-        # not plan literals: a 48x64 literal set inlined into
-        # whole-stage codegen generates huge classes whose compilation
-        # cost ~10s in a session busy with other queries (measured in
-        # the bench suite). The crossJoin emits the 48 plane rows
-        # contiguously per vector, so the partial aggregate combines
-        # map-side and the groupBy shuffle carries one row per vector.
-        sc = vecs.sparkSession.sparkContext
-        planes_df = vecs.sparkSession.createDataFrame(
-            [(i, [float(x) for x in p]) for i, p in enumerate(planes)],
-            "i int, p array<double>",
-        )
-        sigs = (
-            vecs.select("__id", "__v")
-            # small parquet inputs arrive in 1-3 splits; spread the
-            # CPU-heavy dot products across all cores first
-            .repartition(sc.defaultParallelism)
-            .crossJoin(F.broadcast(planes_df))
-            .select("__id", "i", _dot(F.col("__v"), F.col("p")).alias("__d"))
-            .groupBy("__id")
-            .agg(
-                F.sum(
-                    F.when(
-                        F.col("__d") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), i)")
-                    ).otherwise(F.lit(0).cast("long"))
-                ).alias("__sig")
-            )
-        )
+        # Signatures in ONE narrow projection: the Arrow-batched matmul
+        # UDF carries the 48x64 plane matrix as a closure constant, so
+        # there is no crossJoin, no re-aggregation shuffle, and no giant
+        # literal array for whole-stage codegen to compile (~10 s of
+        # compile time in a busy session — measured; see SCALE.md).
+        sig_udf = _make_signature_udf(planes)
+        # NOTE: no repartition before the UDF. The interpreted-HOF
+        # signature needed all cores (1 ms/vector); the batched matmul
+        # does the whole split in microseconds, so inflating a small
+        # input to defaultParallelism partitions only forks ~1 Python
+        # worker per core (each importing pandas+numpy, ~1-2 s CPU) —
+        # measured as the dominant first-run cost. At scale the parquet
+        # split count provides the parallelism.
+        sigs = vecs.select("__id", sig_udf(F.col("__v")).alias("__sig"))
         banded = (
             sigs.select(
                 "__id",
@@ -326,7 +381,7 @@ def cosine_dedup_pairs(
         cand.withColumn(
             "cosine",
             F.when((na == 0) | (nb == 0), F.lit(None)).otherwise(
-                _dot(F.col("__va"), F.col("__vb")) / (na * nb)
+                _dot_pairs(F.col("__va"), F.col("__vb")) / (na * nb)
             ),
         )
         .filter(F.col("cosine") >= threshold)
@@ -398,7 +453,8 @@ def ivf_topk(
     cand = probes.join(cells, "__cell").filter(F.col("query_id") != F.col("neighbor_id"))
     rescored = cand.withColumn(
         "cosine",
-        _dot(F.col("__qv"), F.col("__cv")) / (_norm(F.col("__qv")) * _norm(F.col("__cv"))),
+        _dot_pairs(F.col("__qv"), F.col("__cv"))
+        / (_norm(F.col("__qv")) * _norm(F.col("__cv"))),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
