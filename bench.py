@@ -37,14 +37,14 @@ BENCH_QUERIES = [
     "j6_range_join",
     "a1_na_preserving_sum",
     "w1_cumulative_sum",
-    "w5_binned_median",
+    "w56_binned_stats",
     "r1_unpivot",
     "u1_union_by_name",
     "f9_fiscal_calendar",
     # LLM-pipeline ops (present from round 1+ as implemented)
     "dedup_exact",
     "curate_corpus",
-    "text_stats",
+    "text_profile",
     "minhash_lsh_pairs",
     "embed_topk_bruteforce",
     "dedup_embed_cosine_pairs",
