@@ -1173,22 +1173,119 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@query("minhash_lsh_pairs")  # engine-specific hashing: rows-only check
+def _hex60_sql(x: str) -> str:
+    """DuckDB replica of dedup._MD5_H60: first 15 hex chars of md5
+    parsed base-16 by exact integer folding (no float power — 60-bit
+    values must stay exact)."""
+    # Lambda params are deliberately obscure: a plain ``i`` would shadow
+    # (and silently capture over) same-named columns in the enclosing
+    # query — e.g. the shingle-position column, which made every shingle
+    # of a doc hash identically.
+    return (
+        "list_reduce(list_transform(range(1, 16), __hx -> "
+        f"strpos('0123456789abcdef', substr(md5({x}), CAST(__hx AS INTEGER), 1)) - 1), "
+        "(__ha, __hb) -> __ha * 16 + __hb)"
+    )
+
+
+def _minhash_portable_oracle() -> str:
+    """Full DuckDB replica of the portable-mode MinHash-LSH pipeline:
+    base-259 polynomial shingle encoding, seeded universal-hash
+    sampling, and the 64 signature coefficients inlined as literals
+    (same trick as the hyperplane-LSH oracles)."""
+    p = dd._MERSENNE
+    coeffs = dd.minhash_coeffs(65, 42)
+    a_s, b_s = coeffs[64]
+    mins = ",\n             ".join(
+        f"MIN(({a} * h + {b}) % {p}) AS m{j}" for j, (a, b) in enumerate(coeffs[:64])
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band_idx, CONCAT_WS(',', {cols}) AS band_key FROM sig".format(
+            b=b, cols=", ".join(f"m{b * 8 + r}" for r in range(8))
+        )
+        for b in range(8)
+    )
+    poly = dd._poly_shingle_sql("s5", "1", 5)
+    return f"""
+    WITH un AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 200000, text FROM documents
+    ),
+    norm AS (SELECT doc_id, {_NORM_SQL} AS n FROM un),
+    pos AS (
+      SELECT doc_id, n, unnest(range(1, greatest(length(n) - 4, 1) + 1)) AS i
+      FROM norm
+    ),
+    s5 AS (SELECT doc_id, substring(n, CAST(i AS INTEGER), 5) AS s5 FROM pos),
+    sh AS (SELECT doc_id, {poly} % {p} AS hp FROM s5),
+    hs AS (SELECT DISTINCT doc_id, hp AS h FROM sh
+           WHERE (({a_s} * hp + {b_s}) % {p}) % 4 = 0),
+    sig AS (SELECT doc_id,
+             {mins}
+            FROM hs GROUP BY doc_id),
+    bands AS (
+      {band_selects}
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@query("minhash_lsh_pairs", _minhash_portable_oracle())
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs (64 hashes, 16 bands over 5-char
-    shingles). xxhash64-based — no cross-engine oracle; correctness is
-    property-tested (near-dup recall) in tests/test_llm.py."""
+    """MinHash+LSH candidate pairs (64 hashes, 8 bands over sampled
+    5-char shingles) in portable-hash mode: the oracle SQL rebuilds the
+    identical pipeline — polynomial shingle codes, seeded sampling and
+    signature coefficients, band keys — so even this blocked approximate
+    op is exactly cross-engine-checked. Recall properties are
+    additionally tested in tests/test_llm.py."""
     d = _t(spark, sf_dir, "documents")
     near = d.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
-    return dd.minhash_lsh_pairs(oc.union_by_name([d.select("doc_id", "text"), near]))
+    return dd.minhash_lsh_pairs(
+        oc.union_by_name([d.select("doc_id", "text"), near]), hash_fn="portable"
+    )
 
 
-@query("simhash_fingerprints")  # engine-specific hashing: rows-only check
+def _simhash_md5_oracle() -> str:
+    """DuckDB replica of md5-mode simhash64: bits 0-59 from h(tok),
+    60-63 from h(tok || '#2')."""
+    h1 = _hex60_sql("tok")
+    h2 = _hex60_sql("tok || '#2'")
+    votes = ",\n             ".join(
+        "SUM(CASE WHEN (({src} >> {sh}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}".format(
+            src="h1" if b < 60 else "h2", sh=b if b < 60 else b - 60, b=b
+        )
+        for b in range(64)
+    )
+    # Positive bit values first (their exact sum tops out at 2^63 - 1),
+    # sign bit last — keeps every partial sum inside BIGINT.
+    fp = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(63)
+    )
+    fp += " + (CASE WHEN v63 > 0 THEN CAST(-9223372036854775808 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS tok
+      FROM documents
+    ),
+    h AS (SELECT doc_id, {h1} AS h1, {h2} AS h2 FROM toks),
+    votes AS (SELECT doc_id,
+             {votes}
+            FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@query("simhash_fingerprints", _simhash_md5_oracle())
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints (token-vote bits, xxhash64-based —
-    no cross-engine oracle)."""
+    """64-bit SimHash fingerprints (token-vote bits) in portable-hash
+    (md5) mode — the oracle SQL recomputes every vote and bit exactly."""
     d = _t(spark, sf_dir, "documents")
-    return dd.simhash64(d, "text", "doc_id")
+    return dd.simhash64(d, "text", "doc_id", hash_fn="md5")
 
 
 # ===========================================================================

@@ -46,6 +46,29 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert (1, 4) not in got and (3, 4) not in got  # unrelated not paired
 
 
+def test_minhash_portable_mode_finds_near_dups(spark):
+    """Portable (polynomial-hash) mode has the same recall behavior as
+    xxhash64 mode; exact dups share all 8 bands."""
+    pairs = dd.minhash_lsh_pairs(
+        _docs(spark).filter(F.col("doc_id") < 5), hash_fn="portable"
+    )
+    got = {(r.id_a, r.id_b): r.n_shared_bands for r in pairs.collect()}
+    assert got[(1, 2)] == 8  # exact dup collides in every band
+    assert (1, 3) in got or (2, 3) in got
+    assert (1, 4) not in got and (3, 4) not in got
+
+
+def test_simhash_md5_mode(spark):
+    """md5 (portable) simhash: identical text -> identical fingerprint,
+    near-dup close, unrelated far — same contract as xxhash64 mode."""
+    sh = dd.simhash64(
+        _docs(spark).filter(F.col("doc_id").isin(1, 2, 3, 4)), hash_fn="md5"
+    )
+    vals = {r.doc_id: r.simhash for r in sh.collect()}
+    assert vals[1] == vals[2]
+    assert bin(vals[1] ^ vals[3]).count("1") < bin(vals[1] ^ vals[4]).count("1")
+
+
 def test_jaccard_pairs_exact_value(spark):
     docs = spark.createDataFrame(
         [(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"]
