@@ -389,6 +389,48 @@ def cosine_dedup_pairs(
     )
 
 
+def fit_centroids_numpy(X, n_centroids: int, seed: int = 11, iters: int = 20):
+    """Deterministic Lloyd's k-means over a numpy sample — the offline
+    quantizer-training step for IVF. At scale the input is a bounded
+    sample of the corpus (train on a sample, broadcast centroids — the
+    standard IVF build); determinism (seeded init, fixed iteration
+    count, first-min argmin) is what lets an external engine replay
+    cell assignment exactly from the centroid literals."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=float)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=n_centroids, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for j in range(n_centroids):
+            members = assign == j
+            if members.any():
+                C[j] = X[members].mean(0)
+    return [[float(x) for x in row] for row in C]
+
+
+def _make_cell_udf(centroids: list[list[float]]):
+    """Arrow-vectorized nearest-centroid assignment: one squared-
+    distance tensor per batch, first-min argmin (ties resolve to the
+    lowest cell id, matching a ``ORDER BY dist, cell LIMIT 1`` replay)."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType
+
+    C = np.asarray(centroids, dtype=float)  # (n_centroids, dim)
+
+    @pandas_udf(IntegerType())
+    def cell(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        V = np.vstack(v.to_numpy())
+        d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        return pd.Series(d2.argmin(1).astype("int32"))
+
+    return cell
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -398,6 +440,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 11,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means cells + multi-probe.
 
@@ -413,19 +456,31 @@ def ivf_topk(
     tuned by ``n_probe`` (probing all cells == brute force). Compared
     to ``lsh_topk`` this adapts to the data's cluster structure at the
     cost of a training pass.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
+    ``centroids``: a pre-trained quantizer (e.g. from
+    ``fit_centroids_numpy`` over a corpus sample) — skips the Spark ML
+    fit and assigns cells with an Arrow-batched argmin. This is the
+    production shape at 100 TB (train offline on a sample, broadcast
+    the centroid matrix) and makes the whole query replayable by an
+    external engine from the centroid literals.
+    """
     c = _as_double(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
         "__cv",
-    ).withColumn("__vec", array_to_vector("__cv"))
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="__vec", predictionCol="__cell")
-    model = km.fit(c)
-    cells = model.transform(c).select("neighbor_id", "__cv", "__cell")
+    )
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    centers = [[float(x) for x in ctr] for ctr in model.clusterCenters()]
+        cv = c.withColumn("__vec", array_to_vector("__cv"))
+        km = KMeans(k=n_centroids, seed=seed, featuresCol="__vec", predictionCol="__cell")
+        model = km.fit(cv)
+        cells = model.transform(cv).select("neighbor_id", "__cv", "__cell")
+        centers = [[float(x) for x in ctr] for ctr in model.clusterCenters()]
+    else:
+        centers = [[float(x) for x in ctr] for ctr in centroids]
+        cell_udf = _make_cell_udf(centers)
+        cells = c.select("neighbor_id", "__cv", cell_udf("__cv").alias("__cell"))
     q = _as_double(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
         "__qv",

@@ -18,6 +18,7 @@ Conventions for hash-stable cross-engine comparison:
 
 from __future__ import annotations
 
+import functools
 import os
 from collections.abc import Callable
 
@@ -1707,13 +1708,92 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embed_topk_ivf")  # approximate: rows-only check (recall + full-probe
-# equality vs brute force tested in tests/test_llm.py)
+@functools.lru_cache(maxsize=8)
+def _ivf_centroids(sf_dir: str, n_centroids: int = 8, seed: int = 11) -> tuple:
+    """Deterministic IVF quantizer for ``sf_dir``: numpy Lloyd's k-means
+    over the embeddings sample (driver-side pyarrow read — at 100 TB
+    this input is the bounded training sample, not the corpus; the
+    fitted centroid matrix is broadcast). Cached per sf_dir; falls back
+    to seeded gaussian centroids if the sample file is unreadable."""
+    import numpy as np
+
+    try:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+        )
+        X = np.asarray(tbl.column("embedding").to_pylist(), dtype=float)
+    except Exception:
+        X = np.random.RandomState(seed).normal(size=(256, 64))
+    return tuple(tuple(c) for c in sim.fit_centroids_numpy(X, n_centroids, seed=seed))
+
+
+def _ivf_oracle_sql(k: int = 5, n_probe: int = 3) -> str:
+    """DuckDB replica of embed_topk_ivf: the same fitted centroids
+    inlined as literals (seeded-literal technique, like the hyperplane
+    oracles), nearest-cell assignment by first-min distance, multi-probe
+    by dot product, exact-cosine re-rank."""
+    centroids = _ivf_centroids("/root/testdata/sf0.01")
+    ctr_lits = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in c) + "]" for c in centroids
+    )
+    return f"""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), ctr AS (
+      SELECT unnest([{ctr_lits}]) AS c,
+             generate_subscripts([{ctr_lits}], 1) - 1 AS cell
+    ), cells AS (
+      SELECT vec_id, v,
+             (SELECT cell FROM ctr
+              ORDER BY list_distance(vecs.v, ctr.c) ASC, cell ASC LIMIT 1) AS cell
+      FROM vecs
+    ), probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, ctr.cell,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.v, ctr.c) DESC, ctr.cell) AS pr
+        FROM vecs q, ctr WHERE q.vec_id < 10
+      ) WHERE pr <= {n_probe}
+    ), cand AS (
+      SELECT p.query_id, p.qv, c.vec_id AS neighbor_id, c.v AS cv
+      FROM probes p JOIN cells c ON p.cell = c.cell
+      WHERE c.vec_id <> p.query_id
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(cosine, 6) AS cosine FROM (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query("embed_topk_ivf", _ivf_oracle_sql())
 def embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (KMeans cells + multi-probe) — the cluster-adaptive
-    scale path alongside the hyperplane-LSH variant."""
+    """IVF ANN (k-means cells + multi-probe) — the cluster-adaptive
+    scale path alongside the hyperplane-LSH variant. Runs in
+    offline-quantizer mode: centroids fitted deterministically on the
+    sf_dir sample and inlined as literals in BOTH engines, so even this
+    approximate op is exactly cross-engine-checked (recall + full-probe
+    equality vs brute force additionally tested in tests/test_llm.py)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return sim.ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=5, n_centroids=8, n_probe=3)
+    out = sim.ivf_topk(
+        emb.filter(F.col("vec_id") < 10),
+        emb,
+        k=5,
+        n_centroids=8,
+        n_probe=3,
+        centroids=[list(c) for c in _ivf_centroids(sf_dir)],
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
 
 
 @query(
