@@ -8,7 +8,6 @@ from nhs_data_pipeline_spark.ops.core import (  # noqa: F401
     clean_names,
     coalesce_columns,
     cumulative_sum,
-    distinct_union,
     drop_positional,
     drop_all_null_columns,
     fill_directional,

@@ -204,13 +204,6 @@ def union_by_name(dfs: Sequence[DataFrame]) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
 
 
-def distinct_union(*cols: Column) -> DataFrame:
-    """Distinct union of single-column frames (U2 —
-    ``unique(c(a$old_code, a$final_code))``, build_datasets_wait_times.R:461-462).
-    Caller passes pre-projected single-column DataFrames."""
-    raise NotImplementedError("use union_by_name([...]).distinct() on projections")
-
-
 # ---------------------------------------------------------------------------
 # Aggregations (A1, A3, A4)
 # ---------------------------------------------------------------------------

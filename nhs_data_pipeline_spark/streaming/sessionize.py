@@ -101,16 +101,18 @@ def sessionize_batch(
 ) -> DataFrame:
     """Batch twin (and oracle) of the streaming sessionizer: session id
     = cumulative count of gap-exceeding steps per user (lag + running
-    sum), then one aggregate per session. All native expressions."""
+    sum), then one aggregate per session. All native expressions.
+
+    Gaps compare at MICROSECOND resolution (unix_micros), matching the
+    streaming path exactly — a cast('long') comparison truncates to
+    whole seconds and can split/merge sessions differently from the
+    stream for events with fractional-second spacing near the gap."""
     w = Window.partitionBy(user_col).orderBy(ts_col)
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col(ts_col))
     marked = events.withColumn(
         "__new",
-        F.when(
-            F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
-            > gap_seconds,
-            1,
-        ).otherwise(0),
+        F.when(us - F.lag(us).over(w) > gap_seconds * 1_000_000, 1).otherwise(0),
     ).withColumn("__sid", F.sum("__new").over(wrun))
     return marked.groupBy(user_col, "__sid").agg(
         F.min(ts_col).alias("session_start"),

@@ -151,9 +151,24 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
         rows.append((base + datetime.timedelta(minutes=m), 1, 1.0))
     for m in [0, 20]:
         rows.append((base + datetime.timedelta(minutes=m), 2, 2.0))
+    # user 3: fractional-second spacings straddling the 1800s gap —
+    # 1800.000001s (new session) and 1799.999999s (same session). Both
+    # paths must compare at microsecond resolution; a whole-second
+    # truncation on either side sessionizes these differently.
+    rows.append((base, 3, 3.0))
+    rows.append((base + datetime.timedelta(seconds=1800, microseconds=1), 3, 3.0))
+    rows.append(
+        (
+            base
+            + datetime.timedelta(seconds=1800, microseconds=1)
+            + datetime.timedelta(seconds=1799, microseconds=999999),
+            3,
+            3.0,
+        )
+    )
     # sentinel far-future event per user advances the watermark so all
     # real sessions close during the availableNow run
-    for u in (1, 2):
+    for u in (1, 2, 3):
         rows.append((base + datetime.timedelta(days=30), u, 0.0))
     ev = spark.createDataFrame(rows, "ts timestamp, user_id long, value double")
 
@@ -175,5 +190,5 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
         # the sentinel sessions never close in the stream; exclude them
         if r.session_start < base + datetime.timedelta(days=1)
     }
-    assert exp  # sanity: 3 real sessions
+    assert len(exp) == 5  # users 1+3: two sessions each; user 2: one
     assert got == exp
