@@ -13,6 +13,7 @@ from nhs_data_pipeline_spark.io.readers import (  # noqa: F401
     file_matches_skip_predicate,
     read_messy_csv,
     read_messy_excel,
+    read_messy_excel_multi,
     with_filename_metadata,
 )
 from nhs_data_pipeline_spark.io.writers import write_single_csv  # noqa: F401

@@ -146,6 +146,153 @@ def read_messy_csv(
     return _finalize(spark, pdf, path, na_tokens)
 
 
+# ---------------------------------------------------------------------------
+# Stdlib xlsx parsing (zip + XML) — fallback when no Excel engine exists
+# ---------------------------------------------------------------------------
+
+def _xml_local(tag: str) -> str:
+    """Strip the XML namespace from an element tag."""
+    return tag.rsplit("}", 1)[-1]
+
+
+def _xlsx_sheet_map(zf) -> list[tuple[str, str]]:
+    """[(sheet_name, archive_path)] in workbook order, resolved through
+    workbook.xml + its .rels (sheet order in the zip is not meaningful)."""
+    import xml.etree.ElementTree as ET
+
+    rels = {}
+    for rel in ET.fromstring(zf.read("xl/_rels/workbook.xml.rels")):
+        target = rel.get("Target").lstrip("/")
+        if not target.startswith("xl/"):
+            target = "xl/" + target
+        rels[rel.get("Id")] = target
+    out = []
+    for el in ET.fromstring(zf.read("xl/workbook.xml")).iter():
+        if _xml_local(el.tag) == "sheet":
+            rid = next(v for k, v in el.attrib.items() if k.endswith("}id"))
+            out.append((el.get("name"), rels[rid]))
+    return out
+
+
+def _xlsx_shared_strings(zf) -> list[str]:
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+    except KeyError:
+        return []
+    strings = []
+    for si in root:
+        # plain <t> or rich-text runs <r><t>; concatenate all text nodes
+        strings.append(
+            "".join(t.text or "" for t in si.iter() if _xml_local(t.tag) == "t")
+        )
+    return strings
+
+
+def _cell_col_idx(ref: str | None, fallback: int) -> int:
+    """'C7' -> 2; sequential fallback when the r attribute is absent."""
+    if not ref:
+        return fallback
+    col = 0
+    for ch in ref:
+        if ch.isalpha():
+            col = col * 26 + (ord(ch.upper()) - ord("A") + 1)
+        else:
+            break
+    return col - 1 if col else fallback
+
+
+def _read_xlsx_stdlib(path: str, sheet: str | int = 0) -> tuple[pd.DataFrame, list[str]]:
+    """Minimal xlsx reader on zipfile + ElementTree — no Excel engine.
+
+    Returns (raw all-string frame with header=None semantics, sheet
+    names). Handles shared strings (incl. rich-text runs), inline
+    strings, formula string results (t="str"), booleans, and sparse
+    cells (missing cells/rows become NULL). Numeric cells keep their
+    literal stored text (dates therefore surface as Excel serials —
+    acceptable at this edge; the reference's date parsing happens
+    downstream on strings anyway)."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(path) as zf:
+        sheets = _xlsx_sheet_map(zf)
+        names = [n for n, _ in sheets]
+        if isinstance(sheet, int):
+            target = sheets[sheet][1]
+        else:
+            matches = [p for n, p in sheets if n == sheet]
+            if not matches:
+                raise ValueError(f"no sheet named {sheet!r} in {path}")
+            target = matches[0]
+        shared = _xlsx_shared_strings(zf)
+        rows: dict[int, dict[int, str]] = {}
+        max_col = -1
+        for el in ET.fromstring(zf.read(target)).iter():
+            if _xml_local(el.tag) != "row":
+                continue
+            r_idx = int(el.get("r", len(rows) + 1)) - 1
+            cells: dict[int, str] = {}
+            next_col = 0
+            for c in el:
+                if _xml_local(c.tag) != "c":
+                    continue
+                col = _cell_col_idx(c.get("r"), next_col)
+                next_col = col + 1
+                ctype = c.get("t", "n")
+                val: str | None = None
+                for child in c:
+                    local = _xml_local(child.tag)
+                    if local == "v":
+                        val = child.text
+                    elif local == "is":  # inline string
+                        val = "".join(
+                            t.text or ""
+                            for t in child.iter()
+                            if _xml_local(t.tag) == "t"
+                        )
+                if val is None:
+                    continue
+                if ctype == "s":
+                    val = shared[int(val)]
+                elif ctype == "b":
+                    val = "TRUE" if val == "1" else "FALSE"
+                cells[col] = val
+                max_col = max(max_col, col)
+            rows[r_idx] = cells
+        n_rows = (max(rows) + 1) if rows else 0
+        data = [
+            [rows.get(r, {}).get(c) for c in range(max_col + 1)]
+            for r in range(n_rows)
+        ]
+        return pd.DataFrame(data, dtype=object), names
+
+
+def _excel_sheet_names(path: str) -> list[str]:
+    try:
+        import openpyxl  # noqa: F401
+
+        return pd.ExcelFile(path).sheet_names  # pragma: no cover - env-dependent
+    except ImportError:
+        return _read_xlsx_stdlib(path, 0)[1]
+
+
+def _excel_raw_frame(path: str, sheet: str | int, skip: int) -> pd.DataFrame:
+    """Raw all-string frame for one sheet (header=None), via pandas when
+    an Excel engine exists, else the stdlib zip+XML parser."""
+    try:
+        import openpyxl  # noqa: F401
+
+        pdf = pd.read_excel(  # pragma: no cover - env-dependent
+            path, sheet_name=sheet, header=None, skiprows=skip, dtype=str
+        )
+    except ImportError:
+        pdf, _ = _read_xlsx_stdlib(path, sheet)
+        pdf = pdf.iloc[skip:].reset_index(drop=True)
+    return pdf
+
+
 def read_messy_excel(
     spark: SparkSession,
     path: str,
@@ -160,29 +307,50 @@ def read_messy_excel(
     (``^providers?$`` style, build_datasets_wait_times.R:66-70); then the
     same preamble/header/sentinel treatment as ``read_messy_csv``.
 
-    Requires an Excel engine (openpyxl/xlrd) at the driver; raises
-    ImportError with guidance when absent (this container ships none —
-    the parquet/CSV paths are the tested surface).
-    """
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - env-dependent
-        raise ImportError(
-            "read_messy_excel needs openpyxl at the driver; canonical "
-            "storage is parquet — convert raw Excel at the ingest edge."
-        ) from exc
-    if sheet_regex is not None:  # pragma: no cover - env-dependent
-        xls = pd.ExcelFile(path)
-        matches = [s for s in xls.sheet_names if re.search(sheet_regex, s, re.I)]
+    Uses pandas+openpyxl when available; otherwise a stdlib zip+XML
+    fallback (an xlsx IS a zip of XML) so Excel ingest executes in
+    engine-free environments too."""
+    if sheet_regex is not None:
+        sheet_names = _excel_sheet_names(path)
+        matches = [s for s in sheet_names if re.search(sheet_regex, s, re.I)]
         if not matches:
             raise ValueError(f"no sheet matches {sheet_regex!r} in {path}")
         sheet = matches[0]
-    pdf = pd.read_excel(path, sheet_name=sheet, header=None, skiprows=skip, dtype=str)  # pragma: no cover
-    if header == "detect":  # pragma: no cover
+    pdf = _excel_raw_frame(path, sheet, skip)
+    if header == "detect":
         pdf = _promote_header(pdf, detect_header_row(pdf, marker=marker))
-    elif isinstance(header, int):  # pragma: no cover
+    elif isinstance(header, int):
         pdf = _promote_header(pdf, header)
-    return _finalize(spark, pdf, path, na_tokens)  # pragma: no cover
+    return _finalize(spark, pdf, path, na_tokens)
+
+
+def read_messy_excel_multi(
+    spark: SparkSession,
+    path: str,
+    sheet_regex: str,
+    skip: int = 0,
+    header: str | int | None = "detect",
+    marker: str | None = None,
+    na_tokens: Sequence[str] = NA_TOKENS,
+) -> DataFrame:
+    """S6 — multi-sheet union scan: every sheet whose name matches
+    ``sheet_regex`` goes through the S5 treatment, then union-by-name
+    with NULL fill (era-variant sheets differ in columns); a
+    ``_source_sheet`` column records provenance."""
+    from nhs_data_pipeline_spark.ops.core import union_by_name
+
+    sheet_names = _excel_sheet_names(path)
+    matches = [s for s in sheet_names if re.search(sheet_regex, s, re.I)]
+    if not matches:
+        raise ValueError(f"no sheet matches {sheet_regex!r} in {path}")
+    parts = [
+        read_messy_excel(
+            spark, path, sheet=s, skip=skip, header=header,
+            marker=marker, na_tokens=na_tokens,
+        ).withColumn("_source_sheet", F.lit(s))
+        for s in matches
+    ]
+    return union_by_name(parts)
 
 
 def with_filename_metadata(df: DataFrame, col: str = "_source_file") -> DataFrame:

@@ -12,6 +12,7 @@ from nhs_data_pipeline_spark.io import (
     detect_header_row,
     read_messy_csv,
     read_messy_excel,
+    read_messy_excel_multi,
     with_filename_metadata,
     write_single_csv,
 )
@@ -85,9 +86,132 @@ def test_detect_header_row_heuristic():
     assert detect_header_row(pdf) == 2
 
 
-def test_excel_reader_gated_without_engine(spark, tmp_path):
-    with pytest.raises(ImportError, match="openpyxl"):
-        read_messy_excel(spark, str(tmp_path / "x.xlsx"))
+def _write_xlsx(path, sheets):
+    """Hand-built minimal xlsx (a zip of XML): ``sheets`` is
+    [(name, rows)] with rows as lists of cell values (None = gap).
+    Strings go through sharedStrings (first sheet) or inline strings
+    (later sheets) so both code paths get exercised; numbers are stored
+    as numeric cells."""
+    import zipfile
+
+    shared: list[str] = []
+
+    def cell_xml(r, c, v, use_shared):
+        ref = f"{chr(ord('A') + c)}{r + 1}"
+        if v is None:
+            return ""
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        if use_shared:
+            if v not in shared:
+                shared.append(v)
+            return f'<c r="{ref}" t="s"><v>{shared.index(v)}</v></c>'
+        return f'<c r="{ref}" t="inlineStr"><is><t>{v}</t></is></c>'
+
+    sheet_xmls = []
+    for si, (name, rows) in enumerate(sheets):
+        body = "".join(
+            f'<row r="{ri + 1}">'
+            + "".join(cell_xml(ri, ci, v, si == 0) for ci, v in enumerate(row))
+            + "</row>"
+            for ri, row in enumerate(rows)
+        )
+        sheet_xmls.append(
+            '<?xml version="1.0"?><worksheet xmlns='
+            '"http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            f"<sheetData>{body}</sheetData></worksheet>"
+        )
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    wb = (
+        f'<?xml version="1.0"?><workbook xmlns="{ns}" xmlns:r="{rns}"><sheets>'
+        + "".join(
+            f'<sheet name="{n}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+            for i, (n, _) in enumerate(sheets)
+        )
+        + "</sheets></workbook>"
+    )
+    rels = (
+        '<?xml version="1.0"?><Relationships xmlns='
+        '"http://schemas.openxmlformats.org/package/2006/relationships">'
+        + "".join(
+            f'<Relationship Id="rId{i + 1}" Type="{rns}/worksheet" '
+            f'Target="worksheets/sheet{i + 1}.xml"/>'
+            for i in range(len(sheets))
+        )
+        + "</Relationships>"
+    )
+    sst = (
+        f'<?xml version="1.0"?><sst xmlns="{ns}" count="{len(shared)}" '
+        f'uniqueCount="{len(shared)}">'
+        + "".join(f"<si><t>{s}</t></si>" for s in shared)
+        + "</sst>"
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/sharedStrings.xml", sst)
+        for i, x in enumerate(sheet_xmls):
+            zf.writestr(f"xl/worksheets/sheet{i + 1}.xml", x)
+    return str(path)
+
+
+def test_excel_stdlib_end_to_end(spark, tmp_path):
+    """S5 executes without openpyxl: stdlib zip+XML parse -> preamble
+    skip -> header detection/promotion -> NA sentinels -> _row_idx."""
+    path = _write_xlsx(
+        tmp_path / "beds 2013-14 Q2.xlsx",
+        [
+            (
+                "Providers",
+                [
+                    ["NHS England publication", None, None],
+                    [None, None, None],
+                    ["Org Code", "Org Name", "Beds"],
+                    ["RX1", "Alpha Trust", 120],
+                    ["RX2", "NA", 95],
+                    ["RX3", "Gamma Trust", None],
+                ],
+            ),
+            ("Notes", [["ignore me"]]),
+        ],
+    )
+    df = read_messy_excel(spark, path, sheet_regex=r"^providers?$")
+    rows = df.orderBy("_row_idx").collect()
+    assert df.columns[:2] == ["_row_idx", "_source_file"]
+    assert "org_code" in df.columns and "beds" in df.columns
+    assert [r.org_code for r in rows] == ["RX1", "RX2", "RX3"]
+    assert rows[1].org_name is None  # "NA" sentinel -> NULL
+    assert rows[2].beds is None  # sparse cell -> NULL
+    assert rows[0].beds == "120"
+
+
+def test_excel_multi_sheet_union(spark, tmp_path):
+    """S6: regex-matched sheets (era variants with differing columns)
+    union by name with NULL fill + _source_sheet provenance."""
+    path = _write_xlsx(
+        tmp_path / "multi.xlsx",
+        [
+            ("Data 2019", [["Code", "Value"], ["A", 1]]),
+            ("Data 2020", [["Code", "Value", "Flag"], ["B", 2, "y"]]),
+            ("Summary", [["Code"], ["Z"]]),
+        ],
+    )
+    df = read_messy_excel_multi(spark, path, sheet_regex=r"^data")
+    got = {(r.code, r.value, r.flag, r._source_sheet) for r in df.collect()}
+    assert got == {("A", "1", None, "Data 2019"), ("B", "2", "y", "Data 2020")}
+
+
+def test_excel_sheet_by_index_and_skip(spark, tmp_path):
+    path = _write_xlsx(
+        tmp_path / "skip.xlsx",
+        [
+            ("S1", [["junk"], ["x", "y"], ["1", "2"]]),
+        ],
+    )
+    df = read_messy_excel(spark, path, sheet=0, skip=1, header=0)
+    assert set(df.columns) >= {"x", "y"}
+    assert df.count() == 1
 
 
 def test_write_single_csv_roundtrip(spark, tmp_path):
