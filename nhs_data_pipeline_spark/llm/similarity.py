@@ -273,9 +273,17 @@ def cosine_dedup_pairs(
     dim: int = 64,
     seed: int = 7,
     exact: bool = False,
+    max_candidates_per_doc: float | None = None,
+    band_report: dict | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all ``(id_a, id_b)`` with
     ``id_a < id_b`` and exact cosine >= ``threshold``.
+
+    ``max_candidates_per_doc``: candidate-volume guardrail (see
+    ``dedup.estimate_candidate_pairs``) — measures the blocked pair
+    count from bucket sizes before the self-join and halves ``bands``
+    (doubling bits-per-band) on the SAME packed signatures until the
+    volume fits the budget; ``band_report`` receives the outcome.
 
     Scale path (default): random-hyperplane LSH banding blocks the
     quadratic pair space — the banded self-join shuffles only
@@ -311,7 +319,6 @@ def cosine_dedup_pairs(
         cand = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
         planes = _hyperplanes(dim, num_bits, seed)
-        bits_per_band = num_bits // bands
         # Signatures in ONE narrow projection: the Arrow-batched matmul
         # UDF carries the 48x64 plane matrix as a closure constant, so
         # there is no crossJoin, no re-aggregation shuffle, and no giant
@@ -326,29 +333,52 @@ def cosine_dedup_pairs(
         # measured as the dominant first-run cost. At scale the parquet
         # split count provides the parallelism.
         sigs = vecs.select("__id", sig_udf(F.col("__v")).alias("__sig"))
-        banded = (
-            sigs.select(
+
+        def _banded(n_bands: int) -> DataFrame:
+            bpb = num_bits // n_bands
+            return sigs.select(
                 "__id",
                 F.explode(
                     F.array(
                         *[
                             F.struct(
                                 F.lit(i).alias("band_idx"),
-                                F.shiftright("__sig", i * bits_per_band)
-                                .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                                F.shiftright("__sig", i * bpb)
+                                .bitwiseAND(F.lit((1 << bpb) - 1))
                                 .alias("band_val"),
                             )
-                            for i in range(bands)
+                            for i in range(n_bands)
                         ]
                     )
                 ).alias("b"),
-            )
-            .select("__id", "b.band_idx", "b.band_val")
-        )
+            ).select("__id", "b.band_idx", "b.band_val")
+
         # eager persist: the banded table feeds both sides of the
         # self-join; lazy persist would race and compute signatures twice
-        banded = banded.persist()
-        banded.count()
+        if max_candidates_per_doc is None:
+            banded = _banded(bands).persist()
+            banded.count()
+        else:
+            from nhs_data_pipeline_spark.llm.dedup import estimate_candidate_pairs
+
+            sigs = sigs.persist()
+            n_docs = sigs.count()
+            while True:
+                banded = _banded(bands).persist()
+                banded.count()
+                est = estimate_candidate_pairs(banded, ("band_idx", "band_val"))
+                if est <= max_candidates_per_doc * n_docs or bands <= 1:
+                    break
+                banded.unpersist()
+                bands = max(1, bands // 2)
+            if band_report is not None:
+                band_report.update(
+                    bands=bands,
+                    bits_per_band=num_bits // bands,
+                    n_docs=n_docs,
+                    est_candidates=est,
+                )
+            sigs.unpersist()
         qa = banded.select(
             F.col("__id").alias("id_a"), "band_idx", "band_val"
         )

@@ -69,6 +69,51 @@ def test_simhash_md5_mode(spark):
     assert bin(vals[1] ^ vals[3]).count("1") < bin(vals[1] ^ vals[4]).count("1")
 
 
+def test_minhash_candidate_guardrail_self_similar(spark):
+    """On a self-similar corpus (J ~ 0.9 between every doc pair) the
+    default banding floods candidates; the guardrail must widen bands
+    until the measured blocked-pair volume fits the budget — re-banding
+    the same signatures, never materializing the flooded join."""
+    import random
+
+    rng = random.Random(7)
+    core = ["w%03d" % i for i in range(95)]
+    docs = [
+        (i, " ".join(core + ["u%d_%d" % (i, j) for j in range(5)]))
+        for i in range(80)
+    ]
+    rng.shuffle(docs)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    report: dict = {}
+    pairs = dd.minhash_lsh_pairs(
+        df, max_candidates_per_doc=10.0, band_report=report
+    )
+    n_pairs = pairs.count()
+    assert report["bands"] < 8  # guardrail actually widened
+    assert report["est_candidates"] <= 10.0 * report["n_docs"]
+    assert n_pairs <= report["est_candidates"]
+
+
+def test_cosine_guardrail_self_similar(spark):
+    """Same guardrail on the embedding-LSH path: near-identical vectors
+    collapse every band bucket; the budget forces wider bands."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=64)
+    rows = [
+        (i, (base + 0.01 * rng.normal(size=64)).tolist()) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    report: dict = {}
+    out = sim.cosine_dedup_pairs(
+        df, threshold=0.999, max_candidates_per_doc=20.0, band_report=report
+    )
+    out.count()
+    assert report["bands"] < 6
+    assert report["est_candidates"] <= 20.0 * report["n_docs"] or report["bands"] == 1
+
+
 def test_jaccard_pairs_exact_value(spark):
     docs = spark.createDataFrame(
         [(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"]
