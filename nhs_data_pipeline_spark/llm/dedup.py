@@ -580,9 +580,8 @@ def connected_components(
     when nothing moves. One shuffle join + one aggregate per round;
     rounds = component diameter, and near-dup clusters are shallow
     (dup groups, not long chains), so convergence is fast. For graphs
-    with adversarially long paths swap the per-round step for the
-    large-star/small-star rewrite (Kiveris et al., "Connected
-    Components in MapReduce") — same join primitive, O(log n) rounds.
+    with adversarially long paths use ``connected_components_star``
+    (large-star/small-star rewrite, O(log n) rounds).
     Like orgchange.closure, one Spark action per round: a lazy
     localCheckpoint truncates lineage and the convergence count
     materializes it.
@@ -622,3 +621,119 @@ def connected_components(
             break
     edges.unpersist()
     return labels
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    id_col: str = "id",
+    max_iter: int = 50,
+    round_report: dict | None = None,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    rewrites (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): converges in O(log n) rounds on ANY graph shape,
+    including the adversarially long chains where min-label propagation
+    (``connected_components``) needs diameter rounds. Same contract:
+    ``(id, component)`` with component = smallest id in the cluster.
+
+    Each round is two star rewrites; each rewrite is one groupBy-min +
+    one join over the current edge list, and the edge list contracts
+    toward the star form, so per-round cost tracks the shrinking |E|.
+    One Spark action per round (the convergence signature) over a lazy
+    localCheckpoint, like the min-label loop.
+
+    - large-star: every node's strictly-larger neighbors re-point to
+      the minimum of its closed neighborhood (keeps big subtrees
+      hanging off small labels without growing edges).
+    - small-star: orient edges larger-first, then each node and its
+      smaller neighbors all re-point to the neighborhood minimum.
+
+    ``round_report`` (optional dict) receives {rounds, edges_final}.
+    """
+
+    def _large_star(edges: DataFrame) -> DataFrame:
+        sym = edges.unionByName(
+            edges.select(F.col("__v").alias("__u"), F.col("__u").alias("__v"))
+        )
+        m = (
+            sym.groupBy("__u")
+            .agg(F.min("__v").alias("__mn"))
+            .select("__u", F.least("__u", "__mn").alias("__m"))
+        )
+        return (
+            sym.filter(F.col("__v") > F.col("__u"))
+            .join(m, "__u")
+            .select(F.col("__v").alias("__u"), F.col("__m").alias("__v"))
+            .filter(F.col("__u") != F.col("__v"))
+            .distinct()
+        )
+
+    def _small_star(edges: DataFrame) -> DataFrame:
+        ori = (
+            edges.select(
+                F.greatest("__u", "__v").alias("__u"),
+                F.least("__u", "__v").alias("__v"),
+            )
+            .filter(F.col("__u") != F.col("__v"))
+            .distinct()
+        )
+        m = ori.groupBy("__u").agg(F.min("__v").alias("__m"))
+        nbr = (
+            ori.join(m, "__u")
+            .filter(F.col("__v") != F.col("__m"))
+            .select(F.col("__v").alias("__u"), F.col("__m").alias("__v"))
+        )
+        ctr = m.select("__u", F.col("__m").alias("__v"))
+        return (
+            nbr.unionByName(ctr)
+            .filter(F.col("__u") != F.col("__v"))
+            .distinct()
+        )
+
+    def _sig(edges: DataFrame) -> tuple:
+        # decimal sum: ANSI mode throws on long overflow, and a sum of
+        # 64-bit hashes overflows almost immediately
+        r = edges.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("__u", "__v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (r["n"], r["h"])
+
+    cur = (
+        pairs.select(F.col(id_a).alias("__u"), F.col(id_b).alias("__v"))
+        .filter(F.col("__u") != F.col("__v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sig = _sig(cur)
+    rounds = 0
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
+        nsig = _sig(nxt)
+        rounds += 1
+        if nsig == sig:
+            cur = nxt
+            break
+        cur, sig = nxt, nsig
+    if round_report is not None:
+        round_report.update(rounds=rounds, edges_final=sig[0])
+
+    # At the fixpoint the edge list is a star forest: (node, center)
+    # with center = component minimum. Centers and isolated nodes label
+    # themselves.
+    labels = cur.groupBy(F.col("__u").alias("id")).agg(
+        F.min("__v").alias("component")
+    )
+    if nodes is not None:
+        base = nodes.select(F.col(id_col).alias("id")).distinct()
+    else:
+        e0 = pairs.select(F.col(id_a).alias("id")).unionByName(
+            pairs.select(F.col(id_b).alias("id"))
+        )
+        base = e0.distinct()
+    return base.join(labels, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )

@@ -2202,6 +2202,18 @@ def _components_oracle_sql(
 ORACLES["dedup_components"] = _components_oracle_sql()
 
 
+@query("dedup_components_star", _components_oracle_sql())
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering as dedup_components, via the O(log n)-round
+    large-star/small-star rewrite (Kiveris et al.) instead of min-label
+    propagation — the variant that survives adversarially long chain
+    graphs. Checked against the identical recursive-CTE oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = sim.cosine_dedup_pairs(emb, threshold=0.35)
+    cc = dd.connected_components_star(pairs, nodes=emb, id_col="vec_id")
+    return cc.select(F.col("id").alias("vec_id"), "component")
+
+
 # ===========================================================================
 # Engine breadth: rollup hierarchy, pivot, sketches
 # ===========================================================================

@@ -114,6 +114,65 @@ def test_cosine_guardrail_self_similar(spark):
     assert report["est_candidates"] <= 20.0 * report["n_docs"] or report["bands"] == 1
 
 
+def _union_find_components(edges, nodes):
+    """Reference union-find for tests: {node: min-id of its component}."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_star_components_match_union_find_and_minlabel(spark):
+    """Large-star/small-star equals union-find ground truth (and the
+    min-label implementation) on a random graph + cliques + singletons."""
+    import random
+
+    rng = random.Random(5)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(45)]
+    edges += [(50 + i, 50 + j) for i in range(4) for j in range(i)]  # clique
+    edges = [(a, b) for a, b in edges if a != b]
+    nodes = list(range(60))  # includes isolated ids
+    expected = _union_find_components(edges, nodes)
+
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    ndf = spark.createDataFrame([(n,) for n in nodes], ["id"])
+    star = {
+        r.id: r.component
+        for r in dd.connected_components_star(pairs, nodes=ndf).collect()
+    }
+    assert star == expected
+    minlabel = {
+        r.id: r.component
+        for r in dd.connected_components(pairs, nodes=ndf, max_iter=60).collect()
+    }
+    assert minlabel == expected
+
+
+def test_star_components_chain_logarithmic_rounds(spark):
+    """The adversarial case for min-label propagation: a 200-node path
+    (diameter 199). The star algorithm must label it correctly in
+    O(log n) rounds — far fewer than the diameter."""
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    report: dict = {}
+    out = dd.connected_components_star(pairs, round_report=report)
+    rows = out.collect()
+    assert len(rows) == n
+    assert all(r.component == 0 for r in rows)
+    assert report["rounds"] <= 12  # log-ish, not ~199
+
+
 def test_jaccard_pairs_exact_value(spark):
     docs = spark.createDataFrame(
         [(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"]
