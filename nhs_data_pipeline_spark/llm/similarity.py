@@ -33,7 +33,7 @@ def _dot(a: Column, b: Column) -> Column:
     CSE (measured ~1 ms per 64-dim pair) — fine for per-vector work
     (norms, a handful of centroid scores), ruinous on candidate-pair
     scoring where volume is O(n^2/buckets). Hot pair-scoring paths use
-    ``_dot_pairs`` instead; this stays for small per-row expressions
+    ``_cosine_pairs`` instead; this stays for small per-row expressions
     where a Python worker round-trip would cost more than it saves."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -43,15 +43,16 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 @pandas_udf(DoubleType())  # DataType object: a DDL string would need an active session at import
-def _dot_pairs(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Arrow-vectorized batch dot product over two array<double> columns.
+def _cosine_pairs(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-vectorized batch COSINE over two array<double> columns:
+    dot products and both norms in three einsums per batch, NaN (→
+    Spark NULL) when either norm is zero.
 
-    Each Arrow batch arrives as Series of numpy arrays; stacking to a
-    2-D matrix turns the whole batch into ONE BLAS einsum — ~100x the
-    throughput of the interpreted HOF lambda on candidate-pair scoring
-    (the all-survivors rerank in ``cosine_dedup_pairs`` and the |Q|x|N|
-    brute-force baseline). Falls back to per-row numpy dots for ragged
-    or null-bearing batches so the UDF stays total."""
+    This replaces the ``_dot_pairs / (_norm(a) * _norm(b))`` shape on
+    pair-scoring paths: interpreted-HOF norms cost ~1 ms per ROW, and
+    on candidate-pair scoring they run per PAIR — measured as the
+    dominant cost of the rerank stages once the dot product itself was
+    vectorized. Falls back to per-row numpy for ragged/null batches."""
     import numpy as np
 
     if len(a) == 0:
@@ -59,17 +60,24 @@ def _dot_pairs(a: pd.Series, b: pd.Series) -> pd.Series:
     try:
         av = np.vstack(a.to_numpy())
         bv = np.vstack(b.to_numpy())
-        return pd.Series(np.einsum("ij,ij->i", av, bv))
+        dots = np.einsum("ij,ij->i", av, bv)
+        na = np.sqrt(np.einsum("ij,ij->i", av, av))
+        nb = np.sqrt(np.einsum("ij,ij->i", bv, bv))
+        denom = na * nb
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(denom == 0, np.nan, dots / denom)
+        return pd.Series(out)
     except ValueError:  # ragged dims or nulls: row-at-a-time numpy
-        return pd.Series(
-            [
-                float(np.dot(np.asarray(x, dtype=float), np.asarray(y, dtype=float)))
-                if x is not None and y is not None
-                else None
-                for x, y in zip(a, b)
-            ],
-            dtype="float64",
-        )
+        vals = []
+        for x, y in zip(a, b):
+            if x is None or y is None:
+                vals.append(None)
+                continue
+            xv = np.asarray(x, dtype=float)
+            yv = np.asarray(y, dtype=float)
+            d = float(np.linalg.norm(xv) * np.linalg.norm(yv))
+            vals.append(float(np.dot(xv, yv)) / d if d else None)
+        return pd.Series(vals, dtype="float64")
 
 
 def _make_signature_udf(planes: list[list[float]]):
@@ -129,24 +137,25 @@ def brute_force_topk(
 
     The query side is broadcast (top-k search with a small query set is
     the common shape); swap sides upstream if the corpus is the small
-    one."""
+    one.
+
+    All pair math (dot + both norms) lives in ONE Arrow-batched UDF:
+    interpreted-HOF norms cost ~1 ms/row and, worse, repartitioning a
+    small corpus to spread them forks a Python worker per core (~1-2 s
+    CPU each, the dominant first-run cost — measured); the batched
+    einsum needs neither."""
     q = _as_double(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
         "__qv",
-    ).withColumn("__qn", _norm(F.col("__qv")))
+    )
     c = _as_double(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
         "__cv",
-    ).withColumn("__cn", _norm(F.col("__cv")))
+    )
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            F.when((F.col("__qn") == 0) | (F.col("__cn") == 0), F.lit(None)).otherwise(
-                _dot_pairs(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
-            ),
-        )
+        .withColumn("cosine", _cosine_pairs(F.col("__qv"), F.col("__cv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -251,9 +260,7 @@ def lsh_topk(
         .distinct()
     )
     scored = cand.withColumn(
-        "cosine",
-        _dot_pairs(F.col("__qv"), F.col("__cv"))
-        / (_norm(F.col("__qv")) * _norm(F.col("__cv"))),
+        "cosine", _cosine_pairs(F.col("__qv"), F.col("__cv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -308,14 +315,10 @@ def cosine_dedup_pairs(
     """
     vecs = _as_double(
         df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")), "__v"
-    ).withColumn("__n", _norm(F.col("__v")))
+    )
     if exact:
-        a = vecs.select(
-            F.col("__id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na")
-        )
-        b = vecs.select(
-            F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
-        )
+        a = vecs.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+        b = vecs.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
         cand = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
         planes = _hyperplanes(dim, num_bits, seed)
@@ -392,28 +395,15 @@ def cosine_dedup_pairs(
             .distinct()
         )
         cand = ids.join(
-            vecs.select(
-                F.col("__id").alias("id_a"),
-                F.col("__v").alias("__va"),
-                F.col("__n").alias("__na"),
-            ),
+            vecs.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va")),
             "id_a",
         ).join(
-            vecs.select(
-                F.col("__id").alias("id_b"),
-                F.col("__v").alias("__vb"),
-                F.col("__n").alias("__nb"),
-            ),
+            vecs.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb")),
             "id_b",
         )
-    na, nb = F.col("__na"), F.col("__nb")
+    # dot + norms in one Arrow batch (zero-norm -> NULL); see _cosine_pairs
     return (
-        cand.withColumn(
-            "cosine",
-            F.when((na == 0) | (nb == 0), F.lit(None)).otherwise(
-                _dot_pairs(F.col("__va"), F.col("__vb")) / (na * nb)
-            ),
-        )
+        cand.withColumn("cosine", _cosine_pairs(F.col("__va"), F.col("__vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -537,9 +527,7 @@ def ivf_topk(
 
     cand = probes.join(cells, "__cell").filter(F.col("query_id") != F.col("neighbor_id"))
     rescored = cand.withColumn(
-        "cosine",
-        _dot_pairs(F.col("__qv"), F.col("__cv"))
-        / (_norm(F.col("__qv")) * _norm(F.col("__cv"))),
+        "cosine", _cosine_pairs(F.col("__qv"), F.col("__cv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
