@@ -737,3 +737,44 @@ def connected_components_star(
     return base.join(labels, "id", "left").select(
         "id", F.coalesce("component", F.col("id")).alias("component")
     )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark-contamination check (GPT-3/PaLM style): for every
+    corpus document, how many of its distinct word ``n``-grams appear
+    anywhere in the ``benchmark`` set. Returns
+    ``(id_col, n_grams, n_contaminated, contamination_frac)`` — gate
+    training docs on ``contamination_frac`` (or any overlap at all)
+    before eval-set reuse.
+
+    Scale shape: the benchmark's distinct gram set is tiny relative to
+    the corpus (eval suites are KBs-to-MBs) — broadcast it so the
+    corpus-side explode joins map-side with no shuffle of corpus grams;
+    set ``broadcast_benchmark=False`` for a giant benchmark and the
+    join degrades gracefully to a hash-partitioned equi-join on the
+    gram string."""
+    c_grams = corpus.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("__g")
+    )
+    b_grams = (
+        benchmark.select(F.explode(word_ngrams(F.col(text_col), n)).alias("__g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    if broadcast_benchmark:
+        b_grams = F.broadcast(b_grams)
+    joined = c_grams.join(b_grams, "__g", "left")
+    return joined.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.coalesce("__hit", F.lit(0))).alias("n_contaminated"),
+        F.round(
+            F.sum(F.coalesce("__hit", F.lit(0))) / F.count("*"), 6
+        ).alias("contamination_frac"),
+    )

@@ -126,3 +126,83 @@ def rolling_hash_fingerprint(text_col_name: str, window: int = 8) -> Column:
         f"array_min(transform(sequence(1, greatest(length({norm}) - {window} + 1, 1)), "
         f"i -> xxhash64(substring({norm}, i, {window}))))"
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics (Gopher-style quality filters, Rae et al. 2021 A1.2)
+# ---------------------------------------------------------------------------
+
+def word_ngrams_all(text: Column | str, n: int) -> Column:
+    """ALL word n-grams (space-joined, duplicates kept — counts matter
+    for repetition metrics, unlike the dedup path's distinct sets)."""
+    c = _c(text)
+    toks = F.split(normalize_text(c), " ")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
+def repetition_metrics(
+    df, text_col: str = "text", id_col: str = "doc_id", ns: tuple = (1, 2, 3)
+):
+    """Within-document repetition profile — the Gopher-style quality
+    signals for training-data filtering: for each n in ``ns``,
+    ``top{n}_frac`` (most frequent n-gram's share of all n-grams) and
+    ``dup{n}_frac`` (share of n-gram occurrences beyond first use).
+    Returns one row per doc: (id_col, n_tokens, top1_frac, dup1_frac,
+    top2_frac, ...). Docs shorter than n grams count a single
+    empty-window gram (matching word_ngrams' greatest() clamp).
+
+    Scale shape: per n, explode grams -> two-level aggregate
+    ((doc, gram) counts, then per-doc max/sum/distinct) — the shuffles
+    carry (id, gram) pairs and then (id, 3 longs); text never moves
+    after the first projection. Metrics join back on id (tiny rows)."""
+    from pyspark.sql import DataFrame as _DF
+
+    out: _DF = df.select(F.col(id_col), token_count(text_col).alias("n_tokens"))
+    for n in ns:
+        grams = df.select(
+            F.col(id_col), F.explode(word_ngrams_all(F.col(text_col), n)).alias("__g")
+        )
+        counts = grams.groupBy(id_col, "__g").agg(F.count("*").alias("__c"))
+        per_doc = counts.groupBy(id_col).agg(
+            F.sum("__c").alias("__total"),
+            F.max("__c").alias("__top"),
+            F.count("*").alias("__distinct"),
+        )
+        metrics = per_doc.select(
+            F.col(id_col),
+            F.round(F.col("__top") / F.col("__total"), 6).alias(f"top{n}_frac"),
+            F.round(
+                (F.col("__total") - F.col("__distinct")) / F.col("__total"), 6
+            ).alias(f"dup{n}_frac"),
+        )
+        out = out.join(metrics, id_col, "left")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# PII / sensitive-pattern scan
+# ---------------------------------------------------------------------------
+
+# Deliberately RE2-compatible (no backrefs/lookarounds) so the same
+# patterns run identically under Java regex (Spark) and RE2 (DuckDB).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\b(?:\+?\d[\d -]{7,}\d)\b",
+    "long_digits": r"\b\d{9,}\b",
+}
+
+
+def pii_counts(text: Column | str, patterns: dict[str, str] = PII_PATTERNS):
+    """One count column per sensitive pattern (emails, IPv4s, phone-ish
+    runs, long digit sequences) — the redaction/reporting front half of
+    a PII scrub; counts are what scrubbing pipelines audit and gate on.
+    Returns a dict {name: Column}."""
+    t = _c(text)
+    return {
+        name: F.size(F.regexp_extract_all(t, F.lit(pat), 0)).alias(f"n_{name}")
+        for name, pat in patterns.items()
+    }

@@ -114,6 +114,58 @@ def test_cosine_guardrail_self_similar(spark):
     assert report["est_candidates"] <= 20.0 * report["n_docs"] or report["bands"] == 1
 
 
+def test_repetition_metrics_hand_computed(spark):
+    # "a a a b": unigrams a,a,a,b -> top 3/4, dup (4-2)/4
+    # bigrams "a a","a a","a b" -> top 2/3, dup 1/3
+    # trigrams "a a a","a a b" -> top 1/2, dup 0
+    df = spark.createDataFrame([(1, "a a a b")], ["doc_id", "text"])
+    r = tx.repetition_metrics(df).first()
+    assert r.n_tokens == 4
+    assert r.top1_frac == 0.75 and r.dup1_frac == 0.5
+    assert r.top2_frac == round(2 / 3, 6) and r.dup2_frac == round(1 / 3, 6)
+    assert r.top3_frac == 0.5 and r.dup3_frac == 0.0
+
+
+def test_ngram_contamination_hand_computed(spark):
+    corpus = spark.createDataFrame(
+        [(10, "x y z w q"), (11, "p q r s t")], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame([(1, "a x y z b")], ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_grams, r.n_contaminated, r.contamination_frac)
+        for r in dd.ngram_contamination(corpus, bench, n=3).collect()
+    }
+    # doc 10 grams: "x y z","y z w","z w q"; bench has "x y z" -> 1/3
+    assert got[10] == (3, 1, round(1 / 3, 6))
+    assert got[11] == (3, 0, 0.0)
+
+
+def test_pii_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a@b.co and c.d+x@e.org ip 10.0.0.1 ref 123456789 tel +44 1234 567890")],
+        ["doc_id", "text"],
+    )
+    r = df.select(*tx.pii_counts("text").values()).first()
+    assert r.n_email == 2
+    assert r.n_ipv4 == 1
+    assert r.n_long_digits == 1
+
+
+def test_pack_contiguous_hand_computed(spark):
+    from nhs_data_pipeline_spark.llm import packing as pk
+
+    rows = [(1, 0, 60), (2, 0, 50), (3, 0, 100), (4, 1, 250)]
+    df = spark.createDataFrame(rows, ["doc_id", "shard", "toks"])
+    out = {
+        r.doc_id: (r.tok_start, r.tok_end, r.seq_first, r.seq_last, r.n_seqs)
+        for r in pk.pack_contiguous(df, "toks", 100, "shard", "doc_id").collect()
+    }
+    assert out[1] == (0, 60, 0, 0, 1)
+    assert out[2] == (60, 110, 0, 1, 2)  # crosses the 100-token boundary
+    assert out[3] == (110, 210, 1, 2, 2)
+    assert out[4] == (0, 250, 0, 2, 3)  # own shard, spans three sequences
+
+
 def _union_find_components(edges, nodes):
     """Reference union-find for tests: {node: min-id of its component}."""
     parent = {n: n for n in nodes}
