@@ -509,12 +509,16 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit fingerprint into four
     16-bit chunks (pigeonhole: hamming<=3 pairs share >=1 exact chunk),
     bucket-join, verify with bit_count(xor). Returns
-    ``(id_a, id_b, hamming)``."""
-    sh = simhash64(df, text_col, id_col).withColumnRenamed("simhash", "__sh")
+    ``(id_a, id_b, hamming)``. ``hash_fn="md5"`` makes the fingerprints
+    (and so the whole pair set) engine-portable — see ``simhash64``."""
+    sh = simhash64(df, text_col, id_col, hash_fn=hash_fn).withColumnRenamed(
+        "simhash", "__sh"
+    )
     sh = sh.persist()  # self-joined below; avoid recomputing the explode+agg
     sh.count()  # eager: see minhash_lsh_pairs persist note
     chunks = sh.select(

@@ -1251,9 +1251,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_md5_oracle() -> str:
-    """DuckDB replica of md5-mode simhash64: bits 0-59 from h(tok),
-    60-63 from h(tok || '#2')."""
+def _simhash_fp_chain(source: str) -> str:
+    """CTE chain computing md5-mode simhash64 fingerprints over
+    ``source`` (bits 0-59 from h(tok), 60-63 from h(tok || '#2')) —
+    composed by both the fingerprint and the near-pair oracles."""
     h1 = _hex60_sql("tok")
     h2 = _hex60_sql("tok || '#2'")
     votes = ",\n             ".join(
@@ -1269,16 +1270,21 @@ def _simhash_md5_oracle() -> str:
         for b in range(63)
     )
     fp += " + (CASE WHEN v63 > 0 THEN CAST(-9223372036854775808 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
       SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS tok
-      FROM documents
+      FROM {source}
     ),
     h AS (SELECT doc_id, {h1} AS h1, {h2} AS h2 FROM toks),
     votes AS (SELECT doc_id,
              {votes}
-            FROM h GROUP BY doc_id)
-    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+            FROM h GROUP BY doc_id),
+    fps AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes)"""
+
+
+def _simhash_md5_oracle() -> str:
+    return f"""
+    WITH {_simhash_fp_chain("documents")}
+    SELECT doc_id, simhash FROM fps
     """
 
 
@@ -2574,6 +2580,50 @@ def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = tx.pii_counts("t2")
     return d.select("doc_id", *counts.values())
+
+
+def _simhash_pairs_oracle(max_hamming: int = 6) -> str:
+    """Chunk-banded SimHash near-pair replica: 4x16-bit chunk buckets
+    (pigeonhole guarantee), bit_count(xor) verify — shift/xor/bit_count
+    agree with Spark on negatives (verified incl. the sign chunk)."""
+    return f"""
+    WITH un AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 300000, text FROM documents
+    ),
+    {_simhash_fp_chain("un")},
+    chunks AS (
+      SELECT doc_id, simhash, __ci AS chunk_idx,
+             (simhash >> (CAST(__ci AS INTEGER) * 16)) & 65535 AS chunk
+      FROM fps, unnest(range(0, 4)) AS t(__ci)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM chunks a JOIN chunks b
+        ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+    """
+
+
+@query("simhash_near_pairs", _simhash_pairs_oracle())
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit chunk banding (pigeonhole recall
+    guarantee at hamming<=3; threshold 6 here to surface near-misses on
+    the id-shifted copies) + bit_count(xor) verify — fully replayed by
+    the oracle in portable-hash mode."""
+    d = _t(spark, sf_dir, "documents")
+    copy = d.select((F.col("doc_id") + 300000).alias("doc_id"), "text")
+    out = dd.simhash_pairs(
+        oc.union_by_name([d.select("doc_id", "text"), copy]),
+        max_hamming=6,
+        hash_fn="md5",
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 @query(

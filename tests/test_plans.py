@@ -85,3 +85,29 @@ def test_dedup_shuffle_carries_fingerprint_not_text(spark):
     exchanges = [l for l in p.splitlines() if "hashpartitioning" in l]
     assert exchanges, p
     assert all("text" not in l for l in exchanges), exchanges
+
+
+def test_contamination_benchmark_broadcasts(spark):
+    """The benchmark gram set must broadcast: corpus grams never
+    shuffle for the contamination join."""
+    p = plan_of(spark, "contamination_ngram")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_brute_force_topk_uses_window_group_limit(spark):
+    """Top-k rank filter must push into WindowGroupLimit (partial top-k
+    before the full window sort) and the pair scoring must be a single
+    Arrow-batched python stage, not interpreted per-row lambdas."""
+    p = plan_of(spark, "embed_topk_bruteforce")
+    assert "WindowGroupLimit" in p
+    assert "ArrowEvalPython" in p
+    assert "aggregate(" not in p  # no interpreted HOF norms on the pair path
+
+
+def test_pack_sequences_no_global_sort(spark):
+    """Packing must window per shard: hashpartitioning on shard, no
+    single-partition global sort/exchange."""
+    p = plan_of(spark, "pack_sequences")
+    assert "hashpartitioning(shard" in p
+    assert "SinglePartition" not in p
