@@ -2469,6 +2469,174 @@ def o3_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 # ===========================================================================
+# TPC-H shape breadth: q12/q13/q21/q22 (adapted to the synthetic schema,
+# which has no partsupp/shipmode/commitdate/receiptdate/phone columns —
+# "late" means shipped >N days after the order date)
+# ===========================================================================
+
+@query(
+    "q12_late_shipments",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY l_returnflag
+    """,
+)
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact equi-join with a date-arithmetic
+    predicate, conditional-sum aggregation by a low-cardinality key
+    (l_returnflag stands in for shipmode). One shuffle join (both fact
+    sides), map-side conditional partials."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: left outer join with an extra join-side predicate
+    (kept customers with zero matches count as c_count=0), then the
+    distribution of counts — two cascaded aggregations."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q21_waiting_supplier",
+    """
+    WITH li_late AS (
+      SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late,
+             o_orderstatus
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM li_late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE l1.late AND l1.o_orderstatus = 'F' AND n.n_name = 'NATION_3'
+      AND EXISTS (SELECT 1 FROM li_late l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM li_late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: double-correlated existence — suppliers who
+    were the ONLY late shipper in finished multi-supplier orders.
+    Expressed as one precomputed late-flag join (the o_orderdate
+    dependency), a compound-condition left-semi (other supplier
+    exists), and a left-anti (no OTHER late supplier); nation and
+    supplier dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderstatus")
+    li_o = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")).alias("late"),
+        "o_orderstatus",
+    )
+    li_o = li_o.persist()  # feeds base + both correlated sides
+    li_o.count()  # eager: lazy persist lets the scans race (CLAUDE.md)
+    base = li_o.filter(F.col("late") & (F.col("o_orderstatus") == "F"))
+    others = li_o.select(
+        F.col("l_orderkey").alias("r_orderkey"),
+        F.col("l_suppkey").alias("r_suppkey"),
+        F.col("late").alias("r_late"),
+    )
+    with_other = base.join(
+        others,
+        (F.col("l_orderkey") == F.col("r_orderkey"))
+        & (F.col("l_suppkey") != F.col("r_suppkey")),
+        "left_semi",
+    )
+    sole_late = with_other.join(
+        others.filter(F.col("r_late")),
+        (F.col("l_orderkey") == F.col("r_orderkey"))
+        & (F.col("l_suppkey") != F.col("r_suppkey")),
+        "left_anti",
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        sole_late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@query(
+    "q22_dormant_accounts",
+    """
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+    )
+    SELECT CAST(c_custkey % 7 AS INTEGER) AS cntrycode,
+           COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY 1
+    """,
+)
+def q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar aggregate subquery (broadcast one-row
+    cross join), anti-join against recent orders, grouped conditional
+    rollup (c_custkey % 7 stands in for the phone country code;
+    dormant = no order since 1999)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("__ab"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.pmod("c_custkey", F.lit(7)).cast("int").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+# ===========================================================================
 # LLM-pipeline: repetition / contamination / PII / sequence packing
 # ===========================================================================
 
