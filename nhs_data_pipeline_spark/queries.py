@@ -2636,6 +2636,197 @@ def q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                               ELSE CAST(0 AS DECIMAL(30,10)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,10)) AS volume,
+             n2.n_name AS nation
+      FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN region r ON n1.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    ) GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — share of EUROPE-market
+    PROMO revenue supplied from NATION_3, by order year. All six dims
+    broadcast; lineitem is the only shuffling side (final 2-key agg).
+    Ratio of two DECIMAL(30,10) sums cast to double — exact partials,
+    so the division is bit-identical cross-engine."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    s = _t(spark, sf_dir, "supplier")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,10)")
+    zero = F.lit(0).cast("decimal(30,10)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(zero)).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q9_nation_year_revenue",
+    """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(30,10))) AS DOUBLE), 4) AS revenue
+    FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%bolt%'
+    GROUP BY n.n_name, CAST(year(o.o_orderdate) AS INTEGER)
+    """,
+)
+def q9_nation_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: the synthetic schema has no partsupp,
+    so profit = revenue without supply cost): revenue by supplier
+    nation x order year for parts whose name matches a token. part/
+    supplier/nation broadcast; orders joins lineitem on the shuffle."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = _t(spark, sf_dir, "nation")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,10)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(vol).cast("double"), 4).alias("revenue"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           ROUND(CAST(r.total_rev AS DOUBLE), 4) AS total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue view + scalar-max selection. The
+    per-supplier aggregate is computed once, persisted, and the scalar
+    max is broadcast back — exact DECIMAL sums make the equality test
+    engine-stable (doubles would coin-flip the tie)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,10)")
+            ).alias("total_rev")
+        )
+        .persist()
+    )
+    rev.count()  # eager: the scalar-max branch must not recompute the agg
+    mx = rev.agg(F.max("total_rev").alias("__mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev").cast("double"), 4).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) / 7.0, 4)
+             AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#17'
+      AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average subquery as a
+    window aggregate — the brand filter broadcasts into the lineitem
+    scan first, so the window only shuffles the brand's rows (the
+    correlated avg over partkey is identical on the filtered subset
+    because the join keeps every lineitem of a matching part).
+    l_quantity is whole-valued, so AVG is an exact ratio —
+    order-insensitive across engines."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#17")
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .withColumn("__avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.2 * F.col("__avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(30,10)")).cast("double") / 7.0,
+                4,
+            ).alias("avg_yearly")
+        )
+    )
+
+
 # ===========================================================================
 # LLM-pipeline: repetition / contamination / PII / sequence packing
 # ===========================================================================
