@@ -111,3 +111,38 @@ def test_pack_sequences_no_global_sort(spark):
     p = plan_of(spark, "pack_sequences")
     assert "hashpartitioning(shard" in p
     assert "SinglePartition" not in p
+
+
+@pytest.mark.parametrize("q", ["q8_market_share", "q17_small_quantity_revenue",
+                               "q21_waiting_supplier"])
+def test_new_tpch_shapes_broadcast_their_dims(spark, q):
+    """Q8's six dimension sides, Q17's brand-filtered part, and Q21's
+    supplier/nation all carry explicit broadcast hints — the fact side
+    must never sort-merge against a dimension."""
+    p = plan_of(spark, q)
+    assert "BroadcastHashJoin" in p, p[:2000]
+    assert "CartesianProduct" not in p, p[:2000]
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark):
+    """Q22: the one-row average-balance aggregate must broadcast (a
+    nested-loop join against ONE row is fine — that is how Spark ships
+    a scalar), and the dormant check must be a left anti join."""
+    p = plan_of(spark, "q22_dormant_accounts")
+    assert "LeftAnti" in p, p[:2000]
+    assert "Broadcast" in p, p[:2000]
+
+
+def test_q15_reuses_persisted_revenue_view(spark):
+    """Q15 computes the per-supplier revenue aggregate ONCE: the
+    scalar-max branch and the equality filter must both read the
+    persisted view (InMemoryTableScan), not recompute the lineage."""
+    p = plan_of(spark, "q15_top_supplier")
+    assert "InMemoryTableScan" in p or "InMemoryRelation" in p, p[:2000]
+
+
+def test_q13_left_join_keeps_zero_count_customers(spark):
+    """Q13's left outer join must not degrade to inner (the c_count=0
+    bucket disappears if it does)."""
+    p = plan_of(spark, "q13_customer_distribution")
+    assert "LeftOuter" in p or "RightOuter" in p, p[:2000]
