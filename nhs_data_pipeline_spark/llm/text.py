@@ -11,7 +11,7 @@ regexes, same edge-case handling for empty strings.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -206,3 +206,81 @@ def pii_counts(text: Column | str, patterns: dict[str, str] = PII_PATTERNS):
         name: F.size(F.regexp_extract_all(t, F.lit(pat), 0)).alias(f"n_{name}")
         for name, pat in patterns.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# Corpus term statistics (global vocabulary + TF-IDF keyword extraction)
+# ---------------------------------------------------------------------------
+
+def explode_terms(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per (doc, token) over whitespace tokens of the
+    normalized text; empty tokens dropped. The corpus-analytics
+    fan-out: everything downstream is ordinary relational algebra
+    with map-side partial aggregation."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+
+
+def top_terms(
+    df: DataFrame, k: int = 50, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Global top-``k`` vocabulary terms by corpus frequency, with
+    document frequency alongside. Tie-break on the term itself so the
+    ordering is total (engine-stable).
+
+    Scale: token counts combine map-side before the single term-keyed
+    shuffle, so skewed head terms ("the") cost one long per partition,
+    not one row per occurrence; the final top-k is a TakeOrdered over
+    |vocab| aggregated rows, never a global sort of the token stream."""
+    terms = explode_terms(df, text_col, id_col)
+    counts = terms.groupBy("term").agg(
+        F.count("*").alias("n_occurrences"),
+        F.count_distinct(id_col).alias("n_docs"),
+    )
+    return counts.orderBy(F.desc("n_occurrences"), F.asc("term")).limit(k)
+
+
+def tfidf_topk(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document top-``k`` keywords by TF-IDF.
+
+    The score is the *rational* form ``tf * n_docs / df`` (no
+    logarithm): rank-equivalent to classic tf-idf for fixed tf
+    monotonicity in 1/df, and — unlike ``ln`` — bit-identical across
+    engines (exact integers divided once in IEEE double). Ties break
+    on the term so every engine picks the same k rows.
+
+    Scale: per-(doc,term) counts persist eagerly (three consumers:
+    document frequency, corpus size, and the score join — lazy persist
+    would recompute the tokenize+count lineage each time); document
+    frequency joins back on the term key (a shuffle join — the
+    vocabulary is unbounded at corpus scale, so no broadcast); the
+    final top-k is a per-doc window row_number that pushes into
+    WindowGroupLimit."""
+    tf = (
+        explode_terms(df, text_col, id_col)
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .persist()
+    )
+    tf.count()  # eager: see docstring
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = tf.agg(F.count_distinct(id_col).alias("__n"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.col("__n") / F.col("df"), 6).alias("score"),
+        )
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

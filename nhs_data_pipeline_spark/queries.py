@@ -2828,6 +2828,66 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# LLM-pipeline: corpus term statistics
+# ===========================================================================
+
+@query(
+    "text_top_terms",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents
+    )
+    SELECT term, COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM toked WHERE term <> ''
+    GROUP BY term
+    ORDER BY n_occurrences DESC, term
+    LIMIT 50
+    """,
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-50 vocabulary terms (corpus frequency + document
+    frequency): the canonical skewed-key corpus aggregate — head terms
+    combine map-side, the top-k never globally sorts the token
+    stream."""
+    return tx.top_terms(_t(spark, sf_dir, "documents"), k=50)
+
+
+@query(
+    "text_tfidf_keywords",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toked WHERE term <> ''
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf, d.df,
+             ROUND(t.tf * n.n_docs * 1.0 / d.df, 6) AS score
+      FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, score FROM ranked WHERE rk <= 3
+    """,
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords with the rational score
+    ``tf * n_docs / df`` — rank-equivalent to log tf-idf per fixed tf,
+    and exactly reproducible cross-engine (integers divided once in
+    IEEE double; ``ln`` would differ in final ulps between libm
+    implementations)."""
+    return tx.tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
+
+
+# ===========================================================================
 # LLM-pipeline: repetition / contamination / PII / sequence packing
 # ===========================================================================
 

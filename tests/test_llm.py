@@ -493,3 +493,29 @@ def test_connected_components_matches_union_find(spark):
         for r in dd.connected_components(pairs, nodes=nodes, id_col="nid").collect()
     }
     assert got == exp_label
+
+
+def test_tfidf_topk_ranking(spark):
+    """Rational tf-idf: a term unique to one doc must outrank a
+    corpus-wide term with the same tf; ties break on the term."""
+    docs = spark.createDataFrame(
+        [
+            (0, "apple apple banana common common common"),
+            (1, "cherry common"),
+            (2, "banana common"),
+        ],
+        "doc_id long, text string",
+    )
+    from nhs_data_pipeline_spark.llm.text import tfidf_topk, top_terms
+
+    rows = {(r.doc_id, r.term): (r.tf, r.df, r.score) for r in tfidf_topk(docs, k=1).collect()}
+    # doc 0: apple tf=2 df=1 -> 2*3/1=6  beats common tf=3 df=3 -> 3
+    assert rows[(0, "apple")] == (2, 1, 6.0)
+    # doc 1: cherry tf=1 df=1 -> 3 beats common tf=1 df=3 -> 1
+    assert (1, "cherry") in rows
+    top = top_terms(docs, k=2).collect()
+    # apple and banana tie at 2 occurrences; the term tie-break is total
+    assert [(r.term, r.n_occurrences, r.n_docs) for r in top] == [
+        ("common", 5, 3),
+        ("apple", 2, 1),
+    ]
