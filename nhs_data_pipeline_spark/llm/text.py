@@ -284,3 +284,57 @@ def tfidf_topk(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet/RefinedWeb-style line-level boilerplate removal: a line
+    that appears (exactly) in >= ``min_docs`` distinct documents is
+    boilerplate (nav bars, cookie banners, license footers) and is
+    stripped from every document; remaining lines are reassembled in
+    their original order.
+
+    Returns ``(id_col, clean_text, n_lines_kept, n_lines_removed)`` —
+    documents whose every line is boilerplate survive with an empty
+    ``clean_text`` (the downstream length filter decides their fate,
+    not this operator).
+
+    Scale: the document-frequency aggregate shuffles one row per
+    distinct (line) with map-side combine; the verdict joins back on
+    the line key (shuffle join — the line universe is unbounded, no
+    broadcast); reassembly is a single doc-keyed aggregate whose
+    array_sort runs on each doc's own lines only. No step is driver-
+    side and nothing carries the full document across a shuffle more
+    than once."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    ).filter(F.col("__line") != "")
+    lines = lines.persist()
+    lines.count()  # eager: feeds both the df-count and the join-back
+    linedf = lines.groupBy("__line").agg(
+        F.count_distinct(id_col).alias("__line_docs")
+    )
+    verdict = lines.join(linedf, "__line").select(
+        id_col,
+        "__pos",
+        "__line",
+        (F.col("__line_docs") >= min_docs).alias("__boiler"),
+    )
+    kept_struct = F.when(
+        ~F.col("__boiler"), F.struct(F.col("__pos"), F.col("__line"))
+    )
+    return verdict.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["__line"]
+            ),
+        ).alias("clean_text"),
+        F.sum(F.when(~F.col("__boiler"), 1).otherwise(0)).alias("n_lines_kept"),
+        F.sum(F.when(F.col("__boiler"), 1).otherwise(0)).alias("n_lines_removed"),
+    )

@@ -2887,6 +2887,56 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
 
 
+@query(
+    "text_boilerplate_removal",
+    r"""
+    WITH src AS (
+      SELECT doc_id,
+             regexp_replace(text, '((?:\S+ ){7}\S+) ', '\1' || chr(10), 'g')
+             || CASE WHEN doc_id % 3 = 0
+                     THEN chr(10) || 'cookie notice accept all cookies'
+                     ELSE '' END AS text
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, arr[__i] AS line, __i AS pos
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS arr FROM src),
+           unnest(range(1, len(arr) + 1)) AS t(__i)
+      WHERE arr[__i] <> ''
+    ),
+    ldf AS (SELECT line, COUNT(DISTINCT doc_id) AS ldocs FROM lines GROUP BY line),
+    v AS (SELECT doc_id, pos, line, (ldocs >= 2) AS boiler
+          FROM lines JOIN ldf USING (line))
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN NOT boiler THEN line END,
+                               chr(10) ORDER BY pos), '') AS clean_text,
+           CAST(SUM(CASE WHEN NOT boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+           CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_removed
+    FROM v GROUP BY doc_id
+    """,
+)
+def text_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style line-level boilerplate strip: lines exact-
+    repeated across >=2 documents (the injected cookie banner, plus any
+    chance repeats) are removed and each document is reassembled in
+    line order. The synthetic corpus has no newlines, so the query
+    deterministically re-lines it (a break every 8 tokens) and appends
+    a shared banner to every third doc — same construction inlined in
+    the oracle SQL."""
+    d = _t(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace("text", r"((?:\S+ ){7}\S+) ", "$1\n"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\ncookie notice accept all cookies"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return tx.remove_boilerplate_lines(injected, min_docs=2)
+
+
 # ===========================================================================
 # LLM-pipeline: repetition / contamination / PII / sequence packing
 # ===========================================================================

@@ -519,3 +519,24 @@ def test_tfidf_topk_ranking(spark):
         ("common", 5, 3),
         ("apple", 2, 1),
     ]
+
+
+def test_boilerplate_line_removal(spark):
+    from nhs_data_pipeline_spark.llm.text import remove_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (0, "unique alpha\ncookie banner\nunique beta"),
+            (1, "cookie banner\nanother original line"),
+            (2, "cookie banner"),  # every line is boilerplate
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.clean_text, r.n_lines_kept, r.n_lines_removed)
+        for r in remove_boilerplate_lines(docs, min_docs=2).collect()
+    }
+    assert out[0] == ("unique alpha\nunique beta", 2, 1)
+    assert out[1] == ("another original line", 1, 1)
+    # doc 2 survives (empty text) — downstream filters decide, not this op
+    assert out[2] == ("", 0, 1)
