@@ -124,3 +124,22 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str,
+    dim_cols: list[str] | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of ``events``
+    joins the static dimension ``dim`` (re-read per batch, so a
+    slowly-changing dimension table picks up updates between
+    triggers). The dimension is explicitly broadcast — a stream-static
+    join must never shuffle the unbounded stream side against a lookup
+    table; at cluster scale the dimension ships once per executor and
+    the stream stays partition-local. Works unchanged on batch
+    frames."""
+    cols = dim.select(key, *dim_cols) if dim_cols else dim
+    return events.join(F.broadcast(cols), key, how)

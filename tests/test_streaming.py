@@ -192,3 +192,33 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     }
     assert len(exp) == 5  # users 1+3: two sessions each; user 2: one
     assert got == exp
+
+
+def test_enrich_stream_matches_batch(spark, tmp_path):
+    """Stream-static broadcast enrichment: per-micro-batch join against
+    a static dimension equals the batch join, and unmatched keys
+    survive (left join)."""
+    from nhs_data_pipeline_spark.streaming import enrich_stream
+
+    batch = spark.createDataFrame(_rows(), SCHEMA)
+    dim = spark.createDataFrame(
+        [("t0", "alpha"), ("t1", "beta")], ["event_type", "label"]
+    )  # t2 deliberately missing
+    src = str(tmp_path / "enrich_src")
+    batch.limit(50).coalesce(1).write.parquet(src)
+    batch.exceptAll(batch.limit(50)).coalesce(1).write.mode("append").parquet(src)
+
+    stream = stream_files(spark, src, SCHEMA, max_files_per_trigger=1)
+    enriched = enrich_stream(stream, dim, "event_type")
+    run_stream_to_memory(enriched, "enriched_mem")
+
+    got = {
+        (r.ts, r.event_type): r.label for r in spark.table("enriched_mem").collect()
+    }
+    want = {
+        (r.ts, r.event_type): r.label
+        for r in enrich_stream(batch, dim, "event_type").collect()
+    }
+    assert got == want
+    assert len(got) == 100
+    assert all(v is None for (_, et), v in got.items() if et == "t2")
