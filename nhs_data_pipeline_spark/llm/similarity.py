@@ -535,3 +535,46 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Mean-pooled centroid per group (class prototypes, cluster
+    centers, per-source embedding summaries).
+
+    Shape: posexplode the vector to (group, dim, x) rows and sum per
+    (group, dim) — the scalable layout for wide vectors and many
+    groups: partials combine map-side, the shuffle carries one double
+    per (group, dim), and no executor ever holds a group's full vector
+    set (the naive collect_list-of-arrays centroid OOMs on a hot
+    group). Reassembly sorts each group's 64 per-dim means, not data.
+
+    Means are rounded to ``round_to`` decimals: summation order
+    differs between engines (and between partial-agg topologies), so
+    raw doubles disagree in final ulps — same contract as the cosine
+    scores. Returns (group_col, centroid: array<double>, n_vectors)."""
+    ex = df.select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("__pos", "__x"),
+    )
+    sums = ex.groupBy(group_col, "__pos").agg(
+        F.sum("__x").alias("__s"), F.count("*").alias("__c")
+    )
+    return sums.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("__pos"),
+                        F.round(F.col("__s") / F.col("__c"), round_to).alias("__m"),
+                    )
+                )
+            ),
+            lambda t: t["__m"],
+        ).alias("centroid"),
+        F.max("__c").alias("n_vectors"),
+    )

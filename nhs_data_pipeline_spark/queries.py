@@ -2827,6 +2827,26 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embed_label_centroids",
+    """
+    WITH ex AS (
+      SELECT label, __i AS pos, CAST(embedding[__i] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(__i)
+    ),
+    s AS (SELECT label, pos, SUM(x) AS s, COUNT(*) AS c FROM ex GROUP BY label, pos)
+    SELECT label, list(ROUND(s / c, 6) ORDER BY pos) AS centroid,
+           CAST(MAX(c) AS BIGINT) AS n_vectors
+    FROM s GROUP BY label
+    """,
+)
+def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean-pooled embedding centroids via the dimension-
+    exploded aggregate (see ``label_centroids`` — the layout that
+    survives hot groups at corpus scale)."""
+    return sim.label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
 # ===========================================================================
 # LLM-pipeline: corpus term statistics
 # ===========================================================================

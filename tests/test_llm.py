@@ -540,3 +540,17 @@ def test_boilerplate_line_removal(spark):
     assert out[1] == ("another original line", 1, 1)
     # doc 2 survives (empty text) — downstream filters decide, not this op
     assert out[2] == ("", 0, 1)
+
+
+def test_label_centroids_match_numpy(spark):
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.normal(size=8).astype("float32").tolist(), i % 3) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r.label: (r.centroid, r.n_vectors) for r in sim.label_centroids(df).collect()}
+    import numpy as _np
+
+    for lab in range(3):
+        vecs = _np.array([v for _, v, l in rows if l == lab], dtype="float64")
+        want = _np.round(vecs.mean(axis=0), 6)
+        assert got[lab][1] == len(vecs)
+        assert _np.allclose(got[lab][0], want, atol=1e-9)
