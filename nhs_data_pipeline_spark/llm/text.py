@@ -338,3 +338,32 @@ def remove_boilerplate_lines(
         F.sum(F.when(~F.col("__boiler"), 1).otherwise(0)).alias("n_lines_kept"),
         F.sum(F.when(F.col("__boiler"), 1).otherwise(0)).alias("n_lines_removed"),
     )
+
+
+def oov_stats(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against ``vocab`` (a
+    DataFrame with a ``term`` column — typically ``top_terms`` output
+    or a tokenizer's vocab). The vocab broadcasts (even a 100k-entry
+    BPE vocab is a few MB); tokens stay partition-local, so the only
+    shuffle is the per-doc count aggregate."""
+    toks = explode_terms(df, text_col, id_col)
+    marked = toks.join(
+        F.broadcast(vocab.select("term").withColumn("__in_vocab", F.lit(1))),
+        "term",
+        "left",
+    )
+    return marked.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            * F.lit(1.0)
+            / F.count("*"),
+            6,
+        ).alias("oov_frac"),
+    )

@@ -2908,6 +2908,32 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_oov_rate",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents
+    ),
+    tokc AS (SELECT doc_id, term FROM toked WHERE term <> ''),
+    counts AS (SELECT term, COUNT(*) AS n FROM tokc GROUP BY term),
+    vocab AS (SELECT term FROM counts ORDER BY n DESC, term LIMIT 25)
+    SELECT t.doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           ROUND(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS oov_frac
+    FROM tokc t LEFT JOIN vocab v USING (term)
+    GROUP BY t.doc_id
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV fraction against the corpus's own top-25
+    vocabulary (tokenizer/vocab-design signal): the vocab is computed
+    once and broadcast, tokens never shuffle for the membership
+    test."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.oov_stats(d, tx.top_terms(d, k=25).select("term"))
+
+
+@query(
     "text_boilerplate_removal",
     r"""
     WITH src AS (
