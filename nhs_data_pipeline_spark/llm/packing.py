@@ -57,3 +57,45 @@ def pack_contiguous(
         .withColumn("n_seqs", F.col("seq_last") - F.col("seq_first") + 1)
     )
     return out
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 40,
+    overlap: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping fixed-token chunks
+    (retrieval/context windows: stride = chunk_tokens - overlap, last
+    chunk may run short; an empty document yields one empty chunk so
+    no document silently disappears).
+
+    Scale: pure row-local expressions — tokenize once, explode the
+    chunk-start sequence, slice. No shuffle at all; chunking runs
+    inside the scan stage and the output is ready to repartition by
+    whatever key the downstream embed/index step shards on."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "),
+        lambda t: t != "",
+    )
+    out = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+    ).select(
+        id_col,
+        F.posexplode(
+            F.expr(f"sequence(0, greatest(size(__toks) - 1, 0), {stride})")
+        ).alias("chunk_id", "__start"),
+        "__toks",
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens)
+    return out.select(
+        id_col,
+        "chunk_id",
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).alias("n_chunk_tokens"),
+    )

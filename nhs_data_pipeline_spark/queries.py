@@ -2221,6 +2221,75 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("id").alias("vec_id"), "component")
 
 
+def _canonical_oracle_sql() -> str:
+    """Oracle for dedup_canonical_docs: the components recursive-CTE
+    chain (same inlined hyperplanes) wrapped as a subquery, joined to
+    the quality-score formula, argmax per component."""
+    comp_sql = _components_oracle_sql()
+    return f"""
+    WITH comp AS ({comp_sql}),
+    q AS (
+      SELECT doc_id,
+             ROUND(least(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END / 20.0, 1.0)
+             * greatest(0.0, 1.0 - 2.0 * (CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text) END))
+             * (0.5 + 0.5 * least((CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) = 0 THEN 0.0
+                        ELSE len(regexp_extract_all(lower(text), '{_EN_PAT}')) * 1.0 /
+                             (CASE WHEN trim(text) = '' THEN 0
+                              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) END) * 4.0, 1.0)), 6)
+             AS quality
+      FROM documents
+    ),
+    j AS (
+      SELECT c.vec_id, c.component, q.quality
+      FROM comp c JOIN q ON q.doc_id = c.vec_id
+    ),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY component
+                                ORDER BY quality DESC, vec_id) AS rk,
+             COUNT(*) OVER (PARTITION BY component) AS n_members
+      FROM j
+    )
+    SELECT component, vec_id AS canonical_doc, quality,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM r WHERE rk = 1
+    """
+
+
+@query("dedup_canonical_docs", _canonical_oracle_sql())
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup canonicalization: embedding-cosine components (the
+    oracle-checked cluster graph) joined to each document's quality
+    score; the highest-quality member (ties -> lowest id) becomes the
+    cluster's canonical survivor. This is the selection step real
+    curation pipelines run after near-dup detection — keep the best
+    copy, not an arbitrary one. Shuffles carry (id, component,
+    quality) triples; text never moves."""
+    emb = _t(spark, sf_dir, "embeddings")
+    d = _t(spark, sf_dir, "documents")
+    pairs = sim.cosine_dedup_pairs(emb, threshold=0.35)
+    cc = dd.connected_components(pairs, nodes=emb, id_col="vec_id")
+    scored = d.select("doc_id", tx.quality_score("text").alias("quality"))
+    j = cc.join(scored, cc.id == scored.doc_id).select(
+        F.col("id").alias("vec_id"), "component", "quality"
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("quality"), F.asc("vec_id"))
+    return (
+        j.withColumn("__rk", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(Window.partitionBy("component")))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "component",
+            F.col("vec_id").alias("canonical_doc"),
+            "quality",
+            "n_members",
+        )
+    )
+
+
 # ===========================================================================
 # Engine breadth: rollup hierarchy, pivot, sketches
 # ===========================================================================
@@ -2931,6 +3000,36 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     test."""
     d = _t(spark, sf_dir, "documents")
     return tx.oov_stats(d, tx.top_terms(d, k=25).select("term"))
+
+
+@query(
+    "text_chunk_windows",
+    f"""
+    WITH toked AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '') AS toks
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks) - 1, 0) + 1, 30)) AS s
+      FROM toked
+    )
+    SELECT doc_id, CAST(s // 30 AS INTEGER) AS chunk_id,
+           array_to_string(list_slice(toks, s + 1, least(s + 40, len(toks))), ' ')
+             AS chunk_text,
+           CAST(len(list_slice(toks, s + 1, least(s + 40, len(toks)))) AS INTEGER)
+             AS n_chunk_tokens
+    FROM starts
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token chunking (40-token windows, 10-token
+    overlap — the retrieval-context split): shuffle-free, runs inside
+    the scan stage."""
+    return pk.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=40, overlap=10
+    )
 
 
 @query(
