@@ -782,3 +782,32 @@ def ngram_contamination(
             F.sum(F.coalesce("__hit", F.lit(0))) / F.count("*"), 6
         ).alias("contamination_frac"),
     )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingest-time exact dedup of a NEW batch against an existing
+    corpus: keep one representative (min id) per normalized-text
+    fingerprint within the batch, then drop representatives whose
+    fingerprint already exists in the corpus (anti-join).
+
+    This is the shape a production pipeline runs on every arrival —
+    the corpus is never re-deduped, and the corpus side of the
+    anti-join ships only DISTINCT fingerprints (16-byte md5), never
+    text: at 100 TB the anti-join shuffles |corpus| fingerprints once
+    while the batch side is usually small enough that a broadcast of
+    the BATCH fingerprints would be even cheaper — Spark's AQE picks
+    that automatically when the batch is tiny. Returns (id_col, fp)
+    of the surviving new documents."""
+    batch = new_df.select(
+        F.col(id_col), fingerprint_md5(F.col(text_col)).alias("fp")
+    )
+    reps = batch.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    corpus_fp = corpus_df.select(
+        fingerprint_md5(F.col(text_col)).alias("fp")
+    ).distinct()
+    return reps.join(corpus_fp, "fp", "left_anti").select(id_col, "fp")

@@ -2259,6 +2259,42 @@ def _canonical_oracle_sql() -> str:
     """
 
 
+@query(
+    "dedup_incremental",
+    f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+    newb AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= 400
+      UNION ALL
+      SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id < 50
+    ),
+    bf AS (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM newb),
+    reps AS (SELECT fp, MIN(doc_id) AS doc_id FROM bf GROUP BY fp),
+    cf AS (SELECT DISTINCT md5({_NORM_SQL}) AS fp FROM corpus)
+    SELECT r.doc_id, r.fp
+    FROM reps r LEFT JOIN cf ON cf.fp = r.fp
+    WHERE cf.fp IS NULL
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup of a new batch against the standing corpus:
+    docs <400 are the corpus; the arriving batch is docs >=400 plus
+    id-shifted copies of docs 0-49 (which must all be dropped as
+    corpus duplicates). Within-batch dups collapse to the min id
+    first; the corpus ships only distinct fingerprints."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < 400).select("doc_id", "text")
+    newb = oc.union_by_name(
+        [
+            d.filter(F.col("doc_id") >= 400).select("doc_id", "text"),
+            d.filter(F.col("doc_id") < 50).select(
+                (F.col("doc_id") + 500000).alias("doc_id"), "text"
+            ),
+        ]
+    )
+    return dd.incremental_dedup(newb, corpus)
+
+
 @query("dedup_canonical_docs", _canonical_oracle_sql())
 def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup canonicalization: embedding-cosine components (the
