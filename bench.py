@@ -31,6 +31,13 @@ BENCH_QUERIES = [
     "q7_volume_shipping",
     "q18_large_orders",
     "q19_disjunctive_revenue",
+    # r02 additions: the four partsupp-adapted shapes completing all 22
+    # TPC-H queries (totals are not directly comparable to BENCH_r01's
+    # 26-query suite; per-query times are recorded for like-for-like)
+    "q2_min_cost_supplier",
+    "q11_important_part_value",
+    "q16_supplier_part_count",
+    "q20_excess_shippers",
     "j1_natural_left_join",
     "j3_transitive_closure",
     "j5_asof_join",

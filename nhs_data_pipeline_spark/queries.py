@@ -2933,6 +2933,235 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q2_min_cost_supplier",
+    """
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+      SELECT o.l_partkey, o.l_suppkey, o.unit_cost, s.s_acctbal, s.s_name, n.n_name
+      FROM offers o
+      JOIN supplier s ON s.s_suppkey = o.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name,
+           p.p_partkey, p.p_type, e.unit_cost
+    FROM eu e JOIN part p ON p.p_partkey = e.l_partkey
+    WHERE p.p_size = 15 AND p.p_name LIKE '%bolt'
+      AND e.unit_cost = (SELECT MIN(e2.unit_cost) FROM eu e2
+                         WHERE e2.l_partkey = e.l_partkey)
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier; reference has no partsupp, so
+    the offer table is derived as MIN(l_extendedprice/l_quantity) per
+    distinct (part, supplier) pair seen in lineitem).
+
+    The correlated min-cost-in-region subquery is a window MIN over
+    partkey on the region-filtered offer table — one shuffle on
+    partkey instead of a re-scan per outer row. supplier/nation/region
+    are lookup-sized and broadcast; the double division is IEEE-
+    identical across engines, so MIN and the equality test are exact.
+    Cites reference semantics: analytic min-per-group selection
+    (explore.py grouped min patterns)."""
+    li = _t(spark, sf_dir, "lineitem")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        offers.join(F.broadcast(s), offers.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("l_partkey", "unit_cost", "s_acctbal", "s_name", "n_name")
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & F.col("p_name").like("%bolt")
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        eu.withColumn("__min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("__min_cost"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "unit_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q11_important_part_value",
+    """
+    WITH val AS (
+      SELECT l.l_partkey AS p_partkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(30,10))) AS value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_7'
+      GROUP BY l.l_partkey
+    )
+    SELECT p_partkey, ROUND(CAST(value AS DOUBLE), 4) AS part_value
+    FROM val
+    WHERE CAST(value AS DOUBLE) > (SELECT CAST(SUM(value) AS DOUBLE) * 0.001 FROM val)
+    ORDER BY part_value DESC, p_partkey
+    """,
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part value for one
+    nation's suppliers, kept where value exceeds a fraction of the
+    nation's total — a grouped aggregate re-filtered by a scalar
+    aggregate of itself.
+
+    The per-part aggregate is computed once and persisted; the scalar
+    total is a broadcast one-row crossJoin, not a second scan of
+    lineitem. Sums run in DECIMAL(30,10) on both engines (exact,
+    order-insensitive); the threshold compare happens in double after
+    identical per-value casts."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    val = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(30,10)")).alias("value"))
+        .persist()
+    )
+    val.count()  # eager: the scalar-total branch must not recompute the agg
+    total = val.agg((F.sum("value").cast("double") * 0.001).alias("__thresh"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value").cast("double") > F.col("__thresh"))
+        .select(
+            "p_partkey",
+            F.round(F.col("value").cast("double"), 4).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+    )
+
+
+@query(
+    "q16_supplier_part_count",
+    """
+    WITH sp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT sp.l_suppkey) AS supplier_cnt
+    FROM sp JOIN part p ON p.p_partkey = sp.l_partkey
+    WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND sp.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                               WHERE s_name LIKE '%7')
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    count per (brand, type, size) over the lineitem-derived supplier-
+    part pairs, excluding a brand/type/size slice and a "complaints"
+    supplier set (name-pattern proxy — the synthetic supplier table has
+    no comment column).
+
+    The distinct pair projection prunes lineitem to two int columns at
+    the scan; part filters broadcast; the excluded supplier set is a
+    broadcast anti-join (NOT IN with no nulls possible on a key
+    column). The count-distinct shuffles (brand, type, size, suppkey)
+    partials map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    sp = li.select("l_partkey", "l_suppkey").distinct()
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_name").like("%7")).select(
+        "s_suppkey"
+    )
+    return (
+        sp.join(F.broadcast(bad), sp.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), sp.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q20_excess_shippers",
+    """
+    WITH sp AS (
+      SELECT l_suppkey, l_partkey, SUM(l_quantity) AS supp_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey, l_partkey
+    ),
+    pt AS (SELECT l_partkey, SUM(supp_qty) AS part_qty FROM sp GROUP BY l_partkey)
+    SELECT s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND s.s_suppkey IN (
+        SELECT sp.l_suppkey FROM sp
+        JOIN pt ON pt.l_partkey = sp.l_partkey
+        JOIN part p ON p.p_partkey = sp.l_partkey
+        WHERE p.p_name LIKE '%red%' AND sp.supp_qty > 0.3 * pt.part_qty)
+    ORDER BY s.s_name
+    """,
+)
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (excess availability): suppliers who shipped a
+    dominant share (>30%) of some red part's 1996 volume, restricted
+    to one region — the nested-aggregate + semi-join-chain shape
+    (availqty has no direct analogue without partsupp; the dominant-
+    share predicate preserves the inner correlated-aggregate
+    structure).
+
+    The per-(supplier, part) aggregate is computed once and persisted;
+    the per-part total reuses it (second aggregate over the first —
+    no lineitem re-scan). Quantity sums are whole-valued doubles
+    (exact integers < 2^53, order-insensitive); the share compare is
+    IEEE-identical across engines. The qualifying supplier set flows
+    into a broadcast semi-join against the region's suppliers."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    sp = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+        .persist()
+    )
+    sp.count()  # eager: pt re-aggregates sp; lazy persist would double-compute
+    pt = sp.groupBy("l_partkey").agg(F.sum("supp_qty").alias("part_qty"))
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    dominant = (
+        sp.join(pt, "l_partkey")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .filter(F.col("supp_qty") > 0.3 * F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@query(
     "embed_label_centroids",
     """
     WITH ex AS (

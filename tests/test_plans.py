@@ -141,6 +141,34 @@ def test_q15_reuses_persisted_revenue_view(spark):
     assert "InMemoryTableScan" in p or "InMemoryRelation" in p, p[:2000]
 
 
+@pytest.mark.parametrize("q", ["q2_min_cost_supplier", "q16_supplier_part_count"])
+def test_q2_q16_broadcast_dims_no_cartesian(spark, q):
+    """Q2's supplier/nation/region/part sides and Q16's part +
+    excluded-supplier sides all broadcast; the lineitem-derived pair
+    table must never sort-merge against a dimension."""
+    p = plan_of(spark, q)
+    assert "BroadcastHashJoin" in p, p[:2000]
+    assert "CartesianProduct" not in p, p[:2000]
+    assert "SortMergeJoin" not in p, p[:2000]
+
+
+def test_q16_anti_join_for_excluded_suppliers(spark):
+    """Q16's complaints exclusion must be a broadcast anti join — a
+    NOT IN that degraded to a nested-loop null-aware join would scan
+    the pair table per supplier."""
+    p = plan_of(spark, "q16_supplier_part_count")
+    assert "LeftAnti" in p, p[:2000]
+
+
+def test_q11_q20_reuse_persisted_aggregate(spark):
+    """Q11's scalar-total branch and Q20's per-part rollup both re-read
+    the persisted first aggregate (InMemoryTableScan), never recompute
+    the lineitem lineage twice."""
+    for q in ("q11_important_part_value", "q20_excess_shippers"):
+        p = plan_of(spark, q)
+        assert "InMemoryTableScan" in p or "InMemoryRelation" in p, (q, p[:2000])
+
+
 def test_q13_left_join_keeps_zero_count_customers(spark):
     """Q13's left outer join must not degrade to inner (the c_count=0
     bucket disappears if it does)."""
