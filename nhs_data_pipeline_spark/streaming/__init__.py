@@ -2,6 +2,7 @@
 
 from nhs_data_pipeline_spark.streaming.pipeline import (  # noqa: F401
     dedup_stream,
+    dedup_stream_against_store,
     enrich_stream,
     interval_join_streams,
     run_stream_to_memory,

@@ -143,3 +143,61 @@ def enrich_stream(
     frames."""
     cols = dim.select(key, *dim_cols) if dim_cols else dim
     return events.join(F.broadcast(cols), key, how)
+
+
+def dedup_stream_against_store(
+    docs: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Ingest-time exact dedup of a document STREAM against a persistent
+    fingerprint store — the production arrival loop: every micro-batch
+    is deduped within itself (min-id representative per fingerprint),
+    anti-joined against all fingerprints ever admitted, and the
+    survivors' documents + fingerprints are appended to ``out_path`` /
+    ``store_path``.
+
+    Scale shape: the store holds one 32-hex fingerprint row per unique
+    document ever seen — never text — so the per-batch anti-join
+    shuffles |store| fingerprints at worst; AQE broadcasts the (small)
+    batch side instead. Each batch re-reads the store, so fingerprints
+    admitted by batch N are visible to batch N+1 — cross-batch dedup
+    works without driver-side state.
+
+    Delivery: exactly-once for the STREAM bookkeeping (checkpointed
+    source offsets), at-least-once for the two parquet appends (a crash
+    between them can leave a batch's docs without fingerprints or vice
+    versa — production would sink both into one transactional table
+    format; plain parquet keeps this module dependency-free).
+
+    Returns the started StreamingQuery (availableNow trigger — runs to
+    catch-up, then stops)."""
+    from nhs_data_pipeline_spark.llm.text import fingerprint_md5
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = (
+            batch_df.select(F.col(id_col), F.col(text_col))
+            .withColumn("fp", fingerprint_md5(F.col(text_col)))
+        )
+        reps = batch.groupBy("fp").agg(F.min(id_col).alias(id_col))
+        try:
+            seen = spark.read.parquet(store_path).select("fp")
+        except Exception:  # first batch: no store yet
+            seen = None
+        fresh = reps.join(seen, "fp", "left_anti") if seen is not None else reps
+        survivors = batch.join(fresh.select(id_col), id_col, "left_semi").persist()
+        survivors.count()  # eager: both appends below reuse one computation
+        survivors.write.mode("append").parquet(out_path)
+        survivors.select("fp").write.mode("append").parquet(store_path)
+        survivors.unpersist()
+
+    return (
+        docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

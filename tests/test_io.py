@@ -309,3 +309,67 @@ def test_overwrite_partitions_is_incremental(spark, tmp_path):
     overwrite_partitions(fix, p, ["year", "quarter"])
     got = {(r.quarter): r.v for r in spark.read.parquet(p).collect()}
     assert got == {"Q1": 1.0, "Q2": 99.0}  # Q1 untouched, Q2 replaced
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC sink/scan: values survive a roundtrip and the scan gets the
+    same pushdown + pruning contract as parquet."""
+    import contextlib
+    import io as _io
+
+    from nhs_data_pipeline_spark.io.formats import read_orc, write_orc
+
+    src = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    p = str(tmp_path / "li_orc")
+    write_orc(src, p)
+    back = read_orc(spark, p)
+    assert back.count() == src.count()
+    assert set(back.columns) == set(src.columns)
+
+    q = back.filter("l_quantity > 40").select("l_orderkey", "l_quantity")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "l_quantity" in plan.split("PushedFilters")[1][:200]
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" not in read_schema, read_schema
+
+
+def test_jsonl_roundtrip_and_corrupt_line_preserved(spark, tmp_path):
+    """JSONL sink/scan: roundtrip is lossless; a malformed line lands in
+    _corrupt_record instead of silently dropping."""
+    from nhs_data_pipeline_spark.io.formats import read_jsonl, write_jsonl
+
+    src = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None)], "id bigint, s string, v double"
+    )
+    p = str(tmp_path / "feed")
+    write_jsonl(src, p, compression=None)
+    back = read_jsonl(spark, p, schema="id bigint, s string, v double")
+    got = {r.id: (r.s, r.v) for r in back.collect()}
+    assert got == {1: ("a", 1.5), 2: ("b", None)}
+
+    # corrupt line: preserved, not dropped
+    bad = tmp_path / "feed" / "zz_bad.json"
+    bad.write_text('{"id": 3, "s": "c", "v": 2.0}\n{not json at all\n')
+    back2 = read_jsonl(spark, str(tmp_path / "feed"), schema="id bigint, s string, v double")
+    rows = back2.collect()
+    assert len(rows) == 4
+    corrupt = [r for r in rows if r._corrupt_record is not None]
+    assert len(corrupt) == 1 and "not json" in corrupt[0]._corrupt_record
+
+
+def test_jsonl_schema_inference_is_bounded_and_pinned(spark, tmp_path):
+    """Without a caller schema, read_jsonl infers from the first N files
+    only, then reads everything against that pinned schema."""
+    from nhs_data_pipeline_spark.io.formats import read_jsonl
+
+    d = tmp_path / "feed"
+    d.mkdir()
+    (d / "a.json").write_text('{"id": 1, "s": "x"}\n')
+    # later file has an extra field the pinned schema must NOT pick up
+    (d / "b.json").write_text('{"id": 2, "s": "y", "extra": true}\n')
+    back = read_jsonl(spark, str(d), sample_files=1)
+    assert "extra" not in back.columns
+    assert {r.id for r in back.collect()} == {1, 2}

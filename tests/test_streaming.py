@@ -222,3 +222,57 @@ def test_enrich_stream_matches_batch(spark, tmp_path):
     assert got == want
     assert len(got) == 100
     assert all(v is None for (_, et), v in got.items() if et == "t2")
+
+
+def test_dedup_stream_against_store_cross_batch(spark, tmp_path):
+    """foreachBatch store-backed dedup: in-batch dups collapse to the
+    min-id representative, cross-batch dups are dropped via the
+    persistent fingerprint store, and a second RUN (new stream, same
+    store) admits nothing it has seen before."""
+    import time as _time
+
+    from nhs_data_pipeline_spark.streaming import dedup_stream_against_store
+    from nhs_data_pipeline_spark.streaming.pipeline import stream_files
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    # batch 1: one in-batch dup (ids 1,2 same text)
+    b1 = spark.createDataFrame(
+        [(1, "alpha beds"), (2, "alpha beds"), (3, "beta wards")], doc_schema
+    )
+    b1.coalesce(1).write.parquet(src)
+    _time.sleep(1.1)  # distinct mtimes => deterministic file order
+    # batch 2: one cross-batch dup (text of id 3) + one new doc
+    b2 = spark.createDataFrame(
+        [(10, "beta wards"), (11, "gamma clinics")], doc_schema
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    stream = stream_files(spark, src, doc_schema, max_files_per_trigger=1)
+    q = dedup_stream_against_store(
+        stream, store, out, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    got = {r.doc_id: r.fp for r in spark.read.parquet(out).collect()}
+    assert set(got) == {1, 3, 11}  # 2 in-batch dup, 10 cross-batch dup
+    assert spark.read.parquet(store).count() == 3
+
+    # second arrival run, entirely seen before -> nothing admitted
+    src2 = str(tmp_path / "src2")
+    spark.createDataFrame([(20, "alpha beds"), (21, "gamma clinics")], doc_schema)\
+        .coalesce(1).write.parquet(src2)
+    stream2 = stream_files(spark, src2, doc_schema, max_files_per_trigger=1)
+    q2 = dedup_stream_against_store(
+        stream2, store, out, checkpoint=str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == 3
+    assert spark.read.parquet(store).count() == 3
