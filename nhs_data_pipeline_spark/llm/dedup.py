@@ -811,3 +811,57 @@ def incremental_dedup(
         fingerprint_md5(F.col(text_col)).alias("fp")
     ).distinct()
     return reps.join(corpus_fp, "fp", "left_anti").select(id_col, "fp")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means cell + within-cell cosine pruning. A
+    document is DROPPED when some LOWER-ID document in the same cell
+    has cosine >= ``threshold`` with it; the surviving set therefore
+    keeps exactly one representative (the min id) per within-cell
+    near-duplicate clique chain. Returns kept rows ``(id_col, cell)``.
+
+    Unlike LSH-banded dedup (``cosine_dedup_pairs``) the blocking is
+    the data's own cluster structure: the quantizer (trained offline
+    on a sample — see ``similarity.fit_centroids_numpy``) bounds every
+    pairwise comparison to one cell, so cost is sum(|cell|^2) not n^2,
+    and the cell assignment is one Arrow-batched argmin pass with no
+    shuffle. The pair join shuffles (id, cell) pairs and joins vectors
+    back per candidate — same id-only-shuffle discipline as the LSH
+    paths. Deterministic end-to-end from the centroid literals, so an
+    external engine can replay the exact kept set (queries.py inlines
+    the same centroids into the DuckDB oracle)."""
+    from nhs_data_pipeline_spark.llm import similarity as _sim
+
+    cell_udf = _sim._make_cell_udf(centroids)
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn("__cell", cell_udf(F.col("__v")))
+    # eager persist: cells feed both sides of the self-join and the
+    # final anti-join; lazy persist would recompute the assignment
+    base = base.persist()
+    base.count()
+    a = base.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "__cell"
+    )
+    b = base.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), "__cell"
+    )
+    dropped = (
+        a.join(b, "__cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("__cos", _sim._cosine_pairs(F.col("__va"), F.col("__vb")))
+        .filter(F.col("__cos") >= threshold)
+        .select(F.col("id_b").alias("__id"))
+        .distinct()
+    )
+    return base.join(dropped, "__id", "left_anti").select(
+        F.col("__id").alias(id_col), F.col("__cell").alias("cell")
+    )

@@ -1,0 +1,118 @@
+"""Event-stream product analytics: ordered funnels and retention
+cohorts over an event log ``(user, ts, event_type, ...)``.
+
+These are the batch analytics a clickstream/telemetry pipeline runs
+next to sessionization (streaming/sessionize.py). Both operators are
+single-shuffle shapes:
+
+- ``funnel``: chained per-user window minima — every step's "first
+  qualifying arrival" is one more window expression over the SAME
+  ``partitionBy(user)`` spec, so Spark plans one Exchange and a stack
+  of Window operators with no extra shuffles; the final per-user
+  reduction reuses the partitioning.
+- ``retention_cohorts``: distinct (user, period) activity, min-period
+  cohort per user, and a (cohort, age) count — the shuffles carry
+  (user, period) pairs, never raw events.
+
+At 100 TB: both group on high-cardinality user ids (balanced), state
+per user is O(steps) / O(active periods), and no driver-side loops or
+collects appear anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: step ``i`` counts users whose first
+    step-``i`` event STRICTLY follows their step-``i-1`` arrival (the
+    standard ordered-funnel semantics — a purchase before the first
+    view does not count as a converted view).
+
+    Returns one row per step: ``(step_idx, step, users)`` with
+    ``users`` non-increasing down the funnel.
+
+    Shape: for each step a windowed conditional MIN over
+    ``partitionBy(user)`` — all steps share the window spec, so the
+    chain is one shuffle however many steps; the per-user arrival
+    times then reduce with ``max`` (they are partition-constant) and
+    a single count per step.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    w = Window.partitionBy(user_col)
+    df = events
+    tcols: list[str] = []
+    prev: str | None = None
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == step
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev))
+        c = f"__t{i}"
+        df = df.withColumn(c, F.min(F.when(cond, F.col(ts_col))).over(w))
+        tcols.append(c)
+        prev = c
+    per_user = df.groupBy(user_col).agg(
+        *[F.max(c).alias(c) for c in tcols]
+    )
+    counts = per_user.agg(
+        *[F.count(c).alias(f"__n{i}") for i, c in enumerate(tcols)]
+    )
+    stack = ", ".join(
+        f"{i}, '{s}', __n{i}" for i, s in enumerate(steps)
+    )
+    return counts.select(
+        F.expr(
+            f"stack({len(steps)}, {stack}) AS (step_idx, step, users)"
+        )
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+    period_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Cohort retention: users grouped by their first active period
+    (the cohort), counted in every later period they return.
+
+    Returns ``(cohort_start, period_age, n_users)`` — ``period_age``
+    0 is the cohort size itself; ``n_users`` at age k = users of that
+    cohort active k periods after their first.
+
+    ``period`` is any ``date_trunc`` unit; ``period_seconds`` must be
+    its fixed length (week=604800) — ages are computed by integer
+    epoch arithmetic on the truncated period starts, which is exact
+    for fixed-length units and engine-portable (calendar units like
+    'month' need a months_between variant instead).
+    """
+    active = (
+        events.select(
+            F.col(user_col).alias("__u"),
+            F.date_trunc(period, F.col(ts_col)).alias("__p"),
+        )
+        .distinct()
+    )
+    cohort = active.groupBy("__u").agg(F.min("__p").alias("__c"))
+    aged = active.join(cohort, "__u").select(
+        F.col("__c").alias("cohort_start"),
+        (
+            (F.unix_timestamp("__p") - F.unix_timestamp("__c"))
+            / F.lit(period_seconds)
+        )
+        .cast("int")
+        .alias("period_age"),
+    )
+    return aged.groupBy("cohort_start", "period_age").agg(
+        F.count("*").alias("n_users")
+    )

@@ -1,0 +1,166 @@
+"""Warehouse maintenance operators: batch MERGE (upsert) and
+slowly-changing-dimension type-2 history.
+
+The reference's panels are rebuilt from scratch every release; at
+100 TB a pipeline instead maintains its canonical store incrementally:
+
+- ``merge_upsert``: MERGE INTO semantics (matched -> update, not
+  matched by target -> insert, optional matched-and-condition ->
+  delete) as one full-outer join on the key. Without a transactional
+  table format the result is written via partition overwrite
+  (io/writers.py:overwrite_partitions) or full swap; the operator
+  itself is format-agnostic and returns the merged frame plus a
+  per-row action tag for auditing.
+- ``scd2_from_feed``: collapse an ordered change feed into type-2
+  validity intervals (valid_from / valid_to / is_current) — the
+  dimension-history shape every as-of join (ops/temporal.py) consumes.
+
+Scale: the merge join shuffles on the merge key (or broadcasts a
+small delta — pass ``broadcast_source=True``); SCD2 is one window
+pass per key partition, carrying only key + tracked attributes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    delete_condition: Column | None = None,
+    broadcast_source: bool = False,
+    action_col: str | None = None,
+) -> DataFrame:
+    """MERGE ``source`` into ``target`` on ``keys``.
+
+    - matched: the source row replaces the target row entirely
+      (all non-key columns take source values, including NULLs);
+    - not matched (source only): insert;
+    - target only: carry over unchanged;
+    - ``delete_condition`` (evaluated on the merged row): matched rows
+      satisfying it are dropped — MERGE's WHEN MATCHED THEN DELETE.
+
+    Columns = union of both schemas (missing side contributes NULL).
+    ``action_col`` (optional) appends 'updated'/'inserted'/'carried'
+    for audit counts. One full-outer shuffle join on the key; pass
+    ``broadcast_source=True`` when the delta is lookup-sized — Spark
+    cannot broadcast a full-outer side, so the matched/unmatched split
+    is done as broadcast left + broadcast anti instead.
+    """
+    non_keys = [c for c in target.columns if c not in keys] + [
+        c for c in source.columns if c not in keys and c not in target.columns
+    ]
+    s = source.withColumn("__s_present", F.lit(True))
+    t = target.withColumn("__t_present", F.lit(True))
+
+    def _pick(c: str) -> Column:
+        sc = F.col(f"__s.{c}") if c in source.columns else F.lit(None)
+        tc = F.col(f"__t.{c}") if c in target.columns else F.lit(None)
+        return F.when(F.col("__s_present").isNotNull(), sc).otherwise(tc).alias(c)
+
+    if broadcast_source:
+        sb = F.broadcast(s.alias("__s"))
+        matched_or_new = t.alias("__t").join(
+            sb, [F.col(f"__t.{k}") == F.col(f"__s.{k}") for k in keys], "left"
+        ).select(
+            *[F.col(f"__t.{k}").alias(k) for k in keys],
+            *[_pick(c) for c in non_keys],
+            F.col("__s_present"),
+            F.col("__t_present"),
+        )
+        inserts = s.alias("__s").join(
+            F.broadcast(t.select(*keys)).alias("__t"),
+            [F.col(f"__s.{k}") == F.col(f"__t.{k}") for k in keys],
+            "left_anti",
+        ).select(
+            *[F.col(k) for k in keys],
+            *[
+                (F.col(c) if c in source.columns else F.lit(None)).alias(c)
+                for c in non_keys
+            ],
+            F.col("__s_present"),
+            F.lit(None).cast("boolean").alias("__t_present"),
+        )
+        merged = matched_or_new.unionByName(inserts)
+    else:
+        merged = (
+            t.alias("__t")
+            .join(
+                s.alias("__s"),
+                [F.col(f"__t.{k}").eqNullSafe(F.col(f"__s.{k}")) for k in keys],
+                "full_outer",
+            )
+            .select(
+                *[
+                    F.coalesce(F.col(f"__t.{k}"), F.col(f"__s.{k}")).alias(k)
+                    for k in keys
+                ],
+                *[_pick(c) for c in non_keys],
+                F.col("__s_present"),
+                F.col("__t_present"),
+            )
+        )
+    action = (
+        F.when(
+            F.col("__s_present").isNotNull() & F.col("__t_present").isNotNull(),
+            F.lit("updated"),
+        )
+        .when(F.col("__s_present").isNotNull(), F.lit("inserted"))
+        .otherwise(F.lit("carried"))
+    )
+    if delete_condition is not None:
+        merged = merged.filter(
+            ~(
+                F.col("__s_present").isNotNull()
+                & F.col("__t_present").isNotNull()
+                & delete_condition
+            )
+        )
+    out_cols = keys + non_keys
+    if action_col is not None:
+        return merged.select(*out_cols, action.alias(action_col))
+    return merged.select(*out_cols)
+
+
+def scd2_from_feed(
+    feed: DataFrame,
+    keys: list[str],
+    attr_cols: list[str],
+    ts_col: str,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Type-2 dimension history from an ordered change feed: one row
+    per run of equal tracked attributes, with ``valid_from`` (the run's
+    first timestamp), ``valid_to`` (the next run's start, NULL while
+    current) and ``is_current``.
+
+    Change detection is null-safe (a NULL attribute differing from a
+    value is a change; NULL == NULL is not), via struct ``eqNullSafe``
+    against the lag row — the first row per key always opens a run.
+    ``tiebreak`` columns make the feed order total when timestamps tie
+    (always pass one for feeds with same-timestamp updates).
+
+    One window pass over ``partitionBy(keys)`` for change detection
+    and one more (same partitioning — no second shuffle) for the
+    interval close; the shuffle carries keys + tracked attrs only.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    attrs = F.struct(*[F.col(c) for c in attr_cols])
+    changed = feed.withColumn(
+        "__chg", ~attrs.eqNullSafe(F.lag(attrs).over(w))
+    ).filter(F.col("__chg"))
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        changed.withColumn("valid_to", F.lead(F.col(ts_col)).over(w2))
+        .select(
+            *keys,
+            *attr_cols,
+            F.col(ts_col).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )

@@ -1,0 +1,121 @@
+"""Data-quality auditing: declarative expectation checks and robust
+(MAD) outlier detection.
+
+The reference pipeline's QA is ad-hoc (assert-shaped row counts and
+set audits inside scripts); these operators make the same intent a
+first-class, declarative surface — the "expectations" layer every
+production ingest runs before publishing a panel.
+
+Scale shape: every check is an aggregate with map-side partials (one
+number per check per partition crosses the shuffle), and the report
+is a UNION of one-row frames — lookup-sized however big the audited
+table is. Nothing collects; the report itself is a DataFrame, so it
+lands in the same sink/alerting path as any other output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def check_not_null(df: DataFrame, col: str) -> DataFrame:
+    """Violations = rows where ``col`` is NULL."""
+    return df.agg(
+        F.lit(f"not_null:{col}").alias("check"),
+        F.count_if(F.col(col).isNull()).alias("violations"),
+        F.count("*").alias("rows_checked"),
+    )
+
+
+def check_unique(df: DataFrame, cols: str | list[str]) -> DataFrame:
+    """Violations = rows beyond the first per duplicate key group
+    (0 when the key is unique). Exact distinct count — this is an
+    audit, not a sketch; use the HLL op for monitoring at scale."""
+    cs = [cols] if isinstance(cols, str) else list(cols)
+    name = ",".join(cs)
+    return df.agg(
+        F.lit(f"unique:{name}").alias("check"),
+        (F.count("*") - F.count_distinct(*[F.col(c) for c in cs])).alias(
+            "violations"
+        ),
+        F.count("*").alias("rows_checked"),
+    )
+
+
+def check_range(df: DataFrame, col: str, lo, hi) -> DataFrame:
+    """Violations = non-null values outside [lo, hi]."""
+    c = F.col(col)
+    return df.agg(
+        F.lit(f"range:{col}").alias("check"),
+        F.count_if(c.isNotNull() & ~c.between(lo, hi)).alias("violations"),
+        F.count("*").alias("rows_checked"),
+    )
+
+
+def check_referential(
+    child: DataFrame, child_key: str, parent: DataFrame, parent_key: str
+) -> DataFrame:
+    """Violations = child rows whose key has no parent (orphans).
+    Left join against the parent's DISTINCT keys (no fanout, ships
+    keys only, broadcasts when lookup-sized) so the report also
+    carries the checked row count."""
+    j = child.select(F.col(child_key)).join(
+        parent.select(F.col(parent_key).alias(child_key))
+        .distinct()
+        .withColumn("__p", F.lit(1)),
+        child_key,
+        "left",
+    )
+    return j.agg(
+        F.lit(f"referential:{child_key}").alias("check"),
+        F.count_if(F.col("__p").isNull()).alias("violations"),
+        F.count("*").alias("rows_checked"),
+    )
+
+
+def expectations_report(checks: list[DataFrame]) -> DataFrame:
+    """Union the one-row check frames into the audit report
+    ``(check, violations, rows_checked)``."""
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def mad_outliers(
+    df: DataFrame,
+    keys: str | list[str],
+    value_col: str,
+    n_sigmas: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier counts: a value is an outlier when
+    ``|x - median| > n_sigmas * 1.4826 * MAD`` (MAD = median absolute
+    deviation; 1.4826 scales MAD to the stddev of a normal — the
+    standard robust z-score, immune to the outliers it hunts, unlike
+    mean/stddev).
+
+    Two exact-percentile aggregations (group medians, then deviation
+    medians) and one counting pass — group-keyed shuffles carrying
+    (key, value) pairs. Exact interpolated percentiles match across
+    engines (sorted-order interpolation, no accumulation-order
+    nondeterminism); at monitoring-only scale swap in
+    ``approx_percentile`` for one fewer shuffle."""
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    med = df.groupBy(*ks).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    )
+    dev = df.join(med, ks).withColumn(
+        "__adev", F.abs(F.col(value_col) - F.col("__med"))
+    )
+    mad = dev.groupBy(*ks).agg(
+        F.expr("percentile(__adev, 0.5)").alias("__mad")
+    )
+    flagged = dev.join(mad, ks)
+    thr = F.lit(float(n_sigmas) * 1.4826) * F.col("__mad")
+    return flagged.groupBy(*ks).agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("__adev") > thr).alias("n_outliers"),
+        F.round(F.first("__med"), 6).alias("median"),
+        F.round(F.first("__mad"), 6).alias("mad"),
+    )

@@ -75,6 +75,51 @@ def stratified_sample(
     return df.filter(bucket < thr_col)
 
 
+def temperature_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    alpha: float = 0.5,
+    salt: str = "s0",
+) -> DataFrame:
+    """Temperature-balanced stratum resampling (the multilingual-mix
+    move of UNIMAX / mT5-style corpora): stratum ``s`` keeps fraction
+    ``(n_min / n_s) ** (1 - alpha)`` — ``alpha=1`` keeps everything,
+    ``alpha=0`` levels every stratum down to the smallest, and the
+    default 0.5 square-root-flattens the head while never upsampling.
+
+    The fractions are computed IN-PLAN: the stratum counts are a tiny
+    aggregate, the global min rides in on a broadcast cross join, and
+    the per-row decision is the same portable md5 bucket as
+    ``deterministic_sample`` — no driver action, no RNG state, and the
+    kept set is stable as the corpus grows. ``alpha=0.5`` keeps the
+    whole computation on correctly-rounded IEEE ops (sqrt), so the
+    decision replays bit-identically in any engine; other alphas go
+    through ``pow``, whose last-ulp behavior is libm-specific (fine
+    for sampling, not for an exact cross-engine oracle).
+    """
+    counts = df.groupBy(F.col(strata_col).alias("__s")).agg(
+        F.count("*").alias("__n")
+    )
+    nmin = counts.agg(F.min("__n").alias("__nmin"))
+    ratio = F.col("__nmin").cast("double") / F.col("__n").cast("double")
+    frac = (
+        F.sqrt(ratio)
+        if alpha == 0.5
+        else F.pow(ratio, F.lit(1.0 - alpha))
+    )
+    thresholds = counts.crossJoin(F.broadcast(nmin)).select(
+        "__s", F.floor(frac * F.lit(float(_BUCKETS))).cast("bigint").alias("__thr")
+    )
+    return (
+        df.join(
+            F.broadcast(thresholds), df[strata_col] == F.col("__s")
+        )
+        .filter(hash_bucket(key_col, salt) < F.col("__thr"))
+        .drop("__s", "__thr")
+    )
+
+
 def hash_split(
     df: DataFrame,
     key_col: str,

@@ -143,3 +143,117 @@ def range_join_binned(
         )
         .drop("__bin")
     )
+
+
+def rolling_time_agg(
+    df: DataFrame,
+    keys: str | list[str],
+    ts_col: str,
+    aggs: dict[str, "F.Column"],
+    window_seconds: int,
+) -> DataFrame:
+    """Time-range rolling aggregates: for every row, aggregate all rows
+    of the same key whose timestamp lies in
+    ``[ts - window_seconds, ts]`` (inclusive both ends — the SQL
+    ``RANGE BETWEEN ... PRECEDING AND CURRENT ROW`` contract, so
+    same-timestamp peers are always included together and no tiebreak
+    order is needed).
+
+    ``aggs`` maps output names to aggregate Columns (built on input
+    columns). Implemented as a native RANGE window over integer epoch
+    seconds — one shuffle on the key, a per-partition sort, and a
+    sliding frame scan; nothing quadratic in ties, nothing collected.
+    At 100 TB the frame state per key is bounded by the window span,
+    and the partitionBy keys are high-cardinality entities.
+    """
+    ks = _keys(keys)
+    w = (
+        Window.partitionBy(*ks)
+        .orderBy(F.unix_timestamp(F.col(ts_col)).cast("long"))
+        .rangeBetween(-window_seconds, 0)
+    )
+    out = df
+    for name, agg in aggs.items():
+        out = out.withColumn(name, agg.over(w))
+    return out
+
+
+def calendar_spine(
+    df: DataFrame,
+    keys: str | list[str],
+    period_col: str,
+    step: str = "1 hour",
+) -> DataFrame:
+    """Dense (key x period) spine covering the GLOBAL period range of
+    ``df``: every key gets every period from min to max, whether or not
+    it has data — the prerequisite for gap-filling a panel (the
+    reference's quarterly panels assume a dense spine; A6 resampling
+    builds one implicitly).
+
+    The min/max bounds are a tiny aggregate carried in on a broadcast
+    cross join; ``sequence()`` explodes driver-free, so the spine is
+    built distributed (|keys| x |periods| rows, never materialized on
+    the driver). Returns (keys..., period_col)."""
+    ks = _keys(keys)
+    bounds = df.agg(
+        F.min(period_col).alias("__lo"), F.max(period_col).alias("__hi")
+    )
+    key_rows = df.select(*ks).distinct()
+    return (
+        key_rows.crossJoin(F.broadcast(bounds))
+        .select(
+            *ks,
+            F.explode(
+                F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))
+            ).alias(period_col),
+        )
+    )
+
+
+def interpolate_linear(
+    spine: DataFrame,
+    observed: DataFrame,
+    keys: str | list[str],
+    period_col: str,
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Linear interpolation of ``observed`` onto a dense ``spine``:
+    joins observations to the spine, then fills each gap with the
+    straight line between its bracketing observations (endpoints
+    outside the observed range stay NULL — extrapolation is a policy,
+    not a default).
+
+    Two window passes over the same (key, period-ordered) partitioning
+    — carry the previous/next known (period, value) pair with
+    ``last/first(ignorenulls)``, then one arithmetic expression. The
+    shuffle carries (keys, period, value); interpolation math is
+    epoch-proportional, engine-portable double arithmetic."""
+    ks = _keys(keys)
+    out_col = out_col or value_col
+    j = spine.join(observed.select(*ks, period_col, value_col), [*ks, period_col], "left")
+    e = F.unix_timestamp(F.col(period_col)).cast("long")
+    known = F.when(F.col(value_col).isNotNull(), F.struct(e.alias("t"), F.col(value_col).alias("v")))
+    wb = (
+        Window.partitionBy(*ks)
+        .orderBy(e)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*ks)
+        .orderBy(e)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev = F.last(known, ignorenulls=True).over(wb)
+    nxt = F.first(known, ignorenulls=True).over(wf)
+    filled = (
+        F.when(F.col(value_col).isNotNull(), F.col(value_col))
+        .when(
+            prev.isNotNull() & nxt.isNotNull() & (nxt["t"] != prev["t"]),
+            prev["v"]
+            + (nxt["v"] - prev["v"])
+            * ((e - prev["t"]).cast("double") / (nxt["t"] - prev["t"]).cast("double")),
+        )
+        .otherwise(F.lit(None))
+    )
+    return j.select(*ks, period_col, filled.alias(out_col))

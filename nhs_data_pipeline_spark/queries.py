@@ -30,8 +30,12 @@ from nhs_data_pipeline_spark.llm import dedup as dd
 from nhs_data_pipeline_spark.llm import packing as pk
 from nhs_data_pipeline_spark.llm import similarity as sim
 from nhs_data_pipeline_spark.llm import text as tx
+from nhs_data_pipeline_spark.llm import quantize as qz
+from nhs_data_pipeline_spark.ops import analytics as oan
 from nhs_data_pipeline_spark.ops import binned as ob
 from nhs_data_pipeline_spark.ops import core as oc
+from nhs_data_pipeline_spark.ops import merge as omg
+from nhs_data_pipeline_spark.ops import quality as oq
 from nhs_data_pipeline_spark.ops import sampling as osmp
 from nhs_data_pipeline_spark.ops import temporal as ot
 from nhs_data_pipeline_spark.orgchange import adjust as oa
@@ -3545,6 +3549,464 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "shard", "toks", "tok_start", "tok_end",
         "seq_first", "seq_last", "n_seqs",
     )
+
+
+@query(
+    "events_funnel",
+    """
+    WITH t0 AS (
+      SELECT user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t0
+      FROM events
+    ), t1 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t0 THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM t0
+    ), t2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t1 THEN ts END)
+               OVER (PARTITION BY user_id) AS t2
+      FROM t1
+    ), pu AS (
+      SELECT user_id, MAX(t0) AS t0, MAX(t1) AS t1, MAX(t2) AS t2
+      FROM t2 GROUP BY user_id
+    )
+    SELECT 0 AS step_idx, 'view' AS step, COUNT(t0) AS users FROM pu
+    UNION ALL SELECT 1, 'click', COUNT(t1) FROM pu
+    UNION ALL SELECT 2, 'purchase', COUNT(t2) FROM pu
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: step i
+    counts users whose first step-i event strictly follows their
+    step-(i-1) arrival. Chained conditional window minima over ONE
+    partitionBy(user) spec — a single shuffle for any step count."""
+    ev = _events(spark, sf_dir)
+    return oan.funnel(ev, ["view", "click", "purchase"])
+
+
+@query(
+    "events_retention",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS p
+      FROM events
+    ), coh AS (
+      SELECT user_id, MIN(p) AS c FROM act GROUP BY user_id
+    )
+    SELECT c AS cohort_start,
+           CAST((CAST(epoch(p) AS BIGINT) - CAST(epoch(c) AS BIGINT)) // 604800
+                AS INTEGER) AS period_age,
+           COUNT(*) AS n_users
+    FROM act JOIN coh USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users bucketed by first active week,
+    counted in each later week they return. Shuffles carry distinct
+    (user, week) pairs — never raw events; ages are exact integer
+    epoch arithmetic on truncated week starts (engine-portable)."""
+    ev = _events(spark, sf_dir)
+    return oan.retention_cohorts(ev, period="week")
+
+
+@query(
+    "merge_upsert_customers",
+    """
+    WITH t AS (
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+    ), s AS (
+      SELECT c_custkey, c_name, c_acctbal + 100 AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'NEW:' || c_name, 0.0, 'NEW'
+      FROM customer WHERE c_custkey % 97 = 0
+    ), merged AS (
+      SELECT CASE WHEN s.c_custkey IS NOT NULL AND t.c_custkey IS NOT NULL
+                  THEN 'updated'
+                  WHEN s.c_custkey IS NOT NULL THEN 'inserted'
+                  ELSE 'carried' END AS action,
+             CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+                  ELSE t.c_acctbal END AS bal
+      FROM t FULL OUTER JOIN s ON t.c_custkey = s.c_custkey
+    )
+    SELECT action, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(bal AS DECIMAL(30,10))) AS DOUBLE), 2) AS bal_sum
+    FROM merged GROUP BY action
+    """,
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE (upsert) audit: a delta of updated balances
+    (custkey % 10) plus brand-new accounts (custkey % 97, shifted key
+    space) merges into the customer snapshot; per-action row counts
+    and exact decimal-summed balances verify matched/inserted/carried
+    routing. One full-outer shuffle join on the key (the delta here is
+    deliberately not broadcast so the scale shape is exercised)."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    updates = c.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100
+    )
+    inserts = c.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("NEW:"), F.col("c_name")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    merged = omg.merge_upsert(
+        c, updates.unionByName(inserts), ["c_custkey"], action_col="action"
+    )
+    return merged.groupBy("action").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(30,10)")).cast("double"), 2
+        ).alias("bal_sum"),
+    )
+
+
+@query(
+    "scd2_priority_history",
+    """
+    WITH m AS (
+      SELECT o_custkey, o_orderdate, o_orderpriority, o_orderkey,
+             (o_orderpriority IS DISTINCT FROM
+              lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey)) AS chg
+      FROM orders
+    ), runs AS (
+      SELECT * FROM m WHERE chg
+    )
+    SELECT o_custkey, o_orderpriority, o_orderdate AS valid_from,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS valid_to,
+           (lead(o_orderdate) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) IS NULL) AS is_current
+    FROM runs
+    """,
+)
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history from a change feed: each customer's order
+    priority collapses into validity intervals (valid_from/valid_to/
+    is_current) — runs of equal values merge, null-safe change
+    detection, orderkey tiebreak for same-date feeds. Two window
+    passes over one partitioning; shuffle carries key+attr only."""
+    feed = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderpriority", "o_orderkey"
+    )
+    return omg.scd2_from_feed(
+        feed,
+        keys=["o_custkey"],
+        attr_cols=["o_orderpriority"],
+        ts_col="o_orderdate",
+        tiebreak=["o_orderkey"],
+    )
+
+
+def _semantic_dedup_oracle(threshold: float = 0.4) -> str:
+    """DuckDB replica of SemDeDup: same fitted centroids inlined as
+    literals, first-min cell assignment, within-cell lower-id cosine
+    pruning (exactly the kept-set rule of llm/dedup.semantic_dedup)."""
+    centroids = _ivf_centroids("/root/testdata/sf0.01")
+    ctr_lits = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in c) + "]" for c in centroids
+    )
+    return f"""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), ctr AS (
+      SELECT unnest([{ctr_lits}]) AS c,
+             generate_subscripts([{ctr_lits}], 1) - 1 AS cell
+    ), cells AS (
+      SELECT vec_id, v,
+             (SELECT cell FROM ctr
+              ORDER BY list_distance(vecs.v, ctr.c) ASC, cell ASC LIMIT 1) AS cell
+      FROM vecs
+    ), dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+            >= {threshold}
+    )
+    SELECT c.vec_id, CAST(c.cell AS INTEGER) AS cell
+    FROM cells c ANTI JOIN dropped d ON c.vec_id = d.vec_id
+    """
+
+
+@query("dedup_semantic_cells", _semantic_dedup_oracle())
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-prune semantic dedup): k-means cells
+    bound the pairwise comparisons, a doc is dropped when a lower-id
+    cell-mate sits at cosine >= 0.4 (the synthetic embeddings are
+    spread — max pairwise cosine ~0.51). Offline-quantizer mode (same
+    centroid literals in both engines) makes even this approximate op
+    exactly cross-engine-checked."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dd.semantic_dedup(
+        emb, [list(c) for c in _ivf_centroids(sf_dir)], threshold=0.4
+    )
+
+
+@query(
+    "embed_quantize_int8",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+    ), s AS (
+      SELECT vec_id, x,
+             list_max(list_transform(x, a -> abs(a))) / 127.0 AS scale
+      FROM v
+    ), q AS (
+      SELECT vec_id, scale,
+             CASE WHEN scale = 0 THEN NULL
+                  ELSE list_transform(x, a -> CAST(floor(a / scale + 0.5) AS BIGINT))
+             END AS qv
+      FROM s
+    )
+    SELECT vec_id, ROUND(scale, 9) AS scale,
+           CAST(list_sum(list_transform(qv, a -> abs(a))) AS BIGINT) AS q_l1,
+           CAST(list_sum(list_transform(qv, a -> a * a)) AS BIGINT) AS q_dot
+    FROM q
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization audit: per-vector scale
+    (max-abs/127) plus integer L1 and self-dot of the quantized grid.
+    floor(x/scale + 0.5) is single-rounded IEEE arithmetic, so the
+    Arrow-batched numpy quantizer and the SQL replay agree bit-for-bit
+    — the 4x-smaller vectors are what the candidate-generation
+    shuffles should carry at 100 TB."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = qz.quantize_int8(emb)
+    qv = F.transform(F.col("qvec"), lambda x: x.cast("long"))
+    return q.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.aggregate(
+            F.transform(qv, lambda x: F.abs(x)), F.lit(0).cast("long"), lambda a, v: a + v
+        ).alias("q_l1"),
+        F.aggregate(qv, F.lit(0).cast("long"), lambda a, v: a + v * v).alias("q_dot"),
+    )
+
+
+@query(
+    "sample_temperature",
+    """
+    WITH c AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ), m AS (
+      SELECT MIN(n) AS nmin FROM c
+    ), t AS (
+      SELECT lang,
+             CAST(floor(sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE))
+                        * 4294967296.0) AS BIGINT) AS thr
+      FROM c, m
+    )
+    SELECT d.lang, COUNT(*) AS n_kept
+    FROM documents d JOIN t ON d.lang = t.lang
+    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':s0'), 1, 8))
+               AS BIGINT) < thr
+    GROUP BY d.lang
+    """,
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced language resampling (alpha = 0.5): each
+    language keeps sqrt(n_min/n_lang) of its docs — the UNIMAX-style
+    head-flattening mix. Fractions are computed in-plan from the tiny
+    per-language counts; the per-row keep decision is the portable
+    md5 bucket, and with alpha = 0.5 every float op on the path is
+    correctly-rounded IEEE (sqrt), so the kept set replays exactly."""
+    d = _t(spark, sf_dir, "documents")
+    out = osmp.temperature_sample(d, "doc_id", "lang", alpha=0.5)
+    return out.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
+@query(
+    "w8_rolling_revenue",
+    """
+    SELECT o_custkey, o_orderdate,
+           COUNT(*) OVER w AS n_30d,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) OVER w
+                      AS DOUBLE), 2) AS rev_30d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+    """,
+)
+def w8_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range rolling aggregates: per customer, each order's
+    trailing-30-day order count and exact-decimal revenue sum. A
+    native RANGE frame over integer epoch seconds — one shuffle on the
+    customer key, sliding-frame scan, no self-join and nothing
+    quadratic in same-day ties (RANGE peers aggregate together, so no
+    tiebreak order is even needed)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    out = ot.rolling_time_agg(
+        o,
+        "o_custkey",
+        "o_orderdate",
+        {
+            "n_30d": F.count("*"),
+            "__rev": F.sum(F.col("o_totalprice").cast("decimal(30,10)")),
+        },
+        window_seconds=30 * 86400,
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderdate",
+        "n_30d",
+        F.round(F.col("__rev").cast("double"), 2).alias("rev_30d"),
+    )
+
+
+@query(
+    "ts_gap_fill_interpolate",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_start,
+             ROUND(SUM(value), 2) AS v
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT MIN(hour_start) AS lo, MAX(hour_start) AS hi FROM hourly
+    ), spine AS (
+      SELECT t.event_type, gs.hour_start
+      FROM (SELECT DISTINCT event_type FROM hourly) t
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                  AS hour_start FROM bounds) gs
+    ), j AS (
+      SELECT s.event_type, s.hour_start, h.v,
+             CAST(epoch(s.hour_start) AS BIGINT) AS e
+      FROM spine s LEFT JOIN hourly h
+        ON s.event_type = h.event_type AND s.hour_start = h.hour_start
+    ), ctx AS (
+      SELECT event_type, hour_start, v, e,
+             last_value(CASE WHEN v IS NOT NULL THEN e END IGNORE NULLS)
+               OVER wb AS pt,
+             last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+               OVER wb AS pv,
+             first_value(CASE WHEN v IS NOT NULL THEN e END IGNORE NULLS)
+               OVER wf AS nt,
+             first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+               OVER wf AS nv
+      FROM j
+      WINDOW wb AS (PARTITION BY event_type ORDER BY e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY event_type ORDER BY e
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, hour_start,
+           ROUND(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt <> pt
+                      THEN pv + (nv - pv) * (CAST(e - pt AS DOUBLE)
+                                             / CAST(nt - pt AS DOUBLE))
+                      ELSE NULL END, 6) AS value_filled
+    FROM ctx
+    """,
+)
+def ts_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap filling with linear interpolation: hourly
+    per-type value sums land on a dense (type x hour) spine; missing
+    hours take the straight line between bracketing observations
+    (range edges stay NULL). Spine generation is distributed
+    (sequence + explode over broadcast bounds — no driver loop); the
+    fill is two ignore-nulls window passes over one partitioning."""
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    spine = ot.calendar_spine(hourly, "event_type", "hour_start", step="1 hour")
+    out = ot.interpolate_linear(
+        spine, hourly, "event_type", "hour_start", "v", out_col="value_filled"
+    )
+    return out.select(
+        "event_type", "hour_start", F.round("value_filled", 6).alias("value_filled")
+    )
+
+
+@query(
+    "dq_expectations",
+    """
+    SELECT 'not_null:l_quantity' AS check_name,
+           COUNT(*) FILTER (l_quantity IS NULL) AS violations,
+           COUNT(*) AS rows_checked
+    FROM lineitem
+    UNION ALL
+    SELECT 'unique:c_custkey',
+           COUNT(*) - COUNT(DISTINCT c_custkey), COUNT(*)
+    FROM customer
+    UNION ALL
+    SELECT 'range:l_discount',
+           COUNT(*) FILTER (l_discount IS NOT NULL
+                            AND l_discount NOT BETWEEN 0.0 AND 0.1),
+           COUNT(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'referential:o_custkey',
+           COUNT(*) FILTER (c.c_custkey IS NULL), COUNT(*)
+    FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'referential:l_orderkey',
+           COUNT(*) FILTER (ok.o_orderkey IS NULL), COUNT(*)
+    FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) ok
+      ON l.l_orderkey = ok.o_orderkey
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit: null-rate, key-uniqueness,
+    value-range, and two referential-integrity checks in one report
+    frame. Every check is an aggregate with map-side partials — one
+    number per check per partition crosses the shuffle, so the audit
+    costs a scan however large the tables are."""
+    li = _t(spark, sf_dir, "lineitem")
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    report = oq.expectations_report(
+        [
+            oq.check_not_null(li, "l_quantity"),
+            oq.check_unique(cu, "c_custkey"),
+            oq.check_range(li, "l_discount", 0.0, 0.1),
+            oq.check_referential(o, "o_custkey", cu, "c_custkey"),
+            oq.check_referential(li, "l_orderkey", o, "o_orderkey"),
+        ]
+    )
+    return report.withColumnRenamed("check", "check_name")
+
+
+@query(
+    "anomaly_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS m
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, e.value, med.m,
+             abs(e.value - med.m) AS adev
+      FROM events e JOIN med USING (event_type)
+    ), mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS md
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, COUNT(*) AS n,
+           COUNT(*) FILTER (d.adev > 3.0 * 1.4826 * mad.md) AS n_outliers,
+           ROUND(ANY_VALUE(d.m), 6) AS median,
+           ROUND(ANY_VALUE(mad.md), 6) AS mad
+    FROM dev d JOIN mad USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def anomaly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier counts via the MAD z-score
+    (|x - median| > 3 * 1.4826 * MAD) — immune to the outliers it
+    hunts, unlike mean/stddev flags. Two exact-percentile aggregates
+    (interpolation is sort-based, so it cross-checks exactly, same as
+    o3_exact_percentiles) and one counting pass."""
+    ev = _events(spark, sf_dir)
+    return oq.mad_outliers(ev, "event_type", "value", n_sigmas=3.0)
 
 
 # The driver's correctness gate checks the FIRST 50 registry entries in

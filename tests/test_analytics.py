@@ -1,0 +1,272 @@
+"""Funnel / retention analytics, MERGE upsert, SCD2 history,
+temperature sampling, SemDeDup, and int8 quantization."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from nhs_data_pipeline_spark.llm.dedup import semantic_dedup
+from nhs_data_pipeline_spark.llm.quantize import quantize_int8, quantized_cosine
+from nhs_data_pipeline_spark.ops.analytics import funnel, retention_cohorts
+from nhs_data_pipeline_spark.ops.merge import merge_upsert, scd2_from_feed
+from nhs_data_pipeline_spark.ops.sampling import temperature_sample
+
+
+def _ts(day: int, hour: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, day, hour, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def events_df(spark):
+    # A: completes view -> click -> purchase in order
+    # B: clicks BEFORE first view (click must not count), then views
+    # C: view only
+    # D: purchase only (counts for no step but step order still holds)
+    rows = [
+        (1, "A", _ts(1, 1), "view"),
+        (2, "A", _ts(1, 2), "click"),
+        (3, "A", _ts(1, 3), "purchase"),
+        (4, "B", _ts(2, 1), "click"),
+        (5, "B", _ts(2, 2), "view"),
+        (6, "B", _ts(2, 3), "view"),
+        (7, "C", _ts(3, 1), "view"),
+        (8, "D", _ts(4, 1), "purchase"),
+    ]
+    return spark.createDataFrame(rows, "event_id long, user_id string, ts timestamp, event_type string")
+
+
+def test_funnel_ordered_semantics(events_df):
+    out = {
+        r["step"]: r["users"]
+        for r in funnel(events_df, ["view", "click", "purchase"]).collect()
+    }
+    # view: A, B, C reach it; click-after-view: only A; purchase: only A
+    assert out == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_funnel_monotone(spark):
+    rows = [(i, f"u{i % 7}", _ts(1 + i % 20, i % 24), t)
+            for i, t in enumerate(["view", "click", "purchase", "error"] * 40)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, event_type string"
+    )
+    counts = [
+        r["users"]
+        for r in funnel(df, ["view", "click", "purchase"])
+        .orderBy("step_idx")
+        .collect()
+    ]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_retention_cohorts(spark):
+    # u1 first week W0, returns W2; u2 first week W0 only; u3 first W1.
+    rows = [
+        ("u1", _ts(1)), ("u1", _ts(2)),          # week of Jan 1 (Mon)
+        ("u1", _ts(15)),                          # two weeks later
+        ("u2", _ts(3)),
+        ("u3", _ts(8)),                           # week of Jan 8
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = {
+        (r["cohort_start"].date(), r["period_age"]): r["n_users"]
+        for r in retention_cohorts(df).collect()
+    }
+    assert out == {
+        (dt.date(2024, 1, 1), 0): 2,
+        (dt.date(2024, 1, 1), 2): 1,
+        (dt.date(2024, 1, 8), 0): 1,
+    }
+
+
+@pytest.fixture(scope="module")
+def merge_frames(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, bal double",
+    )
+    source = spark.createDataFrame(
+        [(2, "b2", 25.0), (4, "d", 40.0)],
+        "k long, name string, bal double",
+    )
+    return target, source
+
+
+def test_merge_upsert_routing(merge_frames):
+    target, source = merge_frames
+    out = {
+        r["k"]: (r["name"], r["bal"], r["action"])
+        for r in merge_upsert(target, source, ["k"], action_col="action").collect()
+    }
+    assert out == {
+        1: ("a", 10.0, "carried"),
+        2: ("b2", 25.0, "updated"),
+        3: ("c", 30.0, "carried"),
+        4: ("d", 40.0, "inserted"),
+    }
+
+
+def test_merge_upsert_broadcast_equivalence(merge_frames):
+    target, source = merge_frames
+    full = merge_upsert(target, source, ["k"], action_col="action")
+    bc = merge_upsert(
+        target, source, ["k"], action_col="action", broadcast_source=True
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, bc.collect()))
+
+
+def test_merge_upsert_delete_condition(merge_frames):
+    target, source = merge_frames
+    out = merge_upsert(
+        target, source, ["k"], delete_condition=F.col("bal") > 24
+    )
+    assert sorted(r["k"] for r in out.collect()) == [1, 3, 4]
+
+
+def test_merge_upsert_source_nulls_win(spark):
+    """Matched rows take source values INCLUDING NULLs (MERGE update
+    semantics, not coalesce)."""
+    target = spark.createDataFrame([(1, "x")], "k long, name string")
+    source = spark.createDataFrame([(1, None)], "k long, name string")
+    [row] = merge_upsert(target, source, ["k"]).collect()
+    assert row["name"] is None
+
+
+def test_scd2_runs_collapse(spark):
+    feed = spark.createDataFrame(
+        [
+            (1, dt.date(2020, 1, 1), "LOW", 10),
+            (1, dt.date(2020, 2, 1), "LOW", 11),     # same run
+            (1, dt.date(2020, 3, 1), "HIGH", 12),    # change
+            (1, dt.date(2020, 4, 1), "LOW", 13),     # change back
+            (2, dt.date(2020, 1, 5), None, 20),      # NULL opens a run
+            (2, dt.date(2020, 2, 5), "MED", 21),     # NULL -> value = change
+        ],
+        "k long, d date, prio string, seq long",
+    )
+    out = scd2_from_feed(feed, ["k"], ["prio"], "d", tiebreak=["seq"])
+    got = sorted(
+        (r["k"], str(r["prio"]), str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
+        for r in out.collect()
+    )
+    assert got == [
+        (1, "HIGH", "2020-03-01", "2020-04-01", False),
+        (1, "LOW", "2020-01-01", "2020-03-01", False),
+        (1, "LOW", "2020-04-01", "None", True),
+        (2, "MED", "2020-02-05", "None", True),
+        (2, "None", "2020-01-05", "2020-02-05", False),
+    ]
+
+
+def test_scd2_tiebreak_same_timestamp(spark):
+    """Same-date feed rows order by the tiebreak column, making the
+    run sequence (and therefore the history) deterministic."""
+    feed = spark.createDataFrame(
+        [
+            (1, dt.date(2020, 1, 1), "A", 1),
+            (1, dt.date(2020, 1, 1), "B", 2),
+        ],
+        "k long, d date, v string, seq long",
+    )
+    out = scd2_from_feed(feed, ["k"], ["v"], "d", tiebreak=["seq"]).collect()
+    current = {r["v"]: r["is_current"] for r in out}
+    assert current == {"A": False, "B": True}
+
+
+def test_temperature_sample_alpha_one_keeps_all(spark):
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        "k long, s string",
+    )
+    assert temperature_sample(df, "k", "s", alpha=1.0).count() == 100
+
+
+def test_temperature_sample_flattens_head(spark):
+    df = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        "k long, s string",
+    )
+    out = {
+        r["s"]: r["n"]
+        for r in temperature_sample(df, "k", "s", alpha=0.5)
+        .groupBy("s")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # small stratum (n = nmin) keeps everything; big keeps ~sqrt(100/900)=1/3
+    assert out["small"] == 100
+    assert 200 < out["big"] < 400
+    # determinism: same call, same result
+    out2 = {
+        r["s"]: r["n"]
+        for r in temperature_sample(df, "k", "s", alpha=0.5)
+        .groupBy("s")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert out == out2
+
+
+def _unit(v):
+    import numpy as np
+
+    a = np.asarray(v, dtype=float)
+    return (a / np.linalg.norm(a)).tolist()
+
+
+def test_semantic_dedup_keeps_min_id_per_clique(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=8)
+    other = rng.normal(size=8)
+    rows = [
+        (1, _unit(base)),
+        (2, _unit(base + 0.01 * rng.normal(size=8))),   # near-dup of 1
+        (3, _unit(base + 0.01 * rng.normal(size=8))),   # near-dup of 1
+        (10, _unit(other)),                             # different direction
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = [list(np.asarray(_unit(base))), list(np.asarray(_unit(other)))]
+    kept = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(df, centroids, threshold=0.95).collect()
+    )
+    assert kept == [1, 10]
+
+
+def test_quantize_int8_grid_and_cosine(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.normal(size=16).tolist()) for i in range(40)]
+    rows.append((99, [0.0] * 16))  # zero vector -> NULL qvec
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = quantize_int8(df)
+    data = {r["vec_id"]: r for r in q.collect()}
+    assert data[99]["qvec"] is None
+    for i in range(40):
+        qv = data[i]["qvec"]
+        assert max(abs(x) for x in qv) == 127  # max-abs element maps to +/-127
+        assert all(-127 <= x <= 127 for x in qv)
+    # quantized cosine approximates the float cosine to grid resolution
+    pairs = (
+        q.filter(F.col("vec_id") < 40)
+        .alias("a")
+        .join(q.filter(F.col("vec_id") < 40).alias("b"), F.expr("a.vec_id < b.vec_id"))
+        .select(
+            quantized_cosine(F.col("a.qvec"), F.col("b.qvec")).alias("qc"),
+            F.expr(
+                "aggregate(zip_with(a.embedding, b.embedding, (x, y) -> x * y),"
+                " 0D, (acc, v) -> acc + v)"
+                " / (sqrt(aggregate(a.embedding, 0D, (acc, v) -> acc + v * v))"
+                " * sqrt(aggregate(b.embedding, 0D, (acc, v) -> acc + v * v)))"
+            ).alias("fc"),
+        )
+        .collect()
+    )
+    err = max(abs(r["qc"] - r["fc"]) for r in pairs)
+    assert err < 0.02
