@@ -83,27 +83,33 @@ def main() -> None:
     ).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES.get(name)
         if fn is None:
             continue
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        _ = n
+        # One broken query must never zero out the whole bench (r02 lost
+        # all timings to a single events-schema change): record the error
+        # and keep going.
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            _ = n
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -988,15 +988,28 @@ def orgchange_adjust_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events table reader: the synthetic events.parquet carries
-    TIMESTAMP(NANOS) which Spark 4 rejects by default — read nanos as
-    long (runtime-settable legacy conf) and rebuild a micros timestamp
-    (matching DuckDB's nanos->micros truncation)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """Events table reader, robust to how the generator wrote `ts`:
+    micros TIMESTAMP(_NTZ) files read as-is (NTZ wall-clock matches
+    DuckDB's naive TIMESTAMP exactly, timezone-independent); legacy
+    TIMESTAMP(NANOS) files surface as BIGINT under the nanosAsLong
+    conf and are rebuilt via integer division (`/` on longs is double
+    division in Spark and the FP quotient can land 1us off)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     ev = _t(spark, sf_dir, "events")
-    # integer division: `/` on longs is double division in Spark and the
-    # FP quotient can land 1us off after the cast
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # NTZ -> TIMESTAMP is wall-clock identity under UTC session tz;
+        # downstream ops (unix_micros, window) require TIMESTAMP.
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return ev
 
 
 @query(
@@ -1431,7 +1444,8 @@ def f8_change_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "s10_histogram",
     """
-    SELECT FLOOR(o_totalprice / 50000) * 50000 AS bin_lower, COUNT(*) AS n
+    SELECT CAST(FLOOR(o_totalprice / 50000) * 50000 AS BIGINT) AS bin_lower,
+           COUNT(*) AS n
     FROM orders GROUP BY 1
     """,
 )

@@ -15,6 +15,7 @@ import math
 import os
 import sys
 import time
+from decimal import Decimal
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -39,12 +40,22 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def canon(v):
+    """Type-tagged canonical form. The driver hashes typed values, so
+    int 0 vs float 0.0 vs Decimal('0') are all DIFFERENT — a local pass
+    on untyped equality (0 == 0.0) can still hash-mismatch driver-side
+    (happened: s10_histogram r02). Tag every scalar with a type class."""
     if v is None:
         return None
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
+            return ("f", "NaN")
+        return ("f", v)
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, Decimal):
+        return ("dec", str(v))
     if isinstance(v, (list, tuple)):
         return tuple(canon(x) for x in v)
     return v
@@ -59,8 +70,10 @@ def rows_canon(cols, rows):
 def close(a, b):
     if a == b:
         return True
-    if isinstance(a, float) and isinstance(b, float):
-        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+    if (isinstance(a, tuple) and isinstance(b, tuple) and len(a) == len(b)
+            and a[:1] == ("f",) and b[:1] == ("f",)
+            and isinstance(a[1], float) and isinstance(b[1], float)):
+        return math.isclose(a[1], b[1], rel_tol=1e-9, abs_tol=1e-9)
     if isinstance(a, tuple) and isinstance(b, tuple) and len(a) == len(b):
         return all(close(x, y) for x, y in zip(a, b))
     return False
