@@ -21,7 +21,7 @@ engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _BUCKETS = 1 << 32
@@ -117,6 +117,93 @@ def temperature_sample(
         )
         .filter(hash_bucket(key_col, salt) < F.col("__thr"))
         .drop("__s", "__thr")
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    token_col: str,
+    budget: int,
+    salt: str = "tb",
+) -> DataFrame:
+    """Budget-constrained mixture sampling: within each stratum, rows
+    are admitted in deterministic hash order until the running token
+    total would exceed ``budget`` — the "give every source at most N
+    tokens" move of training-mix construction, with the same key
+    stability as ``deterministic_sample`` (a document's admission only
+    changes if earlier-hashed documents in its own stratum change).
+
+    One shuffle on the stratum key; the running sum is a window
+    cumulative over (hash, key) — a total order, so results are
+    partitioning-independent and engine-portable. Skewed strata pay a
+    per-stratum sort, which is inherent to an exact sequential budget;
+    for approximate budgets at extreme skew, pre-filter with
+    ``deterministic_sample`` at roughly budget/stratum_tokens first."""
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(hash_bucket(key_col, salt), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum(F.col(token_col)).over(w)
+    return df.withColumn("__run", run).filter(F.col("__run") <= budget).drop("__run")
+
+
+def capped_per_stratum(
+    df: DataFrame, key_col: str, strata_col: str, k: int, salt: str = "cap"
+) -> DataFrame:
+    """Keep at most ``k`` rows per stratum, chosen by deterministic
+    hash order — per-domain document caps (Common-Crawl-style domain
+    balancing) without RNG state. One shuffle; Spark plans the
+    row_number-≤-k filter as a WindowGroupLimit, so each partition
+    keeps only k rows per stratum before the final window pass."""
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_bucket(key_col, salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str,
+    salt: str = "shuf",
+    prefix_len: int = 3,
+    out_col: str = "shuffle_rank",
+) -> DataFrame:
+    """Seeded global training-order shuffle with an explicit dense rank
+    0..n-1 — reproducible on any cluster, any partitioning, any engine
+    (order key is ``md5(key ':' salt)``, ties broken by the key).
+
+    A naive ``row_number() OVER (ORDER BY hash)`` funnels the whole
+    table through ONE partition. This is the scalable two-pass shape:
+    rows bucket by the first ``prefix_len`` hex chars of the hash
+    (buckets align with the global hash order, 16^prefix_len of them),
+    a tiny per-bucket count aggregate yields cumulative offsets, and
+    rank = bucket offset + intra-bucket row_number — every window runs
+    partitioned, nothing large is ever single-partition."""
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt)))
+    dfh = df.withColumn("__h", h).withColumn("__b", F.substring(F.col("__h"), 1, prefix_len))
+    counts = dfh.groupBy("__b").agg(F.count("*").alias("__n"))
+    off_w = (
+        Window.orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__b", F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off")
+    )
+    w = Window.partitionBy("__b").orderBy("__h", F.col(key_col))
+    return (
+        dfh.join(F.broadcast(offsets), "__b")
+        .withColumn(
+            out_col,
+            (F.row_number().over(w).cast("bigint") - 1 + F.col("__off")),
+        )
+        .drop("__h", "__b", "__off")
     )
 
 

@@ -4023,6 +4023,161 @@ def anomaly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return oq.mad_outliers(ev, "event_type", "value", n_sigmas=3.0)
 
 
+# ===========================================================================
+# Round 3: budgeted mixtures, deterministic shuffle order, snapshot CDC
+# ===========================================================================
+
+_HB_DOC = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':{salt}'), 1, 8))"
+    " AS BIGINT)"
+)
+
+
+@query(
+    "sample_token_budget_mix",
+    f"""
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             SUM(n_chars) OVER (
+               PARTITION BY source
+               ORDER BY {_HB_DOC.format(salt='tb')}, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM documents)
+    WHERE run <= 2000
+    """,
+)
+def sample_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget mixture sampling (each source contributes
+    at most 2000 chars, admitted in deterministic hash order) — the
+    budget-capped variant of the training-mix ops. One shuffle on the
+    stratum key; window cumulative over a total order, so the kept set
+    is partitioning-independent and engine-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    out = osmp.token_budget_sample(
+        docs, "doc_id", "source", "n_chars", budget=2000, salt="tb"
+    )
+    return out.select("doc_id", "source", "n_chars")
+
+
+@query(
+    "sample_per_source_cap",
+    f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {_HB_DOC.format(salt='cap')}, doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 10
+    """,
+)
+def sample_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document caps (Common-Crawl-style domain balancing):
+    keep at most 10 hash-chosen docs per source. Spark plans the
+    row_number<=k filter as WindowGroupLimit — partial top-k per map
+    partition before the single stratum shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    out = osmp.capped_per_stratum(docs, "doc_id", "source", k=10, salt="cap")
+    return out.select("doc_id", "source")
+
+
+@query(
+    "shuffle_training_order",
+    """
+    SELECT CAST(ROW_NUMBER() OVER (
+             ORDER BY md5(CAST(doc_id AS VARCHAR) || ':shuf'), doc_id
+           ) - 1 AS BIGINT) AS shuffle_rank,
+           doc_id
+    FROM documents
+    """,
+)
+def shuffle_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded global training-order shuffle with explicit rank 0..n-1.
+    The oracle is the single-partition row_number the naive plan would
+    use; the engine computes the identical permutation with the
+    scalable two-pass shape (hash-prefix buckets -> tiny offset agg ->
+    partitioned intra-bucket row_number), so no large single-partition
+    window exists anywhere in the plan."""
+    docs = _t(spark, sf_dir, "documents")
+    out = osmp.deterministic_shuffle(docs, "doc_id", salt="shuf")
+    return out.select("shuffle_rank", "doc_id")
+
+
+@query(
+    "snapshot_diff_customers",
+    """
+    WITH newsnap AS (
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 5 = 0
+                  THEN ROUND(c_acctbal + 10.0, 2) ELSE c_acctbal END AS c_acctbal,
+             CASE WHEN c_custkey % 11 = 0 THEN 'MOVED' ELSE c_mktsegment END
+               AS c_mktsegment
+      FROM customer WHERE c_custkey % 17 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_name, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 13 = 0
+    ), oldsnap AS (
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+    ), j AS (
+      SELECT COALESCE(n.c_custkey, o.c_custkey) AS c_custkey,
+             o.c_custkey IS NULL AS is_add, n.c_custkey IS NULL AS is_rem,
+             list_sort(list_filter([
+               CASE WHEN o.c_name     IS DISTINCT FROM n.c_name     THEN 'c_name' END,
+               CASE WHEN o.c_acctbal  IS DISTINCT FROM n.c_acctbal  THEN 'c_acctbal' END,
+               CASE WHEN o.c_mktsegment IS DISTINCT FROM n.c_mktsegment THEN 'c_mktsegment' END
+             ], x -> x IS NOT NULL)) AS changed,
+             COALESCE(n.c_acctbal, o.c_acctbal) AS c_acctbal
+      FROM oldsnap o FULL OUTER JOIN newsnap n ON o.c_custkey = n.c_custkey
+    )
+    SELECT c_custkey,
+           CASE WHEN is_add THEN 'added' WHEN is_rem THEN 'removed'
+                WHEN len(changed) > 0 THEN 'changed' ELSE 'unchanged' END
+             AS diff_status,
+           changed AS changed_columns,
+           ROUND(c_acctbal, 2) AS c_acctbal
+    FROM j
+    """,
+)
+def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff: the customer table vs a deterministically
+    perturbed next-period snapshot (deletes: custkey%17==0; balance
+    bumps: %5==0; segment moves: %11==0; inserts: %13==0 re-keyed).
+    One full-outer shuffle join + codegen'd null-safe column compare;
+    emits per-key status and the changed-column list."""
+    from nhs_data_pipeline_spark.ops import diff as odf
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    newsnap = (
+        c.filter(F.col("c_custkey") % 17 != 0)
+        .withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey") % 5 == 0, F.round(F.col("c_acctbal") + 10.0, 2)
+            ).otherwise(F.col("c_acctbal")),
+        )
+        .withColumn(
+            "c_mktsegment",
+            F.when(F.col("c_custkey") % 11 == 0, F.lit("MOVED")).otherwise(
+                F.col("c_mktsegment")
+            ),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 13 == 0).withColumn(
+                "c_custkey", F.col("c_custkey") + 1000000
+            )
+        )
+    )
+    d = odf.snapshot_diff(c, newsnap, keys=["c_custkey"])
+    return d.select(
+        "c_custkey",
+        "diff_status",
+        "changed_columns",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+    )
+
+
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # iteration order. This list pins that window: every SURVEY §2 operator
 # (single queries or merged same-table families), every bench headline
