@@ -4178,6 +4178,67 @@ def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "skew_salted_join",
+    """
+    WITH dim AS (
+      SELECT DISTINCT o_orderstatus, 'st_' || o_orderstatus AS status_label
+      FROM orders
+    )
+    SELECT status_label, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders JOIN dim USING (o_orderstatus)
+    GROUP BY status_label
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted equi-join on a 3-value key (o_orderstatus,
+    one dominant value — the worst join-key skew shape): the big side
+    salts into 8 sub-keys, the small side replicates 8x, so no reducer
+    owns a whole hot key. The oracle runs the PLAIN join — salting must
+    be invisible in the result."""
+    from nhs_data_pipeline_spark.ops import skew as sk
+
+    o = _t(spark, sf_dir, "orders")
+    dim = (
+        o.select("o_orderstatus")
+        .distinct()
+        .withColumn(
+            "status_label", F.concat(F.lit("st_"), F.col("o_orderstatus"))
+        )
+    )
+    j = sk.salted_join(o, dim, ["o_orderstatus"], salt_buckets=8)
+    return j.groupBy("status_label").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query("sketch_hll_mergeable")  # approximate: rows-only (sketch algebra tested)
+def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct-count sketches — the 100 TB pattern the
+    plain approx_count_distinct can't do: persist one tiny HLL sketch
+    per (event_type, day) shard, then answer any-date-range distinct
+    questions by UNIONING sketches instead of rescanning raw events.
+    Union-merge is exact over sketches (Datasketches algebra), verified
+    against the direct single-pass sketch and the exact distinct in
+    tests; exact count included in the output for error visibility."""
+    ev = _events(spark, sf_dir)
+    shards = (
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    merged = shards.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type", "approx_users", "exact_users"
+    )
+
+
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # iteration order. This list pins that window: every SURVEY §2 operator
 # (single queries or merged same-table families), every bench headline
