@@ -174,3 +174,60 @@ def test_q13_left_join_keeps_zero_count_customers(spark):
     bucket disappears if it does)."""
     p = plan_of(spark, "q13_customer_distribution")
     assert "LeftOuter" in p or "RightOuter" in p, p[:2000]
+
+
+def test_shuffle_training_order_no_large_global_window(spark):
+    """The global rank must come from the two-pass bucket shape: the
+    documents-side window is partitioned by the hash-prefix bucket;
+    the only non-partitioned window runs over the tiny bucket-count
+    aggregate. A plan whose document window has an empty partition
+    spec regressed to the single-partition global sort."""
+    import re
+
+    p = plan_of(spark, "shuffle_training_order")
+    # offsets ride in on a broadcast, never a shuffle join
+    assert "BroadcastHashJoin" in p, p[:2000]
+    # every Window over the raw table partitions by the bucket column
+    specs = re.findall(r"Window \[.*?partition.*?\]", p)
+    win_lines = [l for l in p.splitlines() if "windowspecdefinition" in l]
+    doc_wins = [l for l in win_lines if "shuffle_rank" in l or "row_number" in l]
+    assert any("__b" in l for l in doc_wins), p[:3000]
+
+
+def test_token_budget_single_stratum_shuffle(spark):
+    """Budget admission is one hash-partition exchange on the stratum
+    key plus a sort — no join, no extra exchange."""
+    import re
+
+    p = plan_of(spark, "sample_token_budget_mix")
+    exchanges = re.findall(r"^\(\d+\) Exchange", p, re.M)
+    assert len(exchanges) == 1, (exchanges, p[:2000])
+    assert "Join" not in p, p[:2000]
+
+
+def test_capped_per_stratum_uses_window_group_limit(spark):
+    """row_number <= k must plan as WindowGroupLimit so map-side
+    partial top-k runs before the stratum shuffle."""
+    p = plan_of(spark, "sample_per_source_cap")
+    assert "WindowGroupLimit" in p, p[:2000]
+
+
+def test_salted_join_joins_on_salt(spark):
+    """The salted join's key list must include the salt column — that
+    is the whole mechanism — and the small side must not explode into
+    a cartesian product."""
+    p = plan_of(spark, "skew_salted_join")
+    assert "__salt" in p, p[:2000]
+    assert "CartesianProduct" not in p, p[:2000]
+
+
+def test_snapshot_diff_single_full_outer_join(spark):
+    """One full-outer shuffle join; the column compare is a projection,
+    not extra joins."""
+    import re
+
+    p = plan_of(spark, "snapshot_diff_customers")
+    assert "FullOuter" in p, p[:2000]
+    joins = re.findall(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", p)
+    # old-vs-new diff join + the union branch reuse — never more than 2
+    assert len(joins) <= 2, (joins, p[:2000])
