@@ -4213,6 +4213,71 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scd2_point_in_time",
+    """
+    WITH m AS (
+      SELECT o_custkey, o_orderdate, o_orderpriority, o_orderkey,
+             (o_orderpriority IS DISTINCT FROM
+              lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey)) AS chg
+      FROM orders
+    ), hist AS (
+      SELECT o_custkey, max(o_orderpriority) AS pit_priority,
+             o_orderdate AS valid_from
+      FROM m WHERE chg GROUP BY o_custkey, o_orderdate
+    ), li AS (
+      SELECT o.o_custkey, l.l_shipdate
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT h.pit_priority, COUNT(*) AS n, COUNT(DISTINCT li.o_custkey) AS n_cust
+    FROM li ASOF LEFT JOIN hist h
+      ON li.o_custkey = h.o_custkey AND li.l_shipdate >= h.valid_from
+    GROUP BY h.pit_priority
+    """,
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct dimension enrichment — the feature-store /
+    warehouse composition of two engine ops: build the SCD2 priority
+    history (scd2_from_feed), then attach to every lineitem the
+    priority valid AT SHIP TIME via the backward as-of join (one
+    merge-scan shuffle, no interval explosion). Same-date runs are
+    collapsed max-wins so the PIT attachment is deterministic in both
+    engines; DuckDB cross-checks with its native ASOF LEFT JOIN."""
+    o = _t(spark, sf_dir, "orders")
+    hist = (
+        omg.scd2_from_feed(
+            o.select("o_custkey", "o_orderdate", "o_orderpriority", "o_orderkey"),
+            keys=["o_custkey"],
+            attr_cols=["o_orderpriority"],
+            ts_col="o_orderdate",
+            tiebreak=["o_orderkey"],
+        )
+        .groupBy("o_custkey", "valid_from")
+        .agg(F.max("o_orderpriority").alias("pit_priority"))
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .join(o.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_custkey", "l_shipdate")
+    )
+    pit = ot.asof_join(
+        li,
+        hist,
+        on="o_custkey",
+        left_ts="l_shipdate",
+        right_ts="valid_from",
+        value_cols=["pit_priority"],
+        prefix="r_",
+    )
+    return pit.groupBy(F.col("r_pit_priority").alias("pit_priority")).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("o_custkey").alias("n_cust"),
+    )
+
+
 @query("sketch_hll_mergeable")  # approximate: rows-only (sketch algebra tested)
 def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-aggregatable distinct-count sketches — the 100 TB pattern the
