@@ -1733,6 +1733,15 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The offline quantizer (IVF cells, SemDeDup cells) trains on a FIXED
+# bounded sample so the fitted centroids are identical for the Spark
+# query at any sf AND the oracle SQL literals (which are rendered once
+# at import). Fitting per-sf_dir made the sf0.1 run disagree with the
+# sf0.01-literal oracle — and a production 100 TB index trains its
+# quantizer on a bounded sample anyway, never the whole corpus.
+_QUANTIZER_SAMPLE_DIR = "/root/testdata/sf0.01"
+
+
 @functools.lru_cache(maxsize=8)
 def _ivf_centroids(sf_dir: str, n_centroids: int = 8, seed: int = 11) -> tuple:
     """Deterministic IVF quantizer for ``sf_dir``: numpy Lloyd's k-means
@@ -1759,7 +1768,7 @@ def _ivf_oracle_sql(k: int = 5, n_probe: int = 3) -> str:
     inlined as literals (seeded-literal technique, like the hyperplane
     oracles), nearest-cell assignment by first-min distance, multi-probe
     by dot product, exact-cosine re-rank."""
-    centroids = _ivf_centroids("/root/testdata/sf0.01")
+    centroids = _ivf_centroids(_QUANTIZER_SAMPLE_DIR)
     ctr_lits = ", ".join(
         "[" + ", ".join(repr(float(x)) for x in c) + "]" for c in centroids
     )
@@ -1803,10 +1812,13 @@ def _ivf_oracle_sql(k: int = 5, n_probe: int = 3) -> str:
 def embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (k-means cells + multi-probe) — the cluster-adaptive
     scale path alongside the hyperplane-LSH variant. Runs in
-    offline-quantizer mode: centroids fitted deterministically on the
-    sf_dir sample and inlined as literals in BOTH engines, so even this
-    approximate op is exactly cross-engine-checked (recall + full-probe
-    equality vs brute force additionally tested in tests/test_llm.py)."""
+    offline-quantizer mode: centroids fitted deterministically on a
+    FIXED bounded training sample (the sf0.01 embeddings — how a
+    production index trains its quantizer on a sample, then applies it
+    to any corpus size) and inlined as literals in BOTH engines, so
+    even this approximate op is exactly cross-engine-checked at every
+    sf (recall + full-probe equality vs brute force additionally
+    tested in tests/test_llm.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     out = sim.ivf_topk(
         emb.filter(F.col("vec_id") < 10),
@@ -1814,7 +1826,7 @@ def embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_centroids=8,
         n_probe=3,
-        centroids=[list(c) for c in _ivf_centroids(sf_dir)],
+        centroids=[list(c) for c in _ivf_centroids(_QUANTIZER_SAMPLE_DIR)],
     )
     return out.select(
         "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
@@ -3722,7 +3734,7 @@ def _semantic_dedup_oracle(threshold: float = 0.4) -> str:
     """DuckDB replica of SemDeDup: same fitted centroids inlined as
     literals, first-min cell assignment, within-cell lower-id cosine
     pruning (exactly the kept-set rule of llm/dedup.semantic_dedup)."""
-    centroids = _ivf_centroids("/root/testdata/sf0.01")
+    centroids = _ivf_centroids(_QUANTIZER_SAMPLE_DIR)
     ctr_lits = ", ".join(
         "[" + ", ".join(repr(float(x)) for x in c) + "]" for c in centroids
     )
@@ -3754,12 +3766,15 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (cluster-then-prune semantic dedup): k-means cells
     bound the pairwise comparisons, a doc is dropped when a lower-id
     cell-mate sits at cosine >= 0.4 (the synthetic embeddings are
-    spread — max pairwise cosine ~0.51). Offline-quantizer mode (same
-    centroid literals in both engines) makes even this approximate op
-    exactly cross-engine-checked."""
+    spread — max pairwise cosine ~0.51). Offline-quantizer mode (the
+    same fixed-sample centroid literals in both engines — see
+    embed_topk_ivf) makes even this approximate op exactly
+    cross-engine-checked at every sf."""
     emb = _t(spark, sf_dir, "embeddings")
     return dd.semantic_dedup(
-        emb, [list(c) for c in _ivf_centroids(sf_dir)], threshold=0.4
+        emb,
+        [list(c) for c in _ivf_centroids(_QUANTIZER_SAMPLE_DIR)],
+        threshold=0.4,
     )
 
 
