@@ -116,3 +116,47 @@ def retention_cohorts(
     return aged.groupBy("cohort_start", "period_age").agg(
         F.count("*").alias("n_users")
     )
+
+
+def peak_concurrency(
+    intervals: DataFrame,
+    keys: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Peak number of simultaneously-open intervals per key group —
+    max concurrent sessions/connections/jobs — via the sweep line, not
+    the O(n^2) self-join: each interval contributes a +1 at ``start``
+    and a -1 at ``end`` (half-open [start, end): an interval ending at
+    t does not overlap one starting at t), deltas are pre-summed per
+    distinct timestamp, and the peak is the max of the running sum.
+
+    Determinism: summing per distinct (keys, t) BEFORE the cumulative
+    window makes the running values independent of row order among
+    ties — the window then orders by the now-unique ``t``, a total
+    order, so results are partitioning- and engine-independent.
+
+    Scale: two shuffles (the (keys, t) pre-aggregation, then the
+    per-key window); both carry (keys, t, int) triples only. State per
+    key is O(distinct timestamps), never O(intervals^2).
+    """
+    starts = intervals.select(
+        *keys, F.col(start_col).alias("__t"), F.lit(1).alias("__d")
+    )
+    ends = intervals.select(
+        *keys, F.col(end_col).alias("__t"), F.lit(-1).alias("__d")
+    )
+    net = (
+        starts.unionByName(ends)
+        .groupBy(*keys, "__t")
+        .agg(F.sum("__d").alias("__net"))
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = net.withColumn("__open", F.sum("__net").over(w))
+    return running.groupBy(*keys).agg(
+        F.max("__open").cast("bigint").alias("peak_concurrency")
+    )

@@ -4293,6 +4293,44 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_peak_concurrency",
+    """
+    WITH iv AS (
+      SELECT event_type, ts AS s,
+             ts + INTERVAL (CAST(greatest(1, floor(value)) AS BIGINT)) SECOND AS e
+      FROM events
+    ), ev AS (
+      SELECT event_type, s AS t, 1 AS d FROM iv
+      UNION ALL
+      SELECT event_type, e AS t, -1 AS d FROM iv
+    ), net AS (
+      SELECT event_type, t, SUM(d) AS net FROM ev GROUP BY 1, 2
+    ), run AS (
+      SELECT event_type,
+             SUM(net) OVER (PARTITION BY event_type ORDER BY t) AS n_open
+      FROM net
+    )
+    SELECT event_type, CAST(MAX(n_open) AS BIGINT) AS peak_concurrency
+    FROM run GROUP BY event_type
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous open intervals per event_type (each event
+    holds a session of greatest(1, floor(value)) seconds) via the
+    sweep-line op — the O(n log n) answer to "max concurrent
+    sessions", where the naive interval self-join is O(n^2)."""
+    ev = _events(spark, sf_dir)
+    iv = ev.select(
+        "event_type",
+        F.col("ts").alias("__s"),
+        F.expr(
+            "timestampadd(SECOND, CAST(greatest(1.0, floor(value)) AS BIGINT), ts)"
+        ).alias("__e"),
+    )
+    return oan.peak_concurrency(iv, ["event_type"], "__s", "__e")
+
+
 @query("sketch_hll_mergeable")  # approximate: rows-only (sketch algebra tested)
 def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-aggregatable distinct-count sketches — the 100 TB pattern the

@@ -270,3 +270,50 @@ def test_quantize_int8_grid_and_cosine(spark):
     )
     err = max(abs(r["qc"] - r["fc"]) for r in pairs)
     assert err < 0.02
+
+
+class TestPeakConcurrency:
+    def _iv(self, spark, rows):
+        return spark.createDataFrame(rows, "k string, s int, e int").select(
+            "k",
+            F.timestamp_seconds("s").alias("s"),
+            F.timestamp_seconds("e").alias("e"),
+        )
+
+    def test_overlap_chain(self, spark):
+        from nhs_data_pipeline_spark.ops.analytics import peak_concurrency
+
+        # [0,10) [5,15) [8,12) overlap 3-deep at t=8; [20,25) alone
+        iv = self._iv(
+            spark, [("a", 0, 10), ("a", 5, 15), ("a", 8, 12), ("a", 20, 25)]
+        )
+        got = peak_concurrency(iv, ["k"], "s", "e").collect()
+        assert got[0]["peak_concurrency"] == 3
+
+    def test_touching_intervals_do_not_overlap(self, spark):
+        from nhs_data_pipeline_spark.ops.analytics import peak_concurrency
+
+        iv = self._iv(spark, [("a", 0, 10), ("a", 10, 20), ("a", 20, 30)])
+        got = peak_concurrency(iv, ["k"], "s", "e").collect()
+        assert got[0]["peak_concurrency"] == 1  # half-open [s, e)
+
+    def test_keys_independent_and_partitioning_invariant(self, spark):
+        from nhs_data_pipeline_spark.ops.analytics import peak_concurrency
+
+        rows = [("a", i, i + 10) for i in range(0, 50, 2)] + [
+            ("b", 0, 5),
+            ("b", 100, 105),
+        ]
+        iv = self._iv(spark, rows)
+        got = {
+            r["k"]: r["peak_concurrency"]
+            for r in peak_concurrency(iv, ["k"], "s", "e").collect()
+        }
+        got2 = {
+            r["k"]: r["peak_concurrency"]
+            for r in peak_concurrency(
+                iv.repartition(13), ["k"], "s", "e"
+            ).collect()
+        }
+        assert got == got2
+        assert got["b"] == 1 and got["a"] == 5  # [i, i+10) step 2 -> 5 deep
