@@ -1,0 +1,101 @@
+"""Entity resolution: blocked fuzzy matching of dirty names to a
+canonical dimension.
+
+The reference's whole org-change subsystem exists because NHS org
+names drift (renames, typos, re-coded trusts); its lookups are exact
+(orgchange/). This module adds the fuzzy layer a large-scale pipeline
+needs when the incoming feed's names don't exactly match the master
+dimension.
+
+The naive approach — cross join + edit distance — is O(n*m) and dead
+at scale. The scalable shape here is SymSpell-style **deletion-
+neighborhood blocking**: every name emits its identity plus each
+single-character-deletion variant as block keys; two strings within
+edit distance 1 ALWAYS share at least one key (substitution: delete
+the differing position from both; insertion/deletion: one string IS a
+deletion variant of the other), so the candidate set is complete for
+distance <= 1 while each block stays tiny (names sharing a specific
+deletion variant). Candidates are then verified with the exact
+``levenshtein`` (JVM codegen; DuckDB implements the same unit-cost
+metric, so the whole pipeline is exactly cross-engine-checkable).
+
+Shuffles carry (id, name, key) triples; the per-key join is an
+equi-join; the best-match pick is a WindowGroupLimit top-1. For
+distance <= 2, emit 2-deletion variants (keys grow O(len^2) — the
+standard SymSpell trade); not shipped here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def deletion_keys(df: DataFrame, name_col: str, out_col: str = "__key") -> DataFrame:
+    """Explode each row into its deletion-neighborhood block keys: the
+    name itself plus the name with character i removed, for every i.
+    One narrow generate stage; output rows = sum(len(name) + 1)."""
+    ident = df.withColumn(out_col, F.col(name_col))
+    deletions = (
+        df.withColumn(
+            "__i", F.explode(F.sequence(F.lit(1), F.length(F.col(name_col))))
+        )
+        .withColumn(
+            out_col,
+            F.concat(
+                F.expr(f"substring({name_col}, 1, __i - 1)"),
+                F.expr(f"substring({name_col}, __i + 1)"),
+            ),
+        )
+        .drop("__i")
+    )
+    return ident.unionByName(deletions)
+
+
+def fuzzy_match_dist1(
+    dirty: DataFrame,
+    canon: DataFrame,
+    dirty_id: str,
+    dirty_name: str,
+    canon_name: str,
+    matched_col: str = "matched_name",
+    dist_col: str = "match_distance",
+) -> DataFrame:
+    """Resolve each dirty name to its best canonical match within edit
+    distance 1 (exact-recall via deletion-neighborhood blocking).
+
+    Returns every dirty row with ``matched_col``/``dist_col`` attached
+    (NULL when nothing is within distance 1). Ties (several canonicals
+    at the same distance) break deterministically by canonical name
+    ascending — attach stronger secondary evidence upstream when that
+    matters.
+    """
+    d = dirty.select(
+        F.col(dirty_id).alias("__did"), F.col(dirty_name).alias("__dn")
+    )
+    c = canon.select(F.col(canon_name).alias("__cn")).distinct()
+    dk = deletion_keys(d, "__dn")
+    ck = deletion_keys(c, "__cn")
+    cands = (
+        dk.join(ck, "__key")
+        .select("__did", "__dn", "__cn")
+        .distinct()
+    )
+    scored = cands.withColumn("__dist", F.levenshtein("__dn", "__cn")).filter(
+        F.col("__dist") <= 1
+    )
+    w = Window.partitionBy("__did").orderBy("__dist", "__cn")
+    best = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("__did", "__cn", "__dist")
+    )
+    return (
+        d.join(best, "__did", "left")
+        .select(
+            F.col("__did").alias(dirty_id),
+            F.col("__dn").alias(dirty_name),
+            F.col("__cn").alias(matched_col),
+            F.col("__dist").cast("int").alias(dist_col),
+        )
+    )

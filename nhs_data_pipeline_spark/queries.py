@@ -4331,6 +4331,78 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return oan.peak_concurrency(iv, ["event_type"], "__s", "__e")
 
 
+@query(
+    "entity_resolve_suppliers",
+    """
+    WITH canon AS (SELECT DISTINCT s_name FROM supplier),
+    dirty AS (
+      SELECT s_suppkey,
+             CASE WHEN s_suppkey % 3 = 0
+                    THEN substr(s_name, 1, length(s_name) - 1) || 'X'
+                  WHEN s_suppkey % 3 = 1 THEN substr(s_name, 2)
+                  ELSE s_name END AS dirty_name
+      FROM supplier
+    ), dk AS (
+      SELECT s_suppkey, dirty_name, dirty_name AS key FROM dirty
+      UNION ALL
+      SELECT d.s_suppkey, d.dirty_name,
+             substr(d.dirty_name, 1, CAST(t.i AS INTEGER) - 1)
+               || substr(d.dirty_name, CAST(t.i AS INTEGER) + 1) AS key
+      FROM dirty d JOIN generate_series(1, 64) AS t(i)
+        ON t.i <= length(d.dirty_name)
+    ), ck AS (
+      SELECT s_name, s_name AS key FROM canon
+      UNION ALL
+      SELECT c.s_name,
+             substr(c.s_name, 1, CAST(t.i AS INTEGER) - 1)
+               || substr(c.s_name, CAST(t.i AS INTEGER) + 1) AS key
+      FROM canon c JOIN generate_series(1, 64) AS t(i)
+        ON t.i <= length(c.s_name)
+    ), cands AS (
+      SELECT DISTINCT dk.s_suppkey, dk.dirty_name, ck.s_name
+      FROM dk JOIN ck USING (key)
+    ), scored AS (
+      SELECT s_suppkey, dirty_name, s_name,
+             levenshtein(dirty_name, s_name) AS dist
+      FROM cands
+      WHERE levenshtein(dirty_name, s_name) <= 1
+    ), best AS (
+      SELECT s_suppkey, s_name, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY s_suppkey
+                    ORDER BY dist, s_name) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT d.s_suppkey, d.dirty_name, b.s_name AS matched_name,
+           CAST(b.dist AS INTEGER) AS match_distance
+    FROM dirty d LEFT JOIN best b USING (s_suppkey)
+    """,
+)
+def entity_resolve_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: a deterministically-corrupted supplier-name
+    feed (substituted last char / dropped first char / clean) resolved
+    against the canonical dimension via SymSpell-style deletion-
+    neighborhood blocking + exact levenshtein verify — candidate-
+    complete for distance <= 1 with tiny blocks, no cross join
+    anywhere. Ties break by canonical name ascending in both engines."""
+    from nhs_data_pipeline_spark.ops import fuzzy as fz
+
+    s = _t(spark, sf_dir, "supplier")
+    dirty = s.select(
+        "s_suppkey",
+        F.when(
+            F.col("s_suppkey") % 3 == 0,
+            F.concat(F.expr("substring(s_name, 1, length(s_name) - 1)"), F.lit("X")),
+        )
+        .when(F.col("s_suppkey") % 3 == 1, F.expr("substring(s_name, 2)"))
+        .otherwise(F.col("s_name"))
+        .alias("dirty_name"),
+    )
+    return fz.fuzzy_match_dist1(
+        dirty, s, "s_suppkey", "dirty_name", "s_name"
+    )
+
+
 @query("sketch_hll_mergeable")  # approximate: rows-only (sketch algebra tested)
 def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-aggregatable distinct-count sketches — the 100 TB pattern the

@@ -1,0 +1,81 @@
+"""Deletion-neighborhood entity resolution (ops/fuzzy.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from nhs_data_pipeline_spark.ops.fuzzy import deletion_keys, fuzzy_match_dist1
+
+
+def _canon(spark):
+    return spark.createDataFrame(
+        [("Alpha Trust",), ("Beta Trust",), ("Gamma Centre",)], "name string"
+    )
+
+
+class TestDeletionKeys:
+    def test_key_count_is_len_plus_one(self, spark):
+        df = spark.createDataFrame([(1, "abc")], "id int, name string")
+        keys = deletion_keys(df, "name").select("__key").collect()
+        assert sorted(r["__key"] for r in keys) == ["ab", "abc", "ac", "bc"]
+
+
+class TestFuzzyMatchDist1:
+    def _resolve(self, spark, dirty_rows):
+        dirty = spark.createDataFrame(dirty_rows, "id int, name string")
+        return {
+            r["id"]: (r["matched_name"], r["match_distance"])
+            for r in fuzzy_match_dist1(
+                dirty, _canon(spark), "id", "name", "name"
+            ).collect()
+        }
+
+    def test_substitution_deletion_insertion_exact(self, spark):
+        got = self._resolve(
+            spark,
+            [
+                (1, "Alpha Trust"),   # exact -> dist 0
+                (2, "Alpha Trusx"),   # substitution -> dist 1
+                (3, "Beta Trus"),     # deletion -> dist 1
+                (4, "Gamma CCentre"), # insertion -> dist 1
+                (5, "Delta Trust"),   # dist 2+ from everything -> unmatched
+            ],
+        )
+        assert got[1] == ("Alpha Trust", 0)
+        assert got[2] == ("Alpha Trust", 1)
+        assert got[3] == ("Beta Trust", 1)
+        assert got[4] == ("Gamma Centre", 1)
+        assert got[5] == (None, None)
+
+    def test_tie_breaks_by_canonical_name(self, spark):
+        canon = spark.createDataFrame([("aab",), ("aac",)], "name string")
+        dirty = spark.createDataFrame([(1, "aad")], "id int, name string")
+        out = fuzzy_match_dist1(dirty, canon, "id", "name", "name").collect()
+        assert out[0]["matched_name"] == "aab"  # both dist 1; name asc
+
+    def test_every_single_edit_is_recovered(self, spark):
+        # completeness guarantee: ANY single-char substitution or
+        # deletion of a canonical name must produce a candidate
+        base = "Alpha Trust"
+        rows, expect = [], {}
+        i = 0
+        for pos in range(len(base)):
+            rows.append((i, base[:pos] + "#" + base[pos + 1:]))  # substitute
+            expect[i] = 1
+            i += 1
+            rows.append((i, base[:pos] + base[pos + 1:]))  # delete
+            expect[i] = 1
+            i += 1
+        got = self._resolve(spark, rows)
+        for k, d in expect.items():
+            assert got[k][0] == base and got[k][1] == d, (k, rows[k], got[k])
+
+    def test_partitioning_invariant(self, spark):
+        dirty = spark.createDataFrame(
+            [(i, "Alpha Trusx") for i in range(40)], "id int, name string"
+        )
+        a = fuzzy_match_dist1(dirty, _canon(spark), "id", "name", "name")
+        b = fuzzy_match_dist1(
+            dirty.repartition(7), _canon(spark), "id", "name", "name"
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
