@@ -119,3 +119,37 @@ def mad_outliers(
         F.round(F.first("__med"), 6).alias("median"),
         F.round(F.first("__mad"), 6).alias("mad"),
     )
+
+
+def content_fingerprint(
+    df: DataFrame,
+    cols: list[str],
+    group_by: list[str] | None = None,
+    sep: str = "|",
+) -> DataFrame:
+    """Order-invariant content checksum: ``bit_xor`` of a 60-bit
+    md5-derived hash of each row's ``cols`` — the cheap reproducibility
+    handshake two pipeline runs (or two engines, or two clusters)
+    exchange to prove they landed the SAME rows without moving data.
+
+    XOR is commutative/associative and width-stable, so the fold is
+    partitioning-independent and never overflows, and Spark computes
+    it map-side-combined in one scan. The hash is the engine-portable
+    md5-prefix integer (same value in DuckDB), so fingerprints compare
+    across engines. Caveat of XOR folds: duplicate rows cancel in
+    pairs — include a unique key in ``cols`` (the normal case) or add
+    a count to the handshake.
+    """
+    parts: list = []
+    for i, c in enumerate(cols):
+        if i:
+            parts.append(F.lit(sep))
+        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\\N")))
+    h = F.conv(F.substring(F.md5(F.concat(*parts)), 1, 15), 16, 10).cast("bigint")
+    aggs = [
+        F.count("*").alias("n_rows"),
+        F.bit_xor(h).alias("content_fingerprint"),
+    ]
+    if group_by:
+        return df.groupBy(*group_by).agg(*aggs)
+    return df.agg(*aggs)

@@ -4403,6 +4403,25 @@ def entity_resolve_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "table_fingerprint_by_source",
+    """
+    SELECT source, COUNT(*) AS n_rows,
+           BIT_XOR(CAST(('0x' || substring(md5(
+             CAST(doc_id AS VARCHAR) || '|' || COALESCE(text, '\\N')
+           ), 1, 15)) AS BIGINT)) AS content_fingerprint
+    FROM documents GROUP BY source
+    """,
+)
+def table_fingerprint_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source order-invariant content checksums over the documents
+    corpus — the reproducibility handshake two landings compare to
+    prove identical content without moving data. The DuckDB oracle IS
+    the cross-engine handshake: same md5-prefix hash, same XOR fold."""
+    d = _t(spark, sf_dir, "documents")
+    return oq.content_fingerprint(d, ["doc_id", "text"], group_by=["source"])
+
+
 @query("sketch_hll_mergeable")  # approximate: rows-only (sketch algebra tested)
 def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-aggregatable distinct-count sketches — the 100 TB pattern the

@@ -332,3 +332,46 @@ def test_zorder_write_clusters_every_dim(spark, tmp_path):
     # bound that holds for any sane boundary draw — ideal quadrants
     # give mean 31, one spanning file pushes a mean to ~47.
     assert mean(zo, "xr") <= 55 and mean(zo, "yr") <= 55, zo
+
+
+class TestContentFingerprint:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(i, f"doc {i}", "a" if i % 2 else "b") for i in range(50)],
+            "id int, text string, src string",
+        )
+
+    def test_partitioning_and_order_invariant(self, spark):
+        from nhs_data_pipeline_spark.ops.quality import content_fingerprint
+
+        df = self._df(spark)
+        a = content_fingerprint(df, ["id", "text"]).collect()[0]
+        b = content_fingerprint(
+            df.repartition(13).sortWithinPartitions("text"), ["id", "text"]
+        ).collect()[0]
+        assert (a["n_rows"], a["content_fingerprint"]) == (
+            b["n_rows"],
+            b["content_fingerprint"],
+        )
+
+    def test_any_row_change_flips_fingerprint(self, spark):
+        from nhs_data_pipeline_spark.ops.quality import content_fingerprint
+
+        df = self._df(spark)
+        base = content_fingerprint(df, ["id", "text"]).collect()[0]
+        changed = df.withColumn(
+            "text", F.when(F.col("id") == 37, "DOC 37").otherwise(F.col("text"))
+        )
+        got = content_fingerprint(changed, ["id", "text"]).collect()[0]
+        assert got["content_fingerprint"] != base["content_fingerprint"]
+        assert got["n_rows"] == base["n_rows"]
+
+    def test_grouped_mode_and_null_handling(self, spark):
+        from nhs_data_pipeline_spark.ops.quality import content_fingerprint
+
+        df = self._df(spark).withColumn(
+            "text", F.when(F.col("id") == 3, None).otherwise(F.col("text"))
+        )
+        by_src = content_fingerprint(df, ["id", "text"], group_by=["src"])
+        rows = {r["src"]: r for r in by_src.collect()}
+        assert set(rows) == {"a", "b"} and rows["a"]["n_rows"] == 25
