@@ -231,3 +231,25 @@ def test_snapshot_diff_single_full_outer_join(spark):
     joins = re.findall(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", p)
     # old-vs-new diff join + the union branch reuse — never more than 2
     assert len(joins) <= 2, (joins, p[:2000])
+
+
+def test_entity_resolution_blocked_equi_join(spark):
+    """The deletion-neighborhood match must be an equi-join on the
+    block key (never a cartesian or theta join), and the best-match
+    pick must plan as WindowGroupLimit."""
+    p = plan_of(spark, "entity_resolve_suppliers")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p[:2000]
+    assert "__key" in p, p[:2000]
+    assert "WindowGroupLimit" in p, p[:2000]
+
+
+def test_content_fingerprint_single_scan_partial_agg(spark):
+    """The XOR fold must map-side combine: a partial_bit_xor before the
+    exchange, one scan, no window/join."""
+    import re
+
+    p = plan_of(spark, "table_fingerprint_by_source")
+    scans = re.findall(r"^\(\d+\) Scan parquet", p, re.M)
+    assert len(scans) == 1, (scans, p[:2000])
+    assert "partial_bit_xor" in p, p[:2000]
+    assert "Join" not in p and "Window" not in p, p[:2000]
