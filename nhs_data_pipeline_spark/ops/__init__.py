@@ -34,8 +34,31 @@ from nhs_data_pipeline_spark.ops.temporal import (  # noqa: F401
     range_join_binned,
 )
 from nhs_data_pipeline_spark.ops.sampling import (  # noqa: F401
+    capped_per_stratum,
     deterministic_sample,
+    deterministic_shuffle,
     hash_bucket,
     hash_split,
     stratified_sample,
+    temperature_sample,
+    token_budget_sample,
+)
+from nhs_data_pipeline_spark.ops.diff import (  # noqa: F401
+    diff_summary,
+    snapshot_diff,
+)
+from nhs_data_pipeline_spark.ops.fuzzy import (  # noqa: F401
+    fuzzy_match_dist1,
+)
+from nhs_data_pipeline_spark.ops.skew import (  # noqa: F401
+    salted_grouped_sum,
+    salted_join,
+)
+from nhs_data_pipeline_spark.ops.analytics import (  # noqa: F401
+    funnel,
+    peak_concurrency,
+    retention_cohorts,
+)
+from nhs_data_pipeline_spark.ops.quality import (  # noqa: F401
+    content_fingerprint,
 )

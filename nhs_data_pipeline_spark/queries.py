@@ -4422,6 +4422,53 @@ def table_fingerprint_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return oq.content_fingerprint(d, ["doc_id", "text"], group_by=["source"])
 
 
+@query(
+    "curate_mixture_v2",
+    f"""
+    WITH hb AS (
+      SELECT doc_id, lang, source, n_chars,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':cap'), 1, 8))
+               AS BIGINT) AS hb_cap,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':tb2'), 1, 8))
+               AS BIGINT) AS hb_tb
+      FROM documents
+    ), capped AS (
+      SELECT doc_id, lang, n_chars, hb_tb FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY source ORDER BY hb_cap, doc_id) AS rn
+        FROM hb
+      ) WHERE rn <= 15
+    ), budgeted AS (
+      SELECT doc_id, lang FROM (
+        SELECT *, SUM(n_chars) OVER (
+          PARTITION BY lang ORDER BY hb_tb, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        FROM capped
+      ) WHERE run <= 4000
+    )
+    SELECT lang, COUNT(*) AS n_rows,
+           BIT_XOR(CAST(('0x' || substring(md5(
+             CAST(doc_id AS VARCHAR) || '|' || COALESCE(lang, '\\N')
+           ), 1, 15)) AS BIGINT)) AS content_fingerprint
+    FROM budgeted GROUP BY lang
+    """,
+)
+def curate_mixture_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix curation v2, composing the round-3 mixture ops
+    end-to-end: per-source document caps (domain balancing, k=15) →
+    per-language token budgets (4000 chars) → per-language content
+    fingerprints of the kept set (the handshake a downstream trainer
+    verifies before consuming the mix). Three ops, three shuffles,
+    every decision hash-deterministic — the oracle replays the entire
+    chain in SQL and the fingerprints must agree bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    capped = osmp.capped_per_stratum(docs, "doc_id", "source", k=15, salt="cap")
+    budgeted = osmp.token_budget_sample(
+        capped, "doc_id", "lang", "n_chars", budget=4000, salt="tb2"
+    )
+    return oq.content_fingerprint(budgeted, ["doc_id", "lang"], group_by=["lang"])
+
+
 @query("sketch_hll_mergeable")  # approximate: rows-only (sketch algebra tested)
 def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-aggregatable distinct-count sketches — the 100 TB pattern the
