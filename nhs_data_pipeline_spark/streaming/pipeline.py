@@ -201,3 +201,81 @@ def dedup_stream_against_store(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def fingerprint_stream_into_store(
+    rows: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    cols: list[str],
+    group_by: list[str],
+):
+    """Incrementally maintain per-group content fingerprints over a
+    STREAM — the integrity handshake (ops/quality.py:content_fingerprint)
+    kept current without ever rescanning history, because the XOR fold
+    is incremental: new_fp = old_fp XOR batch_fp, new_n = old_n +
+    batch_n.
+
+    Each micro-batch computes its own per-group (n_rows, fingerprint)
+    aggregate (one tiny shuffle over group keys), merges it with the
+    store via a full-outer coalescing join on the group keys, and
+    atomically swaps the store (write new -> replace). The store holds
+    one row per group — dimension-sized — so the merge join broadcasts.
+
+    Delivery: exactly-once for stream offsets (checkpoint);
+    the store swap is last-writer-wins per batch (single-writer
+    assumption, same as any foreachBatch parquet sink here).
+
+    Returns the started StreamingQuery (availableNow trigger).
+    """
+    from nhs_data_pipeline_spark.ops.quality import content_fingerprint
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_fp = content_fingerprint(batch_df, cols, group_by=group_by)
+        try:
+            old = spark.read.parquet(store_path)
+        except Exception:  # first batch: no store yet
+            old = None
+        if old is None:
+            merged = batch_fp
+        else:
+            o = old.select(
+                *[F.col(k).alias(f"__o_{k}") for k in group_by],
+                F.col("n_rows").alias("__o_n"),
+                F.col("content_fingerprint").alias("__o_fp"),
+            )
+            cond = None
+            for k in group_by:
+                eq = F.col(k) == F.col(f"__o_{k}")
+                cond = eq if cond is None else cond & eq
+            merged = (
+                batch_fp.join(F.broadcast(o), cond, "full_outer")
+                .select(
+                    *[
+                        F.coalesce(F.col(k), F.col(f"__o_{k}")).alias(k)
+                        for k in group_by
+                    ],
+                    (
+                        F.coalesce(F.col("n_rows"), F.lit(0))
+                        + F.coalesce(F.col("__o_n"), F.lit(0))
+                    ).alias("n_rows"),
+                    (
+                        F.coalesce(F.col("content_fingerprint"), F.lit(0))
+                        .bitwiseXOR(F.coalesce(F.col("__o_fp"), F.lit(0)))
+                    ).alias("content_fingerprint"),
+                )
+            )
+        tmp = store_path.rstrip("/") + f".batch{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(store_path)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return (
+        rows.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -276,3 +276,57 @@ def test_dedup_stream_against_store_cross_batch(spark, tmp_path):
     q2.awaitTermination()
     assert spark.read.parquet(out).count() == 3
     assert spark.read.parquet(store).count() == 3
+
+
+def test_fingerprint_stream_matches_batch(spark, tmp_path):
+    """Incremental XOR fingerprint store over a 2-batch stream must end
+    exactly equal to the one-shot batch content_fingerprint of the
+    union — the algebraic property the op banks on."""
+    import time as _time
+
+    from nhs_data_pipeline_spark.ops.quality import content_fingerprint
+    from nhs_data_pipeline_spark.streaming.pipeline import (
+        fingerprint_stream_into_store,
+        stream_files,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("src", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "fp_src")
+    b1 = spark.createDataFrame(
+        [(1, "alpha", "a"), (2, "beta", "a"), (3, "gamma", "b")], schema
+    )
+    b1.coalesce(1).write.parquet(src)
+    _time.sleep(1.1)
+    b2 = spark.createDataFrame(
+        [(4, "delta", "b"), (5, "epsilon", "c")], schema
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    store = str(tmp_path / "fp_store")
+    stream = stream_files(spark, src, schema, max_files_per_trigger=1)
+    q = fingerprint_stream_into_store(
+        stream,
+        store,
+        checkpoint=str(tmp_path / "fp_ckpt"),
+        cols=["doc_id", "text"],
+        group_by=["src"],
+    )
+    q.awaitTermination()
+
+    got = {
+        r["src"]: (r["n_rows"], r["content_fingerprint"])
+        for r in spark.read.parquet(store).collect()
+    }
+    want = {
+        r["src"]: (r["n_rows"], r["content_fingerprint"])
+        for r in content_fingerprint(
+            b1.unionByName(b2), ["doc_id", "text"], group_by=["src"]
+        ).collect()
+    }
+    assert got == want and set(got) == {"a", "b", "c"}
