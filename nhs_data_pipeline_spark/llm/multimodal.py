@@ -170,3 +170,47 @@ def extract_image_meta(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=IMAGE_META_SCHEMA)
+
+
+def chunk_media_segments(
+    media: DataFrame,
+    duration_col,
+    chunk_ms: int,
+    overlap_ms: int = 0,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Segment table for chunked decode/transcription: one row per
+    ``[start_ms, end_ms)`` window of ``chunk_ms``, stepping
+    ``chunk_ms - overlap_ms`` (Whisper-style overlapped audio windows,
+    clip-based video encoders). The final chunk clips at the duration;
+    every chunk starts strictly inside the media, so a 1-sample file
+    yields exactly one chunk and zero-duration media yields none.
+
+    ``duration_col`` may be a column name or Column expression (e.g.
+    ``meta.duration_ms``). Native sequence/explode — the fan-out is
+    JVM-side and linear in output rows; the per-chunk decode then runs
+    through the Arrow-batched ``decode_features`` on the exploded rows,
+    which is the whole point: chunking is plan math, only decode
+    crosses into Python."""
+    if overlap_ms >= chunk_ms:
+        raise ValueError("overlap_ms must be smaller than chunk_ms")
+    step = chunk_ms - overlap_ms
+    dur = F.col(duration_col) if isinstance(duration_col, str) else duration_col
+    out = media.select(
+        id_col,
+        dur.alias("__dur"),
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest(dur - 1, F.lit(0)), F.lit(step)
+            )
+        ).alias("start_ms"),
+    )
+    return (
+        out.filter(F.col("start_ms") < F.col("__dur"))
+        .select(
+            id_col,
+            (F.col("start_ms") / step).cast("int").alias("chunk_idx"),
+            "start_ms",
+            F.least(F.col("start_ms") + chunk_ms, F.col("__dur")).alias("end_ms"),
+        )
+    )

@@ -31,6 +31,7 @@ from nhs_data_pipeline_spark.llm import packing as pk
 from nhs_data_pipeline_spark.llm import similarity as sim
 from nhs_data_pipeline_spark.llm import text as tx
 from nhs_data_pipeline_spark.llm import quantize as qz
+from nhs_data_pipeline_spark.llm import multimodal as mm
 from nhs_data_pipeline_spark.ops import analytics as oan
 from nhs_data_pipeline_spark.ops import binned as ob
 from nhs_data_pipeline_spark.ops import core as oc
@@ -4467,6 +4468,35 @@ def curate_mixture_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         capped, "doc_id", "lang", "n_chars", budget=4000, salt="tb2"
     )
     return oq.content_fingerprint(budgeted, ["doc_id", "lang"], group_by=["lang"])
+
+
+@query(
+    "media_chunk_segments",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id, n_chars * 20 AS duration_ms FROM documents
+    )
+    SELECT media_id, CAST(t.i / 750 AS INTEGER) AS chunk_idx,
+           t.i AS start_ms,
+           least(t.i + 1000, duration_ms) AS end_ms
+    FROM media JOIN generate_series(0, 100000, 750) AS t(i)
+      ON t.i < media.duration_ms
+    """,
+)
+def media_chunk_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapped media chunking (Whisper-style 1000 ms windows with
+    250 ms overlap) over a metadata-derived duration (n_chars * 20 ms
+    stands in for audio length) — the plan-math half of chunked
+    transcription; only the per-chunk decode would cross into Python.
+    The oracle replays the fan-out with a constant series + filter
+    (DuckDB's generate_series takes no lateral bounds)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") * 20).alias("duration_ms"),
+    )
+    return mm.chunk_media_segments(
+        docs, "duration_ms", chunk_ms=1000, overlap_ms=250
+    )
 
 
 @query("sketch_hll_mergeable")  # approximate: rows-only (sketch algebra tested)

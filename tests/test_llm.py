@@ -554,3 +554,38 @@ def test_label_centroids_match_numpy(spark):
         want = _np.round(vecs.mean(axis=0), 6)
         assert got[lab][1] == len(vecs)
         assert _np.allclose(got[lab][0], want, atol=1e-9)
+
+
+class TestChunkMediaSegments:
+    def test_windows_overlap_and_clip(self, spark):
+        from nhs_data_pipeline_spark.llm.multimodal import chunk_media_segments
+
+        df = spark.createDataFrame([(1, 2600)], "media_id long, dur long")
+        rows = sorted(
+            (r["chunk_idx"], r["start_ms"], r["end_ms"])
+            for r in chunk_media_segments(
+                df, "dur", chunk_ms=1000, overlap_ms=250
+            ).collect()
+        )
+        # step 750: starts 0,750,1500,2250; last clips at 2600
+        assert rows == [(0, 0, 1000), (1, 750, 1750), (2, 1500, 2500), (3, 2250, 2600)]
+
+    def test_tiny_and_zero_duration(self, spark):
+        from nhs_data_pipeline_spark.llm.multimodal import chunk_media_segments
+
+        df = spark.createDataFrame(
+            [(1, 1), (2, 0), (3, 1000)], "media_id long, dur long"
+        )
+        got = {}
+        for r in chunk_media_segments(df, "dur", chunk_ms=1000).collect():
+            got.setdefault(r["media_id"], []).append((r["start_ms"], r["end_ms"]))
+        assert got == {1: [(0, 1)], 3: [(0, 1000)]}  # zero-duration: none
+
+    def test_overlap_must_be_smaller_than_chunk(self, spark):
+        import pytest
+
+        from nhs_data_pipeline_spark.llm.multimodal import chunk_media_segments
+
+        df = spark.createDataFrame([(1, 10)], "media_id long, dur long")
+        with pytest.raises(ValueError):
+            chunk_media_segments(df, "dur", chunk_ms=100, overlap_ms=100)
