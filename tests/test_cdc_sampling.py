@@ -149,3 +149,45 @@ class TestSnapshotDiff:
         s = diff_summary(snapshot_diff(old, new, keys=["k"]))
         got = {r["diff_status"]: r["n"] for r in s.collect()}
         assert got == {"unchanged": 2, "changed": 1, "removed": 1, "added": 1}
+
+
+class TestDiffMergeRoundtrip:
+    """Cross-validation of two ops against each other: applying a
+    snapshot_diff through merge_upsert must reconstruct the new
+    snapshot exactly (diff ∘ merge = identity)."""
+
+    def test_reconstruct_new_from_old_plus_diff(self, spark):
+        from nhs_data_pipeline_spark.ops.merge import merge_upsert
+
+        old = spark.createDataFrame(
+            [(i, f"n{i}", float(i) if i % 7 else None) for i in range(60)],
+            "k int, name string, bal double",
+        )
+        new = (
+            old.filter(F.col("k") % 11 != 0)  # deletes
+            .withColumn(
+                "bal",
+                F.when(F.col("k") % 5 == 0, F.col("bal") + 1.5).otherwise(
+                    F.col("bal")
+                ),
+            )
+            .unionByName(
+                spark.createDataFrame(
+                    [(100, "new100", 9.0), (101, "new101", None)],
+                    "k int, name string, bal double",
+                )
+            )
+        )
+        d = snapshot_diff(old, new, keys=["k"])
+        upserts = d.filter(
+            F.col("diff_status").isin("added", "changed")
+        ).select("k", "name", "bal")
+        removed_keys = {
+            r["k"] for r in d.filter(F.col("diff_status") == "removed").collect()
+        }
+        merged = merge_upsert(old, upserts, keys=["k"]).filter(
+            ~F.col("k").isin(removed_keys)
+        )
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, new.collect())
+        )
