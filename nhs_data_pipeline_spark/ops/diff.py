@@ -39,7 +39,10 @@ def snapshot_diff(
     - ``status_col``: added | removed | changed | unchanged;
     - ``changed_col``: sorted array of compared column names whose
       values differ (null-safe: NULL->value and value->NULL count as
-      changes, NULL->NULL does not); empty array unless changed;
+      changes, NULL->NULL does not); empty array unless status is
+      ``changed`` — added/removed rows get an empty array, NOT the
+      full column list the raw null-safe compare would produce, so
+      ``size(changed_columns) > 0`` is a safe 'changed' predicate;
     - the compared columns' NEW values (OLD values for removed rows),
       so the output is directly upsertable.
 
@@ -83,6 +86,13 @@ def snapshot_diff(
         .when(F.size(changed_arr) > 0, F.lit(CHANGED))
         .otherwise(F.lit(UNCHANGED))
     )
+    # For added/removed rows one side is all-NULL, so the raw compare
+    # would list every non-null column; the contract is that the array
+    # is only meaningful (and non-empty) for status == changed.
+    both = F.col("__in_old").isNotNull() & F.col("__in_new").isNotNull()
+    changed_out = F.when(both, changed_arr).otherwise(
+        F.array().cast("array<string>")
+    )
     out_keys = [
         F.coalesce(F.col(f"__nk_{k}"), F.col(f"__ok_{k}")).alias(k) for k in keys
     ]
@@ -95,7 +105,7 @@ def snapshot_diff(
     return j.select(
         *out_keys,
         status.alias(status_col),
-        changed_arr.alias(changed_col),
+        changed_out.alias(changed_col),
         *out_vals,
     )
 

@@ -36,8 +36,13 @@ def deletion_keys(df: DataFrame, name_col: str, out_col: str = "__key") -> DataF
     name itself plus the name with character i removed, for every i.
     One narrow generate stage; output rows = sum(len(name) + 1)."""
     ident = df.withColumn(out_col, F.col(name_col))
+    # Guard degenerate names: sequence(1, 0) steps BACKWARDS in Spark
+    # (default step -1 when start > stop) and would yield [1, 0] for an
+    # empty string, emitting a spurious i=0 variant. Empty/NULL names
+    # contribute only their identity key.
     deletions = (
-        df.withColumn(
+        df.filter(F.length(F.col(name_col)) > 0)
+        .withColumn(
             "__i", F.explode(F.sequence(F.lit(1), F.length(F.col(name_col))))
         )
         .withColumn(

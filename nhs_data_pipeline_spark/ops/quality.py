@@ -125,26 +125,35 @@ def content_fingerprint(
     df: DataFrame,
     cols: list[str],
     group_by: list[str] | None = None,
-    sep: str = "|",
 ) -> DataFrame:
     """Order-invariant content checksum: ``bit_xor`` of a 60-bit
     md5-derived hash of each row's ``cols`` — the cheap reproducibility
     handshake two pipeline runs (or two engines, or two clusters)
     exchange to prove they landed the SAME rows without moving data.
 
+    Field encoding is injection-proof: each column is length-prefixed
+    (``len(s) + ':' + s``; NULL encodes as the bare token ``'N'``,
+    which can't collide with a prefixed value since those start with a
+    digit), so ('a|b','c') vs ('a','b|c') — or a literal separator /
+    NULL-sentinel inside a value — hash differently. Length prefixes
+    make the concatenation uniquely parseable with no separator at all.
+
     XOR is commutative/associative and width-stable, so the fold is
     partitioning-independent and never overflows, and Spark computes
     it map-side-combined in one scan. The hash is the engine-portable
-    md5-prefix integer (same value in DuckDB), so fingerprints compare
-    across engines. Caveat of XOR folds: duplicate rows cancel in
-    pairs — include a unique key in ``cols`` (the normal case) or add
-    a count to the handshake.
+    md5-prefix integer (same value in DuckDB; both engines' length()
+    counts characters), so fingerprints compare across engines. Caveat
+    of XOR folds: duplicate rows cancel in pairs — include a unique
+    key in ``cols`` (the normal case) or add a count to the handshake.
     """
     parts: list = []
-    for i, c in enumerate(cols):
-        if i:
-            parts.append(F.lit(sep))
-        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\\N")))
+    for c in cols:
+        s = F.col(c).cast("string")
+        parts.append(
+            F.when(s.isNull(), F.lit("N")).otherwise(
+                F.concat(F.length(s).cast("string"), F.lit(":"), s)
+            )
+        )
     h = F.conv(F.substring(F.md5(F.concat(*parts)), 1, 15), 16, 10).cast("bigint")
     aggs = [
         F.count("*").alias("n_rows"),

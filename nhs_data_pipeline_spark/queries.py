@@ -4149,7 +4149,8 @@ def shuffle_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN is_add THEN 'added' WHEN is_rem THEN 'removed'
                 WHEN len(changed) > 0 THEN 'changed' ELSE 'unchanged' END
              AS diff_status,
-           changed AS changed_columns,
+           CASE WHEN is_add OR is_rem THEN CAST([] AS VARCHAR[])
+                ELSE changed END AS changed_columns,
            ROUND(c_acctbal, 2) AS c_acctbal
     FROM j
     """,
@@ -4409,7 +4410,10 @@ def entity_resolve_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT source, COUNT(*) AS n_rows,
            BIT_XOR(CAST(('0x' || substring(md5(
-             CAST(doc_id AS VARCHAR) || '|' || COALESCE(text, '\\N')
+             CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':'
+               || CAST(doc_id AS VARCHAR)
+             || CASE WHEN text IS NULL THEN 'N'
+                ELSE CAST(length(text) AS VARCHAR) || ':' || text END
            ), 1, 15)) AS BIGINT)) AS content_fingerprint
     FROM documents GROUP BY source
     """,
@@ -4449,7 +4453,10 @@ def table_fingerprint_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang, COUNT(*) AS n_rows,
            BIT_XOR(CAST(('0x' || substring(md5(
-             CAST(doc_id AS VARCHAR) || '|' || COALESCE(lang, '\\N')
+             CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':'
+               || CAST(doc_id AS VARCHAR)
+             || CASE WHEN lang IS NULL THEN 'N'
+                ELSE CAST(length(lang) AS VARCHAR) || ':' || lang END
            ), 1, 15)) AS BIGINT)) AS content_fingerprint
     FROM budgeted GROUP BY lang
     """,
@@ -4476,11 +4483,15 @@ def curate_mixture_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH media AS (
       SELECT doc_id AS media_id, n_chars * 20 AS duration_ms FROM documents
     )
-    SELECT media_id, CAST(t.i / 750 AS INTEGER) AS chunk_idx,
-           t.i AS start_ms,
-           least(t.i + 1000, duration_ms) AS end_ms
-    FROM media JOIN generate_series(0, 100000, 750) AS t(i)
-      ON t.i < media.duration_ms
+    SELECT media_id, CAST(i / 750 AS INTEGER) AS chunk_idx,
+           i AS start_ms,
+           least(i + 1000, duration_ms) AS end_ms
+    FROM (
+      SELECT media_id, duration_ms,
+             unnest(generate_series(0, CAST(duration_ms AS BIGINT) - 1, 750))
+               AS i
+      FROM media
+    )
     """,
 )
 def media_chunk_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4488,8 +4499,9 @@ def media_chunk_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     250 ms overlap) over a metadata-derived duration (n_chars * 20 ms
     stands in for audio length) — the plan-math half of chunked
     transcription; only the per-chunk decode would cross into Python.
-    The oracle replays the fan-out with a constant series + filter
-    (DuckDB's generate_series takes no lateral bounds)."""
+    The oracle replays the fan-out with the scalar list form of
+    generate_series (per-row bounds — no magnitude-coupled constant
+    that driver-regenerated data could outgrow)."""
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         (F.col("n_chars") * 20).alias("duration_ms"),

@@ -21,6 +21,24 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _read_store_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a parquet state store, returning None ONLY when the path
+    doesn't exist yet (first batch). Any other failure — corrupt
+    footer, permission error, schema mismatch — re-raises: silently
+    treating a damaged store as 'first batch' would reset all
+    accumulated state."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        cond = getattr(e, "getCondition", getattr(e, "getErrorClass", None))
+        cls = cond() if callable(cond) else None
+        if cls == "PATH_NOT_FOUND" or "PATH_NOT_FOUND" in str(e):
+            return None
+        raise
+
+
 def stream_files(
     spark: SparkSession,
     path: str,
@@ -184,10 +202,8 @@ def dedup_stream_against_store(
             .withColumn("fp", fingerprint_md5(F.col(text_col)))
         )
         reps = batch.groupBy("fp").agg(F.min(id_col).alias(id_col))
-        try:
-            seen = spark.read.parquet(store_path).select("fp")
-        except Exception:  # first batch: no store yet
-            seen = None
+        store = _read_store_or_none(spark, store_path)
+        seen = store.select("fp") if store is not None else None
         fresh = reps.join(seen, "fp", "left_anti") if seen is not None else reps
         survivors = batch.join(fresh.select(id_col), id_col, "left_semi").persist()
         survivors.count()  # eager: both appends below reuse one computation
@@ -222,9 +238,14 @@ def fingerprint_stream_into_store(
     atomically swaps the store (write new -> replace). The store holds
     one row per group — dimension-sized — so the merge join broadcasts.
 
-    Delivery: exactly-once for stream offsets (checkpoint);
-    the store swap is last-writer-wins per batch (single-writer
-    assumption, same as any foreachBatch parquet sink here).
+    Delivery: effectively exactly-once. foreachBatch is at-least-once,
+    so a crash after the store swap but before the checkpoint commit
+    replays the batch — and a replayed XOR would CANCEL the batch's
+    fingerprint contribution and double-count n_rows. The store
+    therefore carries the last applied ``last_batch_id``; a replayed
+    batch (batch_id <= stored id) is skipped, making the merge
+    idempotent under replay (single-writer assumption, same as any
+    foreachBatch parquet sink here).
 
     Returns the started StreamingQuery (availableNow trigger).
     """
@@ -232,11 +253,13 @@ def fingerprint_stream_into_store(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        old = _read_store_or_none(spark, store_path)
+        if old is not None and "last_batch_id" in old.columns:
+            applied = old.agg(F.max("last_batch_id")).first()[0]
+            if applied is not None and batch_id <= applied:
+                return  # replayed batch: already folded into the store
+            old = old.drop("last_batch_id")
         batch_fp = content_fingerprint(batch_df, cols, group_by=group_by)
-        try:
-            old = spark.read.parquet(store_path)
-        except Exception:  # first batch: no store yet
-            old = None
         if old is None:
             merged = batch_fp
         else:
@@ -267,6 +290,7 @@ def fingerprint_stream_into_store(
                 )
             )
         tmp = store_path.rstrip("/") + f".batch{batch_id}"
+        merged = merged.withColumn("last_batch_id", F.lit(batch_id))
         merged.write.mode("overwrite").parquet(tmp)
         import shutil
 

@@ -136,6 +136,10 @@ class TestSnapshotDiff:
         assert rows[2]["changed_columns"] == ["bal"]  # NULL -> value
         assert rows[3]["changed_columns"] == ["bal", "name"]  # sorted
         assert rows[1]["changed_columns"] == []
+        # added/removed rows: empty array, NOT the full column list —
+        # size(changed_columns) > 0 must be a safe 'changed' predicate
+        assert rows[4]["changed_columns"] == []  # removed
+        assert rows[5]["changed_columns"] == []  # added
 
     def test_removed_carries_old_values_and_drifted_cols_ignored(self, spark):
         old, new = self._pair(spark)

@@ -19,6 +19,22 @@ class TestDeletionKeys:
         keys = deletion_keys(df, "name").select("__key").collect()
         assert sorted(r["__key"] for r in keys) == ["ab", "abc", "ac", "bc"]
 
+    def test_empty_name_emits_only_identity_key(self, spark):
+        # sequence(1, 0) steps backwards in Spark ([1, 0]) — an
+        # unguarded explode would emit a spurious i=0 variant row
+        df = spark.createDataFrame(
+            [(1, ""), (2, "a"), (3, None)], "id int, name string"
+        )
+        keys = [
+            (r["id"], r["__key"])
+            for r in deletion_keys(df, "name").collect()
+        ]
+        assert sorted(k for k in keys if k[0] == 1) == [(1, "")]
+        assert sorted(k for k in keys if k[0] == 2) == [(2, ""), (2, "a")]
+        assert sorted(
+            k for k in keys if k[0] == 3
+        ) == [(3, None)]  # NULL name: identity key only, no variants
+
 
 class TestFuzzyMatchDist1:
     def _resolve(self, spark, dirty_rows):

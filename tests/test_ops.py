@@ -375,3 +375,22 @@ class TestContentFingerprint:
         by_src = content_fingerprint(df, ["id", "text"], group_by=["src"])
         rows = {r["src"]: r for r in by_src.collect()}
         assert set(rows) == {"a", "b"} and rows["a"]["n_rows"] == 25
+
+    def test_separator_injection_proof(self, spark):
+        """Length-prefixed field encoding: rows whose concatenation
+        would be ambiguous under a plain separator must fingerprint
+        differently — ('a|b','c') vs ('a','b|c'), NULL vs a literal
+        NULL-sentinel string, and shifted boundaries like
+        ('ab','') vs ('a','b')."""
+        from nhs_data_pipeline_spark.ops.quality import content_fingerprint
+
+        def fp(rows):
+            df = spark.createDataFrame(rows, "x string, y string")
+            return content_fingerprint(df, ["x", "y"]).collect()[0][
+                "content_fingerprint"
+            ]
+
+        assert fp([("a|b", "c")]) != fp([("a", "b|c")])
+        assert fp([(None, "c")]) != fp([("\\N", "c")])
+        assert fp([("ab", "")]) != fp([("a", "b")])
+        assert fp([("1:a", "c")]) != fp([("1", ":ac")])

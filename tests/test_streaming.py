@@ -330,3 +330,22 @@ def test_fingerprint_stream_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and set(got) == {"a", "b", "c"}
+
+    # Replay idempotency: foreachBatch is at-least-once — re-delivering
+    # the same batches (fresh checkpoint, same store) must NOT change
+    # the store. An unguarded XOR merge would CANCEL each batch's
+    # contribution and double-count n_rows; the last_batch_id guard
+    # skips already-applied batches.
+    q2 = fingerprint_stream_into_store(
+        stream_files(spark, src, schema, max_files_per_trigger=1),
+        store,
+        checkpoint=str(tmp_path / "fp_ckpt_replay"),
+        cols=["doc_id", "text"],
+        group_by=["src"],
+    )
+    q2.awaitTermination()
+    replayed = {
+        r["src"]: (r["n_rows"], r["content_fingerprint"])
+        for r in spark.read.parquet(store).collect()
+    }
+    assert replayed == want
