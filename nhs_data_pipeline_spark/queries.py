@@ -4540,9 +4540,16 @@ def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # iteration order. This list pins that window: every SURVEY §2 operator
 # (single queries or merged same-table families), every bench headline
-# query, and the LLM-pipeline core. Breadth/variant queries (sketches,
-# set-op duals, extra window/rollup shapes, approximate ANN variants)
-# follow after position 50 and are verified by the identical local gate
+# query, the LLM-pipeline core, and the flagship warehouse/curation
+# composites (MERGE, SCD2 point-in-time, entity resolution, seeded
+# global shuffle, mixture curation). Five near-duplicate §2 rows whose
+# operators are attested by in-window siblings were rotated out to make
+# room: u2 (union+distinct = u1+p913), sample_split_counts
+# (sample_deterministic shares the md5-bucket mechanism),
+# dedup_jaccard_pairs (minhash_lsh_pairs shares the shingle/LSH block
+# join), a34 (grouped-window family = a25+w1), f8 (date family =
+# f9+f_string_date_family, plus golden-panel tests). Everything outside
+# the window is verified by the identical local gate
 # (tools/check_oracle.py runs ALL entries).
 DRIVER_WINDOW = [
     "q1_pricing_summary",
@@ -4570,26 +4577,26 @@ DRIVER_WINDOW = [
     "skew_salted_sum",
     "a1_na_preserving_sum",
     "a25_group_audit",
-    "a34_group_flags",
+    "shuffle_training_order",
     "a6_resample_annual",
     "orgchange_adjust_panel",
     "w1_cumulative_sum",
     "w2u_lag_fill",
     "w56_binned_stats",
     "u1_union_by_name",
-    "u2_union_distinct",
+    "merge_upsert_customers",
     "r1_unpivot",
     "r4_clean_names",
     "r78_array_family",
     "f9_fiscal_calendar",
-    "f8_change_date_arithmetic",
+    "curate_mixture_v2",
     "f_string_date_family",
     "sample_deterministic",
-    "sample_split_counts",
+    "scd2_point_in_time",
     "sample_stratified",
     "text_profile",
     "dedup_exact",
-    "dedup_jaccard_pairs",
+    "entity_resolve_suppliers",
     "minhash_lsh_pairs",
     "simhash_fingerprints",
     "dedup_embed_cosine_pairs",
