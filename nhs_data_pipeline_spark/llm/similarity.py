@@ -270,6 +270,65 @@ def lsh_topk(
     )
 
 
+def choose_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pairs_budget: int = 2_000_000,
+    centroids: list[list[float]] | None = None,
+    n_queries: int | None = None,
+    n_corpus: int | None = None,
+    report: dict | None = None,
+    **path_kwargs,
+) -> DataFrame:
+    """Top-k dispatcher: pick exact brute force vs a bucketed path from
+    the measured cost model, so callers never land on the O(|Q| x |C|)
+    plan at corpus scale by accident.
+
+    Model (SCALE.md 10x-vector measurement, d=64, local[32]): brute
+    force costs a fixed ~1 s plus |Q| x |C| Arrow-batched dots; the
+    bucketed paths cost a larger fixed signature/plan setup (~5 s) plus
+    |Q| x bucket work that's insensitive to |C|. The crossover is the
+    PAIR COUNT |Q| x |C|, not either side alone — 10 queries vs 20k
+    vectors (200k pairs) still favors exact, while 2k x 2k (4M) does
+    not. ``pairs_budget`` defaults to the measured ~2M-pair boundary.
+
+    Above budget: IVF when a pre-trained ``centroids`` quantizer is
+    supplied (adapts to cluster structure, no per-query training),
+    else hyperplane LSH (training-free). ``n_queries``/``n_corpus``
+    skip the counting scans when the caller already knows the sizes
+    (at 100 TB the catalog does). ``report`` (optional dict) receives
+    {path, n_queries, n_corpus, est_pairs} for observability.
+    Extra kwargs pass through to the chosen implementation.
+    """
+    nq = n_queries if n_queries is not None else queries.count()
+    nc = n_corpus if n_corpus is not None else corpus.count()
+    est_pairs = nq * nc
+    if est_pairs <= pairs_budget:
+        path = "brute_force"
+        out = brute_force_topk(
+            queries, corpus, k=k, id_col=id_col, vec_col=vec_col, **path_kwargs
+        )
+    elif centroids is not None:
+        path = "ivf"
+        out = ivf_topk(
+            queries, corpus, k=k, id_col=id_col, vec_col=vec_col,
+            centroids=centroids, **path_kwargs,
+        )
+    else:
+        path = "lsh"
+        out = lsh_topk(
+            queries, corpus, k=k, id_col=id_col, vec_col=vec_col, **path_kwargs
+        )
+    if report is not None:
+        report.update(
+            path=path, n_queries=nq, n_corpus=nc, est_pairs=est_pairs
+        )
+    return out
+
+
 def cosine_dedup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

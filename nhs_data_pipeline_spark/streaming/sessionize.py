@@ -74,7 +74,18 @@ def sessionize_stream(
                 n += 1
                 vsum += float(val) if val == val else 0.0
             state.update((start, last, n, vsum))
-            state.setTimeoutTimestamp(last // 1000 + gap_seconds * 1000)
+            # Late (below-watermark) events can make last+gap land BEHIND
+            # the current watermark — setTimeoutTimestamp then throws
+            # INVALID_TIMEOUT_TIMESTAMP and kills the query (hit on
+            # multi-batch file replay, where later files carry earlier
+            # events). Clamp to just past the watermark: the watermark
+            # asserts no earlier data is coming, so the stale session
+            # times out on the next batch — the correct semantics.
+            timeout_ms = last // 1000 + gap_seconds * 1000
+            wm = state.getCurrentWatermarkMs()
+            if timeout_ms <= wm:
+                timeout_ms = wm + 1
+            state.setTimeoutTimestamp(timeout_ms)
         if closed:
             yield pd.DataFrame(
                 {

@@ -402,6 +402,70 @@ def test_resize_is_honest_stub(spark):
         mm.resize_images(None, 100, 100)
 
 
+def test_choose_topk_dispatcher_both_sides_of_crossover(spark):
+    """choose_topk must pick the exact path under the pair budget and a
+    bucketed path above it, matching the underlying implementations
+    exactly (same seeds -> same plans) on BOTH sides of the boundary."""
+    df, _ = _emb(spark, n=100, dim=16)
+    q = df.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.brute_force_topk(q, df, k=5).collect()
+    }
+
+    # below budget (10 x 100 = 1000 pairs): brute force, bit-identical
+    rep = {}
+    small = sim.choose_topk(q, df, k=5, report=rep)
+    assert rep["path"] == "brute_force" and rep["est_pairs"] == 1000
+    assert {
+        (r.query_id, r.neighbor_id, r.rank) for r in small.collect()
+    } == exact
+
+    # above a (forced-tiny) budget with no quantizer: LSH, identical to
+    # calling lsh_topk directly, and with real recall vs exact
+    rep = {}
+    big = sim.choose_topk(
+        q, df, k=5, pairs_budget=100, report=rep,
+        num_bits=16, bands=8, dim=16,
+    )
+    assert rep["path"] == "lsh"
+    direct = sim.lsh_topk(q, df, k=5, num_bits=16, bands=8, dim=16)
+    got = {(r.query_id, r.neighbor_id, r.rank) for r in big.collect()}
+    assert got == {
+        (r.query_id, r.neighbor_id, r.rank) for r in direct.collect()
+    }
+    e_pairs = {(a, b) for a, b, _ in exact}
+    recall = len(e_pairs & {(a, b) for a, b, _ in got}) / len(e_pairs)
+    assert recall >= 0.5, recall
+
+    # above budget WITH a pre-trained quantizer: IVF, identical to ivf_topk
+    cents = sim.fit_centroids_numpy(
+        np.asarray([r["embedding"] for r in df.collect()]), n_centroids=8,
+        seed=11,
+    )
+    rep = {}
+    ivf = sim.choose_topk(
+        q, df, k=5, pairs_budget=100, centroids=cents, report=rep, n_probe=4
+    )
+    assert rep["path"] == "ivf"
+    direct_ivf = sim.ivf_topk(q, df, k=5, centroids=cents, n_probe=4)
+    assert {
+        (r.query_id, r.neighbor_id, r.rank) for r in ivf.collect()
+    } == {
+        (r.query_id, r.neighbor_id, r.rank) for r in direct_ivf.collect()
+    }
+
+    # caller-supplied sizes skip the counting scans but hit the same path
+    rep = {}
+    sized = sim.choose_topk(
+        q, df, k=5, n_queries=10, n_corpus=100, report=rep
+    )
+    assert rep["path"] == "brute_force" and rep["est_pairs"] == 1000
+    assert {
+        (r.query_id, r.neighbor_id, r.rank) for r in sized.collect()
+    } == exact
+
+
 def test_ivf_topk_recall(spark):
     df, vecs = _emb(spark, n=200, dim=16, seed=5)
     exact = sim.brute_force_topk(df.filter(F.col("vec_id") < 10), df, k=5)

@@ -194,6 +194,54 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     assert got == exp
 
 
+def test_sessionize_stream_survives_late_batches(spark, tmp_path):
+    """A later micro-batch carrying BELOW-WATERMARK events must not
+    kill the query: last+gap can land behind the watermark, and an
+    unclamped setTimeoutTimestamp raises INVALID_TIMEOUT_TIMESTAMP
+    (hit on multi-file availableNow replay, where file order is not
+    time order). The late user's stale session must still emit via
+    timeout rather than being lost."""
+    import datetime
+
+    from nhs_data_pipeline_spark.streaming.sessionize import (
+        sessionize_stream,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    ev1 = spark.createDataFrame(
+        [(base + datetime.timedelta(days=10), 1, 1.0)],
+        "ts timestamp, user_id long, value double",
+    )
+    # batch 2: user 2's events are 10 days BEHIND the watermark batch 1
+    # advanced to (minus the 0s delay)
+    ev2 = spark.createDataFrame(
+        [
+            (base, 2, 2.0),
+            (base + datetime.timedelta(minutes=5), 2, 2.0),
+            # sentinel far-future event closes everything
+            (base + datetime.timedelta(days=30), 1, 0.0),
+        ],
+        "ts timestamp, user_id long, value double",
+    )
+    src = str(tmp_path / "late_src")
+    ev1.coalesce(1).write.parquet(src)
+    ev2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = stream_files(spark, src, ev1.schema, max_files_per_trigger=1)
+    sessions = sessionize_stream(
+        stream.withWatermark("ts", "0 seconds"), gap_seconds=1800
+    )
+    run_stream_to_memory(sessions, "late_sessions", output_mode="append")
+    got = {
+        (r.user_id, r.n_events): r.value_sum
+        for r in spark.table("late_sessions").collect()
+    }
+    # user 2's late 2-event session emitted (timed out at the clamped
+    # timestamp); user 1's day-10 single-event session closed too
+    assert got.get((2, 2)) == 4.0
+    assert got.get((1, 1)) == 1.0
+
+
 def test_enrich_stream_matches_batch(spark, tmp_path):
     """Stream-static broadcast enrichment: per-micro-batch join against
     a static dimension equals the batch join, and unmatched keys
