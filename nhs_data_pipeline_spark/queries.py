@@ -1343,6 +1343,40 @@ def embed_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
 
 
+@query(
+    "embed_topk_auto",
+    """
+    SELECT query_id, neighbor_id, rank, ROUND(cosine, 6) AS cosine FROM (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])) AS cosine
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+      )
+    ) WHERE rank <= 5
+    """,
+)
+def embed_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k through the ``choose_topk`` dispatcher: path picked from
+    the measured |Q| x |C| pair-count crossover (SCALE.md). At gate
+    scale the pair count sits under the 2M budget, so the dispatcher
+    provably selects the exact brute-force plan and the oracle is the
+    exact cosine top-k; above budget it switches to the bucketed paths
+    (dispatch tested on both sides in tests/test_llm.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    report: dict = {}
+    out = sim.choose_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, report=report
+    )
+    assert report["path"] == "brute_force", report  # gate-scale invariant
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
 @query("embed_topk_lsh")  # approximate: rows-only check (recall tested in tests)
 def embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN (16 bits, 4 bands) re-ranked by exact
