@@ -865,3 +865,71 @@ def semantic_dedup(
     return base.join(dropped, "__id", "left_anti").select(
         F.col("__id").alias(id_col), F.col("__cell").alias("cell")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    val_fraction: float = 0.1,
+    salt: str = "split",
+    pairs: DataFrame | None = None,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Deterministic train/val split with near-duplicate leakage repair
+    — the eval-integrity op of a training pipeline: a val document
+    whose near-duplicate sits in train leaks the answer into training,
+    silently inflating eval scores.
+
+    Mechanics: every doc gets the portable md5-bucket split decision
+    (``ops.sampling.hash_bucket`` — key-stable, engine-portable, no
+    RNG state), then near-dup CLUSTERS are made split-coherent: a
+    connected component of the near-dup graph (``pairs`` if given,
+    else portable-mode ``minhash_lsh_pairs`` over ``df``) goes to val
+    ONLY if every member was assigned val; otherwise the whole
+    component goes to train. Component-level repair is required — the
+    obvious one-hop rule (move leaky val docs to train) creates NEW
+    leaks between a moved doc and its still-val neighbors, while a
+    component can never straddle the split by construction.
+
+    Scale shape: the split decision is a codegen'd scalar, the pair
+    graph is the bounded LSH self-join, components are the O(diameter)
+    label-propagation loop, and the repair is one tiny per-component
+    aggregate joined back — nothing new shuffles document text.
+
+    Returns ``(id_col, split, reassigned)`` where ``reassigned`` marks
+    docs assigned val but repaired into train (leak-driven moves).
+    """
+    from nhs_data_pipeline_spark.ops.sampling import _BUCKETS, hash_bucket
+
+    threshold = int(val_fraction * _BUCKETS)
+    assigned = df.select(
+        F.col(id_col),
+        (hash_bucket(id_col, salt) < F.lit(threshold)).alias("__val"),
+    )
+    if pairs is None:
+        pairs = minhash_lsh_pairs(
+            df.select(id_col, text_col),
+            text_col=text_col,
+            id_col=id_col,
+            **lsh_kwargs,
+        )
+    cc = connected_components(pairs, nodes=df, id_col=id_col).select(
+        F.col("id").alias(id_col), "component"
+    )
+    labeled = assigned.join(cc, id_col)
+    comp = labeled.groupBy("component").agg(
+        F.min(F.col("__val").cast("int")).alias("__all_val")
+    )
+    return (
+        labeled.join(comp, "component")
+        .select(
+            F.col(id_col),
+            F.when(F.col("__all_val") == 1, F.lit("val"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+            (F.col("__val") & (F.col("__all_val") == 0))
+            .cast("int")
+            .alias("reassigned"),
+        )
+    )

@@ -1208,11 +1208,13 @@ def _hex60_sql(x: str) -> str:
     )
 
 
-def _minhash_portable_oracle() -> str:
-    """Full DuckDB replica of the portable-mode MinHash-LSH pipeline:
-    base-259 polynomial shingle encoding, seeded universal-hash
-    sampling, and the 64 signature coefficients inlined as literals
-    (same trick as the hyperplane-LSH oracles)."""
+def _minhash_chain_sql(source_sql: str) -> str:
+    """CTE chain (norm -> ... -> bands) replicating the portable-mode
+    MinHash-LSH pipeline over ``source_sql`` (any SELECT producing
+    (doc_id, text)): base-259 polynomial shingle encoding, seeded
+    universal-hash sampling, the 64 signature coefficients inlined as
+    literals. Composed by the pair oracle and the leakage-safe-split
+    oracle."""
     p = dd._MERSENNE
     coeffs = dd.minhash_coeffs(65, 42)
     a_s, b_s = coeffs[64]
@@ -1226,13 +1228,7 @@ def _minhash_portable_oracle() -> str:
         for b in range(8)
     )
     poly = dd._poly_shingle_sql("s5", "1", 5)
-    return f"""
-    WITH un AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + 200000, text FROM documents
-    ),
-    norm AS (SELECT doc_id, {_NORM_SQL} AS n FROM un),
+    return f"""norm AS (SELECT doc_id, {_NORM_SQL} AS n FROM ({source_sql})),
     pos AS (
       SELECT doc_id, n, unnest(range(1, greatest(length(n) - 4, 1) + 1)) AS i
       FROM norm
@@ -1246,7 +1242,21 @@ def _minhash_portable_oracle() -> str:
             FROM hs GROUP BY doc_id),
     bands AS (
       {band_selects}
+    )"""
+
+
+def _minhash_portable_oracle() -> str:
+    """Full DuckDB replica of the portable-mode MinHash-LSH pipeline:
+    base-259 polynomial shingle encoding, seeded universal-hash
+    sampling, and the 64 signature coefficients inlined as literals
+    (same trick as the hyperplane-LSH oracles)."""
+    chain = _minhash_chain_sql(
+        """SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 200000, text FROM documents"""
     )
+    return f"""
+    WITH {chain}
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_bands
     FROM bands a JOIN bands b
       ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
@@ -1267,6 +1277,70 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs(
         oc.union_by_name([d.select("doc_id", "text"), near]), hash_fn="portable"
     )
+
+
+def _leakage_split_oracle(val_fraction: float = 0.1, salt: str = "split") -> str:
+    """Full DuckDB replica of leakage_safe_split: md5-bucket split
+    decision + the portable minhash edge chain + recursive-CTE
+    connected components + the all-val component rule."""
+    threshold = int(val_fraction * (1 << 32))
+    chain = _minhash_chain_sql("SELECT doc_id, text FROM documents")
+    return f"""
+    WITH RECURSIVE {chain},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.d AS id, reach.r FROM reach JOIN edges e ON e.s = reach.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+    assigned AS (
+      SELECT doc_id,
+             CASE WHEN CAST(('0x' || substring(
+                 md5(CAST(doc_id AS VARCHAR) || ':{salt}'), 1, 8)) AS BIGINT)
+               < {threshold} THEN 1 ELSE 0 END AS is_val
+      FROM documents
+    ),
+    comp_rule AS (
+      SELECT c.component, MIN(a.is_val) AS all_val
+      FROM comp c JOIN assigned a USING (doc_id)
+      GROUP BY c.component
+    )
+    SELECT a.doc_id,
+           CASE WHEN r.all_val = 1 THEN 'val' ELSE 'train' END AS split,
+           CASE WHEN a.is_val = 1 AND r.all_val = 0 THEN 1 ELSE 0 END
+             AS reassigned
+    FROM assigned a
+    JOIN comp c USING (doc_id)
+    JOIN comp_rule r USING (component)
+    """
+
+
+@query("sample_split_leakage_safe", _leakage_split_oracle())
+def sample_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split: deterministic md5-bucket
+    assignment repaired at near-dup-CLUSTER granularity (a component
+    goes to val only if every member was assigned val), so no
+    minhash near-duplicate pair ever straddles the split — the
+    eval-integrity guarantee of a training pipeline. The oracle
+    replays the split hash, the full portable minhash chain, and the
+    components via a recursive CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dd.leakage_safe_split(
+        docs, "text", "doc_id", val_fraction=0.1, salt="split",
+        hash_fn="portable",
+    )
+    return out.select("doc_id", "split", "reassigned")
 
 
 def _simhash_fp_chain(source: str) -> str:

@@ -58,6 +58,72 @@ def test_minhash_portable_mode_finds_near_dups(spark):
     assert (1, 4) not in got and (3, 4) not in got
 
 
+def test_leakage_safe_split_no_straddling_pairs(spark):
+    """The eval-integrity guarantee: after repair, NO near-dup pair
+    straddles train/val; repair is component-granular (a val doc whose
+    only near-dup link is another val doc stays val); reassigned flags
+    exactly the val->train moves."""
+    import itertools
+
+    # 40 docs: 10 near-dup triples would be too uniform — build pairs
+    # (2i, 2i+1) of near-dups plus 8 singletons, so components are
+    # known exactly
+    base = (
+        "the quick brown fox jumps over the lazy dog while the spark "
+        "engine shuffles partitions across the cluster nodes %d"
+    )
+    rows = []
+    for i in range(16):
+        rows.append((2 * i, base % i))
+        rows.append((2 * i + 1, (base % i).replace("quick", "rapid")))
+    for j in range(8):
+        rows.append(
+            (100 + j, f"completely unrelated document number {j} about "
+                      f"oracle gates duckdb recursion and fiscal years")
+        )
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    out = dd.leakage_safe_split(
+        docs, val_fraction=0.3, salt="t", hash_fn="portable"
+    )
+    split = {r.doc_id: (r.split, r.reassigned) for r in out.collect()}
+    assert set(split) == {r[0] for r in rows}
+
+    pairs = dd.minhash_lsh_pairs(docs, hash_fn="portable")
+    got_pairs = [(r.id_a, r.id_b) for r in pairs.collect()]
+    assert got_pairs  # fixture must actually produce near-dup pairs
+    for a, b in got_pairs:
+        assert split[a][0] == split[b][0], (a, b, split[a], split[b])
+
+    # component rule vs the raw assignment, recomputed independently
+    from nhs_data_pipeline_spark.ops.sampling import _BUCKETS, hash_bucket
+
+    thr = int(0.3 * _BUCKETS)
+    assigned = {
+        r.doc_id: r.v
+        for r in docs.select(
+            "doc_id", (hash_bucket("doc_id", "t") < F.lit(thr)).alias("v")
+        ).collect()
+    }
+    # union-find over the observed pairs
+    parent = {d: d for d, _ in rows}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in got_pairs:
+        parent[find(a)] = find(b)
+    comps: dict = {}
+    for d, _ in rows:
+        comps.setdefault(find(d), []).append(d)
+    for members in comps.values():
+        want = "val" if all(assigned[m] for m in members) else "train"
+        for m in members:
+            assert split[m][0] == want, (m, members)
+            assert split[m][1] == int(assigned[m] and want == "train")
+
+
 def test_simhash_md5_mode(spark):
     """md5 (portable) simhash: identical text -> identical fingerprint,
     near-dup close, unrelated far — same contract as xxhash64 mode."""
