@@ -253,3 +253,23 @@ def test_content_fingerprint_single_scan_partial_agg(spark):
     assert len(scans) == 1, (scans, p[:2000])
     assert "partial_bit_xor" in p, p[:2000]
     assert "Join" not in p and "Window" not in p, p[:2000]
+
+
+def test_driver_window_contract():
+    """The driver hashes the FIRST 50 registry entries: the pinned
+    window must be exactly 50 resolvable names, iteration order must
+    honor it, every window entry must carry a SQL oracle, and the
+    flagship composites must sit inside it (r04 rotation)."""
+    from nhs_data_pipeline_spark.queries import DRIVER_WINDOW, ORACLES, QUERIES
+
+    assert len(DRIVER_WINDOW) == 50
+    assert len(set(DRIVER_WINDOW)) == 50
+    assert list(QUERIES)[:50] == DRIVER_WINDOW
+    missing_oracles = [n for n in DRIVER_WINDOW if n not in ORACLES]
+    assert not missing_oracles, missing_oracles
+    for flagship in [
+        "merge_upsert_customers", "scd2_point_in_time",
+        "entity_resolve_suppliers", "shuffle_training_order",
+        "curate_mixture_v2", "orgchange_adjust_panel",
+    ]:
+        assert flagship in DRIVER_WINDOW, flagship
