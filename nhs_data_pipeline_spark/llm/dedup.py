@@ -914,7 +914,14 @@ def leakage_safe_split(
             id_col=id_col,
             **lsh_kwargs,
         )
-    cc = connected_components(pairs, nodes=df, id_col=id_col).select(
+    # star variant, not min-label propagation: the repair must be
+    # correct on ANY component shape, and a chained near-dup family
+    # (incrementally edited boilerplate) can have diameter > the
+    # propagation loop's round budget — unconverged labels would emit
+    # exactly the straddling pairs this op exists to prevent. The
+    # large-star/small-star rewrite converges in O(log n) rounds on
+    # any graph.
+    cc = connected_components_star(pairs, nodes=df, id_col=id_col).select(
         F.col("id").alias(id_col), "component"
     )
     labeled = assigned.join(cc, id_col)

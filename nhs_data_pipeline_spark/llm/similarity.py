@@ -301,26 +301,48 @@ def choose_topk(
     skip the counting scans when the caller already knows the sizes
     (at 100 TB the catalog does). ``report`` (optional dict) receives
     {path, n_queries, n_corpus, est_pairs} for observability.
-    Extra kwargs pass through to the chosen implementation.
+    Extra kwargs are tuning knobs for the bucketed paths
+    (num_bits/bands/dim/seed for LSH, n_centroids/n_probe/seed for
+    IVF); each path receives only the knobs it understands, so a
+    caller tuned for corpus scale still gracefully gets the exact
+    plan when a small run lands under the budget — unknown names
+    raise immediately (typo protection).
     """
+    import inspect
+
+    known = {
+        name
+        for fn in (brute_force_topk, lsh_topk, ivf_topk)
+        for name in inspect.signature(fn).parameters
+    } - {"queries", "corpus", "k", "id_col", "vec_col", "centroids"}
+    unknown = set(path_kwargs) - known
+    if unknown:
+        raise TypeError(f"choose_topk: unknown kwargs {sorted(unknown)}")
+
+    def _for(fn):
+        sig = inspect.signature(fn).parameters
+        return {k_: v for k_, v in path_kwargs.items() if k_ in sig}
+
     nq = n_queries if n_queries is not None else queries.count()
     nc = n_corpus if n_corpus is not None else corpus.count()
     est_pairs = nq * nc
     if est_pairs <= pairs_budget:
         path = "brute_force"
         out = brute_force_topk(
-            queries, corpus, k=k, id_col=id_col, vec_col=vec_col, **path_kwargs
+            queries, corpus, k=k, id_col=id_col, vec_col=vec_col,
+            **_for(brute_force_topk),
         )
     elif centroids is not None:
         path = "ivf"
         out = ivf_topk(
             queries, corpus, k=k, id_col=id_col, vec_col=vec_col,
-            centroids=centroids, **path_kwargs,
+            centroids=centroids, **_for(ivf_topk),
         )
     else:
         path = "lsh"
         out = lsh_topk(
-            queries, corpus, k=k, id_col=id_col, vec_col=vec_col, **path_kwargs
+            queries, corpus, k=k, id_col=id_col, vec_col=vec_col,
+            **_for(lsh_topk),
         )
     if report is not None:
         report.update(

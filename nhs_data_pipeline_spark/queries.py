@@ -1434,18 +1434,21 @@ def embed_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embed_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k through the ``choose_topk`` dispatcher: path picked from
-    the measured |Q| x |C| pair-count crossover (SCALE.md). At gate
-    scale the pair count sits under the 2M budget, so the dispatcher
-    provably selects the exact brute-force plan and the oracle is the
-    exact cosine top-k; above budget it switches to the bucketed paths
-    (dispatch tested on both sides in tests/test_llm.py)."""
+    """Top-k through the ``choose_topk`` dispatcher. The pair budget is
+    pinned far above any plausible gate corpus so the chosen path — and
+    therefore the oracle — is the exact brute-force top-k at EVERY sf
+    the driver might regenerate (an implicit default budget would flip
+    the path, and the oracle's validity, past 200k vectors — exactly
+    the magnitude-coupled-constant class CLAUDE.md flags). Crossover
+    dispatch behavior is exercised on both sides of the boundary in
+    tests/test_llm.py."""
     emb = _t(spark, sf_dir, "embeddings")
     report: dict = {}
     out = sim.choose_topk(
-        emb.filter(F.col("vec_id") < 10), emb, k=5, report=report
+        emb.filter(F.col("vec_id") < 10), emb, k=5,
+        pairs_budget=1 << 60, report=report,
     )
-    assert report["path"] == "brute_force", report  # gate-scale invariant
+    assert report["path"] == "brute_force", report  # wiring check
     return out.select(
         "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
     )

@@ -21,6 +21,27 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _stream_identity(checkpoint: str) -> str:
+    """Stable identity of a streaming query: the query id Spark pins in
+    the checkpoint's ``metadata`` file (survives restarts AND moving/
+    copying the checkpoint — it IS the stream; the runId changes per
+    restart). Falls back to the checkpoint path before the metadata
+    file exists."""
+    import json
+    import os
+
+    path = checkpoint
+    for prefix in ("file://", "file:"):
+        if path.startswith(prefix):
+            path = path[len(prefix):]
+            break
+    try:
+        with open(os.path.join(path, "metadata")) as fh:
+            return str(json.load(fh)["id"])
+    except (OSError, ValueError, KeyError):
+        return checkpoint
+
+
 def _read_store_or_none(spark: SparkSession, path: str) -> DataFrame | None:
     """Read a parquet state store, returning None ONLY when the path
     doesn't exist yet (first batch). Any other failure — corrupt
@@ -242,10 +263,22 @@ def fingerprint_stream_into_store(
     so a crash after the store swap but before the checkpoint commit
     replays the batch — and a replayed XOR would CANCEL the batch's
     fingerprint contribution and double-count n_rows. The store
-    therefore carries the last applied ``last_batch_id``; a replayed
-    batch (batch_id <= stored id) is skipped, making the merge
-    idempotent under replay (single-writer assumption, same as any
-    foreachBatch parquet sink here).
+    therefore carries the last applied ``last_batch_id`` plus a
+    ``stream_key`` (the query id Spark pins in the checkpoint's
+    metadata — stable across restarts and checkpoint moves): a batch
+    is skipped as a replay only when BOTH the key matches and
+    batch_id <= the stored id. Keying on the stream matters because
+    foreachBatch batch ids are only monotonic within one checkpoint —
+    a fresh checkpoint over a new source pointed at the same store
+    restarts at 0, and an unkeyed guard would silently drop its first
+    batches as "replays".
+
+    The swap is rename-based (write tmp -> store aside to .old ->
+    tmp into place -> drop .old) and the reader falls back to ``.old``
+    when the store path is mid-swap missing, so a crash at any point
+    leaves a readable pre-batch store and the replayed batch applies
+    cleanly (single-writer assumption, same as any foreachBatch
+    parquet sink here).
 
     Returns the started StreamingQuery (availableNow trigger).
     """
@@ -253,12 +286,23 @@ def fingerprint_stream_into_store(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        stream_key = _stream_identity(checkpoint)
         old = _read_store_or_none(spark, store_path)
+        if old is None:
+            # mid-swap crash window: the store was renamed aside but the
+            # new version never landed — recover from the .old copy
+            old = _read_store_or_none(spark, store_path.rstrip("/") + ".old")
         if old is not None and "last_batch_id" in old.columns:
+            key_row = (
+                old.select("stream_key").first()
+                if "stream_key" in old.columns
+                else None
+            )
+            same_stream = key_row is not None and key_row[0] == stream_key
             applied = old.agg(F.max("last_batch_id")).first()[0]
-            if applied is not None and batch_id <= applied:
+            if same_stream and applied is not None and batch_id <= applied:
                 return  # replayed batch: already folded into the store
-            old = old.drop("last_batch_id")
+            old = old.drop("last_batch_id", "stream_key")
         batch_fp = content_fingerprint(batch_df, cols, group_by=group_by)
         if old is None:
             merged = batch_fp
@@ -289,13 +333,27 @@ def fingerprint_stream_into_store(
                     ).alias("content_fingerprint"),
                 )
             )
-        tmp = store_path.rstrip("/") + f".batch{batch_id}"
-        merged = merged.withColumn("last_batch_id", F.lit(batch_id))
-        merged.write.mode("overwrite").parquet(tmp)
+        import os
         import shutil
 
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(store_path)
-        shutil.rmtree(tmp, ignore_errors=True)
+        base = store_path.rstrip("/")
+        tmp, bak = base + f".batch{batch_id}", base + ".old"
+        merged = merged.withColumn(
+            "last_batch_id", F.lit(batch_id)
+        ).withColumn("stream_key", F.lit(stream_key))
+        shutil.rmtree(tmp, ignore_errors=True)  # leftover from a crash
+        merged.write.mode("overwrite").parquet(tmp)
+        # Rename-based swap: a plain overwrite-in-place deletes the old
+        # files first, so a crash mid-write leaves NO readable store and
+        # the next run would silently treat it as the first batch. With
+        # renames, every crash point leaves either the old store (at
+        # base or .old — the reader checks both) or the fully-written
+        # new one.
+        shutil.rmtree(bak, ignore_errors=True)
+        if os.path.exists(base):
+            os.rename(base, bak)
+        os.rename(tmp, base)
+        shutil.rmtree(bak, ignore_errors=True)
 
     return (
         rows.writeStream.foreachBatch(_process)

@@ -44,7 +44,16 @@ def sessionize_stream(
 
     Emits CLOSED sessions only (a session closes when a later event
     arrives past the gap, or the state times out). Requires a watermark
-    on ``ts_col`` upstream for event-time timeout."""
+    on ``ts_col`` upstream for event-time timeout.
+
+    Late-data semantics (standard stateful-streaming contract): events
+    below the current watermark are dropped — Spark does not pre-filter
+    late rows for this operator, and folding them in would rewind open
+    sessions (end < start) or resurrect closed ones. Above-watermark
+    stragglers that land inside an open session's span fold into its
+    stats without rewinding the session clock. The batch twin sees all
+    rows, so stream == batch holds exactly for data delivered in
+    watermark order (the equivalence test's shape)."""
     gap_us = gap_seconds * 1_000_000
 
     def fold(
@@ -63,8 +72,23 @@ def sessionize_stream(
             state.remove()
         else:
             rows = pd.concat(list(pdfs)).sort_values(ts_col)
+            # Watermark contract: events below the watermark are DROPPED
+            # (standard stateful-streaming semantics — Spark does NOT
+            # pre-filter late rows for applyInPandasWithState, so an
+            # unfiltered late event would merge backward into a LATER
+            # session, rewinding `last` and emitting end < start).
+            wm_us = state.getCurrentWatermarkMs() * 1000
             for ts, val in zip(rows[ts_col], rows[value_col]):
                 t = int(ts.value // 1000)  # pandas ns -> us
+                if t < wm_us:
+                    continue  # late beyond watermark: dropped
+                if last is not None and t <= last:
+                    # above-watermark straggler inside the open session's
+                    # span: fold it in without rewinding the session clock
+                    start = t if t < start else start
+                    n += 1
+                    vsum += float(val) if val == val else 0.0
+                    continue
                 if last is not None and t - last > gap_us:
                     closed.append((user, start, last, n, vsum))
                     start, n, vsum = t, 0, 0.0
@@ -73,6 +97,10 @@ def sessionize_stream(
                 last = t
                 n += 1
                 vsum += float(val) if val == val else 0.0
+            if last is None:
+                # no prior state and every row late-dropped: nothing to
+                # track (and nothing can have closed)
+                return
             state.update((start, last, n, vsum))
             # Late (below-watermark) events can make last+gap land BEHIND
             # the current watermark — setTimeoutTimestamp then throws

@@ -531,6 +531,23 @@ def test_choose_topk_dispatcher_both_sides_of_crossover(spark):
         (r.query_id, r.neighbor_id, r.rank) for r in sized.collect()
     } == exact
 
+    # bucketed-path tuning kwargs must NOT crash the exact path: a
+    # caller tuned for corpus scale still gets brute force gracefully
+    # when a small run lands under the budget
+    rep = {}
+    tuned = sim.choose_topk(
+        q, df, k=5, num_bits=16, bands=8, dim=16, n_probe=4, report=rep
+    )
+    assert rep["path"] == "brute_force"
+    assert {
+        (r.query_id, r.neighbor_id, r.rank) for r in tuned.collect()
+    } == exact
+    # ...but typos still raise
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="unknown kwargs"):
+        sim.choose_topk(q, df, k=5, nmu_bits=16)
+
 
 def test_ivf_topk_recall(spark):
     df, vecs = _emb(spark, n=200, dim=16, seed=5)

@@ -196,11 +196,11 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
 
 def test_sessionize_stream_survives_late_batches(spark, tmp_path):
     """A later micro-batch carrying BELOW-WATERMARK events must not
-    kill the query: last+gap can land behind the watermark, and an
-    unclamped setTimeoutTimestamp raises INVALID_TIMEOUT_TIMESTAMP
-    (hit on multi-file availableNow replay, where file order is not
-    time order). The late user's stale session must still emit via
-    timeout rather than being lost."""
+    kill the query (unclamped setTimeoutTimestamp raised
+    INVALID_TIMEOUT_TIMESTAMP on multi-file availableNow replay, where
+    file order is not time order) and must not corrupt open sessions:
+    late rows are DROPPED per the watermark contract — folding them in
+    would rewind an open session's clock and emit end < start."""
     import datetime
 
     from nhs_data_pipeline_spark.streaming.sessionize import (
@@ -213,11 +213,12 @@ def test_sessionize_stream_survives_late_batches(spark, tmp_path):
         "ts timestamp, user_id long, value double",
     )
     # batch 2: user 2's events are 10 days BEHIND the watermark batch 1
-    # advanced to (minus the 0s delay)
+    # advanced to (minus the 0s delay); user 1 gets one too
     ev2 = spark.createDataFrame(
         [
             (base, 2, 2.0),
             (base + datetime.timedelta(minutes=5), 2, 2.0),
+            (base, 1, 9.0),  # late for a user WITH an open session
             # sentinel far-future event closes everything
             (base + datetime.timedelta(days=30), 1, 0.0),
         ],
@@ -232,14 +233,16 @@ def test_sessionize_stream_survives_late_batches(spark, tmp_path):
         stream.withWatermark("ts", "0 seconds"), gap_seconds=1800
     )
     run_stream_to_memory(sessions, "late_sessions", output_mode="append")
+    rows = spark.table("late_sessions").collect()
     got = {
-        (r.user_id, r.n_events): r.value_sum
-        for r in spark.table("late_sessions").collect()
+        (r.user_id, r.n_events): r.value_sum for r in rows
     }
-    # user 2's late 2-event session emitted (timed out at the clamped
-    # timestamp); user 1's day-10 single-event session closed too
-    assert got.get((2, 2)) == 4.0
+    # user 1's day-10 session closed by the sentinel, UNPOLLUTED by the
+    # dropped late event (n=1, sum=1.0, no end < start anywhere)
     assert got.get((1, 1)) == 1.0
+    assert all(r.session_end >= r.session_start for r in rows), rows
+    # user 2's below-watermark events were dropped entirely
+    assert not any(r.user_id == 2 for r in rows), rows
 
 
 def test_enrich_stream_matches_batch(spark, tmp_path):
@@ -379,15 +382,37 @@ def test_fingerprint_stream_matches_batch(spark, tmp_path):
     }
     assert got == want and set(got) == {"a", "b", "c"}
 
-    # Replay idempotency: foreachBatch is at-least-once — re-delivering
-    # the same batches (fresh checkpoint, same store) must NOT change
-    # the store. An unguarded XOR merge would CANCEL each batch's
-    # contribution and double-count n_rows; the last_batch_id guard
-    # skips already-applied batches.
+    # Replay idempotency: foreachBatch is at-least-once. Simulate the
+    # real crash window — store swapped but checkpoint commit lost — by
+    # cloning the checkpoint (same pinned query id = same stream; a
+    # fresh dir sidesteps Spark's same-JVM commit-log cache) with the
+    # newest commit marker removed: the last batch is re-delivered with
+    # the same batch_id. An unguarded XOR merge would CANCEL that
+    # batch's contribution and double-count n_rows; the
+    # (stream_key, last_batch_id) guard skips it.
+    import os
+    import shutil as _sh
+
+    q.stop()
+    ckpt = tmp_path / "fp_ckpt"
+    replay_ckpt = tmp_path / "fp_ckpt_replayed"
+    _sh.copytree(ckpt, replay_ckpt)
+    commits = sorted(
+        p
+        for p in (replay_ckpt / "commits").iterdir()
+        if not p.name.startswith(".")
+    )
+    os.remove(commits[-1])
+    # drop the stale checksum twin too — a leftover .N.crc makes the
+    # local filesystem's atomic re-create throw FileAlreadyExists,
+    # which Spark misreports as a concurrent query on the checkpoint
+    crc = commits[-1].parent / f".{commits[-1].name}.crc"
+    if crc.exists():
+        os.remove(crc)
     q2 = fingerprint_stream_into_store(
         stream_files(spark, src, schema, max_files_per_trigger=1),
         store,
-        checkpoint=str(tmp_path / "fp_ckpt_replay"),
+        checkpoint=str(replay_ckpt),
         cols=["doc_id", "text"],
         group_by=["src"],
     )
@@ -397,3 +422,24 @@ def test_fingerprint_stream_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(store).collect()
     }
     assert replayed == want
+
+    # A FRESH checkpoint over the same store is a NEW stream, not a
+    # replay (batch ids restart at 0 legitimately): its batches must
+    # APPLY, not be skipped — an unkeyed batch-id guard would silently
+    # drop them as replays. Re-delivering identical data doubles every
+    # group's n_rows and XOR-cancels the fingerprints to 0.
+    q3 = fingerprint_stream_into_store(
+        stream_files(spark, src, schema, max_files_per_trigger=1),
+        store,
+        checkpoint=str(tmp_path / "fp_ckpt_new_stream"),
+        cols=["doc_id", "text"],
+        group_by=["src"],
+    )
+    q3.awaitTermination()
+    doubled = {
+        r["src"]: (r["n_rows"], r["content_fingerprint"])
+        for r in spark.read.parquet(store).collect()
+    }
+    assert doubled == {
+        s: (2 * n, 0) for s, (n, _) in want.items()
+    }

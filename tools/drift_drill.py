@@ -55,7 +55,11 @@ def main() -> int:
                 shutil.copy(f, tmp / f.name)
         print(f"drifted copy at {tmp}: events.ts->ns, order/ship dates->DATE")
         rc = subprocess.call(
-            [sys.executable, "tools/check_oracle.py", str(tmp)]
+            [
+                sys.executable,
+                str(Path(__file__).resolve().parent / "check_oracle.py"),
+                str(tmp),
+            ]
         )
         return rc
     finally:
