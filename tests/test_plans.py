@@ -273,3 +273,54 @@ def test_driver_window_contract():
         "curate_mixture_v2", "orgchange_adjust_panel",
     ]:
         assert flagship in DRIVER_WINDOW, flagship
+
+
+def test_registry_wide_plan_hygiene(spark, sf_dir):
+    """EVERY registered query's physical plan, scanned for scale
+    anti-patterns (the per-query tests above pin ~25 headline shapes;
+    this closes the gap for the rest of the registry):
+
+    - CartesianProduct: never, anywhere.
+    - BatchEvalPython (row-at-a-time Python UDF): never — all Python
+      crossings must be Arrow-vectorized.
+    - SortMergeJoin / BroadcastNestedLoopJoin: only in the audited
+      whitelist below, where the shape is the correct plan. A new
+      query that introduces either gets caught here and must be
+      audited (then whitelisted) or fixed.
+    """
+    from pyspark.errors import PySparkException
+
+    from nhs_data_pipeline_spark.queries import QUERIES
+
+    # audited: fact-fact / full-outer joins where SMJ is the right (or
+    # only legal) plan — full outer cannot broadcast; component loops
+    # and within-cell dedup self-join large sides
+    smj_ok = {
+        "q7_volume_shipping", "merge_upsert_customers",
+        "sample_split_leakage_safe", "dedup_components_star",
+        "dedup_semantic_cells", "snapshot_diff_customers",
+    }
+    # audited: broadcast one-row scalar aggregates (cross joins) and
+    # the broadcast-query-side != join of exact top-k
+    bnlj_ok = {
+        "embed_topk_bruteforce", "embed_topk_auto", "q22_dormant_accounts",
+        "q11_important_part_value", "text_tfidf_keywords",
+        "sample_temperature", "ts_gap_fill_interpolate",
+    }
+    explain_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    violations = []
+    for name, fn in QUERIES.items():
+        plan = (
+            fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .explainString(explain_mode.fromString("formatted"))
+        )
+        if "CartesianProduct" in plan:
+            violations.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            violations.append((name, "BatchEvalPython (row-at-a-time UDF)"))
+        if "SortMergeJoin" in plan and name not in smj_ok:
+            violations.append((name, "unaudited SortMergeJoin"))
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
+            violations.append((name, "unaudited BroadcastNestedLoopJoin"))
+    assert not violations, violations
