@@ -1,0 +1,176 @@
+"""Span-level (substring) exact deduplication over a document corpus.
+
+Document-level dedup (``llm/dedup.py``) removes whole near-identical
+documents; *span-level* dedup finds runs of >= k consecutive tokens
+that are repeated verbatim anywhere else in the corpus — the
+"ExactSubstr" signal of Lee et al. 2021 (*Deduplicating Training Data
+Makes Language Models Better*), which that paper implements with a
+suffix array. A distributed suffix array is the wrong tool on Spark;
+the same signal falls out of a token-k-gram fingerprint join:
+
+1. tokenize each document (whitespace-normalized),
+2. emit every k-token window as ``(doc_id, pos, md5(window))``,
+3. a window is *duplicated* iff its fingerprint occurs more than once
+   corpus-wide (same doc or another doc),
+4. per document, union the duplicated windows' token intervals
+   ``[pos, pos+k)`` and report coverage.
+
+Scale design (100 TB)
+---------------------
+- The only shuffle after tokenization carries ``(fingerprint, doc_id,
+  pos)`` — never text. Window strings exist only inside the stage that
+  hashes them (project-after-explode, same whole-stage-codegen span).
+- Duplicate marking is one hash partition by fingerprint; coverage is
+  one window partitioned by ``doc_id``. Both keys are high-cardinality
+  (fingerprints near-unique; docs ~uniform), so no skew hot-spots —
+  a pathological corpus-wide repeated span lands its *fingerprint*
+  group on one reducer, but each group row is ~50 bytes.
+- Interval union exploits fixed window length: with positions sorted,
+  covered = sum(min(k, next_pos - pos)) — a single ``lead`` window,
+  no island re-aggregation pass.
+- md5 is used (vs xxhash64) so the fingerprint is engine-portable and
+  the whole operator replays as plain SQL in DuckDB for the oracle
+  gate. At 128 bits, corpus-scale collision probability is ~0 (a
+  64-bit truncation would need a verify pass at 100 TB; md5 does not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _token_spans(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (per-doc token counts, exploded k-token window table).
+
+    The window table has one row per window: ``(id, pos, __h)`` with
+    ``pos`` the 0-based token offset and ``__h`` the md5 of the
+    space-joined window. Documents shorter than k tokens emit no
+    windows (they cannot contain a duplicated span)."""
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(norm, " ").alias("__w"),
+    )
+    counts = toks.select("doc_id", F.size("__w").alias("n_tokens"))
+    spans = (
+        toks.filter(F.size("__w") >= k)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.size("__w") - k)).alias("pos"),
+            F.col("__w"),
+        )
+        # Projection runs post-explode inside the same codegen stage:
+        # the window string is hashed and dropped before any exchange.
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(F.array_join(F.expr(f"slice(__w, pos + 1, {k})"), " ")).alias("__h"),
+        )
+    )
+    return counts, spans
+
+
+def span_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Per-document duplicated-span statistics.
+
+    Output: one row per input document —
+    ``doc_id, n_tokens, dup_spans`` (number of k-token windows whose
+    exact text occurs >1 times corpus-wide), ``covered_tokens`` (size
+    of the union of those windows' token intervals) and ``dup_ratio``
+    (= covered/n_tokens; the fraction of the document that is verbatim
+    duplicated text — the quantity Lee et al. threshold on).
+
+    A training pipeline drops or trims documents with high
+    ``dup_ratio``; ``span_dedup_stats`` is the (cheap, distributed)
+    measurement stage.
+    """
+    counts, spans = _token_spans(df, text_col, id_col, k)
+
+    wh = Window.partitionBy("__h")
+    dup = (
+        spans.withColumn("__cnt", F.count("*").over(wh))
+        .filter(F.col("__cnt") > 1)
+        .select("doc_id", "pos")
+    )
+
+    # Fixed-length interval union: contribution of each duplicated
+    # window = min(k, gap to the next duplicated window start).
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    contrib = F.least(
+        F.lit(k), F.coalesce(F.lead("pos").over(wd) - F.col("pos"), F.lit(k))
+    )
+    per_doc = (
+        dup.withColumn("__c", contrib)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("dup_spans"),
+            F.sum("__c").alias("covered_tokens"),
+        )
+    )
+
+    return (
+        counts.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_spans", F.lit(0)).cast("bigint").alias("dup_spans"),
+            F.coalesce("covered_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("covered_tokens"),
+            # Exact-int operands + one correctly-rounded division:
+            # bit-identical across engines, no rounding needed.
+            (
+                F.coalesce("covered_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens")
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def span_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Cross-document duplicated-span evidence: for every k-token
+    window text shared by >= 2 *distinct* documents, one row per
+    unordered document pair sharing it, with the number of shared
+    window fingerprints.
+
+    Output: ``id_a < id_b, shared_spans`` — a direct "these two docs
+    share verbatim passages" edge list, complementary to MinHash (this
+    is exact containment evidence, not whole-doc similarity).
+
+    ``max_bucket`` guards the quadratic within a fingerprint group: a
+    boilerplate span occurring in m docs yields m*(m-1)/2 pairs; groups
+    larger than ``max_bucket`` distinct docs are dropped (they are
+    boilerplate, not duplication evidence — same guardrail philosophy
+    as the LSH candidate budget in ``llm/dedup.py``)."""
+    _, spans = _token_spans(df, text_col, id_col, k)
+    # One row per (fingerprint, doc): within-doc repeats collapse first
+    # so the self-join fans out on distinct docs only.
+    per_doc = spans.groupBy("__h", "doc_id").agg(F.count("*").alias("__m"))
+    wh = Window.partitionBy("__h")
+    bounded = (
+        per_doc.withColumn("__docs", F.count("*").over(wh))
+        .filter((F.col("__docs") >= 2) & (F.col("__docs") <= max_bucket))
+        .select("__h", "doc_id")
+    )
+    a = bounded.select(F.col("__h"), F.col("doc_id").alias("id_a"))
+    b = bounded.select(F.col("__h"), F.col("doc_id").alias("id_b"))
+    return (
+        a.join(b, "__h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_spans"))
+    )

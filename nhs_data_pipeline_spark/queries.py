@@ -32,6 +32,7 @@ from nhs_data_pipeline_spark.llm import similarity as sim
 from nhs_data_pipeline_spark.llm import text as tx
 from nhs_data_pipeline_spark.llm import quantize as qz
 from nhs_data_pipeline_spark.llm import multimodal as mm
+from nhs_data_pipeline_spark.llm import spans as sp
 from nhs_data_pipeline_spark.ops import analytics as oan
 from nhs_data_pipeline_spark.ops import binned as ob
 from nhs_data_pipeline_spark.ops import core as oc
@@ -4645,6 +4646,97 @@ def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merged.join(exact, "event_type").select(
         "event_type", "approx_users", "exact_users"
+    )
+
+
+def _span_cte_sql(k: int) -> str:
+    """Shared oracle CTE: every k-token window of each document as
+    ``(doc_id, pos, h)`` with the same whitespace normalization,
+    space-join and md5 fingerprint the engine uses (llm/spans.py).
+    DuckDB note: the scalar-list ``unnest(generate_series(...))`` form
+    accepts per-row bounds (the TABLE form binder-errors on them)."""
+    return f"""
+    toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    s0 AS (
+      SELECT doc_id, w, unnest(generate_series(0, len(w) - {k})) AS pos
+      FROM toks WHERE len(w) >= {k}
+    ),
+    spans AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             md5(array_to_string(list_slice(w, pos + 1, pos + {k}), ' ')) AS h
+      FROM s0
+    )
+    """
+
+
+@query(
+    "dedup_span_stats",
+    f"""
+    WITH {_span_cte_sql(8)},
+    dup AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS cnt FROM spans
+      ) WHERE cnt > 1
+    ),
+    contrib AS (
+      SELECT doc_id,
+             LEAST(8, COALESCE(
+               LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, 8)) AS c
+      FROM dup
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS dup_spans, SUM(c) AS covered_tokens
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(p.dup_spans, 0) AS BIGINT) AS dup_spans,
+           CAST(COALESCE(p.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+           CAST(COALESCE(p.covered_tokens, 0) AS DOUBLE) / len(t.w) AS dup_ratio
+    FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup measurement (Lee et al. 2021
+    "ExactSubstr" signal, re-expressed as a distributed k-gram
+    fingerprint join instead of a suffix array): per document, how many
+    8-token windows are verbatim repeats of text elsewhere in the
+    corpus, and what fraction of the document they cover. On this
+    synthetic corpus the positives are exactly the injected near-dup
+    replica docs. Shuffles carry (md5, doc_id, pos) only — never text."""
+    return sp.span_dedup_stats(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=8
+    )
+
+
+@query(
+    "dedup_span_pairs",
+    f"""
+    WITH {_span_cte_sql(8)},
+    per_doc AS (SELECT h, doc_id FROM spans GROUP BY h, doc_id),
+    bounded AS (
+      SELECT h, doc_id FROM (
+        SELECT h, doc_id, COUNT(*) OVER (PARTITION BY h) AS docs FROM per_doc
+      ) WHERE docs BETWEEN 2 AND 64
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_spans
+    FROM bounded a JOIN bounded b USING (h)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def dedup_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document verbatim-passage evidence: unordered doc pairs
+    sharing >= 1 exact 8-token window, with the count of shared window
+    fingerprints. Exact containment complement to MinHash similarity.
+    Fingerprint groups touching > 64 distinct docs are dropped before
+    the self-join (boilerplate guardrail — bounds the within-group
+    quadratic exactly like the LSH candidate budget)."""
+    return sp.span_dedup_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=8, max_bucket=64
     )
 
 

@@ -1,0 +1,122 @@
+"""Span-level exact-substring dedup (llm/spans.py)."""
+
+from pyspark.sql import functions as F
+
+from nhs_data_pipeline_spark.llm import spans as sp
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _stats(spark, rows, k=8):
+    out = sp.span_dedup_stats(_docs(spark, rows), "text", "doc_id", k=k)
+    return {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["dup_spans"],
+            r["covered_tokens"],
+            r["dup_ratio"],
+        )
+        for r in out.collect()
+    }
+
+
+def test_cross_doc_shared_window(spark):
+    got = _stats(
+        spark,
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "x x a b c d e f g h z"),
+            (3, "p1 p2 p3 p4 p5 p6 p7 p8 p9"),
+        ],
+    )
+    # "a b c d e f g h" occurs in doc 1 (pos 0) and doc 2 (pos 2).
+    assert got[1] == (10, 1, 8, 0.8)
+    assert got[2] == (11, 1, 8, 8 / 11)
+    assert got[3] == (9, 0, 0, 0.0)
+
+
+def test_within_doc_repeat_counts_as_duplicated(spark):
+    # The 8-token phrase repeats inside ONE doc: both occurrences are
+    # duplicated spans; adjacent intervals [0,8) and [8,16) union to 16.
+    got = _stats(spark, [(1, "p q r s t u v w p q r s t u v w")])
+    assert got[1] == (16, 2, 16, 1.0)
+
+
+def test_overlapping_windows_union_not_sum(spark):
+    # A shared 9-token run yields two overlapping windows (pos 0 and 1)
+    # covering 9 tokens, not 16.
+    got = _stats(
+        spark,
+        [(5, "m n o p q r s t u"), (6, "z m n o p q r s t u")],
+    )
+    assert got[5] == (9, 2, 9, 1.0)
+    assert got[6] == (10, 2, 9, 0.9)
+
+
+def test_short_docs_emit_no_spans(spark):
+    got = _stats(spark, [(1, "a b c"), (2, "a b c")], k=8)
+    # Identical docs but shorter than k: no windows, no duplication.
+    assert got[1] == (3, 0, 0, 0.0)
+    assert got[2] == (3, 0, 0, 0.0)
+
+
+def test_whitespace_normalization(spark):
+    got = _stats(
+        spark,
+        [(1, "  a  b c d e f g h  "), (2, "a b\tc d e f g h")],
+    )
+    # Both normalize to the same 8 tokens -> fully duplicated.
+    assert got[1] == (8, 1, 8, 1.0)
+    assert got[2] == (8, 1, 8, 1.0)
+
+
+def test_pairs_basic_and_shared_count(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "x x a b c d e f g h z"),
+            (5, "m n o p q r s t u"),
+            (6, "z2 m n o p q r s t u"),
+            (7, "q1 q2 q3 q4 q5 q6 q7 q8"),
+        ],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["shared_spans"]
+        for r in sp.span_dedup_pairs(df, "text", "doc_id", k=8).collect()
+    }
+    assert got == {(1, 2): 1, (5, 6): 2}
+
+
+def test_pairs_within_doc_repeat_is_not_a_pair(spark):
+    df = _docs(spark, [(1, "p q r s t u v w p q r s t u v w")])
+    assert sp.span_dedup_pairs(df, "text", "doc_id", k=8).count() == 0
+
+
+def test_pairs_boilerplate_bucket_guard(spark):
+    shared = "b1 b2 b3 b4 b5 b6 b7 b8"
+    df = _docs(
+        spark,
+        [(i, f"u{i} {shared}") for i in range(1, 4)]
+        + [(10, "v w x y zz aa bb cc")],
+    )
+    # 3 docs share the span; max_bucket=2 drops the whole group.
+    assert (
+        sp.span_dedup_pairs(df, "text", "doc_id", k=8, max_bucket=2).count()
+        == 0
+    )
+    # max_bucket=3 keeps it: C(3,2) pairs.
+    got = sp.span_dedup_pairs(df, "text", "doc_id", k=8, max_bucket=3)
+    assert got.count() == 3
+
+
+def test_stats_plan_no_text_in_shuffle(spark):
+    """The exchange after window hashing must carry fingerprints, not
+    document text: no plan node above the first exchange references the
+    text column."""
+    df = _docs(spark, [(1, "a b c d e f g h i j")])
+    plan = sp.span_dedup_stats(df, "text", "doc_id", k=8)._jdf.queryExecution().executedPlan().toString()
+    # The hash column exists and the join keys are doc_id/fingerprint.
+    assert "md5" in plan
