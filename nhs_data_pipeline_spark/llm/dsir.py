@@ -1,0 +1,175 @@
+"""DSIR-style hashed n-gram importance weighting for data selection.
+
+Data Selection via Importance Resampling (Xie et al. 2023, public
+NeurIPS paper) scores every raw-corpus document by how much its hashed
+bag-of-n-grams profile looks like a *target* domain versus the raw
+corpus: features are word uni+bigrams hashed into B buckets, each
+bucket gets a smoothed log-likelihood ratio
+``ln p_target(b) - ln p_raw(b)``, and a document's importance score is
+the count-weighted sum of its buckets' ratios. High-scoring documents
+are kept (resampled) to shift the training mixture toward the target.
+
+Spark-first shape (100 TB design)
+---------------------------------
+- Feature extraction is one explode projection; the only shuffled
+  payload is ``(doc_id, bucket int, count)`` — text never crosses an
+  exchange.
+- The bucket model (B rows, B ~ 1k-1M) is two tiny aggregates
+  broadcast back onto the feature table — no driver round-trip, no
+  collected model, so refitting on a new target is just re-running the
+  plan.
+- Everything is a Catalyst expression; scoring a 100 TB corpus is a
+  scan + one groupBy(doc) — embarrassingly parallel.
+
+Cross-engine determinism
+------------------------
+Floating-point sums over an unordered group are
+nondeterministic-by-order, so the score folds the per-bucket terms in
+*sorted bucket order* via ``aggregate`` over a sorted array — every
+engine performs the identical sequence of IEEE-754 adds and the score
+is bit-reproducible (same trick DuckDB replays with
+``list_reduce(list(...ORDER BY bucket))``). The only transcendental,
+``ln``, is rounded to 4 decimals per bucket before use.
+
+The feature hash is the engine-portable md5-prefix 60-bit integer
+(``llm/dedup._MD5_H60``), not xxhash64, so the bucket assignment —
+and therefore the whole model — replays exactly in any engine with
+``md5()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: md5-prefix 60-bit portable hash of a SQL string expression.
+_MD5_H60 = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
+
+
+def hashed_ngram_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """Explode each document into hashed word uni+bigram features:
+    one row per feature occurrence, ``(doc_id, bucket)`` plus any
+    ``carry`` columns (evaluated per document, pre-explode)."""
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in (carry or [])],
+        F.split(norm, " ").alias("__w"),
+    )
+    # Bigrams via element_at (1-based); the CASE guards Spark's
+    # backwards-stepping sequence(1, 0) on single-token docs.
+    feats = F.expr(
+        "concat(__w, CASE WHEN size(__w) > 1 THEN "
+        "transform(sequence(1, size(__w) - 1), "
+        "__bg -> concat(element_at(__w, __bg), ' ', element_at(__w, __bg + 1))) "
+        "ELSE cast(array() AS array<string>) END)"
+    )
+    return (
+        base.select("doc_id", *(carry or []), F.explode(feats).alias("__feat"))
+        .withColumn(
+            "bucket",
+            F.expr(f"pmod({_MD5_H60.format(x='__feat')}, {buckets})"),
+        )
+        .drop("__feat")
+    )
+
+
+def dsir_scores(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Importance score per document: ``(doc_id, dsir_score)``.
+
+    ``target`` is a boolean Column over ``df``'s rows selecting the
+    target-domain subset (e.g. ``F.col("source") == "src0"``); the raw
+    distribution is estimated from *all* rows. Bucket probabilities
+    use add-1 smoothing over the B buckets; ``dsir_score(d) =``
+    sum over d's buckets of ``count_d(b) * round(ln p_t(b) - ln p_r(b), 4)``
+    folded in bucket order (see module docstring).
+    """
+    feats = hashed_ngram_features(
+        df.withColumn("__tgt", target), text_col, id_col, buckets, carry=["__tgt"]
+    )
+    per_db = feats.groupBy("doc_id", "__tgt", "bucket").agg(
+        F.count("*").alias("c")
+    )
+
+    braw = per_db.groupBy("bucket").agg(F.sum("c").alias("r"))
+    btgt = (
+        per_db.filter(F.col("__tgt"))
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("t"))
+    )
+    tot = per_db.agg(F.sum("c").alias("__R"))
+    ttot = per_db.filter(F.col("__tgt")).agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("__T")
+    )
+
+    lls = (
+        braw.join(btgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ttot))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("t"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("__T") + F.lit(buckets))
+                )
+                - F.log(
+                    (F.col("r") + F.lit(1.0)) / (F.col("__R") + F.lit(buckets))
+                ),
+                4,
+            ).alias("ll_v"),
+        )
+    )
+
+    terms = per_db.join(F.broadcast(lls), "bucket").select(
+        "doc_id", "bucket", (F.col("c") * F.col("ll_v")).alias("term")
+    )
+    # Deterministic fold: sort by (unique-per-doc) bucket, then a left
+    # fold from 0.0 — the bitwise-reproducible sum.
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("bucket", "term"))).alias(
+                "__st"
+            )
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "aggregate(transform(__st, __s -> __s.term), "
+                "cast(0.0 as double), (__a, __x) -> __a + __x)"
+            ).alias("dsir_score"),
+        )
+    )
+
+
+def dsir_topk(
+    df: DataFrame,
+    target: Column,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic importance *selection*: the n highest-scoring
+    documents (score desc, doc_id asc tie-break). orderBy+limit
+    compiles to TakeOrderedAndProject — per-partition top-n then a
+    driver-side merge of n-row heads, never a single-partition global
+    sort."""
+    return (
+        dsir_scores(df, target, text_col, id_col, buckets)
+        .orderBy(F.col("dsir_score").desc(), F.col("doc_id"))
+        .limit(n)
+    )

@@ -33,6 +33,7 @@ from nhs_data_pipeline_spark.llm import text as tx
 from nhs_data_pipeline_spark.llm import quantize as qz
 from nhs_data_pipeline_spark.llm import multimodal as mm
 from nhs_data_pipeline_spark.llm import spans as sp
+from nhs_data_pipeline_spark.llm import dsir
 from nhs_data_pipeline_spark.ops import analytics as oan
 from nhs_data_pipeline_spark.ops import binned as ob
 from nhs_data_pipeline_spark.ops import core as oc
@@ -4737,6 +4738,70 @@ def dedup_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic exactly like the LSH candidate budget)."""
     return sp.span_dedup_pairs(
         _t(spark, sf_dir, "documents"), "text", "doc_id", k=8, max_bucket=64
+    )
+
+
+def _dsir_oracle_sql(buckets: int = 1024) -> str:
+    """Full SQL replay of dsir_scores with target = (source = 'src0'):
+    md5-prefix bucket hashing (exact hex fold), add-1 smoothed
+    log-likelihood ratios rounded to 4 decimals, and the per-doc score
+    folded in bucket order from a 0.0 seed — the same IEEE-754 add
+    sequence the engine's sorted-array aggregate performs, so the
+    doubles match bit-for-bit."""
+    h = _hex60_sql("feat")
+    return f"""
+    WITH base AS (
+      SELECT doc_id, (source = 'src0') AS tgt,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, tgt,
+             unnest(w || CASE WHEN len(w) > 1
+               THEN list_transform(range(1, len(w)),
+                                   __bg -> concat(w[__bg], ' ', w[__bg + 1]))
+               ELSE [] END) AS feat
+      FROM base
+    ),
+    hashed AS (SELECT doc_id, tgt, ({h}) % {buckets} AS bucket FROM feats),
+    per_db AS (
+      SELECT doc_id, tgt, bucket, COUNT(*) AS c FROM hashed
+      GROUP BY doc_id, tgt, bucket
+    ),
+    braw AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS r FROM per_db GROUP BY bucket),
+    btgt AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS t FROM per_db WHERE tgt GROUP BY bucket),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS rtot FROM per_db),
+    ttot AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS ttot FROM per_db WHERE tgt),
+    lls AS (
+      SELECT braw.bucket,
+             ROUND(ln((COALESCE(btgt.t, 0) + 1.0) / (ttot.ttot + {buckets}))
+                 - ln((braw.r + 1.0) / (tot.rtot + {buckets})), 4) AS ll_v
+      FROM braw LEFT JOIN btgt USING (bucket), tot, ttot
+    ),
+    terms AS (
+      SELECT p.doc_id, p.bucket, p.c * l.ll_v AS term
+      FROM per_db p JOIN lls l ON p.bucket = l.bucket
+    )
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY bucket)),
+             (__a, __b) -> __a + __b) AS dsir_score
+    FROM terms GROUP BY doc_id
+    """
+
+
+@query("sample_dsir_scores", _dsir_oracle_sql())
+def sample_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (Xie et al. 2023): score every
+    document by how target-like its hashed uni+bigram profile is,
+    target = the 'src0' slice, raw = the whole corpus. The score is a
+    count-weighted sum of smoothed per-bucket log-likelihood ratios,
+    folded in bucket order so the double is bit-reproducible across
+    engines. Shuffles carry (doc_id, bucket, count) ints only; the
+    1024-row bucket model is broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    return dsir.dsir_scores(
+        docs, F.col("source") == "src0", "text", "doc_id", buckets=1024
     )
 
 
