@@ -363,3 +363,48 @@ def with_filename_metadata(df: DataFrame, col: str = "_source_file") -> DataFram
         .withColumn("file_quarter", extract_quarter(src))
         .withColumn("file_pathway", extract_pathway(src))
     )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON-Lines source (the LLM-corpus interchange format; .gz / .zst
+    transparently decompressed by the Spark datasource).
+
+    With an explicit ``schema`` (DDL string), malformed lines are
+    captured row-wise into ``corrupt_col`` instead of poisoning the
+    read (PERMISSIVE mode) — pair with ``split_corrupt`` to route them
+    to a quarantine sink. Without a schema, Spark infers it (one extra
+    pass; fine interactively, pass a schema in production so ingest is
+    single-pass and drift is an explicit quarantined row, not a silent
+    re-inference)."""
+    if schema is None:
+        return spark.read.json(path)
+    full = f"{schema}, {corrupt_col} string"
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def split_corrupt(
+    df: DataFrame, corrupt_col: str = "_corrupt_record"
+) -> tuple[DataFrame, DataFrame]:
+    """Partition a PERMISSIVE jsonl read into (good, quarantine).
+
+    Spark refuses queries that reference *only* the internal corrupt
+    column on the lazy source (SPARK-26108: the pruned scan would have
+    nothing to parse), so the split materializes the parse once via
+    cache — an explicit, documented eager step, the same pattern as
+    the engine's persist-before-self-join rule."""
+    cached = df.cache()
+    good = cached.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = cached.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return good, bad

@@ -97,3 +97,40 @@ def overwrite_partitions(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return path
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    num_shards: int,
+    id_col: str,
+    compression: str | None = "gzip",
+    mode: str = "overwrite",
+) -> str:
+    """Training-data export sink: JSON-Lines shards, the interchange
+    format LLM data pipelines exchange corpora in.
+
+    Shard membership is *deterministic* (md5-bucket of ``id_col``, the
+    same portable bucketing the samplers use), not round-robin: re-runs
+    of the export place every document in the same ``shard=k``
+    directory, so downstream consumers can diff/refresh shards
+    incrementally instead of re-downloading the corpus. One exchange
+    (repartition on the shard key) co-locates each shard into one task
+    -> one file per shard directory; compression defaults to gzip
+    (splittable-at-shard granularity, which is the unit consumers read
+    anyway)."""
+    from pyspark.sql import functions as F
+
+    shard = F.expr(
+        f"pmod(cast(conv(substring(md5(cast({id_col} as string)), 1, 15), 16, 10) as bigint), {num_shards})"
+    )
+    w = (
+        df.withColumn("shard", shard)
+        .repartition(num_shards, "shard")
+        .write.mode(mode)
+        .partitionBy("shard")
+    )
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+    return path
