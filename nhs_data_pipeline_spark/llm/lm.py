@@ -1,0 +1,134 @@
+"""Corpus-trained n-gram LM cross-entropy — the "perplexity filter".
+
+CCNet / RefinedWeb-style pipelines score every document by the
+perplexity of a language model trained on a trusted reference corpus
+and drop (or bucket) the high-perplexity tail. The production variant
+uses a pretrained KenLM; this operator implements the same
+measurement with an add-1-smoothed *bigram* LM trained on a reference
+slice of the corpus itself, entirely in Catalyst expressions — no
+model artifact, no Python in the loop:
+
+    p(w2 | w1) = (C(w1 w2) + 1) / (C(w1 ·) + V)
+    cross_entropy(doc) = -(1/N_bigrams) * sum ln p(w_i | w_{i-1})
+
+where ``C`` are bigram / bigram-history counts over the reference
+slice and ``V`` is the reference vocabulary size + 1 (unseen mass).
+Unseen histories degrade to the uniform ``1/V`` — every document gets
+a finite score.
+
+Scale design (100 TB)
+---------------------
+- The LM "table" is two aggregates over the reference slice (bigram
+  counts, history counts) joined back onto the corpus bigram stream —
+  model fitting and scoring are one plan; refreshing the reference
+  slice is just re-running it.
+- Shuffles carry (doc_id, pos, short bigram string) and the count
+  tables; scoring joins are plain equi-joins Catalyst can broadcast
+  when the reference vocabulary is small or shuffle-hash otherwise.
+- Determinism: per-bigram log terms are rounded to 4 decimals, and the
+  per-doc sum folds in *position order* via a sorted-array aggregate,
+  so the resulting double is bit-identical in any engine (same
+  discipline as llm/dsir.py — see that module's docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _doc_bigrams(
+    df: DataFrame, text_col: str, id_col: str, carry: list[str]
+) -> DataFrame:
+    """(doc_id, pos, w1, w2) for every adjacent token pair; docs with
+    fewer than 2 tokens emit no rows."""
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in carry],
+        F.split(norm, " ").alias("__w"),
+    )
+    return base.filter(F.size("__w") > 1).select(
+        "doc_id",
+        *carry,
+        F.explode(F.sequence(F.lit(1), F.size("__w") - 1)).alias("pos"),
+        F.col("__w"),
+    ).select(
+        "doc_id",
+        *carry,
+        "pos",
+        F.expr("element_at(__w, pos)").alias("w1"),
+        F.expr("element_at(__w, pos + 1)").alias("w2"),
+    )
+
+
+def lm_cross_entropy(
+    df: DataFrame,
+    reference: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document bigram-LM cross-entropy against a reference slice.
+
+    ``reference`` is a boolean Column over ``df`` selecting the
+    trusted training slice for the LM. Output: one row per document —
+    ``doc_id, n_bigrams, cross_entropy`` (NULL for documents with < 2
+    tokens: no bigrams to score). Low cross-entropy = reference-like
+    text; the filter thresholds on the high tail."""
+    big = _doc_bigrams(
+        df.withColumn("__ref", reference), text_col, id_col, carry=["__ref"]
+    )
+
+    ref_big = big.filter(F.col("__ref"))
+    cb = ref_big.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    cu = ref_big.groupBy("w1").agg(F.count("*").alias("cu"))
+    # Vocabulary: distinct tokens in the reference slice (+1 unseen
+    # mass). Tokens = histories plus the final token of each doc;
+    # distinct over both bigram columns covers every token position.
+    vocab = ref_big.select(F.col("w1").alias("tok")).union(
+        ref_big.select(F.col("w2").alias("tok"))
+    )
+    vsz = vocab.agg((F.count_distinct("tok") + 1).alias("__V"))
+
+    terms = (
+        big.join(cb, ["w1", "w2"], "left")
+        .join(cu, "w1", "left")
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "doc_id",
+            "pos",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1.0))
+                    / (F.coalesce(F.col("cu"), F.lit(0)) + F.col("__V"))
+                ),
+                4,
+            ).alias("term"),
+        )
+    )
+
+    scored = (
+        terms.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sort_array(F.collect_list(F.struct("pos", "term"))).alias("__st"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                -F.expr(
+                    "aggregate(transform(__st, __s -> __s.term), "
+                    "cast(0.0 as double), (__a, __x) -> __a + __x)"
+                )
+                / F.col("n_bigrams")
+            ).alias("cross_entropy"),
+        )
+    )
+
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return ids.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        "cross_entropy",
+    )

