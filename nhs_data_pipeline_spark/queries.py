@@ -4851,6 +4851,185 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.lm_cross_entropy(docs, F.col("source") == "src1")
 
 
+def _audit_panel_oracle() -> str:
+    """Composed replica of curate_audit_panel: each signal's proven
+    oracle fragment, CTE-prefixed to avoid name collisions, joined on
+    doc_id with the same literal keep-thresholds. Thresholds compare
+    values both engines compute bit-identically, so the keep flag can
+    never diverge cross-engine regardless of data magnitude."""
+    h = _hex60_sql("feat")
+    return f"""
+    WITH qp0 AS (
+      SELECT doc_id,
+        CASE WHEN trim(text) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+        len(regexp_extract_all(lower(text), '{_EN_PAT}')) AS h_en,
+        CASE WHEN length(text) = 0 THEN 0.0
+             ELSE len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text) END AS punct
+      FROM documents
+    ),
+    qp AS (
+      SELECT doc_id, n_tokens,
+        ROUND(least(n_tokens / 20.0, 1.0) * greatest(0.0, 1.0 - 2.0 * punct)
+              * (0.5 + 0.5 * least(CASE WHEN n_tokens = 0 THEN 0.0
+                   ELSE h_en * 1.0 / n_tokens END * 4.0, 1.0)), 6) AS quality
+      FROM qp0
+    ),
+    rp_tok AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+    rp_g AS (SELECT doc_id, array_to_string(toks[__gi:__gi + 2], ' ') AS g
+             FROM rp_tok, unnest(range(1, greatest(len(toks) - 3, 0) + 2)) AS t(__gi)),
+    rp_c AS (SELECT doc_id, g, COUNT(*) AS c FROM rp_g GROUP BY doc_id, g),
+    rp AS (SELECT doc_id, ROUND((SUM(c) - COUNT(*)) * 1.0 / SUM(c), 6) AS dup3_frac
+           FROM rp_c GROUP BY doc_id),
+    sd_tok AS (SELECT doc_id,
+                      string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w
+               FROM documents),
+    sd_s0 AS (SELECT doc_id, w, unnest(generate_series(0, len(w) - 8)) AS pos
+              FROM sd_tok WHERE len(w) >= 8),
+    sd_sp AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                     md5(array_to_string(list_slice(w, pos + 1, pos + 8), ' ')) AS h
+              FROM sd_s0),
+    sd_d AS (SELECT doc_id, pos FROM (
+               SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS cnt FROM sd_sp)
+             WHERE cnt > 1),
+    sd_c AS (SELECT doc_id,
+                    LEAST(8, COALESCE(LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, 8)) AS c
+             FROM sd_d),
+    sd_pd AS (SELECT doc_id, SUM(c) AS cov FROM sd_c GROUP BY doc_id),
+    sd AS (SELECT t.doc_id, CAST(COALESCE(p.cov, 0) AS DOUBLE) / len(t.w) AS span_dup_ratio
+           FROM sd_tok t LEFT JOIN sd_pd p USING (doc_id)),
+    lm_big AS (
+      SELECT doc_id, ref, CAST(pos AS BIGINT) AS pos, w[pos] AS w1, w[pos + 1] AS w2
+      FROM (SELECT t.doc_id, (d.source = 'src1') AS ref, t.w,
+                   unnest(generate_series(1, len(t.w) - 1)) AS pos
+            FROM sd_tok t JOIN documents d USING (doc_id) WHERE len(t.w) > 1)
+    ),
+    lm_cb AS (SELECT w1, w2, COUNT(*) AS cb FROM lm_big WHERE ref GROUP BY w1, w2),
+    lm_cu AS (SELECT w1, COUNT(*) AS cu FROM lm_big WHERE ref GROUP BY w1),
+    lm_v AS (SELECT COUNT(DISTINCT tok) + 1 AS vv FROM (
+               SELECT w1 AS tok FROM lm_big WHERE ref
+               UNION ALL SELECT w2 FROM lm_big WHERE ref)),
+    lm_t AS (
+      SELECT b.doc_id, b.pos,
+             ROUND(ln((COALESCE(cb.cb, 0) + 1.0) / (COALESCE(cu.cu, 0) + lm_v.vv)), 4) AS term
+      FROM lm_big b LEFT JOIN lm_cb cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+                    LEFT JOIN lm_cu cu ON b.w1 = cu.w1, lm_v
+    ),
+    lm_s AS (
+      SELECT doc_id,
+             -list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY pos)),
+                          (__a, __b) -> __a + __b) / COUNT(*) AS lm_ce
+      FROM lm_t GROUP BY doc_id
+    ),
+    ds_feat AS (
+      SELECT doc_id, tgt,
+             unnest(w || CASE WHEN len(w) > 1
+               THEN list_transform(range(1, len(w)),
+                                   __bg -> concat(w[__bg], ' ', w[__bg + 1]))
+               ELSE [] END) AS feat
+      FROM (SELECT t.doc_id, (d.source = 'src0') AS tgt, t.w
+            FROM sd_tok t JOIN documents d USING (doc_id))
+    ),
+    ds_h AS (SELECT doc_id, tgt, ({h}) % 1024 AS bucket FROM ds_feat),
+    ds_db AS (SELECT doc_id, tgt, bucket, COUNT(*) AS c FROM ds_h
+              GROUP BY doc_id, tgt, bucket),
+    ds_braw AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS r FROM ds_db GROUP BY bucket),
+    ds_btgt AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS t FROM ds_db WHERE tgt GROUP BY bucket),
+    ds_tot AS (SELECT CAST(SUM(c) AS BIGINT) AS rtot FROM ds_db),
+    ds_ttot AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS ttot FROM ds_db WHERE tgt),
+    ds_ll AS (
+      SELECT ds_braw.bucket,
+             ROUND(ln((COALESCE(ds_btgt.t, 0) + 1.0) / (ds_ttot.ttot + 1024))
+                 - ln((ds_braw.r + 1.0) / (ds_tot.rtot + 1024)), 4) AS ll_v
+      FROM ds_braw LEFT JOIN ds_btgt USING (bucket), ds_tot, ds_ttot
+    ),
+    ds_t AS (SELECT p.doc_id, p.bucket, p.c * l.ll_v AS term
+             FROM ds_db p JOIN ds_ll l ON p.bucket = l.bucket),
+    ds_s AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY bucket)),
+                         (__a, __b) -> __a + __b) AS dsir_score
+      FROM ds_t GROUP BY doc_id
+    ),
+    ov_tok AS (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents),
+    ov_tokc AS (SELECT doc_id, term FROM ov_tok WHERE term <> ''),
+    ov_counts AS (SELECT term, COUNT(*) AS n FROM ov_tokc GROUP BY term),
+    ov_vocab AS (SELECT term FROM ov_counts ORDER BY n DESC, term LIMIT 25),
+    ov AS (SELECT t.doc_id,
+                  ROUND(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1.0
+                        / COUNT(*), 6) AS oov_frac
+           FROM ov_tokc t LEFT JOIN ov_vocab v USING (term)
+           GROUP BY t.doc_id)
+    SELECT q.doc_id, q.n_tokens, q.quality, r.dup3_frac, s.span_dup_ratio,
+           l.lm_ce, d2.dsir_score, o.oov_frac,
+           COALESCE(q.quality >= 0.4 AND r.dup3_frac <= 0.05
+                    AND s.span_dup_ratio <= 0.5 AND o.oov_frac <= 0.25
+                    AND l.lm_ce <= 3.7, FALSE) AS keep
+    FROM qp q LEFT JOIN rp r USING (doc_id) LEFT JOIN sd s USING (doc_id)
+         LEFT JOIN lm_s l USING (doc_id) LEFT JOIN ds_s d2 USING (doc_id)
+         LEFT JOIN ov o USING (doc_id)
+    """
+
+
+@query("curate_audit_panel", _audit_panel_oracle())
+def curate_audit_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus report card: EVERY per-document curation signal the
+    engine computes — composite quality score, Gopher trigram
+    repetition, span-level verbatim-duplication coverage, bigram-LM
+    cross-entropy (perplexity filter), DSIR target-domain importance,
+    and OOV rate — joined into one panel with a literal-threshold
+    keep/drop decision. One call gives a curation team the full
+    evidence trail for why each document survives. Thresholds were
+    chosen from the sf0.01 distributions (quality p10, dup3 tail, span
+    replicas, oov p90, CE p90) and compare values both engines derive
+    bit-identically, so the boolean is engine-stable by construction."""
+    d = _t(spark, sf_dir, "documents")
+    prof = d.select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens"),
+        tx.quality_score("text").alias("quality"),
+    )
+    rep = tx.repetition_metrics(d).select("doc_id", "dup3_frac")
+    spans_df = sp.span_dedup_stats(d, "text", "doc_id", k=8).select(
+        "doc_id", F.col("dup_ratio").alias("span_dup_ratio")
+    )
+    ce = lm.lm_cross_entropy(d, F.col("source") == "src1").select(
+        "doc_id", F.col("cross_entropy").alias("lm_ce")
+    )
+    ds = dsir.dsir_scores(d, F.col("source") == "src0").select(
+        "doc_id", "dsir_score"
+    )
+    oov = tx.oov_stats(d, tx.top_terms(d, k=25).select("term")).select(
+        "doc_id", "oov_frac"
+    )
+    panel = (
+        prof.join(rep, "doc_id", "left")
+        .join(spans_df, "doc_id", "left")
+        .join(ce, "doc_id", "left")
+        .join(ds, "doc_id", "left")
+        .join(oov, "doc_id", "left")
+    )
+    keep = F.coalesce(
+        (F.col("quality") >= 0.4)
+        & (F.col("dup3_frac") <= 0.05)
+        & (F.col("span_dup_ratio") <= 0.5)
+        & (F.col("oov_frac") <= 0.25)
+        & (F.col("lm_ce") <= 3.7),
+        F.lit(False),
+    )
+    return panel.select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        "dup3_frac",
+        "span_dup_ratio",
+        "lm_ce",
+        "dsir_score",
+        "oov_frac",
+        keep.alias("keep"),
+    )
+
+
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # iteration order. This list pins that window: every SURVEY §2 operator
 # (single queries or merged same-table families), every bench headline
@@ -4867,8 +5046,12 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sample_dsir_scores (DSIR) rotate in over simhash_fingerprints
 # (sibling simhash_near_pairs + hamming tests still attest SimHash) and
 # dedup_exact (attested inside the curate_corpus composite's dedup
-# stage and by test_llm). Everything outside the window is verified by
-# the identical local gate (tools/check_oracle.py runs ALL entries).
+# stage and by test_llm); curate_audit_panel (the all-signal report
+# card, which transitively attests quality/repetition/span/LM/DSIR/OOV)
+# takes curate_corpus's slot (its quality->dedup->split chain stays
+# attested by curate_mixture_v2 + the local gate). Everything outside
+# the window is verified by the identical local gate
+# (tools/check_oracle.py runs ALL entries).
 DRIVER_WINDOW = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -4919,7 +5102,7 @@ DRIVER_WINDOW = [
     "dedup_span_stats",
     "dedup_embed_cosine_pairs",
     "embed_topk_bruteforce",
-    "curate_corpus",
+    "curate_audit_panel",
 ]
 
 

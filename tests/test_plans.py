@@ -299,6 +299,11 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q7_volume_shipping", "merge_upsert_customers",
         "sample_split_leakage_safe", "dedup_components_star",
         "dedup_semantic_cells", "snapshot_diff_customers",
+        # audited: six one-row-per-doc signal tables joined on doc_id —
+        # every side is corpus-sized at scale, so a co-partitioned
+        # shuffle join is the correct (only) plan; AQE broadcasts them
+        # at gate scale anyway
+        "curate_audit_panel",
     }
     # audited: broadcast one-row scalar aggregates (cross joins) and
     # the broadcast-query-side != join of exact top-k
@@ -313,6 +318,9 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # audited: one-row vocabulary-size aggregate crossed into the
         # bigram term stream (llm/lm.py) — same scalar-broadcast shape
         "text_lm_perplexity",
+        # audited: embeds the dsir + lm subplans above, so it inherits
+        # their scalar-aggregate broadcasts
+        "curate_audit_panel",
     }
     explain_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
     violations = []
