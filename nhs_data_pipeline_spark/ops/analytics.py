@@ -160,3 +160,54 @@ def peak_concurrency(
     return running.groupBy(*keys).agg(
         F.max("__open").cast("bigint").alias("peak_concurrency")
     )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    threshold: float = 3.0,
+    decimals: int = 2,
+) -> DataFrame:
+    """Per-group z-score anomaly detection with *deterministic* group
+    statistics: rows whose value sits more than ``threshold`` standard
+    deviations from their group mean.
+
+    The naive ``stddev()`` aggregate sums doubles in partition order —
+    nondeterministic across runs and engines. Here the value (known to
+    carry at most ``decimals`` true decimals, e.g. a price feed) is
+    quantized to an exact integer grid and the two moment sums run in
+    DECIMAL(38,0) — exact regardless of row order. Mean/variance are
+    then derived from those exact integers through a fixed sequence of
+    correctly-rounded double ops (div, mul, sub, sqrt — all IEEE
+    exact-rounded, unlike ln), so the resulting z-scores are
+    bit-identical on any engine and any partitioning.
+
+    Scale: one partial-aggregating shuffle on the (low-cardinality)
+    group key for the stats, then a broadcast join back onto the
+    stream. Constant groups (zero variance) emit no rows.
+    """
+    grid = 10 ** decimals
+    q = F.round(F.col(value_col) * grid).cast("decimal(19,0)")
+    d = df.withColumn("__q", q)
+    stats = d.groupBy(*group_cols).agg(
+        # count the VALUES, not the rows: NULL values are excluded from
+        # the moment sums and must not dilute the mean
+        F.count(value_col).alias("__n"),
+        F.sum(F.col("__q").cast("decimal(38,0)")).alias("__s1"),
+        F.sum((F.col("__q") * F.col("__q")).cast("decimal(38,0)")).alias("__s2"),
+    )
+    mean = F.col("__s1").cast("double") / F.lit(float(grid)) / F.col("__n")
+    ex2 = F.col("__s2").cast("double") / F.lit(float(grid * grid)) / F.col("__n")
+    stats = stats.select(
+        *group_cols,
+        mean.alias("__mean"),
+        F.sqrt(F.greatest(ex2 - mean * mean, F.lit(0.0))).alias("__std"),
+    )
+    joined = d.drop("__q").join(F.broadcast(stats), group_cols)
+    z = (F.col(value_col) - F.col("__mean")) / F.col("__std")
+    return (
+        joined.filter((F.col("__std") > 0) & (F.abs(z) > threshold))
+        .withColumn("zscore", z)
+        .drop("__mean", "__std")
+    )

@@ -5030,6 +5030,45 @@ def curate_audit_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_zscore_outliers",
+    """
+    WITH q AS (
+      SELECT event_id, event_type, value,
+             CAST(round(value * 100) AS DECIMAL(19,0)) AS qv
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, COUNT(value) AS n,
+             SUM(CAST(qv AS DECIMAL(38,0))) AS s1,
+             SUM(qv * qv) AS s2
+      FROM q GROUP BY event_type
+    ),
+    st AS (
+      SELECT event_type,
+             CAST(s1 AS DOUBLE) / 100.0 / n AS m,
+             sqrt(greatest(CAST(s2 AS DOUBLE) / 10000.0 / n
+                  - (CAST(s1 AS DOUBLE) / 100.0 / n)
+                    * (CAST(s1 AS DOUBLE) / 100.0 / n), 0.0)) AS sd
+      FROM s
+    )
+    SELECT q.event_id, q.event_type, q.value,
+           (q.value - st.m) / st.sd AS zscore
+    FROM q JOIN st USING (event_type)
+    WHERE st.sd > 0 AND ABS((q.value - st.m) / st.sd) > 3.0
+    """,
+)
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score anomaly detection with deterministic
+    statistics: the 2-decimal value column is quantized to an exact
+    integer grid, moment sums run in DECIMAL(38,0) (order-independent),
+    and mean/std/z derive through correctly-rounded double ops only —
+    so even the z-scores hash-match across engines, something a plain
+    stddev() aggregate can never guarantee."""
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    return oan.zscore_outliers(ev, "value", ["event_type"], threshold=3.0)
+
+
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # iteration order. This list pins that window: every SURVEY §2 operator
 # (single queries or merged same-table families), every bench headline
