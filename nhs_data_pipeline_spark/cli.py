@@ -92,6 +92,39 @@ def build_supporting_facilities(args: argparse.Namespace) -> None:
     print(f"clean rows: {clean_indexed.count()}  adjusted rows: {adjusted.count()}")
 
 
+def curate(args: argparse.Namespace) -> None:
+    """Corpus in (parquet or JSONL) -> audit panel -> keep-filtered
+    documents out as deterministic JSONL shards, panel written
+    alongside as parquet for the evidence trail."""
+    from nhs_data_pipeline_spark.io.readers import read_jsonl
+    from nhs_data_pipeline_spark.io.writers import write_jsonl_shards, write_parquet
+    from nhs_data_pipeline_spark.llm.curate import audit_panel
+    from nhs_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("curate")
+    if args.input.endswith((".jsonl", ".json", ".jsonl.gz", ".json.gz")):
+        docs = read_jsonl(spark, args.input)
+    else:
+        docs = spark.read.parquet(args.input)
+
+    panel = audit_panel(
+        docs,
+        lm_reference=F.expr(args.lm_reference),
+        dsir_target=F.expr(args.dsir_target),
+        text_col=args.text_col,
+        id_col=args.id_col,
+    )
+    # Evidence trail first, then the kept corpus.
+    write_parquet(panel, f"{args.out}/panel")
+    kept = docs.join(
+        panel.filter(F.col("keep")).select(F.col("doc_id").alias(args.id_col)),
+        args.id_col,
+    )
+    write_jsonl_shards(kept, f"{args.out}/kept", args.shards, args.id_col)
+    n_in, n_kept = docs.count(), kept.count()
+    print(f"curate: {n_in} docs in, {n_kept} kept -> {args.out}")
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="nhs_data_pipeline_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -105,6 +138,27 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--out", required=True, help="output directory")
     b.add_argument("--format", choices=["csv", "parquet"], default="csv")
     b.set_defaults(fn=build_supporting_facilities)
+
+    c = sub.add_parser(
+        "curate",
+        help="corpus (parquet/JSONL) -> audit panel -> kept JSONL shards",
+    )
+    c.add_argument("--input", required=True, help="corpus path")
+    c.add_argument("--out", required=True, help="output directory")
+    c.add_argument("--shards", type=int, default=8)
+    c.add_argument("--text-col", default="text")
+    c.add_argument("--id-col", default="doc_id")
+    c.add_argument(
+        "--lm-reference",
+        default="true",
+        help="SQL predicate selecting the perplexity-LM training slice",
+    )
+    c.add_argument(
+        "--dsir-target",
+        default="true",
+        help="SQL predicate selecting the DSIR target domain",
+    )
+    c.set_defaults(fn=curate)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -1,0 +1,89 @@
+"""Corpus curation driver: the all-signal audit panel as a reusable
+operator (see queries.curate_audit_panel for the oracle-checked
+instantiation and threshold provenance)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nhs_data_pipeline_spark.llm import dsir, lm
+from nhs_data_pipeline_spark.llm import spans as sp
+from nhs_data_pipeline_spark.llm import text as tx
+
+
+def audit_panel(
+    df: DataFrame,
+    lm_reference: Column,
+    dsir_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    thresholds: dict[str, float] | None = None,
+    vocab_k: int = 25,
+    span_k: int = 8,
+) -> DataFrame:
+    """Per-document curation report card: quality, trigram repetition,
+    span-duplication coverage, bigram-LM cross-entropy vs
+    ``lm_reference``, DSIR importance vs ``dsir_target``, OOV rate vs
+    the corpus top-``vocab_k`` vocabulary — plus a ``keep`` decision
+    from ``thresholds`` (keys: quality_min, dup3_max, span_dup_max,
+    oov_max, lm_ce_max). Missing signals (e.g. CE on a 1-token doc)
+    fail closed: ``keep`` is false, never NULL."""
+    th = {
+        "quality_min": 0.4,
+        "dup3_max": 0.05,
+        "span_dup_max": 0.5,
+        "oov_max": 0.25,
+        "lm_ce_max": 3.7,
+        **(thresholds or {}),
+    }
+    prof = df.select(
+        F.col(id_col).alias("doc_id"),
+        tx.token_count(text_col).alias("n_tokens"),
+        tx.quality_score(text_col).alias("quality"),
+    )
+    rep = tx.repetition_metrics(
+        df, text_col=text_col, id_col=id_col, ns=(3,)
+    ).select(
+        F.col(id_col).alias("doc_id") if id_col != "doc_id" else "doc_id",
+        "dup3_frac",
+    )
+    spans_df = sp.span_dedup_stats(df, text_col, id_col, k=span_k).select(
+        "doc_id", F.col("dup_ratio").alias("span_dup_ratio")
+    )
+    ce = lm.lm_cross_entropy(df, lm_reference, text_col, id_col).select(
+        "doc_id", F.col("cross_entropy").alias("lm_ce")
+    )
+    ds = dsir.dsir_scores(df, dsir_target, text_col, id_col).select(
+        "doc_id", "dsir_score"
+    )
+    oov = tx.oov_stats(
+        df, tx.top_terms(df, k=vocab_k, text_col=text_col, id_col=id_col).select("term"),
+        text_col=text_col, id_col=id_col,
+    ).select(F.col(id_col).alias("doc_id") if id_col != "doc_id" else "doc_id", "oov_frac")
+    panel = (
+        prof.join(rep, "doc_id", "left")
+        .join(spans_df, "doc_id", "left")
+        .join(ce, "doc_id", "left")
+        .join(ds, "doc_id", "left")
+        .join(oov, "doc_id", "left")
+    )
+    keep = F.coalesce(
+        (F.col("quality") >= th["quality_min"])
+        & (F.col("dup3_frac") <= th["dup3_max"])
+        & (F.col("span_dup_ratio") <= th["span_dup_max"])
+        & (F.col("oov_frac") <= th["oov_max"])
+        & (F.col("lm_ce") <= th["lm_ce_max"]),
+        F.lit(False),
+    )
+    return panel.select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        "dup3_frac",
+        "span_dup_ratio",
+        "lm_ce",
+        "dsir_score",
+        "oov_frac",
+        keep.alias("keep"),
+    )

@@ -35,6 +35,7 @@ from nhs_data_pipeline_spark.llm import multimodal as mm
 from nhs_data_pipeline_spark.llm import spans as sp
 from nhs_data_pipeline_spark.llm import dsir
 from nhs_data_pipeline_spark.llm import lm
+from nhs_data_pipeline_spark.llm import curate as cu
 from nhs_data_pipeline_spark.ops import analytics as oan
 from nhs_data_pipeline_spark.ops import binned as ob
 from nhs_data_pipeline_spark.ops import core as oc
@@ -4984,49 +4985,10 @@ def curate_audit_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicas, oov p90, CE p90) and compare values both engines derive
     bit-identically, so the boolean is engine-stable by construction."""
     d = _t(spark, sf_dir, "documents")
-    prof = d.select(
-        "doc_id",
-        tx.token_count("text").alias("n_tokens"),
-        tx.quality_score("text").alias("quality"),
-    )
-    rep = tx.repetition_metrics(d).select("doc_id", "dup3_frac")
-    spans_df = sp.span_dedup_stats(d, "text", "doc_id", k=8).select(
-        "doc_id", F.col("dup_ratio").alias("span_dup_ratio")
-    )
-    ce = lm.lm_cross_entropy(d, F.col("source") == "src1").select(
-        "doc_id", F.col("cross_entropy").alias("lm_ce")
-    )
-    ds = dsir.dsir_scores(d, F.col("source") == "src0").select(
-        "doc_id", "dsir_score"
-    )
-    oov = tx.oov_stats(d, tx.top_terms(d, k=25).select("term")).select(
-        "doc_id", "oov_frac"
-    )
-    panel = (
-        prof.join(rep, "doc_id", "left")
-        .join(spans_df, "doc_id", "left")
-        .join(ce, "doc_id", "left")
-        .join(ds, "doc_id", "left")
-        .join(oov, "doc_id", "left")
-    )
-    keep = F.coalesce(
-        (F.col("quality") >= 0.4)
-        & (F.col("dup3_frac") <= 0.05)
-        & (F.col("span_dup_ratio") <= 0.5)
-        & (F.col("oov_frac") <= 0.25)
-        & (F.col("lm_ce") <= 3.7),
-        F.lit(False),
-    )
-    return panel.select(
-        "doc_id",
-        "n_tokens",
-        "quality",
-        "dup3_frac",
-        "span_dup_ratio",
-        "lm_ce",
-        "dsir_score",
-        "oov_frac",
-        keep.alias("keep"),
+    return cu.audit_panel(
+        d,
+        lm_reference=F.col("source") == "src1",
+        dsir_target=F.col("source") == "src0",
     )
 
 
