@@ -102,26 +102,48 @@ def curate(args: argparse.Namespace) -> None:
     from nhs_data_pipeline_spark.session import get_spark
 
     spark = get_spark("curate")
-    if args.input.endswith((".jsonl", ".json", ".jsonl.gz", ".json.gz")):
-        docs = read_jsonl(spark, args.input)
-    else:
-        docs = spark.read.parquet(args.input)
+    fmt = args.format
+    if fmt == "auto":
+        import glob as _glob
+        import os as _os
 
+        if args.input.endswith((".jsonl", ".json", ".jsonl.gz", ".json.gz")):
+            fmt = "jsonl"
+        elif _os.path.isdir(args.input) and _glob.glob(
+            _os.path.join(args.input, "**", "*.json*"), recursive=True
+        ):
+            fmt = "jsonl"  # e.g. a previous run's kept/ shard directory
+        else:
+            fmt = "parquet"
+    docs = (
+        read_jsonl(spark, args.input)
+        if fmt == "jsonl"
+        else spark.read.parquet(args.input)
+    )
+
+    # The panel is the most expensive lineage in the repo (six signal
+    # subplans); eager-persist it once instead of recomputing it for
+    # the panel write, the kept join, and the count.
     panel = audit_panel(
         docs,
         lm_reference=F.expr(args.lm_reference),
         dsir_target=F.expr(args.dsir_target),
         text_col=args.text_col,
         id_col=args.id_col,
-    )
-    # Evidence trail first, then the kept corpus.
-    write_parquet(panel, f"{args.out}/panel")
-    kept = docs.join(
-        panel.filter(F.col("keep")).select(F.col("doc_id").alias(args.id_col)),
-        args.id_col,
-    )
-    write_jsonl_shards(kept, f"{args.out}/kept", args.shards, args.id_col)
-    n_in, n_kept = docs.count(), kept.count()
+    ).persist()
+    n_in = panel.count()
+    try:
+        write_parquet(panel, f"{args.out}/panel")
+        kept = docs.join(
+            panel.filter(F.col("keep")).select(
+                F.col("doc_id").alias(args.id_col)
+            ),
+            args.id_col,
+        )
+        write_jsonl_shards(kept, f"{args.out}/kept", args.shards, args.id_col)
+        n_kept = panel.filter(F.col("keep")).count()
+    finally:
+        panel.unpersist()
     print(f"curate: {n_in} docs in, {n_kept} kept -> {args.out}")
 
 
@@ -148,6 +170,12 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--shards", type=int, default=8)
     c.add_argument("--text-col", default="text")
     c.add_argument("--id-col", default="doc_id")
+    c.add_argument(
+        "--format",
+        choices=["auto", "parquet", "jsonl"],
+        default="auto",
+        help="input format; auto sniffs suffix, then *.json* files in a directory",
+    )
     c.add_argument(
         "--lm-reference",
         default="true",

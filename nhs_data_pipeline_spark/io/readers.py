@@ -401,7 +401,11 @@ def split_corrupt(
     column on the lazy source (SPARK-26108: the pruned scan would have
     nothing to parse), so the split materializes the parse once via
     cache — an explicit, documented eager step, the same pattern as
-    the engine's persist-before-self-join rule."""
+    the engine's persist-before-self-join rule. ``cache()`` marks the
+    INPUT DataFrame object itself: once both halves are written, call
+    ``df.unpersist()`` on the frame you passed in to release the
+    storage memory (long sessions that skip this pin the parsed corpus
+    and evict later caches)."""
     cached = df.cache()
     good = cached.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     bad = cached.filter(F.col(corrupt_col).isNotNull()).select(

@@ -121,12 +121,19 @@ def write_jsonl_shards(
     anyway)."""
     from pyspark.sql import functions as F
 
+    from nhs_data_pipeline_spark.llm.dedup import _MD5_H60
+
     shard = F.expr(
-        f"pmod(cast(conv(substring(md5(cast({id_col} as string)), 1, 15), 16, 10) as bigint), {num_shards})"
+        f"pmod({_MD5_H60.format(x=f'cast({id_col} as string)')}, {num_shards})"
     )
     w = (
         df.withColumn("shard", shard)
         .repartition(num_shards, "shard")
+        # In-shard row order would otherwise be shuffle-fetch order —
+        # nondeterministic across runs. Sorting by id makes the shard
+        # FILES byte-stable, which is what "diff/refresh incrementally"
+        # requires, not just stable membership.
+        .sortWithinPartitions(id_col)
         .write.mode(mode)
         .partitionBy("shard")
     )

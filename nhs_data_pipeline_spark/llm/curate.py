@@ -44,10 +44,7 @@ def audit_panel(
     )
     rep = tx.repetition_metrics(
         df, text_col=text_col, id_col=id_col, ns=(3,)
-    ).select(
-        F.col(id_col).alias("doc_id") if id_col != "doc_id" else "doc_id",
-        "dup3_frac",
-    )
+    ).select(F.col(id_col).alias("doc_id"), "dup3_frac")
     spans_df = sp.span_dedup_stats(df, text_col, id_col, k=span_k).select(
         "doc_id", F.col("dup_ratio").alias("span_dup_ratio")
     )
@@ -60,7 +57,7 @@ def audit_panel(
     oov = tx.oov_stats(
         df, tx.top_terms(df, k=vocab_k, text_col=text_col, id_col=id_col).select("term"),
         text_col=text_col, id_col=id_col,
-    ).select(F.col(id_col).alias("doc_id") if id_col != "doc_id" else "doc_id", "oov_frac")
+    ).select(F.col(id_col).alias("doc_id"), "oov_frac")
     panel = (
         prof.join(rep, "doc_id", "left")
         .join(spans_df, "doc_id", "left")

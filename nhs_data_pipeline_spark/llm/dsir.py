@@ -42,8 +42,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: md5-prefix 60-bit portable hash of a SQL string expression.
-_MD5_H60 = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
+#: md5-prefix 60-bit portable hash — the single shared definition.
+from nhs_data_pipeline_spark.llm.dedup import _MD5_H60
 
 
 def hashed_ngram_features(

@@ -188,12 +188,15 @@ def zscore_outliers(
     stream. Constant groups (zero variance) emit no rows.
     """
     grid = 10 ** decimals
-    q = F.round(F.col(value_col) * grid).cast("decimal(19,0)")
+    # try_cast, not cast: a single NaN/Infinity/overflow value in a
+    # regenerated feed must quarantine that ROW (NULL __q, excluded
+    # from n and the sums alike), not ANSI-kill the whole query.
+    q = F.round(F.col(value_col) * grid).try_cast("decimal(19,0)")
     d = df.withColumn("__q", q)
     stats = d.groupBy(*group_cols).agg(
-        # count the VALUES, not the rows: NULL values are excluded from
-        # the moment sums and must not dilute the mean
-        F.count(value_col).alias("__n"),
+        # count the QUANTIZED values: rows excluded from the moment
+        # sums (NULL or unquantizable) must not dilute the mean
+        F.count("__q").alias("__n"),
         F.sum(F.col("__q").cast("decimal(38,0)")).alias("__s1"),
         F.sum((F.col("__q") * F.col("__q")).cast("decimal(38,0)")).alias("__s2"),
     )
@@ -206,8 +209,16 @@ def zscore_outliers(
     )
     joined = d.drop("__q").join(F.broadcast(stats), group_cols)
     z = (F.col(value_col) - F.col("__mean")) / F.col("__std")
+    # NaN is excluded EXPLICITLY: Spark (and DuckDB) order NaN greater
+    # than everything, so abs(NaN) > t would flag malformed rows with a
+    # NaN z-score — noise for consumers and unhashable cross-engine.
+    # (+/-Infinity stays: its z is a well-defined, comparable infinity.)
     return (
-        joined.filter((F.col("__std") > 0) & (F.abs(z) > threshold))
+        joined.filter(
+            (F.col("__std") > 0)
+            & ~F.isnan(F.col(value_col))
+            & (F.abs(z) > threshold)
+        )
         .withColumn("zscore", z)
         .drop("__mean", "__std")
     )

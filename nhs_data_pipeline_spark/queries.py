@@ -4997,11 +4997,11 @@ def curate_audit_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH q AS (
       SELECT event_id, event_type, value,
-             CAST(round(value * 100) AS DECIMAL(19,0)) AS qv
+             TRY_CAST(round(value * 100) AS DECIMAL(19,0)) AS qv
       FROM events
     ),
     s AS (
-      SELECT event_type, COUNT(value) AS n,
+      SELECT event_type, COUNT(qv) AS n,
              SUM(CAST(qv AS DECIMAL(38,0))) AS s1,
              SUM(qv * qv) AS s2
       FROM q GROUP BY event_type
@@ -5017,7 +5017,8 @@ def curate_audit_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT q.event_id, q.event_type, q.value,
            (q.value - st.m) / st.sd AS zscore
     FROM q JOIN st USING (event_type)
-    WHERE st.sd > 0 AND ABS((q.value - st.m) / st.sd) > 3.0
+    WHERE st.sd > 0 AND NOT isnan(q.value)
+      AND ABS((q.value - st.m) / st.sd) > 3.0
     """,
 )
 def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:

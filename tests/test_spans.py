@@ -113,10 +113,23 @@ def test_pairs_boilerplate_bucket_guard(spark):
 
 
 def test_stats_plan_no_text_in_shuffle(spark):
-    """The exchange after window hashing must carry fingerprints, not
-    document text: no plan node above the first exchange references the
-    text column."""
+    """Every Exchange must carry fingerprints/ids only — if hashing
+    ever regresses to AFTER an exchange, full window strings (k x the
+    document text) would shuffle, the 10x-regression class CLAUDE.md
+    documents for shingles. Checked on the formatted plan: no Exchange
+    block's Input/Arguments mention the text or token-array columns."""
     df = _docs(spark, [(1, "a b c d e f g h i j")])
-    plan = sp.span_dedup_stats(df, "text", "doc_id", k=8)._jdf.queryExecution().executedPlan().toString()
-    # The hash column exists and the join keys are doc_id/fingerprint.
+    q = sp.span_dedup_stats(df, "text", "doc_id", k=8)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    plan = q._jdf.queryExecution().explainString(mode.fromString("formatted"))
     assert "md5" in plan
+    # Formatted output: "(N) Exchange\nInput [n]: [cols...]" blocks.
+    blocks = plan.split("\n\n")
+    exchange_blocks = [b for b in blocks if ") Exchange" in b]
+    assert exchange_blocks, "plan should contain at least one Exchange"
+    for b in exchange_blocks:
+        # Input/Arguments lines of the Exchange list what crosses the wire:
+        for line in b.splitlines():
+            if line.startswith("Input") or line.startswith("Arguments"):
+                assert "text#" not in line, line
+                assert "__w#" not in line, line

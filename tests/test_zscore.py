@@ -46,6 +46,27 @@ def test_null_values_do_not_dilute_mean(spark):
     assert 4 in ids           # the anomaly still does
 
 
+def test_nan_inf_rows_quarantined_not_fatal(spark):
+    """ANSI Spark: a bare cast would throw on NaN/Inf/overflow. The
+    try_cast must drop those rows from the statistics (not dilute the
+    mean) while the query keeps running; the finite-but-unquantizable
+    overflow row still flags as the extreme outlier it is."""
+    inliers = [(i, "a", 1.0 + 0.01 * (i % 7)) for i in range(30)]
+    rows = inliers + [
+        (100, "a", float("nan")),
+        (101, "a", float("inf")),
+        (102, "a", 1e18),  # overflows decimal(19,0) after *100
+        (103, "a", 50.0),  # ordinary planted outlier
+    ]
+    df = _df(spark, rows)
+    out = zscore_outliers(df, "value", ["grp"], threshold=3.0)
+    got = {r["event_id"] for r in out.collect()}
+    # NaN comparisons are false; inf/overflow rows have huge finite-
+    # or-infinite z and do flag; stats come from the 31 quantizable
+    # finite rows only, so the 50.0 spike still exceeds 3 sigma.
+    assert got == {101, 102, 103}  # NaN row (100) never flags
+
+
 def test_grouping_is_per_group(spark):
     rows = [(0, "a", 1.0), (1, "a", 1.0), (2, "a", 1.0), (3, "a", 100.0),
             (4, "b", 100.0), (5, "b", 100.0), (6, "b", 100.0), (7, "b", 1.0)]
