@@ -166,6 +166,11 @@ def span_dedup_pairs(
         .filter((F.col("__docs") >= 2) & (F.col("__docs") <= max_bucket))
         .select("__h", "doc_id")
     )
+    # Eager persist before the self-join: lazy persist lets the two
+    # scans race and compute the shingle->window lineage twice (the
+    # measured-2x trap documented in the build notes).
+    bounded = bounded.persist()
+    bounded.count()
     a = bounded.select(F.col("__h"), F.col("doc_id").alias("id_a"))
     b = bounded.select(F.col("__h"), F.col("doc_id").alias("id_b"))
     return (
