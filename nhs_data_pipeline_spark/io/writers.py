@@ -130,9 +130,10 @@ def write_jsonl_shards(
         df.withColumn("shard", shard)
         .repartition(num_shards, "shard")
         # In-shard row order would otherwise be shuffle-fetch order —
-        # nondeterministic across runs. Sorting by id makes the shard
-        # FILES byte-stable, which is what "diff/refresh incrementally"
-        # requires, not just stable membership.
+        # nondeterministic across runs. Sorting by id makes each
+        # shard's CONTENT byte-stable across re-runs (part filenames
+        # still embed a per-run UUID), which is what "diff/refresh
+        # incrementally" requires, not just stable membership.
         .sortWithinPartitions(id_col)
         .write.mode(mode)
         .partitionBy("shard")
