@@ -21,12 +21,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _stream_identity(checkpoint: str) -> str:
+def _stream_identity(checkpoint: str, spark: SparkSession | None = None) -> str:
     """Stable identity of a streaming query: the query id Spark pins in
     the checkpoint's ``metadata`` file (survives restarts AND moving/
     copying the checkpoint — it IS the stream; the runId changes per
-    restart). Falls back to the checkpoint path before the metadata
-    file exists."""
+    restart). Remote checkpoints (hdfs://, s3a://, ...) are read
+    through the Hadoop FileSystem API when a session is supplied —
+    without it, a remote path would silently degrade to the raw path
+    string, and relocating the checkpoint would defeat the replay
+    guard. Falls back to the checkpoint path before the metadata file
+    exists."""
     import json
     import os
 
@@ -39,7 +43,26 @@ def _stream_identity(checkpoint: str) -> str:
         with open(os.path.join(path, "metadata")) as fh:
             return str(json.load(fh)["id"])
     except (OSError, ValueError, KeyError):
-        return checkpoint
+        pass
+    if spark is not None:
+        try:
+            jvm = spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(
+                checkpoint.rstrip("/") + "/metadata"
+            )
+            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(p):
+                stream = fs.open(p)
+                try:
+                    text = jvm.org.apache.commons.io.IOUtils.toString(
+                        stream, "UTF-8"
+                    )
+                finally:
+                    stream.close()
+                return str(json.loads(text)["id"])
+        except Exception:  # noqa: BLE001 — fall back to the path key
+            pass
+    return checkpoint
 
 
 def _read_store_or_none(spark: SparkSession, path: str) -> DataFrame | None:
@@ -138,7 +161,12 @@ def interval_join_streams(
     bound a stream-stream join buffers both streams forever. Works
     unchanged on batch frames (watermark is skipped; the condition is
     an ordinary range predicate → Spark picks a broadcast/hash join
-    with the range as a post-filter)."""
+    with the range as a post-filter).
+
+    Output schema is CLEAN: the left columns keep their names, the
+    shared join key appears once, and right-side columns that collide
+    with a left name come back suffixed ``_r`` — no duplicate column
+    names for downstream selects/sinks to trip on."""
     lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
     rw = right.withWatermark(right_ts, watermark) if right.isStreaming else right
     cond = (
@@ -146,7 +174,15 @@ def interval_join_streams(
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}"))
     )
-    return lw.alias("l").join(rw.alias("r"), cond, "inner")
+    joined = lw.alias("l").join(rw.alias("r"), cond, "inner")
+    out = [F.col(f"l.{c}") for c in lw.columns]
+    for c in rw.columns:
+        if c == key:
+            continue
+        out.append(
+            F.col(f"r.{c}").alias(f"{c}_r" if c in lw.columns else c)
+        )
+    return joined.select(*out)
 
 
 def run_stream_to_memory(
@@ -226,7 +262,18 @@ def dedup_stream_against_store(
         store = _read_store_or_none(spark, store_path)
         seen = store.select("fp") if store is not None else None
         fresh = reps.join(seen, "fp", "left_anti") if seen is not None else reps
-        survivors = batch.join(fresh.select(id_col), id_col, "left_semi").persist()
+        # Join back on BOTH (id, fp): an id-only semi join would admit
+        # every batch row sharing the representative's id — including
+        # exact duplicate deliveries and same-id rows whose fingerprint
+        # is already in the store. dropDuplicates collapses identical
+        # (id, fp) copies to one row (normalization-identical text; the
+        # surviving copy is arbitrary among byte-variants that
+        # normalize the same).
+        survivors = (
+            batch.dropDuplicates([id_col, "fp"])
+            .join(fresh, [id_col, "fp"], "left_semi")
+            .persist()
+        )
         survivors.count()  # eager: both appends below reuse one computation
         survivors.write.mode("append").parquet(out_path)
         survivors.select("fp").write.mode("append").parquet(store_path)
@@ -257,7 +304,9 @@ def fingerprint_stream_into_store(
     aggregate (one tiny shuffle over group keys), merges it with the
     store via a full-outer coalescing join on the group keys, and
     atomically swaps the store (write new -> replace). The store holds
-    one row per group — dimension-sized — so the merge join broadcasts.
+    one row per group — dimension-sized — so the full-outer merge's
+    two-sided shuffle (full outer cannot broadcast) moves only
+    group-cardinality rows, never the raw stream.
 
     Delivery: effectively exactly-once. foreachBatch is at-least-once,
     so a crash after the store swap but before the checkpoint commit
@@ -284,23 +333,30 @@ def fingerprint_stream_into_store(
     """
     from nhs_data_pipeline_spark.ops.quality import content_fingerprint
 
+    _ident_cache: dict[str, str] = {}
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        stream_key = _stream_identity(checkpoint)
+        # The checkpoint's query id is fixed for the query's lifetime:
+        # resolve it once, not once per micro-batch.
+        if "k" not in _ident_cache:
+            _ident_cache["k"] = _stream_identity(checkpoint, spark)
+        stream_key = _ident_cache["k"]
         old = _read_store_or_none(spark, store_path)
         if old is None:
             # mid-swap crash window: the store was renamed aside but the
             # new version never landed — recover from the .old copy
             old = _read_store_or_none(spark, store_path.rstrip("/") + ".old")
         if old is not None and "last_batch_id" in old.columns:
-            key_row = (
-                old.select("stream_key").first()
-                if "stream_key" in old.columns
-                else None
-            )
-            same_stream = key_row is not None and key_row[0] == stream_key
-            applied = old.agg(F.max("last_batch_id")).first()[0]
-            if same_stream and applied is not None and batch_id <= applied:
+            # One driver action for the whole guard (stream_key is a
+            # per-store constant, so max() reads it exactly).
+            has_key = "stream_key" in old.columns
+            row = old.agg(
+                F.max("last_batch_id").alias("b"),
+                (F.max("stream_key") if has_key else F.lit(None)).alias("k"),
+            ).first()
+            same_stream = has_key and row["k"] == stream_key
+            if same_stream and row["b"] is not None and batch_id <= row["b"]:
                 return  # replayed batch: already folded into the store
             old = old.drop("last_batch_id", "stream_key")
         batch_fp = content_fingerprint(batch_df, cols, group_by=group_by)
@@ -316,8 +372,12 @@ def fingerprint_stream_into_store(
             for k in group_by:
                 eq = F.col(k) == F.col(f"__o_{k}")
                 cond = eq if cond is None else cond & eq
+            # NOTE: full-outer equi-joins cannot broadcast (Spark
+            # ignores the hint); both sides shuffle on the group key —
+            # acceptable because both are dimension-sized aggregates
+            # (one row per group), never the raw stream.
             merged = (
-                batch_fp.join(F.broadcast(o), cond, "full_outer")
+                batch_fp.join(o, cond, "full_outer")
                 .select(
                     *[
                         F.coalesce(F.col(k), F.col(f"__o_{k}")).alias(k)
@@ -348,9 +408,13 @@ def fingerprint_stream_into_store(
         # the next run would silently treat it as the first batch. With
         # renames, every crash point leaves either the old store (at
         # base or .old — the reader checks both) or the fully-written
-        # new one.
-        shutil.rmtree(bak, ignore_errors=True)
+        # new one. Ordering matters: the .old recovery copy is only
+        # retired AFTER the new store is in place — when recovering
+        # from a mid-swap crash (base missing), .old is the SOLE
+        # durable copy, and deleting it first would open a window where
+        # a second crash loses all state.
         if os.path.exists(base):
+            shutil.rmtree(bak, ignore_errors=True)  # stale from older swap
             os.rename(base, bak)
         os.rename(tmp, base)
         shutil.rmtree(bak, ignore_errors=True)

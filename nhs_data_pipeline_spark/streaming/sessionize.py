@@ -53,7 +53,26 @@ def sessionize_stream(
     stragglers that land inside an open session's span fold into its
     stats without rewinding the session clock. The batch twin sees all
     rows, so stream == batch holds exactly for data delivered in
-    watermark order (the equivalence test's shape)."""
+    watermark order (the equivalence test's shape).
+
+    Value semantics (matched by the batch twin): NULL and NaN values
+    contribute 0 to ``value_sum`` (Arrow hands both to pandas as NaN,
+    so they are indistinguishable here); NULL-timestamp rows are
+    invalid events and are ignored (NaT orders below any watermark).
+
+    The in-state event times are pandas wall-clock micros while the
+    watermark is epoch-UTC; they only share a basis because the engine
+    pins ``spark.sql.session.timeZone=UTC`` (session.py) — asserted
+    here so running the operator under a drifted session config fails
+    loudly instead of silently mis-classifying events near the
+    watermark by the tz offset."""
+    tz = events.sparkSession.conf.get("spark.sql.session.timeZone", "")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00"):
+        raise ValueError(
+            f"sessionize_stream requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}): the watermark comparison mixes epoch-UTC and "
+            f"session-local bases otherwise"
+        )
     gap_us = gap_seconds * 1_000_000
 
     def fold(
@@ -145,11 +164,17 @@ def sessionize_batch(
     Gaps compare at MICROSECOND resolution (unix_micros), matching the
     streaming path exactly — a cast('long') comparison truncates to
     whole seconds and can split/merge sessions differently from the
-    stream for events with fractional-second spacing near the gap."""
+    stream for events with fractional-second spacing near the gap.
+
+    Malformed-row semantics match the stream (see sessionize_stream):
+    NULL-timestamp rows are dropped (the stream sees them as NaT below
+    any watermark; an unfiltered batch lag() would fold them into the
+    user's first session), and NULL/NaN values contribute 0 to
+    ``value_sum`` (Arrow collapses both to NaN stream-side)."""
     w = Window.partitionBy(user_col).orderBy(ts_col)
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     us = F.unix_micros(F.col(ts_col))
-    marked = events.withColumn(
+    marked = events.filter(F.col(ts_col).isNotNull()).withColumn(
         "__new",
         F.when(us - F.lag(us).over(w) > gap_seconds * 1_000_000, 1).otherwise(0),
     ).withColumn("__sid", F.sum("__new").over(wrun))
@@ -157,5 +182,7 @@ def sessionize_batch(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
         F.count("*").alias("n_events"),
-        F.sum(value_col).alias("value_sum"),
+        F.sum(
+            F.coalesce(F.nanvl(F.col(value_col), F.lit(0.0)), F.lit(0.0))
+        ).alias("value_sum"),
     ).drop("__sid")

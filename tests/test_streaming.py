@@ -120,13 +120,13 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
         key="event_type",
         watermark="1 hour",
         upper="15 minutes",
-    ).selectExpr("l.ts AS lts", "r.ts AS rts", "l.event_type AS k")
+    ).selectExpr("ts AS lts", "ts_r AS rts", "event_type AS k")
     run_stream_to_memory(js, "ij_test", output_mode="append")
     got = {(r.lts, r.rts, r.k) for r in spark.table("ij_test").collect()}
 
     jb = interval_join_streams(
         trig, resp, key="event_type", upper="15 minutes"
-    ).selectExpr("l.ts AS lts", "r.ts AS rts", "l.event_type AS k")
+    ).selectExpr("ts AS lts", "ts_r AS rts", "event_type AS k")
     exp = {(r.lts, r.rts, r.k) for r in jb.collect()}
     # expected: a@0 matches resp@5; b@10 matches resp@12; a@40 matches
     # resp@41; the zz sentinels match each other; resp@30/@400 match nothing
@@ -443,3 +443,146 @@ def test_fingerprint_stream_matches_batch(spark, tmp_path):
     assert doubled == {
         s: (2 * n, 0) for s, (n, _) in want.items()
     }
+
+
+def test_dedup_stream_same_id_duplicates(spark, tmp_path):
+    """Regression: the survivor join must key on (id, fp), not id alone.
+    Exact duplicate deliveries of one row collapse to a single admitted
+    copy, and a same-id row whose fingerprint is already in the store
+    is NOT re-admitted."""
+    import time as _time
+
+    from nhs_data_pipeline_spark.streaming import dedup_stream_against_store
+    from nhs_data_pipeline_spark.streaming.pipeline import stream_files
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    # batch 1 seeds the store with 'seen text'
+    spark.createDataFrame([(0, "seen text")], doc_schema).coalesce(1).write.parquet(src)
+    _time.sleep(1.1)
+    # batch 2: the same row delivered twice + a same-id row whose text
+    # is already fingerprinted in the store
+    spark.createDataFrame(
+        [(1, "alpha x"), (1, "alpha x"), (1, "seen text")], doc_schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    q = dedup_stream_against_store(
+        stream_files(spark, src, doc_schema, max_files_per_trigger=1),
+        store, out, checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    rows = [(r.doc_id, r.text) for r in spark.read.parquet(out).collect()]
+    assert sorted(rows) == [(0, "seen text"), (1, "alpha x")]  # each ONCE
+    assert spark.read.parquet(store).count() == 2
+
+
+def test_fingerprint_store_recovers_from_mid_swap_state(spark, tmp_path):
+    """Regression for the swap ordering: when a previous run crashed
+    between rename(base, .old) and rename(tmp, base), the next batch
+    must merge from .old (never deleting it before the new store is in
+    place) and restore a consolidated base store."""
+    import os
+    import shutil
+
+    from nhs_data_pipeline_spark.streaming.pipeline import (
+        fingerprint_stream_into_store,
+        stream_files,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    store = str(tmp_path / "store")
+
+    src1 = str(tmp_path / "s1")
+    spark.createDataFrame([("a", 1), ("a", 2)], schema).coalesce(1).write.parquet(src1)
+    q = fingerprint_stream_into_store(
+        stream_files(spark, src1, schema),
+        store, str(tmp_path / "ck1"), cols=["k", "v"], group_by=["k"],
+    )
+    q.awaitTermination()
+    baseline = {
+        r.k: (r.n_rows, r.content_fingerprint)
+        for r in spark.read.parquet(store).collect()
+    }
+    assert baseline["a"][0] == 2
+
+    # Simulate the mid-swap crash window: base renamed aside, new store
+    # never landed, plus a stale half-written tmp lying around.
+    os.rename(store, store + ".old")
+    os.makedirs(store + ".batch99", exist_ok=True)
+
+    src2 = str(tmp_path / "s2")
+    spark.createDataFrame([("a", 3), ("b", 4)], schema).coalesce(1).write.parquet(src2)
+    q2 = fingerprint_stream_into_store(
+        stream_files(spark, src2, schema),
+        store, str(tmp_path / "ck2"), cols=["k", "v"], group_by=["k"],
+    )
+    q2.awaitTermination()
+
+    got = {
+        r.k: (r.n_rows, r.content_fingerprint)
+        for r in spark.read.parquet(store).collect()
+    }
+    assert got["a"][0] == 3 and got["b"][0] == 1  # merged, not reset
+    assert not os.path.exists(store + ".old")  # recovery copy retired
+    shutil.rmtree(store + ".batch99", ignore_errors=True)
+
+
+def test_sessionize_batch_malformed_rows(spark):
+    """Batch twin matches the stream's malformed-row contract: NULL
+    timestamps are dropped; NULL/NaN values sum as 0."""
+    import datetime
+
+    from nhs_data_pipeline_spark.streaming.sessionize import sessionize_batch
+
+    base = datetime.datetime(2024, 1, 1)
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    rows = [
+        (base, 1, 1.0),
+        (base + datetime.timedelta(seconds=10), 1, float("nan")),
+        (base + datetime.timedelta(seconds=20), 1, None),
+        (None, 1, 99.0),  # invalid event: dropped entirely
+    ]
+    out = sessionize_batch(spark.createDataFrame(rows, schema)).collect()
+    assert len(out) == 1
+    assert out[0].n_events == 3  # null-ts row gone
+    assert out[0].value_sum == 1.0  # NaN and NULL contribute 0
+
+
+def test_sessionize_stream_rejects_non_utc_session(spark):
+    import pytest as _pytest
+
+    from nhs_data_pipeline_spark.streaming.sessionize import sessionize_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame([], schema)
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Europe/London")
+    try:
+        with _pytest.raises(ValueError, match="timeZone"):
+            sessionize_stream(df)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
