@@ -41,7 +41,7 @@ from nhs_data_pipeline_spark.functions import (
     extract_quarter,
     extract_year,
 )
-from nhs_data_pipeline_spark.ops.core import clean_name
+from nhs_data_pipeline_spark.ops.core import clean_name, dedupe_positional
 
 
 def detect_header_row(pdf: pd.DataFrame, marker: str | None = None, scan_rows: int = 30) -> int:
@@ -75,9 +75,7 @@ def _promote_header(pdf: pd.DataFrame, header_row: int) -> pd.DataFrame:
         clean_name(str(v)) if pd.notna(v) and str(v).strip() else f"x{i + 1}"
         for i, v in enumerate(pdf.iloc[header_row].tolist())
     ]
-    # positional dedupe, matching ops.core.clean_names
-    dupes = {n for n in names if names.count(n) > 1}
-    names = [f"{n}_{i + 1}" if n in dupes else n for i, n in enumerate(names)]
+    names = dedupe_positional(names)
     out = pdf.iloc[header_row + 1 :].copy()
     out.columns = names
     return out

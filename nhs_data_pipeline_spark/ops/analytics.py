@@ -140,10 +140,16 @@ def peak_concurrency(
     per-key window); both carry (keys, t, int) triples only. State per
     key is O(distinct timestamps), never O(intervals^2).
     """
-    starts = intervals.select(
+    # NULL handling: a NULL end means the interval is still open — it
+    # contributes its +1 and never a -1 (a NULL __t would sort FIRST
+    # in the ascending window and subtract before anything opened,
+    # understating every peak). A NULL start is a malformed interval
+    # and is dropped entirely.
+    valid = intervals.filter(F.col(start_col).isNotNull())
+    starts = valid.select(
         *keys, F.col(start_col).alias("__t"), F.lit(1).alias("__d")
     )
-    ends = intervals.select(
+    ends = valid.filter(F.col(end_col).isNotNull()).select(
         *keys, F.col(end_col).alias("__t"), F.lit(-1).alias("__d")
     )
     net = (

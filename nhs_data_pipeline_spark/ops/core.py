@@ -68,13 +68,25 @@ def clean_names(df: DataFrame) -> DataFrame:
     ``total...5`` -> janitor ``total_5`` behavior seen in
     build_datasets_overnight_day_beds.R:89-94).
     """
-    cleaned = [clean_name(c) for c in df.columns]
-    dupes = {n for n in cleaned if cleaned.count(n) > 1}
-    out = [
-        f"{n}_{i + 1}" if n in dupes else n
-        for i, n in enumerate(cleaned)
-    ]
-    return df.toDF(*out)
+    return df.toDF(*dedupe_positional([clean_name(c) for c in df.columns]))
+
+
+def dedupe_positional(names: list[str]) -> list[str]:
+    """Janitor-style positional dedupe: duplicated names get a 1-based
+    position suffix. Repeats until unique — one pass can itself create
+    a collision (['total','total','total_2'] -> two 'total_2's), which
+    would make the frame unselectable (AMBIGUOUS_REFERENCE). Converges
+    because positions are unique. Shared by clean_names and the messy
+    readers' header promotion."""
+    out = list(names)
+    for _ in range(len(out)):
+        dupes = {n for n in out if out.count(n) > 1}
+        if not dupes:
+            break
+        out = [
+            f"{n}_{i + 1}" if n in dupes else n for i, n in enumerate(out)
+        ]
+    return out
 
 
 def clean_name(name: str) -> str:

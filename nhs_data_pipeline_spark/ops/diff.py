@@ -65,7 +65,11 @@ def snapshot_diff(
     )
     cond = None
     for k in keys:
-        eq = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
+        # Null-safe: a NULL-key row present in both snapshots must be
+        # COMPARED (one changed/unchanged row), not reported as an
+        # added+removed pair — merge_upsert matches null-safely, so a
+        # plain == here would break the diff-then-merge identity.
+        eq = F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}"))
         cond = eq if cond is None else cond & eq
     j = o.join(n, cond, "full_outer")
 

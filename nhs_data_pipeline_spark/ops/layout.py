@@ -56,6 +56,11 @@ def compact_parquet(
     needs a transactional table format). ``sort_within`` additionally
     sorts rows inside each output file so min-max stats tighten on
     those columns. Returns the output file count."""
+    old = path.rstrip("/") + "__compact_old"
+    if not os.path.exists(path) and os.path.exists(old):
+        # A previous run crashed between rename(path, old) and
+        # rename(tmp, path): restore the data before doing anything.
+        os.rename(old, path)
     n_files = max(1, -(-_dir_bytes(path) // target_file_bytes))
     df = spark.read.parquet(path)
     out = df.repartition(n_files)
@@ -63,7 +68,10 @@ def compact_parquet(
         out = out.sortWithinPartitions(*sort_within)
     tmp = path.rstrip("/") + "__compact_tmp"
     out.write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "__compact_old"
+    # A stale __compact_old from a crashed earlier run would make the
+    # rename below fail forever (ENOTEMPTY) — clear it; the entry
+    # check above already restored it if it was the only copy.
+    shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

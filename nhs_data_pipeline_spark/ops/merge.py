@@ -62,18 +62,40 @@ def merge_upsert(
         return F.when(F.col("__s_present").isNotNull(), sc).otherwise(tc).alias(c)
 
     if broadcast_source:
+        # Key comparisons are null-safe to match the full-outer path
+        # exactly — a plain == would split NULL-key matches into a
+        # carried row + an inserted row, silently diverging between
+        # the two (supposedly equivalent) physical strategies.
         sb = F.broadcast(s.alias("__s"))
         matched_or_new = t.alias("__t").join(
-            sb, [F.col(f"__t.{k}") == F.col(f"__s.{k}") for k in keys], "left"
+            sb,
+            [F.col(f"__t.{k}").eqNullSafe(F.col(f"__s.{k}")) for k in keys],
+            "left",
         ).select(
             *[F.col(f"__t.{k}").alias(k) for k in keys],
             *[_pick(c) for c in non_keys],
             F.col("__s_present"),
             F.col("__t_present"),
         )
+        # Inserts = source rows with no target match. Broadcasting the
+        # TARGET key set would ship the (huge) target everywhere;
+        # instead derive the matched source keys (<= |source|, always
+        # broadcastable) with one more broadcast-source pass over the
+        # target's pruned key columns, and anti-join against those.
+        matched_keys = (
+            t.select(*keys)
+            .alias("__t")
+            .join(
+                F.broadcast(s.select(*keys).alias("__s")),
+                [F.col(f"__t.{k}").eqNullSafe(F.col(f"__s.{k}")) for k in keys],
+                "inner",
+            )
+            .select(*[F.col(f"__s.{k}").alias(k) for k in keys])
+            .distinct()
+        )
         inserts = s.alias("__s").join(
-            F.broadcast(t.select(*keys)).alias("__t"),
-            [F.col(f"__s.{k}") == F.col(f"__t.{k}") for k in keys],
+            F.broadcast(matched_keys).alias("__t"),
+            [F.col(f"__s.{k}").eqNullSafe(F.col(f"__t.{k}")) for k in keys],
             "left_anti",
         ).select(
             *[F.col(k) for k in keys],

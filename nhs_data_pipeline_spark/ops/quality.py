@@ -34,11 +34,17 @@ def check_unique(df: DataFrame, cols: str | list[str]) -> DataFrame:
     audit, not a sketch; use the HLL op for monitoring at scale."""
     cs = [cols] if isinstance(cols, str) else list(cols)
     name = ",".join(cs)
+    # count_distinct over a STRUCT, not the bare columns: count_distinct
+    # drops any row with a NULL key column, which would report every
+    # NULL-key row as a violation even when it is the only one. The
+    # struct wrapper keeps NULL keys as distinct countable values
+    # (NULL == NULL for grouping purposes, matching groupBy semantics).
     return df.agg(
         F.lit(f"unique:{name}").alias("check"),
-        (F.count("*") - F.count_distinct(*[F.col(c) for c in cs])).alias(
-            "violations"
-        ),
+        (
+            F.count("*")
+            - F.count_distinct(F.struct(*[F.col(c) for c in cs]))
+        ).alias("violations"),
         F.count("*").alias("rows_checked"),
     )
 

@@ -30,9 +30,15 @@ _BUCKETS = 1 << 32
 def hash_bucket(key: Column | str, salt: str = "") -> Column:
     """Uniform bucket in [0, 2^32) from ``md5(key ':' salt)``.
     The key is cast to string so numeric and string keys hash alike
-    (and alike across engines)."""
+    (and alike across engines). NULL keys hash via a NUL sentinel
+    (not expressible as a cast of any real key) instead of propagating
+    NULL — a NULL bucket would silently drop rows in bucket joins and
+    fall through every threshold branch, concentrating NULL-key rows
+    in whatever the ``otherwise`` was. All NULL keys share one bucket:
+    indistinguishable keys cannot be split stably any finer."""
     k = F.col(key) if isinstance(key, str) else key
-    h = F.md5(F.concat(k.cast("string"), F.lit(":" + salt)))
+    ks = F.coalesce(k.cast("string"), F.lit("\x00"))
+    h = F.md5(F.concat(ks, F.lit(":" + salt)))
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
 
 
@@ -112,8 +118,11 @@ def temperature_sample(
         "__s", F.floor(frac * F.lit(float(_BUCKETS))).cast("bigint").alias("__thr")
     )
     return (
+        # Null-safe: counts has a NULL-stratum group when the data
+        # does; a plain == join would silently drop every NULL-stratum
+        # row instead of resampling it.
         df.join(
-            F.broadcast(thresholds), df[strata_col] == F.col("__s")
+            F.broadcast(thresholds), df[strata_col].eqNullSafe(F.col("__s"))
         )
         .filter(hash_bucket(key_col, salt) < F.col("__thr"))
         .drop("__s", "__thr")
@@ -186,7 +195,16 @@ def deterministic_shuffle(
     a tiny per-bucket count aggregate yields cumulative offsets, and
     rank = bucket offset + intra-bucket row_number — every window runs
     partitioned, nothing large is ever single-partition."""
-    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt)))
+    # NUL sentinel for NULL keys (matching hash_bucket): a NULL hash
+    # would make the bucket join silently drop the row — a shuffle must
+    # be row-preserving. Multiple NULL keys are indistinguishable and
+    # get arbitrary-but-distinct ranks within their shared hash slot.
+    h = F.md5(
+        F.concat(
+            F.coalesce(F.col(key_col).cast("string"), F.lit("\x00")),
+            F.lit(":" + salt),
+        )
+    )
     dfh = df.withColumn("__h", h).withColumn("__b", F.substring(F.col("__h"), 1, prefix_len))
     counts = dfh.groupBy("__b").agg(F.count("*").alias("__n"))
     off_w = (
