@@ -124,12 +124,25 @@ def curate(args: argparse.Namespace) -> None:
     # The panel is the most expensive lineage in the repo (six signal
     # subplans); eager-persist it once instead of recomputing it for
     # the panel write, the kept join, and the count.
+    thresholds = {
+        k: v
+        for k, v in {
+            "quality_min": args.quality_min,
+            "dup3_max": args.dup3_max,
+            "span_dup_max": args.span_dup_max,
+            "oov_max": args.oov_max,
+            "lm_ce_max": args.lm_ce_max,
+        }.items()
+        if v is not None
+    }
     panel = audit_panel(
         docs,
         lm_reference=F.expr(args.lm_reference),
         dsir_target=F.expr(args.dsir_target),
         text_col=args.text_col,
         id_col=args.id_col,
+        thresholds=thresholds or None,
+        vocab_k=args.vocab_k,
     ).persist()
     n_in = panel.count()
     try:
@@ -175,6 +188,19 @@ def main(argv: list[str] | None = None) -> None:
         choices=["auto", "parquet", "jsonl"],
         default="auto",
         help="input format; auto sniffs suffix, then *.json* files in a directory",
+    )
+    # Keep thresholds (defaults live in llm/curate.py and were
+    # calibrated on the synthetic gate corpus — tune for real text).
+    c.add_argument("--quality-min", type=float, default=None)
+    c.add_argument("--dup3-max", type=float, default=None)
+    c.add_argument("--span-dup-max", type=float, default=None)
+    c.add_argument("--oov-max", type=float, default=None)
+    c.add_argument("--lm-ce-max", type=float, default=None)
+    c.add_argument(
+        "--vocab-k",
+        type=int,
+        default=25,
+        help="top-K corpus vocabulary for the OOV signal (raise for natural text)",
     )
     c.add_argument(
         "--lm-reference",

@@ -28,15 +28,34 @@ def audit_panel(
     the corpus top-``vocab_k`` vocabulary — plus a ``keep`` decision
     from ``thresholds`` (keys: quality_min, dup3_max, span_dup_max,
     oov_max, lm_ce_max). Missing signals (e.g. CE on a 1-token doc)
-    fail closed: ``keep`` is false, never NULL."""
-    th = {
+    fail closed: ``keep`` is false, never NULL.
+
+    The DEFAULT thresholds were calibrated on the synthetic gate
+    corpus (~50-token docs over a tiny vocabulary). On natural text,
+    tune them — in particular ``oov_max`` against a realistic
+    ``vocab_k``: a top-25 vocabulary covers only ~30% of natural
+    tokens (Zipf), so the default oov_max=0.25 would reject nearly
+    everything; the curate CLI exposes every threshold as a flag."""
+    defaults = {
         "quality_min": 0.4,
         "dup3_max": 0.05,
         "span_dup_max": 0.5,
         "oov_max": 0.25,
         "lm_ce_max": 3.7,
-        **(thresholds or {}),
     }
+    unknown = set(thresholds or {}) - set(defaults)
+    if unknown:
+        raise ValueError(
+            f"unknown threshold keys {sorted(unknown)}; "
+            f"valid: {sorted(defaults)}"
+        )
+    th = {**defaults, **(thresholds or {})}
+    # The six signal subplans each rescan the input; persist it once
+    # (eagerly, per the build notes' rule) so e.g. a JSONL corpus is
+    # parsed once, not per signal. Left cached for the caller's
+    # materialization of the lazy panel; df.unpersist() releases it.
+    df = df.persist()
+    df.count()
     prof = df.select(
         F.col(id_col).alias("doc_id"),
         tx.token_count(text_col).alias("n_tokens"),

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 #: md5-prefix 60-bit portable hash — the single shared definition.
 from nhs_data_pipeline_spark.llm.dedup import _MD5_H60
+from nhs_data_pipeline_spark.llm.text import tokenized_frame
 
 
 def hashed_ngram_features(
@@ -56,12 +57,9 @@ def hashed_ngram_features(
     """Explode each document into hashed word uni+bigram features:
     one row per feature occurrence, ``(doc_id, bucket)`` plus any
     ``carry`` columns (evaluated per document, pre-explode)."""
-    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        *[F.col(c) for c in (carry or [])],
-        F.split(norm, " ").alias("__w"),
-    )
+    # Shared tokenizer (repartitions before the per-feature md5 stage:
+    # measured 3.7x from a 2-split input at the 10x corpus).
+    base = tokenized_frame(df, text_col, id_col, tuple(carry or ()))
     # Bigrams via element_at (1-based); the CASE guards Spark's
     # backwards-stepping sequence(1, 0) on single-token docs.
     feats = F.expr(

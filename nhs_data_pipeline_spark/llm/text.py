@@ -367,3 +367,29 @@ def oov_stats(
             6,
         ).alias("oov_frac"),
     )
+
+
+def tokenized_frame(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Shared whitespace tokenizer for the token-level operators
+    (spans / DSIR / LM): ``(doc_id, *carry, __w array<string>)`` with
+    whitespace-normalized, case-preserving tokens. ONE definition so
+    the operators that the audit panel composes (and their DuckDB
+    oracle replays) can never silently drift apart.
+
+    Repartitions to the default parallelism first: the downstream
+    explode/hash stages are CPU-heavy, and a small parquet input's 2-3
+    splits would otherwise pin them to 2-3 cores (measured 2.8-3.7x
+    at the 10x corpus on local[32] — the build notes' standing rule).
+    """
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par).select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in carry],
+        F.split(norm, " ").alias("__w"),
+    )

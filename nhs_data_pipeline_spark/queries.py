@@ -4695,10 +4695,14 @@ def _span_cte_sql(k: int) -> str:
       SELECT doc_id, COUNT(*) AS dup_spans, SUM(c) AS covered_tokens
       FROM contrib GROUP BY doc_id
     )
-    SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+    SELECT t.doc_id,
+           CAST(CASE WHEN t.w = [''] THEN 0
+                     ELSE COALESCE(len(t.w), 0) END AS BIGINT) AS n_tokens,
            CAST(COALESCE(p.dup_spans, 0) AS BIGINT) AS dup_spans,
            CAST(COALESCE(p.covered_tokens, 0) AS BIGINT) AS covered_tokens,
-           CAST(COALESCE(p.covered_tokens, 0) AS DOUBLE) / len(t.w) AS dup_ratio
+           CASE WHEN t.w = [''] OR t.w IS NULL THEN 0.0
+                ELSE CAST(COALESCE(p.covered_tokens, 0) AS DOUBLE) / len(t.w)
+           END AS dup_ratio
     FROM toks t LEFT JOIN per_doc p USING (doc_id)
     """,
 )
@@ -4897,7 +4901,10 @@ def _audit_panel_oracle() -> str:
                     LEAST(8, COALESCE(LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, 8)) AS c
              FROM sd_d),
     sd_pd AS (SELECT doc_id, SUM(c) AS cov FROM sd_c GROUP BY doc_id),
-    sd AS (SELECT t.doc_id, CAST(COALESCE(p.cov, 0) AS DOUBLE) / len(t.w) AS span_dup_ratio
+    sd AS (SELECT t.doc_id,
+                  CASE WHEN t.w = [''] OR t.w IS NULL THEN 0.0
+                       ELSE CAST(COALESCE(p.cov, 0) AS DOUBLE) / len(t.w)
+                  END AS span_dup_ratio
            FROM sd_tok t LEFT JOIN sd_pd p USING (doc_id)),
     lm_big AS (
       SELECT doc_id, ref, CAST(pos AS BIGINT) AS pos, w[pos] AS w1, w[pos + 1] AS w2

@@ -62,6 +62,18 @@ def test_short_docs_emit_no_spans(spark):
     assert got[2] == (3, 0, 0, 0.0)
 
 
+def test_blank_and_null_docs_are_zero_token(spark):
+    got = _stats(
+        spark,
+        [(1, ""), (2, "   "), (3, None), (4, "a b c d e f g h")],
+    )
+    # Blank/NULL text = 0 tokens, ratio 0.0 (not 1-token or NULL/NaN).
+    assert got[1] == (0, 0, 0, 0.0)
+    assert got[2] == (0, 0, 0, 0.0)
+    assert got[3] == (0, 0, 0, 0.0)
+    assert got[4][0] == 8
+
+
 def test_whitespace_normalization(spark):
     got = _stats(
         spark,
@@ -124,11 +136,19 @@ def test_stats_plan_no_text_in_shuffle(spark):
     plan = q._jdf.queryExecution().explainString(mode.fromString("formatted"))
     assert "md5" in plan
     # Formatted output: "(N) Exchange\nInput [n]: [cols...]" blocks.
+    # The deliberate RoundRobin repartition (split-decoupling before
+    # the hash stage) DOES carry text once — that's the documented
+    # materialize-across-an-exchange pattern. What must never carry
+    # text is any HASH-partitioned exchange (the aggregation/join
+    # shuffles downstream of hashing).
     blocks = plan.split("\n\n")
-    exchange_blocks = [b for b in blocks if ") Exchange" in b]
-    assert exchange_blocks, "plan should contain at least one Exchange"
-    for b in exchange_blocks:
-        # Input/Arguments lines of the Exchange list what crosses the wire:
+    hash_exchanges = [
+        b
+        for b in blocks
+        if ") Exchange" in b and "hashpartitioning" in b
+    ]
+    assert hash_exchanges, "plan should contain hash-partition exchanges"
+    for b in hash_exchanges:
         for line in b.splitlines():
             if line.startswith("Input") or line.startswith("Arguments"):
                 assert "text#" not in line, line
