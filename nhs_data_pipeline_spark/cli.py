@@ -96,7 +96,7 @@ def curate(args: argparse.Namespace) -> None:
     """Corpus in (parquet or JSONL) -> audit panel -> keep-filtered
     documents out as deterministic JSONL shards, panel written
     alongside as parquet for the evidence trail."""
-    from nhs_data_pipeline_spark.io.readers import read_jsonl
+    from nhs_data_pipeline_spark.io.formats import read_jsonl
     from nhs_data_pipeline_spark.io.writers import write_jsonl_shards, write_parquet
     from nhs_data_pipeline_spark.llm.curate import audit_panel
     from nhs_data_pipeline_spark.session import get_spark
@@ -116,7 +116,7 @@ def curate(args: argparse.Namespace) -> None:
         else:
             fmt = "parquet"
     docs = (
-        read_jsonl(spark, args.input)
+        read_jsonl(spark, args.input).drop("_corrupt_record")
         if fmt == "jsonl"
         else spark.read.parquet(args.input)
     )

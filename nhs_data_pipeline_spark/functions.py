@@ -117,7 +117,9 @@ def fiscal_range_to_calendar_year(year_range: Column | str, period: Column | str
     else to the start year (build_datasets_overnight_day_beds.R:384-403).
     """
     yr, p = _col(year_range), _col(period)
-    start = F.substring(yr, 1, 4).cast("int")
+    # try_cast: messy-sheet survivors ('all', footnote rows) must yield
+    # NULL, not an ANSI CAST_INVALID_INPUT that aborts the whole job.
+    start = F.substring(yr, 1, 4).try_cast("int")
     is_q4 = F.lower(p).isin("january", "february", "march")
     return F.when(is_q4, start + 1).otherwise(start)
 
@@ -144,8 +146,11 @@ def parse_year_quarter(c: Column | str) -> Column:
     """Parse "2019Q1" / "2019 Q1" -> quarter-start Date (lubridate ``yq()``;
     build_datasets_overnight_day_beds.R:513)."""
     s = _col(c).cast("string")
-    year = F.regexp_extract(s, r"^(\d{4})", 1).cast("int")
-    q = F.regexp_extract(s, r"[Qq]\s*(\d)", 1).cast("int")
+    # try_cast: regexp_extract yields '' for non-matching input, and
+    # ''.cast('int') is an ANSI crash; yq() semantics are NULL-for-
+    # unparseable, which try_cast restores.
+    year = F.regexp_extract(s, r"^(\d{4})", 1).try_cast("int")
+    q = F.regexp_extract(s, r"[Qq]\s*(\d)", 1).try_cast("int")
     return F.make_date(year, (q - 1) * 3 + 1, F.lit(1))
 
 

@@ -54,7 +54,12 @@ def extract_links(
             continue
         if text_filter is not None and text_filter.lower() not in text.lower():
             continue
-        url = href if re.match(r"^https?://", href) else base_url.rstrip("/") + "/" + href.lstrip("/")
+        # urljoin resolves relative hrefs against the PAGE url (incl.
+        # '../x' and 'files/x' forms) — hand-concatenation turned every
+        # relative link into a broken root-relative path.
+        from urllib.parse import urljoin
+
+        url = href if re.match(r"^https?://", href) else urljoin(base_url, href)
         items.append(LinkItem(url=url, filename=sanitize_filename(os.path.basename(href)), text=text))
     return items
 

@@ -82,7 +82,9 @@ def read_jsonl(
             for p in _glob.glob(_os.path.join(path, "*"))
             if not _os.path.basename(p).startswith(("_", "."))
         ) or [path]
-        schema = spark.read.json(",".join(candidates[:sample_files])).schema
+        # A LIST of paths — a comma-joined string is treated as one
+        # (nonexistent) path and PATH_NOT_FOUNDs for sample_files >= 2.
+        schema = spark.read.json(candidates[:sample_files]).schema
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
     if corrupt_col not in schema.fieldNames():
@@ -93,3 +95,25 @@ def read_jsonl(
         .option("columnNameOfCorruptRecord", corrupt_col)
         .json(path)
     )
+
+
+def split_corrupt(
+    df: DataFrame, corrupt_col: str = "_corrupt_record"
+) -> tuple[DataFrame, DataFrame]:
+    """Partition a PERMISSIVE jsonl read into (good, quarantine).
+
+    Spark refuses queries that reference *only* the internal corrupt
+    column on the lazy source (SPARK-26108: the pruned scan would have
+    nothing to parse), so the split materializes the parse once via
+    cache — an explicit, documented eager step. ``cache()`` marks the
+    INPUT DataFrame object itself: once both halves are consumed, call
+    ``df.unpersist()`` on the frame you passed in to release the
+    storage memory."""
+    from pyspark.sql import functions as F
+
+    cached = df.cache()
+    good = cached.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = cached.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return good, bad

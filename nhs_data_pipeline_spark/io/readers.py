@@ -99,7 +99,21 @@ def _finalize(
     )
     pdf.insert(0, "_row_idx", range(len(pdf)))
     pdf.insert(1, "_source_file", source)
-    sdf = spark.createDataFrame(pdf)
+    # Explicit all-string schema: inference crashes on ZERO data rows
+    # (CANNOT_INFER_EMPTY_SCHEMA — a just-published empty release is a
+    # real shape) and on all-NULL columns without Arrow. _row_idx is
+    # cast below, everything else is string by the module contract.
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField(str(c), T.StringType()) for c in pdf.columns]
+    )
+    sdf = spark.createDataFrame(
+        pdf.astype({"_row_idx": "object"}).map(
+            lambda v: None if v is None else str(v)
+        ),
+        schema=schema,
+    )
     return sdf.withColumn("_row_idx", F.col("_row_idx").cast("long"))
 
 
@@ -227,10 +241,12 @@ def _read_xlsx_stdlib(path: str, sheet: str | int = 0) -> tuple[pd.DataFrame, li
         shared = _xlsx_shared_strings(zf)
         rows: dict[int, dict[int, str]] = {}
         max_col = -1
+        last_row = 0  # spec: an r-less row follows the previous row
         for el in ET.fromstring(zf.read(target)).iter():
             if _xml_local(el.tag) != "row":
                 continue
-            r_idx = int(el.get("r", len(rows) + 1)) - 1
+            r_idx = int(el.get("r", last_row + 1)) - 1
+            last_row = r_idx + 1
             cells: dict[int, str] = {}
             next_col = 0
             for c in el:
@@ -361,52 +377,3 @@ def with_filename_metadata(df: DataFrame, col: str = "_source_file") -> DataFram
         .withColumn("file_quarter", extract_quarter(src))
         .withColumn("file_pathway", extract_pathway(src))
     )
-
-
-def read_jsonl(
-    spark: SparkSession,
-    path: str,
-    schema: str | None = None,
-    corrupt_col: str = "_corrupt_record",
-) -> DataFrame:
-    """JSON-Lines source (the LLM-corpus interchange format; .gz / .zst
-    transparently decompressed by the Spark datasource).
-
-    With an explicit ``schema`` (DDL string), malformed lines are
-    captured row-wise into ``corrupt_col`` instead of poisoning the
-    read (PERMISSIVE mode) — pair with ``split_corrupt`` to route them
-    to a quarantine sink. Without a schema, Spark infers it (one extra
-    pass; fine interactively, pass a schema in production so ingest is
-    single-pass and drift is an explicit quarantined row, not a silent
-    re-inference)."""
-    if schema is None:
-        return spark.read.json(path)
-    full = f"{schema}, {corrupt_col} string"
-    return (
-        spark.read.schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", corrupt_col)
-        .json(path)
-    )
-
-
-def split_corrupt(
-    df: DataFrame, corrupt_col: str = "_corrupt_record"
-) -> tuple[DataFrame, DataFrame]:
-    """Partition a PERMISSIVE jsonl read into (good, quarantine).
-
-    Spark refuses queries that reference *only* the internal corrupt
-    column on the lazy source (SPARK-26108: the pruned scan would have
-    nothing to parse), so the split materializes the parse once via
-    cache — an explicit, documented eager step, the same pattern as
-    the engine's persist-before-self-join rule. ``cache()`` marks the
-    INPUT DataFrame object itself: once both halves are written, call
-    ``df.unpersist()`` on the frame you passed in to release the
-    storage memory (long sessions that skip this pin the parsed corpus
-    and evict later caches)."""
-    cached = df.cache()
-    good = cached.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
-    bad = cached.filter(F.col(corrupt_col).isNotNull()).select(
-        F.col(corrupt_col).alias("raw_line")
-    )
-    return good, bad

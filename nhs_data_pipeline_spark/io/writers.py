@@ -123,9 +123,11 @@ def write_jsonl_shards(
 
     from nhs_data_pipeline_spark.llm.dedup import _MD5_H60
 
-    shard = F.expr(
-        f"pmod({_MD5_H60.format(x=f'cast({id_col} as string)')}, {num_shards})"
-    )
+    # NULL ids hash via a NUL sentinel: a NULL shard value would route
+    # the row to shard=__HIVE_DEFAULT_PARTITION__, OUTSIDE the
+    # shard=0..N-1 layout consumers iterate — silent data loss.
+    key = f"coalesce(cast({id_col} as string), '\\u0000')"
+    shard = F.expr(f"pmod({_MD5_H60.format(x=key)}, {num_shards})")
     w = (
         df.withColumn("shard", shard)
         .repartition(num_shards, "shard")

@@ -92,3 +92,29 @@ def test_bin_lower_bound(spark):
     assert _one(spark, nf.bin_lower_bound(F.col("v")), "between_17_18") == 17.0
     assert _one(spark, nf.bin_lower_bound(F.col("v")), "between_52_plus") == 52.0
     assert _one(spark, nf.bin_lower_bound(F.col("v")), "total") is None
+
+
+def test_parse_year_quarter_junk_yields_null(spark):
+    from nhs_data_pipeline_spark.functions import parse_year_quarter
+
+    df = spark.createDataFrame(
+        [("2019Q1",), ("junk",), ("Q1 2019",), (None,)], "s string"
+    )
+    got = [r[0] for r in df.select(parse_year_quarter("s")).collect()]
+    assert got[0] is not None
+    assert got[1] is None and got[2] is None and got[3] is None
+
+
+def test_fiscal_range_junk_yields_null(spark):
+    from nhs_data_pipeline_spark.functions import fiscal_range_to_calendar_year
+
+    df = spark.createDataFrame(
+        [("2019-20", "June"), ("all", "June"), ("Source: NHS England", "March")],
+        "yr string, p string",
+    )
+    got = [
+        r[0]
+        for r in df.select(fiscal_range_to_calendar_year("yr", "p")).collect()
+    ]
+    assert got[0] == 2019
+    assert got[1] is None and got[2] is None

@@ -373,3 +373,25 @@ def test_jsonl_schema_inference_is_bounded_and_pinned(spark, tmp_path):
     back = read_jsonl(spark, str(d), sample_files=1)
     assert "extra" not in back.columns
     assert {r.id for r in back.collect()} == {1, 2}
+
+
+def test_read_messy_csv_header_only_file(spark, tmp_path):
+    # A just-published empty release: preamble + header row, no data.
+    p = tmp_path / "empty_release.csv"
+    p.write_text("Some preamble text,,\nOrg Code,Org Name,Beds\n")
+    df = read_messy_csv(spark, str(p))
+    assert df.count() == 0
+    assert "org_code" in df.columns  # header still promoted
+
+
+def test_extract_links_relative_href_resolution():
+    from nhs_data_pipeline_spark.io.download import extract_links
+
+    html = (
+        '<a href="files/data_2019.csv">Provider data</a>'
+        '<a href="../archive/old.xls">Old</a>'
+    )
+    items = extract_links(html, base_url="https://example.org/stats/page.html")
+    urls = {i.url for i in items}
+    assert "https://example.org/stats/files/data_2019.csv" in urls
+    assert "https://example.org/archive/old.xls" in urls

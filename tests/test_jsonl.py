@@ -1,11 +1,11 @@
-"""JSONL ingest/export (io/readers.read_jsonl, io/writers.write_jsonl_shards)."""
+"""JSONL ingest/export (io/formats.read_jsonl, io/writers.write_jsonl_shards)."""
 
 import glob
 import hashlib
 import json
 import os
 
-from nhs_data_pipeline_spark.io.readers import read_jsonl, split_corrupt
+from nhs_data_pipeline_spark.io.formats import read_jsonl, split_corrupt
 from nhs_data_pipeline_spark.io.writers import write_jsonl_shards
 
 ROWS = [
@@ -74,3 +74,29 @@ def test_schema_enforced_read_is_typed(spark, tmp_path):
     df = read_jsonl(spark, str(p), schema="doc_id bigint, text string")
     types = dict(df.drop("_corrupt_record").dtypes)
     assert types == {"doc_id": "bigint", "text": "string"}
+
+
+def test_sample_files_multi_inference(spark, tmp_path):
+    d = tmp_path / "feed"
+    d.mkdir()
+    (d / "a.jsonl").write_text('{"doc_id": 1, "text": "x"}\n')
+    (d / "b.jsonl").write_text('{"doc_id": 2, "text": "y", "extra": 5}\n')
+    # Regression: sample paths must be passed as a LIST — a comma-join
+    # was treated as one nonexistent path (PATH_NOT_FOUND).
+    df = read_jsonl(spark, str(d), sample_files=2)
+    assert "extra" in df.columns
+    assert df.count() == 2
+
+
+def test_null_id_rows_stay_inside_numbered_shards(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(None, "orphan"), (1, "a"), (2, "b")], "doc_id long, text string"
+    )
+    out = str(tmp_path / "nulls")
+    write_jsonl_shards(df, out, num_shards=2, id_col="doc_id", compression=None)
+    dirs = sorted(os.listdir(out))
+    assert not any("HIVE_DEFAULT" in d for d in dirs)
+    got = []
+    for f in glob.glob(out + "/shard=*/*.json"):
+        got.extend(json.loads(line) for line in open(f))
+    assert len(got) == 3  # the NULL-id row is exported, not lost
