@@ -101,15 +101,27 @@ def dsir_scores(
         F.count("*").alias("c")
     )
 
-    braw = per_db.groupBy("bucket").agg(F.sum("c").alias("r"))
-    btgt = (
-        per_db.filter(F.col("__tgt"))
-        .groupBy("bucket")
-        .agg(F.sum("c").alias("t"))
+    # per_db would feed five branches (raw/target bucket counts, two
+    # totals, the scoring probe), each re-running the dominant
+    # per-feature md5 hashing (the multi-branch trap measured at 2.7x
+    # in llm/lm.py). One extra aggregate collapses the model side to a
+    # single pass: a (bucket, tgt) count table — <= 2*buckets rows,
+    # persisted — from which raw counts, target counts, and both
+    # totals derive. Two hashing passes total (model + probe); the
+    # leaked cache is model-sized, not corpus-sized.
+    bucket_tgt = (
+        per_db.groupBy("bucket", "__tgt").agg(F.sum("c").alias("bc")).persist()
     )
-    tot = per_db.agg(F.sum("c").alias("__R"))
-    ttot = per_db.filter(F.col("__tgt")).agg(
-        F.coalesce(F.sum("c"), F.lit(0)).alias("__T")
+    bucket_tgt.count()
+    braw = bucket_tgt.groupBy("bucket").agg(F.sum("bc").alias("r"))
+    btgt = (
+        bucket_tgt.filter(F.col("__tgt"))
+        .groupBy("bucket")
+        .agg(F.sum("bc").alias("t"))
+    )
+    tot = bucket_tgt.agg(F.sum("bc").alias("__R"))
+    ttot = bucket_tgt.filter(F.col("__tgt")).agg(
+        F.coalesce(F.sum("bc"), F.lit(0)).alias("__T")
     )
 
     lls = (

