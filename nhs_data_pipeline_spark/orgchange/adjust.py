@@ -13,8 +13,10 @@ Semantics, in the reference's order:
     these are marked but never adjusted.
 3.  Split the panel into affected / unaffected by lookup membership.
 4.  Left-join the (broadcast) lookup ``old_code -> final_code``.
-5.  Change indicator: the last period each old code reports, +1 period
-    (splits keep their own dates) — distinct ``(final_code, change_date)``.
+5.  Change indicator: the LAST period the adjusted old codes report
+    (``max(period)`` per final_code — the oracle and golden replay pin
+    exactly this; the supporting-facilities pipeline separately rolls
+    its quarterly dates forward, see pipelines/supporting_facilities).
 6.  Recode ``org_code := coalesce(final_code, org_code)``.
 7.  Re-aggregate the synthetic merged trust: group-by panel keys with
     NA-preserving sums (Spark ``sum`` is already NULL-on-all-NULL).
@@ -69,11 +71,13 @@ def adjust_org_changes(
         recomputed *after* summation (ratios don't sum).
     """
     ratio_specs = dict(ratio_specs or {})
+    # Only the columns the adjustment reads: carrying extras (e.g.
+    # experiences_split) risks AMBIGUOUS_REFERENCE when the panel
+    # already has a same-named column.
     lkp = F.broadcast(
         lookup.select(
             F.col("old_code"),
             F.col("final_code"),
-            F.col("experiences_split"),
             F.col("problematic"),
         )
     )
@@ -81,10 +85,14 @@ def adjust_org_changes(
     # 1. name snapshot (P14): first name per code, deterministic by period.
     names = None
     if name_col is not None and name_col in df.columns:
+        # Tiebreak on the name itself: two names in the same earliest
+        # period would otherwise pick per-run-arbitrarily (row_number
+        # over a non-unique order), flipping the adjusted output's
+        # org_name between runs.
         names = first_per_group(
             df.select(org_col, period_col, name_col),
             [org_col],
-            [period_col],
+            [period_col, name_col],
         ).select(org_col, name_col)
 
     # 2-3. membership flags. A single broadcast left join replaces the

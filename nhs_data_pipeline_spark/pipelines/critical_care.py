@@ -36,12 +36,20 @@ BED_TYPES = [
 
 
 def rename_positional_measures(df: DataFrame, start: int = 5) -> DataFrame:
-    """Apply the era-B positional measure names to columns
-    ``start``..``start+9`` (0-based; the reference's names(x)[6:15])."""
+    """Apply the era-B positional measure names to SHEET columns
+    ``start``..``start+9`` (0-based; the reference's names(x)[6:15]).
+
+    Positions are counted over the sheet's own columns: the messy
+    readers prepend ``_row_idx`` / ``_source_file`` metadata, and
+    counting those would land every measure name two columns left of
+    its data — so leading underscore-metadata columns are skipped."""
     cols = list(df.columns)
+    meta = 0
+    while meta < len(cols) and cols[meta].startswith("_"):
+        meta += 1
     for i, name in enumerate(POSITIONAL_MEASURES):
-        if start + i < len(cols):
-            cols[start + i] = name
+        if meta + start + i < len(cols):
+            cols[meta + start + i] = name
     return df.toDF(*cols)
 
 
@@ -49,7 +57,9 @@ def calendar_year_from_fiscal(df: DataFrame, month_col: str = "month",
                               fiscal_col: str = "year") -> DataFrame:
     """"2010-11" fiscal label + month name -> calendar year: Jan-Mar
     belong to the end year (:220-228)."""
-    start = F.substring(F.col(fiscal_col), 1, 4).cast("int")
+    # try_cast: a footnote/total survivor row ('all providers') must
+    # yield NULL, not an ANSI CAST_INVALID_INPUT aborting the build.
+    start = F.substring(F.col(fiscal_col), 1, 4).try_cast("int")
     is_q4 = F.lower(F.col(month_col)).isin("january", "february", "march")
     return df.withColumn("calendar_year", F.when(is_q4, start + 1).otherwise(start))
 

@@ -52,7 +52,12 @@ def recompute_binned_stats(
     pct = pct_within_threshold(long, keys, "bin_lower", "count", threshold).withColumnRenamed(
         "pct_within", pct_col
     )
-    out = natural_join(df, pct, how="left")
+    # RECOMPUTE means recompute: pre-existing stat columns must be
+    # dropped first — natural_join would otherwise treat them as join
+    # keys, the stale value never matches the fresh one, and the left
+    # join silently keeps the OLD numbers.
+    base = df.drop(pct_col, median_col)
+    out = natural_join(base, pct, how="left")
     return natural_join(out, med, how="left")
 
 

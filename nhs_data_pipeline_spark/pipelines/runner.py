@@ -46,7 +46,7 @@ class SeriesConfig:
     numeric_cols: Sequence[str] = ()                      # coerce to double (F12)
     drop_name_values: Sequence[str] = ()                  # junk org rows (P7)
     require_cols: Sequence[str] = ()                      # not-null filter (P6)
-    keys: Sequence[str] = ("org_code", "period")
+    keys: Sequence[str] = ("org_code", "period")  # CONTRACT: (org, period, ...rest)
     sum_cols: Sequence[str] = ()
     org_lookup: DataFrame | None = None                   # org-change lookup (§2.10)
     name_col: str | None = "org_name"
@@ -78,12 +78,27 @@ def run_series(spark: SparkSession, cfg: SeriesConfig) -> DataFrame:
     for c in cfg.require_cols:
         panel = panel.filter(F.col(c).isNotNull())
     if cfg.drop_name_values and cfg.name_col in panel.columns:
-        panel = panel.filter(~F.col(cfg.name_col).isin(list(cfg.drop_name_values)))
+        # NULL-name rows are KEPT: R's !(x %in% drop) keeps NA, while a
+        # bare ~isin() is NULL for NULL input and filter() would
+        # silently drop every row whose name cell was a sentinel.
+        nc = F.col(cfg.name_col)
+        panel = panel.filter(
+            nc.isNull() | ~nc.isin(list(cfg.drop_name_values))
+        )
     for c in cfg.numeric_cols:
         if c in panel.columns:
             panel = panel.withColumn(c, to_numeric(c))
     if cfg.org_lookup is not None:
+        # CONTRACT: keys[0] is the org column, keys[1] the period
+        # column (documented on SeriesConfig) — a differently-ordered
+        # key tuple would silently no-op the adjustment (the lookup
+        # join would never match), so fail loudly on an obvious breach.
         keys = list(cfg.keys)
+        if len(keys) < 2:
+            raise ValueError(
+                f"series {cfg.name}: org-change adjustment needs keys ="
+                f" (org_col, period_col, ...); got {keys!r}"
+            )
         panel = adjust_org_changes(
             panel,
             cfg.org_lookup,

@@ -28,5 +28,10 @@ def harmonize_wait_bins(df: DataFrame, cutoff: int = 52) -> DataFrame:
             drop.append(c)
         elif c in (f"between_{cutoff}_plus",):
             drop.append(c)
+        elif re.fullmatch(r"total_(\d+)_plus_weeks", c) and c != f"total_{cutoff}_plus_weeks":
+            # era-C carries extra coarse totals (62+/104+) alongside the
+            # 52+ one; the documented contract drops them so stray
+            # era-specific columns never union into the panel
+            drop.append(c)
     out = df.drop(*drop)
     return rename_columns(out, {f"total_{cutoff}_plus_weeks": f"between_{cutoff}_plus"})

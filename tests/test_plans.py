@@ -304,6 +304,12 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # shuffle join is the correct (only) plan; AQE broadcasts them
         # at gate scale anyway
         "curate_audit_panel",
+        # audited: corpus bigram stream probed against the persisted
+        # bigram-count model (llm/lm.py) — the model's size is data-
+        # dependent (reference-slice vocabulary^2 upper bound), so the
+        # general shuffle join is correct and AQE broadcasts it when
+        # the model is small
+        "text_lm_perplexity",
     }
     # audited: broadcast one-row scalar aggregates (cross joins) and
     # the broadcast-query-side != join of exact top-k
