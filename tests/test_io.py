@@ -395,3 +395,43 @@ def test_extract_links_relative_href_resolution():
     urls = {i.url for i in items}
     assert "https://example.org/stats/files/data_2019.csv" in urls
     assert "https://example.org/archive/old.xls" in urls
+
+
+def test_xlsx_row_without_r_attribute_follows_previous(tmp_path):
+    """Spec: a <row> with no r attribute continues after the last seen
+    row. The old fallback (len(rows)+1) misplaced — and could
+    overwrite — rows when earlier rows were sparse."""
+    import zipfile
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    sheet = (
+        f'<?xml version="1.0"?><worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>h1</t></is></c></row>'
+        '<row r="5"><c r="A5" t="inlineStr"><is><t>row5</t></is></c></row>'
+        "<row><c t=\"inlineStr\"><is><t>anon</t></is></c></row>"
+        "</sheetData></worksheet>"
+    )
+    wb = (
+        f'<?xml version="1.0"?><workbook xmlns="{ns}" xmlns:r="{rns}">'
+        '<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        '<?xml version="1.0"?><Relationships xmlns='
+        '"http://schemas.openxmlformats.org/package/2006/relationships">'
+        f'<Relationship Id="rId1" Type="{rns}/worksheet" '
+        'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    p = tmp_path / "rless.xlsx"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+
+    from nhs_data_pipeline_spark.io.readers import _read_xlsx_stdlib
+
+    pdf, _ = _read_xlsx_stdlib(str(p))
+    col = pdf.iloc[:, 0].tolist()
+    # h1 at row 0, row5 at row 4, anon at row 5 (AFTER row5, not at
+    # index 2 where len(rows)+1 would have put it).
+    assert col[0] == "h1" and col[4] == "row5" and col[5] == "anon"
