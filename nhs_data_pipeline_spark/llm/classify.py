@@ -1,0 +1,119 @@
+"""Linear quality classifier over hashed bag-of-words features.
+
+Production LLM-data pipelines (GPT-3, LLaMA, RedPajama — all public
+papers) filter web text with a *linear classifier* over hashed n-gram
+features (fastText-style): each token hashes into a bucket, each
+bucket carries a learned weight, and a document's logit is the mean of
+its tokens' weights (+ bias). Documents with logit >= 0 look like the
+positive ("high quality" / "reference-like") class and are kept or
+up-weighted.
+
+This module implements the *scoring* side — the part that runs over
+100 TB — as pure Catalyst expressions. Training happens offline at
+model scale (the weight table here is a seeded deterministic stand-in
+with the exact shape a trained model would have: bucket -> weight).
+Swapping in real learned weights is a broadcast-join of a B-row
+table; the scoring plan is identical.
+
+Spark-first shape (100 TB design)
+---------------------------------
+- One projection explodes tokens; the bucket hash is the
+  engine-portable md5-prefix integer (``llm/dedup._MD5_H60``) —
+  whole-stage-codegen, no Python.
+- The weight is a *closed-form* function of the bucket (multiplicative
+  integer hash -> [-0.5, 0.5] rational), so scoring needs NO join at
+  all; with a learned table it becomes one broadcast join of B rows.
+- Per-doc reduction is one groupBy(doc_id) — embarrassingly parallel;
+  shuffle rows are ``(doc_id, bucket int)``, never text.
+
+Cross-engine determinism
+------------------------
+Weights are the exact rationals ``k/1e6 - 0.5`` with integer ``k``, so
+the engine sums the INTEGER millionths (order-free, exact — no float
+fold needed) and applies the division + offset once per document:
+
+    logit = sum(k_i) / (1e6 * n_tokens) - 0.5
+
+Every step is integer arithmetic or a single correctly-rounded double
+op on identical inputs, so the logit is bit-identical in any engine
+*without rounding*. (An earlier draft rounded a per-token double fold
+to 6 decimals; because the weights have exactly 1e-6 resolution, the
+mean regularly lands on round-half boundaries and the engines
+coin-flip the last digit — the dual-scale gate caught it at sf0.1.
+The integer-sum form removes the boundary entirely.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nhs_data_pipeline_spark.llm.dedup import _MD5_H60
+from nhs_data_pipeline_spark.llm.text import tokenized_frame
+
+#: Knuth multiplicative constant — spreads consecutive bucket ids.
+_MIX = 2654435761
+#: Weight resolution: weights are k/1e6 - 0.5 for k in [0, 1e6].
+_RES = 1_000_000
+
+
+def bucket_weight_millionths(bucket: Column) -> Column:
+    """Integer numerator ``k`` of the deterministic bucket weight
+    ``k/1e6 - 0.5``: ``pmod(bucket * 2654435761 + 12345, 1e6+1)``.
+    Pure integer arithmetic — replays exactly in any engine."""
+    return F.pmod(bucket * F.lit(_MIX) + F.lit(12345), F.lit(_RES + 1))
+
+
+def bucket_weight(bucket: Column) -> Column:
+    """The bucket weight itself, in [-0.5, 0.5] (for inspection /
+    export of the weight table; scoring sums the integer form)."""
+    return bucket_weight_millionths(bucket) / F.lit(float(_RES)) - F.lit(0.5)
+
+
+def linear_quality_scores(
+    df: DataFrame,
+    buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document with the hashed linear classifier:
+    ``(doc_id, n_tokens, logit, keep)`` where
+
+        logit = sum(k_tok) / (1e6 * n_tokens) - 0.5      (exact; no round)
+        keep  = logit >= 0
+
+    The integer sum is order-free, so no deterministic fold is needed
+    (module docstring). Empty documents (no tokens after
+    normalization) get logit NULL and keep false — a quality filter
+    has no evidence to keep them.
+    """
+    base = tokenized_frame(df, text_col, id_col)
+    toks = base.select(
+        "doc_id",
+        F.explode(F.filter(F.col("__w"), lambda t: t != F.lit(""))).alias("__tok"),
+    )
+    feats = toks.select(
+        "doc_id",
+        bucket_weight_millionths(
+            F.pmod(F.expr(_MD5_H60.format(x="__tok")), F.lit(buckets))
+        ).alias("__k"),
+    )
+    scored = (
+        feats.groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("__k").alias("__s"))
+        .withColumn(
+            "logit",
+            F.col("__s") / (F.lit(float(_RES)) * F.col("n_tokens")) - F.lit(0.5),
+        )
+        .drop("__s")
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "logit",
+            F.coalesce(F.col("logit") >= 0, F.lit(False)).alias("keep"),
+        )
+    )

@@ -1,0 +1,229 @@
+"""Sparse text retrieval: inverted index construction + BM25 ranking.
+
+Large-scale training-data pipelines build sparse retrieval structures
+over the corpus for deduplication-adjacent tasks (finding the training
+documents that match an eval query — contamination forensics), for
+RAG-corpus preparation, and for quality auditing ("which documents
+does this query surface?"). The two primitives are:
+
+- ``inverted_index``: term -> (corpus frequency, document frequency,
+  bounded posting list). The posting list is the retrieval structure;
+  df/cf are the statistics BM25 needs.
+- ``bm25_topk``: Okapi BM25 (Robertson & Sparck Jones; the public
+  Lucene ``k1``/``b`` parameterisation) top-k documents per query, for
+  an arbitrary ``(query_id, term)`` query table.
+
+Spark-first shape (100 TB design)
+---------------------------------
+- The token stream shuffles once into per-``(term, doc)`` counts; both
+  index statistics and the bounded posting list derive from that one
+  exchange (Catalyst's ReuseExchange collapses the two consumers onto
+  a single shuffle — asserted in tests/test_plans.py).
+- Posting lists are BOUNDED before collection: a per-term
+  ``row_number`` window caps each list at ``k_postings`` *via
+  WindowGroupLimit*, so map tasks pre-trim to the cap and the head
+  term ("the", df ~ every document) never materialises an unbounded
+  array in one aggregation buffer. An uncapped ``collect_list`` per
+  term is the classic 100 TB OOM.
+- BM25 scoring joins the (tiny, broadcast) query-term table onto the
+  ``(term, doc)`` counts FIRST, so document-frequency and scoring work
+  only touch query terms — the corpus-wide token stream is filtered
+  down before any further shuffle.
+- Corpus scalars (N, avgdl) are one-row aggregates broadcast-nested-
+  loop-joined onto the scored stream (the audited scalar-crossJoin
+  pattern, tests/test_plans.py whitelist).
+
+Cross-engine determinism
+------------------------
+``ln`` differs in final ulps between libm implementations, so the IDF
+is rounded to 6 decimals per term before use; each per-term BM25
+contribution is rounded to 6 decimals; and the per-(query, doc) score
+folds contributions in *term order* via the sorted-array ``aggregate``
+(DuckDB replays with ``list_reduce(list(... ORDER BY term))``) — the
+same bit-reproducible-float discipline as llm/lm.py and llm/dsir.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nhs_data_pipeline_spark.llm.text import explode_terms
+
+
+def term_doc_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-``(term, doc)`` occurrence counts — the single shuffled
+    building block both the index and BM25 derive from."""
+    return (
+        explode_terms(df, text_col, id_col)
+        .groupBy("term", id_col)
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    k_postings: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Inverted index: one row per term with corpus frequency
+    (``n_occurrences``), document frequency (``df``), and a bounded
+    posting list of the first ``k_postings`` doc ids in ascending
+    order (``postings``).
+
+    The cap is enforced *before* collection via a per-term
+    ``row_number`` window (WindowGroupLimit pre-trims map-side); the
+    full-stream statistics come from a plain aggregate over the same
+    ``(term, doc)`` exchange, which Catalyst reuses.
+    """
+    tf = term_doc_counts(df, text_col, id_col)
+    stats = tf.groupBy("term").agg(
+        F.sum("tf").alias("n_occurrences"),
+        F.count("*").alias("df"),
+    )
+    w = Window.partitionBy("term").orderBy(F.asc(id_col))
+    top = (
+        tf.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k_postings)
+        .groupBy("term")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("postings"))
+    )
+    return stats.join(top, "term")
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 top-``k`` documents per query.
+
+    ``queries`` is a ``(query_id, term)`` table (small — it
+    broadcasts). Returns ``(query_id, doc_id, n_terms_hit, score,
+    rank)`` with exactly the documents containing at least one query
+    term, ranked by the summed per-term BM25 contribution:
+
+        idf(t)  = round(ln(1 + (N - df + 0.5) / (df + 0.5)), 6)
+        c(t, d) = round(idf * tf * (k1+1)
+                        / (tf + k1 * (1 - b + b * dl/avgdl)), 6)
+
+    folded in term order (bit-reproducible; module docstring). Ties
+    break on ``doc_id`` so every engine returns the same k rows.
+    """
+    tf = term_doc_counts(df, text_col, id_col)
+    hits = tf.join(F.broadcast(queries), "term")
+
+    # Document length + corpus scalars over ALL documents (dl in
+    # whitespace tokens of the normalized text — same tokenizer).
+    dl = (
+        explode_terms(df, text_col, id_col)
+        .groupBy(id_col)
+        .agg(F.count("*").alias("dl"))
+    )
+    scalars = dl.agg(
+        F.count("*").alias("__n"),
+        F.sum("dl").alias("__sumdl"),
+    )
+
+    # Document frequency for query terms only: filter the (term, doc)
+    # stream by the broadcast query-term set, THEN count — the
+    # corpus-wide aggregate never runs for non-query terms.
+    qterms = queries.select("term").distinct()
+    dfreq = (
+        tf.join(F.broadcast(qterms), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+
+    avgdl = F.col("__sumdl") / F.col("__n")
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("__n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        ),
+        6,
+    )
+    contrib = F.round(
+        F.col("__idf")
+        * F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (F.col("tf") + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("__avgdl"))),
+        6,
+    )
+
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(scalars))  # one-row scalar join (audited)
+        .withColumn("__avgdl", avgdl)
+        .withColumn("__idf", idf)
+        .withColumn("__c", contrib)
+    )
+
+    # Deterministic fold of the per-term contributions in term order.
+    agg = (
+        scored.groupBy("query_id", id_col)
+        .agg(
+            F.count("*").alias("n_terms_hit"),
+            F.sort_array(F.collect_list(F.struct("term", "__c"))).alias("__st"),
+        )
+        .withColumn(
+            "score",
+            F.expr(
+                "aggregate(transform(__st, __s -> __s.__c), "
+                "cast(0.0 as double), (__a, __b) -> __a + __b)"
+            ),
+        )
+        .drop("__st")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "n_terms_hit", "score", "rank")
+    )
+
+
+def derived_term_queries(
+    df: DataFrame,
+    n_queries: int = 3,
+    terms_per_query: int = 2,
+    skip_top: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic data-derived query set for testing/benchmarks:
+    vocabulary ranks ``skip_top+1 .. skip_top + n_queries*terms_per_query``
+    by (corpus frequency desc, term), chunked into consecutive
+    ``terms_per_query``-term queries (``query_id`` 0-based).
+
+    The head-term skip avoids stopword-like terms; the selection is a
+    TakeOrdered over the aggregated vocabulary (never a global sort of
+    the token stream), and the result is tiny — callers broadcast it.
+    No magnitude-coupled constants: everything derives from the data.
+    """
+    need = skip_top + n_queries * terms_per_query
+    vocab = (
+        explode_terms(df, text_col, id_col)
+        .groupBy("term")
+        .agg(F.count("*").alias("__n"))
+        .orderBy(F.desc("__n"), F.asc("term"))
+        .limit(need)
+    )
+    w = Window.orderBy(F.desc("__n"), F.asc("term"))
+    return (
+        vocab.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") > skip_top)
+        .withColumn(
+            "query_id",
+            ((F.col("__rk") - F.lit(skip_top + 1)) / F.lit(terms_per_query)).cast("int"),
+        )
+        .select("query_id", "term")
+    )

@@ -36,6 +36,9 @@ from nhs_data_pipeline_spark.llm import spans as sp
 from nhs_data_pipeline_spark.llm import dsir
 from nhs_data_pipeline_spark.llm import lm
 from nhs_data_pipeline_spark.llm import curate as cu
+from nhs_data_pipeline_spark.llm import retrieval as rtv
+from nhs_data_pipeline_spark.llm import classify as clf
+from nhs_data_pipeline_spark.ops import graph as og
 from nhs_data_pipeline_spark.ops import analytics as oan
 from nhs_data_pipeline_spark.ops import binned as ob
 from nhs_data_pipeline_spark.ops import core as oc
@@ -5037,6 +5040,215 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     stddev() aggregate can never guarantee."""
     ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
     return oan.zscore_outliers(ev, "value", ["event_type"], threshold=3.0)
+
+
+# ===========================================================================
+# LLM-pipeline: sparse retrieval (inverted index + BM25)
+# ===========================================================================
+
+@query(
+    "text_inverted_index",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT term, doc_id, COUNT(*) AS tf FROM toked WHERE term <> ''
+      GROUP BY term, doc_id
+    ),
+    stats AS (
+      SELECT term, CAST(SUM(tf) AS BIGINT) AS n_occurrences, COUNT(*) AS df
+      FROM tf GROUP BY term
+    ),
+    top AS (
+      SELECT term, list(doc_id ORDER BY doc_id) AS postings
+      FROM (SELECT term, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rk
+            FROM tf)
+      WHERE rk <= 50 GROUP BY term
+    )
+    SELECT s.term, s.n_occurrences, s.df, t.postings
+    FROM stats s JOIN top t USING (term)
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the corpus: term -> (corpus frequency,
+    document frequency, first-50 posting list). The posting cap is
+    enforced BEFORE collection via a per-term row_number window
+    (WindowGroupLimit pre-trims map-side) — an uncapped collect_list
+    on the head term is the classic corpus-scale OOM (llm/retrieval
+    module docstring)."""
+    return rtv.inverted_index(_t(spark, sf_dir, "documents"), k_postings=50)
+
+
+@query(
+    "text_bm25_topk",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents
+    ),
+    tok AS (SELECT doc_id, term FROM toked WHERE term <> ''),
+    tfq AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY term, doc_id),
+    ranked AS (
+      SELECT term, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rk
+      FROM (SELECT term, COUNT(*) AS n FROM tok GROUP BY term
+            ORDER BY n DESC, term LIMIT 11)
+    ),
+    queries AS (
+      SELECT CAST((rk - 6) // 2 AS INTEGER) AS query_id, term
+      FROM ranked WHERE rk > 5
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    scal AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
+    dfq AS (
+      SELECT t.term, COUNT(*) AS df
+      FROM tfq t JOIN (SELECT DISTINCT term FROM queries) q USING (term)
+      GROUP BY t.term
+    ),
+    contrib AS (
+      SELECT q.query_id, t.doc_id, t.term,
+             ROUND(
+               ROUND(ln(1.0 + (sc.n - d.df + 0.5) / (d.df + 0.5)), 6)
+               * t.tf * (1.2 + 1.0)
+               / (t.tf + 1.2 * ((1.0 - 0.75)
+                                + (0.75 * dl.dl)
+                                  / (CAST(sc.sumdl AS DOUBLE) / sc.n))), 6) AS c
+      FROM tfq t JOIN queries q USING (term)
+                 JOIN dfq d ON t.term = d.term
+                 JOIN dl ON t.doc_id = dl.doc_id, scal sc
+    ),
+    agg AS (
+      SELECT query_id, doc_id, COUNT(*) AS n_terms_hit,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY term)),
+                         (__a, __b) -> __a + __b) AS score
+      FROM contrib GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, n_terms_hit, score, CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, doc_id) AS rank
+          FROM agg)
+    WHERE rank <= 5
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-5 documents per query for a data-derived query
+    set (vocabulary ranks 6-11 chunked into three 2-term queries — no
+    magnitude-coupled constants). Per-term contributions round their
+    libm ``ln`` to 6 decimals and fold in term order, so the summed
+    score is bit-reproducible cross-engine (llm/retrieval docstring)."""
+    docs = _t(spark, sf_dir, "documents")
+    qs = rtv.derived_term_queries(docs, n_queries=3, terms_per_query=2, skip_top=5)
+    return rtv.bm25_topk(docs, qs, k=5)
+
+
+@query(
+    "quality_linear_classifier",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM_SQL}, ' '), __t -> __t <> '') AS w
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, unnest(w) AS tok FROM base WHERE len(w) > 0
+    ),
+    wts AS (
+      SELECT doc_id,
+             (((({_hex60_sql('tok')}) % 1024) * 2654435761 + 12345) % 1000001) AS k
+      FROM toks
+    ),
+    sc AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM(k) AS DOUBLE) / (1000000.0 * COUNT(*)) - 0.5 AS logit
+      FROM wts GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+           sc.logit, COALESCE(sc.logit >= 0, FALSE) AS keep
+    FROM documents d LEFT JOIN sc USING (doc_id)
+    """,
+)
+def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality classifier (scoring side):
+    per-doc mean of deterministic per-bucket weights over md5-bucketed
+    tokens. The weights are exact rationals k/1e6 - 0.5, so the engine
+    sums INTEGER millionths (order-free, no fold, no rounding) and the
+    unrounded logit is bit-identical cross-engine — the rounded-mean
+    form coin-flips on half-ulp boundaries (llm/classify docstring)."""
+    return clf.linear_quality_scores(_t(spark, sf_dir, "documents"), buckets=1024)
+
+
+# ===========================================================================
+# Graph analytics: weighted PageRank over the trade-flow nation graph
+# ===========================================================================
+
+def _pagerank_oracle_sql(iterations: int = 5) -> str:
+    """Unrolled-iteration DuckDB replica of ops/graph.pagerank on the
+    customer-nation -> supplier-nation trade graph: each iteration is
+    one CTE pair (fold contributions in src order, round to 9
+    decimals) — the same IEEE op sequence as the Spark loop."""
+    its = []
+    for i in range(1, iterations + 1):
+        its.append(f"""
+    c{i} AS (
+      SELECT e.dst AS node, e.src AS src, p.pr * e.w / o.ow AS c
+      FROM e JOIN pr{i - 1} p ON e.src = p.node JOIN outw o ON e.src = o.src
+    ),
+    s{i} AS (
+      SELECT node,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY src)),
+                         (__a, __b) -> __a + __b) AS s
+      FROM c{i} GROUP BY node
+    ),
+    pr{i} AS (
+      SELECT nd.node,
+             ROUND((1.0 - 0.85) / nn.n + 0.85 * COALESCE(s{i}.s, 0.0), 9) AS pr
+      FROM nd LEFT JOIN s{i} USING (node), nn
+    )""")
+    return f"""
+    WITH e AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM e GROUP BY src),
+    nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT COUNT(*) AS n FROM nd),
+    pr0 AS (SELECT node, 1.0 / nn.n AS pr FROM nd, nn),
+    {",".join(its)}
+    SELECT na.n_nationkey, na.n_name, pr{iterations}.pr
+    FROM pr{iterations} JOIN nation na ON pr{iterations}.node = na.n_nationkey
+    """
+
+
+@query("graph_pagerank_nations", _pagerank_oracle_sql(5))
+def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (5 synchronous iterations, d=0.85) over the
+    customer-nation -> supplier-nation trade-flow graph (edge weight =
+    lineitem count). The graph stays a distributed edge table; one
+    iteration = join + groupBy — the plan a billion-edge hyperlink
+    graph runs unchanged (ops/graph module docstring)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    ranks = og.pagerank(edges, iterations=5, damping=0.85)
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return ranks.join(
+        F.broadcast(nation), ranks.node == nation.n_nationkey
+    ).select("n_nationkey", "n_name", "pr")
 
 
 # The driver's correctness gate checks the FIRST 50 registry entries in

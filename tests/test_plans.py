@@ -327,6 +327,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # audited: embeds the dsir + lm subplans above, so it inherits
         # their scalar-aggregate broadcasts
         "curate_audit_panel",
+        # audited: one-row (N, sum dl) corpus-scalar aggregate crossed
+        # into the query-term hit stream (llm/retrieval.bm25_topk) —
+        # the standard scalar-broadcast shape
+        "text_bm25_topk",
     }
     explain_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
     violations = []

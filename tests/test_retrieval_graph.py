@@ -1,0 +1,191 @@
+"""Sparse retrieval (inverted index / BM25), linear quality
+classifier, and PageRank: correctness vs hand-computed values plus
+the partitioning-invariance contract of the bit-reproducible folds."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from nhs_data_pipeline_spark.llm import classify as clf
+from nhs_data_pipeline_spark.llm import retrieval as rtv
+from nhs_data_pipeline_spark.ops import graph as og
+
+
+def _docs(spark):
+    rows = [
+        (1, "apple banana apple cherry"),
+        (2, "banana banana cherry"),
+        (3, "cherry date elderberry"),
+        (4, "apple fig"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+# ---------------------------------------------------------------- index
+
+def test_inverted_index_stats_and_postings(spark):
+    out = {r.term: r for r in rtv.inverted_index(_docs(spark)).collect()}
+    assert out["apple"].n_occurrences == 3
+    assert out["apple"].df == 2
+    assert out["apple"].postings == [1, 4]
+    assert out["cherry"].df == 3 and out["cherry"].postings == [1, 2, 3]
+    assert "" not in out  # empty doc contributes nothing
+
+
+def test_inverted_index_posting_cap(spark):
+    docs = spark.createDataFrame(
+        [(i, "shared") for i in range(20)], ["doc_id", "text"]
+    )
+    out = rtv.inverted_index(docs, k_postings=5).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.df == 20 and row.n_occurrences == 20
+    assert row.postings == [0, 1, 2, 3, 4]  # capped, smallest ids first
+
+
+# ---------------------------------------------------------------- bm25
+
+def _bm25_expected(tf, df, n, dl, avgdl, k1=1.2, b=0.75):
+    idf = round(math.log(1.0 + (n - df + 0.5) / (df + 0.5)), 6)
+    return round(idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * dl / avgdl)), 6)
+
+
+def test_bm25_single_term_matches_formula(spark):
+    docs = _docs(spark)
+    qs = spark.createDataFrame([(0, "apple")], ["query_id", "term"])
+    got = {r.doc_id: r for r in rtv.bm25_topk(docs, qs, k=10).collect()}
+    # corpus: 4 non-empty docs, dl = [4, 3, 3, 2], avgdl = 3.0
+    assert set(got) == {1, 4}
+    exp1 = _bm25_expected(tf=2, df=2, n=4, dl=4, avgdl=3.0)
+    exp4 = _bm25_expected(tf=1, df=2, n=4, dl=2, avgdl=3.0)
+    assert abs(got[1].score - exp1) < 1e-9
+    assert abs(got[4].score - exp4) < 1e-9
+    assert got[1].n_terms_hit == 1
+    # higher tf on a slightly longer doc still wins here
+    assert got[1].rank == 1 and got[4].rank == 2
+
+
+def test_bm25_multi_term_sums_and_ranks(spark):
+    docs = _docs(spark)
+    qs = spark.createDataFrame(
+        [(0, "apple"), (0, "cherry")], ["query_id", "term"]
+    )
+    got = {r.doc_id: r for r in rtv.bm25_topk(docs, qs, k=10).collect()}
+    assert got[1].n_terms_hit == 2  # doc 1 has both terms
+    both = (
+        _bm25_expected(tf=2, df=2, n=4, dl=4, avgdl=3.0)
+        + _bm25_expected(tf=1, df=3, n=4, dl=4, avgdl=3.0)
+    )
+    assert abs(got[1].score - both) < 1e-9
+    ranks = {r.doc_id: r.rank for r in got.values()}
+    assert ranks[1] == 1  # two-term hit outranks the single-term docs
+
+
+def test_bm25_topk_cap_and_tiebreak(spark):
+    docs = spark.createDataFrame(
+        [(i, "same text here") for i in range(10)], ["doc_id", "text"]
+    )
+    qs = spark.createDataFrame([(0, "same")], ["query_id", "term"])
+    out = rtv.bm25_topk(docs, qs, k=3).orderBy("rank").collect()
+    assert [r.doc_id for r in out] == [0, 1, 2]  # identical scores: id ties
+
+
+def test_derived_term_queries_shape(spark):
+    qs = rtv.derived_term_queries(
+        _docs(spark), n_queries=2, terms_per_query=1, skip_top=0
+    ).collect()
+    # ranks 1..2 by (freq desc, term): cherry (3), apple/banana (3)...
+    # frequency ties break on the term, so the set is deterministic
+    assert [(r.query_id, r.term) for r in sorted(qs, key=lambda r: r.query_id)] == [
+        (0, "apple"), (1, "banana")
+    ]
+
+
+def test_bm25_partitioning_invariance(spark):
+    docs = _docs(spark)
+    qs = spark.createDataFrame(
+        [(0, "apple"), (0, "cherry"), (1, "banana")], ["query_id", "term"]
+    )
+    a = rtv.bm25_topk(docs, qs, k=10)
+    b = rtv.bm25_topk(docs.repartition(7, "doc_id"), qs, k=10)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------------------- classifier
+
+def test_classifier_deterministic_and_total(spark):
+    docs = _docs(spark)
+    out = {r.doc_id: r for r in clf.linear_quality_scores(docs).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}  # every doc scored, incl. empty
+    assert out[5].n_tokens == 0 and out[5].logit is None and out[5].keep is False
+    assert out[1].n_tokens == 4
+    assert out[1].keep == (out[1].logit >= 0)
+    # same bag of tokens in a different doc scores from the same buckets
+    again = {r.doc_id: r for r in clf.linear_quality_scores(docs).collect()}
+    assert out[1].logit == again[1].logit  # bit-stable across runs
+
+
+def test_classifier_partitioning_invariance(spark):
+    docs = _docs(spark)
+    a = clf.linear_quality_scores(docs).collect()
+    b = clf.linear_quality_scores(docs.repartition(5, "doc_id")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_classifier_weight_range(spark):
+    rows = [(i, f"tok{i} tok{i+1} tok{i*7}") for i in range(50)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = clf.linear_quality_scores(docs).collect()
+    assert all(-0.5 <= r.logit <= 0.5 for r in out)  # mean of [-0.5, 0.5]
+
+
+# ---------------------------------------------------------------- pagerank
+
+def test_pagerank_two_node_cycle(spark):
+    e = spark.createDataFrame([(1, 2, 1), (2, 1, 1)], ["src", "dst", "w"])
+    out = {r.node: r.pr for r in og.pagerank(e, iterations=5).collect()}
+    # symmetric cycle: the uniform vector is the fixed point
+    assert abs(out[1] - 0.5) < 1e-9 and abs(out[2] - 0.5) < 1e-9
+
+
+def test_pagerank_sink_gets_mass(spark):
+    # star: 1->3, 2->3 ; 3->1 back-edge keeps everyone non-dangling
+    e = spark.createDataFrame(
+        [(1, 3, 1), (2, 3, 1), (3, 1, 1)], ["src", "dst", "w"]
+    )
+    out = {r.node: r.pr for r in og.pagerank(e, iterations=20).collect()}
+    assert out[3] > out[1] > out[2]  # hub > its successor > leaf
+    assert abs(sum(out.values()) - 1.0) < 1e-6  # closed graph conserves mass
+
+
+def test_pagerank_weighted_edges_split_mass(spark):
+    # 1 sends 3x more weight to 2 than to 3
+    e = spark.createDataFrame(
+        [(1, 2, 3), (1, 3, 1), (2, 1, 1), (3, 1, 1)], ["src", "dst", "w"]
+    )
+    out = {r.node: r.pr for r in og.pagerank(e, iterations=20).collect()}
+    assert out[2] > out[3]
+    # weighted contribution ratio: (pr2 - teleport) ~= 3 * (pr3 - teleport)
+    t = 0.15 / 3
+    assert abs((out[2] - t) / (out[3] - t) - 3.0) < 1e-3
+
+
+def test_pagerank_parallel_edges_preaggregate(spark):
+    e1 = spark.createDataFrame(
+        [(1, 2, 1), (1, 2, 2), (2, 1, 3)], ["src", "dst", "w"]
+    )
+    e2 = spark.createDataFrame([(1, 2, 3), (2, 1, 3)], ["src", "dst", "w"])
+    a = {r.node: r.pr for r in og.pagerank(e1, iterations=4).collect()}
+    b = {r.node: r.pr for r in og.pagerank(e2, iterations=4).collect()}
+    assert a == b
+
+
+def test_pagerank_partitioning_invariance(spark):
+    rows = [(i, (i * 3 + 1) % 17, 1 + i % 4) for i in range(17)]
+    e = spark.createDataFrame(rows, ["src", "dst", "w"])
+    a = og.pagerank(e, iterations=5).collect()
+    b = og.pagerank(e.repartition(11, "src"), iterations=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
