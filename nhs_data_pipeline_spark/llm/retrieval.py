@@ -117,6 +117,9 @@ def bm25_topk(
     folded in term order (bit-reproducible; module docstring). Ties
     break on ``doc_id`` so every engine returns the same k rows.
     """
+    # Duplicate (query_id, term) rows would double-count that term's
+    # contribution in the fold — dedupe defensively (the table is tiny).
+    queries = queries.select("query_id", "term").distinct()
     tf = term_doc_counts(df, text_col, id_col)
     hits = tf.join(F.broadcast(queries), "term")
 

@@ -63,8 +63,13 @@ def pagerank(
     docstring). ``edges`` may carry parallel edges; they are
     pre-aggregated on (src, dst).
     """
+    # NULL endpoints would form a NULL node that silently drops out of
+    # the src equi-joins while still absorbing teleport mass (the
+    # NULL-key trap in the build notes) — a link with an unknown
+    # endpoint is not an edge; drop it up front.
     e = (
-        edges.groupBy(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .groupBy(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .agg(F.sum(weight).alias("w"))
         .persist()
     )

@@ -189,3 +189,105 @@ def test_pagerank_partitioning_invariance(spark):
     a = og.pagerank(e, iterations=5).collect()
     b = og.pagerank(e.repartition(11, "src"), iterations=5).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ------------------------------------------------- python replicas
+
+def test_bm25_matches_python_replica(spark):
+    import itertools, random
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 15))))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    qrows = [(0, "w1"), (0, "w2"), (1, "w3"), (1, "w1"), (2, "w7")]
+    qs = spark.createDataFrame(qrows, ["query_id", "term"])
+    got = {
+        (r.query_id, r.doc_id): (r.n_terms_hit, r.score, r.rank)
+        for r in rtv.bm25_topk(docs, qs, k=1000).collect()
+    }
+
+    # pure-python replica: same tokenization, same rounding, same fold
+    toks = {i: t.split() for i, t in rows if t}
+    n = len([1 for w in toks.values() if w])
+    avgdl = sum(len(w) for w in toks.values()) / n
+    dfreq = {}
+    for w in toks.values():
+        for term in set(w):
+            dfreq[term] = dfreq.get(term, 0) + 1
+    exp = {}
+    for qid, qterms in itertools.groupby(sorted(qrows), key=lambda x: x[0]):
+        terms = sorted({t for _, t in qterms})
+        for d, w in toks.items():
+            contribs = []
+            for term in terms:  # term order == fold order
+                tf = w.count(term)
+                if tf == 0:
+                    continue
+                idf = round(math.log(1.0 + (n - dfreq[term] + 0.5) / (dfreq[term] + 0.5)), 6)
+                c = round(idf * tf * (1.2 + 1.0)
+                          / (tf + 1.2 * ((1.0 - 0.75) + (0.75 * len(w)) / avgdl)), 6)
+                contribs.append(c)
+            if contribs:
+                s = 0.0
+                for c in contribs:
+                    s = s + c
+                exp[(qid, d)] = (len(contribs), s)
+    assert set(got) == set(exp)
+    for k, (nh, s) in exp.items():
+        assert got[k][0] == nh
+        assert got[k][1] == s  # bit-exact: same IEEE fold
+
+
+def test_pagerank_matches_python_replica(spark):
+    import random
+    rng = random.Random(11)
+    edges = [
+        (rng.randint(0, 9), rng.randint(0, 9), rng.randint(1, 5))
+        for _ in range(25)
+    ]
+    e = spark.createDataFrame(edges, ["src", "dst", "w"])
+    got = {r.node: r.pr for r in og.pagerank(e, iterations=5).collect()}
+
+    agg = {}
+    for s, d, w in edges:
+        agg[(s, d)] = agg.get((s, d), 0) + w
+    outw = {}
+    for (s, _), w in agg.items():
+        outw[s] = outw.get(s, 0) + w
+    nodes = sorted({s for s, _ in agg} | {d for _, d in agg})
+    n = len(nodes)
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(5):
+        inc = {v: [] for v in nodes}
+        for (s, d), w in agg.items():
+            inc[d].append((s, pr[s] * w / outw[s]))
+        nxt = {}
+        for v in nodes:
+            acc = 0.0
+            for _, c in sorted(inc[v]):  # src order == fold order
+                acc = acc + c
+            nxt[v] = round((1.0 - 0.85) / n + 0.85 * acc, 9)
+        pr = nxt
+    assert got == pr  # bit-exact
+
+
+def test_bm25_duplicate_query_terms_deduped(spark):
+    docs = _docs(spark)
+    qs = spark.createDataFrame(
+        [(0, "apple"), (0, "apple")], ["query_id", "term"]
+    )
+    got = {r.doc_id: r for r in rtv.bm25_topk(docs, qs, k=10).collect()}
+    assert got[1].n_terms_hit == 1  # not double-counted
+
+
+def test_pagerank_null_endpoint_edges_dropped(spark):
+    e = spark.createDataFrame(
+        [(1, 2, 1), (2, 1, 1), (None, 1, 9), (1, None, 9)],
+        "src bigint, dst bigint, w bigint",
+    )
+    out = {r.node: r.pr for r in og.pagerank(e, iterations=5).collect()}
+    assert set(out) == {1, 2}
+    assert abs(out[1] - 0.5) < 1e-9  # the NULL edges had no effect
