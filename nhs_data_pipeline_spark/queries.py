@@ -39,6 +39,7 @@ from nhs_data_pipeline_spark.llm import curate as cu
 from nhs_data_pipeline_spark.llm import retrieval as rtv
 from nhs_data_pipeline_spark.llm import classify as clf
 from nhs_data_pipeline_spark.ops import graph as og
+from nhs_data_pipeline_spark.ops import sketch as osk
 from nhs_data_pipeline_spark.ops import analytics as oan
 from nhs_data_pipeline_spark.ops import binned as ob
 from nhs_data_pipeline_spark.ops import core as oc
@@ -5175,6 +5176,54 @@ def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrounded logit is bit-identical cross-engine — the rounded-mean
     form coin-flips on half-ulp boundaries (llm/classify docstring)."""
     return clf.linear_quality_scores(_t(spark, sf_dir, "documents"), buckets=1024)
+
+
+@query(
+    "sketch_count_min_terms",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents
+    ),
+    tok AS (SELECT term FROM toked WHERE term <> ''),
+    counts AS (SELECT term, COUNT(*) AS true_n FROM tok GROUP BY term),
+    cand AS (SELECT term, true_n FROM counts ORDER BY true_n DESC, term LIMIT 20),
+    rows AS (SELECT unnest(generate_series(0, 2)) AS j),
+    cells AS (
+      SELECT j,
+             ({_hex60_sql("term || '#' || CAST(j AS VARCHAR)")}) % 256 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tok CROSS JOIN rows GROUP BY 1, 2
+    )
+    SELECT c.term, c.true_n, MIN(ce.cnt) AS est_n
+    FROM cand c CROSS JOIN rows r
+    JOIN cells ce
+      ON ce.j = r.j
+     AND ce.bucket = ({_hex60_sql("c.term || '#' || CAST(r.j AS VARCHAR)")}) % 256
+    GROUP BY c.term, c.true_n
+    """,
+)
+def sketch_count_min_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch demo on the corpus term stream: per-source
+    sketches (3*256 integer cells each) merged cell-wise, then the
+    top-20 true terms point-estimated from the MERGED sketch —
+    (term, true_n, est_n) with est_n >= true_n by construction. The
+    only approximate operator whose approximation replays bit-exactly
+    in the oracle (integer cells under the portable md5 hash;
+    ops/sketch module docstring)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(tx.normalize_text(F.col("text")), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    shards = osk.cm_sketch(toks, "term", d=3, w=256, shard_cols=["source"])
+    merged = osk.cm_merge(shards)
+    cand = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("true_n"))
+        .orderBy(F.desc("true_n"), F.asc("term"))
+        .limit(20)
+    )
+    return osk.cm_estimate(merged, cand, "term", d=3, w=256)
 
 
 # ===========================================================================

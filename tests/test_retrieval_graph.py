@@ -291,3 +291,43 @@ def test_pagerank_null_endpoint_edges_dropped(spark):
     out = {r.node: r.pr for r in og.pagerank(e, iterations=5).collect()}
     assert set(out) == {1, 2}
     assert abs(out[1] - 0.5) < 1e-9  # the NULL edges had no effect
+
+
+# ------------------------------------------------- count-min sketch
+
+def _tok_stream(spark, rows):
+    return spark.createDataFrame(rows, ["shard", "term"])
+
+
+def test_cm_never_undercounts_and_exact_when_sparse(spark):
+    from nhs_data_pipeline_spark.ops import sketch as sk
+    rows = [("a", f"t{i % 7}") for i in range(70)] + [("b", "t0")] * 5
+    toks = _tok_stream(spark, rows)
+    merged = sk.cm_merge(sk.cm_sketch(toks, "term", d=3, w=512, shard_cols=["shard"]))
+    true = toks.groupBy("term").agg(F.count("*").alias("true_n"))
+    est = {r.term: (r.true_n, r.est_n)
+           for r in sk.cm_estimate(merged, true, "term", d=3, w=512).collect()}
+    assert all(e >= t for t, e in est.values())
+    # 7 keys in 512 buckets x 3 rows: min-row is collision-free
+    assert all(e == t for t, e in est.values())
+    assert est["t0"] == (15, 15)  # cross-shard merge summed both shards
+
+
+def test_cm_merge_equals_direct_sketch(spark):
+    from nhs_data_pipeline_spark.ops import sketch as sk
+    rows = [(f"s{i % 3}", f"k{i % 11}") for i in range(200)]
+    toks = _tok_stream(spark, rows)
+    merged = sk.cm_merge(sk.cm_sketch(toks, "term", d=3, w=64, shard_cols=["shard"]))
+    direct = sk.cm_sketch(toks, "term", d=3, w=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_cm_collision_overcounts_visibly(spark):
+    from nhs_data_pipeline_spark.ops import sketch as sk
+    # w=1: every key collides into one bucket per row -> est = total stream
+    rows = [("a", f"k{i}") for i in range(10)]
+    toks = _tok_stream(spark, rows)
+    merged = sk.cm_merge(sk.cm_sketch(toks, "term", d=2, w=1))
+    cand = toks.select("term").distinct()
+    est = sk.cm_estimate(merged, cand, "term", d=2, w=1).collect()
+    assert all(r.est_n == 10 for r in est)
