@@ -1,0 +1,146 @@
+"""Distributed k-means (Lloyd) over embedding columns, bit-exact.
+
+The embedding-curation operators consume centroid tables: IVF ANN
+(`llm/similarity.ivf_topk`) and SemDeDup (`llm/dedup.semantic_dedup`)
+both block the quadratic on k-means cells, and until now the quantizer
+itself came from a driver-side MLlib fit or offline numpy. This module
+fits the centroids *inside the engine* as ordinary Catalyst plans —
+the textbook distributed Lloyd iteration:
+
+    assign:  broadcast the k-row centroid table against the vector
+             table, per-row squared-L2 via an array fold, argmin cell
+    update:  explode (cid, dim, x), one shuffle keyed (cid, dim) with
+             map-side partial sums, rebuild the k centroid arrays
+
+Scale shape (100 TB): per iteration exactly ONE shuffle of (cid, dim,
+partial-sum) — the assign join is broadcast (k centroids are tiny by
+definition), the update aggregate combines map-side, and nothing ever
+returns to the driver. The centroid table is localCheckpointed per
+iteration (k rows — the iterative-loop lineage rule, see ops/graph.py).
+
+Cross-engine determinism (how an iterative float algorithm stays
+hash-exact)
+-----------
+- Input vectors are quantized ONCE to 6 decimals (exact float32 ->
+  double -> round; same on both engines).
+- Distances fold (x-c)^2 terms in *dimension order* (Spark
+  ``aggregate`` over ``zip_with`` == DuckDB ``list_reduce`` over the
+  dim-ordered term list) — bit-identical, and argmin ties break on
+  cell id.
+- Centroid updates sum DECIMAL(18,6) casts of the quantized values —
+  EXACT and order-free, so the grouped sum needs no sorted fold (the
+  same trick as ops/analytics.zscore_outliers' moment sums); the mean
+  is one correctly-rounded double division, re-rounded to 6 decimals.
+Every iteration therefore maps quantized centroids to quantized
+centroids through exact or single-rounded steps — any engine replays
+the whole trajectory bit-for-bit (oracle: unrolled CTE iterations,
+``embed_kmeans_fit``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DIST = (
+    "aggregate(zip_with(__x, __c, (a, b) -> (a - b) * (a - b)), "
+    "cast(0.0 as double), (acc, t) -> acc + t)"
+)
+
+
+def _quantized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, __x): float32 -> double -> round(6) per element, once."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"transform({vec_col}, v -> round(cast(v as double), 6))").alias(
+            "__x"
+        ),
+    )
+
+
+def _assign(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+    """(id, __x, cid): nearest centroid per vector — broadcast join of
+    the k-row centroid table, dim-ordered fold distance, argmin with
+    the (dist, cid) tie-break."""
+    w = Window.partitionBy("id").orderBy(F.asc("__d"), F.asc("cid"))
+    return (
+        vecs.join(F.broadcast(cent.select("cid", F.col("__c"))), how="cross")
+        .withColumn("__d", F.expr(_DIST))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("id", "__x", "cid")
+    )
+
+
+def _update(assigned: DataFrame, cent: DataFrame) -> DataFrame:
+    """New centroid table from an assignment: exact decimal sums per
+    (cid, dim), single-rounded mean, arrays rebuilt in dim order.
+    Clusters that lost every vector keep their previous centroid."""
+    means = (
+        assigned.select(
+            "cid", F.posexplode("__x").alias("__dim", "__v")
+        )
+        .groupBy("cid", "__dim")
+        .agg(
+            F.sum(F.col("__v").cast("decimal(18,6)")).alias("__s"),
+            F.count("*").alias("__n"),
+        )
+        .withColumn(
+            "__m", F.round(F.col("__s").cast("double") / F.col("__n"), 6)
+        )
+        .groupBy("cid")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(__dim, __m))), "
+                "s -> s.__m)"
+            ).alias("__new")
+        )
+    )
+    # both sides are k rows, but the checkpointed left side has no
+    # stats — hint the broadcast so Catalyst never sort-merge-joins a
+    # k-row pair
+    return cent.select("cid", "__c").join(
+        F.broadcast(means), "cid", "left"
+    ).select("cid", F.coalesce("__new", "__c").alias("__c"))
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fit ``k`` centroids with ``iterations`` Lloyd rounds and report
+    the final clustering: ``(cid, n_vectors, centroid)``.
+
+    Deterministic init: the ``k`` lowest-id vectors seed cells 0..k-1
+    (reproducible anywhere — no RNG; callers wanting k-means++ quality
+    pass a pre-spread sample). ``n_vectors`` comes from a final
+    assignment under the FINAL centroids, so sizes and centroids are
+    consistent.
+    """
+    vecs = _quantized(df, id_col, vec_col)
+    w0 = Window.orderBy("id")
+    cent = (
+        vecs.orderBy("id")
+        .limit(k)
+        .withColumn("cid", F.row_number().over(w0) - 1)
+        .select("cid", F.col("__x").alias("__c"))
+    )
+    for _ in range(iterations):
+        assigned = _assign(vecs, cent)
+        cent = _update(assigned, cent)
+        # k-row table; truncate the unrolled plan (module docstring)
+        cent = cent.localCheckpoint(eager=False)
+        cent.count()
+    final = _assign(vecs, cent)
+    sizes = final.groupBy("cid").agg(F.count("*").alias("n_vectors"))
+    return (
+        cent.join(F.broadcast(sizes), "cid", "left")
+        .select(
+            "cid",
+            F.coalesce("n_vectors", F.lit(0)).alias("n_vectors"),
+            F.col("__c").alias("centroid"),
+        )
+    )

@@ -38,6 +38,7 @@ from nhs_data_pipeline_spark.llm import lm
 from nhs_data_pipeline_spark.llm import curate as cu
 from nhs_data_pipeline_spark.llm import retrieval as rtv
 from nhs_data_pipeline_spark.llm import classify as clf
+from nhs_data_pipeline_spark.llm import cluster as cl
 from nhs_data_pipeline_spark.ops import graph as og
 from nhs_data_pipeline_spark.ops import sketch as osk
 from nhs_data_pipeline_spark.ops import analytics as oan
@@ -5224,6 +5225,87 @@ def sketch_count_min_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return osk.cm_estimate(merged, cand, "term", d=3, w=256)
+
+
+def _kmeans_oracle_sql(k: int = 4, iterations: int = 2) -> str:
+    """Unrolled-iteration DuckDB replica of llm/cluster.kmeans_fit:
+    6-decimal quantized input, dim-ordered distance folds with
+    (dist, cid) argmin tie-break, exact DECIMAL(18,6) centroid sums
+    with a single-rounded mean — the same bit-exact trajectory as the
+    Spark loop."""
+
+    def assign(name: str, cent: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT id, cid FROM (
+        SELECT t.id, t.cid,
+               ROW_NUMBER() OVER (PARTITION BY t.id
+                                  ORDER BY t.dd, t.cid) AS rk
+        FROM (
+          SELECT e.id, c.cid,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list((e.v - c.c) * (e.v - c.c) ORDER BY e.dim)),
+                   (__a, __b) -> __a + __b) AS dd
+          FROM ex e JOIN {cent} c ON e.dim = c.dim
+          GROUP BY e.id, c.cid
+        ) t
+      ) WHERE rk = 1
+    )"""
+
+    its = []
+    for i in range(1, iterations + 1):
+        its.append(assign(f"a{i}", f"ce{i - 1}"))
+        its.append(f"""
+    ce{i} AS (
+      SELECT p.cid, p.dim, COALESCE(u.m, p.c) AS c
+      FROM ce{i - 1} p LEFT JOIN (
+        SELECT a.cid, e.dim,
+               ROUND(CAST(SUM(CAST(e.v AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS m
+        FROM a{i} a JOIN ex e ON a.id = e.id
+        GROUP BY a.cid, e.dim
+      ) u ON p.cid = u.cid AND p.dim = u.dim
+    )""")
+    its.append(assign("af", f"ce{iterations}"))
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS id,
+             list_transform(embedding,
+                            __v -> round(CAST(__v AS DOUBLE), 6)) AS x
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT id, CAST(d AS INTEGER) AS dim, x[d] AS v
+      FROM (SELECT id, x, unnest(generate_series(1, len(x))) AS d FROM q)
+    ),
+    c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cid, id
+      FROM (SELECT id FROM q ORDER BY id LIMIT {k})
+    ),
+    ce0 AS (
+      SELECT c0.cid, ex.dim, ex.v AS c FROM c0 JOIN ex ON c0.id = ex.id
+    ),
+    {",".join(its)},
+    sizes AS (SELECT cid, COUNT(*) AS n_vectors FROM af GROUP BY cid),
+    cent AS (SELECT cid, list(c ORDER BY dim) AS centroid
+             FROM ce{iterations} GROUP BY cid)
+    SELECT ce.cid, CAST(COALESCE(s.n_vectors, 0) AS BIGINT) AS n_vectors,
+           ce.centroid
+    FROM cent ce LEFT JOIN sizes s USING (cid)
+    """
+
+
+@query("embed_kmeans_fit", _kmeans_oracle_sql(4, 2))
+def embed_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native distributed k-means (k=4, 2 Lloyd rounds) over
+    the embeddings table: the quantizer-fitting pass that IVF ANN and
+    SemDeDup consume, expressed as one broadcast-join assign + one
+    (cid, dim)-keyed shuffle per iteration — and bit-exact through
+    both iterations via quantized input, dim-ordered distance folds,
+    and exact decimal centroid sums (llm/cluster module docstring)."""
+    return cl.kmeans_fit(
+        _t(spark, sf_dir, "embeddings"), k=4, iterations=2
+    )
 
 
 # ===========================================================================

@@ -331,6 +331,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # into the query-term hit stream (llm/retrieval.bm25_topk) —
         # the standard scalar-broadcast shape
         "text_bm25_topk",
+        # audited: the Lloyd assign step crosses every vector with the
+        # broadcast k-row centroid table (llm/cluster._assign) — a
+        # keyless broadcast fan-out is the correct assign plan
+        "embed_kmeans_fit",
     }
     explain_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
     violations = []

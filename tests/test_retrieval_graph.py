@@ -331,3 +331,94 @@ def test_cm_collision_overcounts_visibly(spark):
     cand = toks.select("term").distinct()
     est = sk.cm_estimate(merged, cand, "term", d=2, w=1).collect()
     assert all(r.est_n == 10 for r in est)
+
+
+# ------------------------------------------------- k-means fit
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_kmeans_separates_clear_clusters(spark):
+    from nhs_data_pipeline_spark.llm import cluster as cl
+    rows = [(0, [0.0, 0.0]), (1, [10.0, 10.0]), (2, [0.2, 0.1]),
+            (3, [10.1, 9.9]), (4, [0.1, 0.2]), (5, [9.9, 10.2])]
+    out = {r.cid: r for r in cl.kmeans_fit(_vecs(spark, rows), k=2, iterations=3).collect()}
+    assert {r.n_vectors for r in out.values()} == {3, 3}
+    # centroid 0 seeded at vec 0 -> converges to the origin cluster mean
+    assert abs(out[0].centroid[0] - 0.1) < 1e-6
+    assert abs(out[1].centroid[0] - 10.0) < 1e-6
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    from nhs_data_pipeline_spark.llm import cluster as cl
+    # two identical seed vectors: round-1 ties all break to cid 0, so
+    # cid 1 starves during the update — it must keep its init centroid
+    # (not vanish / go NULL), which lets it recapture the exact-match
+    # points in the final assignment
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [0.0, 0.1])]
+    out = {r.cid: r for r in cl.kmeans_fit(_vecs(spark, rows), k=2, iterations=1).collect()}
+    assert set(out) == {0, 1}  # starved cluster still present
+    assert out[1].centroid == [0.0, 0.0]  # init centroid kept, not NULL
+    # final assignment: the kept [0,0] centroid wins the two exact-match
+    # vectors back from the updated c0 = [0, 0.033333]
+    assert out[1].n_vectors == 2 and out[0].n_vectors == 1
+
+
+def test_kmeans_matches_python_replica(spark):
+    import random
+    from nhs_data_pipeline_spark.llm import cluster as cl
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    import numpy as np
+    f32 = [(i, [float(np.float32(v)) for v in xs]) for i, xs in rows]
+    got = {r.cid: (r.n_vectors, list(r.centroid))
+           for r in cl.kmeans_fit(_vecs(spark, f32), k=3, iterations=2).collect()}
+
+    # replica: same quantization, same fold order, same tie-breaks
+    X = {i: [round(float(np.float32(v)), 6) for v in xs] for i, xs in rows}
+    cent = {c: X[i] for c, i in enumerate(sorted(X)[:3])}
+
+    def assign():
+        a = {}
+        for i, x in X.items():
+            best = None
+            for c in sorted(cent):
+                d = 0.0
+                for xa, ca in zip(x, cent[c]):
+                    d = d + (xa - ca) * (xa - ca)
+                if best is None or d < best[0]:
+                    best = (d, c)
+            a[i] = best[1]
+        return a
+
+    for _ in range(2):
+        a = assign()
+        nxt = {}
+        for c in cent:
+            members = [X[i] for i in a if a[i] == c]
+            if not members:
+                nxt[c] = cent[c]
+                continue
+            from decimal import Decimal
+            nxt[c] = [
+                round(float(sum(Decimal(f"{m[d]:.6f}") for m in members))
+                      / len(members), 6)
+                for d in range(8)
+            ]
+        cent = nxt
+    a = assign()
+    sizes = {c: sum(1 for i in a if a[i] == c) for c in cent}
+    for c in cent:
+        assert got[c][0] == sizes[c]
+        assert got[c][1] == cent[c]  # bit-exact trajectory
+
+
+def test_kmeans_partitioning_invariance(spark):
+    from nhs_data_pipeline_spark.llm import cluster as cl
+    rows = [(i, [float((i * 7 + d) % 5) for d in range(4)]) for i in range(30)]
+    v = _vecs(spark, rows)
+    a = cl.kmeans_fit(v, k=3, iterations=2).collect()
+    b = cl.kmeans_fit(v.repartition(9, "vec_id"), k=3, iterations=2).collect()
+    key = lambda r: r.cid
+    assert sorted(map(tuple, a), key=lambda t: t[0]) == sorted(map(tuple, b), key=lambda t: t[0])
