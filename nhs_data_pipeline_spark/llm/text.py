@@ -212,6 +212,23 @@ def pii_counts(text: Column | str, patterns: dict[str, str] = PII_PATTERNS):
 # Corpus term statistics (global vocabulary + TF-IDF keyword extraction)
 # ---------------------------------------------------------------------------
 
+def pii_redact(
+    text: Column | str, patterns: dict[str, str] = PII_PATTERNS
+) -> Column:
+    """The scrub half of the PII pipeline: every match of every
+    pattern replaced with a typed placeholder (``<EMAIL>``, ``<IPV4>``,
+    ...), applied sequentially in ``patterns`` order. Placeholders
+    contain no digits, so earlier replacements can never create or
+    extend matches for later (digit-based) patterns; overlap between
+    raw patterns (an IPv4 inside a phone-ish run) resolves to
+    whichever pattern runs first — deterministic in any engine with
+    the same order. Pure codegen: one nested regexp_replace chain."""
+    t = _c(text)
+    for name, pat in patterns.items():
+        t = F.regexp_replace(t, pat, f"<{name.upper()}>")
+    return t
+
+
 def explode_terms(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One row per (doc, token) over whitespace tokens of the
     normalized text; empty tokens dropped. The corpus-analytics

@@ -3612,6 +3612,43 @@ def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", *counts.values())
 
 
+def _pii_redact_chain_duck(col: str) -> str:
+    """Nested regexp_replace chain in PII_PATTERNS order with the 'g'
+    flag (DuckDB replaces first-match-only by default; Spark replaces
+    all) — placeholder tokens contain no digits, so chain order is the
+    only semantic and it matches the Spark side exactly."""
+    expr = col
+    for name, pat in tx.PII_PATTERNS.items():
+        expr = f"regexp_replace({expr}, '{pat}', '<{name.upper()}>', 'g')"
+    return expr
+
+
+@query(
+    "text_pii_redact",
+    f"""
+    WITH aug AS (SELECT doc_id, {_PII_INJECT_DUCK} AS t2 FROM documents)
+    SELECT doc_id, {_pii_redact_chain_duck("t2")} AS redacted,
+           {_pii_redact_chain_duck("t2")} <> t2 AS changed
+    FROM aug
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (the scrub half of text_pii_scan's audit): every
+    email/IPv4/phone/long-digit match replaced with a typed
+    placeholder via a nested regexp_replace chain — RE2-compatible
+    patterns, so Java regex and DuckDB produce identical redacted
+    text (llm/text.pii_redact)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PII_INJECT_SPARK).alias("t2")
+    )
+    red = tx.pii_redact("t2")
+    return d.select(
+        "doc_id",
+        red.alias("redacted"),
+        (red != F.col("t2")).alias("changed"),
+    )
+
+
 def _simhash_pairs_oracle(max_hamming: int = 6) -> str:
     """Chunk-banded SimHash near-pair replica: 4x16-bit chunk buckets
     (pigeonhole guarantee), bit_count(xor) verify — shift/xor/bit_count

@@ -422,3 +422,37 @@ def test_kmeans_partitioning_invariance(spark):
     b = cl.kmeans_fit(v.repartition(9, "vec_id"), k=3, iterations=2).collect()
     key = lambda r: r.cid
     assert sorted(map(tuple, a), key=lambda t: t[0]) == sorted(map(tuple, b), key=lambda t: t[0])
+
+
+def test_engine_fit_centroids_drive_ivf_exactly_like_bruteforce(spark):
+    import random
+    from nhs_data_pipeline_spark.llm import cluster as cl
+    from nhs_data_pipeline_spark.llm import similarity as sim
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    centers = cl.fit_centroids_engine(vecs, k=4, iterations=2)
+    assert len(centers) == 4 and all(len(c) == 8 for c in centers)
+    qs = vecs.limit(5)
+    # probing ALL cells with the engine-fit quantizer == brute force
+    ivf = sim.ivf_topk(qs, vecs, k=3, n_centroids=4, n_probe=4, centroids=centers)
+    bf = sim.brute_force_topk(qs, vecs, k=3)
+    a = sorted((r.query_id, r.neighbor_id, r.rank) for r in ivf.collect())
+    b = sorted((r.query_id, r.neighbor_id, r.rank) for r in bf.collect())
+    assert a == b
+
+
+def test_pii_redact_masks_all_patterns(spark):
+    from nhs_data_pipeline_spark.llm import text as tx2
+    rows = [(1, "mail me at bob.smith+x@corp.io from 192.168.1.10 "
+                "or call +44 7700 900123 ref 1234567890"),
+            (2, "clean text with no sensitive content"),
+            (3, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.red for r in df.select(
+        "doc_id", tx2.pii_redact("text").alias("red")).collect()}
+    assert "<EMAIL>" in out[1] and "<IPV4>" in out[1] and "<PHONE>" in out[1]
+    assert "@" not in out[1] and "900123" not in out[1]
+    assert "1234567890" not in out[1]  # phone/long-digits swallowed it
+    assert out[2] == rows[1][1]  # untouched
+    assert out[3] == ""
