@@ -38,6 +38,7 @@ from nhs_data_pipeline_spark.llm import lm
 from nhs_data_pipeline_spark.llm import curate as cu
 from nhs_data_pipeline_spark.llm import retrieval as rtv
 from nhs_data_pipeline_spark.llm import classify as clf
+from nhs_data_pipeline_spark.llm import bpe as bp
 from nhs_data_pipeline_spark.llm import cluster as cl
 from nhs_data_pipeline_spark.ops import graph as og
 from nhs_data_pipeline_spark.ops import sketch as osk
@@ -3610,6 +3611,72 @@ def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = tx.pii_counts("t2")
     return d.select("doc_id", *counts.values())
+
+
+def _bpe_oracle_sql(n_merges: int = 4) -> str:
+    """Unrolled-iteration DuckDB replica of llm/bpe.bpe_merges: the
+    same word-type table, pair-count aggregates, (count desc, a, b)
+    winners, and the greedy left-to-right merge as a STRING-accumulator
+    list_reduce (DuckDB's reduce needs accumulator type == element
+    type — the joined symbol string satisfies it; llm/bpe docstring)."""
+    its = []
+    for i in range(1, n_merges + 1):
+        its.append(f"""
+    w{i} AS (
+      SELECT n, string_split(substr(syms, 2), chr(31)) AS w FROM st{i - 1}
+    ),
+    p{i} AS (
+      SELECT l AS a, r AS b, CAST(SUM(n) AS BIGINT) AS pair_count FROM (
+        SELECT n, w[__j] AS l, w[__j + 1] AS r
+        FROM (SELECT n, w, unnest(generate_series(1, len(w) - 1)) AS __j
+              FROM w{i} WHERE len(w) > 1)
+      ) GROUP BY 1, 2
+    ),
+    b{i} AS (SELECT a, b, pair_count FROM p{i}
+             ORDER BY pair_count DESC, a, b LIMIT 1),
+    st{i} AS (
+      SELECT list_reduce(
+               list_prepend('', string_split(substr(st.syms, 2), chr(31))),
+               (__acc, __s) -> CASE WHEN __acc <> ''
+                    AND ends_with(__acc, chr(31) || bb.a) AND __s = bb.b
+                    THEN __acc || __s ELSE __acc || chr(31) || __s END
+             ) AS syms, st.n
+      FROM st{i - 1} st CROSS JOIN b{i} bb
+    )""")
+    finals = "\n    UNION ALL ".join(
+        f"SELECT {i} AS it, a AS left_sym, b AS right_sym, pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH toked AS (
+      SELECT unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents
+    ),
+    words AS (
+      SELECT replace(term, chr(31), '') AS word, COUNT(*) AS n
+      FROM toked WHERE replace(term, chr(31), '') <> '' GROUP BY 1
+    ),
+    st0 AS (
+      SELECT chr(31) || array_to_string(
+               list_transform(generate_series(1, len(word)),
+                              __i -> substr(word, __i, 1)), chr(31)) AS syms, n
+      FROM words
+    ),
+    {",".join(its)}
+    SELECT CAST(it AS INTEGER) AS it, left_sym, right_sym, pair_count
+    FROM ({finals})
+    """
+
+
+@query("tokenizer_bpe_merges", _bpe_oracle_sql(4))
+def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer merge learning (4 rounds) over the corpus word
+    stream: the iterative pair-count -> merge loop that fits a
+    tokenizer, run entirely as Catalyst plans on the vocabulary-sized
+    word-type table, with the winning pair broadcast-crossed back for
+    the in-plan greedy merge. Pure integers and strings — the whole
+    merge trajectory replays exactly in the oracle (llm/bpe module
+    docstring)."""
+    return bp.bpe_merges(_t(spark, sf_dir, "documents"), n_merges=4)
 
 
 def _pii_redact_chain_duck(col: str) -> str:

@@ -335,6 +335,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # broadcast k-row centroid table (llm/cluster._assign) — a
         # keyless broadcast fan-out is the correct assign plan
         "embed_kmeans_fit",
+        # audited: each BPE round crosses the broadcast one-row winning
+        # pair into the vocabulary for the in-plan merge (llm/bpe) —
+        # the scalar-broadcast shape again
+        "tokenizer_bpe_merges",
     }
     explain_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
     violations = []

@@ -456,3 +456,61 @@ def test_pii_redact_masks_all_patterns(spark):
     assert "1234567890" not in out[1]  # phone/long-digits swallowed it
     assert out[2] == rows[1][1]  # untouched
     assert out[3] == ""
+
+
+# ------------------------------------------------- BPE merge learning
+
+def test_bpe_learns_expected_merges(spark):
+    from nhs_data_pipeline_spark.llm import bpe
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        ["doc_id", "text"])
+    out = [(r.it, r.left_sym, r.right_sym, r.pair_count)
+           for r in bpe.bpe_merges(docs, n_merges=4).orderBy("it").collect()]
+    # word types: low(3) lower(1) lowest(1) new(2) newer(1) newest(1)
+    assert out == [(1, "l", "o", 5), (2, "lo", "w", 5),
+                   (3, "e", "w", 4), (4, "n", "ew", 4)]
+
+
+def test_bpe_chained_merge_is_greedy_left_to_right(spark):
+    from nhs_data_pipeline_spark.llm import bpe
+    docs = spark.createDataFrame([(1, "aaaa aaaa aa")], ["doc_id", "text"])
+    out = [(r.it, r.left_sym, r.right_sym, r.pair_count)
+           for r in bpe.bpe_merges(docs, n_merges=2).orderBy("it").collect()]
+    # 'aaaa' (n=2) has 3 adjacent (a,a) each; 'aa' (n=1) has 1 -> 7
+    assert out[0] == (1, "a", "a", 7)
+    # after merge: 'aaaa' -> [aa, aa] (chained, not [aa, a, a]);
+    # 'aa' -> [aa]; next round the only pair is (aa, aa) weighted 2
+    assert out[1] == (2, "aa", "aa", 2)
+
+
+def test_bpe_matches_python_replica(spark):
+    import random
+    from nhs_data_pipeline_spark.llm import bpe
+    rng = random.Random(9)
+    words = ["".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+             for _ in range(80)]
+    docs = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    got = [(r.it, r.left_sym, r.right_sym, r.pair_count)
+           for r in bpe.bpe_merges(docs, n_merges=3).orderBy("it").collect()]
+
+    from collections import Counter
+    vocab = Counter(words)
+    state = {w: list(w) for w in vocab}
+    exp = []
+    for it in range(1, 4):
+        pc = Counter()
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += vocab[w]
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        exp.append((it, a, b, c))
+        for w, syms in state.items():
+            out_syms = []
+            for s in syms:
+                if out_syms and out_syms[-1] == a and s == b:
+                    out_syms[-1] = a + b
+                else:
+                    out_syms.append(s)
+            state[w] = out_syms
+    assert got == exp
