@@ -15,10 +15,16 @@ does this query surface?"). The two primitives are:
 
 Spark-first shape (100 TB design)
 ---------------------------------
-- The token stream shuffles once into per-``(term, doc)`` counts; both
-  index statistics and the bounded posting list derive from that one
-  exchange (Catalyst's ReuseExchange collapses the two consumers onto
-  a single shuffle — asserted in tests/test_plans.py).
+- Both index statistics and the bounded posting list derive from the
+  per-``(term, doc)`` count aggregate. The two consumers RECOMPUTE it
+  (one tokenize pass each): column pruning specializes each branch's
+  subplan (one keeps ``tf``, the other ``doc_id``), so the canonical
+  plans never match and ReuseExchange cannot collapse them — and
+  measurement (an explicit shared repartition barrier) showed the
+  extra exchange costs more than the second narrow scan saves. This
+  is the build-notes rule: prefer narrow recomputes over corpus-sized
+  cache pressure; a caller building an index for REPEATED retrieval
+  persists ``term_doc_counts`` (the index) once, deliberately.
 - Posting lists are BOUNDED before collection: a per-term
   ``row_number`` window caps each list at ``k_postings`` *via
   WindowGroupLimit*, so map tasks pre-trim to the cap and the head
@@ -75,9 +81,9 @@ def inverted_index(
     order (``postings``).
 
     The cap is enforced *before* collection via a per-term
-    ``row_number`` window (WindowGroupLimit pre-trims map-side); the
-    full-stream statistics come from a plain aggregate over the same
-    ``(term, doc)`` exchange, which Catalyst reuses.
+    ``row_number`` window (WindowGroupLimit pre-trims); the full-stream
+    statistics aggregate their own narrow pass over the same counts
+    (module docstring: recompute beats a corpus-sized cache here).
     """
     tf = term_doc_counts(df, text_col, id_col)
     stats = tf.groupBy("term").agg(
@@ -121,29 +127,23 @@ def bm25_topk(
     # contribution in the fold — dedupe defensively (the table is tiny).
     queries = queries.select("query_id", "term").distinct()
     tf = term_doc_counts(df, text_col, id_col)
-    hits = tf.join(F.broadcast(queries), "term")
 
-    # Document length + corpus scalars over ALL documents (dl in
-    # whitespace tokens of the normalized text — same tokenizer).
-    dl = (
-        explode_terms(df, text_col, id_col)
-        .groupBy(id_col)
-        .agg(F.count("*").alias("dl"))
-    )
+    # Everything below derives from the (term, doc, tf) aggregate —
+    # document length is sum(tf) per doc (same value as a fresh token
+    # count, one less tokenizer definition to drift), and the hits and
+    # document frequencies share one broadcast-filtered stream. The tf
+    # consumers still each recompute their narrow slice (the module
+    # docstring's recompute-over-cache rule); callers scoring MANY
+    # query batches against one corpus persist tf themselves.
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     scalars = dl.agg(
         F.count("*").alias("__n"),
         F.sum("dl").alias("__sumdl"),
     )
-
-    # Document frequency for query terms only: filter the (term, doc)
-    # stream by the broadcast query-term set, THEN count — the
-    # corpus-wide aggregate never runs for non-query terms.
     qterms = queries.select("term").distinct()
-    dfreq = (
-        tf.join(F.broadcast(qterms), "term")
-        .groupBy("term")
-        .agg(F.count("*").alias("df"))
-    )
+    qhits = tf.join(F.broadcast(qterms), "term")
+    hits = qhits.join(F.broadcast(queries), "term")
+    dfreq = qhits.groupBy("term").agg(F.count("*").alias("df"))
 
     avgdl = F.col("__sumdl") / F.col("__n")
     idf = F.round(

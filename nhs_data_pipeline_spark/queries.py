@@ -5244,6 +5244,11 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     score is bit-reproducible cross-engine (llm/retrieval docstring)."""
     docs = _t(spark, sf_dir, "documents")
     qs = rtv.derived_term_queries(docs, n_queries=3, terms_per_query=2, skip_top=5)
+    # the query table is 6 rows but its SUBPLAN is a corpus vocabulary
+    # aggregate, and bm25_topk references it twice — eager model-sized
+    # persist (the lm/dsir precedent) collapses the duplicate pass
+    qs = qs.persist()
+    qs.count()
     return rtv.bm25_topk(docs, qs, k=5)
 
 
