@@ -49,7 +49,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from nhs_data_pipeline_spark.llm.dedup import _MD5_H60
-from nhs_data_pipeline_spark.llm.text import tokenized_frame
+from nhs_data_pipeline_spark.llm.text import explode_terms
 
 #: Knuth multiplicative constant — spreads consecutive bucket ids.
 _MIX = 2654435761
@@ -83,14 +83,17 @@ def linear_quality_scores(
         keep  = logit >= 0
 
     The integer sum is order-free, so no deterministic fold is needed
-    (module docstring). Empty documents (no tokens after
-    normalization) get logit NULL and keep false — a quality filter
-    has no evidence to keep them.
+    (module docstring). Tokens come from ``explode_terms`` — the
+    LOWERCASED shared tokenizer the other bag-of-words operators
+    (retrieval, BPE, count-min) use: a quality classifier should not
+    split its vocabulary on case, and a case-preserving engine side
+    against a lowercasing oracle is a latent gate failure the moment
+    regenerated data contains an uppercase character (review finding).
+    Empty documents (no tokens after normalization) get logit NULL
+    and keep false — a quality filter has no evidence to keep them.
     """
-    base = tokenized_frame(df, text_col, id_col)
-    toks = base.select(
-        "doc_id",
-        F.explode(F.filter(F.col("__w"), lambda t: t != F.lit(""))).alias("__tok"),
+    toks = explode_terms(df, text_col, id_col).select(
+        F.col(id_col).alias("doc_id"), F.col("term").alias("__tok")
     )
     feats = toks.select(
         "doc_id",

@@ -212,20 +212,30 @@ def pii_counts(text: Column | str, patterns: dict[str, str] = PII_PATTERNS):
 # Corpus term statistics (global vocabulary + TF-IDF keyword extraction)
 # ---------------------------------------------------------------------------
 
+def pii_placeholder(name: str) -> str:
+    """Placeholder token for a PII pattern name, with digits STRIPPED
+    (``ipv4`` -> ``<IPV>``): the chain-safety invariant below requires
+    placeholders to be digit-free, and ``<IPV4>``'s literal 4 would
+    silently violate it for any future non-\\b-anchored digit pattern
+    (review finding)."""
+    return "<" + "".join(ch for ch in name.upper() if not ch.isdigit()) + ">"
+
+
 def pii_redact(
     text: Column | str, patterns: dict[str, str] = PII_PATTERNS
 ) -> Column:
     """The scrub half of the PII pipeline: every match of every
-    pattern replaced with a typed placeholder (``<EMAIL>``, ``<IPV4>``,
+    pattern replaced with a typed placeholder (``<EMAIL>``, ``<IPV>``,
     ...), applied sequentially in ``patterns`` order. Placeholders
-    contain no digits, so earlier replacements can never create or
-    extend matches for later (digit-based) patterns; overlap between
-    raw patterns (an IPv4 inside a phone-ish run) resolves to
-    whichever pattern runs first — deterministic in any engine with
-    the same order. Pure codegen: one nested regexp_replace chain."""
+    contain no digits (``pii_placeholder`` strips them), so earlier
+    replacements can never create or extend matches for later
+    (digit-based) patterns; overlap between raw patterns (an IPv4
+    inside a phone-ish run) resolves to whichever pattern runs first —
+    deterministic in any engine with the same order. Pure codegen:
+    one nested regexp_replace chain."""
     t = _c(text)
     for name, pat in patterns.items():
-        t = F.regexp_replace(t, pat, f"<{name.upper()}>")
+        t = F.regexp_replace(t, pat, pii_placeholder(name))
     return t
 
 

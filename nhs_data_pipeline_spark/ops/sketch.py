@@ -46,8 +46,11 @@ def _salted_bucket_expr(key_sql: str, row_sql: str, w: int) -> Column:
     md5-prefix integer of ``key # row`` mod w. The '#'-salt derives d
     independent-enough hash functions from one digest family (keys
     containing '#' stay deterministic — both engines salt
-    identically)."""
-    salted = f"concat({key_sql}, '#', cast({row_sql} as string))"
+    identically). NULL keys hash via the build-notes chr(0) sentinel —
+    a NULL bucket would silently drop the row from every cell join
+    (the documented NULL-key trap); a literal chr(0) key aliases with
+    NULL, documented and harmless for counting."""
+    salted = f"concat(coalesce({key_sql}, chr(0)), '#', cast({row_sql} as string))"
     return F.pmod(F.expr(_MD5_H60.format(x=salted)), F.lit(w))
 
 
@@ -90,16 +93,20 @@ def cm_estimate(
     w: int = 256,
 ) -> DataFrame:
     """Point-estimate each candidate key's frequency from a (merged)
-    sketch: ``min`` over the d landed cells. Returns the candidate
-    rows with ``est_n`` appended. Never undercounts; cells the key
-    alone occupies give the exact count."""
+    sketch: ``min`` over the d landed cells. Returns EVERY candidate
+    row with ``est_n`` appended. Never undercounts; cells the key
+    alone occupies give the exact count. Cells absent from the sketch
+    table are empty counters (0): the join is a LEFT join with a
+    coalesce, so a never-seen candidate correctly estimates 0 instead
+    of being dropped (or, worse, over-estimated from only its
+    colliding cells — review finding)."""
     rows = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row")
     probes = candidates.select("*", rows).withColumn(
         "bucket", _salted_bucket_expr(key_col, "row", w)
     )
     carry = [c for c in candidates.columns]
     return (
-        probes.join(sketch, ["row", "bucket"])
+        probes.join(sketch, ["row", "bucket"], "left")
         .groupBy(*carry)
-        .agg(F.min("cnt").alias("est_n"))
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_n"))
     )

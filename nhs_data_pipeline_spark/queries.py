@@ -3686,7 +3686,7 @@ def _pii_redact_chain_duck(col: str) -> str:
     only semantic and it matches the Spark side exactly."""
     expr = col
     for name, pat in tx.PII_PATTERNS.items():
-        expr = f"regexp_replace({expr}, '{pat}', '<{name.upper()}>', 'g')"
+        expr = f"regexp_replace({expr}, '{pat}', '{tx.pii_placeholder(name)}', 'g')"
     return expr
 
 

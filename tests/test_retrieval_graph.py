@@ -451,7 +451,8 @@ def test_pii_redact_masks_all_patterns(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {r.doc_id: r.red for r in df.select(
         "doc_id", tx2.pii_redact("text").alias("red")).collect()}
-    assert "<EMAIL>" in out[1] and "<IPV4>" in out[1] and "<PHONE>" in out[1]
+    assert "<EMAIL>" in out[1] and "<IPV>" in out[1] and "<PHONE>" in out[1]
+    assert not any(ch.isdigit() for ch in "<IPV><EMAIL><PHONE><LONG_DIGITS>")
     assert "@" not in out[1] and "900123" not in out[1]
     assert "1234567890" not in out[1]  # phone/long-digits swallowed it
     assert out[2] == rows[1][1]  # untouched
@@ -514,3 +515,38 @@ def test_bpe_matches_python_replica(spark):
                     out_syms.append(s)
             state[w] = out_syms
     assert got == exp
+
+
+# --------------------------------------------- review-fix regressions
+
+def test_classifier_is_case_insensitive_like_its_oracle(spark):
+    # the oracle tokenizes lower(text); the engine must agree or the
+    # first regenerated corpus with an uppercase char fails the gate
+    docs = spark.createDataFrame(
+        [(1, "Apple Banana"), (2, "apple banana")], ["doc_id", "text"])
+    out = {r.doc_id: r.logit for r in clf.linear_quality_scores(docs).collect()}
+    assert out[1] == out[2]
+
+
+def test_cm_estimate_unseen_candidate_is_zero_not_dropped(spark):
+    from nhs_data_pipeline_spark.ops import sketch as sk
+    toks = _tok_stream(spark, [("a", "present")] * 5)
+    merged = sk.cm_merge(sk.cm_sketch(toks, "term", d=3, w=512))
+    cand = spark.createDataFrame(
+        [("present",), ("never_seen_key",)], ["term"])
+    est = {r.term: r.est_n
+           for r in sk.cm_estimate(merged, cand, "term", d=3, w=512).collect()}
+    assert est["present"] == 5
+    assert est["never_seen_key"] == 0  # empty counters win the min
+
+
+def test_cm_null_key_counted_via_sentinel(spark):
+    from nhs_data_pipeline_spark.ops import sketch as sk
+    toks = spark.createDataFrame(
+        [("a", "x"), ("a", None), ("a", None)], ["shard", "term"])
+    merged = sk.cm_merge(sk.cm_sketch(toks, "term", d=2, w=512))
+    cand = spark.createDataFrame([("x",), (None,)], "term string")
+    est = {r.term: r.est_n
+           for r in sk.cm_estimate(merged, cand, "term", d=2, w=512).collect()}
+    assert est["x"] == 1
+    assert est[None] == 2  # NULL keys hash via the sentinel, not dropped
