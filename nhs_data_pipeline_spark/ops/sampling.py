@@ -248,3 +248,51 @@ def hash_split(
         expr = branch if expr is None else expr.when(bucket < F.lit(bound), F.lit(name))
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
     return df.withColumn(out_col, expr)
+
+
+def weighted_sample_ares(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    strata_col: str | None = None,
+    salt: str = "w0",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-ES, public): each row draws a deterministic uniform u from the
+    portable md5 hash and competes with key ``ln(u) / w`` — taking the
+    k LARGEST keys selects rows with probability proportional to
+    ``weight_col``, exactly the quality-/length-proportional pick a
+    data-mixing pipeline needs. With ``strata_col``, top-k per
+    stratum.
+
+    Scale shape: one projection + a per-stratum WindowGroupLimit
+    top-k — no global sort, no RNG state, re-runnable anywhere.
+    Determinism: u is an exact rational of the 32-bit hash bucket;
+    the single transcendental ``ln`` is rounded to 6 decimals before
+    the division (the house rule), and ties break on the id — so the
+    SELECTION replays cross-engine. The output carries only the ids,
+    weights and ranks (integers), never the float key: selection
+    determinism is the contract, key values are an implementation
+    detail.
+
+    Non-positive or NULL weights never win: their key is forced to
+    -infinity-like sentinel (they rank strictly below every positive-
+    weight row, deterministically by id) rather than producing a NULL
+    key that would float to the top of a descending sort.
+    """
+    u = (hash_bucket(F.col(id_col), salt) + F.lit(1)) / F.lit(float(2**32 + 2))
+    w = F.col(weight_col)
+    key = F.when(
+        w.isNotNull() & (w > 0), F.round(F.log(u), 6) / w
+    ).otherwise(F.lit(float("-1e308")))
+    strata = [strata_col] if strata_col else []
+    win = Window.partitionBy(*strata).orderBy(
+        F.desc("__key"), F.asc(id_col)
+    )
+    return (
+        df.select(*strata, id_col, w.alias("weight"), key.alias("__key"))
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .drop("__key")
+    )

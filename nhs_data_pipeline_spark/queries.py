@@ -3613,6 +3613,41 @@ def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", *counts.values())
 
 
+@query(
+    "sample_weighted_ares",
+    f"""
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars AS weight,
+             CASE WHEN n_chars IS NOT NULL AND n_chars > 0 THEN
+               ROUND(ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':w0'), 1, 8)) AS BIGINT) + 1)
+                        / {float(2**32 + 2)}), 6) / n_chars
+             ELSE -1e308 END AS key
+      FROM documents
+    )
+    SELECT source, doc_id, weight, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY key DESC, doc_id) AS rank
+      FROM keyed
+    ) WHERE rank <= 3
+    """,
+)
+def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-ES): per-source top-3 documents drawn with probability
+    proportional to length (n_chars) via deterministic exponential-
+    race keys — the quality-/length-proportional pick of a data-mixing
+    pipeline, reproducible on any engine (ops/sampling.
+    weighted_sample_ares; the output carries ids and integer ranks,
+    never the float key)."""
+    return osmp.weighted_sample_ares(
+        _t(spark, sf_dir, "documents"),
+        weight_col="n_chars",
+        k=3,
+        id_col="doc_id",
+        strata_col="source",
+    )
+
+
 def _bpe_oracle_sql(n_merges: int = 4) -> str:
     """Unrolled-iteration DuckDB replica of llm/bpe.bpe_merges: the
     same word-type table, pair-count aggregates, (count desc, a, b)

@@ -550,3 +550,53 @@ def test_cm_null_key_counted_via_sentinel(spark):
            for r in sk.cm_estimate(merged, cand, "term", d=2, w=512).collect()}
     assert est["x"] == 1
     assert est[None] == 2  # NULL keys hash via the sentinel, not dropped
+
+
+# ------------------------------------------------- weighted sampling
+
+def test_weighted_ares_matches_python_replica(spark):
+    import hashlib
+    from nhs_data_pipeline_spark.ops import sampling as smp
+    rows = [(i, "s%d" % (i % 2), (i * 13) % 40 + 1) for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "w"])
+    got = sorted((r.source, r.doc_id, r.weight, r.rank) for r in
+                 smp.weighted_sample_ares(df, "w", 2, "doc_id", "source").collect())
+
+    def key(i, w):
+        h = int(hashlib.md5(f"{i}:w0".encode()).hexdigest()[:8], 16)
+        u = (h + 1) / float(2**32 + 2)
+        return round(math.log(u), 6) / w
+    exp = []
+    for s in ("s0", "s1"):
+        members = sorted(((key(i, w), i, w) for i, src, w in rows if src == s),
+                         key=lambda t: (-t[0], t[1]))
+        exp += [(s, i, w, r + 1) for r, (_, i, w) in enumerate(members[:2])]
+    assert got == sorted(exp)
+
+
+def test_weighted_ares_nonpositive_weights_lose(spark):
+    from nhs_data_pipeline_spark.ops import sampling as smp
+    df = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, None), (4, 5)], "doc_id bigint, w bigint")
+    out = smp.weighted_sample_ares(df, "w", 2, "doc_id").collect()
+    assert {r.doc_id for r in out} == {1, 4}  # zero/NULL weights never win
+
+
+def test_weighted_ares_partitioning_invariance(spark):
+    from nhs_data_pipeline_spark.ops import sampling as smp
+    rows = [(i, "s", i % 7 + 1) for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "w"])
+    a = smp.weighted_sample_ares(df, "w", 5, "doc_id", "source").collect()
+    b = smp.weighted_sample_ares(
+        df.repartition(11, "doc_id"), "w", 5, "doc_id", "source").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_weighted_ares_heavy_weight_dominates(spark):
+    from nhs_data_pipeline_spark.ops import sampling as smp
+    rows = [(i, 1) for i in range(50)] + [(99, 10_000_000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+    out = smp.weighted_sample_ares(df, "w", 1, "doc_id").collect()
+    # P(miss) ~ sum(w_small)/w_big ~ 5e-6 under this fixed seed: the
+    # heavy row's key ln(u)/1e7 is ~0 while light keys are ~ln(u)
+    assert out[0].doc_id == 99
