@@ -5499,6 +5499,86 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
     """
 
 
+def _label_prop_oracle_sql(iterations: int = 5) -> str:
+    """Unrolled-iteration DuckDB replica of ops/graph.label_propagation
+    on the SYMMETRIZED trade graph — all-integer (labels, weights), so
+    no rounding discipline is needed anywhere."""
+    its = []
+    for i in range(1, iterations + 1):
+        its.append(f"""
+    wi{i} AS (
+      SELECT e.dst AS node, p.label, CAST(SUM(e.w) AS BIGINT) AS wt
+      FROM es e JOIN l{i - 1} p ON e.src = p.node GROUP BY 1, 2
+    ),
+    b{i} AS (
+      SELECT node, label AS new_label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY wt DESC, label) AS rk
+        FROM wi{i}) WHERE rk = 1
+    ),
+    l{i} AS (
+      SELECT nd.node, COALESCE(b{i}.new_label, p.label) AS label
+      FROM nd JOIN l{i - 1} p ON nd.node = p.node
+              LEFT JOIN b{i} ON nd.node = b{i}.node
+    )""")
+    return f"""
+    WITH e0 AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    es AS (
+      SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+        SELECT src, dst, w FROM e0
+        UNION ALL SELECT dst AS src, src AS dst, w FROM e0
+      ) GROUP BY 1, 2
+    ),
+    nd AS (SELECT src AS node FROM es UNION SELECT dst FROM es),
+    l0 AS (SELECT node, node AS label FROM nd),
+    {",".join(its)}
+    SELECT na.n_nationkey, na.n_name, l{iterations}.label AS community
+    FROM l{iterations} JOIN nation na ON l{iterations}.node = na.n_nationkey
+    """
+
+
+@query("graph_label_propagation", _label_prop_oracle_sql(5))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted label-propagation communities (5 synchronous rounds)
+    over the symmetrized customer-nation <-> supplier-nation trade
+    graph: the community-detection counterpart to PageRank on the same
+    edge table — and, being all-integer, the one iterative operator
+    whose oracle needs no float discipline at all (ops/graph.
+    label_propagation)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    sym = edges.unionByName(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    labels = og.label_propagation(sym, iterations=5)
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return labels.join(
+        F.broadcast(nation), labels.node == nation.n_nationkey
+    ).select("n_nationkey", "n_name", F.col("label").alias("community"))
+
+
 @query("graph_pagerank_nations", _pagerank_oracle_sql(5))
 def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank (5 synchronous iterations, d=0.85) over the

@@ -600,3 +600,41 @@ def test_weighted_ares_heavy_weight_dominates(spark):
     # P(miss) ~ sum(w_small)/w_big ~ 5e-6 under this fixed seed: the
     # heavy row's key ln(u)/1e7 is ~0 while light keys are ~ln(u)
     assert out[0].doc_id == 99
+
+
+# ------------------------------------------------- label propagation
+
+def _sym(spark, rows):
+    e = spark.createDataFrame(rows, ["src", "dst", "w"])
+    return e.unionByName(e.selectExpr("dst as src", "src as dst", "w"))
+
+
+def test_label_prop_finds_two_communities(spark):
+    e = _sym(spark, [(1, 2, 5), (2, 3, 5), (3, 1, 5),
+                     (10, 11, 5), (11, 12, 5), (12, 10, 5), (3, 10, 1)])
+    out = {r.node: r.label for r in og.label_propagation(e, 5).collect()}
+    assert out[1] == out[2] == out[3]
+    assert out[10] == out[11] == out[12]
+    assert out[1] != out[10]  # the weak bridge does not merge them
+
+
+def test_label_prop_tiebreak_smallest_label(spark):
+    # node 2 hears label 1 and label 3 with equal weight -> adopts 1
+    e = _sym(spark, [(1, 2, 5), (3, 2, 5)])
+    out = {r.node: r.label for r in og.label_propagation(e, 1).collect()}
+    assert out[2] == 1
+
+
+def test_label_prop_partitioning_invariance(spark):
+    rows = [(i, (i * 5 + 2) % 23, 1 + i % 3) for i in range(23)]
+    a = og.label_propagation(_sym(spark, rows), 4).collect()
+    b = og.label_propagation(_sym(spark, rows).repartition(7, "src"), 4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_label_prop_null_edges_dropped(spark):
+    e = spark.createDataFrame(
+        [(1, 2, 5), (2, 1, 5), (None, 1, 99), (2, None, 99)],
+        "src bigint, dst bigint, w bigint")
+    out = {r.node: r.label for r in og.label_propagation(e, 3).collect()}
+    assert set(out) == {1, 2}
