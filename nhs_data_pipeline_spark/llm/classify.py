@@ -92,7 +92,11 @@ def linear_quality_scores(
     Empty documents (no tokens after normalization) get logit NULL
     and keep false — a quality filter has no evidence to keep them.
     """
-    toks = explode_terms(df, text_col, id_col).select(
+    # repartition before the CPU-heavy per-token md5 stage: a small
+    # parquet input gives 2-3 splits and idles the other cores (the
+    # measured build-notes rule tokenized_frame used to apply here)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = explode_terms(df.repartition(par), text_col, id_col).select(
         F.col(id_col).alias("doc_id"), F.col("term").alias("__tok")
     )
     feats = toks.select(

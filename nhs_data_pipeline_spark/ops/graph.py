@@ -45,6 +45,30 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _edge_and_node_tables(
+    edges: DataFrame, src: str, dst: str, weight: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared preamble of the iterative ops: drop NULL-endpoint edges
+    (a NULL node silently falls out of the src equi-joins — the
+    build-notes NULL-key trap), pre-aggregate parallel edges, persist
+    both the edge and derived node tables (caller unpersists), and
+    materialize them. ONE definition so the two iterative operators'
+    edge policies can never drift apart."""
+    e = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .groupBy(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .agg(F.sum(weight).alias("w"))
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    return e, nodes
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 5,
@@ -63,23 +87,8 @@ def pagerank(
     docstring). ``edges`` may carry parallel edges; they are
     pre-aggregated on (src, dst).
     """
-    # NULL endpoints would form a NULL node that silently drops out of
-    # the src equi-joins while still absorbing teleport mass (the
-    # NULL-key trap in the build notes) — a link with an unknown
-    # endpoint is not an edge; drop it up front.
-    e = (
-        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
-        .groupBy(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .agg(F.sum(weight).alias("w"))
-        .persist()
-    )
+    e, nodes = _edge_and_node_tables(edges, src, dst, weight)
     outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()
-    )
     n = nodes.count()  # also materializes the persists above
     teleport = F.lit((1.0 - damping) / n)
 
@@ -150,18 +159,7 @@ def label_propagation(
     iterative-loop lineage rule). Pass a symmetrized edge table for
     undirected semantics. NULL endpoints are dropped like pagerank's.
     """
-    e = (
-        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
-        .groupBy(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .agg(F.sum(weight).alias("w"))
-        .persist()
-    )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()
-    )
+    e, nodes = _edge_and_node_tables(edges, src, dst, weight)
     nodes.count()
     labels = nodes.withColumn("label", F.col("node"))
     for _ in range(iterations):

@@ -277,15 +277,17 @@ def weighted_sample_ares(
     detail.
 
     Non-positive or NULL weights never win: their key is forced to
-    -infinity-like sentinel (they rank strictly below every positive-
-    weight row, deterministically by id) rather than producing a NULL
-    key that would float to the top of a descending sort.
+    -infinity (they rank below every positive-weight row — a FINITE
+    sentinel is not a floor, since a subnormal weight like 1e-308
+    yields a more-negative key; -inf rows tie and break by id) rather
+    than producing a NULL key that would float to the top of a
+    descending sort.
     """
     u = (hash_bucket(F.col(id_col), salt) + F.lit(1)) / F.lit(float(2**32 + 2))
     w = F.col(weight_col)
     key = F.when(
         w.isNotNull() & (w > 0), F.round(F.log(u), 6) / w
-    ).otherwise(F.lit(float("-1e308")))
+    ).otherwise(F.lit(float("-inf")))
     strata = [strata_col] if strata_col else []
     win = Window.partitionBy(*strata).orderBy(
         F.desc("__key"), F.asc(id_col)

@@ -3621,7 +3621,7 @@ def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN n_chars IS NOT NULL AND n_chars > 0 THEN
                ROUND(ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':w0'), 1, 8)) AS BIGINT) + 1)
                         / {float(2**32 + 2)}), 6) / n_chars
-             ELSE -1e308 END AS key
+             ELSE CAST('-infinity' AS DOUBLE) END AS key
       FROM documents
     )
     SELECT source, doc_id, weight, CAST(rank AS INTEGER) AS rank FROM (

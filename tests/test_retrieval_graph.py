@@ -452,7 +452,9 @@ def test_pii_redact_masks_all_patterns(spark):
     out = {r.doc_id: r.red for r in df.select(
         "doc_id", tx2.pii_redact("text").alias("red")).collect()}
     assert "<EMAIL>" in out[1] and "<IPV>" in out[1] and "<PHONE>" in out[1]
-    assert not any(ch.isdigit() for ch in "<IPV><EMAIL><PHONE><LONG_DIGITS>")
+    # the chain-safety invariant: REAL placeholders are digit-free
+    placeholders = "".join(tx2.pii_placeholder(n) for n in tx2.PII_PATTERNS)
+    assert not any(ch.isdigit() for ch in placeholders)
     assert "@" not in out[1] and "900123" not in out[1]
     assert "1234567890" not in out[1]  # phone/long-digits swallowed it
     assert out[2] == rows[1][1]  # untouched
@@ -638,3 +640,13 @@ def test_label_prop_null_edges_dropped(spark):
         "src bigint, dst bigint, w bigint")
     out = {r.node: r.label for r in og.label_propagation(e, 3).collect()}
     assert set(out) == {1, 2}
+
+
+def test_weighted_ares_subnormal_weight_still_beats_zero(spark):
+    # a finite sentinel is NOT a floor: ln(u)/1e-308 overflows past any
+    # finite constant; only -inf keeps zero/NULL weights strictly last
+    from nhs_data_pipeline_spark.ops import sampling as smp
+    df = spark.createDataFrame(
+        [(1, 1e-308), (2, 0.0), (3, None)], "doc_id bigint, w double")
+    out = smp.weighted_sample_ares(df, "w", 1, "doc_id").collect()
+    assert out[0].doc_id == 1
