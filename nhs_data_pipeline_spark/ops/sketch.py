@@ -24,13 +24,14 @@ Spark-first shape (100 TB design)
 
 Cross-engine determinism
 ------------------------
-Unlike HLL binaries, every cell is an exact integer under the
-engine-portable md5-prefix hash (``llm/dedup._MD5_H60`` over
-``key || '#' || row``), so the whole sketch — and every estimate —
-replays bit-for-bit in any engine with md5(): the one approximate
-operator in the registry whose *approximation itself* is
-exact-oracle-checkable (sketch_approx_distinct / sketch_quantiles /
-sketch_hll_mergeable are rows-only by necessity; this one is not).
+Unlike opaque sketch-library binaries, every cell is an exact integer
+under the engine-portable md5-prefix hash (``llm/dedup._MD5_H60``
+over ``key || '#' || row``), so the whole sketch — and every
+estimate — replays bit-for-bit in any engine with md5(). The
+portable-HLL family below applies the same upgrade to distinct
+counting (sketch_approx_distinct / sketch_quantiles /
+sketch_hll_mergeable remain rows-only by necessity — they wrap JVM
+Datasketches blobs).
 """
 
 from __future__ import annotations
@@ -110,3 +111,108 @@ def cm_estimate(
         .groupBy(*carry)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog: register-exact, mergeable, oracle-checkable
+# ---------------------------------------------------------------------------
+
+def hll_register_table(
+    df: DataFrame,
+    key_col: str,
+    p: int = 10,
+    shard_cols: list[str] | None = None,
+) -> DataFrame:
+    """HyperLogLog register table ``(*shard_cols, bucket, rho)`` under
+    the engine-portable md5 hash: bucket = low ``p`` bits, rho = the
+    1-based position of the leftmost 1 in the remaining ``60-p`` bits
+    (all-zero suffix -> ``60-p+1``), registers = max(rho) per bucket.
+
+    Unlike the JVM Datasketches blobs (``sketch_hll_mergeable``), the
+    registers are plain integers from portable arithmetic — the whole
+    sketch AND its estimate replay bit-exactly in any engine with
+    md5() (the same upgrade cm_sketch makes over opaque counter
+    blobs). Mergeable by per-bucket MAX (:func:`hll_merge`); NULL keys
+    hash via the chr(0) sentinel like cm_sketch."""
+    m = 1 << p
+    w = 60 - p
+    key = f"coalesce(cast({key_col} as string), chr(0))"
+    h = f"({_MD5_H60.format(x=key)})"
+    shards = shard_cols or []
+    rho = (
+        f"CASE WHEN {h} div {m} = 0 THEN {w + 1} "
+        f"ELSE {w} - length(bin({h} div {m})) + 1 END"
+    )
+    return (
+        df.select(
+            *shards,
+            F.expr(f"pmod({h}, {m})").alias("bucket"),
+            F.expr(rho).alias("__rho"),
+        )
+        .groupBy(*shards, "bucket")
+        .agg(F.max("__rho").alias("rho"))
+    )
+
+
+def hll_merge(registers: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Merge shard register tables by per-bucket MAX (exact over
+    sketches — the HLL mergeability property), keeping ``group_cols``."""
+    keys = (group_cols or []) + ["bucket"]
+    return registers.groupBy(*keys).agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    registers: DataFrame, p: int = 10, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Classic HLL estimate per group from a (merged) register table:
+    raw = alpha_m * m^2 / sum_j 2^-M_j over ALL m buckets (absent
+    buckets are empty, M=0), with the standard small-range linear-
+    counting correction ``m * ln(m / V)`` when raw <= 2.5m and V (the
+    zero-register count) > 0. Returns ``(*group_cols, hll_estimate)``.
+
+    Cross-engine exactness: 2^-M terms come from ``1.0 /
+    shiftleft(1, M)`` (exact powers of two — ``pow`` is libm and NOT
+    trusted), the bucket-spine sum folds in bucket order, alpha is
+    spelled as the same literal arithmetic in both engines, and the
+    single ``ln`` of the correction rounds to 4 decimals — so even the
+    *approximation error* is bit-identical and hash-checkable."""
+    m = 1 << p
+    groups = group_cols or []
+    alpha = f"0.7213 / (1.0 + 1.079 / {float(m)})"
+    spine = (
+        registers.select(*groups).distinct()
+        .select(*groups, F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("bucket"))
+    )
+    full = spine.join(registers, groups + ["bucket"], "left").select(
+        *groups,
+        "bucket",
+        F.coalesce("rho", F.lit(0)).alias("__M"),
+    )
+    per = (
+        full.select(
+            *groups,
+            "bucket",
+            # F.shiftleft's bit-count arg must be a literal int; the
+            # SQL form takes a column
+            (F.lit(1.0) / F.expr("shiftleft(cast(1 as bigint), __M)")).alias("__t"),
+            (F.col("__M") == 0).cast("long").alias("__z"),
+        )
+        .groupBy(*groups)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("bucket", "__t"))).alias("__st"),
+            F.sum("__z").alias("__v"),
+        )
+        .withColumn(
+            "__s",
+            F.expr(
+                "aggregate(transform(__st, __x -> __x.__t), "
+                "cast(0.0 as double), (__a, __b) -> __a + __b)"
+            ),
+        )
+        .withColumn("__raw", F.expr(f"{alpha} * {float(m)} * {float(m)}") / F.col("__s"))
+    )
+    est = F.when(
+        (F.col("__v") > 0) & (F.col("__raw") <= F.lit(2.5 * m)),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("__v")), 4),
+    ).otherwise(F.round("__raw", 4))
+    return per.select(*groups, est.alias("hll_estimate"))

@@ -3648,6 +3648,85 @@ def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sketch_hll_portable",
+    f"""
+    WITH h AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, user_id,
+             {_hex60_sql("coalesce(CAST(user_id AS VARCHAR), chr(0))")} AS hh
+      FROM events
+    ),
+    reg0 AS (
+      SELECT event_type, day, hh % 1024 AS bucket,
+             CASE WHEN hh // 1024 = 0 THEN 51
+                  ELSE 50 - length(bin(hh // 1024)) + 1 END AS rho
+      FROM h
+    ),
+    shards AS (SELECT event_type, day, bucket, MAX(rho) AS rho
+               FROM reg0 GROUP BY 1, 2, 3),
+    merged AS (SELECT event_type, bucket, MAX(rho) AS rho
+               FROM shards GROUP BY 1, 2),
+    spine AS (
+      SELECT event_type, unnest(generate_series(0, 1023)) AS bucket
+      FROM (SELECT DISTINCT event_type FROM merged)
+    ),
+    fullreg AS (
+      SELECT s.event_type, s.bucket, COALESCE(m.rho, 0) AS M
+      FROM spine s LEFT JOIN merged m
+        ON s.event_type = m.event_type AND s.bucket = m.bucket
+    ),
+    agg AS (
+      SELECT event_type,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list(1.0 / (CAST(1 AS BIGINT) << M)
+                                           ORDER BY bucket)),
+                         (__a, __b) -> __a + __b) AS s,
+             CAST(SUM(CASE WHEN M = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+      FROM fullreg GROUP BY event_type
+    ),
+    est AS (
+      SELECT event_type,
+             CASE WHEN v > 0
+                   AND (0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0 / s)
+                       <= 2560.0
+                  THEN ROUND(1024.0 * ln(1024.0 / v), 4)
+                  ELSE ROUND(0.7213 / (1.0 + 1.079 / 1024.0)
+                             * 1024.0 * 1024.0 / s, 4) END AS hll_estimate
+      FROM agg
+    ),
+    exact AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+              FROM events GROUP BY 1)
+    SELECT ex.event_type, est.hll_estimate, ex.exact_users
+    FROM est JOIN exact ex USING (event_type)
+    """,
+)
+def sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog distinct-user estimates per event type:
+    per-day register shards max-merged, then the classic estimator
+    with linear-counting correction — the register-exact counterpart
+    to sketch_hll_mergeable's opaque Datasketches blobs. Every
+    register is integer arithmetic under the portable md5 hash and
+    the 2^-M terms come from exact bit shifts, so even the
+    APPROXIMATION ERROR is bit-identical cross-engine and this sketch
+    gets a full value-hash oracle instead of a rows-only check
+    (ops/sketch.hll_* docstrings). Exact count included for error
+    visibility."""
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    shards = osk.hll_register_table(
+        ev, "user_id", p=10, shard_cols=["event_type", "day"]
+    )
+    merged = osk.hll_merge(shards, group_cols=["event_type"])
+    est = osk.hll_estimate(merged, p=10, group_cols=["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "hll_estimate", "exact_users"
+    )
+
+
 def _bpe_oracle_sql(n_merges: int = 4) -> str:
     """Unrolled-iteration DuckDB replica of llm/bpe.bpe_merges: the
     same word-type table, pair-count aggregates, (count desc, a, b)

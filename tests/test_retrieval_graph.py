@@ -650,3 +650,40 @@ def test_weighted_ares_subnormal_weight_still_beats_zero(spark):
         [(1, 1e-308), (2, 0.0), (3, None)], "doc_id bigint, w double")
     out = smp.weighted_sample_ares(df, "w", 1, "doc_id").collect()
     assert out[0].doc_id == 1
+
+
+# ------------------------------------------------- portable HLL
+
+def test_hll_portable_estimate_accuracy(spark):
+    from nhs_data_pipeline_spark.ops import sketch as sk
+    n = 5000
+    df = spark.createDataFrame([(f"user{i}",) for i in range(n)], ["k"])
+    reg = sk.hll_register_table(df, "k", p=10)
+    est = sk.hll_estimate(sk.hll_merge(reg), p=10).collect()[0].hll_estimate
+    # standard error ~ 1.04/sqrt(1024) ~ 3.3%; allow 3 sigma
+    assert abs(est - n) / n < 0.10
+
+
+def test_hll_merge_equals_direct(spark):
+    from nhs_data_pipeline_spark.ops import sketch as sk
+    rows = [(f"s{i % 4}", f"u{i % 97}") for i in range(500)]
+    df = spark.createDataFrame(rows, ["shard", "k"])
+    merged = sk.hll_merge(sk.hll_register_table(df, "k", p=10, shard_cols=["shard"]))
+    direct = sk.hll_register_table(df, "k", p=10)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_hll_small_range_linear_counting(spark):
+    from nhs_data_pipeline_spark.ops import sketch as sk
+    df = spark.createDataFrame([(f"x{i}",) for i in range(20)], ["k"])
+    est = sk.hll_estimate(sk.hll_merge(sk.hll_register_table(df, "k")), p=10)
+    v = est.collect()[0].hll_estimate
+    assert abs(v - 20) < 2  # linear counting is near-exact at 20 << m
+
+
+def test_hll_null_keys_counted_once(spark):
+    from nhs_data_pipeline_spark.ops import sketch as sk
+    df = spark.createDataFrame([("a",), (None,), (None,)], "k string")
+    est = sk.hll_estimate(sk.hll_merge(sk.hll_register_table(df, "k")), p=10)
+    v = est.collect()[0].hll_estimate
+    assert abs(v - 2) < 1  # a + the NULL sentinel = 2 distinct
