@@ -36,7 +36,7 @@ Datasketches blobs).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from nhs_data_pipeline_spark.llm.dedup import _MD5_H60
@@ -216,3 +216,112 @@ def hll_estimate(
         F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("__v")), 4),
     ).otherwise(F.round("__raw", 4))
     return per.select(*groups, est.alias("hll_estimate"))
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch: mergeable, deterministic, oracle-checkable
+# ---------------------------------------------------------------------------
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 64,
+    group_cols: list[str] | None = None,
+    shard_cols: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Fixed-grid histogram sketch for approximate quantiles: per
+    group, ``bins`` equal-width bins over the group's [min, max],
+    counts per ``(group, *shard, bin)``. Returns ``(counts, bounds)``
+    where bounds is the model-sized ``(group, lo, hi)`` table the
+    estimator needs.
+
+    The third mergeable-sketch family (distinct -> HLL, frequency ->
+    count-min, quantiles -> histogram): shard counts merge by plain
+    SUM (:func:`histogram_merge`), and — like the other two — every
+    cell is an integer and the bin arithmetic is deterministic double
+    ops on identical inputs, so the sketch AND its quantile estimates
+    replay bit-exactly cross-engine. The equal-width grid is the
+    honest trade-off vs t-digest: accuracy is bounded by bin width
+    (documented), in exchange for exact replayability and trivial
+    merging. Two passes over the data (bounds, then counts) — the
+    bounds aggregate is tiny and broadcast back. NULL values are
+    excluded (a quantile over NULL is undefined), max-valued rows
+    clamp into the top bin."""
+    groups = group_cols or []
+    shards = shard_cols or []
+    v = F.col(value_col).cast("double")
+    bounds = (
+        df.filter(v.isNotNull())
+        .groupBy(*groups)
+        .agg(F.min(v).alias("lo"), F.max(v).alias("hi"))
+    )
+    joined = df.filter(v.isNotNull()).join(
+        F.broadcast(bounds), groups
+    ) if groups else df.filter(v.isNotNull()).crossJoin(F.broadcast(bounds))
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(bins))
+    bin_idx = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((v - F.col("lo")) / width).cast("int"), F.lit(bins - 1)
+        )
+    )
+    counts = (
+        joined.select(*groups, *shards, bin_idx.alias("bin"))
+        .groupBy(*groups, *shards, "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return counts, bounds
+
+
+def histogram_merge(counts: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Merge shard histograms by per-bin SUM (exact over sketches)."""
+    keys = (group_cols or []) + ["bin"]
+    return counts.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantiles(
+    counts: DataFrame,
+    bounds: DataFrame,
+    quantiles: list[float],
+    bins: int = 64,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quantile estimates from a (merged) histogram: for each q, find
+    the first bin whose cumulative count reaches rank
+    ``r = ceil(q * n)`` (clamped to >= 1) and interpolate uniformly
+    within it:
+
+        est = round(lo + width * (bin + (r - cum_before) / cnt), 4)
+
+    Integer cumulative sums, one deterministic double expression at
+    the end — hash-exact cross-engine. Returns
+    ``(*group_cols, q, n, est)``."""
+    groups = group_cols or []
+    w_cum = Window.partitionBy(*groups).orderBy("bin") if groups else Window.orderBy("bin")
+    cum = counts.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "cum_before", F.col("cum") - F.col("cnt")
+    )
+    totals = counts.groupBy(*groups).agg(F.sum("cnt").alias("n"))
+    qdf = counts.sparkSession.createDataFrame(
+        [(float(q),) for q in quantiles], "q double"
+    )
+    probes = totals.crossJoin(F.broadcast(qdf)).withColumn(
+        "r", F.greatest(F.ceil(F.col("q") * F.col("n")), F.lit(1))
+    )
+    hit_w = Window.partitionBy(*(groups + ["q"])).orderBy("bin")
+    hits = (
+        probes.join(cum, groups)
+        .filter(F.col("cum") >= F.col("r"))
+        .withColumn("__rk", F.row_number().over(hit_w))
+        .filter(F.col("__rk") == 1)
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(bins))
+    est = F.round(
+        F.col("lo")
+        + width
+        * (F.col("bin") + (F.col("r") - F.col("cum_before")) / F.col("cnt")),
+        4,
+    )
+    joined = hits.join(F.broadcast(bounds), groups) if groups else hits.crossJoin(
+        F.broadcast(bounds)
+    )
+    return joined.select(*groups, "q", "n", est.alias("est"))

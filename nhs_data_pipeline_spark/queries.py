@@ -3727,6 +3727,74 @@ def sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sketch_quantile_hist",
+    """
+    WITH ev AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    bounds AS (SELECT event_type, MIN(v) AS lo, MAX(v) AS hi
+               FROM ev GROUP BY 1),
+    binned AS (
+      SELECT e.event_type, e.day,
+             CASE WHEN b.hi = b.lo THEN 0
+                  ELSE LEAST(CAST(FLOOR((e.v - b.lo)
+                                        / ((b.hi - b.lo) / 64.0)) AS INTEGER),
+                             63) END AS bin
+      FROM ev e JOIN bounds b USING (event_type)
+    ),
+    shards AS (SELECT event_type, day, bin, COUNT(*) AS cnt
+               FROM binned GROUP BY 1, 2, 3),
+    merged AS (SELECT event_type, bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+               FROM shards GROUP BY 1, 2),
+    cum AS (SELECT event_type, bin, cnt,
+                   CAST(SUM(cnt) OVER (PARTITION BY event_type
+                                       ORDER BY bin) AS BIGINT) AS cum
+            FROM merged),
+    tot AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
+            FROM merged GROUP BY 1),
+    qs AS (SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS q),
+    probes AS (
+      SELECT t.event_type, t.n, q.q,
+             GREATEST(CAST(CEIL(q.q * t.n) AS BIGINT), 1) AS r
+      FROM tot t CROSS JOIN qs q
+    ),
+    hits AS (
+      SELECT * FROM (
+        SELECT p.event_type, p.q, p.n, p.r, c.bin, c.cnt,
+               CAST(c.cum - c.cnt AS BIGINT) AS cum_before,
+               ROW_NUMBER() OVER (PARTITION BY p.event_type, p.q
+                                  ORDER BY c.bin) AS rk
+        FROM probes p JOIN cum c USING (event_type)
+        WHERE c.cum >= p.r
+      ) WHERE rk = 1
+    )
+    SELECT h.event_type, h.q, h.n,
+           ROUND(b.lo + ((b.hi - b.lo) / 64.0)
+                 * (h.bin + (h.r - h.cum_before) / h.cnt), 4) AS est
+    FROM hits h JOIN bounds b USING (event_type)
+    """,
+)
+def sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram-quantile sketch (p50/p90/p99 of event value
+    per event type, per-day shards summed): the third sketch family
+    with a FULL value-hash oracle — distinct (portable HLL), frequency
+    (count-min), and now quantiles all replay their approximation
+    bit-exactly, vs the rows-only Datasketches KLL wrapper
+    (ops/sketch.histogram_* docstrings)."""
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    counts, bounds = osk.histogram_sketch(
+        ev, "value", bins=64, group_cols=["event_type"], shard_cols=["day"]
+    )
+    merged = osk.histogram_merge(counts, ["event_type"])
+    return osk.histogram_quantiles(
+        merged, bounds, [0.5, 0.9, 0.99], bins=64, group_cols=["event_type"]
+    )
+
+
 def _bpe_oracle_sql(n_merges: int = 4) -> str:
     """Unrolled-iteration DuckDB replica of llm/bpe.bpe_merges: the
     same word-type table, pair-count aggregates, (count desc, a, b)

@@ -339,6 +339,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # pair into the vocabulary for the in-plan merge (llm/bpe) —
         # the scalar-broadcast shape again
         "tokenizer_bpe_merges",
+        # audited: the 3-row quantile-literal table crosses into the
+        # per-group totals (ops/sketch.histogram_quantiles) — broadcast
+        # fan-out of a constant probe set, the correct plan
+        "sketch_quantile_hist",
     }
     explain_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
     violations = []

@@ -687,3 +687,39 @@ def test_hll_null_keys_counted_once(spark):
     est = sk.hll_estimate(sk.hll_merge(sk.hll_register_table(df, "k")), p=10)
     v = est.collect()[0].hll_estimate
     assert abs(v - 2) < 1  # a + the NULL sentinel = 2 distinct
+
+
+# ------------------------------------------------- histogram quantiles
+
+def test_hist_quantiles_accuracy_within_bin_width(spark):
+    from nhs_data_pipeline_spark.ops import sketch as sk
+    rows = [("g", float(i)) for i in range(1, 1001)]  # uniform 1..1000
+    df = spark.createDataFrame(rows, ["g", "v"])
+    counts, bounds = sk.histogram_sketch(df, "v", bins=64, group_cols=["g"])
+    out = {r.q: r for r in sk.histogram_quantiles(
+        sk.histogram_merge(counts, ["g"]), bounds, [0.5, 0.9], 64, ["g"]).collect()}
+    width = 999.0 / 64
+    assert abs(out[0.5].est - 500.0) <= width
+    assert abs(out[0.9].est - 900.0) <= width
+    assert out[0.5].n == 1000
+
+
+def test_hist_merge_equals_direct(spark):
+    from nhs_data_pipeline_spark.ops import sketch as sk
+    rows = [("g", f"d{i % 3}", float(i % 17)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["g", "day", "v"])
+    sharded, _ = sk.histogram_sketch(df, "v", 16, ["g"], ["day"])
+    direct, _ = sk.histogram_sketch(df, "v", 16, ["g"])
+    assert sorted(map(tuple, sk.histogram_merge(sharded, ["g"]).collect())) == \
+           sorted(map(tuple, direct.collect()))
+
+
+def test_hist_degenerate_single_value_group(spark):
+    from nhs_data_pipeline_spark.ops import sketch as sk
+    df = spark.createDataFrame([("g", 7.5)] * 5 + [("h", None)],
+                               "g string, v double")
+    counts, bounds = sk.histogram_sketch(df, "v", 8, ["g"])
+    out = sk.histogram_quantiles(
+        sk.histogram_merge(counts, ["g"]), bounds, [0.5], 8, ["g"]).collect()
+    assert len(out) == 1  # the all-NULL group has no quantile rows
+    assert out[0].est == 7.5 and out[0].n == 5  # hi == lo collapses to bin 0
