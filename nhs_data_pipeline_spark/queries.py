@@ -41,6 +41,7 @@ from nhs_data_pipeline_spark.llm import classify as clf
 from nhs_data_pipeline_spark.llm import bpe as bp
 from nhs_data_pipeline_spark.llm import cluster as cl
 from nhs_data_pipeline_spark.ops import graph as og
+from nhs_data_pipeline_spark.ops import layout as ol
 from nhs_data_pipeline_spark.ops import sketch as osk
 from nhs_data_pipeline_spark.ops import analytics as oan
 from nhs_data_pipeline_spark.ops import binned as ob
@@ -3792,6 +3793,53 @@ def sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = osk.histogram_merge(counts, ["event_type"])
     return osk.histogram_quantiles(
         merged, bounds, [0.5, 0.9, 0.99], bins=64, group_cols=["event_type"]
+    )
+
+
+def _zorder_oracle_sql(cols: tuple[str, str] = ("l_partkey", "l_suppkey"),
+                       bits: int = 8) -> str:
+    """DuckDB replica of ops/layout.zorder_key over lineitem: same
+    min-max scaling (spelled to match the Spark op order exactly) and
+    the same statically-unrolled LSB-first bit interleave — pure
+    integer arithmetic after one deterministic double scaling, so the
+    Morton keys hash-match exactly."""
+    top = (1 << bits) - 1
+    mins = ", ".join(
+        f"MIN(CAST({c} AS DOUBLE)) AS mn{i}, MAX(CAST({c} AS DOUBLE)) AS mx{i}"
+        for i, c in enumerate(cols)
+    )
+    scaled = ", ".join(
+        f"LEAST({top}, CAST(FLOOR((CAST({c} AS DOUBLE) - b.mn{i})"
+        f" / (CASE WHEN b.mx{i} = b.mn{i} THEN 1.0 ELSE b.mx{i} - b.mn{i} END)"
+        f" * {float(top + 1)}) AS BIGINT)) AS s{i}"
+        for i, c in enumerate(cols)
+    )
+    terms = " | ".join(
+        f"(((s{ci} >> {b}) & 1) << {b * len(cols) + ci})"
+        for b in range(bits)
+        for ci in range(len(cols))
+    )
+    return f"""
+    WITH b AS (SELECT {mins} FROM lineitem),
+    s AS (SELECT {scaled} FROM lineitem, b),
+    z AS (SELECT {terms} AS zkey FROM s)
+    SELECT zkey, COUNT(*) AS n FROM z GROUP BY 1
+    """
+
+
+@query("layout_zorder_hist", _zorder_oracle_sql())
+def layout_zorder_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-curve) key histogram over lineitem (l_partkey,
+    l_suppkey) at 8 bits/column — the data-layout clustering key
+    zorder_write range-partitions on, attested value-exact: min-max
+    scaling is one deterministic double expression and the interleave
+    is pure integer shifts, so the keys replay bit-identically
+    (ops/layout.zorder_key; the clustering-benefit property itself is
+    pinned by test_ops' per-file envelope test)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    key = ol.zorder_key(li, ["l_partkey", "l_suppkey"], bits_per_col=8)
+    return li.select(key.alias("zkey")).groupBy("zkey").agg(
+        F.count("*").alias("n")
     )
 
 
