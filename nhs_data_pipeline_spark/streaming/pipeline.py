@@ -287,6 +287,71 @@ def dedup_stream_against_store(
     )
 
 
+
+def _load_guarded_store(
+    spark: SparkSession, store_path: str, stream_key: str, batch_id: int
+):
+    """Read a guarded store for a foreachBatch merge: recover from the
+    ``.old`` copy if a mid-swap crash left the base path missing, and
+    apply the replay guard — a batch is a replay only when the stored
+    ``stream_key`` matches this query AND ``batch_id`` does not advance
+    past ``last_batch_id`` (batch ids are only monotonic within one
+    checkpoint; an unkeyed guard would drop a fresh checkpoint's first
+    batches as "replays"). Returns ``(old_df_without_guard_cols | None,
+    is_replay)``. Shared by every non-idempotent store maintainer
+    (XOR fingerprints, count-min cells) — ONE definition so their
+    replay semantics can never drift."""
+    old = _read_store_or_none(spark, store_path)
+    if old is None:
+        # mid-swap crash window: the store was renamed aside but the
+        # new version never landed — recover from the .old copy
+        old = _read_store_or_none(spark, store_path.rstrip("/") + ".old")
+    if old is not None and "last_batch_id" in old.columns:
+        # One driver action for the whole guard (stream_key is a
+        # per-store constant, so max() reads it exactly).
+        has_key = "stream_key" in old.columns
+        row = old.agg(
+            F.max("last_batch_id").alias("b"),
+            (F.max("stream_key") if has_key else F.lit(None)).alias("k"),
+        ).first()
+        same_stream = has_key and row["k"] == stream_key
+        if same_stream and row["b"] is not None and batch_id <= row["b"]:
+            return None, True  # replayed batch: already folded in
+        old = old.drop("last_batch_id", "stream_key")
+    return old, False
+
+
+def _swap_store(
+    merged: DataFrame, store_path: str, batch_id: int, stream_key: str
+) -> None:
+    """Atomically replace a store with ``merged`` (guard columns
+    stamped here). Rename-based: a plain overwrite-in-place deletes
+    the old files first, so a crash mid-write leaves NO readable store
+    and the next run would silently treat it as the first batch. With
+    renames, every crash point leaves either the old store (at base or
+    ``.old`` — the reader checks both) or the fully-written new one.
+    Ordering matters: the ``.old`` recovery copy is only retired AFTER
+    the new store is in place — when recovering from a mid-swap crash
+    (base missing), ``.old`` is the SOLE durable copy, and deleting it
+    first would open a window where a second crash loses all state.
+    Single-writer assumption, as for any foreachBatch parquet sink."""
+    import os
+    import shutil
+
+    base = store_path.rstrip("/")
+    tmp, bak = base + f".batch{batch_id}", base + ".old"
+    merged = merged.withColumn(
+        "last_batch_id", F.lit(batch_id)
+    ).withColumn("stream_key", F.lit(stream_key))
+    shutil.rmtree(tmp, ignore_errors=True)  # leftover from a crash
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(base):
+        shutil.rmtree(bak, ignore_errors=True)  # stale from older swap
+        os.rename(base, bak)
+    os.rename(tmp, base)
+    shutil.rmtree(bak, ignore_errors=True)
+
+
 def fingerprint_stream_into_store(
     rows: DataFrame,
     store_path: str,
@@ -342,23 +407,9 @@ def fingerprint_stream_into_store(
         if "k" not in _ident_cache:
             _ident_cache["k"] = _stream_identity(checkpoint, spark)
         stream_key = _ident_cache["k"]
-        old = _read_store_or_none(spark, store_path)
-        if old is None:
-            # mid-swap crash window: the store was renamed aside but the
-            # new version never landed — recover from the .old copy
-            old = _read_store_or_none(spark, store_path.rstrip("/") + ".old")
-        if old is not None and "last_batch_id" in old.columns:
-            # One driver action for the whole guard (stream_key is a
-            # per-store constant, so max() reads it exactly).
-            has_key = "stream_key" in old.columns
-            row = old.agg(
-                F.max("last_batch_id").alias("b"),
-                (F.max("stream_key") if has_key else F.lit(None)).alias("k"),
-            ).first()
-            same_stream = has_key and row["k"] == stream_key
-            if same_stream and row["b"] is not None and batch_id <= row["b"]:
-                return  # replayed batch: already folded into the store
-            old = old.drop("last_batch_id", "stream_key")
+        old, is_replay = _load_guarded_store(spark, store_path, stream_key, batch_id)
+        if is_replay:
+            return  # replayed batch: already folded into the store
         batch_fp = content_fingerprint(batch_df, cols, group_by=group_by)
         if old is None:
             merged = batch_fp
@@ -393,31 +444,78 @@ def fingerprint_stream_into_store(
                     ).alias("content_fingerprint"),
                 )
             )
-        import os
-        import shutil
+        _swap_store(merged, store_path, batch_id, stream_key)
 
-        base = store_path.rstrip("/")
-        tmp, bak = base + f".batch{batch_id}", base + ".old"
-        merged = merged.withColumn(
-            "last_batch_id", F.lit(batch_id)
-        ).withColumn("stream_key", F.lit(stream_key))
-        shutil.rmtree(tmp, ignore_errors=True)  # leftover from a crash
-        merged.write.mode("overwrite").parquet(tmp)
-        # Rename-based swap: a plain overwrite-in-place deletes the old
-        # files first, so a crash mid-write leaves NO readable store and
-        # the next run would silently treat it as the first batch. With
-        # renames, every crash point leaves either the old store (at
-        # base or .old — the reader checks both) or the fully-written
-        # new one. Ordering matters: the .old recovery copy is only
-        # retired AFTER the new store is in place — when recovering
-        # from a mid-swap crash (base missing), .old is the SOLE
-        # durable copy, and deleting it first would open a window where
-        # a second crash loses all state.
-        if os.path.exists(base):
-            shutil.rmtree(bak, ignore_errors=True)  # stale from older swap
-            os.rename(base, bak)
-        os.rename(tmp, base)
-        shutil.rmtree(bak, ignore_errors=True)
+    return (
+        rows.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cm_sketch_stream_into_store(
+    rows: DataFrame,
+    key_col: str,
+    store_path: str,
+    checkpoint: str,
+    d: int = 3,
+    w: int = 256,
+):
+    """Incrementally maintain a count-min sketch over a STREAM — live
+    heavy-hitter / frequency tracking without ever rescanning history,
+    because count-min cells are additively mergeable: new_cnt =
+    old_cnt + batch_cnt per (row, bucket).
+
+    Each micro-batch builds its own d*w sketch (ops/sketch.cm_sketch —
+    one tiny shuffle), merges it with the store via a full-outer
+    coalescing join on the cell key, and atomically swaps the store.
+    The store is d*w rows FOREVER, regardless of stream volume — the
+    sketch property that makes unbounded-cardinality frequency state
+    feasible where an exact per-key count table would grow without
+    bound. Point-query it any time with ops/sketch.cm_estimate.
+
+    Delivery: effectively exactly-once via the shared replay guard +
+    rename swap (``_load_guarded_store`` / ``_swap_store`` — cell
+    addition is NOT idempotent, so replayed batches must be skipped,
+    exactly like the XOR fingerprint store). availableNow trigger.
+    """
+    from nhs_data_pipeline_spark.ops.sketch import cm_sketch
+
+    _ident_cache: dict[str, str] = {}
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if "k" not in _ident_cache:
+            _ident_cache["k"] = _stream_identity(checkpoint, spark)
+        stream_key = _ident_cache["k"]
+        old, is_replay = _load_guarded_store(
+            spark, store_path, stream_key, batch_id
+        )
+        if is_replay:
+            return
+        batch_sk = cm_sketch(batch_df, key_col, d=d, w=w)
+        if old is None:
+            merged = batch_sk
+        else:
+            o = old.select(
+                F.col("row").alias("__o_row"),
+                F.col("bucket").alias("__o_bucket"),
+                F.col("cnt").alias("__o_cnt"),
+            )
+            cond = (F.col("row") == F.col("__o_row")) & (
+                F.col("bucket") == F.col("__o_bucket")
+            )
+            # full outer cannot broadcast; both sides are <= d*w rows
+            merged = batch_sk.join(o, cond, "full_outer").select(
+                F.coalesce("row", "__o_row").alias("row"),
+                F.coalesce("bucket", "__o_bucket").alias("bucket"),
+                (
+                    F.coalesce(F.col("cnt"), F.lit(0))
+                    + F.coalesce(F.col("__o_cnt"), F.lit(0))
+                ).alias("cnt"),
+            )
+        _swap_store(merged, store_path, batch_id, stream_key)
 
     return (
         rows.writeStream.foreachBatch(_process)

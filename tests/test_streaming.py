@@ -586,3 +586,50 @@ def test_sessionize_stream_rejects_non_utc_session(spark):
             sessionize_stream(df)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_cm_sketch_stream_matches_batch(spark, tmp_path):
+    """Incremental count-min store over a 2-batch stream must equal the
+    one-shot batch sketch of the union (cell-wise additivity), and
+    point estimates from the streamed store must match true counts on
+    a collision-free configuration."""
+    import time as _time
+
+    from nhs_data_pipeline_spark.ops.sketch import cm_estimate, cm_sketch
+    from nhs_data_pipeline_spark.streaming.pipeline import (
+        cm_sketch_stream_into_store,
+        stream_files,
+    )
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("term", T.StringType())]
+    )
+    src = str(tmp_path / "cm_src")
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha"), (3, "beta")], schema
+    )
+    b1.coalesce(1).write.parquet(src)
+    _time.sleep(1.1)
+    b2 = spark.createDataFrame([(4, "alpha"), (5, "gamma")], schema)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    store = str(tmp_path / "cm_store")
+    stream = stream_files(spark, src, schema, max_files_per_trigger=1)
+    q = cm_sketch_stream_into_store(
+        stream, "term", store, checkpoint=str(tmp_path / "cm_ckpt"), d=3, w=512
+    )
+    q.awaitTermination()
+
+    streamed = (
+        spark.read.parquet(store).drop("last_batch_id", "stream_key")
+    )
+    direct = cm_sketch(b1.unionByName(b2), "term", d=3, w=512)
+    assert sorted(map(tuple, streamed.collect())) == \
+           sorted(map(tuple, direct.collect()))
+
+    cand = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",), ("never",)], ["term"]
+    )
+    est = {r.term: r.est_n
+           for r in cm_estimate(streamed, cand, "term", d=3, w=512).collect()}
+    assert est == {"alpha": 3, "beta": 1, "gamma": 1, "never": 0}
