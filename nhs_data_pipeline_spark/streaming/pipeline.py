@@ -523,3 +523,64 @@ def cm_sketch_stream_into_store(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def hll_stream_into_store(
+    rows: DataFrame,
+    key_col: str,
+    store_path: str,
+    checkpoint: str,
+    p: int = 10,
+):
+    """Incrementally maintain a portable-HLL register store over a
+    STREAM — live distinct-count state in at most 2^p rows, point-
+    queryable any time with ops/sketch.hll_estimate.
+
+    Merge is per-bucket MAX (HLL mergeability). MAX is idempotent, so
+    unlike the XOR/count stores a replayed batch could not corrupt the
+    registers — the shared replay guard is still applied for uniform
+    store semantics (and to keep last_batch_id meaningful for
+    monitoring). availableNow trigger.
+    """
+    from nhs_data_pipeline_spark.ops.sketch import hll_register_table
+
+    _ident_cache: dict[str, str] = {}
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if "k" not in _ident_cache:
+            _ident_cache["k"] = _stream_identity(checkpoint, spark)
+        stream_key = _ident_cache["k"]
+        old, is_replay = _load_guarded_store(
+            spark, store_path, stream_key, batch_id
+        )
+        if is_replay:
+            return
+        batch_reg = hll_register_table(batch_df, key_col, p=p)
+        if old is None:
+            merged = batch_reg
+        else:
+            o = old.select(
+                F.col("bucket").alias("__o_bucket"),
+                F.col("rho").alias("__o_rho"),
+            )
+            merged = (
+                batch_reg.join(
+                    o, F.col("bucket") == F.col("__o_bucket"), "full_outer"
+                )
+                .select(
+                    F.coalesce("bucket", "__o_bucket").alias("bucket"),
+                    F.greatest(
+                        F.coalesce(F.col("rho"), F.lit(0)),
+                        F.coalesce(F.col("__o_rho"), F.lit(0)),
+                    ).alias("rho"),
+                )
+            )
+        _swap_store(merged, store_path, batch_id, stream_key)
+
+    return (
+        rows.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -633,3 +633,51 @@ def test_cm_sketch_stream_matches_batch(spark, tmp_path):
     est = {r.term: r.est_n
            for r in cm_estimate(streamed, cand, "term", d=3, w=512).collect()}
     assert est == {"alpha": 3, "beta": 1, "gamma": 1, "never": 0}
+
+
+def test_hll_stream_matches_batch(spark, tmp_path):
+    """Incremental HLL register store over a 2-batch stream must equal
+    the one-shot batch register table of the union (per-bucket MAX
+    mergeability), and the estimate from the streamed store must match
+    the batch estimate exactly."""
+    import time as _time
+
+    from nhs_data_pipeline_spark.ops.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_register_table,
+    )
+    from nhs_data_pipeline_spark.streaming.pipeline import (
+        hll_stream_into_store,
+        stream_files,
+    )
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("user", T.StringType())]
+    )
+    src = str(tmp_path / "hll_src")
+    b1 = spark.createDataFrame(
+        [(i, f"u{i % 40}") for i in range(100)], schema
+    )
+    b1.coalesce(1).write.parquet(src)
+    _time.sleep(1.1)
+    b2 = spark.createDataFrame(
+        [(i, f"u{i % 70}") for i in range(100, 200)], schema
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    store = str(tmp_path / "hll_store")
+    stream = stream_files(spark, src, schema, max_files_per_trigger=1)
+    q = hll_stream_into_store(
+        stream, "user", store, checkpoint=str(tmp_path / "hll_ckpt"), p=10
+    )
+    q.awaitTermination()
+
+    streamed = spark.read.parquet(store).drop("last_batch_id", "stream_key")
+    direct = hll_register_table(b1.unionByName(b2), "user", p=10)
+    assert sorted(map(tuple, streamed.collect())) == \
+           sorted(map(tuple, direct.collect()))
+    est_s = hll_estimate(hll_merge(streamed), p=10).collect()[0].hll_estimate
+    est_d = hll_estimate(hll_merge(direct), p=10).collect()[0].hll_estimate
+    assert est_s == est_d
+    assert abs(est_s - 70) < 7  # 70 true distinct users, ~3.3% stderr
