@@ -178,7 +178,14 @@ def hll_estimate(
     *approximation error* is bit-identical and hash-checkable."""
     m = 1 << p
     groups = group_cols or []
-    alpha = f"0.7213 / (1.0 + 1.079 / {float(m)})"
+    # The alpha*m^2 numerator is computed in PYTHON doubles and shipped
+    # as one literal: an earlier draft spelled it inside F.expr, where
+    # Spark (ANSI) parses bare decimal literals as DECIMAL and computes
+    # 0.7213/(1.0+1.079/m) in decimal arithmetic — 4.7e-5 away from
+    # DuckDB's double path, enough to coin-flip ROUND(raw, 4) on
+    # unlucky data (review finding). The oracle spells the identical
+    # IEEE op sequence with every literal CAST AS DOUBLE.
+    alpha_mm = 0.7213 / (1.0 + 1.079 / float(m)) * float(m) * float(m)
     spine = (
         registers.select(*groups).distinct()
         .select(*groups, F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("bucket"))
@@ -209,7 +216,7 @@ def hll_estimate(
                 "cast(0.0 as double), (__a, __b) -> __a + __b)"
             ),
         )
-        .withColumn("__raw", F.expr(f"{alpha} * {float(m)} * {float(m)}") / F.col("__s"))
+        .withColumn("__raw", F.lit(alpha_mm) / F.col("__s"))
     )
     est = F.when(
         (F.col("__v") > 0) & (F.col("__raw") <= F.lit(2.5 * m)),

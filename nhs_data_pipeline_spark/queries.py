@@ -3688,11 +3688,18 @@ def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
     est AS (
       SELECT event_type,
              CASE WHEN v > 0
-                   AND (0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0 / s)
+                   AND (CAST(0.7213 AS DOUBLE)
+                        / (CAST(1.0 AS DOUBLE)
+                           + CAST(1.079 AS DOUBLE) / CAST(1024.0 AS DOUBLE))
+                        * CAST(1024.0 AS DOUBLE) * CAST(1024.0 AS DOUBLE) / s)
                        <= 2560.0
                   THEN ROUND(1024.0 * ln(1024.0 / v), 4)
-                  ELSE ROUND(0.7213 / (1.0 + 1.079 / 1024.0)
-                             * 1024.0 * 1024.0 / s, 4) END AS hll_estimate
+                  ELSE ROUND(CAST(0.7213 AS DOUBLE)
+                             / (CAST(1.0 AS DOUBLE)
+                                + CAST(1.079 AS DOUBLE)
+                                  / CAST(1024.0 AS DOUBLE))
+                             * CAST(1024.0 AS DOUBLE) * CAST(1024.0 AS DOUBLE)
+                             / s, 4) END AS hll_estimate
       FROM agg
     ),
     exact AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users

@@ -480,7 +480,7 @@ def cm_sketch_stream_into_store(
     addition is NOT idempotent, so replayed batches must be skipped,
     exactly like the XOR fingerprint store). availableNow trigger.
     """
-    from nhs_data_pipeline_spark.ops.sketch import cm_sketch
+    from nhs_data_pipeline_spark.ops.sketch import cm_merge, cm_sketch
 
     _ident_cache: dict[str, str] = {}
 
@@ -498,22 +498,11 @@ def cm_sketch_stream_into_store(
         if old is None:
             merged = batch_sk
         else:
-            o = old.select(
-                F.col("row").alias("__o_row"),
-                F.col("bucket").alias("__o_bucket"),
-                F.col("cnt").alias("__o_cnt"),
-            )
-            cond = (F.col("row") == F.col("__o_row")) & (
-                F.col("bucket") == F.col("__o_bucket")
-            )
-            # full outer cannot broadcast; both sides are <= d*w rows
-            merged = batch_sk.join(o, cond, "full_outer").select(
-                F.coalesce("row", "__o_row").alias("row"),
-                F.coalesce("bucket", "__o_bucket").alias("bucket"),
-                (
-                    F.coalesce(F.col("cnt"), F.lit(0))
-                    + F.coalesce(F.col("__o_cnt"), F.lit(0))
-                ).alias("cnt"),
+            # cm_merge owns the cell-addition semantics: union the two
+            # (<= d*w row) tables and re-aggregate — one tiny shuffle,
+            # no hand-rolled full-outer join to drift from the batch op
+            merged = cm_merge(
+                batch_sk.unionByName(old.select("row", "bucket", "cnt"))
             )
         _swap_store(merged, store_path, batch_id, stream_key)
 
@@ -542,7 +531,7 @@ def hll_stream_into_store(
     store semantics (and to keep last_batch_id meaningful for
     monitoring). availableNow trigger.
     """
-    from nhs_data_pipeline_spark.ops.sketch import hll_register_table
+    from nhs_data_pipeline_spark.ops.sketch import hll_merge, hll_register_table
 
     _ident_cache: dict[str, str] = {}
 
@@ -560,21 +549,11 @@ def hll_stream_into_store(
         if old is None:
             merged = batch_reg
         else:
-            o = old.select(
-                F.col("bucket").alias("__o_bucket"),
-                F.col("rho").alias("__o_rho"),
-            )
-            merged = (
-                batch_reg.join(
-                    o, F.col("bucket") == F.col("__o_bucket"), "full_outer"
-                )
-                .select(
-                    F.coalesce("bucket", "__o_bucket").alias("bucket"),
-                    F.greatest(
-                        F.coalesce(F.col("rho"), F.lit(0)),
-                        F.coalesce(F.col("__o_rho"), F.lit(0)),
-                    ).alias("rho"),
-                )
+            # hll_merge owns the per-bucket MAX semantics (see the
+            # cm maintainer: union + re-aggregate, never a hand-rolled
+            # full-outer join)
+            merged = hll_merge(
+                batch_reg.unionByName(old.select("bucket", "rho"))
             )
         _swap_store(merged, store_path, batch_id, stream_key)
 
