@@ -940,3 +940,134 @@ def leakage_safe_split(
             .alias("reassigned"),
         )
     )
+
+
+def exact_jaccard_join(
+    df: DataFrame,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "countjoin",
+) -> DataFrame:
+    """EXACT set-similarity self-join: every pair of documents whose
+    word-bigram SETS have Jaccard >= ``threshold``, with the exact
+    similarity — the lossless counterpart to the approximate
+    MinHash-LSH path. Returns ``(id_a, id_b, jaccard)``, id_a < id_b.
+
+    Two physical strategies, because the right plan depends on the
+    VOCABULARY SHAPE (measured at sf0.1, 5000 docs x ~90 bigrams over
+    a ~1k-bigram dense synthetic vocabulary):
+
+    - ``mode="countjoin"`` (default): one co-occurrence count join —
+      toks x toks on the bigram key (id_a < id_b), partial-aggregated
+      into per-pair intersection counts, then one size join + the
+      threshold filter. Intermediate volume is sum over tokens of
+      df(token)^2 — on DENSE vocabularies (every token frequent) this
+      is unavoidable and the columnar count-join is by far the
+      fastest exact plan (4.5 s vs 172 s for prefix+array-verify on
+      the same data).
+    - ``mode="prefix"``: PPJoin-style prefix filtering (Xiao et al.,
+      public): rank the vocabulary by ascending frequency, keep each
+      doc's first ``|S| - ceil(t|S|) + 1`` rarest bigrams as its
+      prefix, candidate-join ONLY prefixes (lossless by pigeonhole),
+      verify survivors with one array intersection. On SPARSE
+      vocabularies (real corpora — most tokens rare) candidates track
+      true near-dup structure and this avoids the quadratic
+      co-occurrence blowup entirely; on dense vocabularies the
+      prefixes are still frequent and the verify stage drowns
+      (the 172 s measurement) — hence not the default here.
+
+    Determinism: counts and sizes are integers; the one division
+    ``inter / (|A| + |B| - inter)`` is a single IEEE op on identical
+    inputs, so both the kept pair set and the 6-decimal similarity
+    replay exactly cross-engine.
+    """
+    from nhs_data_pipeline_spark.llm.text import tokenized_frame
+
+    base = tokenized_frame(df, text_col, id_col)
+    bigrams = F.expr(
+        "CASE WHEN size(__w) > 1 THEN "
+        "transform(sequence(1, size(__w) - 1), "
+        "__bg -> concat(element_at(__w, __bg), ' ', element_at(__w, __bg + 1))) "
+        "ELSE cast(array() AS array<string>) END"
+    )
+    # NOT persisted: corpus-sized, and per-call persists of corpus-
+    # sized frames accumulate across long gate sessions (the lm/dsir
+    # lesson) — consumers recompute the narrow tokenize+distinct pass.
+    toks = base.select("doc_id", F.explode(bigrams).alias("bg")).distinct()
+    sz = toks.groupBy("doc_id").agg(F.count("*").alias("__sz"))
+
+    if mode == "countjoin":
+        a = toks.select(F.col("doc_id").alias("id_a"), "bg")
+        b = toks.select(F.col("doc_id").alias("id_b"), "bg")
+        inter = (
+            a.join(b, "bg")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("__i"))
+        )
+        sa = sz.select(F.col("doc_id").alias("id_a"), F.col("__sz").alias("__na"))
+        sb = sz.select(F.col("doc_id").alias("id_b"), F.col("__sz").alias("__nb"))
+        jac = F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i"))
+        return (
+            inter.join(sa, "id_a")
+            .join(sb, "id_b")
+            .filter(jac >= F.lit(float(threshold)))
+            .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        )
+
+    rank = toks.groupBy("bg").agg(F.count("*").alias("__n")).withColumn(
+        "__rank", F.row_number().over(Window.orderBy(F.asc("__n"), F.asc("bg")))
+    )
+    prefix = (
+        toks.join(rank.select("bg", "__rank"), "bg")
+        .join(sz, "doc_id")
+        .withColumn(
+            "__p",
+            F.col("__sz")
+            - F.ceil(F.lit(float(threshold)) * F.col("__sz"))
+            + F.lit(1),
+        )
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.asc("__rank"))
+            ),
+        )
+        .filter(F.col("__rk") <= F.col("__p"))
+        .select("doc_id", "bg")
+        # eager: a lazy self-join would race its two scans through the
+        # whole lineage (the measured 2x trap); prefix is a bounded
+        # fraction of toks
+        .persist()
+    )
+    prefix.count()
+    a = prefix.select(F.col("doc_id").alias("id_a"), "bg")
+    b = prefix.select(F.col("doc_id").alias("id_b"), "bg")
+    cand = (
+        a.join(b, "bg")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = toks.groupBy("doc_id").agg(
+        F.collect_set("bg").alias("__S"), F.count("*").alias("__n")
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("__S").alias("__Sa"),
+        F.col("__n").alias("__na"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("__S").alias("__Sb"),
+        F.col("__n").alias("__nb"),
+    )
+    inter = F.size(F.array_intersect("__Sa", "__Sb"))
+    jac = inter / (F.col("__na") + F.col("__nb") - inter)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= F.lit(float(threshold)))
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )

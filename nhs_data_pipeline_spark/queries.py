@@ -3850,6 +3850,48 @@ def layout_zorder_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_jaccard_exact_join",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    bgs AS (
+      SELECT DISTINCT doc_id, w[__j] || ' ' || w[__j + 1] AS bg
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS __j
+            FROM base WHERE len(w) > 1)
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM bgs GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+      FROM bgs a JOIN bgs b ON a.bg = b.bg AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT it.id_a, it.id_b, it.i, sa.n AS na, sb.n AS nb
+      FROM inter it JOIN sz sa ON it.id_a = sa.doc_id
+                    JOIN sz sb ON it.id_b = sb.doc_id
+    )
+    SELECT id_a, id_b, ROUND(i / (na + nb - i), 6) AS jaccard
+    FROM j WHERE i / (na + nb - i) >= 0.6
+    """,
+)
+def dedup_jaccard_exact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-bigram-set similarity self-join at Jaccard >= 0.6
+    via PPJoin-style prefix filtering — the lossless counterpart to
+    minhash_lsh_pairs, attested against a brute-force all-pairs
+    oracle: the prefix filter must recover EXACTLY the threshold
+    join's pairs AND similarities (llm/dedup.exact_jaccard_join).
+    Note the oracle deliberately brute-forces (fine at gate scale);
+    the engine's candidate set is what the filter bounds at corpus
+    scale."""
+    return dd.exact_jaccard_join(
+        _t(spark, sf_dir, "documents"), threshold=0.6
+    )
+
+
 def _bpe_oracle_sql(n_merges: int = 4) -> str:
     """Unrolled-iteration DuckDB replica of llm/bpe.bpe_merges: the
     same word-type table, pair-count aggregates, (count desc, a, b)

@@ -723,3 +723,38 @@ def test_hist_degenerate_single_value_group(spark):
         sk.histogram_merge(counts, ["g"]), bounds, [0.5], 8, ["g"]).collect()
     assert len(out) == 1  # the all-NULL group has no quantile rows
     assert out[0].est == 7.5 and out[0].n == 5  # hi == lo collapses to bin 0
+
+
+# --------------------------------------------- exact Jaccard join
+
+def test_exact_jaccard_modes_agree_and_match_python(spark):
+    import itertools, random
+    from nhs_data_pipeline_spark.llm import dedup as dd2
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(10)]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 20))))
+            for i in range(25)]
+    rows.append((25, rows[0][1]))  # exact duplicate -> jaccard 1.0
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    t = 0.5
+    got_cj = sorted(map(tuple, dd2.exact_jaccard_join(docs, t).collect()))
+    got_pf = sorted(map(tuple,
+                        dd2.exact_jaccard_join(docs, t, mode="prefix").collect()))
+    assert got_cj == got_pf  # prefix filtering is lossless
+
+    sets = {}
+    for i, txt in rows:
+        w = txt.split()
+        sets[i] = {f"{a} {b}" for a, b in zip(w, w[1:])}
+    exp = []
+    for a, b in itertools.combinations(sorted(sets), 2):
+        if not sets[a] or not sets[b]:
+            continue
+        i = len(sets[a] & sets[b])
+        if i == 0:
+            continue
+        j = i / (len(sets[a]) + len(sets[b]) - i)
+        if j >= t:
+            exp.append((a, b, round(j, 6)))
+    assert got_cj == sorted(exp)
+    assert (0, 25, 1.0) in got_cj  # the planted exact duplicate
