@@ -953,6 +953,17 @@ def exact_jaccard_join(
     word-bigram SETS have Jaccard >= ``threshold``, with the exact
     similarity — the lossless counterpart to the approximate
     MinHash-LSH path. Returns ``(id_a, id_b, jaccard)``, id_a < id_b.
+    ``threshold`` must be in (0, 1] (at 0 the contract would require
+    non-co-occurring pairs, which no intersection-driven join emits).
+
+    EVERY threshold decision is made in exact integer arithmetic on
+    the decimal fraction num/den of ``threshold``: the prefix length
+    uses the exact ceiling ``(num*n + den - 1) div den`` and the final
+    filter is ``den*i >= num*(|A|+|B|-i)``. The float forms are traps
+    the review caught: ``ceil(0.28 * 25)`` is 8 in IEEE doubles (exact
+    7), silently shortening prefixes and LOSING qualifying pairs, and
+    a float boundary compare can disagree with the prefix-length
+    pigeonhole at J == t exactly.
 
     Two physical strategies, because the right plan depends on the
     VOCABULARY SHAPE (measured at sf0.1, 5000 docs x ~90 bigrams over
@@ -967,22 +978,28 @@ def exact_jaccard_join(
       fastest exact plan (4.5 s vs 172 s for prefix+array-verify on
       the same data).
     - ``mode="prefix"``: PPJoin-style prefix filtering (Xiao et al.,
-      public): rank the vocabulary by ascending frequency, keep each
-      doc's first ``|S| - ceil(t|S|) + 1`` rarest bigrams as its
-      prefix, candidate-join ONLY prefixes (lossless by pigeonhole),
-      verify survivors with one array intersection. On SPARSE
-      vocabularies (real corpora — most tokens rare) candidates track
-      true near-dup structure and this avoids the quadratic
-      co-occurrence blowup entirely; on dense vocabularies the
-      prefixes are still frequent and the verify stage drowns
-      (the 172 s measurement) — hence not the default here.
+      public): order each doc's bigrams rarest-first (by global
+      (frequency, bigram) — joined per-token, never a global rank
+      window) and keep the first ``n - exact_ceil(t*n) + 1`` as its
+      prefix; two sets with Jaccard >= t MUST share a prefix token
+      (pigeonhole), so only prefixes candidate-join, then survivors
+      verify with one array intersection. Wins on SPARSE vocabularies
+      (real corpora); on dense ones the prefixes stay frequent and
+      verification drowns — hence not the default here.
 
-    Determinism: counts and sizes are integers; the one division
-    ``inter / (|A| + |B| - inter)`` is a single IEEE op on identical
-    inputs, so both the kept pair set and the 6-decimal similarity
-    replay exactly cross-engine.
+    Determinism: all decisions are integer-exact; the reported
+    similarity is one IEEE division on identical integers, rounded to
+    6 decimals — the kept pair set and values replay exactly
+    cross-engine.
     """
+    from fractions import Fraction
+
     from nhs_data_pipeline_spark.llm.text import tokenized_frame
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
 
     base = tokenized_frame(df, text_col, id_col)
     bigrams = F.expr(
@@ -996,6 +1013,9 @@ def exact_jaccard_join(
     # lesson) — consumers recompute the narrow tokenize+distinct pass.
     toks = base.select("doc_id", F.explode(bigrams).alias("bg")).distinct()
     sz = toks.groupBy("doc_id").agg(F.count("*").alias("__sz"))
+
+    def _keep(i_col, na_col, nb_col):
+        return (F.lit(den) * i_col) >= (F.lit(num) * (na_col + nb_col - i_col))
 
     if mode == "countjoin":
         a = toks.select(F.col("doc_id").alias("id_a"), "bg")
@@ -1012,33 +1032,35 @@ def exact_jaccard_join(
         return (
             inter.join(sa, "id_a")
             .join(sb, "id_b")
-            .filter(jac >= F.lit(float(threshold)))
+            .filter(_keep(F.col("__i"), F.col("__na"), F.col("__nb")))
             .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         )
 
-    rank = toks.groupBy("bg").agg(F.count("*").alias("__n")).withColumn(
-        "__rank", F.row_number().over(Window.orderBy(F.asc("__n"), F.asc("bg")))
-    )
+    freq = toks.groupBy("bg").agg(F.count("*").alias("__n"))
     prefix = (
-        toks.join(rank.select("bg", "__rank"), "bg")
+        toks.join(freq, "bg")
         .join(sz, "doc_id")
         .withColumn(
             "__p",
             F.col("__sz")
-            - F.ceil(F.lit(float(threshold)) * F.col("__sz"))
+            - F.expr(f"({num} * __sz + {den} - 1) div {den}")
             + F.lit(1),
         )
         .withColumn(
             "__rk",
             F.row_number().over(
-                Window.partitionBy("doc_id").orderBy(F.asc("__rank"))
+                # rarest-first directly on (global frequency, bigram):
+                # strictly monotone in the old global rank, with no
+                # single-partition vocabulary window
+                Window.partitionBy("doc_id").orderBy(
+                    F.asc("__n"), F.asc("bg")
+                )
             ),
         )
         .filter(F.col("__rk") <= F.col("__p"))
         .select("doc_id", "bg")
         # eager: a lazy self-join would race its two scans through the
-        # whole lineage (the measured 2x trap); prefix is a bounded
-        # fraction of toks
+        # whole lineage (the measured 2x trap)
         .persist()
     )
     prefix.count()
@@ -1049,7 +1071,13 @@ def exact_jaccard_join(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        # truncate to the (bounded) candidate table so the prefix
+        # cache can be released before returning — a per-call
+        # corpus-fraction cache must not outlive the call
+        .localCheckpoint(eager=False)
     )
+    cand.count()
+    prefix.unpersist()
     sets = toks.groupBy("doc_id").agg(
         F.collect_set("bg").alias("__S"), F.count("*").alias("__n")
     )
@@ -1068,6 +1096,6 @@ def exact_jaccard_join(
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .filter(jac >= F.lit(float(threshold)))
+        .filter(_keep(inter, F.col("__na"), F.col("__nb")))
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )

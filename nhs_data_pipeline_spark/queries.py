@@ -3875,18 +3875,19 @@ def layout_zorder_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
                     JOIN sz sb ON it.id_b = sb.doc_id
     )
     SELECT id_a, id_b, ROUND(i / (na + nb - i), 6) AS jaccard
-    FROM j WHERE i / (na + nb - i) >= 0.6
+    FROM j WHERE (5 * i) >= (3 * (na + nb - i))
     """,
 )
 def dedup_jaccard_exact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT word-bigram-set similarity self-join at Jaccard >= 0.6
-    via PPJoin-style prefix filtering — the lossless counterpart to
-    minhash_lsh_pairs, attested against a brute-force all-pairs
-    oracle: the prefix filter must recover EXACTLY the threshold
-    join's pairs AND similarities (llm/dedup.exact_jaccard_join).
-    Note the oracle deliberately brute-forces (fine at gate scale);
-    the engine's candidate set is what the filter bounds at corpus
-    scale."""
+    """EXACT word-bigram-set similarity self-join at Jaccard >= 0.6 —
+    the lossless counterpart to minhash_lsh_pairs. The gate runs the
+    dense-vocabulary co-occurrence count-join path against an
+    INDEPENDENTLY WRITTEN DuckDB implementation of the same threshold
+    join (integer filter 5i >= 3(na+nb-i), i.e. the exact fraction
+    3/5 — never a float boundary); the PPJoin prefix-filter mode's
+    losslessness is pinned separately by the mode-equality tests,
+    including a threshold where naive float ceil() would drop pairs
+    (llm/dedup.exact_jaccard_join)."""
     return dd.exact_jaccard_join(
         _t(spark, sf_dir, "documents"), threshold=0.6
     )

@@ -310,6 +310,12 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # general shuffle join is correct and AQE broadcasts it when
         # the model is small
         "text_lm_perplexity",
+        # audited: the exact-Jaccard co-occurrence join is corpus x
+        # corpus on the bigram key (llm/dedup.exact_jaccard_join,
+        # countjoin mode) — both sides are the full distinct
+        # (doc, bigram) table, so a shuffle join is the correct plan
+        # at scale even though gate-sized stats broadcast it today
+        "dedup_jaccard_exact_join",
     }
     # audited: broadcast one-row scalar aggregates (cross joins) and
     # the broadcast-query-side != join of exact top-k

@@ -758,3 +758,27 @@ def test_exact_jaccard_modes_agree_and_match_python(spark):
             exp.append((a, b, round(j, 6)))
     assert got_cj == sorted(exp)
     assert (0, 25, 1.0) in got_cj  # the planted exact duplicate
+
+
+def test_exact_jaccard_prefix_survives_float_ceil_overshoot(spark):
+    # ceil(0.28 * 25) = 8 in IEEE doubles (exact ceiling is 7): the
+    # float form shortens the prefix and silently LOSES this pair.
+    # The exact-fraction ceiling must keep modes equal here.
+    from nhs_data_pipeline_spark.llm import dedup as dd2
+    words = [f"w{i}" for i in range(26)]
+    docs = spark.createDataFrame(
+        [(0, " ".join(words)),            # 25 bigrams
+         (1, " ".join(words[18:]))],      # 7 bigrams, all shared
+        ["doc_id", "text"])
+    t = 0.28  # J = 7 / 25 = 0.28 exactly on the boundary
+    cj = sorted(map(tuple, dd2.exact_jaccard_join(docs, t).collect()))
+    pf = sorted(map(tuple, dd2.exact_jaccard_join(docs, t, mode="prefix").collect()))
+    assert cj == pf == [(0, 1, 0.28)]
+
+
+def test_exact_jaccard_rejects_degenerate_threshold(spark):
+    import pytest as _pytest
+    from nhs_data_pipeline_spark.llm import dedup as dd2
+    docs = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        dd2.exact_jaccard_join(docs, 0.0)
