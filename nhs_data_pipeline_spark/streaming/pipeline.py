@@ -563,3 +563,72 @@ def hll_stream_into_store(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def histogram_stream_into_store(
+    rows: DataFrame,
+    value_col: str,
+    store_path: str,
+    checkpoint: str,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+):
+    """Incrementally maintain a fixed-grid histogram over a STREAM —
+    live quantile/distribution state in at most ``bins`` rows,
+    estimable any time with ops/sketch.histogram_quantiles (pass a
+    one-row bounds frame built from the same lo/hi).
+
+    The grid bounds are CALLER-FIXED, not data-derived: per-batch
+    min/max grids cannot be cell-merged (each batch would bin on a
+    different ruler — the reason mergeable quantile structures like
+    t-digest exist). A fixed [lo, hi) grid makes per-bin counts
+    purely additive like count-min cells; values outside the range
+    clamp into the edge bins (documented, monitoring-style
+    semantics). Same shared replay guard + atomic swap (addition is
+    not idempotent). availableNow trigger."""
+    _ident_cache: dict[str, str] = {}
+    if not hi > lo:
+        raise ValueError("hi must be > lo")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if "k" not in _ident_cache:
+            _ident_cache["k"] = _stream_identity(checkpoint, spark)
+        stream_key = _ident_cache["k"]
+        old, is_replay = _load_guarded_store(
+            spark, store_path, stream_key, batch_id
+        )
+        if is_replay:
+            return
+        v = F.col(value_col).cast("double")
+        width = (hi - lo) / float(bins)
+        bin_idx = F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(bins - 1),
+                F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"),
+            ),
+        )
+        batch_h = (
+            batch_df.filter(v.isNotNull())
+            .select(bin_idx.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").alias("cnt"))
+        )
+        if old is None:
+            merged = batch_h
+        else:
+            from nhs_data_pipeline_spark.ops.sketch import histogram_merge
+
+            merged = histogram_merge(
+                batch_h.unionByName(old.select("bin", "cnt"))
+            )
+        _swap_store(merged, store_path, batch_id, stream_key)
+
+    return (
+        rows.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

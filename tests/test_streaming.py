@@ -681,3 +681,46 @@ def test_hll_stream_matches_batch(spark, tmp_path):
     est_d = hll_estimate(hll_merge(direct), p=10).collect()[0].hll_estimate
     assert est_s == est_d
     assert abs(est_s - 70) < 7  # 70 true distinct users, ~3.3% stderr
+
+
+def test_histogram_stream_matches_batch(spark, tmp_path):
+    """Fixed-grid histogram over a 2-batch stream must equal the
+    one-shot histogram of the union (per-bin additivity), including
+    out-of-range clamping into the edge bins."""
+    import time as _time
+
+    from nhs_data_pipeline_spark.streaming.pipeline import (
+        histogram_stream_into_store,
+        stream_files,
+    )
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    src = str(tmp_path / "hg_src")
+    b1 = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)] + [(98, -5.0)], schema
+    )
+    b1.coalesce(1).write.parquet(src)
+    _time.sleep(1.1)
+    b2 = spark.createDataFrame(
+        [(i, float(i)) for i in range(50, 100)] + [(99, 500.0), (100, None)],
+        schema,
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    store = str(tmp_path / "hg_store")
+    stream = stream_files(spark, src, schema, max_files_per_trigger=1)
+    q = histogram_stream_into_store(
+        stream, "v", store, checkpoint=str(tmp_path / "hg_ckpt"),
+        lo=0.0, hi=100.0, bins=10,
+    )
+    q.awaitTermination()
+
+    got = {r.bin: r.cnt for r in
+           spark.read.parquet(store).drop("last_batch_id", "stream_key").collect()}
+    # 100 uniform values -> 10 per bin; -5 clamps into bin 0, 500 into
+    # bin 9; the NULL row is excluded
+    assert got[0] == 11 and got[9] == 11
+    assert all(got[b] == 10 for b in range(1, 9))
+    assert sum(got.values()) == 102
