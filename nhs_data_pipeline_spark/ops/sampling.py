@@ -250,6 +250,27 @@ def hash_split(
     return df.withColumn(out_col, expr)
 
 
+def kfold_assign(
+    df: DataFrame,
+    key_col: str,
+    k: int = 5,
+    salt: str = "fold",
+    out_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    ``bucket mod k`` of the portable md5 hash — key-stable (the same
+    row lands in the same fold on any engine, partitioning, or rerun;
+    adding rows never moves existing ones), disjoint, exhaustive.
+    Leave-one-fold-out filters are plain predicates
+    (``fold != i``), so every CV split is a pushed-down scan filter,
+    never a shuffle or a stored assignment table."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    return df.withColumn(
+        out_col, F.pmod(hash_bucket(key_col, salt), F.lit(k)).cast("int")
+    )
+
+
 def weighted_sample_ares(
     df: DataFrame,
     weight_col: str,

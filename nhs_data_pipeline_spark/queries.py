@@ -3615,6 +3615,29 @@ def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_kfold_counts",
+    """
+    SELECT CAST(CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || ':fold'),
+                      1, 8)) AS BIGINT) % 5 AS INTEGER) AS fold,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def sample_kfold_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment over orders
+    (portable md5 bucket mod k — key-stable on any engine or
+    partitioning, leave-one-fold-out is a pushed-down scan filter)
+    with per-fold counts proving near-uniform balance
+    (ops/sampling.kfold_assign)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    return (
+        osmp.kfold_assign(o, "o_orderkey", k=5)
+        .groupBy("fold")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
     "sample_weighted_ares",
     f"""
     WITH keyed AS (

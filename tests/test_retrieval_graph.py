@@ -782,3 +782,23 @@ def test_exact_jaccard_rejects_degenerate_threshold(spark):
     docs = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
     with _pytest.raises(ValueError):
         dd2.exact_jaccard_join(docs, 0.0)
+
+
+def test_kfold_disjoint_exhaustive_stable(spark):
+    from nhs_data_pipeline_spark.ops import sampling as smp
+    import pytest as _pytest
+    df = spark.createDataFrame([(i,) for i in range(500)], ["k"])
+    out = smp.kfold_assign(df, "k", k=5)
+    folds = {r.k: r.fold for r in out.collect()}
+    assert set(folds.values()) <= set(range(5))
+    assert len(folds) == 500  # exhaustive, one fold per row
+    # key-stable: growing the corpus never moves an existing row
+    bigger = spark.createDataFrame([(i,) for i in range(1000)], ["k"])
+    folds2 = {r.k: r.fold for r in smp.kfold_assign(bigger, "k", k=5).collect()}
+    assert all(folds2[i] == folds[i] for i in range(500))
+    # roughly balanced
+    from collections import Counter
+    c = Counter(folds.values())
+    assert max(c.values()) - min(c.values()) < 100
+    with _pytest.raises(ValueError):
+        smp.kfold_assign(df, "k", k=1)
