@@ -229,6 +229,36 @@ def hll_estimate(
 # Histogram quantile sketch: mergeable, deterministic, oracle-checkable
 # ---------------------------------------------------------------------------
 
+
+def grid_bin(v: Column, lo: Column, hi: Column, bins: int) -> Column:
+    """Bin index for a fixed [lo, hi) grid with clamp-to-edge
+    semantics, safe on dirty inputs — the ONE definition both the
+    batch histogram and the streaming maintainer use (divergent
+    hand-rolled copies were a review finding):
+
+    - NaN -> NULL (callers filter it out with the NULLs; silently
+      binning NaN into bin 0 corrupts quantiles),
+    - +/-inf and any-magnitude values clamp on the BIGINT floor
+      result BEFORE the int cast — Spark's floor saturates at
+      Long.MAX/MIN but a bare ANSI cast of that to int THROWS and
+      kills the query (the build-notes bare-cast rule),
+    - a degenerate hi == lo grid collapses to bin 0.
+    """
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    width = (hi - lo) / F.lit(float(bins))
+    raw = F.floor((v - lo) / width)
+    clamped = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(F.lit(bins - 1).cast("bigint"), raw),
+    )
+    return (
+        F.when(F.isnan(v), F.lit(None))
+        .when(hi == lo, F.lit(0))
+        .otherwise(clamped.cast("int"))
+    )
+
+
 def histogram_sketch(
     df: DataFrame,
     value_col: str,
@@ -265,14 +295,12 @@ def histogram_sketch(
     joined = df.filter(v.isNotNull()).join(
         F.broadcast(bounds), groups
     ) if groups else df.filter(v.isNotNull()).crossJoin(F.broadcast(bounds))
-    width = (F.col("hi") - F.col("lo")) / F.lit(float(bins))
-    bin_idx = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
-        F.least(
-            F.floor((v - F.col("lo")) / width).cast("int"), F.lit(bins - 1)
-        )
-    )
+    bin_idx = grid_bin(v, F.col("lo"), F.col("hi"), bins)
     counts = (
         joined.select(*groups, *shards, bin_idx.alias("bin"))
+        # NaN values bin to NULL (grid_bin) and are excluded like
+        # NULLs — a quantile over NaN is undefined
+        .filter(F.col("bin").isNotNull())
         .groupBy(*groups, *shards, "bin")
         .agg(F.count("*").alias("cnt"))
     )

@@ -587,9 +587,13 @@ def histogram_stream_into_store(
     clamp into the edge bins (documented, monitoring-style
     semantics). Same shared replay guard + atomic swap (addition is
     not idempotent). availableNow trigger."""
+    from nhs_data_pipeline_spark.ops.sketch import grid_bin, histogram_merge
+
     _ident_cache: dict[str, str] = {}
     if not hi > lo:
         raise ValueError("hi must be > lo")
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -602,25 +606,20 @@ def histogram_stream_into_store(
         if is_replay:
             return
         v = F.col(value_col).cast("double")
-        width = (hi - lo) / float(bins)
-        bin_idx = F.greatest(
-            F.lit(0),
-            F.least(
-                F.lit(bins - 1),
-                F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"),
-            ),
-        )
+        # shared binning (ops/sketch.grid_bin): NaN -> NULL (excluded
+        # below), inf/overflow clamp BEFORE the int cast, bins
+        # validated — hand-rolled copies drifted (review finding)
+        bin_idx = grid_bin(v, F.lit(float(lo)), F.lit(float(hi)), bins)
         batch_h = (
             batch_df.filter(v.isNotNull())
             .select(bin_idx.alias("bin"))
+            .filter(F.col("bin").isNotNull())
             .groupBy("bin")
             .agg(F.count("*").alias("cnt"))
         )
         if old is None:
             merged = batch_h
         else:
-            from nhs_data_pipeline_spark.ops.sketch import histogram_merge
-
             merged = histogram_merge(
                 batch_h.unionByName(old.select("bin", "cnt"))
             )

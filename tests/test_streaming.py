@@ -724,3 +724,55 @@ def test_histogram_stream_matches_batch(spark, tmp_path):
     assert got[0] == 11 and got[9] == 11
     assert all(got[b] == 10 for b in range(1, 9))
     assert sum(got.values()) == 102
+
+
+def test_histogram_stream_survives_dirty_values(spark, tmp_path):
+    """NaN and +/-inf must not kill the query or corrupt bins: NaN is
+    excluded (like NULL), infinities clamp to the edge bins (ANSI cast
+    of an overflowed floor would otherwise throw mid-batch)."""
+    from nhs_data_pipeline_spark.streaming.pipeline import (
+        histogram_stream_into_store,
+        stream_files,
+    )
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    src = str(tmp_path / "hd_src")
+    spark.createDataFrame(
+        [(1, 5.0), (2, float("nan")), (3, float("inf")),
+         (4, float("-inf")), (5, 1e300), (6, None)],
+        schema,
+    ).coalesce(1).write.parquet(src)
+
+    store = str(tmp_path / "hd_store")
+    q = histogram_stream_into_store(
+        stream_files(spark, src, schema), "v", store,
+        checkpoint=str(tmp_path / "hd_ckpt"), lo=0.0, hi=10.0, bins=10,
+    )
+    q.awaitTermination()
+    got = {r.bin: r.cnt for r in
+           spark.read.parquet(store).drop("last_batch_id", "stream_key").collect()}
+    assert got == {5: 1, 9: 2, 0: 1}  # 5.0 -> bin 5; inf & 1e300 -> 9; -inf -> 0
+
+
+def test_histogram_stream_rejects_bad_bins(spark, tmp_path):
+    import pytest as _pytest
+    from nhs_data_pipeline_spark.streaming.pipeline import (
+        histogram_stream_into_store,
+        stream_files,
+    )
+    schema = T.StructType([T.StructField("v", T.DoubleType())])
+    src = str(tmp_path / "bb_src")
+    spark.createDataFrame([(1.0,)], schema).coalesce(1).write.parquet(src)
+    stream = stream_files(spark, src, schema)
+    with _pytest.raises(ValueError):
+        histogram_stream_into_store(
+            stream, "v", str(tmp_path / "s"), str(tmp_path / "c"),
+            lo=0.0, hi=1.0, bins=0,
+        )
+    with _pytest.raises(ValueError):
+        histogram_stream_into_store(
+            stream, "v", str(tmp_path / "s"), str(tmp_path / "c"),
+            lo=1.0, hi=1.0, bins=8,
+        )
