@@ -100,9 +100,10 @@ def bpe_merges(
     frequency, pick the (count desc, left, right) winner, merge it
     greedily left-to-right in every word, continue on the merged
     vocabulary. Returns ``(it, left_sym, right_sym, pair_count)``.
-    ``n_merges`` must not exceed the rounds the vocabulary supports
-    (a round with no remaining pairs would cross an empty winner into
-    the state and empty it)."""
+    If the vocabulary runs out of pairs before ``n_merges`` rounds,
+    the loop stops and returns the merges learned so far (an empty
+    winner crossJoined into the state would otherwise silently empty
+    the vocabulary)."""
     state = _initial_symbols(word_type_table(df, text_col, id_col))
     merges = None
     for it in range(1, n_merges + 1):
@@ -127,7 +128,14 @@ def bpe_merges(
         )
         top1 = pairs.orderBy(
             F.desc("pair_count"), F.asc("__a"), F.asc("__b")
-        ).limit(1)
+        ).limit(1).localCheckpoint()  # 1 row, eager: reused 3x below
+        if not top1.take(1):
+            # Vocabulary exhausted (every word is a single symbol): an
+            # empty winner crossJoined into the state would silently
+            # annihilate the whole vocabulary and truncate the merge
+            # table without error (review finding). Stop with the
+            # merges learned so far instead.
+            break
         step = top1.select(
             F.lit(it).alias("it"),
             # not "left"/"right": SQL reserved words complicate oracles
@@ -143,4 +151,8 @@ def bpe_merges(
             .localCheckpoint(eager=False)
         )
         state.count()
+    if merges is None:  # no pairs at all (every word single-symbol)
+        return df.sparkSession.createDataFrame(
+            [], "it int, left_sym string, right_sym string, pair_count bigint"
+        )
     return merges

@@ -29,14 +29,18 @@ Spark-first shape (100 TB design)
   (the standard "ignore dangling mass" simplification — documented,
   deterministic); nodes with no in-edges get the teleport term.
 
-Cross-engine determinism
-------------------------
-Per-edge contributions ``pr(src) * w / outw(src)`` are IEEE-identical
-given identical inputs (integer weights, one division); the per-node
-sum folds contributions in *src order* via the sorted-array
-``aggregate``, and each iteration's rank rounds to 9 decimals — so
-every iteration's rank table is bit-identical in any engine (DuckDB
-replays with ``list_reduce(list(contrib ORDER BY src))``).
+Cross-engine determinism (opt-in)
+---------------------------------
+In ``pagerank(deterministic=True)`` mode, per-edge contributions
+``pr(src) * w / outw(src)`` are IEEE-identical given identical inputs
+(integer weights, one division); the per-node sum folds contributions
+in *src order* via the sorted-array ``aggregate``, and each
+iteration's rank rounds to 9 decimals — so every iteration's rank
+table is bit-identical in any engine (DuckDB replays with
+``list_reduce(list(contrib ORDER BY src))``). The DEFAULT mode uses a
+plain partial-aggregating float sum instead: scale-safe on power-law
+hub nodes (no per-node in-edge array), at the cost of bit-stability —
+see the ``pagerank`` docstring for the full trade.
 """
 
 from __future__ import annotations
@@ -69,6 +73,29 @@ def _edge_and_node_tables(
     return e, nodes
 
 
+def _per_node_sums(contribs: DataFrame, deterministic: bool) -> DataFrame:
+    """Per-node contribution sums ``(node, __s)`` for one PageRank
+    round. Default: plain partial-aggregating ``F.sum`` — constant
+    aggregation buffers, hub-node safe. ``deterministic=True``: fold
+    in src order via ``sort_array(collect_list(...))`` — bit-stable
+    cross-engine, but materializes a node's full in-edge list in one
+    buffer (opt-in, verification scale only). Split out so the plan
+    contract (no collect_list in the default path) is testable."""
+    if not deterministic:
+        return contribs.groupBy("node").agg(F.sum("__c").alias("__s"))
+    return (
+        contribs.groupBy("node")
+        .agg(F.sort_array(F.collect_list(F.struct("src", "__c"))).alias("__st"))
+        .withColumn(
+            "__s",
+            F.expr(
+                "aggregate(transform(__st, __x -> __x.__c), "
+                "cast(0.0 as double), (__a, __b) -> __a + __b)"
+            ),
+        )
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 5,
@@ -76,6 +103,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     weight: str = "w",
+    deterministic: bool = False,
 ) -> DataFrame:
     """Weighted PageRank after ``iterations`` synchronous rounds:
     ``(node, pr)`` with uniform ``1/N`` initial ranks and
@@ -83,9 +111,23 @@ def pagerank(
         pr'(v) = round((1-d)/N + d * sum_{(u,v) in E}
                        pr(u) * w(u,v) / outw(u), 9)
 
-    where the sum folds in ``u`` order (bit-reproducible — module
-    docstring). ``edges`` may carry parallel edges; they are
-    pre-aggregated on (src, dst).
+    ``edges`` may carry parallel edges; they are pre-aggregated on
+    (src, dst).
+
+    Fold modes (the scale/determinism trade, explicit):
+
+    - ``deterministic=False`` (DEFAULT, scale-safe): per-node sums are
+      a plain partial-aggregating ``F.sum`` — constant-size
+      aggregation buffers, so a power-law hub node with 10^7 in-edges
+      costs nothing special. Float sums are then partition-order
+      dependent (not bit-stable across runs/engines), which is the
+      correct default for a 100 TB hyperlink graph.
+    - ``deterministic=True`` (oracle/replay mode): contributions fold
+      in ``u`` order via ``sort_array(collect_list(...))`` — bit-
+      reproducible in any engine (module docstring), but the per-node
+      array materializes ALL in-edges of a node in one aggregation
+      buffer: an executor OOM on hub nodes at scale. Opt in only for
+      cross-engine replay at verification scale.
     """
     e, nodes = _edge_and_node_tables(edges, src, dst, weight)
     outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
@@ -103,17 +145,7 @@ def pagerank(
                 (F.col("pr") * F.col("w") / F.col("ow")).alias("__c"),
             )
         )
-        summed = (
-            contribs.groupBy("node")
-            .agg(F.sort_array(F.collect_list(F.struct("src", "__c"))).alias("__st"))
-            .withColumn(
-                "__s",
-                F.expr(
-                    "aggregate(transform(__st, __x -> __x.__c), "
-                    "cast(0.0 as double), (__a, __b) -> __a + __b)"
-                ),
-            )
-        )
+        summed = _per_node_sums(contribs, deterministic)
         ranks = (
             nodes.join(summed.select("node", "__s"), "node", "left")
             .select(

@@ -42,6 +42,33 @@ from pyspark.sql import functions as F
 from nhs_data_pipeline_spark.llm.dedup import _MD5_H60
 
 
+def _ns_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """NULL-safe equi-join on ``keys``, keeping the LEFT copy of each
+    key column. A plain column-list join silently drops rows whose
+    group key is NULL (the build-notes NULL-key trap): a NULL group's
+    histogram rows would vanish from the bounds join and its HLL
+    registers would never match their spine (estimating 0). eqNullSafe
+    (`<=>`) is still a hash-joinable equi-condition, so the physical
+    plan (broadcast-hash or shuffled-hash) is unchanged."""
+    if not keys:
+        r = F.broadcast(right) if broadcast_right else right
+        return left.crossJoin(r)
+    r = right
+    for k in keys:  # rename right keys so the join output is unambiguous
+        r = r.withColumnRenamed(k, f"__nsr_{k}")
+    cond = F.col(keys[0]).eqNullSafe(F.col(f"__nsr_{keys[0]}"))
+    for k in keys[1:]:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"__nsr_{k}"))
+    rj = F.broadcast(r) if broadcast_right else r
+    return left.join(rj, cond, how).drop(*[f"__nsr_{k}" for k in keys])
+
+
 def _salted_bucket_expr(key_sql: str, row_sql: str, w: int) -> Column:
     """Portable bucket of ``key_sql`` under hash row ``row_sql``:
     md5-prefix integer of ``key # row`` mod w. The '#'-salt derives d
@@ -190,7 +217,7 @@ def hll_estimate(
         registers.select(*groups).distinct()
         .select(*groups, F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("bucket"))
     )
-    full = spine.join(registers, groups + ["bucket"], "left").select(
+    full = _ns_join(spine, registers, groups + ["bucket"], how="left").select(
         *groups,
         "bucket",
         F.coalesce("rho", F.lit(0)).alias("__M"),
@@ -292,9 +319,9 @@ def histogram_sketch(
         .groupBy(*groups)
         .agg(F.min(v).alias("lo"), F.max(v).alias("hi"))
     )
-    joined = df.filter(v.isNotNull()).join(
-        F.broadcast(bounds), groups
-    ) if groups else df.filter(v.isNotNull()).crossJoin(F.broadcast(bounds))
+    joined = _ns_join(
+        df.filter(v.isNotNull()), bounds, groups, broadcast_right=True
+    )
     bin_idx = grid_bin(v, F.col("lo"), F.col("hi"), bins)
     counts = (
         joined.select(*groups, *shards, bin_idx.alias("bin"))
@@ -327,24 +354,40 @@ def histogram_quantiles(
 
         est = round(lo + width * (bin + (r - cum_before) / cnt), 4)
 
+    The rank ceiling is computed in EXACT integer arithmetic: each q
+    is rationalized once via ``Fraction(str(q))`` and
+    ``r = (num*n + den - 1) div den`` — a float ``ceil(q * n)``
+    overshoots the true ceiling for many (q, n) pairs
+    (ceil(0.9*10) = 10, true 9; the build-notes float-ceil trap).
     Integer cumulative sums, one deterministic double expression at
     the end — hash-exact cross-engine. Returns
     ``(*group_cols, q, n, est)``."""
+    from fractions import Fraction
+
     groups = group_cols or []
     w_cum = Window.partitionBy(*groups).orderBy("bin") if groups else Window.orderBy("bin")
     cum = counts.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
         "cum_before", F.col("cum") - F.col("cnt")
     )
     totals = counts.groupBy(*groups).agg(F.sum("cnt").alias("n"))
+    fracs = [(float(q), Fraction(str(q))) for q in quantiles]
     qdf = counts.sparkSession.createDataFrame(
-        [(float(q),) for q in quantiles], "q double"
+        [(q, fr.numerator, fr.denominator) for q, fr in fracs],
+        "q double, __num bigint, __den bigint",
     )
-    probes = totals.crossJoin(F.broadcast(qdf)).withColumn(
-        "r", F.greatest(F.ceil(F.col("q") * F.col("n")), F.lit(1))
+    probes = (
+        totals.crossJoin(F.broadcast(qdf))
+        .withColumn(
+            "r",
+            F.greatest(
+                F.expr("(__num * n + __den - 1) div __den"), F.lit(1).cast("bigint")
+            ),
+        )
+        .drop("__num", "__den")
     )
     hit_w = Window.partitionBy(*(groups + ["q"])).orderBy("bin")
     hits = (
-        probes.join(cum, groups)
+        _ns_join(probes, cum, groups)
         .filter(F.col("cum") >= F.col("r"))
         .withColumn("__rk", F.row_number().over(hit_w))
         .filter(F.col("__rk") == 1)
@@ -356,7 +399,5 @@ def histogram_quantiles(
         * (F.col("bin") + (F.col("r") - F.col("cum_before")) / F.col("cnt")),
         4,
     )
-    joined = hits.join(F.broadcast(bounds), groups) if groups else hits.crossJoin(
-        F.broadcast(bounds)
-    )
+    joined = _ns_join(hits, bounds, groups, broadcast_right=True)
     return joined.select(*groups, "q", "n", est.alias("est"))

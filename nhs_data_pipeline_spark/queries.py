@@ -3785,10 +3785,14 @@ def sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM merged),
     tot AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
             FROM merged GROUP BY 1),
-    qs AS (SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS q),
+    qs AS (SELECT * FROM (VALUES (CAST(0.5 AS DOUBLE), 1, 2),
+                                 (CAST(0.9 AS DOUBLE), 9, 10),
+                                 (CAST(0.99 AS DOUBLE), 99, 100))
+                     AS _q(q, num, den)),
     probes AS (
       SELECT t.event_type, t.n, q.q,
-             GREATEST(CAST(CEIL(q.q * t.n) AS BIGINT), 1) AS r
+             GREATEST(CAST((q.num * t.n + q.den - 1) // q.den AS BIGINT),
+                      CAST(1 AS BIGINT)) AS r
       FROM tot t CROSS JOIN qs q
     ),
     hits AS (
@@ -5744,7 +5748,9 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
     ),
     pr{i} AS (
       SELECT nd.node,
-             ROUND((1.0 - 0.85) / nn.n + 0.85 * COALESCE(s{i}.s, 0.0), 9) AS pr
+             ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                   + CAST(0.85 AS DOUBLE)
+                     * COALESCE(s{i}.s, CAST(0.0 AS DOUBLE)), 9) AS pr
       FROM nd LEFT JOIN s{i} USING (node), nn
     )""")
     return f"""
@@ -5760,7 +5766,7 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
     outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM e GROUP BY src),
     nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
     nn AS (SELECT COUNT(*) AS n FROM nd),
-    pr0 AS (SELECT node, 1.0 / nn.n AS pr FROM nd, nn),
+    pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM nd, nn),
     {",".join(its)}
     SELECT na.n_nationkey, na.n_name, pr{iterations}.pr
     FROM pr{iterations} JOIN nation na ON pr{iterations}.node = na.n_nationkey
@@ -5867,7 +5873,9 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("w"))
     )
-    ranks = og.pagerank(edges, iterations=5, damping=0.85)
+    # deterministic=True: oracle-replay fold (bit-stable per-node sums);
+    # the scale-safe default mode is plain F.sum (ops/graph.pagerank).
+    ranks = og.pagerank(edges, iterations=5, damping=0.85, deterministic=True)
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return ranks.join(
         F.broadcast(nation), ranks.node == nation.n_nationkey

@@ -186,9 +186,46 @@ def test_pagerank_parallel_edges_preaggregate(spark):
 def test_pagerank_partitioning_invariance(spark):
     rows = [(i, (i * 3 + 1) % 17, 1 + i % 4) for i in range(17)]
     e = spark.createDataFrame(rows, ["src", "dst", "w"])
-    a = og.pagerank(e, iterations=5).collect()
-    b = og.pagerank(e.repartition(11, "src"), iterations=5).collect()
+    a = og.pagerank(e, iterations=5, deterministic=True).collect()
+    b = og.pagerank(
+        e.repartition(11, "src"), iterations=5, deterministic=True
+    ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pagerank_default_mode_matches_deterministic_approx(spark):
+    # The scale-safe default (plain F.sum) must agree with the ordered
+    # fold up to float reassociation — same semantics, different fold.
+    rows = [(i, (i * 3 + 1) % 17, 1 + i % 4) for i in range(17)]
+    e = spark.createDataFrame(rows, ["src", "dst", "w"])
+    a = {r.node: r.pr for r in og.pagerank(e, iterations=5).collect()}
+    b = {
+        r.node: r.pr
+        for r in og.pagerank(e, iterations=5, deterministic=True).collect()
+    }
+    assert set(a) == set(b)
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-7
+
+
+def test_pagerank_default_mode_plan_has_no_collect_list(spark):
+    # Scale guard: the default fold must never materialize a per-node
+    # in-edge array (hub-node OOM at 100 TB). The ordered fold is
+    # opt-in via deterministic=True only. (pagerank() itself returns a
+    # checkpoint scan, so assert on the fold builder's plan.)
+    contribs = spark.createDataFrame(
+        [(1, 2, 0.5), (1, 3, 0.25)], ["node", "src", "__c"]
+    )
+    plan = (
+        og._per_node_sums(contribs, deterministic=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "collect_list" not in plan
+    det_plan = (
+        og._per_node_sums(contribs, deterministic=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "collect_list" in det_plan
 
 
 # ------------------------------------------------- python replicas
@@ -249,7 +286,10 @@ def test_pagerank_matches_python_replica(spark):
         for _ in range(25)
     ]
     e = spark.createDataFrame(edges, ["src", "dst", "w"])
-    got = {r.node: r.pr for r in og.pagerank(e, iterations=5).collect()}
+    got = {
+        r.node: r.pr
+        for r in og.pagerank(e, iterations=5, deterministic=True).collect()
+    }
 
     agg = {}
     for s, d, w in edges:
@@ -519,6 +559,26 @@ def test_bpe_matches_python_replica(spark):
     assert got == exp
 
 
+def test_bpe_exhausted_vocabulary_stops_cleanly(spark):
+    # Vocabulary with exactly one learnable merge: round 2 has no
+    # pairs left. The loop must stop with the merges learned so far —
+    # an empty winner crossJoined into the state would silently empty
+    # the vocabulary and truncate the table without error.
+    from nhs_data_pipeline_spark.llm import bpe
+    docs = spark.createDataFrame([(1, "ab ab ab")], ["doc_id", "text"])
+    out = [(r.it, r.left_sym, r.right_sym, r.pair_count)
+           for r in bpe.bpe_merges(docs, n_merges=5).orderBy("it").collect()]
+    assert out == [(1, "a", "b", 3)]
+
+
+def test_bpe_no_pairs_at_all_returns_empty(spark):
+    from nhs_data_pipeline_spark.llm import bpe
+    docs = spark.createDataFrame([(1, "a b c a")], ["doc_id", "text"])
+    out = bpe.bpe_merges(docs, n_merges=3)
+    assert out.count() == 0
+    assert out.columns == ["it", "left_sym", "right_sym", "pair_count"]
+
+
 # --------------------------------------------- review-fix regressions
 
 def test_classifier_is_case_insensitive_like_its_oracle(spark):
@@ -712,6 +772,47 @@ def test_hist_merge_equals_direct(spark):
     direct, _ = sk.histogram_sketch(df, "v", 16, ["g"])
     assert sorted(map(tuple, sk.histogram_merge(sharded, ["g"]).collect())) == \
            sorted(map(tuple, direct.collect()))
+
+
+def test_hist_quantiles_rank_is_exact_integer_ceiling(spark):
+    # ceil(0.9 * 10) = 10 in IEEE doubles (0.9*10 -> 9.000000000000002;
+    # true ceiling 9): a float rank would skip from rank-9's bin to
+    # rank-10's. Nine values in bin 0 and one at the far end make the
+    # two ranks land in different bins — the exact-fraction ceiling
+    # must pick the low bin.
+    from nhs_data_pipeline_spark.ops import sketch as sk
+    rows = [("g", 0.0)] * 9 + [("g", 100.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    counts, bounds = sk.histogram_sketch(df, "v", bins=64, group_cols=["g"])
+    out = {r.q: r for r in sk.histogram_quantiles(
+        sk.histogram_merge(counts, ["g"]), bounds, [0.9], 64, ["g"]).collect()}
+    # r = 9 -> bin 0: est = 0 + (100/64) * (0 + 9/9) = 1.5625.
+    # The float-ceil bug gives r = 10 -> bin 63 -> est = 100.0.
+    assert out[0.9].est == 1.5625
+
+
+def test_hist_and_hll_null_group_not_dropped(spark):
+    # NULL group keys must survive the bounds/spine joins (the
+    # build-notes NULL-key trap): a plain column-list join silently
+    # drops the NULL group from histograms and makes its HLL estimate
+    # vanish. eqNullSafe joins keep it.
+    from nhs_data_pipeline_spark.ops import sketch as sk
+    rows = [("a", 1.0), ("a", 2.0), (None, 5.0), (None, 7.0), (None, 9.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    counts, bounds = sk.histogram_sketch(df, "v", bins=8, group_cols=["g"])
+    qs = sk.histogram_quantiles(
+        sk.histogram_merge(counts, ["g"]), bounds, [0.5], 8, ["g"]
+    ).collect()
+    got = {r.g: r for r in qs}
+    assert None in got and got[None].n == 3
+    assert got["a"].n == 2
+
+    reg = sk.hll_register_table(df, "v", p=10, shard_cols=["g"])
+    est = {r.g: r.hll_estimate
+           for r in sk.hll_estimate(sk.hll_merge(reg, ["g"]),
+                                    p=10, group_cols=["g"]).collect()}
+    assert None in est and abs(est[None] - 3) < 1
+    assert abs(est["a"] - 2) < 1
 
 
 def test_hist_degenerate_single_value_group(spark):
