@@ -387,7 +387,9 @@ def histogram_quantiles(
     )
     hit_w = Window.partitionBy(*(groups + ["q"])).orderBy("bin")
     hits = (
-        _ns_join(probes, cum, groups)
+        # cum is model-sized by construction (|groups| x bins rows) —
+        # broadcast keeps the probe join hash-based at any scale
+        _ns_join(probes, cum, groups, broadcast_right=True)
         .filter(F.col("cum") >= F.col("r"))
         .withColumn("__rk", F.row_number().over(hit_w))
         .filter(F.col("__rk") == 1)

@@ -1071,6 +1071,13 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+# Portable doc-keyed hash-order expression (ops/sampling.hash_bucket
+# replica): md5 prefix of "doc_id:salt" as a BIGINT.
+_HB_DOC = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':{salt}'), 1, 8))"
+    " AS BIGINT)"
+)
 _EN_PAT = r"\b(the|and|of|to|is|in|that|for|with)\b"
 
 
@@ -3920,12 +3927,16 @@ def dedup_jaccard_exact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle_sql(n_merges: int = 4) -> str:
-    """Unrolled-iteration DuckDB replica of llm/bpe.bpe_merges: the
-    same word-type table, pair-count aggregates, (count desc, a, b)
-    winners, and the greedy left-to-right merge as a STRING-accumulator
-    list_reduce (DuckDB's reduce needs accumulator type == element
-    type — the joined symbol string satisfies it; llm/bpe docstring)."""
+def _bpe_cte_block(n_merges: int) -> str:
+    """Shared CTE block replicating llm/bpe._train in DuckDB: the
+    word-type table, per-round pair-count aggregates, (count desc, a,
+    b) winners ``b{i}``, and training states ``st{i}`` (carrying
+    ``word``) under the greedy left-to-right merge as a
+    STRING-accumulator list_reduce (DuckDB's reduce needs accumulator
+    type == element type — the joined symbol string satisfies it;
+    llm/bpe docstring). ``st{n_merges}`` is the ENCODED vocabulary —
+    the merges oracle and the encode/budget/pack oracles all build on
+    this one block."""
     its = []
     for i in range(1, n_merges + 1):
         its.append(f"""
@@ -3942,7 +3953,8 @@ def _bpe_oracle_sql(n_merges: int = 4) -> str:
     b{i} AS (SELECT a, b, pair_count FROM p{i}
              ORDER BY pair_count DESC, a, b LIMIT 1),
     st{i} AS (
-      SELECT list_reduce(
+      SELECT st.word,
+             list_reduce(
                list_prepend('', string_split(substr(st.syms, 2), chr(31))),
                (__acc, __s) -> CASE WHEN __acc <> ''
                     AND ends_with(__acc, chr(31) || bb.a) AND __s = bb.b
@@ -3950,12 +3962,7 @@ def _bpe_oracle_sql(n_merges: int = 4) -> str:
              ) AS syms, st.n
       FROM st{i - 1} st CROSS JOIN b{i} bb
     )""")
-    finals = "\n    UNION ALL ".join(
-        f"SELECT {i} AS it, a AS left_sym, b AS right_sym, pair_count FROM b{i}"
-        for i in range(1, n_merges + 1)
-    )
-    return f"""
-    WITH toked AS (
+    return f"""toked AS (
       SELECT unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents
     ),
     words AS (
@@ -3963,15 +3970,59 @@ def _bpe_oracle_sql(n_merges: int = 4) -> str:
       FROM toked WHERE replace(term, chr(31), '') <> '' GROUP BY 1
     ),
     st0 AS (
-      SELECT chr(31) || array_to_string(
+      SELECT word,
+             chr(31) || array_to_string(
                list_transform(generate_series(1, len(word)),
                               __i -> substr(word, __i, 1)), chr(31)) AS syms, n
       FROM words
     ),
-    {",".join(its)}
+    {",".join(its)}"""
+
+
+def _bpe_oracle_sql(n_merges: int = 4) -> str:
+    """Unrolled-iteration DuckDB replica of llm/bpe.bpe_merges (see
+    :func:`_bpe_cte_block`)."""
+    finals = "\n    UNION ALL ".join(
+        f"SELECT {i} AS it, a AS left_sym, b AS right_sym, pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH {_bpe_cte_block(n_merges)}
     SELECT CAST(it AS INTEGER) AS it, left_sym, right_sym, pair_count
     FROM ({finals})
     """
+
+
+def _bpe_counts_cte(n_merges: int) -> str:
+    """Extends :func:`_bpe_cte_block` with per-document REAL-token
+    counts under the learned merges: ``bpe_counts(doc_id, n_words,
+    n_bpe_tokens)`` — all integers, one row per document (empty docs
+    count 0)."""
+    return f"""{_bpe_cte_block(n_merges)},
+    tok AS (
+      SELECT word,
+             CAST(len(string_split(substr(syms, 2), chr(31))) AS BIGINT)
+               AS n_tokens
+      FROM st{n_merges}
+    ),
+    docw AS (
+      SELECT doc_id, replace(term, chr(31), '') AS word
+      FROM (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+            FROM documents)
+      WHERE replace(term, chr(31), '') <> ''
+    ),
+    doc_tok AS (
+      SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(t.n_tokens) AS BIGINT) AS n_bpe_tokens
+      FROM docw d JOIN tok t USING (word) GROUP BY 1
+    ),
+    bpe_counts AS (
+      SELECT d.doc_id,
+             COALESCE(c.n_words, CAST(0 AS BIGINT)) AS n_words,
+             COALESCE(c.n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      LEFT JOIN doc_tok c USING (doc_id)
+    )"""
 
 
 @query("tokenizer_bpe_merges", _bpe_oracle_sql(4))
@@ -3984,6 +4035,110 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge trajectory replays exactly in the oracle (llm/bpe module
     docstring)."""
     return bp.bpe_merges(_t(spark, sf_dir, "documents"), n_merges=4)
+
+
+@query(
+    "tokenizer_bpe_encode",
+    f"""
+    WITH {_bpe_counts_cte(4)}
+    SELECT doc_id, n_words, n_bpe_tokens FROM bpe_counts
+    """,
+)
+def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE: real tokenizer token counts per document under the
+    4 merges learned on this corpus — train and encode share one loop
+    (the training state after round M is the encoding), then one
+    word-keyed join maps per-word-type token counts back onto the
+    (doc, word) stream. All integers, exact oracle.
+    ``bpe_apply``'s standalone rank-ordered re-apply path is pinned
+    equal to the training state by test_bpe_apply_equals_train_encode
+    (llm/bpe.bpe_token_counts)."""
+    docs = _t(spark, sf_dir, "documents")
+    merges, vocab = bp.bpe_train_encode(docs, n_merges=4)
+    return bp.bpe_token_counts(docs, merges, encoded_vocab=vocab)
+
+
+@query(
+    "sample_token_budget_bpe",
+    f"""
+    WITH {_bpe_counts_cte(4)},
+    j AS (
+      SELECT d.doc_id, d.source, c.n_bpe_tokens
+      FROM documents d JOIN bpe_counts c USING (doc_id)
+    )
+    SELECT doc_id, source, n_bpe_tokens FROM (
+      SELECT doc_id, source, n_bpe_tokens,
+             SUM(n_bpe_tokens) OVER (
+               PARTITION BY source
+               ORDER BY {_HB_DOC.format(salt='tbb')}, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM j)
+    WHERE run <= 2000
+    """,
+)
+def sample_token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling in REAL tokenizer tokens: each
+    source contributes at most 2000 BPE tokens (4 learned merges),
+    admitted in deterministic hash order — the upgrade over
+    sample_token_budget_mix's char-count proxy: budgets land where
+    merge density differs across sources. Counts come from the shared
+    train+encode loop; the budget window itself is unchanged
+    (ops/sampling.token_budget_sample)."""
+    docs = _t(spark, sf_dir, "documents")
+    merges, vocab = bp.bpe_train_encode(docs, n_merges=4)
+    counts = bp.bpe_token_counts(docs, merges, encoded_vocab=vocab)
+    withtok = docs.select("doc_id", "source").join(counts, "doc_id")
+    out = osmp.token_budget_sample(
+        withtok, "doc_id", "source", "n_bpe_tokens", budget=2000, salt="tbb"
+    )
+    return out.select("doc_id", "source", "n_bpe_tokens")
+
+
+@query(
+    "pack_bpe_sequences",
+    f"""
+    WITH {_bpe_counts_cte(4)},
+    t AS (
+      SELECT d.doc_id, d.doc_id % 8 AS shard, c.n_bpe_tokens AS toks
+      FROM documents d JOIN bpe_counts c USING (doc_id)
+    ),
+    cum AS (
+      SELECT doc_id, shard, toks,
+             CAST(SUM(toks) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS tok_end
+      FROM t
+    )
+    SELECT doc_id, shard, toks, tok_end - toks AS tok_start, tok_end,
+           (tok_end - toks) // 2048 AS seq_first,
+           CASE WHEN toks = 0 THEN (tok_end - toks) // 2048
+                ELSE (tok_end - 1) // 2048 END AS seq_last,
+           CASE WHEN toks = 0 THEN (tok_end - toks) // 2048
+                ELSE (tok_end - 1) // 2048 END - (tok_end - toks) // 2048 + 1
+             AS n_seqs
+    FROM cum
+    """,
+)
+def pack_bpe_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing budgeted in REAL tokenizer tokens: the
+    pack_sequences layout assignment (8 shards, 2048-token sequences)
+    driven by per-doc BPE token counts from the shared train+encode
+    loop instead of the whitespace proxy — sequences now hold the
+    token count the trainer will actually see (llm/packing.
+    pack_contiguous + llm/bpe.bpe_token_counts)."""
+    docs = _t(spark, sf_dir, "documents")
+    merges, vocab = bp.bpe_train_encode(docs, n_merges=4)
+    counts = bp.bpe_token_counts(docs, merges, encoded_vocab=vocab)
+    d = (
+        docs.select("doc_id", F.pmod("doc_id", F.lit(8)).alias("shard"))
+        .join(counts, "doc_id")
+        .select("doc_id", "shard", F.col("n_bpe_tokens").alias("toks"))
+    )
+    out = pk.pack_contiguous(d, "toks", 2048, "shard", "doc_id")
+    return out.select(
+        "doc_id", "shard", "toks", "tok_start", "tok_end",
+        "seq_first", "seq_last", "n_seqs",
+    )
 
 
 def _pii_redact_chain_duck(col: str) -> str:
@@ -4573,12 +4728,6 @@ def anomaly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 # Round 3: budgeted mixtures, deterministic shuffle order, snapshot CDC
 # ===========================================================================
-
-_HB_DOC = (
-    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':{salt}'), 1, 8))"
-    " AS BIGINT)"
-)
-
 
 @query(
     "sample_token_budget_mix",

@@ -316,6 +316,13 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # (doc, bigram) table, so a shuffle join is the correct plan
         # at scale even though gate-sized stats broadcast it today
         "dedup_jaccard_exact_join",
+        # audited: the (doc, word) stream joins the encoded vocabulary
+        # on the word key and the per-doc counts join back on doc_id
+        # (llm/bpe.bpe_token_counts) — both sides corpus-scaled at
+        # 100 TB, so shuffle joins are correct; AQE broadcasts the
+        # vocab side at gate scale
+        "tokenizer_bpe_encode", "sample_token_budget_bpe",
+        "pack_bpe_sequences",
     }
     # audited: broadcast one-row scalar aggregates (cross joins) and
     # the broadcast-query-side != join of exact top-k
@@ -343,8 +350,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "embed_kmeans_fit",
         # audited: each BPE round crosses the broadcast one-row winning
         # pair into the vocabulary for the in-plan merge (llm/bpe) —
-        # the scalar-broadcast shape again
-        "tokenizer_bpe_merges",
+        # the scalar-broadcast shape again (and the three encode-fed
+        # queries embed the same training loop)
+        "tokenizer_bpe_merges", "tokenizer_bpe_encode",
+        "sample_token_budget_bpe", "pack_bpe_sequences",
         # audited: the 3-row quantile-literal table crosses into the
         # per-group totals (ops/sketch.histogram_quantiles) — broadcast
         # fan-out of a constant probe set, the correct plan

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from nhs_data_pipeline_spark.llm import classify as clf
@@ -557,6 +558,63 @@ def test_bpe_matches_python_replica(spark):
                     out_syms.append(s)
             state[w] = out_syms
     assert got == exp
+
+
+# ------------------------------------------------- BPE encode/apply
+
+def test_bpe_token_counts_matches_hand_computation(spark):
+    from nhs_data_pipeline_spark.llm import bpe
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new"),
+         (3, "   ")],
+        ["doc_id", "text"])
+    merges, vocab = bpe.bpe_train_encode(docs, n_merges=4)
+    out = {r.doc_id: (r.n_words, r.n_bpe_tokens)
+           for r in bpe.bpe_token_counts(
+               docs, merges, encoded_vocab=vocab).collect()}
+    # merges: (l,o) (lo,w) (e,w) (n,ew); encodings: low->1, lower->3,
+    # lowest->4, new->1, newer->3, newest->4 tokens
+    assert out == {1: (5, 3 * 1 + 3 + 4), 2: (4, 2 * 1 + 3 + 4), 3: (0, 0)}
+
+
+def test_bpe_apply_equals_train_encode(spark):
+    # The standalone rank-ordered apply loop must reproduce the
+    # training state exactly (tokenizer_bpe_encode's shortcut relies
+    # on this equivalence).
+    import random
+    from nhs_data_pipeline_spark.llm import bpe
+    rng = random.Random(21)
+    words = ["".join(rng.choice("abcd") for _ in range(rng.randint(1, 7)))
+             for _ in range(60)]
+    docs = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    merges, vocab = bpe.bpe_train_encode(docs, n_merges=4)
+    applied = bpe.bpe_apply(vocab.select("word"), merges)
+    a = {r.word: list(r.tokens) for r in vocab.collect()}
+    b = {r.word: list(r.tokens) for r in applied.collect()}
+    assert a == b
+
+
+def test_bpe_apply_encodes_unseen_words(spark):
+    from nhs_data_pipeline_spark.llm import bpe
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        ["doc_id", "text"])
+    merges = bpe.bpe_merges(docs, n_merges=4)
+    new_words = spark.createDataFrame([("slow",), ("wen",)], ["word"])
+    out = {r.word: list(r.tokens)
+           for r in bpe.bpe_apply(new_words, merges).collect()}
+    # (l,o) then (lo,w): slow -> [s, low]; no rule matches wen
+    assert out == {"slow": ["s", "low"], "wen": ["w", "e", "n"]}
+
+
+def test_bpe_apply_rejects_gapped_rank_table(spark):
+    from nhs_data_pipeline_spark.llm import bpe
+    merges = spark.createDataFrame(
+        [(1, "a", "b", 5), (3, "ab", "c", 2)],
+        "it int, left_sym string, right_sym string, pair_count bigint")
+    words = spark.createDataFrame([("abc",)], ["word"])
+    with pytest.raises(ValueError, match="contiguous"):
+        bpe.bpe_apply(words, merges)
 
 
 def test_bpe_exhausted_vocabulary_stops_cleanly(spark):
