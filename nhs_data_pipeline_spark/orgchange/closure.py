@@ -27,6 +27,7 @@ def successor_closure(
     new: str = "new_code",
     max_iter: int = 20,
     checkpoint: bool = True,
+    probe_every: int = 2,
 ) -> DataFrame:
     """Resolve every ``old`` code to its terminal successor(s).
 
@@ -45,18 +46,9 @@ def successor_closure(
     )
     hop = e.select(F.col("__o").alias("__ho"), F.col("__n").alias("__hn"))
 
-    # One Spark action per iteration: the step join carries a __moved
-    # flag, a lazy localCheckpoint truncates lineage, and the single
-    # count() both materializes the checkpoint and answers convergence.
-    # (The previous shape — eager checkpoint + a semi-join probe — was
-    # two jobs per iteration; driver-loop job overhead dominates on
-    # lookup-sized graphs.) Fixpoint = a round where nothing moved, so
-    # the loop runs chain-length + 1 rounds.
-    for _ in range(max_iter):
-        advanced = (
-            mapping.join(
-                F.broadcast(hop), mapping["final_code"] == hop["__ho"], "left"
-            )
+    def _advance(m: DataFrame) -> DataFrame:
+        return (
+            m.join(F.broadcast(hop), m["final_code"] == hop["__ho"], "left")
             .select(
                 old,
                 F.coalesce("__hn", "final_code").alias("final_code"),
@@ -70,6 +62,24 @@ def successor_closure(
             .groupBy(old, "final_code", "n_hops")
             .agg(F.max("__moved").alias("__moved"))
         )
+
+    # One Spark action per PROBE: ``probe_every`` step joins run
+    # between convergence checks (the last step's __moved flag answers
+    # convergence — if hop k+1 moved nothing, the fixpoint is reached
+    # regardless of hop k), a lazy localCheckpoint truncates lineage,
+    # and the single count() both materializes the checkpoint and
+    # answers convergence. Driver-loop job latency — not join work —
+    # dominates on lookup-sized graphs (the r04 official bench record
+    # inflated this query 7.6x under host load), so halving the action
+    # count halves the latency exposure; the extra post-fixpoint join
+    # per probe window is a no-op aggregate on a lookup-sized table.
+    it = 0
+    while it < max_iter:
+        advanced = _advance(mapping)
+        it += 1
+        while it % max(1, probe_every) != 0 and it < max_iter:
+            advanced = _advance(advanced.drop("__moved"))
+            it += 1
         if checkpoint:
             advanced = advanced.localCheckpoint(eager=False)
         moved = advanced.filter("__moved").limit(1).count()

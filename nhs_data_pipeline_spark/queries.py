@@ -6050,8 +6050,18 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stage and by test_llm); curate_audit_panel (the all-signal report
 # card, which transitively attests quality/repetition/span/LM/DSIR/OOV)
 # takes curate_corpus's slot (its quality->dedup->split chain stays
-# attested by curate_mixture_v2 + the local gate). Everything outside
-# the window is verified by the identical local gate
+# attested by curate_mixture_v2 + the local gate). Round-5 rotation
+# (cumulative driver attestation): seven never-driver-checked
+# flagships rotate in — graph_pagerank_nations, sketch_hll_portable,
+# dedup_jaccard_exact_join, embed_kmeans_fit, tokenizer_bpe_merges,
+# tokenizer_bpe_encode, text_bm25_topk — over seven §2 rows already
+# multiply-attested by in-window siblings and 4 prior driver rounds:
+# u1 (union family: r78 + p913 siblings), r1 (reshape: r4 +
+# f_string_date_family), w1 (window family: w2u + w56 stay in), a6
+# (grouped resample: a1 + a25 stay in), p14 (= W4 dedup; p123/p913
+# stay in), s10 (distributed binning: w56 + sketch families), j1
+# (natural join: every TPC-H join + j4/j5/j6 stay in). Everything
+# outside the window is verified by the identical local gate
 # (tools/check_oracle.py runs ALL entries).
 DRIVER_WINDOW = [
     "q1_pricing_summary",
@@ -6064,7 +6074,6 @@ DRIVER_WINDOW = [
     "q14_promo_revenue_ratio",
     "q18_large_orders",
     "q19_disjunctive_revenue",
-    "j1_natural_left_join",
     "j3_transitive_closure",
     "j4_semi_anti",
     "j5_asof_join",
@@ -6072,22 +6081,16 @@ DRIVER_WINDOW = [
     "p123_column_family",
     "p8_filter_isin",
     "p913_distinct_years",
-    "p14_first_per_group",
     "p10_marker_row_slice",
     "s8_filename_metadata",
-    "s10_histogram",
     "skew_salted_sum",
     "a1_na_preserving_sum",
     "a25_group_audit",
     "shuffle_training_order",
-    "a6_resample_annual",
     "orgchange_adjust_panel",
-    "w1_cumulative_sum",
     "w2u_lag_fill",
     "w56_binned_stats",
-    "u1_union_by_name",
     "merge_upsert_customers",
-    "r1_unpivot",
     "r4_clean_names",
     "r78_array_family",
     "f9_fiscal_calendar",
@@ -6104,6 +6107,13 @@ DRIVER_WINDOW = [
     "dedup_embed_cosine_pairs",
     "embed_topk_bruteforce",
     "curate_audit_panel",
+    "graph_pagerank_nations",
+    "sketch_hll_portable",
+    "dedup_jaccard_exact_join",
+    "embed_kmeans_fit",
+    "tokenizer_bpe_merges",
+    "tokenizer_bpe_encode",
+    "text_bm25_topk",
 ]
 
 

@@ -271,6 +271,10 @@ def test_driver_window_contract():
         "merge_upsert_customers", "scd2_point_in_time",
         "entity_resolve_suppliers", "shuffle_training_order",
         "curate_mixture_v2", "orgchange_adjust_panel",
+        # r05 rotation: never-driver-checked flagships now in-window
+        "graph_pagerank_nations", "sketch_hll_portable",
+        "dedup_jaccard_exact_join", "embed_kmeans_fit",
+        "tokenizer_bpe_merges", "tokenizer_bpe_encode", "text_bm25_topk",
     ]:
         assert flagship in DRIVER_WINDOW, flagship
 
