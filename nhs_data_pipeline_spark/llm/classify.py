@@ -124,3 +124,143 @@ def linear_quality_scores(
             F.coalesce(F.col("logit") >= 0, F.lit(False)).alias("keep"),
         )
     )
+
+
+def hashed_features(
+    df: DataFrame,
+    buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashed bag-of-words feature table ``(doc_id, bucket, x)`` with
+    integer counts, plus a bias feature (``bucket = -1, x = 1``) for
+    every document that has at least one token. The training-set
+    definition for :func:`logreg_fit`: docs with zero tokens carry no
+    evidence and are excluded."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = explode_terms(df.repartition(par), text_col, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(F.expr(_MD5_H60.format(x="term")), F.lit(buckets)).alias(
+            "bucket"
+        ),
+    )
+    counts = toks.groupBy("doc_id", "bucket").agg(F.count("*").alias("x"))
+    bias = counts.select("doc_id").distinct().select(
+        "doc_id", F.lit(-1).alias("bucket"), F.lit(1).cast("long").alias("x")
+    )
+    return counts.unionByName(bias)
+
+
+def logreg_fit(
+    df: DataFrame,
+    label_col: str,
+    buckets: int = 64,
+    iterations: int = 3,
+    lr: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distributed full-batch logistic-regression training of the
+    hashed linear quality classifier — the train side that
+    ``linear_quality_scores``' fixed weights stood in for. Returns the
+    learned weight table ``(bucket, weight)`` (``bucket = -1`` is the
+    bias) after ``iterations`` synchronous gradient steps
+
+        w_b <- round(w_b + lr * grad_b / N, 9)
+        grad_b = sum_d x_db * (y_d - sigmoid(z_d)),  z_d = sum_b w_b x_db
+
+    ``label_col`` must be an integer 0/1 column on ``df``.
+
+    Spark-first shape (100 TB design): the corpus is featurized ONCE
+    into the persisted ``(doc, bucket, x)`` table (caller-transparent;
+    unpersisted on return); each round is one broadcast join of the
+    model-sized weight table + a doc-keyed fold (z), then one
+    bucket-keyed integer aggregate (gradient) — two shuffles per
+    round, weights localCheckpoint per round (the iterative-loop
+    lineage rule). N comes from a one-row broadcast aggregate, never a
+    driver literal, so the oracle carries no magnitude-coupled
+    constants.
+
+    Cross-engine determinism: weights round to 9 decimals per round
+    (identical doubles in), the per-doc z folds in bucket order
+    (bounded array — <= buckets+1 elements, never corpus-sized), the
+    sigmoid is quantized to integer MILLIONTHS immediately after its
+    one ``exp`` (the build-notes transcendental rule: libms differ in
+    the last ulp, so the flip probability at the 1e-6 quantization is
+    ~1e-10 per evaluation), and the gradient then sums INTEGER
+    numerators — order-free and exact, the classify.py trick."""
+    feats = hashed_features(df, buckets, text_col, id_col).persist()
+    labels = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(label_col).cast("long").alias("__y"),
+    )
+    # one-row (N) aggregate, broadcast-crossed where needed
+    nn = feats.select("doc_id").distinct().agg(
+        F.count("*").alias("__n")
+    ).persist()
+    nn.count()  # also materializes feats
+
+    spine = df.sparkSession.range(-1, buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    w = spine.withColumn("weight", F.lit(0.0))
+    for _ in range(iterations):
+        terms = feats.join(F.broadcast(w), "bucket").select(
+            "doc_id", "bucket", (F.col("weight") * F.col("x")).alias("__t")
+        )
+        z = (
+            terms.groupBy("doc_id")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("bucket", "__t"))
+                ).alias("__st")
+            )
+            .withColumn(
+                "__z",
+                F.expr(
+                    "aggregate(transform(__st, __x -> __x.__t), "
+                    "cast(0.0 as double), (__a, __b) -> __a + __b)"
+                ),
+            )
+            .select("doc_id", "__z")
+        )
+        err = z.join(labels, "doc_id").select(
+            "doc_id",
+            (
+                F.col("__y") * F.lit(1000000)
+                - F.round(
+                    F.lit(1.0)
+                    / (F.lit(1.0) + F.exp(-F.col("__z")))
+                    * F.lit(1000000.0),
+                    0,
+                ).cast("long")
+            ).alias("__e"),
+        )
+        grad = (
+            feats.join(err, "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("x") * F.col("__e")).alias("__g"))
+        )
+        w = (
+            w.join(grad, "bucket", "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "bucket",
+                F.round(
+                    F.col("weight")
+                    + F.lit(lr)
+                    * (
+                        F.coalesce("__g", F.lit(0).cast("long")).cast("double")
+                        / (F.lit(1000000).cast("long") * F.col("__n")).cast(
+                            "double"
+                        )
+                    ),
+                    9,
+                ).alias("weight"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        w.count()
+    feats.unpersist()
+    nn.unpersist()
+    return w

@@ -327,6 +327,11 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # vocab side at gate scale
         "tokenizer_bpe_encode", "sample_token_budget_bpe",
         "pack_bpe_sequences",
+        # audited: per-round feature joins (doc-keyed z fold, err join,
+        # bucket-keyed gradient) over the corpus-sized hashed-feature
+        # table (llm/classify.logreg_fit) — both sides corpus-scaled at
+        # 100 TB, shuffle joins correct; AQE broadcasts at gate scale
+        "classifier_logreg_fit",
     }
     # audited: broadcast one-row scalar aggregates (cross joins) and
     # the broadcast-query-side != join of exact top-k
@@ -362,6 +367,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # per-group totals (ops/sketch.histogram_quantiles) — broadcast
         # fan-out of a constant probe set, the correct plan
         "sketch_quantile_hist",
+        # audited: the one-row N aggregate crosses into the model-sized
+        # weight update each round (llm/classify.logreg_fit) — the
+        # scalar-broadcast shape
+        "classifier_logreg_fit",
     }
     explain_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
     violations = []

@@ -637,6 +637,93 @@ def test_bpe_no_pairs_at_all_returns_empty(spark):
     assert out.columns == ["it", "left_sym", "right_sym", "pair_count"]
 
 
+# --------------------------------------------- logreg training
+
+def test_logreg_fit_matches_python_replica(spark):
+    import random
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(15)]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 10))),
+             rng.randint(0, 1)) for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "y"])
+    B, T, LR = 8, 3, 0.5
+    got = {r.bucket: r.weight
+           for r in clf.logreg_fit(docs, "y", buckets=B, iterations=T,
+                                   lr=LR).collect()}
+
+    # feature replica: same md5-prefix bucket hash
+    import hashlib
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % B
+    feats, labels = {}, {}
+    for i, txt, y in rows:
+        toks = txt.lower().split()
+        if not toks:
+            continue
+        f = {}
+        for t in toks:
+            b = bucket(t)
+            f[b] = f.get(b, 0) + 1
+        f[-1] = 1  # bias
+        feats[i] = f
+        labels[i] = y
+    # Spark rounds HALF_UP; python round() is banker's — use Decimal
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _rhu(x, exp):
+        return float(Decimal(repr(x)).quantize(Decimal(exp), ROUND_HALF_UP))
+
+    n = len(feats)
+    w = {b: 0.0 for b in range(-1, B)}
+    for _ in range(T):
+        err_num = {}
+        for d, f in feats.items():
+            z = 0.0
+            for b in sorted(f):  # bucket order == fold order
+                z = z + w[b] * f[b]
+            import math as m
+            p_num = int(_rhu(1.0 / (1.0 + m.exp(-z)) * 1000000.0, "1"))
+            err_num[d] = labels[d] * 1000000 - p_num
+        for b in w:
+            g = sum(f.get(b, 0) * err_num[d] for d, f in feats.items())
+            w[b] = _rhu(w[b] + LR * (float(g) / float(1000000 * n)), "1e-9")
+    assert set(got) == set(w)
+    for b in w:
+        assert abs(got[b] - w[b]) < 1e-9, (b, got[b], w[b])
+
+
+def test_logreg_learns_separable_classes(spark):
+    # Perfectly separable vocabulary: positive docs say "good",
+    # negative docs say "bad". After training, scoring with the
+    # learned weights must order every positive above every negative.
+    rows = [(i, "good good good", 1) for i in range(10)] + \
+           [(10 + i, "bad bad bad", 0) for i in range(10)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "y"])
+    w = {r.bucket: r.weight
+         for r in clf.logreg_fit(docs, "y", buckets=16, iterations=10,
+                                 lr=1.0).collect()}
+    import hashlib
+    bg = int(hashlib.md5(b"good").hexdigest()[:15], 16) % 16
+    bb = int(hashlib.md5(b"bad").hexdigest()[:15], 16) % 16
+    assert w[bg] > 0 > w[bb]
+
+
+def test_logreg_empty_docs_excluded_from_n(spark):
+    # A doc with no tokens must not dilute the gradient step (it is
+    # not in the training set at all).
+    rows_a = [(1, "x y", 1), (2, "z", 0)]
+    rows_b = rows_a + [(3, "   ", 1)]
+    a = {r.bucket: r.weight
+         for r in clf.logreg_fit(
+             spark.createDataFrame(rows_a, ["doc_id", "text", "y"]),
+             "y", buckets=8, iterations=2).collect()}
+    b = {r.bucket: r.weight
+         for r in clf.logreg_fit(
+             spark.createDataFrame(rows_b, ["doc_id", "text", "y"]),
+             "y", buckets=8, iterations=2).collect()}
+    assert a == b
+
+
 # --------------------------------------------- review-fix regressions
 
 def test_classifier_is_case_insensitive_like_its_oracle(spark):
