@@ -403,3 +403,121 @@ def histogram_quantiles(
     )
     joined = _ns_join(hits, bounds, groups, broadcast_right=True)
     return joined.select(*groups, "q", "n", est.alias("est"))
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom filter: mergeable membership sketch + scan-side join
+# prefilter (the runtime-filter pattern, oracle-checkable)
+# ---------------------------------------------------------------------------
+#
+# Spark 3.3+ injects bloom runtime filters itself when statistics allow;
+# this is the same idea as an explicit, engine-portable operator: build a
+# tiny bitmap over the build side's join keys, broadcast it, and knock
+# probe-side rows out BEFORE the join's shuffle. At 100 TB the win is the
+# shuffle you never pay: a selective dimension predicate prunes the fact
+# scan down to (true matches + bounded false positives), and the exact
+# join afterwards only rescues the FP remainder. Every bit position is
+# exact integer arithmetic under a fixed multiply-mod hash family, so the
+# whole bitmap — and every pass/fail decision — replays bit-for-bit in
+# any engine (same discipline as the count-min/HLL tables above).
+
+_BLOOM_P = 2147483647  # 2^31 - 1; pmod(key, P) * A below stays < 2^63
+_BLOOM_MIX = [
+    (2654435761, 1),
+    (2246822519, 7),
+    (3266489917, 13),
+    (668265263, 19),
+]  # (multiplier, offset) per hash row; k <= 4
+_BLOOM_WORD = 32  # bits per BIGINT word (shift < 32 is portable SQL)
+
+
+def _bloom_pos_expr(key_sql: str, i: int, m_bits: int) -> str:
+    """SQL text (valid in Spark AND DuckDB) for bit position ``i`` of a
+    non-negative BIGINT key: ``((key mod P) * A_i + B_i) mod P mod m``.
+    NULL keys hash via a -1 sentinel (a NULL position would silently
+    drop the row from the word join — the build-notes NULL-key trap);
+    the double-mod keeps every intermediate below 2^63."""
+    a, b = _BLOOM_MIX[i]
+    k = f"((coalesce({key_sql}, -1) % {_BLOOM_P}) + {_BLOOM_P}) % {_BLOOM_P}"
+    return f"((({k}) * {a} + {b}) % {_BLOOM_P}) % {m_bits}"
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    k: int = 3,
+    m_bits: int = 1024,
+    shard_cols: list[str] | None = None,
+) -> DataFrame:
+    """Build the bitmap table ``(*shard_cols, word_idx, word)`` over a
+    BIGINT key column: k bit positions per key, OR-ed into
+    ``m_bits / 32`` BIGINT words. Model-sized by construction (at most
+    m/32 rows per shard), mergeable with :func:`bloom_merge`, and
+    broadcastable into any probe scan. Size ``m_bits`` for the
+    expected build-side cardinality (~10 bits/key for ~1% FP at k=3);
+    an undersized filter stays CORRECT — it just passes more false
+    positives for the exact join to rescue."""
+    if not 1 <= k <= len(_BLOOM_MIX):
+        raise ValueError(f"k must be in 1..{len(_BLOOM_MIX)}")
+    shards = shard_cols or []
+    pos = F.explode(
+        F.array(*[F.expr(_bloom_pos_expr(key_col, i, m_bits)) for i in range(k)])
+    ).alias("__pos")
+    return (
+        df.select(*shards, pos)
+        .select(
+            *shards,
+            (F.col("__pos") / _BLOOM_WORD).cast("bigint").alias("word_idx"),
+            F.expr(
+                f"shiftleft(cast(1 as bigint), cast(__pos % {_BLOOM_WORD} as int))"
+            ).alias("__m"),
+        )
+        .groupBy(*shards, "word_idx")
+        .agg(F.bit_or("__m").alias("word"))
+    )
+
+
+def bloom_merge(bitmap: DataFrame) -> DataFrame:
+    """Merge per-shard bitmaps into one global filter by word-wise OR —
+    exact over bloom filters (build-per-shard, merge, prefilter once)."""
+    return bitmap.groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+
+
+def bloom_prefilter(
+    probe: DataFrame,
+    key_col: str,
+    bitmap: DataFrame,
+    k: int = 3,
+    m_bits: int = 1024,
+) -> DataFrame:
+    """Append ``bloom_pass`` to every probe row: true iff ALL k bits of
+    ``key_col`` are set in the (merged) bitmap. Physically k chained
+    broadcast-hash left joins of the model-sized word table against the
+    probe scan — no explode (the probe stream is never duplicated), no
+    distinct, no shuffle of the probe side; a missing word row is an
+    all-zero word (left join + coalesce). ``bloom_pass = false`` rows
+    are guaranteed non-members; ``true`` rows still need the exact
+    (semi-)join — the filter only shrinks what reaches that shuffle."""
+    out = probe
+    passed = F.lit(True)
+    for i in range(k):
+        w = bitmap.select(
+            F.col("word_idx").alias(f"__wi{i}"), F.col("word").alias(f"__w{i}")
+        )
+        pos = F.expr(_bloom_pos_expr(key_col, i, m_bits))
+        out = (
+            out.withColumn(f"__p{i}", pos)
+            .join(
+                F.broadcast(w),
+                (F.col(f"__p{i}") / _BLOOM_WORD).cast("bigint") == F.col(f"__wi{i}"),
+                "left",
+            )
+        )
+        bit = F.expr(
+            f"shiftleft(cast(1 as bigint), cast(__p{i} % {_BLOOM_WORD} as int))"
+        )
+        passed = passed & (
+            F.coalesce(F.col(f"__w{i}"), F.lit(0).cast("bigint")).bitwiseAND(bit) != 0
+        )
+    drop = [c for i in range(k) for c in (f"__p{i}", f"__wi{i}", f"__w{i}")]
+    return out.withColumn("bloom_pass", passed).drop(*drop)

@@ -6109,6 +6109,104 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_nationkey", "n_name", "pr")
 
 
+def _bloom_oracle_sql(k: int = 3, m_bits: int = 1024) -> str:
+    """DuckDB replica of the portable Bloom prefilter: identical
+    multiply-mod bit positions (ops/sketch._bloom_pos_expr — pure
+    BIGINT arithmetic, valid in both dialects), identical 32-bit
+    word packing, so every pass/fail decision — and therefore the
+    false-positive count itself — replays bit-for-bit."""
+    build_pos = "\n      UNION ALL ".join(
+        f"SELECT {osk._bloom_pos_expr('key', i, m_bits)} AS p FROM keys"
+        for i in range(k)
+    )
+    joins = "\n    ".join(
+        f"LEFT JOIN words w{i} ON w{i}.word_idx = ({osk._bloom_pos_expr('o.o_custkey', i, m_bits)}) // {osk._BLOOM_WORD}"
+        for i in range(k)
+    )
+    hit = " AND ".join(
+        f"(COALESCE(w{i}.word, 0) & (1::BIGINT << CAST(({osk._bloom_pos_expr('o.o_custkey', i, m_bits)}) % {osk._BLOOM_WORD} AS INTEGER))) <> 0"
+        for i in range(k)
+    )
+    return f"""
+    WITH keys AS (
+      SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    pos AS (
+      {build_pos}
+    ),
+    words AS (
+      SELECT p // {osk._BLOOM_WORD} AS word_idx,
+             bit_or(1::BIGINT << CAST(p % {osk._BLOOM_WORD} AS INTEGER)) AS word
+      FROM pos GROUP BY 1
+    ),
+    probe AS (
+      SELECT ({hit}) AS pass,
+             o.o_custkey IN (SELECT key FROM keys) AS hit
+      FROM orders o
+      {joins}
+    )
+    SELECT COUNT(*) AS probe_rows,
+           CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS bloom_pass_rows,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS true_match_rows,
+           CAST(SUM(CASE WHEN pass AND NOT hit THEN 1 ELSE 0 END) AS BIGINT) AS false_positive_rows,
+           CAST(SUM(CASE WHEN hit AND NOT pass THEN 1 ELSE 0 END) AS BIGINT) AS missed_rows,
+           ROUND(CAST(SUM(CASE WHEN pass AND NOT hit THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) - SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE), 6) AS fp_rate
+    FROM probe
+    """
+
+
+@query("join_bloom_prefilter", _bloom_oracle_sql(3, 1024))
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning (the runtime-filter pattern, explicit
+    and portable): build a 1024-bit / 3-hash bitmap over the BUILDING
+    customers' keys, broadcast it into the orders scan, and audit the
+    prefilter against ground truth — (probe_rows, bloom_pass_rows,
+    true_match_rows, false_positive_rows, missed_rows, fp_rate).
+    ``missed_rows`` is structurally 0 (no false negatives) and the FP
+    count itself hash-checks cross-engine (ops/sketch.bloom_build).
+    At 100 TB the bitmap is built per shard and OR-merged
+    (bloom_merge), the probe side never shuffles or explodes — k
+    broadcast word-lookups inside the scan stage — and the exact semi
+    join afterwards only pays for true matches + the bounded FP
+    remainder. The gate pins m to 1024 bits so false positives are
+    actually exercised (~300 build keys at sf0.01 -> a loaded filter);
+    production sizes m to ~10 bits per expected build key."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    bloom = osk.bloom_build(cust, "c_custkey", k=3, m_bits=1024)
+    probe = _t(spark, sf_dir, "orders").select("o_custkey")
+    flagged = osk.bloom_prefilter(probe, "o_custkey", bloom, k=3, m_bits=1024)
+    truth = F.broadcast(cust.distinct().withColumn("__hit", F.lit(True)))
+    audited = flagged.join(
+        truth, flagged.o_custkey == truth.c_custkey, "left"
+    ).select(
+        F.col("bloom_pass").alias("pass"),
+        F.coalesce("__hit", F.lit(False)).alias("hit"),
+    )
+    n_pass = F.sum(F.when(F.col("pass"), 1).otherwise(0)).cast("bigint")
+    n_hit = F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("bigint")
+    n_fp = F.sum(F.when(F.col("pass") & ~F.col("hit"), 1).otherwise(0)).cast("bigint")
+    n_miss = F.sum(F.when(F.col("hit") & ~F.col("pass"), 1).otherwise(0)).cast("bigint")
+    return audited.agg(
+        F.count(F.lit(1)).alias("probe_rows"),
+        n_pass.alias("bloom_pass_rows"),
+        n_hit.alias("true_match_rows"),
+        n_fp.alias("false_positive_rows"),
+        n_miss.alias("missed_rows"),
+    ).select(
+        "*",
+        F.round(
+            F.col("false_positive_rows").cast("double")
+            / (F.col("probe_rows") - F.col("true_match_rows")).cast("double"),
+            6,
+        ).alias("fp_rate"),
+    )
+
+
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # iteration order. This list pins that window: every SURVEY §2 operator
 # (single queries or merged same-table families), every bench headline

@@ -86,3 +86,72 @@ class TestHllMergeable:
         }
         for g, n in exact.items():
             assert abs(est[g] - n) / n < 0.05
+
+
+class TestBloomFilter:
+    """Portable Bloom membership sketch + scan-side join prefilter."""
+
+    def _build_probe(self, spark):
+        from nhs_data_pipeline_spark.ops.sketch import bloom_build, bloom_prefilter
+
+        members = spark.createDataFrame(
+            [(i * 7,) for i in range(40)], "key bigint"
+        )
+        probe = spark.createDataFrame(
+            [(i,) for i in range(300)] + [(None,)], "key bigint"
+        )
+        bloom = bloom_build(members, "key", k=3, m_bits=512)
+        return members, bloom_prefilter(probe, "key", bloom, k=3, m_bits=512)
+
+    def test_no_false_negatives(self, spark):
+        members, flagged = self._build_probe(spark)
+        member_keys = {r.key for r in members.collect()}
+        missed = [
+            r.key
+            for r in flagged.collect()
+            if r.key in member_keys and not r.bloom_pass
+        ]
+        assert missed == []
+
+    def test_nonmember_fails_are_correct_and_fp_bounded(self, spark):
+        members, flagged = self._build_probe(spark)
+        member_keys = {r.key for r in members.collect()}
+        rows = flagged.collect()
+        # every bloom-fail is truly a non-member (the pruning guarantee)
+        assert all(r.key not in member_keys for r in rows if not r.bloom_pass)
+        # 40 keys in 512 bits / k=3 -> FP rate far below saturation
+        fp = sum(1 for r in rows if r.bloom_pass and r.key not in member_keys)
+        non = sum(1 for r in rows if r.key not in member_keys)
+        assert fp / non < 0.30, (fp, non)
+
+    def test_shard_merge_equals_global_build(self, spark):
+        from nhs_data_pipeline_spark.ops.sketch import bloom_build, bloom_merge
+
+        df = spark.createDataFrame(
+            [(i, "s%d" % (i % 3)) for i in range(100)], "key bigint, shard string"
+        )
+        global_words = {
+            (r.word_idx, r.word)
+            for r in bloom_build(df, "key", k=2, m_bits=256).collect()
+        }
+        sharded = bloom_build(df, "key", k=2, m_bits=256, shard_cols=["shard"])
+        merged = {(r.word_idx, r.word) for r in bloom_merge(sharded).collect()}
+        assert merged == global_words
+
+    def test_null_key_hashes_stably(self, spark):
+        from nhs_data_pipeline_spark.ops.sketch import bloom_build, bloom_prefilter
+
+        members = spark.createDataFrame([(None,), (5,)], "key bigint")
+        bloom = bloom_build(members, "key", k=3, m_bits=256)
+        flagged = bloom_prefilter(
+            spark.createDataFrame([(None,), (5,), (6,)], "key bigint"),
+            "key", bloom, k=3, m_bits=256,
+        ).collect()
+        by_key = {r.key: r.bloom_pass for r in flagged}
+        assert by_key[None] and by_key[5]
+
+    def test_rejects_bad_k(self, spark):
+        from nhs_data_pipeline_spark.ops.sketch import bloom_build
+
+        with pytest.raises(ValueError):
+            bloom_build(spark.range(5), "id", k=9)
