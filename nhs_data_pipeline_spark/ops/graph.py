@@ -218,3 +218,62 @@ def label_propagation(
     e.unpersist()
     nodes.unpersist()
     return labels
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact per-node triangle counts ``(node, triangles)`` over an
+    undirected simple graph (input may carry duplicates, both
+    directions, self-loops — all canonicalized away).
+
+    Algorithm: degree-ordered edge orientation (the standard
+    distributed-triangle trick — Suri & Vassilvitskii's MR variant):
+    orient every undirected edge from its lower-(degree, id) endpoint
+    to the higher, so each triangle survives as exactly ONE wedge
+    ``a->b, b->c`` plus its closing edge ``a->c``. The wedge join's
+    fan-out per node is then bounded by out-degree in the ORIENTED
+    graph, which is O(sqrt(m)) on any graph (arboricity bound) — a
+    10^7-follower hub never enumerates its in-neighborhood pairs.
+    All joins are edge-table x edge-table equi-joins (shuffle joins at
+    scale — the correct plan); counts are pure integers, so the oracle
+    needs no float discipline. The oriented table is persisted eagerly
+    (it feeds three scans — the build-notes self-join rule) and the
+    model-sized result is checkpointed before unpersist."""
+    e = edges.filter(
+        F.col(src).isNotNull() & F.col(dst).isNotNull() & (F.col(src) != F.col(dst))
+    )
+    und = e.select(
+        F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v")
+    ).distinct()
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ranked = (
+        und.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    ori = ranked.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    ).persist()
+    ori.count()
+    wedges = ori.join(
+        ori.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+    )
+    tri = wedges.join(
+        ori.select(F.col("a").alias("a"), F.col("b").alias("c")), ["a", "c"]
+    )
+    pernode = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+        .localCheckpoint(eager=False)
+    )
+    pernode.count()
+    ori.unpersist()
+    return pernode

@@ -6109,6 +6109,107 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_nationkey", "n_name", "pr")
 
 
+_TRIANGLE_ORACLE_SQL = """
+    -- MATERIALIZED: without it DuckDB inlines every CTE reference and
+    -- re-plans the 4-way fact join ~3^depth times (>200 s at sf0.1 vs
+    -- 0.13 s materialized) -- tri reads ori 3x, ori reads deg 2x, ...
+    WITH e AS MATERIALIZED (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT COUNT(*) AS ne, CAST(SUM(w) AS BIGINT) AS sw FROM e),
+    es AS (SELECT src, dst FROM e, tot WHERE e.w * tot.ne > tot.sw),
+    und AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM es WHERE src <> dst
+    ),
+    deg AS MATERIALIZED (
+      SELECT node, COUNT(*) AS deg
+      FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+      GROUP BY 1
+    ),
+    ori AS MATERIALIZED (
+      SELECT CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND und.u < und.v)
+                  THEN und.u ELSE und.v END AS a,
+             CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND und.u < und.v)
+                  THEN und.v ELSE und.u END AS b
+      FROM und JOIN deg du ON du.node = und.u JOIN deg dv ON dv.node = und.v
+    ),
+    tri AS MATERIALIZED (
+      SELECT o1.a, o1.b, o2.b AS c
+      FROM ori o1
+      JOIN ori o2 ON o2.a = o1.b
+      JOIN ori o3 ON o3.a = o1.a AND o3.b = o2.b
+    ),
+    pernode AS MATERIALIZED (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+      FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+      GROUP BY 1
+    )
+    SELECT na.n_nationkey, na.n_name,
+           COALESCE(p.triangles, 0) AS triangles
+    FROM nation na LEFT JOIN pernode p ON p.node = na.n_nationkey
+    """
+
+
+@query("graph_triangle_count", _TRIANGLE_ORACLE_SQL)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting (clustering structure) over the
+    above-average-weight trade edges between nations: per-nation
+    triangle participation, 0 for nations outside any triangle. The
+    edge threshold is data-derived (w * |E| > sum(w), exact integer
+    comparison — no magnitude-coupled constants), and the counting
+    uses degree-ordered orientation so wedge fan-out is bounded by
+    oriented out-degree, O(sqrt(m)) on any graph — the plan a
+    billion-edge social graph runs unchanged (ops/graph.
+    triangle_count). Pure integer output — zero float discipline."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+        # model-sized (<= nations^2 rows) but its lineage is the full
+        # fact join — persist eagerly so tot/kept/orientation don't
+        # each recompute it (measured 31 s -> ~8 s at sf0.01)
+        .persist()
+    )
+    e.count()
+    tot = e.agg(
+        F.count("*").alias("ne"), F.sum("w").cast("bigint").alias("sw")
+    )
+    kept = (
+        e.crossJoin(F.broadcast(tot))
+        .filter(F.col("w") * F.col("ne") > F.col("sw"))
+        .select("src", "dst")
+    )
+    pernode = og.triangle_count(kept)
+    e.unpersist()
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # checkpointed pernode has no stats — hint the broadcast (it is
+    # node-table-sized by construction; the left join keeps 0-triangle
+    # nations)
+    return nation.join(
+        F.broadcast(pernode), nation.n_nationkey == pernode.node, "left"
+    ).select(
+        "n_nationkey",
+        "n_name",
+        F.coalesce("triangles", F.lit(0).cast("bigint")).alias("triangles"),
+    )
+
+
 def _bloom_oracle_sql(k: int = 3, m_bits: int = 1024) -> str:
     """DuckDB replica of the portable Bloom prefilter: identical
     multiply-mod bit positions (ops/sketch._bloom_pos_expr — pure

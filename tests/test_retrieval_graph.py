@@ -1048,3 +1048,58 @@ def test_kfold_disjoint_exhaustive_stable(spark):
     assert max(c.values()) - min(c.values()) < 100
     with _pytest.raises(ValueError):
         smp.kfold_assign(df, "k", k=1)
+
+
+# ---------------------------------------------------------------------------
+# triangle_count
+# ---------------------------------------------------------------------------
+
+def _tri(spark, edges):
+    from nhs_data_pipeline_spark.ops.graph import triangle_count
+
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    return {r.node: r.triangles for r in triangle_count(df).collect()}
+
+
+def test_triangle_single(spark):
+    # one triangle + a dangling edge
+    got = _tri(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_k4_complete(spark):
+    # K4: 4 triangles total, each node in exactly 3
+    edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    got = _tri(spark, edges)
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert sum(got.values()) // 3 == 4
+
+
+def test_triangle_canonicalizes_dupes_loops_directions(spark):
+    # duplicates, reversed copies, and self-loops must not change counts
+    got = _tri(
+        spark,
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (1, 1), (2, 3), (3, 3)],
+    )
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_null_endpoints_dropped(spark):
+    got = _tri(spark, [(1, 2), (2, 3), (3, 1), (None, 2), (3, None)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_free_graph_is_empty(spark):
+    # a 4-cycle has no triangles -> empty result table
+    assert _tri(spark, [(1, 2), (2, 3), (3, 4), (4, 1)]) == {}
+
+
+def test_triangle_partitioning_invariance(spark):
+    from nhs_data_pipeline_spark.ops.graph import triangle_count
+
+    edges = [(a, b) for a in range(1, 8) for b in range(1, 8) if a < b]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    one = {r.node: r.triangles for r in triangle_count(df.coalesce(1)).collect()}
+    many = {r.node: r.triangles for r in triangle_count(df.repartition(13)).collect()}
+    # K7: each node participates in C(6,2) = 15 triangles
+    assert one == many == {n: 15 for n in range(1, 8)}
