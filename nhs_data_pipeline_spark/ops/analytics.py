@@ -228,3 +228,76 @@ def zscore_outliers(
         .withColumn("zscore", z)
         .drop("__mean", "__std")
     )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket: int = 256,
+) -> DataFrame:
+    """Market-basket pair co-occurrence with lift: for every unordered
+    item pair appearing together in at least one basket —
+    ``(item_a < item_b, pair_baskets, a_baskets, b_baskets,
+    n_baskets, lift)`` where
+
+        lift = n_baskets * pair_baskets / (a_baskets * b_baskets)
+
+    (> 1 means "bought together more than independence predicts" —
+    the association-rule primitive behind frequent-itemset mining).
+
+    Scale shape: NO self-join — baskets are bounded (``max_basket``
+    distinct items; larger baskets are dropped as catalog-crawl noise,
+    the span-dedup guardrail), so each basket's C(n,2) pairs explode
+    PLAN-SIDE from its sorted distinct-item list: one pass, one
+    shuffle on the pair key with map-side combine. Item supports come
+    from the same distinct (basket, item) projection. NULL items are
+    dropped (a NULL pair key is meaningless); lift is one
+    integer-fed double division — bit-identical cross-engine."""
+    bi = (
+        df.filter(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
+        .select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
+        .distinct()
+    )
+    n_baskets = bi.groupBy().agg(
+        F.count_distinct("__b").cast("bigint").alias("n_baskets")
+    )
+    supports = bi.groupBy("__i").agg(F.count("*").alias("__supp"))
+    groups = (
+        bi.groupBy("__b")
+        .agg(F.sort_array(F.collect_list("__i")).alias("__items"))
+        .filter((F.size("__items") >= 2) & (F.size("__items") <= max_basket))
+    )
+    pairs = (
+        groups.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__items, (__a, __x) -> "
+                    "transform(slice(__items, __x + 2, size(__items) - __x - 1), "
+                    "__c -> struct(__a AS item_a, __c AS item_b))))"
+                )
+            ).alias("__p")
+        )
+        .groupBy(F.col("__p.item_a").alias("item_a"), F.col("__p.item_b").alias("item_b"))
+        .agg(F.count("*").alias("pair_baskets"))
+    )
+    out = (
+        pairs.join(
+            supports.select(F.col("__i").alias("item_a"), F.col("__supp").alias("a_baskets")),
+            "item_a",
+        )
+        .join(
+            supports.select(F.col("__i").alias("item_b"), F.col("__supp").alias("b_baskets")),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    lift = F.round(
+        (F.col("n_baskets") * F.col("pair_baskets")).cast("double")
+        / (F.col("a_baskets") * F.col("b_baskets")).cast("double"),
+        6,
+    )
+    return out.select(
+        "item_a", "item_b", "pair_baskets", "a_baskets", "b_baskets",
+        "n_baskets", lift.alias("lift"),
+    )

@@ -6109,6 +6109,55 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_nationkey", "n_name", "pr")
 
 
+_BASKET_ORACLE_SQL = """
+    WITH bi AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+      FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ),
+    nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n_baskets FROM bi),
+    supp AS MATERIALIZED (
+      SELECT i, CAST(COUNT(*) AS BIGINT) AS supp FROM bi GROUP BY 1
+    ),
+    bk AS MATERIALIZED (
+      SELECT b FROM bi GROUP BY b HAVING COUNT(*) BETWEEN 2 AND 256
+    ),
+    bif AS MATERIALIZED (SELECT bi.b, bi.i FROM bi JOIN bk USING (b)),
+    pairs AS MATERIALIZED (
+      SELECT x.i AS item_a, y.i AS item_b, CAST(COUNT(*) AS BIGINT) AS pair_baskets
+      FROM bif x JOIN bif y ON x.b = y.b AND x.i < y.i
+      GROUP BY 1, 2
+    )
+    SELECT p.item_a, p.item_b, p.pair_baskets,
+           sa.supp AS a_baskets, sb.supp AS b_baskets, nb.n_baskets,
+           ROUND(CAST(nb.n_baskets * p.pair_baskets AS DOUBLE)
+                 / CAST(sa.supp * sb.supp AS DOUBLE), 6) AS lift
+    FROM pairs p
+    JOIN supp sa ON sa.i = p.item_a
+    JOIN supp sb ON sb.i = p.item_b, nb
+    ORDER BY p.pair_baskets DESC, p.item_a, p.item_b
+    LIMIT 20
+    """
+
+
+@query("basket_pair_lift", _BASKET_ORACLE_SQL)
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: the 20 part pairs most often
+    ordered together, with per-item supports and lift (ops/analytics.
+    cooccurrence_pairs). No self-join anywhere in the engine path —
+    each order's C(n,2) pairs explode plan-side from its sorted
+    distinct-part list under the 256-item basket cap (supports still
+    count ALL baskets; the cap only bounds the pair fan-out), so the
+    only shuffles carry (order, part) and pair keys with map-side
+    combine. Lift is one integer-fed double division — bit-identical
+    cross-engine. Deterministic top-k: ties break on the pair key."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    out = oan.cooccurrence_pairs(li, "l_orderkey", "l_partkey", max_basket=256)
+    return out.orderBy(
+        F.desc("pair_baskets"), F.asc("item_a"), F.asc("item_b")
+    ).limit(20)
+
+
 _TRIANGLE_ORACLE_SQL = """
     -- MATERIALIZED: without it DuckDB inlines every CTE reference and
     -- re-plans the 4-way fact join ~3^depth times (>200 s at sf0.1 vs

@@ -317,3 +317,78 @@ class TestPeakConcurrency:
         }
         assert got == got2
         assert got["b"] == 1 and got["a"] == 5  # [i, i+10) step 2 -> 5 deep
+
+
+# ---------------------------------------------------------------------------
+# cooccurrence_pairs (market-basket lift)
+# ---------------------------------------------------------------------------
+
+def _baskets(spark, rows):
+    from nhs_data_pipeline_spark.ops.analytics import cooccurrence_pairs
+
+    df = spark.createDataFrame(rows, "b bigint, i bigint")
+    return {
+        (r.item_a, r.item_b): r
+        for r in cooccurrence_pairs(df, "b", "i").collect()
+    }
+
+
+def test_basket_pairs_hand_computed(spark):
+    # baskets: {1,2,3}, {1,2}, {2,3}, {4}
+    got = _baskets(
+        spark,
+        [(10, 1), (10, 2), (10, 3), (20, 1), (20, 2), (30, 2), (30, 3), (40, 4)],
+    )
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    r = got[(1, 2)]
+    assert (r.pair_baskets, r.a_baskets, r.b_baskets, r.n_baskets) == (2, 2, 3, 4)
+    # lift = 4*2 / (2*3)
+    assert r.lift == round(8 / 6, 6)
+    assert got[(2, 3)].pair_baskets == 2
+    assert got[(1, 3)].pair_baskets == 1
+
+
+def test_basket_dupe_items_collapse_and_nulls_drop(spark):
+    got = _baskets(
+        spark,
+        [(10, 1), (10, 1), (10, 2), (10, None), (None, 3), (20, 1), (20, 2)],
+    )
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)].pair_baskets == 2
+    assert got[(1, 2)].n_baskets == 2  # the all-NULL basket vanished
+
+
+def test_basket_cap_drops_megabasket_pairs_not_supports(spark):
+    from nhs_data_pipeline_spark.ops.analytics import cooccurrence_pairs
+
+    rows = [(1, i) for i in range(10)] + [(2, 0), (2, 1)]
+    df = spark.createDataFrame(rows, "b bigint, i bigint")
+    got = {
+        (r.item_a, r.item_b): r
+        for r in cooccurrence_pairs(df, "b", "i", max_basket=5).collect()
+    }
+    # only the small basket contributes pairs...
+    assert set(got) == {(0, 1)}
+    r = got[(0, 1)]
+    assert r.pair_baskets == 1
+    # ...but supports and the basket total still count the mega-basket
+    assert (r.a_baskets, r.b_baskets, r.n_baskets) == (2, 2, 2)
+
+
+def test_basket_pairs_match_naive_self_join(spark):
+    from nhs_data_pipeline_spark.ops.analytics import cooccurrence_pairs
+
+    rows = [(b, (b * 7 + k) % 11) for b in range(30) for k in range(1 + b % 5)]
+    df = spark.createDataFrame(rows, "b bigint, i bigint").distinct()
+    got = {
+        (r.item_a, r.item_b): r.pair_baskets
+        for r in cooccurrence_pairs(df, "b", "i").collect()
+    }
+    naive = (
+        df.alias("x")
+        .join(df.alias("y"), (F.col("x.b") == F.col("y.b")) & (F.col("x.i") < F.col("y.i")))
+        .groupBy(F.col("x.i").alias("a"), F.col("y.i").alias("c"))
+        .count()
+        .collect()
+    )
+    assert got == {(r.a, r.c): r["count"] for r in naive}

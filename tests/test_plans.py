@@ -371,6 +371,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # weight update each round (llm/classify.logreg_fit) — the
         # scalar-broadcast shape
         "classifier_logreg_fit",
+        # audited: the one-row basket-count aggregate crosses into the
+        # pair table for the lift division (ops/analytics.
+        # cooccurrence_pairs) — the scalar-broadcast shape
+        "basket_pair_lift",
     }
     explain_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
     violations = []
