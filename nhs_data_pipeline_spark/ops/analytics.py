@@ -301,3 +301,76 @@ def cooccurrence_pairs(
         "item_a", "item_b", "pair_baskets", "a_baskets", "b_baskets",
         "n_baskets", lift.alias("lift"),
     )
+
+
+def group_ols(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_int_col: str,
+    y_scale: int = 1,
+) -> DataFrame:
+    """Per-group ordinary-least-squares fit of ``y ~ a + b*x`` via the
+    closed-form moment sums — the distributed `regr_slope` family:
+    ``(*group_cols, n_points, slope, intercept, r2)``.
+
+    Exactness contract (the reason this beats calling a stats UDF):
+    ``x_col`` must be integral and ``y_int_col`` a BIGINT in fixed-
+    point integer units (caller scales, e.g. revenue ten-thousandths);
+    every moment sum and both covariance/variance combinations are
+    then EXACT DECIMAL(38,0) integers — order-free, partition-proof —
+    and the only floating point is the final, fixed op sequence
+    (cast, divide, round), which is bit-identical in any engine.
+    ``slope``/``intercept`` are reported in original units
+    (``/ y_scale``); groups with zero x-variance or zero y-variance
+    yield NULL slope/intercept/r2 rather than ANSI infinities.
+
+    One aggregate, map-side combinable — at 100 TB this is a single
+    shuffle of six numbers per group, no matter how many rows feed
+    each fit.
+
+    Quantization note: outputs use a PORTABLE floor-round
+    ``floor(x * 1e6 + 0.5) / 1e6`` instead of ``F.round`` — at 1e9+
+    magnitudes the 6-dp step approaches the double's ulp, and Spark's
+    BigDecimal HALF_UP disagrees with DuckDB's float rounding by one
+    ulp on boundary-adjacent inputs (measured on real intercepts).
+    The floor form is the same three IEEE ops in any engine."""
+    D = "decimal(38,0)"
+    xd = F.col(x_col).cast(D)
+    yd = F.col(y_int_col).cast(D)
+    s = df.groupBy(*group_cols).agg(
+        F.count("*").cast(D).alias("__n"),
+        F.sum(xd).alias("__sx"),
+        F.sum(yd).alias("__sy"),
+        F.sum(xd * xd).alias("__sxx"),
+        F.sum(xd * yd).alias("__sxy"),
+        F.sum(yd * yd).alias("__syy"),
+    )
+    num = (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).alias("__num")
+    den = (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).alias("__den")
+    syy = (F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")).alias("__ssyy")
+    s = s.select(*group_cols, "__n", "__sx", "__sy", num, den, syy)
+    nd = F.col("__n").cast("double")
+    sxd = F.col("__sx").cast("double")
+    syd = F.col("__sy").cast("double")
+    numd = F.col("__num").cast("double")
+    dend = F.col("__den").cast("double")
+    ssyyd = F.col("__ssyy").cast("double")
+    scale = F.lit(float(y_scale))
+
+    def _round6(c):  # portable: floor(x*1e6 + 0.5)/1e6 (docstring)
+        return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+    ok = F.col("__den") != 0
+    slope = F.when(ok, _round6(numd / dend / scale))
+    intercept = F.when(ok, _round6((syd - (numd / dend) * sxd) / nd / scale))
+    r2 = F.when(
+        ok & (F.col("__ssyy") != 0), _round6((numd * numd) / (dend * ssyyd))
+    )
+    return s.select(
+        *group_cols,
+        F.col("__n").cast("bigint").alias("n_points"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

@@ -6109,6 +6109,92 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_nationkey", "n_name", "pr")
 
 
+_OLS_ORACLE_SQL = """
+    WITH yi AS MATERIALIZED (
+      SELECT c.c_nationkey AS nk,
+             CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                 * 10000.0) AS BIGINT)) AS BIGINT) AS y
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    s AS MATERIALIZED (
+      SELECT nk,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(yr) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             SUM(CAST(yr AS HUGEINT) * CAST(yr AS HUGEINT)) AS sxx,
+             SUM(CAST(yr AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+             SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+      FROM yi GROUP BY 1
+    ),
+    m AS (
+      SELECT nk, n, sx, sy,
+             n * sxy - sx * sy AS num,
+             n * sxx - sx * sx AS den,
+             n * syy - sy * sy AS ssyy
+      FROM s
+    )
+    SELECT na.n_nationkey, na.n_name,
+           CAST(m.n AS BIGINT) AS n_points,
+           -- portable floor-round: ROUND() implementations diverge by
+           -- one ulp at 1e9+ magnitudes (ops/analytics.group_ols)
+           CASE WHEN m.den <> 0 THEN
+             FLOOR(CAST(m.num AS DOUBLE) / CAST(m.den AS DOUBLE)
+                   / CAST(10000.0 AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+           END AS slope,
+           CASE WHEN m.den <> 0 THEN
+             FLOOR((CAST(m.sy AS DOUBLE)
+                    - (CAST(m.num AS DOUBLE) / CAST(m.den AS DOUBLE))
+                      * CAST(m.sx AS DOUBLE))
+                   / CAST(m.n AS DOUBLE) / CAST(10000.0 AS DOUBLE)
+                   * 1000000.0 + 0.5) / 1000000.0
+           END AS intercept,
+           CASE WHEN m.den <> 0 AND m.ssyy <> 0 THEN
+             FLOOR((CAST(m.num AS DOUBLE) * CAST(m.num AS DOUBLE))
+                   / (CAST(m.den AS DOUBLE) * CAST(m.ssyy AS DOUBLE))
+                   * 1000000.0 + 0.5) / 1000000.0
+           END AS r2
+    FROM m JOIN nation na ON m.nk = na.n_nationkey
+    """
+
+
+@query("stats_ols_trend", _OLS_ORACLE_SQL)
+def stats_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue trend: closed-form OLS of yearly customer
+    revenue on order year (ops/analytics.group_ols — the distributed
+    regr_slope family). Yearly revenues first sum EXACTLY as integer
+    ten-thousandths (the 4-decimal summand rule), then every OLS
+    moment is an exact DECIMAL(38,0) integer — order-free, partition-
+    proof — and the only floats are the final fixed cast/divide/round
+    sequence, identical in both engines. Two shuffles total at any
+    scale: (nation, year) partial-agg, then six numbers per nation."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    y_int = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10000.0)
+    ).cast("bigint")
+    yearly = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+        )
+        .agg(F.sum(y_int).alias("y"))
+    )
+    fits = oan.group_ols(yearly, ["nk"], "yr", "y", y_scale=10000)
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return fits.join(
+        F.broadcast(nation), fits.nk == nation.n_nationkey
+    ).select("n_nationkey", "n_name", "n_points", "slope", "intercept", "r2")
+
+
 _BASKET_ORACLE_SQL = """
     WITH bi AS MATERIALIZED (
       SELECT DISTINCT l_orderkey AS b, l_partkey AS i

@@ -392,3 +392,56 @@ def test_basket_pairs_match_naive_self_join(spark):
         .collect()
     )
     assert got == {(r.a, r.c): r["count"] for r in naive}
+
+
+# ---------------------------------------------------------------------------
+# group_ols (closed-form per-group regression)
+# ---------------------------------------------------------------------------
+
+def _ols(spark, rows, y_scale=1):
+    from nhs_data_pipeline_spark.ops.analytics import group_ols
+
+    df = spark.createDataFrame(rows, "g string, x bigint, y bigint")
+    return {r.g: r for r in group_ols(df, ["g"], "x", "y", y_scale).collect()}
+
+
+def test_ols_recovers_exact_line(spark):
+    # y = 3x + 10, scaled by 100 -> slope 3, intercept 10, r2 = 1
+    rows = [("a", x, (3 * x + 10) * 100) for x in range(1, 8)]
+    r = _ols(spark, rows, y_scale=100)["a"]
+    assert (r.n_points, r.slope, r.intercept, r.r2) == (7, 3.0, 10.0, 1.0)
+
+
+def test_ols_matches_numpy_polyfit(spark):
+    import numpy as np
+
+    xs = [1, 2, 3, 5, 8, 13, 21]
+    ys = [7, 9, 8, 15, 21, 30, 55]
+    r = _ols(spark, [("a", x, y) for x, y in zip(xs, ys)])["a"]
+    slope, intercept = np.polyfit(np.array(xs, float), np.array(ys, float), 1)
+    assert abs(r.slope - slope) < 1e-6 and abs(r.intercept - intercept) < 1e-6
+    corr = np.corrcoef(xs, ys)[0, 1]
+    assert abs(r.r2 - corr * corr) < 1e-6
+
+
+def test_ols_degenerate_groups_null_not_infinity(spark):
+    rows = [("one_point", 5, 50), ("flat_x", 2, 10), ("flat_x", 2, 99),
+            ("flat_y", 1, 7), ("flat_y", 2, 7)]
+    got = _ols(spark, rows)
+    # zero x-variance -> no fit at all
+    assert got["one_point"].slope is None and got["one_point"].r2 is None
+    assert got["flat_x"].slope is None
+    # zero y-variance -> slope 0 exists, r2 undefined
+    assert got["flat_y"].slope == 0.0 and got["flat_y"].r2 is None
+
+
+def test_ols_partitioning_invariance(spark):
+    from nhs_data_pipeline_spark.ops.analytics import group_ols
+
+    rows = [("g%d" % (i % 4), i, i * i * 3 + 17) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, x bigint, y bigint")
+    one = {r.g: (r.slope, r.intercept, r.r2)
+           for r in group_ols(df.coalesce(1), ["g"], "x", "y").collect()}
+    many = {r.g: (r.slope, r.intercept, r.r2)
+            for r in group_ols(df.repartition(17), ["g"], "x", "y").collect()}
+    assert one == many
