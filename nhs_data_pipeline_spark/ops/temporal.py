@@ -257,3 +257,59 @@ def interpolate_linear(
         .otherwise(F.lit(None))
     )
     return j.select(*ks, period_col, filled.alias(out_col))
+
+
+def ewma(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Exponentially-weighted moving average per group, in order-col
+    order: ``ewma_0 = x_0``, ``ewma_t = a*x_t + (1-a)*ewma_{t-1}``.
+    Returns every input point with its smoothed value appended —
+    ``(*group_cols, order_col, value_col, ewma)``.
+
+    EWMA is inherently a sequential recurrence, so the group's series
+    folds left in one array pass (ONE aggregation, the whole
+    trajectory from a single array-accumulator ``aggregate`` — no
+    O(n^2) prefix recomputation, no self-join). The fold is pure IEEE
+    adds/multiplies over a deterministic order, so given identical
+    inputs the entire trajectory is bit-identical in any engine
+    (DuckDB replays prefix folds — left-fold associativity makes the
+    incremental accumulator and the per-prefix folds the same op
+    sequence). ``alpha`` is embedded via ``cast(<repr> as double)`` —
+    the bare-decimal-literal DECIMAL trap.
+
+    Scale contract: one group's FULL series sits in one aggregation
+    buffer — use this on RESAMPLED series (daily/hourly rollups:
+    thousands of points), not raw event streams; the resample
+    aggregate before it is the unbounded-data stage."""
+    a = f"cast({float(alpha)!r} as double)"
+    b = f"cast({float(1.0 - alpha)!r} as double)"
+    g = (
+        df.groupBy(*group_cols)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(value_col).alias("x")))
+            ).alias("__ts")
+        )
+        .withColumn(
+            "__tr",
+            F.expr(
+                f"aggregate(__ts, cast(array() as array<double>), "
+                f"(acc, t) -> case when size(acc) = 0 then array(cast(t.x as double)) "
+                f"else array_append(acc, {a} * t.x + {b} * element_at(acc, -1)) end)"
+            ),
+        )
+    )
+    pe = g.select(
+        *group_cols, F.posexplode("__ts").alias("__pos", "__t"), "__tr"
+    )
+    return pe.select(
+        *group_cols,
+        F.col("__t.o").alias(order_col),
+        F.col("__t.x").alias(value_col),
+        F.expr("element_at(__tr, __pos + 1)").alias("ewma"),
+    )

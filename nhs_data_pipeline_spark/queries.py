@@ -6109,6 +6109,60 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_nationkey", "n_name", "pr")
 
 
+_EWMA_ORACLE_SQL = """
+    WITH daily AS MATERIALIZED (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS x
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    g AS MATERIALIZED (
+      SELECT event_type,
+             list(x ORDER BY day) AS xs,
+             list(day ORDER BY day) AS ds
+      FROM daily GROUP BY 1
+    ),
+    t AS (
+      SELECT event_type,
+             unnest(ds) AS day,
+             unnest(generate_series(1, len(xs))) AS pos,
+             xs
+      FROM g
+    )
+    SELECT event_type, day, xs[pos] AS x,
+           FLOOR(list_reduce(xs[1:pos],
+                   (__a, __b) -> CAST(0.3 AS DOUBLE) * __b
+                                 + CAST(0.7 AS DOUBLE) * __a)
+                 * 1000000.0 + 0.5) / 1000000.0 AS ewma
+    FROM t
+    """
+
+
+@query("ts_ewma_daily", _EWMA_ORACLE_SQL)
+def ts_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing (alpha = 0.3) of the daily event-value series
+    per event type (ops/temporal.ewma). The daily resample sums
+    exactly (per-value DECIMAL(30,10) casts -> bit-identical doubles),
+    then the whole trajectory comes from ONE array-accumulator fold —
+    deterministic IEEE sequence, so even the unrounded smoothed values
+    agree cross-engine; the 6-dp quantization uses the portable
+    floor-round. DuckDB replays prefix folds (left-fold associativity
+    makes incremental-accumulator and per-prefix folds the same op
+    sequence). The unbounded stage is the resample; the fold only ever
+    sees bounded resampled series (op docstring)."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(30,10)")).cast("double").alias("x"))
+    out = ot.ewma(daily, ["event_type"], "day", "x", alpha=0.3)
+    return out.select(
+        "event_type",
+        "day",
+        "x",
+        (F.floor(F.col("ewma") * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)).alias("ewma"),
+    )
+
+
 _OLS_ORACLE_SQL = """
     WITH yi AS MATERIALIZED (
       SELECT c.c_nationkey AS nk,

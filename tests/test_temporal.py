@@ -118,3 +118,50 @@ def test_range_join_binned_hot_key(spark):
         F.expr("l.k = r.k AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 100 SECONDS"),
     )
     assert n == naive.count()
+
+
+# ---------------------------------------------------------------------------
+# ewma
+# ---------------------------------------------------------------------------
+
+def _ewma_rows(spark, rows, alpha=0.5):
+    from nhs_data_pipeline_spark.ops.temporal import ewma
+
+    df = spark.createDataFrame(rows, "g string, t bigint, x double")
+    return {
+        (r.g, r.t): r.ewma
+        for r in ewma(df, ["g"], "t", "x", alpha=alpha).collect()
+    }
+
+
+def test_ewma_hand_computed(spark):
+    got = _ewma_rows(spark, [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 0.0)])
+    # a=0.5: 10, 0.5*20+0.5*10=15, 0.5*0+0.5*15=7.5
+    assert got == {("a", 1): 10.0, ("a", 2): 15.0, ("a", 3): 7.5}
+
+
+def test_ewma_matches_pandas(spark):
+    import pandas as pd
+
+    xs = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    got = _ewma_rows(spark, [("a", t, x) for t, x in enumerate(xs)], alpha=0.3)
+    want = pd.Series(xs).ewm(alpha=0.3, adjust=False).mean()
+    for t in range(len(xs)):
+        assert abs(got[("a", t)] - want[t]) < 1e-12
+
+
+def test_ewma_groups_independent_and_order_robust(spark):
+    rows = [("b", 2, 8.0), ("a", 1, 1.0), ("b", 1, 4.0), ("a", 2, 3.0)]
+    got = _ewma_rows(spark, rows)
+    assert got[("a", 1)] == 1.0 and got[("a", 2)] == 2.0
+    assert got[("b", 1)] == 4.0 and got[("b", 2)] == 6.0
+
+
+def test_ewma_partitioning_invariance(spark):
+    from nhs_data_pipeline_spark.ops.temporal import ewma
+
+    rows = [("g%d" % (i % 3), i, float((i * 7) % 13)) for i in range(120)]
+    df = spark.createDataFrame(rows, "g string, t bigint, x double")
+    one = {(r.g, r.t): r.ewma for r in ewma(df.coalesce(1), ["g"], "t", "x").collect()}
+    many = {(r.g, r.t): r.ewma for r in ewma(df.repartition(11), ["g"], "t", "x").collect()}
+    assert one == many
