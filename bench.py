@@ -74,6 +74,16 @@ BENCH_QUERIES = [
     "graph_pagerank_nations",
     "dedup_jaccard_exact_join",
     "sketch_hll_portable",
+    # r05 late additions: the new scale-pattern operators (runtime-
+    # filter bloom pruning, oriented triangle counting, plan-side
+    # basket pairs, exact-moment OLS, fold-based EWMA, Markov
+    # transitions) — timed so regressions hit the driver's 2x gate
+    "join_bloom_prefilter",
+    "graph_triangle_count",
+    "basket_pair_lift",
+    "stats_ols_trend",
+    "ts_ewma_daily",
+    "events_markov_transitions",
 ]
 
 

@@ -374,3 +374,52 @@ def group_ols(
         intercept.alias("intercept"),
         r2.alias("r2"),
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    entity_col: str,
+    order_cols: list[str],
+    state_col: str,
+) -> DataFrame:
+    """First-order Markov transition counts + probabilities over
+    per-entity ordered state sequences: ``(prev_state, next_state,
+    n_trans, n_from, prob)`` where ``prob = n_trans / n_from``.
+
+    The per-entity ordering runs in ONE window pass (lag + row_number
+    over the same ``partitionBy(entity)`` spec — one Exchange), the
+    pair count is a map-side-combinable aggregate on the (prev, next)
+    key, and the from-totals derive from that same aggregate (states^2
+    rows — model-sized), so raw events shuffle exactly once. First
+    events per entity are excluded by row number, NOT by a NULL test
+    on the lag — a NULL *state* value is a legal state and must not be
+    conflated with "no predecessor". ``order_cols`` must be a total
+    order per entity (the build-notes window rule). ``prob`` is one
+    integer-fed double division — bit-identical cross-engine with no
+    rounding at all."""
+    w = Window.partitionBy(entity_col).orderBy(*order_cols)
+    seq = events.select(
+        F.col(state_col).alias("next_state"),
+        F.lag(state_col).over(w).alias("prev_state"),
+        F.row_number().over(w).alias("__rn"),
+    ).filter(F.col("__rn") > 1)
+    trans = seq.groupBy("prev_state", "next_state").agg(
+        F.count("*").alias("n_trans")
+    )
+    from_tot = trans.groupBy("prev_state").agg(
+        F.sum("n_trans").cast("bigint").alias("n_from")
+    )
+    # eqNullSafe, not a column-list join: NULL is a legal state and a
+    # plain equi-join would silently drop every transition out of it
+    # (the build-notes NULL-key trap)
+    joined = trans.join(
+        F.broadcast(from_tot.withColumnRenamed("prev_state", "__ps")),
+        F.col("prev_state").eqNullSafe(F.col("__ps")),
+    ).drop("__ps")
+    return joined.select(
+        "prev_state",
+        "next_state",
+        "n_trans",
+        "n_from",
+        (F.col("n_trans").cast("double") / F.col("n_from").cast("double")).alias("prob"),
+    )

@@ -6109,6 +6109,46 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_nationkey", "n_name", "pr")
 
 
+_MARKOV_ORACLE_SQL = """
+    WITH seq AS MATERIALIZED (
+      SELECT event_type AS next_state,
+             lag(event_type) OVER w AS prev_state,
+             row_number() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    trans AS MATERIALIZED (
+      SELECT prev_state, next_state, CAST(COUNT(*) AS BIGINT) AS n_trans
+      FROM seq WHERE rn > 1 GROUP BY 1, 2
+    ),
+    ft AS (
+      SELECT prev_state, CAST(SUM(n_trans) AS BIGINT) AS n_from
+      FROM trans GROUP BY 1
+    )
+    SELECT t.prev_state, t.next_state, t.n_trans, f.n_from,
+           CAST(t.n_trans AS DOUBLE) / CAST(f.n_from AS DOUBLE) AS prob
+    FROM trans t JOIN ft f
+      ON t.prev_state IS NOT DISTINCT FROM f.prev_state
+    """
+
+
+@query("events_markov_transitions", _MARKOV_ORACLE_SQL)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (ops/analytics.transition_matrix): which event type
+    follows which, with exact counts and transition probabilities.
+    One window pass (lag + row_number share the user partition spec),
+    one map-side-combinable pair aggregate, from-totals derived from
+    the states^2 model table — raw events shuffle exactly once. The
+    (ts, event_id) order key is a total order (the build-notes window
+    rule); ``prob`` is one integer-fed double division, bit-identical
+    with no rounding."""
+    ev = _events(spark, sf_dir)
+    return oan.transition_matrix(
+        ev, "user_id", ["ts", "event_id"], "event_type"
+    )
+
+
 _EWMA_ORACLE_SQL = """
     WITH daily AS MATERIALIZED (
       SELECT event_type, CAST(ts AS DATE) AS day,

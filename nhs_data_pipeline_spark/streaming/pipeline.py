@@ -631,3 +631,55 @@ def histogram_stream_into_store(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def bloom_stream_into_store(
+    rows: DataFrame,
+    key_col: str,
+    store_path: str,
+    checkpoint: str,
+    k: int = 3,
+    m_bits: int = 1024,
+):
+    """Incrementally maintain a portable Bloom bitmap store over a
+    STREAM — live membership state in at most ``m_bits / 32`` rows,
+    usable any time as the build side of ops/sketch.bloom_prefilter
+    (e.g. "have we ever seen this join key" pruning for incremental
+    loads).
+
+    Merge is word-wise bit OR (Bloom mergeability). OR is idempotent,
+    so like the HLL registers a replayed batch could not corrupt the
+    bitmap — the shared replay guard is still applied for uniform
+    store semantics. availableNow trigger.
+    """
+    from nhs_data_pipeline_spark.ops.sketch import bloom_build, bloom_merge
+
+    _ident_cache: dict[str, str] = {}
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if "k" not in _ident_cache:
+            _ident_cache["k"] = _stream_identity(checkpoint, spark)
+        stream_key = _ident_cache["k"]
+        old, is_replay = _load_guarded_store(
+            spark, store_path, stream_key, batch_id
+        )
+        if is_replay:
+            return
+        batch_words = bloom_build(batch_df, key_col, k=k, m_bits=m_bits)
+        if old is None:
+            merged = batch_words
+        else:
+            # bloom_merge owns the word-wise OR semantics (union +
+            # re-aggregate, never a hand-rolled full-outer join)
+            merged = bloom_merge(
+                batch_words.unionByName(old.select("word_idx", "word"))
+            )
+        _swap_store(merged, store_path, batch_id, stream_key)
+
+    return (
+        rows.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

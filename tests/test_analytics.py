@@ -445,3 +445,61 @@ def test_ols_partitioning_invariance(spark):
     many = {r.g: (r.slope, r.intercept, r.r2)
             for r in group_ols(df.repartition(17), ["g"], "x", "y").collect()}
     assert one == many
+
+
+# ---------------------------------------------------------------------------
+# transition_matrix (first-order Markov)
+# ---------------------------------------------------------------------------
+
+def _trans(spark, rows):
+    from nhs_data_pipeline_spark.ops.analytics import transition_matrix
+
+    df = spark.createDataFrame(rows, "u bigint, t bigint, s string")
+    return {
+        (r.prev_state, r.next_state): r
+        for r in transition_matrix(df, "u", ["t"], "s").collect()
+    }
+
+
+def test_transitions_hand_computed(spark):
+    # user 1: a->b->a->c ; user 2: a->b
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "c"),
+            (2, 1, "a"), (2, 2, "b")]
+    got = _trans(spark, rows)
+    assert set(got) == {("a", "b"), ("b", "a"), ("a", "c")}
+    ab = got[("a", "b")]
+    assert (ab.n_trans, ab.n_from) == (2, 3) and ab.prob == 2 / 3
+    assert got[("b", "a")].n_trans == 1 and got[("b", "a")].n_from == 1
+    assert got[("a", "c")].prob == 1 / 3
+
+
+def test_transitions_do_not_cross_entities(spark):
+    # the last event of user 1 must not chain into user 2's first
+    rows = [(1, 1, "a"), (1, 2, "b"), (2, 3, "c"), (2, 4, "d")]
+    got = _trans(spark, rows)
+    assert set(got) == {("a", "b"), ("c", "d")}
+
+
+def test_transitions_null_state_is_a_state(spark):
+    # NULL is a legal state: a->NULL->b yields two transitions
+    rows = [(1, 1, "a"), (1, 2, None), (1, 3, "b")]
+    got = _trans(spark, rows)
+    assert set(got) == {("a", None), (None, "b")}
+    assert got[("a", None)].n_trans == 1 and got[(None, "b")].n_from == 1
+
+
+def test_transitions_single_event_users_emit_nothing(spark):
+    got = _trans(spark, [(1, 1, "a"), (2, 1, "b")])
+    assert got == {}
+
+
+def test_transitions_probs_sum_to_one_per_row_state(spark):
+    rows = [(u, t, "s%d" % ((u * 3 + t * t) % 4)) for u in range(20) for t in range(15)]
+    got = _trans(spark, rows)
+    from collections import defaultdict
+
+    by_prev = defaultdict(float)
+    for (p, _n), r in got.items():
+        by_prev[p] += r.prob
+    for p, s in by_prev.items():
+        assert abs(s - 1.0) < 1e-9, (p, s)

@@ -776,3 +776,44 @@ def test_histogram_stream_rejects_bad_bins(spark, tmp_path):
             stream, "v", str(tmp_path / "s"), str(tmp_path / "c"),
             lo=1.0, hi=1.0, bins=8,
         )
+
+
+def test_bloom_stream_matches_batch_and_prefilters(spark, tmp_path):
+    """Incremental Bloom bitmap store over a 2-batch stream must equal
+    the one-shot batch bitmap of the union (word-wise OR
+    mergeability), and prefiltering with the streamed store must pass
+    every seen key."""
+    import time as _time
+
+    from nhs_data_pipeline_spark.ops.sketch import bloom_build, bloom_prefilter
+    from nhs_data_pipeline_spark.streaming.pipeline import (
+        bloom_stream_into_store,
+        stream_files,
+    )
+
+    schema = T.StructType([T.StructField("key", T.LongType())])
+    src = str(tmp_path / "bloom_src")
+    b1 = spark.createDataFrame([(i * 3,) for i in range(60)], schema)
+    b1.coalesce(1).write.parquet(src)
+    _time.sleep(1.1)
+    b2 = spark.createDataFrame([(i * 5,) for i in range(60)], schema)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    store = str(tmp_path / "bloom_store")
+    stream = stream_files(spark, src, schema, max_files_per_trigger=1)
+    q = bloom_stream_into_store(
+        stream, "key", store, checkpoint=str(tmp_path / "bloom_ckpt"),
+        k=3, m_bits=512,
+    )
+    q.awaitTermination()
+
+    streamed = spark.read.parquet(store).drop("last_batch_id", "stream_key")
+    direct = bloom_build(b1.unionByName(b2), "key", k=3, m_bits=512)
+    assert sorted(map(tuple, streamed.collect())) == \
+           sorted(map(tuple, direct.collect()))
+    # every streamed-in key passes the prefilter built from the store
+    from pyspark.sql import functions as SF
+
+    seen = b1.unionByName(b2).distinct()
+    flagged = bloom_prefilter(seen, "key", streamed, k=3, m_bits=512)
+    assert flagged.filter(~SF.col("bloom_pass")).count() == 0
