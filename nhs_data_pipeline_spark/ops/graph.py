@@ -277,3 +277,66 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     pernode.count()
     ori.unpersist()
     return pernode
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    iterations: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Single-source (or multi-source) shortest path distances after
+    ``iterations`` synchronous Bellman-Ford rounds: ``(node, dist)``
+    with ``dist = NULL`` for nodes not reached within the round
+    budget. ``sources`` is a one-column (``node``) DataFrame; source
+    distance is 0. Weights must be non-negative integers — every
+    relaxation is then exact integer arithmetic and the converged
+    distances are engine- and partitioning-independent with zero
+    float discipline (the label-propagation property).
+
+    One round = join(dist on src) -> per-dst MIN -> union-min with the
+    standing distances; the graph stays a distributed edge table and
+    the distance table is node-sized. ``iterations`` bounds the
+    explored hop depth (Bellman-Ford guarantees convergence at
+    diameter rounds); each round localCheckpoints — the iterative-loop
+    lineage rule. Parallel edges pre-aggregate to their MINIMUM weight
+    (cheapest link is the only one shortest paths can use), NULL
+    endpoints drop as in :func:`pagerank`."""
+    e = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .groupBy(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .agg(F.min(weight).cast("bigint").alias("w"))
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    nodes.count()
+    dist = nodes.join(
+        sources.select(F.col("node")).distinct().withColumn("__s", F.lit(0).cast("bigint")),
+        "node",
+        "left",
+    ).select("node", F.col("__s").alias("dist"))
+    for _ in range(iterations):
+        cand = (
+            e.join(
+                dist.filter(F.col("dist").isNotNull()).withColumnRenamed("node", "src"),
+                "src",
+            )
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        dist.count()
+    e.unpersist()
+    nodes.unpersist()
+    return dist

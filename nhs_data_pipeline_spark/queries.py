@@ -6439,6 +6439,95 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sssp_oracle_sql(iterations: int = 6) -> str:
+    """Unrolled Bellman-Ford rounds over the symmetrized above-average
+    trade graph — all-integer relaxations, so the oracle needs zero
+    float discipline (the label-propagation property)."""
+    its = []
+    for i in range(1, iterations + 1):
+        its.append(f"""
+    d{i} AS MATERIALIZED (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + e.w AS dist
+        FROM es e JOIN d{i - 1} d ON e.src = d.node
+        WHERE d.dist IS NOT NULL
+      ) GROUP BY node
+    )""")
+    return f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT COUNT(*) AS ne, CAST(SUM(w) AS BIGINT) AS sw FROM e0),
+    kept AS MATERIALIZED (
+      SELECT src, dst, w FROM e0, tot WHERE e0.w * tot.ne > tot.sw
+    ),
+    es AS MATERIALIZED (
+      SELECT src, dst, CAST(MIN(w) AS BIGINT) AS w FROM (
+        SELECT src, dst, w FROM kept
+        UNION ALL
+        SELECT dst AS src, src AS dst, w FROM kept
+      ) GROUP BY 1, 2
+    ),
+    nd AS MATERIALIZED (SELECT src AS node FROM es UNION SELECT dst FROM es),
+    d0 AS MATERIALIZED (
+      SELECT node, CASE WHEN node = 0 THEN CAST(0 AS BIGINT) END AS dist
+      FROM nd
+    ),
+    {",".join(its)}
+    SELECT na.n_nationkey, na.n_name, d{iterations}.dist
+    FROM d{iterations} JOIN nation na ON d{iterations}.node = na.n_nationkey
+    """
+
+
+@query("graph_shortest_paths", _sssp_oracle_sql(6))
+def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (6 Bellman-Ford rounds)
+    from NATION_0 over the symmetrized above-average-weight trade
+    graph — min total edge weight, NULL where unreached (ops/graph.
+    shortest_paths). All-integer relaxations: the converged distances
+    are engine- and partitioning-independent with no float discipline
+    at all. The graph stays a distributed edge table; one round =
+    join + per-dst MIN + union-min, localCheckpoint per round — the
+    billion-edge plan unchanged."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+        .persist()  # model-sized, full-fact-join lineage (triangle rule)
+    )
+    e.count()
+    tot = e.agg(F.count("*").alias("ne"), F.sum("w").cast("bigint").alias("sw"))
+    kept = e.crossJoin(F.broadcast(tot)).filter(
+        F.col("w") * F.col("ne") > F.col("sw")
+    ).select("src", "dst", "w")
+    sym = kept.unionByName(
+        kept.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    sources = spark.createDataFrame([(0,)], "node bigint")  # NATION_0
+    dist = og.shortest_paths(sym, sources, iterations=6)
+    e.unpersist()
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return nation.join(
+        F.broadcast(dist), nation.n_nationkey == dist.node, "inner"
+    ).select("n_nationkey", "n_name", "dist")
+
+
 def _bloom_oracle_sql(k: int = 3, m_bits: int = 1024) -> str:
     """DuckDB replica of the portable Bloom prefilter: identical
     multiply-mod bit positions (ops/sketch._bloom_pos_expr — pure

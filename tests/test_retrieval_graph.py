@@ -1103,3 +1103,57 @@ def test_triangle_partitioning_invariance(spark):
     many = {r.node: r.triangles for r in triangle_count(df.repartition(13)).collect()}
     # K7: each node participates in C(6,2) = 15 triangles
     assert one == many == {n: 15 for n in range(1, 8)}
+
+
+# ---------------------------------------------------------------------------
+# shortest_paths
+# ---------------------------------------------------------------------------
+
+def _sssp(spark, edges, sources=(1,), iterations=6):
+    from nhs_data_pipeline_spark.ops.graph import shortest_paths
+
+    e = spark.createDataFrame(edges, "src bigint, dst bigint, w bigint")
+    s = spark.createDataFrame([(x,) for x in sources], "node bigint")
+    return {
+        r.node: r.dist
+        for r in shortest_paths(e, s, iterations=iterations).collect()
+    }
+
+
+def test_sssp_picks_cheaper_indirect_path(spark):
+    # 1->3 direct costs 10; 1->2->3 costs 3
+    got = _sssp(spark, [(1, 3, 10), (1, 2, 1), (2, 3, 2)])
+    assert got == {1: 0, 2: 1, 3: 3}
+
+
+def test_sssp_unreachable_stays_null_and_direction_respected(spark):
+    got = _sssp(spark, [(1, 2, 5), (3, 2, 1), (4, 5, 1)])
+    assert got[1] == 0 and got[2] == 5
+    # 3 only points INTO the component; 4/5 are a separate component
+    assert got[3] is None and got[4] is None and got[5] is None
+
+
+def test_sssp_parallel_edges_take_min_and_multi_source(spark):
+    got = _sssp(
+        spark,
+        [(1, 2, 9), (1, 2, 4), (7, 2, 1)],
+        sources=(1, 7),
+    )
+    assert got == {1: 0, 2: 1, 7: 0}
+
+
+def test_sssp_iteration_budget_bounds_depth(spark):
+    chain = [(i, i + 1, 1) for i in range(1, 6)]  # 1-2-3-4-5-6
+    got = _sssp(spark, chain, iterations=2)
+    assert got[3] == 2 and got[4] is None  # 3 hops > budget
+
+
+def test_sssp_partitioning_invariance(spark):
+    from nhs_data_pipeline_spark.ops.graph import shortest_paths
+
+    edges = [(a, b, (a * b) % 7 + 1) for a in range(1, 12) for b in range(1, 12) if a != b]
+    e = spark.createDataFrame(edges, "src bigint, dst bigint, w bigint")
+    s = spark.createDataFrame([(1,)], "node bigint")
+    one = {r.node: r.dist for r in shortest_paths(e.coalesce(1), s, 5).collect()}
+    many = {r.node: r.dist for r in shortest_paths(e.repartition(13), s, 5).collect()}
+    assert one == many
