@@ -659,3 +659,33 @@ def label_centroids(
         ).alias("centroid"),
         F.max("__c").alias("n_vectors"),
     )
+
+
+def random_projection(
+    df: DataFrame,
+    d_out: int = 8,
+    dim: int = 64,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: append ``proj``, the
+    input embedding projected onto ``d_out`` seeded Gaussian
+    directions (unscaled — squared distances concentrate around
+    ``d_out *`` the original, so consumers normalise by ``d_out``).
+
+    The projection matrix is the same deterministic seeded-literal
+    machinery as the LSH hyperplanes (one parsed nested-array literal,
+    never per-element ``F.lit``), so any engine replays the exact
+    same matrix — and the per-row transform is a pure projection: no
+    shuffle, no UDF, fully pipelined into whatever scan feeds it.
+    At 100 TB this is the cheap half of dimensionality reduction for
+    ANN (project once, bucket/search in d_out dims, rerank survivors
+    in full dimension); pair it with ``lsh_topk``/``ivf_topk`` for
+    the search side."""
+    v = _as_double(df, vec_col)
+    proj = F.transform(
+        _nested_array_lit(_hyperplanes(dim, d_out, seed)),
+        lambda p: _dot(F.col(vec_col), p),
+    )
+    return v.withColumn("proj", proj)

@@ -6439,6 +6439,116 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _random_projection_oracle_sql(d_out: int = 8, dim: int = 64, seed: int = 11) -> str:
+    """DuckDB replica of the JL distance-preservation audit: the SAME
+    seeded projection literals (llm/similarity._hyperplanes), squared
+    distances as dim-ordered list_reduce folds (the kmeans-oracle
+    pattern — identical IEEE sequence to Spark's zip_with fold)."""
+    from nhs_data_pipeline_spark.llm.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, d_out, seed)
+    proj_exprs = ", ".join(
+        "list_dot_product(v, [" + ", ".join(repr(w) for w in p) + "])"
+        for p in planes
+    )
+    return f"""
+    WITH vecs AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id < 60
+    ),
+    proj AS MATERIALIZED (
+      SELECT vec_id, v, [{proj_exprs}] AS p FROM vecs
+    ),
+    ed AS MATERIALIZED (
+      SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS d
+      FROM proj
+    ),
+    ep AS MATERIALIZED (
+      SELECT vec_id, unnest(p) AS x, generate_subscripts(p, 1) AS d
+      FROM proj
+    ),
+    d2o AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((q.x - c.x) * (q.x - c.x) ORDER BY q.d)),
+               (__a, __b) -> __a + __b) AS d2_orig
+      FROM ed q JOIN ed c ON q.d = c.d
+      WHERE q.vec_id < 10 AND c.vec_id >= 10
+      GROUP BY 1, 2
+    ),
+    d2p AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((q.x - c.x) * (q.x - c.x) ORDER BY q.d)),
+               (__a, __b) -> __a + __b) AS d2_proj
+      FROM ep q JOIN ep c ON q.d = c.d
+      WHERE q.vec_id < 10 AND c.vec_id >= 10
+      GROUP BY 1, 2
+    )
+    SELECT o.query_id, o.neighbor_id,
+           ROUND(o.d2_orig, 6) AS d2_orig,
+           ROUND(p.d2_proj, 6) AS d2_proj,
+           CASE WHEN o.d2_orig > 0 THEN
+             ROUND(p.d2_proj / o.d2_orig / CAST({d_out}.0 AS DOUBLE), 6)
+           END AS jl_ratio
+    FROM d2o o JOIN d2p p
+      ON o.query_id = p.query_id AND o.neighbor_id = p.neighbor_id
+    """
+
+
+@query("embed_random_projection", _random_projection_oracle_sql())
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection audit (llm/similarity.
+    random_projection): 64-dim embeddings projected onto 8 seeded
+    Gaussian directions, then for a 10 x 50 query/corpus slice the
+    squared distance in BOTH spaces plus the JL ratio
+    ``d2_proj / (d2_orig * d_out)`` (concentrates around 1 — the
+    guarantee that makes reduced-space ANN candidate generation
+    sound). The projection matrix is one parsed literal; distances
+    fold in dim order — bit-identical cross-engine before the 6-dp
+    round. At scale the projection is a pure per-row transform
+    pipelined into the scan; the pair audit here is gate-sized by
+    construction."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    pr = sim.random_projection(emb, d_out=8, dim=64, seed=11)
+
+    def side(pfx: str, cond):
+        return pr.filter(cond).select(
+            F.col("vec_id").alias(f"{pfx}_id"),
+            F.col("embedding").alias(f"{pfx}_v"),
+            F.col("proj").alias(f"{pfx}_p"),
+        )
+
+    q = side("q", F.col("vec_id") < 10)
+    c = side("c", F.col("vec_id") >= 10)
+    pairs = q.crossJoin(F.broadcast(c))
+
+    def d2(a: str, b: str):
+        diff = F.zip_with(F.col(a), F.col(b), lambda x, y: x - y)
+        return F.aggregate(
+            F.zip_with(diff, diff, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    out = pairs.select(
+        F.col("q_id").alias("query_id"),
+        F.col("c_id").alias("neighbor_id"),
+        d2("q_v", "c_v").alias("__d2o"),
+        d2("q_p", "c_p").alias("__d2p"),
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("__d2o", 6).alias("d2_orig"),
+        F.round("__d2p", 6).alias("d2_proj"),
+        F.when(
+            F.col("__d2o") > 0,
+            F.round(F.col("__d2p") / F.col("__d2o") / F.lit(8.0), 6),
+        ).alias("jl_ratio"),
+    )
+
+
 def _sssp_oracle_sql(iterations: int = 6) -> str:
     """Unrolled Bellman-Ford rounds over the symmetrized above-average
     trade graph — all-integer relaxations, so the oracle needs zero

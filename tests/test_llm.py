@@ -736,3 +736,49 @@ class TestChunkMediaSegments:
         df = spark.createDataFrame([(1, 10)], "media_id long, dur long")
         with pytest.raises(ValueError):
             chunk_media_segments(df, "dur", chunk_ms=100, overlap_ms=100)
+
+
+# ---------------------------------------------------------------------------
+# random_projection (Johnson-Lindenstrauss)
+# ---------------------------------------------------------------------------
+
+def test_random_projection_matches_numpy_and_preserves_distance(spark):
+    import numpy as np
+
+    from nhs_data_pipeline_spark.llm.similarity import (
+        _hyperplanes,
+        random_projection,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 16)).astype(float)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = random_projection(df, d_out=6, dim=16, seed=11)
+    got = {r.vec_id: np.array(r.proj) for r in out.collect()}
+    R = np.array(_hyperplanes(16, 6, 11))  # (d_out, dim)
+    for i in range(40):
+        assert np.allclose(got[i], R @ vecs[i], atol=1e-9)
+    # JL concentration: mean pairwise ratio d2_proj/(d2_orig*d_out) ~ 1
+    ratios = []
+    for i in range(10):
+        for j in range(10, 40):
+            d2o = float(((vecs[i] - vecs[j]) ** 2).sum())
+            d2p = float(((got[i] - got[j]) ** 2).sum())
+            ratios.append(d2p / (d2o * 6))
+    m = sum(ratios) / len(ratios)
+    assert 0.6 < m < 1.4, m
+
+
+def test_random_projection_is_deterministic_across_calls(spark):
+    from nhs_data_pipeline_spark.llm.similarity import random_projection
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 5) for d in range(8)]) for i in range(20)],
+        "vec_id bigint, embedding array<double>",
+    )
+    a = sorted(map(tuple, random_projection(df, 4, 8, seed=5).select("proj").collect()))
+    b = sorted(map(tuple, random_projection(df.repartition(7), 4, 8, seed=5).select("proj").collect()))
+    assert a == b

@@ -375,6 +375,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # pair table for the lift division (ops/analytics.
         # cooccurrence_pairs) — the scalar-broadcast shape
         "basket_pair_lift",
+        # audited: the 10-query x 50-corpus JL distance audit is an
+        # explicit gate-sized cross of two broadcast-filtered slices
+        # (same shape as embed_topk_bruteforce's query-side cross)
+        "embed_random_projection",
     }
     explain_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
     violations = []
