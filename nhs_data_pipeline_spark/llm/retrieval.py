@@ -108,6 +108,7 @@ def bm25_topk(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Okapi BM25 top-``k`` documents per query.
 
@@ -126,7 +127,11 @@ def bm25_topk(
     # Duplicate (query_id, term) rows would double-count that term's
     # contribution in the fold — dedupe defensively (the table is tiny).
     queries = queries.select("query_id", "term").distinct()
-    tf = term_doc_counts(df, text_col, id_col)
+    # callers running SEVERAL rankers over one corpus pass a persisted
+    # (term, doc, tf) aggregate via ``tf`` so the tokenizer pass runs
+    # once (rrf fusion); by default it derives fresh from ``df``
+    if tf is None:
+        tf = term_doc_counts(df, text_col, id_col)
 
     # Everything below derives from the (term, doc, tf) aggregate —
     # document length is sum(tf) per doc (same value as a fresh token
@@ -229,4 +234,92 @@ def derived_term_queries(
             ((F.col("__rk") - F.lit(skip_top + 1)) / F.lit(terms_per_query)).cast("int"),
         )
         .select("query_id", "term")
+    )
+
+
+def tf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tf: DataFrame | None = None,
+) -> DataFrame:
+    """Raw term-frequency top-``k`` per query — the zero-IDF baseline
+    ranker (and RRF fusion partner for :func:`bm25_topk`): documents
+    ranked by the summed count of query-term occurrences. All-integer
+    scoring, so no float discipline anywhere; ties break on doc id.
+    ``tf`` injects a shared (term, doc, tf) aggregate as in
+    :func:`bm25_topk`."""
+    queries = queries.select("query_id", "term").distinct()
+    if tf is None:
+        tf = term_doc_counts(df, text_col, id_col)
+    hits = tf.join(F.broadcast(queries), "term")
+    agg = hits.groupBy("query_id", id_col).agg(
+        F.sum("tf").cast("bigint").alias("tf_sum")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("tf_sum"), F.asc(id_col))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "tf_sum", "rank")
+    )
+
+
+def rrf_fuse(
+    runs: list[DataFrame],
+    k0: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.) of retrieval runs:
+    ``score(d) = sum over runs of 1 / (k0 + rank_run(d))``, a document
+    absent from a run contributing nothing. Input runs are
+    ``(query_id, id_col, rank)`` tables; output is every fused
+    candidate with ``(query_id, id_col, rrf_score, rrf_rank)``.
+
+    The per-run terms are single integer-fed double divisions added in
+    FIXED run order (a deterministic two-op sequence per run — no
+    fold, no rounding needed), so fused scores are bit-identical in
+    any engine. Runs full-outer-join on the (query, doc) key — top-k
+    run tables are (queries x k)-sized, so the joins are model-sized
+    at any corpus scale; rank ties break on the doc id."""
+    if len(runs) < 2:
+        raise ValueError("rrf_fuse needs at least two runs")
+    fused = None
+    for i, run in enumerate(runs):
+        r = run.select(
+            F.col("query_id").alias(f"__q{i}"),
+            F.col(id_col).alias(f"__d{i}"),
+            F.col("rank").alias(f"__r{i}"),
+        )
+        if fused is None:
+            fused = r.withColumnRenamed("__q0", "__q").withColumnRenamed(
+                "__d0", "__d"
+            )
+            continue
+        fused = fused.join(
+            r,
+            (F.col("__q") == F.col(f"__q{i}")) & (F.col("__d") == F.col(f"__d{i}")),
+            "full_outer",
+        ).select(
+            F.coalesce(F.col("__q"), F.col(f"__q{i}")).alias("__q"),
+            F.coalesce(F.col("__d"), F.col(f"__d{i}")).alias("__d"),
+            *[F.col(f"__r{j}") for j in range(i + 1)],
+        )
+    score = None
+    for i in range(len(runs)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(k0)) + F.col(f"__r{i}")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    w = Window.partitionBy("__q").orderBy(F.desc("__s"), F.asc("__d"))
+    return (
+        fused.withColumn("__s", score)
+        .withColumn("rrf_rank", F.row_number().over(w))
+        .select(
+            F.col("__q").alias("query_id"),
+            F.col("__d").alias(id_col),
+            F.col("__s").alias("rrf_score"),
+            "rrf_rank",
+        )
     )

@@ -6439,6 +6439,110 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RRF_ORACLE_SQL = f"""
+    WITH toked AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents
+    ),
+    tok AS MATERIALIZED (SELECT doc_id, term FROM toked WHERE term <> ''),
+    tfq AS MATERIALIZED (
+      SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY term, doc_id
+    ),
+    ranked AS (
+      SELECT term, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rk
+      FROM (SELECT term, COUNT(*) AS n FROM tok GROUP BY term
+            ORDER BY n DESC, term LIMIT 11)
+    ),
+    queries AS MATERIALIZED (
+      SELECT CAST((rk - 6) // 2 AS INTEGER) AS query_id, term
+      FROM ranked WHERE rk > 5
+    ),
+    dl AS MATERIALIZED (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    scal AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
+    dfq AS (
+      SELECT t.term, COUNT(*) AS df
+      FROM tfq t JOIN (SELECT DISTINCT term FROM queries) q USING (term)
+      GROUP BY t.term
+    ),
+    contrib AS (
+      SELECT q.query_id, t.doc_id, t.term,
+             ROUND(
+               ROUND(ln(1.0 + (sc.n - d.df + 0.5) / (d.df + 0.5)), 6)
+               * t.tf * (1.2 + 1.0)
+               / (t.tf + 1.2 * ((1.0 - 0.75)
+                                + (0.75 * dl.dl)
+                                  / (CAST(sc.sumdl AS DOUBLE) / sc.n))), 6) AS c
+      FROM tfq t JOIN queries q USING (term)
+                 JOIN dfq d ON t.term = d.term
+                 JOIN dl ON t.doc_id = dl.doc_id, scal sc
+    ),
+    agg AS (
+      SELECT query_id, doc_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY term)),
+                         (__a, __b) -> __a + __b) AS score
+      FROM contrib GROUP BY query_id, doc_id
+    ),
+    bm AS MATERIALIZED (
+      SELECT query_id, doc_id, rank
+      FROM (SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rank
+            FROM agg)
+      WHERE rank <= 5
+    ),
+    tfagg AS (
+      SELECT q.query_id, t.doc_id, CAST(SUM(t.tf) AS BIGINT) AS tf_sum
+      FROM tfq t JOIN queries q USING (term) GROUP BY 1, 2
+    ),
+    tfrun AS MATERIALIZED (
+      SELECT query_id, doc_id, rank
+      FROM (SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY tf_sum DESC, doc_id) AS rank
+            FROM tfagg)
+      WHERE rank <= 5
+    ),
+    fused AS (
+      SELECT COALESCE(b.query_id, t.query_id) AS query_id,
+             COALESCE(b.doc_id, t.doc_id) AS doc_id,
+             COALESCE(1.0 / (CAST(60.0 AS DOUBLE) + b.rank), 0.0)
+             + COALESCE(1.0 / (CAST(60.0 AS DOUBLE) + t.rank), 0.0) AS rrf_score
+      FROM bm b FULL JOIN tfrun t
+        ON b.query_id = t.query_id AND b.doc_id = t.doc_id
+    )
+    SELECT query_id, doc_id, rrf_score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, doc_id) AS INTEGER)
+             AS rrf_rank
+    FROM fused
+    """
+
+
+@query("text_rrf_fusion", _RRF_ORACLE_SQL)
+def text_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval runs over the same
+    data-derived query set: Okapi BM25 top-5 fused with the raw
+    term-frequency top-5 (llm/retrieval.rrf_fuse — the standard
+    lexical+baseline hybrid shape; swap either run for an ANN run to
+    get dense+sparse hybrid search). Each run's RRF term is one
+    integer-fed double division added in fixed run order — no fold,
+    no rounding, bit-identical. The fused tables are (queries x k)-
+    sized, so the full-outer join is model-sized at ANY corpus scale;
+    the expensive part (the runs) shares one persisted query table."""
+    docs = _t(spark, sf_dir, "documents")
+    qs = rtv.derived_term_queries(docs, n_queries=3, terms_per_query=2, skip_top=5)
+    qs = qs.persist()
+    qs.count()
+    # the two runs deliberately RECOMPUTE the token stream rather than
+    # persist the corpus-sized (term, doc, tf) aggregate — measured
+    # 25.7 s lazy vs 42.2 s persisted+injected at sf0.01 (the
+    # build-notes rule: persist model-sized tables only; tf is not
+    # one). The ``tf=`` injection hook stays for callers that already
+    # hold a materialised posting table.
+    bm = rtv.bm25_topk(docs, qs, k=5).select("query_id", "doc_id", "rank")
+    tfr = rtv.tf_topk(docs, qs, k=5).select("query_id", "doc_id", "rank")
+    return rtv.rrf_fuse([bm, tfr], k0=60)
+
+
 def _random_projection_oracle_sql(d_out: int = 8, dim: int = 64, seed: int = 11) -> str:
     """DuckDB replica of the JL distance-preservation audit: the SAME
     seeded projection literals (llm/similarity._hyperplanes), squared

@@ -1157,3 +1157,67 @@ def test_sssp_partitioning_invariance(spark):
     one = {r.node: r.dist for r in shortest_paths(e.coalesce(1), s, 5).collect()}
     many = {r.node: r.dist for r in shortest_paths(e.repartition(13), s, 5).collect()}
     assert one == many
+
+
+# ---------------------------------------------------------------------------
+# tf_topk + rrf_fuse
+# ---------------------------------------------------------------------------
+
+def _docs_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana banana banana cherry"),
+            (3, "apple cherry"),
+            (4, "durian"),
+        ],
+        "doc_id bigint, text string",
+    )
+
+
+def _qs_df(spark):
+    return spark.createDataFrame(
+        [(0, "apple"), (0, "banana")], "query_id int, term string"
+    )
+
+
+def test_tf_topk_ranks_by_summed_tf(spark):
+    from nhs_data_pipeline_spark.llm.retrieval import tf_topk
+
+    got = {r.doc_id: (r.tf_sum, r.rank)
+           for r in tf_topk(_docs_df(spark), _qs_df(spark), k=3).collect()}
+    # doc2: 3 bananas; doc1: 2 apples + 1 banana = 3 (tie -> doc1 first); doc3: 1
+    assert got[1] == (3, 1) and got[2] == (3, 2) and got[3] == (1, 3)
+    assert 4 not in got
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from nhs_data_pipeline_spark.llm.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 20, 2)], "query_id int, doc_id bigint, rank int"
+    )
+    b = spark.createDataFrame(
+        [(0, 20, 1), (0, 30, 2)], "query_id int, doc_id bigint, rank int"
+    )
+    got = {r.doc_id: (r.rrf_score, r.rrf_rank)
+           for r in rrf_fuse([a, b], k0=60).collect()}
+    # doc20 in both runs: 1/62 + 1/61; doc10 only in a: 1/61; doc30: 1/62
+    assert got[20] == (1 / 62 + 1 / 61, 1)
+    assert got[10] == (1 / 61, 2)
+    assert got[30] == (1 / 62, 3)
+
+
+def test_rrf_fuse_three_runs_and_rejects_one(spark):
+    import pytest as _pytest
+
+    from nhs_data_pipeline_spark.llm.retrieval import rrf_fuse
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "query_id int, doc_id bigint, rank int"
+    )
+    a, b, c = mk([(0, 1, 1)]), mk([(0, 1, 2)]), mk([(0, 2, 1)])
+    got = {r.doc_id: r.rrf_score for r in rrf_fuse([a, b, c]).collect()}
+    assert got[1] == 1 / 61 + 1 / 62 and got[2] == 1 / 61
+    with _pytest.raises(ValueError):
+        rrf_fuse([a])
