@@ -332,6 +332,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # table (llm/classify.logreg_fit) — both sides corpus-scaled at
         # 100 TB, shuffle joins correct; AQE broadcasts at gate scale
         "classifier_logreg_fit",
+        # audited: rrf_fuse full-outer-joins its run tables — full
+        # outer cannot broadcast, and the runs are (queries x k)-sized
+        # at any corpus scale (llm/retrieval.rrf_fuse)
+        "text_rrf_fusion",
     }
     # audited: broadcast one-row scalar aggregates (cross joins) and
     # the broadcast-query-side != join of exact top-k
@@ -351,8 +355,9 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "curate_audit_panel",
         # audited: one-row (N, sum dl) corpus-scalar aggregate crossed
         # into the query-term hit stream (llm/retrieval.bm25_topk) —
-        # the standard scalar-broadcast shape
-        "text_bm25_topk",
+        # the standard scalar-broadcast shape (rrf fusion embeds the
+        # same BM25 subplan)
+        "text_bm25_topk", "text_rrf_fusion",
         # audited: the Lloyd assign step crosses every vector with the
         # broadcast k-row centroid table (llm/cluster._assign) — a
         # keyless broadcast fan-out is the correct assign plan
