@@ -85,3 +85,71 @@ def pct_within_threshold(
             F.sum(count),
         ).alias("pct_within")
     )
+
+
+def winsorize_stats(
+    df: DataFrame,
+    value_int_col: str,
+    group_cols: list[str],
+    lower_q: float = 0.01,
+    upper_q: float = 0.99,
+) -> DataFrame:
+    """Per-group winsorization audit on an INTEGER-unit value column:
+    clip values to the exact [lower_q, upper_q] order statistics and
+    report ``(*group_cols, n, lo, hi, n_clipped_low, n_clipped_high,
+    mean_after)`` — the standard heavy-tail taming step before
+    quality-score thresholds or feature scaling.
+
+    The bound at quantile q is the ceil(q*n)-th smallest value
+    (clamped >= 1) with the ceiling computed in EXACT integer
+    arithmetic via ``Fraction`` — the build-notes float-ceil trap —
+    so bounds are engine-exact order statistics, not interpolations.
+    Clipping and counting stay all-integer; ``mean_after`` is the one
+    double (single division of two exact integers). Shape: one sort
+    shuffle for the per-group ranks (the exact-percentile cost), one
+    map-side-combinable aggregate; bound rows are group-sized and
+    broadcast back."""
+    from fractions import Fraction
+
+    fr_lo, fr_hi = Fraction(str(lower_q)), Fraction(str(upper_q))
+    w = Window.partitionBy(*group_cols).orderBy(value_int_col)
+    ranked = df.select(*group_cols, value_int_col).withColumn(
+        "__rk", F.row_number().over(w)
+    )
+    ns = ranked.groupBy(*group_cols).agg(F.count("*").alias("__n"))
+
+    def _rank(fr: Fraction):
+        return F.greatest(
+            F.lit(1).cast("bigint"),
+            F.expr(f"({fr.numerator} * __n + {fr.denominator} - 1) div {fr.denominator}"),
+        )
+
+    bounds_rk = ns.select(
+        *group_cols, _rank(fr_lo).alias("__rlo"), _rank(fr_hi).alias("__rhi")
+    )
+    # NULL-safe group joins (a NULL group key must winsorize like any
+    # other group, not silently vanish — the build-notes NULL-key trap)
+    from nhs_data_pipeline_spark.ops.sketch import _ns_join
+
+    ranked2 = _ns_join(ranked, bounds_rk, group_cols, broadcast_right=True)
+    bounds = ranked2.groupBy(*group_cols).agg(
+        F.max(F.when(F.col("__rk") == F.col("__rlo"), F.col(value_int_col))).alias("lo"),
+        F.max(F.when(F.col("__rk") == F.col("__rhi"), F.col(value_int_col))).alias("hi"),
+    )
+    clipped = _ns_join(
+        df.select(*group_cols, value_int_col), bounds, group_cols,
+        broadcast_right=True,
+    )
+    v = F.col(value_int_col)
+    cv = F.least(F.greatest(v, F.col("lo")), F.col("hi"))
+    return clipped.groupBy(*group_cols).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("lo").alias("lo"),
+        F.min("hi").alias("hi"),
+        F.sum(F.when(v < F.col("lo"), 1).otherwise(0)).cast("bigint").alias("n_clipped_low"),
+        F.sum(F.when(v > F.col("hi"), 1).otherwise(0)).cast("bigint").alias("n_clipped_high"),
+        (
+            F.sum(cv.cast("decimal(38,0)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("mean_after"),
+    )

@@ -6439,6 +6439,65 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINSOR_ORACLE_SQL = """
+    WITH v AS MATERIALIZED (
+      SELECT l_returnflag, l_linestatus,
+             CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS c
+      FROM lineitem
+    ),
+    rk AS MATERIALIZED (
+      SELECT l_returnflag, l_linestatus, c,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+                                ORDER BY c) AS rk
+      FROM v
+    ),
+    ns AS (
+      SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n
+      FROM v GROUP BY 1, 2
+    ),
+    bounds AS MATERIALIZED (
+      SELECT r.l_returnflag, r.l_linestatus,
+             MAX(CASE WHEN r.rk = GREATEST(1, (1 * n.n + 99) // 100)
+                      THEN r.c END) AS lo,
+             MAX(CASE WHEN r.rk = GREATEST(1, (99 * n.n + 99) // 100)
+                      THEN r.c END) AS hi
+      FROM rk r JOIN ns n USING (l_returnflag, l_linestatus)
+      GROUP BY 1, 2
+    )
+    SELECT v.l_returnflag, v.l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(b.lo) AS lo, MIN(b.hi) AS hi,
+           CAST(SUM(CASE WHEN v.c < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(SUM(CASE WHEN v.c > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high,
+           CAST(SUM(LEAST(GREATEST(v.c, b.lo), b.hi)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mean_after
+    FROM v JOIN bounds b USING (l_returnflag, l_linestatus)
+    GROUP BY 1, 2
+    """
+
+
+@query("stats_winsorize_prices", _WINSOR_ORACLE_SQL)
+def stats_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(returnflag, linestatus) winsorization audit of extended
+    price in exact integer cents (ops/binned.winsorize_stats): clip
+    bounds are the exact [1%, 99%] ORDER STATISTICS — ceil ranks in
+    exact integer arithmetic (the float-ceil trap), values selected by
+    rank, no interpolation — so bounds, clip counts and the post-clip
+    mean (one division of two exact integers; reported in cents) all
+    hash-match cross-engine. The one sort shuffle is the inherent
+    exact-percentile cost; everything after is map-side combinable."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("l_extendedprice") * F.lit(100.0)).cast("bigint").alias("c"),
+    )
+    return ob.winsorize_stats(
+        li, "c", ["l_returnflag", "l_linestatus"], lower_q=0.01, upper_q=0.99
+    )
+
+
 _RRF_ORACLE_SQL = f"""
     WITH toked AS MATERIALIZED (
       SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents

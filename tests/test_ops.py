@@ -394,3 +394,50 @@ class TestContentFingerprint:
         assert fp([(None, "c")]) != fp([("\\N", "c")])
         assert fp([("ab", "")]) != fp([("a", "b")])
         assert fp([("1:a", "c")]) != fp([("1", ":ac")])
+
+
+# ---------------------------------------------------------------------------
+# winsorize_stats
+# ---------------------------------------------------------------------------
+
+def test_winsorize_hand_computed(spark):
+    from nhs_data_pipeline_spark.ops.binned import winsorize_stats
+
+    # group a: values 1..10; at [0.2, 0.8]: lo = 2nd smallest = 2,
+    # hi = 8th smallest = 8; clipped: {1} below, {9, 10} above;
+    # clipped sum = 2+2+3+4+5+6+7+8+8+8 = 53
+    rows = [("a", v) for v in range(1, 11)]
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    r = winsorize_stats(df, "v", ["g"], 0.2, 0.8).collect()[0]
+    assert (r.n, r.lo, r.hi) == (10, 2, 8)
+    assert (r.n_clipped_low, r.n_clipped_high) == (1, 2)
+    assert r.mean_after == 53 / 10
+
+
+def test_winsorize_extremes_noop_and_null_group(spark):
+    from nhs_data_pipeline_spark.ops.binned import winsorize_stats
+
+    rows = [("a", 5), ("a", 7), (None, 1), (None, 100)]
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    got = {r.g: r for r in winsorize_stats(df, "v", ["g"], 0.01, 0.99).collect()}
+    # tiny groups: rank 1 and rank n -> bounds are min/max, nothing clips
+    assert got["a"].n_clipped_low == 0 and got["a"].n_clipped_high == 0
+    # a NULL group key winsorizes like any other group (NULL-key rule)
+    assert None in got and got[None].n == 2 and got[None].lo == 1
+
+
+def test_winsorize_matches_numpy_order_stats(spark):
+    import numpy as np
+    from fractions import Fraction
+
+    from nhs_data_pipeline_spark.ops.binned import winsorize_stats
+
+    vals = [int(x) for x in np.random.default_rng(5).integers(0, 10_000, 500)]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v bigint")
+    r = winsorize_stats(df, "v", ["g"], 0.05, 0.95).collect()[0]
+    s = sorted(vals)
+    rlo = max(1, -(-Fraction("0.05").numerator * 500 // Fraction("0.05").denominator))
+    # ceil(q*n) with q=1/20, n=500 -> 25; q=19/20 -> 475
+    assert r.lo == s[25 - 1] and r.hi == s[475 - 1]
+    clipped = [min(max(v, r.lo), r.hi) for v in vals]
+    assert r.mean_after == sum(clipped) / 500
