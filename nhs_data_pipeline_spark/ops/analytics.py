@@ -423,3 +423,40 @@ def transition_matrix(
         "n_from",
         (F.col("n_trans").cast("double") / F.col("n_from").cast("double")).alias("prob"),
     )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_int_col: str,
+) -> DataFrame:
+    """Leave-one-out target encoding: append ``loo`` — the mean of
+    ``target_int_col`` over all OTHER rows sharing this row's
+    ``cat_col`` value (``(sum - y) / (n - 1)``; NULL for singleton
+    categories). The standard leakage-free way to turn a
+    high-cardinality categorical into a numeric feature for the
+    quality-classifier pipeline: a row never sees its own target.
+
+    Exactness: the target must be integral (caller fixes the point),
+    so category sums are exact DECIMAL(38,0) integers and each row's
+    encoding is ONE double division of two exact integers —
+    bit-identical cross-engine, no rounding. Shape: one
+    map-side-combinable aggregate (two numbers per category), then a
+    broadcast-or-shuffle join back keyed on the category; NULL
+    categories encode like any other (eqNullSafe — the NULL-key
+    trap). Smoothed variants ((sum + m*prior)/(n + m)) drop out of
+    the same two aggregates if needed."""
+    y = F.col(target_int_col)
+    stats = df.groupBy(F.col(cat_col).alias("__cat")).agg(
+        F.sum(y.cast("decimal(38,0)")).alias("__sy"),
+        F.count("*").cast("bigint").alias("__n"),
+    )
+    joined = df.join(
+        F.broadcast(stats), F.col(cat_col).eqNullSafe(F.col("__cat"))
+    )
+    loo = F.when(
+        F.col("__n") > 1,
+        (F.col("__sy").cast("double") - y.cast("double"))
+        / (F.col("__n") - 1).cast("double"),
+    )
+    return joined.withColumn("loo", loo).drop("__cat", "__sy", "__n")

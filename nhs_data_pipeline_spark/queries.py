@@ -6439,6 +6439,48 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TARGET_ENCODE_ORACLE_SQL = """
+    WITH t AS MATERIALIZED (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS y
+      FROM orders
+    ),
+    s AS MATERIALIZED (
+      SELECT o_orderpriority, CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM t GROUP BY 1
+    )
+    SELECT t.o_orderkey, t.o_orderpriority,
+           CASE WHEN s.n > 1 THEN
+             (CAST(s.sy AS DOUBLE) - CAST(t.y AS DOUBLE))
+             / CAST(s.n - 1 AS DOUBLE)
+           END AS loo
+    FROM t JOIN s ON t.o_orderpriority IS NOT DISTINCT FROM s.o_orderpriority
+    WHERE t.o_orderkey < 500
+    """
+
+
+@query("feature_target_encode", _TARGET_ENCODE_ORACLE_SQL)
+def feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority against order
+    value in exact integer cents (ops/analytics.target_encode_loo) —
+    the leakage-free categorical feature for the quality-classifier
+    pipeline: each row's encoding is the category mean over every
+    OTHER row, one double division of two exact integers (category
+    sums in DECIMAL(38,0)), bit-identical with no rounding. Encodings
+    compute over the FULL table; the emitted slice is key-bounded for
+    the gate."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * F.lit(100.0)).cast("bigint").alias("y"),
+    )
+    enc = oan.target_encode_loo(o, "o_orderpriority", "y")
+    return enc.filter(F.col("o_orderkey") < 500).select(
+        "o_orderkey", "o_orderpriority", "loo"
+    )
+
+
 _WINSOR_ORACLE_SQL = """
     WITH v AS MATERIALIZED (
       SELECT l_returnflag, l_linestatus,

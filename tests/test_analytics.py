@@ -503,3 +503,47 @@ def test_transitions_probs_sum_to_one_per_row_state(spark):
         by_prev[p] += r.prob
     for p, s in by_prev.items():
         assert abs(s - 1.0) < 1e-9, (p, s)
+
+
+# ---------------------------------------------------------------------------
+# target_encode_loo
+# ---------------------------------------------------------------------------
+
+def test_target_encode_loo_hand_computed(spark):
+    from nhs_data_pipeline_spark.ops.analytics import target_encode_loo
+
+    rows = [(1, "a", 10), (2, "a", 20), (3, "a", 30), (4, "b", 7)]
+    df = spark.createDataFrame(rows, "id bigint, cat string, y bigint")
+    got = {r.id: r.loo for r in target_encode_loo(df, "cat", "y").collect()}
+    assert got[1] == (20 + 30) / 2 and got[2] == (10 + 30) / 2
+    assert got[3] == (10 + 20) / 2
+    assert got[4] is None  # singleton category: no leakage-free mean
+
+
+def test_target_encode_loo_null_category_encodes(spark):
+    from nhs_data_pipeline_spark.ops.analytics import target_encode_loo
+
+    rows = [(1, None, 4), (2, None, 8), (3, "a", 5), (4, "a", 9)]
+    df = spark.createDataFrame(rows, "id bigint, cat string, y bigint")
+    got = {r.id: r.loo for r in target_encode_loo(df, "cat", "y").collect()}
+    # NULL category is a real category (eqNullSafe join)
+    assert got[1] == 8.0 and got[2] == 4.0
+    assert got[3] == 9.0 and got[4] == 5.0
+
+
+def test_target_encode_loo_mean_identity(spark):
+    from nhs_data_pipeline_spark.ops.analytics import target_encode_loo
+
+    rows = [(i, "c%d" % (i % 3), (i * 13) % 101) for i in range(120)]
+    df = spark.createDataFrame(rows, "id bigint, cat string, y bigint")
+    out = target_encode_loo(df, "cat", "y").collect()
+    # identity: n*mean(cat) == y_i + (n-1)*loo_i for every row
+    from collections import defaultdict
+
+    sums, ns = defaultdict(int), defaultdict(int)
+    for i, c, y in rows:
+        sums[c] += y
+        ns[c] += 1
+    for r in out:
+        c = r.cat
+        assert abs(r.y + (ns[c] - 1) * r.loo - sums[c]) < 1e-9
