@@ -6439,6 +6439,156 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_algebra_oracle_sql() -> str:
+    """DuckDB replica of the HLL set-algebra query: the per-type and
+    pairwise-union registers replay the portable md5 pipeline exactly
+    (the sketch_hll_portable oracle), and every estimate runs the
+    identical literal-cast IEEE sequence, so union/intersection/
+    Jaccard ESTIMATES hash-match including their approximation
+    error."""
+    est_expr = (
+        "CASE WHEN v > 0 AND (CAST(0.7213 AS DOUBLE)"
+        " / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(1024.0 AS DOUBLE))"
+        " * CAST(1024.0 AS DOUBLE) * CAST(1024.0 AS DOUBLE) / s) <= 2560.0"
+        " THEN ROUND(1024.0 * ln(1024.0 / v), 4)"
+        " ELSE ROUND(CAST(0.7213 AS DOUBLE)"
+        " / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(1024.0 AS DOUBLE))"
+        " * CAST(1024.0 AS DOUBLE) * CAST(1024.0 AS DOUBLE) / s, 4) END"
+    )
+
+    def est_chain(pfx: str, grp: str, reg: str) -> str:
+        gsel = ", ".join(g.strip() for g in grp.split(","))
+        return f"""
+    {pfx}_spine AS MATERIALIZED (
+      SELECT {gsel}, unnest(generate_series(0, 1023)) AS bucket
+      FROM (SELECT DISTINCT {gsel} FROM {reg})
+    ),
+    {pfx}_full AS MATERIALIZED (
+      SELECT s.*, COALESCE(m.rho, 0) AS M
+      FROM {pfx}_spine s LEFT JOIN {reg} m
+        USING ({gsel}, bucket)
+    ),
+    {pfx}_agg AS MATERIALIZED (
+      SELECT {gsel},
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list(1.0 / (CAST(1 AS BIGINT) << M)
+                                           ORDER BY bucket)),
+                         (__a, __b) -> __a + __b) AS s,
+             CAST(SUM(CASE WHEN M = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+      FROM {pfx}_full GROUP BY {gsel}
+    ),
+    {pfx}_est AS MATERIALIZED (
+      SELECT {gsel}, {est_expr} AS est FROM {pfx}_agg
+    )"""
+
+    return f"""
+    WITH h AS MATERIALIZED (
+      SELECT event_type,
+             {_hex60_sql("coalesce(CAST(user_id AS VARCHAR), chr(0))")} AS hh
+      FROM events
+    ),
+    reg0 AS (
+      SELECT event_type, hh % 1024 AS bucket,
+             CASE WHEN hh // 1024 = 0 THEN 51
+                  ELSE 50 - length(bin(hh // 1024)) + 1 END AS rho
+      FROM h
+    ),
+    merged AS MATERIALIZED (
+      SELECT event_type, bucket, MAX(rho) AS rho FROM reg0 GROUP BY 1, 2
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM (SELECT DISTINCT event_type FROM merged) a,
+           (SELECT DISTINCT event_type FROM merged) b
+      WHERE a.event_type < b.event_type
+    ),
+    pregs AS MATERIALIZED (
+      SELECT p.type_a, p.type_b, r.bucket, MAX(r.rho) AS rho
+      FROM pairs p JOIN merged r
+        ON r.event_type = p.type_a OR r.event_type = p.type_b
+      GROUP BY 1, 2, 3
+    ),
+    {est_chain("s1", "event_type", "merged")},
+    {est_chain("s2", "type_a, type_b", "pregs")}
+    SELECT p.type_a, p.type_b,
+           ea.est AS est_a, eb.est AS est_b, u.est AS est_union,
+           GREATEST(CAST(0.0 AS DOUBLE), ea.est + eb.est - u.est)
+             AS est_intersection,
+           CASE WHEN u.est > 0 THEN
+             GREATEST(CAST(0.0 AS DOUBLE), ea.est + eb.est - u.est) / u.est
+           END AS jaccard
+    FROM pairs p
+    JOIN s1_est ea ON ea.event_type = p.type_a
+    JOIN s1_est eb ON eb.event_type = p.type_b
+    JOIN s2_est u ON u.type_a = p.type_a AND u.type_b = p.type_b
+    """
+
+
+@query("sketch_hll_set_algebra", _hll_algebra_oracle_sql())
+def sketch_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra over the portable registers: for every pair of
+    event types, estimated distinct users of each, of their UNION
+    (register max-merge — the mergeability property), and of their
+    INTERSECTION by inclusion-exclusion (clamped at 0), plus the
+    resulting Jaccard overlap — the sketch-only way to answer "how
+    much do these audiences overlap" without ever re-scanning raw
+    events. One register table feeds everything (persisted —
+    model-sized: types x 1024 rows); every estimate replays the same
+    literal-cast IEEE sequence as sketch_hll_portable, so even the
+    approximation errors hash-match."""
+    ev = _events(spark, sf_dir).select("event_type", "user_id")
+    regs = osk.hll_register_table(
+        ev, "user_id", p=10, shard_cols=["event_type"]
+    ).persist()
+    regs.count()
+    per = osk.hll_estimate(regs, p=10, group_cols=["event_type"])
+    types = regs.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .crossJoin(F.broadcast(types.select(F.col("event_type").alias("type_b"))))
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    ra = pairs.join(
+        regs.select(F.col("event_type").alias("type_a"), "bucket", "rho"),
+        "type_a",
+    )
+    rb = pairs.join(
+        regs.select(F.col("event_type").alias("type_b"), "bucket", "rho"),
+        "type_b",
+    )
+    punion = osk.hll_merge(
+        ra.select("type_a", "type_b", "bucket", "rho").unionByName(
+            rb.select("type_a", "type_b", "bucket", "rho")
+        ),
+        group_cols=["type_a", "type_b"],
+    )
+    uest = osk.hll_estimate(punion, p=10, group_cols=["type_a", "type_b"])
+    ea = per.select(
+        F.col("event_type").alias("type_a"), F.col("hll_estimate").alias("est_a")
+    )
+    eb = per.select(
+        F.col("event_type").alias("type_b"), F.col("hll_estimate").alias("est_b")
+    )
+    out = (
+        pairs.join(F.broadcast(ea), "type_a")
+        .join(F.broadcast(eb), "type_b")
+        .join(
+            F.broadcast(uest.withColumnRenamed("hll_estimate", "est_union")),
+            ["type_a", "type_b"],
+        )
+    )
+    inter = F.greatest(
+        F.lit(0.0), F.col("est_a") + F.col("est_b") - F.col("est_union")
+    )
+    result = out.select(
+        "type_a", "type_b", "est_a", "est_b", "est_union",
+        inter.alias("est_intersection"),
+        F.when(F.col("est_union") > 0, inter / F.col("est_union")).alias("jaccard"),
+    ).localCheckpoint(eager=True)
+    regs.unpersist()
+    return result
+
+
 _TARGET_ENCODE_ORACLE_SQL = """
     WITH t AS MATERIALIZED (
       SELECT o_orderkey, o_orderpriority,

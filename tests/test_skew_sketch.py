@@ -155,3 +155,50 @@ class TestBloomFilter:
 
         with pytest.raises(ValueError):
             bloom_build(spark.range(5), "id", k=9)
+
+
+class TestHllSetAlgebra:
+    """Inclusion-exclusion over portable HLL registers."""
+
+    def test_pairwise_overlap_estimates(self, spark):
+        from nhs_data_pipeline_spark.ops.sketch import (
+            hll_estimate,
+            hll_merge,
+            hll_register_table,
+        )
+
+        # A = 0..999, B = 500..1499 -> |A|=|B|=1000, union 1500, inter 500
+        rows = [("A", i) for i in range(1000)] + [("B", i) for i in range(500, 1500)]
+        df = spark.createDataFrame(rows, "s string, k bigint")
+        regs = hll_register_table(df, "k", p=10, shard_cols=["s"])
+        per = {
+            r.s: r.hll_estimate
+            for r in hll_estimate(regs, p=10, group_cols=["s"]).collect()
+        }
+        u = hll_estimate(
+            hll_merge(regs.drop("s")), p=10
+        ).collect()[0].hll_estimate
+        inter = per["A"] + per["B"] - u
+        assert abs(per["A"] - 1000) / 1000 < 0.10
+        assert abs(u - 1500) / 1500 < 0.10
+        assert abs(inter - 500) / 500 < 0.25  # I-E compounds both errors
+        jacc = inter / u
+        assert abs(jacc - 1 / 3) < 0.12
+
+    def test_disjoint_sets_estimate_near_zero_overlap(self, spark):
+        from nhs_data_pipeline_spark.ops.sketch import (
+            hll_estimate,
+            hll_merge,
+            hll_register_table,
+        )
+
+        rows = [("A", i) for i in range(800)] + [("B", i + 100000) for i in range(800)]
+        df = spark.createDataFrame(rows, "s string, k bigint")
+        regs = hll_register_table(df, "k", p=10, shard_cols=["s"])
+        per = {
+            r.s: r.hll_estimate
+            for r in hll_estimate(regs, p=10, group_cols=["s"]).collect()
+        }
+        u = hll_estimate(hll_merge(regs.drop("s")), p=10).collect()[0].hll_estimate
+        inter = max(0.0, per["A"] + per["B"] - u)
+        assert inter / u < 0.08  # near-zero overlap, clamped at 0
