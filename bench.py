@@ -84,6 +84,12 @@ BENCH_QUERIES = [
     "stats_ols_trend",
     "ts_ewma_daily",
     "events_markov_transitions",
+    "graph_shortest_paths",
+    "embed_random_projection",
+    "stats_winsorize_prices",
+    "feature_target_encode",
+    "sketch_hll_set_algebra",
+    "text_rrf_fusion",
 ]
 
 
