@@ -521,3 +521,97 @@ def bloom_prefilter(
         )
     drop = [c for i in range(k) for c in (f"__p{i}", f"__wi{i}", f"__w{i}")]
     return out.withColumn("bloom_pass", passed).drop(*drop)
+
+
+# ---------------------------------------------------------------------------
+# Exact bitmap distinct: mergeable EXACT distinct counting for bounded
+# non-negative integer key domains (the ClickHouse/Doris bitmap trick)
+# ---------------------------------------------------------------------------
+
+def bitmap_build(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Bitmap table ``(*group_cols, word_idx, word)`` over a
+    NON-NEGATIVE integer key column: bit ``key mod 32`` of word
+    ``key div 32``. Unlike HLL this is EXACT — and still mergeable
+    (word-wise OR, idempotent), so per-shard/day/source bitmaps
+    re-aggregate to exact distinct counts at any granularity without
+    ever re-scanning raw data, which count_distinct cannot do (its
+    partials are not mergeable across pre-aggregated shards).
+
+    Store size is keyspace/32 words per group — the honest trade:
+    right for dense bounded ID domains (user ids, doc ids), wrong for
+    sparse 64-bit hashes (use HLL there). NULL keys are excluded (a
+    distinct count of NULL is 0 in both engines' count_distinct).
+
+    Rows whose key is negative raise rather than silently aliasing a
+    positive key's bit (the guard lives INSIDE the word expression — a
+    standalone assert_true column would be pruned by the optimizer the
+    moment it is dropped)."""
+    groups = group_cols or []
+    word_idx = F.when(
+        F.col(key_col) >= 0, (F.col(key_col) / 32).cast("bigint")
+    ).otherwise(
+        F.raise_error(F.lit("bitmap_build: negative key")).cast("bigint")
+    )
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(
+            *groups,
+            word_idx.alias("word_idx"),
+            F.expr(
+                f"shiftleft(cast(1 as bigint), cast({key_col} % 32 as int))"
+            ).alias("__m"),
+        )
+        .groupBy(*groups, "word_idx")
+        .agg(F.bit_or("__m").alias("word"))
+    )
+
+
+def bitmap_merge(bitmap: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Merge bitmap shards by word-wise OR, keeping ``group_cols`` —
+    exact over bitmaps (OR is idempotent: replays/overlaps are free)."""
+    keys = (group_cols or []) + ["word_idx"]
+    return bitmap.groupBy(*keys).agg(F.bit_or("word").alias("word"))
+
+
+def bitmap_distinct(bitmap: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """EXACT distinct count per group from a (merged) bitmap:
+    ``sum(bit_count(word))`` — a map-side-combinable integer
+    aggregate over the model-sized word table."""
+    groups = group_cols or []
+    return bitmap.groupBy(*groups).agg(
+        F.sum(F.bit_count("word")).cast("bigint").alias("distinct_exact")
+    )
+
+
+def hll_rolling_estimate(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    window_days: int = 7,
+    p: int = 10,
+) -> DataFrame:
+    """Rolling ``window_days``-day distinct-count estimates from
+    day-sharded portable-HLL registers: ``(day, hll_estimate)`` for
+    every OBSERVED day, estimating distincts over [day-w+1, day].
+
+    The sketch-reuse pattern this module exists for: raw data is
+    scanned ONCE into per-day register tables; each day's registers
+    then fan out plan-side to the <= w window-ends they contribute to
+    (a register-table explode — model-sized x w, never raw-data x w),
+    and window merges are per-bucket MAX. An exact rolling
+    count_distinct would rescan every row w times (or self-join days);
+    this is the honest approximate trade at 100 TB."""
+    regs = hll_register_table(df, key_col, p=p, shard_cols=[day_col])
+    off = F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("__o")
+    fanned = regs.select(day_col, "bucket", "rho", off).select(
+        F.date_add(F.col(day_col), F.col("__o")).alias(day_col), "bucket", "rho"
+    )
+    observed = regs.select(day_col).distinct()
+    windows = hll_merge(fanned, group_cols=[day_col]).join(
+        F.broadcast(observed), day_col, "left_semi"
+    )
+    return hll_estimate(windows, p=p, group_cols=[day_col])

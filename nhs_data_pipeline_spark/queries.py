@@ -6439,6 +6439,123 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BITMAP_ORACLE_SQL = """
+    WITH b AS MATERIALIZED (
+      SELECT event_type, user_id // 32 AS word_idx,
+             bit_or(1::BIGINT << CAST(user_id % 32 AS INTEGER)) AS word
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT event_type, CAST(SUM(bit_count(word)) AS BIGINT) AS distinct_exact
+      FROM b GROUP BY 1
+    ),
+    x AS (
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_check
+      FROM events GROUP BY 1
+    )
+    SELECT d.event_type, d.distinct_exact, x.distinct_check
+    FROM d JOIN x ON d.event_type IS NOT DISTINCT FROM x.event_type
+    """
+
+
+@query("sketch_bitmap_distinct", _BITMAP_ORACLE_SQL)
+def sketch_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counting via integer bitmaps
+    (ops/sketch.bitmap_build — the ClickHouse/Doris bitmap trick):
+    per-event-type distinct users as sum(bit_count(word)) over a
+    word-OR bitmap table, emitted NEXT TO the plain count_distinct so
+    the equality is itself the oracle check. The point at 100 TB:
+    bitmap shards built per day/source OR-merge to exact counts at
+    any rollup granularity without rescanning raw data — mergeable
+    like HLL but exact, at keyspace/32 words of state (dense bounded
+    ID domains only; HLL covers sparse ones)."""
+    ev = _events(spark, sf_dir).select("event_type", "user_id")
+    bm = osk.bitmap_build(ev, "user_id", group_cols=["event_type"])
+    d = osk.bitmap_distinct(bm, group_cols=["event_type"])
+    x = ev.filter(F.col("user_id").isNotNull()).groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("distinct_check")
+    )
+    return osk._ns_join(d, x, ["event_type"]).select(
+        "event_type", "distinct_exact", "distinct_check"
+    )
+
+
+def _hll_rolling_oracle_sql(window_days: int = 7) -> str:
+    """DuckDB replica of the rolling-HLL windows: day registers fan
+    out to their window ends, per-bucket MAX merge, then the identical
+    literal-cast estimator (the sketch_hll_portable pipeline)."""
+    return f"""
+    WITH h AS MATERIALIZED (
+      SELECT CAST(ts AS DATE) AS day,
+             {_hex60_sql("coalesce(CAST(user_id AS VARCHAR), chr(0))")} AS hh
+      FROM events
+    ),
+    reg0 AS MATERIALIZED (
+      SELECT day, hh % 1024 AS bucket,
+             MAX(CASE WHEN hh // 1024 = 0 THEN 51
+                      ELSE 50 - length(bin(hh // 1024)) + 1 END) AS rho
+      FROM h GROUP BY 1, 2
+    ),
+    fanned AS (
+      SELECT day + CAST(o.off AS INTEGER) AS day, bucket, rho
+      FROM reg0, (SELECT unnest(generate_series(0, {window_days - 1})) AS off) o
+    ),
+    merged AS MATERIALIZED (
+      SELECT f.day, f.bucket, MAX(f.rho) AS rho
+      FROM fanned f
+      WHERE f.day IN (SELECT DISTINCT day FROM reg0)
+      GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT day, unnest(generate_series(0, 1023)) AS bucket
+      FROM (SELECT DISTINCT day FROM merged)
+    ),
+    fullreg AS MATERIALIZED (
+      SELECT s.day, s.bucket, COALESCE(m.rho, 0) AS M
+      FROM spine s LEFT JOIN merged m ON s.day = m.day AND s.bucket = m.bucket
+    ),
+    agg AS (
+      SELECT day,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list(1.0 / (CAST(1 AS BIGINT) << M)
+                                           ORDER BY bucket)),
+                         (__a, __b) -> __a + __b) AS s,
+             CAST(SUM(CASE WHEN M = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+      FROM fullreg GROUP BY day
+    )
+    SELECT day,
+           CASE WHEN v > 0
+                 AND (CAST(0.7213 AS DOUBLE)
+                      / (CAST(1.0 AS DOUBLE)
+                         + CAST(1.079 AS DOUBLE) / CAST(1024.0 AS DOUBLE))
+                      * CAST(1024.0 AS DOUBLE) * CAST(1024.0 AS DOUBLE) / s)
+                     <= 2560.0
+                THEN ROUND(1024.0 * ln(1024.0 / v), 4)
+                ELSE ROUND(CAST(0.7213 AS DOUBLE)
+                           / (CAST(1.0 AS DOUBLE)
+                              + CAST(1.079 AS DOUBLE) / CAST(1024.0 AS DOUBLE))
+                           * CAST(1024.0 AS DOUBLE) * CAST(1024.0 AS DOUBLE)
+                           / s, 4) END AS hll_estimate
+    FROM agg
+    """
+
+
+@query("sketch_hll_rolling_users", _hll_rolling_oracle_sql(7))
+def sketch_hll_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct-user estimates from day-sharded portable
+    HLL registers (ops/sketch.hll_rolling_estimate): raw events scan
+    ONCE into per-day registers; each day's registers fan out
+    plan-side to the 7 window-ends they feed (model-sized x 7, never
+    raw x 7) and merge by bucket MAX. The estimator replays the
+    sketch_hll_portable literal sequence, so every window's estimate
+    hash-matches including its approximation error."""
+    ev = _events(spark, sf_dir).select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    return osk.hll_rolling_estimate(ev, "user_id", "day", window_days=7, p=10)
+
+
 def _hll_algebra_oracle_sql() -> str:
     """DuckDB replica of the HLL set-algebra query: the per-type and
     pairwise-union registers replay the portable md5 pipeline exactly

@@ -202,3 +202,71 @@ class TestHllSetAlgebra:
         u = hll_estimate(hll_merge(regs.drop("s")), p=10).collect()[0].hll_estimate
         inter = max(0.0, per["A"] + per["B"] - u)
         assert inter / u < 0.08  # near-zero overlap, clamped at 0
+
+
+class TestBitmapDistinct:
+    """Exact mergeable bitmap distinct counting."""
+
+    def test_matches_count_distinct_and_merges(self, spark):
+        from nhs_data_pipeline_spark.ops.sketch import (
+            bitmap_build,
+            bitmap_distinct,
+            bitmap_merge,
+        )
+
+        rows = [("s%d" % (i % 3), (i * i) % 500) for i in range(2000)]
+        df = spark.createDataFrame(rows, "shard string, k bigint")
+        sharded = bitmap_build(df, "k", group_cols=["shard"])
+        per = {
+            r.shard: r.distinct_exact
+            for r in bitmap_distinct(sharded, ["shard"]).collect()
+        }
+        truth = {
+            r.shard: r.n
+            for r in df.groupBy("shard").agg(
+                F.count_distinct("k").alias("n")
+            ).collect()
+        }
+        assert per == truth
+        # shard merge -> exact GLOBAL distinct (what count_distinct
+        # partials cannot give you from pre-aggregated shards)
+        glob = bitmap_distinct(bitmap_merge(sharded.drop("shard"))).collect()[0]
+        assert glob.distinct_exact == df.select("k").distinct().count()
+
+    def test_null_keys_excluded_and_negative_raises(self, spark):
+        import pytest as _pytest
+        from pyspark.errors import PySparkException
+
+        from nhs_data_pipeline_spark.ops.sketch import bitmap_build, bitmap_distinct
+
+        df = spark.createDataFrame([(1,), (None,), (1,), (33,)], "k bigint")
+        got = bitmap_distinct(bitmap_build(df, "k")).collect()[0]
+        assert got.distinct_exact == 2
+        bad = spark.createDataFrame([(-5,)], "k bigint")
+        with _pytest.raises(PySparkException):
+            bitmap_distinct(bitmap_build(bad, "k")).collect()
+
+
+class TestHllRolling:
+    def test_rolling_window_accuracy(self, spark):
+        import datetime as dt
+
+        from nhs_data_pipeline_spark.ops.sketch import hll_rolling_estimate
+
+        # day d has users [d*50, d*50 + 400): windows overlap heavily
+        rows = []
+        base = dt.date(2024, 1, 1)
+        for d in range(10):
+            for u in range(d * 50, d * 50 + 400):
+                rows.append((base + dt.timedelta(days=d), u))
+        df = spark.createDataFrame(rows, "day date, u bigint")
+        est = {
+            r.day: r.hll_estimate
+            for r in hll_rolling_estimate(df, "u", "day", window_days=3).collect()
+        }
+        assert set(est) == {base + dt.timedelta(days=d) for d in range(10)}
+        # true 3-day distinct at day 5: users [150, 650) -> 500
+        d5 = base + dt.timedelta(days=5)
+        assert abs(est[d5] - 500) / 500 < 0.10
+        # first day: only its own 400
+        assert abs(est[base] - 400) / 400 < 0.10
