@@ -45,7 +45,7 @@ The integer-sum form removes the boundary entirely.)
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from nhs_data_pipeline_spark.llm.dedup import _MD5_H60
@@ -264,3 +264,58 @@ def logreg_fit(
     feats.unpersist()
     nn.unpersist()
     return w
+
+
+def binary_auc(
+    scored: DataFrame,
+    score_col: str,
+    pos_col: str,
+) -> DataFrame:
+    """Exact ROC-AUC of a score against a binary label, one row:
+    ``(n_pos, n_neg, auc)`` — the rank-sum (Mann-Whitney U) form with
+    proper tied-score handling:
+
+        auc = (2*sum(pos ranks) - n_pos*(n_pos+1)) / (2*n_pos*n_neg)
+
+    using average ranks per tied group, kept INTEGER throughout:
+    a tie group starting after ``cum`` rows with ``cnt`` members has
+    ``2*avg_rank = 2*cum + cnt + 1`` exactly. Every sum runs in
+    DECIMAL(38,0) (n^2-magnitude products), and the single closing
+    division of two exact integers is bit-identical cross-engine — no
+    rounding anywhere. NULL scores are excluded (unscorable rows
+    cannot be ranked); degenerate label sets (no positives or no
+    negatives) yield NULL, not a zero-division.
+
+    Shape: one groupBy(score) — distinct scores are model-sized
+    relative to the corpus — then one cumulative window over that
+    model-sized table and one closing aggregate. The raw stream
+    shuffles once, on the score key, with map-side combine."""
+    D = "decimal(38,0)"
+    pos = F.col(pos_col).cast("int")
+    g = (
+        scored.filter(F.col(score_col).isNotNull())
+        .groupBy(score_col)
+        .agg(F.count("*").alias("cnt"), F.sum(pos).alias("pc"))
+    )
+    w = Window.orderBy(score_col).rowsBetween(Window.unboundedPreceding, -1)
+    r = g.withColumn(
+        "cum", F.coalesce(F.sum("cnt").over(w), F.lit(0).cast("bigint"))
+    )
+    twice_avg_rank = (F.lit(2) * F.col("cum") + F.col("cnt") + F.lit(1)).cast(D)
+    agg = r.agg(
+        F.sum(F.col("pc").cast(D) * twice_avg_rank).alias("s2"),
+        F.sum("pc").cast(D).alias("np"),
+        F.sum("cnt").cast(D).alias("n"),
+    )
+    np_, n_ = F.col("np"), F.col("n")
+    nneg = n_ - np_
+    auc = F.when(
+        (np_ > 0) & (nneg > 0),
+        (F.col("s2") - np_ * (np_ + F.lit(1).cast(D))).cast("double")
+        / (F.lit(2).cast(D) * np_ * nneg).cast("double"),
+    )
+    return agg.select(
+        np_.cast("bigint").alias("n_pos"),
+        nneg.cast("bigint").alias("n_neg"),
+        auc.alias("auc"),
+    )

@@ -6439,6 +6439,79 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AUC_ORACLE_SQL = f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(string_split({_NORM_SQL}, ' '), __t -> __t <> '') AS w
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, unnest(w) AS tok FROM base WHERE len(w) > 0
+    ),
+    wts AS (
+      SELECT doc_id,
+             (((({_hex60_sql('tok')}) % 1024) * 2654435761 + 12345) % 1000001) AS k
+      FROM toks
+    ),
+    sc AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(SUM(k) AS DOUBLE) / (1000000.0 * COUNT(*)) - 0.5 AS logit
+      FROM wts GROUP BY doc_id
+    ),
+    lab AS MATERIALIZED (
+      SELECT sc.logit,
+             CASE WHEN COALESCE(d.lang, '') = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents d JOIN sc USING (doc_id)
+      WHERE sc.logit IS NOT NULL
+    ),
+    g AS MATERIALIZED (
+      SELECT logit, CAST(COUNT(*) AS HUGEINT) AS cnt,
+             CAST(SUM(pos) AS HUGEINT) AS pc
+      FROM lab GROUP BY 1
+    ),
+    r AS (
+      SELECT logit, cnt, pc,
+             COALESCE(SUM(cnt) OVER (ORDER BY logit
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cum
+      FROM g
+    ),
+    t AS (
+      SELECT SUM(pc * (2 * cum + cnt + 1)) AS s2,
+             SUM(pc) AS np, SUM(cnt) AS n
+      FROM r
+    )
+    SELECT CAST(np AS BIGINT) AS n_pos,
+           CAST(n - np AS BIGINT) AS n_neg,
+           CASE WHEN np > 0 AND n - np > 0 THEN
+             CAST(s2 - np * (np + 1) AS DOUBLE)
+             / CAST(2 * np * (n - np) AS DOUBLE)
+           END AS auc
+    FROM t
+    """
+
+
+@query("eval_classifier_auc", _AUC_ORACLE_SQL)
+def eval_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the hashed linear quality scorer against the
+    English-language label (llm/classify.binary_auc): Mann-Whitney
+    rank-sum with proper tie handling, every rank an exact integer
+    (2*avg_rank = 2*cum + cnt + 1), DECIMAL(38,0) sums, and ONE
+    closing division — the whole number hash-matches with no rounding.
+    The distributed-eval shape: raw scores shuffle once onto the
+    model-sized distinct-score table; the cumulative window runs over
+    that table, never the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    scores = clf.linear_quality_scores(docs, buckets=1024).select(
+        "doc_id", "logit"
+    )
+    lab = scores.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "logit",
+        (F.coalesce(F.col("lang"), F.lit("")) == "en").alias("pos"),
+    )
+    return clf.binary_auc(lab, "logit", "pos")
+
+
 _BITMAP_ORACLE_SQL = """
     WITH b AS MATERIALIZED (
       SELECT event_type, user_id // 32 AS word_idx,

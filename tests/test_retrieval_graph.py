@@ -1221,3 +1221,46 @@ def test_rrf_fuse_three_runs_and_rejects_one(spark):
     assert got[1] == 1 / 61 + 1 / 62 and got[2] == 1 / 61
     with _pytest.raises(ValueError):
         rrf_fuse([a])
+
+
+# ---------------------------------------------------------------------------
+# binary_auc
+# ---------------------------------------------------------------------------
+
+def _auc(spark, rows):
+    from nhs_data_pipeline_spark.llm.classify import binary_auc
+
+    df = spark.createDataFrame(rows, "score double, pos boolean")
+    return binary_auc(df, "score", "pos").collect()[0]
+
+
+def test_auc_perfect_and_inverted(spark):
+    r = _auc(spark, [(1.0, True), (2.0, True), (0.1, False), (0.2, False)])
+    assert (r.n_pos, r.n_neg, r.auc) == (2, 2, 1.0)
+    r = _auc(spark, [(0.1, True), (0.2, True), (1.0, False), (2.0, False)])
+    assert r.auc == 0.0
+
+
+def test_auc_matches_sklearn_formula_with_ties(spark):
+    # hand case with ties: scores [1,1,2,3], labels [0,1,0,1]
+    # ranks (avg): 1.5, 1.5, 3, 4 -> pos rank sum = 5.5
+    # auc = (5.5 - 2*3/2) / (2*2) = 2.5/4
+    r = _auc(spark, [(1.0, False), (1.0, True), (2.0, False), (3.0, True)])
+    assert r.auc == 2.5 / 4
+
+
+def test_auc_random_scores_near_half_and_degenerate_null(spark):
+    import random
+
+    rng = random.Random(9)
+    rows = [(rng.random(), rng.random() < 0.5) for _ in range(4000)]
+    r = _auc(spark, rows)
+    assert abs(r.auc - 0.5) < 0.05
+    r = _auc(spark, [(1.0, True), (2.0, True)])
+    assert r.n_neg == 0 and r.auc is None
+
+
+def test_auc_null_scores_excluded(spark):
+    rows = [(None, True), (1.0, True), (0.5, False)]
+    r = _auc(spark, rows)
+    assert (r.n_pos, r.n_neg, r.auc) == (1, 1, 1.0)
