@@ -319,3 +319,65 @@ def binary_auc(
         nneg.cast("bigint").alias("n_neg"),
         auc.alias("auc"),
     )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    conf_millionths_col: str,
+    pos_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error, all exact:
+    confidences arrive as integer MILLIONTHS in [0, 1e6]; rows land in
+    ``bins`` equal-width bins (the top edge folds into the last bin)
+    and each bin reports ``(bin, n_bin, n_pos, acc, conf)`` plus the
+    global ``ece`` repeated per row:
+
+        ece = sum_b (n_b/N) * |acc_b - conf_b|
+            = sum_b |pos_b*1e6 - s_b|  /  (N*1e6)     (exact integers!)
+
+    The absolute-difference numerators are exact integers (s_b = the
+    bin's summed millionths), so ECE — usually a float-soup statistic
+    — is ONE division of two exact integers, bit-identical
+    cross-engine; ``acc`` and ``conf`` are likewise single divisions.
+    Shape: one map-side-combinable aggregate onto <= ``bins`` rows,
+    one scalar broadcast back — nothing at corpus scale after the
+    first shuffle."""
+    D = "decimal(38,0)"
+    width = _RES // bins
+    b = F.least(
+        (F.col(conf_millionths_col) / width).cast("bigint"), F.lit(bins - 1)
+    )
+    g = (
+        scored.filter(F.col(conf_millionths_col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_bin"),
+            F.sum(F.col(pos_col).cast("int")).cast("bigint").alias("n_pos"),
+            F.sum(F.col(conf_millionths_col).cast(D)).alias("__s"),
+        )
+    )
+    num = F.abs(
+        F.col("n_pos").cast(D) * F.lit(_RES).cast(D) - F.col("__s")
+    )
+    tot = g.agg(
+        F.sum(num).alias("__ece_num"),
+        F.sum("n_bin").cast(D).alias("__N"),
+    ).select(
+        (
+            F.col("__ece_num").cast("double")
+            / (F.col("__N") * F.lit(_RES).cast(D)).cast("double")
+        ).alias("ece")
+    )
+    out = g.crossJoin(F.broadcast(tot))
+    return out.select(
+        "bin",
+        "n_bin",
+        "n_pos",
+        (F.col("n_pos").cast("double") / F.col("n_bin").cast("double")).alias("acc"),
+        (
+            F.col("__s").cast("double")
+            / (F.col("n_bin").cast(D) * F.lit(_RES).cast(D)).cast("double")
+        ).alias("conf"),
+        "ece",
+    )

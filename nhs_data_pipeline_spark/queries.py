@@ -6439,6 +6439,80 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CALIB_ORACLE_SQL = f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(string_split({_NORM_SQL}, ' '), __t -> __t <> '') AS w
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, unnest(w) AS tok FROM base WHERE len(w) > 0
+    ),
+    wts AS (
+      SELECT doc_id,
+             (((({_hex60_sql('tok')}) % 1024) * 2654435761 + 12345) % 1000001) AS k
+      FROM toks
+    ),
+    sc AS MATERIALIZED (
+      SELECT doc_id, CAST(SUM(k) // COUNT(*) AS BIGINT) AS conf
+      FROM wts GROUP BY doc_id
+    ),
+    lab AS MATERIALIZED (
+      SELECT sc.conf,
+             CASE WHEN COALESCE(d.lang, '') = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents d JOIN sc USING (doc_id)
+    ),
+    g AS MATERIALIZED (
+      SELECT LEAST(conf // 100000, 9) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n_bin,
+             CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(conf) AS HUGEINT) AS s
+      FROM lab GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(ABS(CAST(n_pos AS HUGEINT) * 1000000 - s)) AS DOUBLE)
+             / CAST(SUM(CAST(n_bin AS HUGEINT)) * 1000000 AS DOUBLE) AS ece
+      FROM g
+    )
+    SELECT g.bin, g.n_bin, g.n_pos,
+           CAST(g.n_pos AS DOUBLE) / CAST(g.n_bin AS DOUBLE) AS acc,
+           CAST(g.s AS DOUBLE)
+             / CAST(CAST(g.n_bin AS HUGEINT) * 1000000 AS DOUBLE) AS conf,
+           tot.ece
+    FROM g, tot
+    """
+
+
+@query("eval_classifier_calibration", _CALIB_ORACLE_SQL)
+def eval_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error of the hashed
+    quality scorer's confidence (per-doc mean bucket weight in integer
+    millionths, floor-divided — exact) against the English label
+    (llm/classify.calibration_bins). ECE — normally a float soup — is
+    ONE division of two exact integers (bin numerators
+    |pos_b*1e6 - s_b| are integers), so the whole diagram including
+    the headline metric hash-matches with no rounding. Model-sized
+    after one shuffle; the ECE scalar broadcasts back."""
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toks = tx.explode_terms(docs.repartition(par), "text", "doc_id").select(
+        F.col("doc_id"), F.col("term").alias("__tok")
+    )
+    k = clf.bucket_weight_millionths(
+        F.pmod(F.expr(dd._MD5_H60.format(x="__tok")), F.lit(1024))
+    )
+    per_doc = (
+        toks.select("doc_id", k.alias("__k"))
+        .groupBy("doc_id")
+        .agg(F.expr("sum(__k) div count(*)").alias("conf"))
+    )
+    lab = per_doc.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "conf",
+        (F.coalesce(F.col("lang"), F.lit("")) == "en").alias("pos"),
+    )
+    return clf.calibration_bins(lab, "conf", "pos", bins=10)
+
+
 _AUC_ORACLE_SQL = f"""
     WITH base AS MATERIALIZED (
       SELECT doc_id,

@@ -380,6 +380,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # pair table for the lift division (ops/analytics.
         # cooccurrence_pairs) — the scalar-broadcast shape
         "basket_pair_lift",
+        # audited: the one-row ECE scalar aggregate crosses back into
+        # the <=10-row bin table (llm/classify.calibration_bins) —
+        # the scalar-broadcast shape
+        "eval_classifier_calibration",
         # audited: the 10-query x 50-corpus JL distance audit is an
         # explicit gate-sized cross of two broadcast-filtered slices
         # (same shape as embed_topk_bruteforce's query-side cross)

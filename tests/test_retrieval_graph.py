@@ -1264,3 +1264,27 @@ def test_auc_null_scores_excluded(spark):
     rows = [(None, True), (1.0, True), (0.5, False)]
     r = _auc(spark, rows)
     assert (r.n_pos, r.n_neg, r.auc) == (1, 1, 1.0)
+
+
+def test_calibration_bins_hand_computed_and_ece_exact(spark):
+    from nhs_data_pipeline_spark.llm.classify import calibration_bins
+
+    # bin 0: conf 50_000 x2 (one pos) ; bin 9: conf 950_000 x2 (both pos)
+    rows = [(50_000, False), (50_000, True), (950_000, True), (950_000, True)]
+    df = spark.createDataFrame(rows, "conf bigint, pos boolean")
+    got = {r.bin: r for r in calibration_bins(df, "conf", "pos").collect()}
+    assert set(got) == {0, 9}
+    b0, b9 = got[0], got[9]
+    assert (b0.n_bin, b0.n_pos, b0.acc, b0.conf) == (2, 1, 0.5, 0.05)
+    assert (b9.n_bin, b9.n_pos, b9.acc, b9.conf) == (2, 2, 1.0, 0.95)
+    # ece = (|1e6 - 1e5| + |2e6 - 19e5|) / (4 * 1e6)
+    want = (abs(1_000_000 - 100_000) + abs(2_000_000 - 1_900_000)) / 4_000_000
+    assert b0.ece == want and b9.ece == want
+
+
+def test_calibration_top_edge_folds_into_last_bin(spark):
+    from nhs_data_pipeline_spark.llm.classify import calibration_bins
+
+    df = spark.createDataFrame([(1_000_000, True)], "conf bigint, pos boolean")
+    r = calibration_bins(df, "conf", "pos").collect()
+    assert len(r) == 1 and r[0].bin == 9 and r[0].conf == 1.0 and r[0].ece == 0.0
