@@ -6439,6 +6439,92 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ATTRIB_ORACLE_SQL = """
+    WITH conv AS MATERIALIZED (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    touch0 AS (
+      SELECT user_id, ts, event_type, event_id FROM events
+      WHERE event_type <> 'purchase' AND event_type IS NOT NULL
+    ),
+    touch AS MATERIALIZED (
+      -- one row per (user, ts): deterministic survivor so ASOF ties
+      -- cannot differ between engines
+      SELECT user_id, ts, event_type FROM (
+        SELECT user_id, ts, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_type DESC, event_id DESC) AS rk
+        FROM touch0
+      ) WHERE rk = 1
+    ),
+    matched AS MATERIALIZED (
+      SELECT c.event_id, c.ts,
+             t.ts AS m_ts, t.event_type AS m_type
+      FROM conv c ASOF LEFT JOIN touch t
+        ON c.user_id = t.user_id AND t.ts <= c.ts
+    ),
+    attributed AS (
+      SELECT CASE WHEN m_ts IS NOT NULL
+                   AND m_ts >= ts - INTERVAL 7 DAY
+                  THEN m_type ELSE '(none)' END AS attributed_type
+      FROM matched
+    ),
+    g AS (
+      SELECT attributed_type, CAST(COUNT(*) AS BIGINT) AS n_conversions
+      FROM attributed GROUP BY 1
+    )
+    SELECT attributed_type, n_conversions,
+           CAST(n_conversions AS DOUBLE)
+             / CAST(SUM(n_conversions) OVER () AS DOUBLE) AS share
+    FROM g
+    """
+
+
+@query("events_attribution_last_touch", _ATTRIB_ORACLE_SQL)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase event credits
+    the user's most recent non-purchase event within 7 days (backward
+    as-of join — ops/temporal.asof_join, the j5 machinery composed
+    onto the event stream), '(none)' when no touch qualifies. Touches
+    pre-reduce to one deterministic row per (user, ts) so as-of ties
+    cannot differ between engines; the tolerance NULLS the attachment
+    (merge_asof semantics) rather than hunting for the next-eligible
+    touch — both engines spell the same rule. Share = one integer-fed
+    division via a windowed total over the model-sized result."""
+    ev = _events(spark, sf_dir)
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    touch0 = ev.filter(
+        (F.col("event_type") != "purchase") & F.col("event_type").isNotNull()
+    ).select("user_id", "ts", "event_type", "event_id")
+    wt = Window.partitionBy("user_id", "ts").orderBy(
+        F.desc("event_type"), F.desc("event_id")
+    )
+    touch = (
+        touch0.withColumn("__rk", F.row_number().over(wt))
+        .filter(F.col("__rk") == 1)
+        .select("user_id", "ts", "event_type")
+    )
+    matched = ot.asof_join(
+        conv, touch, on="user_id",
+        value_cols=["event_type"],
+        tolerance_seconds=7 * 86400,
+    )
+    g = matched.groupBy(
+        F.coalesce(F.col("r_event_type"), F.lit("(none)")).alias("attributed_type")
+    ).agg(F.count("*").cast("bigint").alias("n_conversions"))
+    w_all = Window.partitionBy()
+    return g.select(
+        "attributed_type",
+        "n_conversions",
+        (
+            F.col("n_conversions").cast("double")
+            / F.sum("n_conversions").over(w_all).cast("double")
+        ).alias("share"),
+    )
+
+
 _CALIB_ORACLE_SQL = f"""
     WITH base AS MATERIALIZED (
       SELECT doc_id,

@@ -547,3 +547,38 @@ def test_target_encode_loo_mean_identity(spark):
     for r in out:
         c = r.cat
         assert abs(r.y + (ns[c] - 1) * r.loo - sums[c]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# last-touch attribution (asof composition; the query-level op)
+# ---------------------------------------------------------------------------
+
+def test_attribution_last_touch_semantics(spark):
+    import datetime as dt
+
+    from nhs_data_pipeline_spark.ops.temporal import asof_join
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+
+    def ts(h):
+        return t0 + dt.timedelta(hours=h)
+
+    conv = spark.createDataFrame(
+        [(1, 100, ts(10)), (2, 100, ts(0)), (3, 200, ts(10))],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    touch = spark.createDataFrame(
+        [(100, ts(9), "view"), (100, ts(5), "signup"),
+         (200, ts(-200), "view")],  # >7 days before conv 3
+        "user_id bigint, ts timestamp, event_type string",
+    )
+    got = {
+        r.event_id: r.r_event_type
+        for r in asof_join(
+            conv, touch, on="user_id",
+            value_cols=["event_type"], tolerance_seconds=7 * 86400,
+        ).collect()
+    }
+    assert got[1] == "view"      # latest touch before ts(10)
+    assert got[2] is None        # no touch before ts(0)
+    assert got[3] is None        # touch exists but outside tolerance
