@@ -90,6 +90,11 @@ BENCH_QUERIES = [
     "feature_target_encode",
     "sketch_hll_set_algebra",
     "text_rrf_fusion",
+    "sketch_bitmap_distinct",
+    "sketch_hll_rolling_users",
+    "eval_classifier_auc",
+    "eval_classifier_calibration",
+    "events_attribution_last_touch",
 ]
 
 

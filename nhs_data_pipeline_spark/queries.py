@@ -7470,26 +7470,34 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # f_string_date_family), w1 (window family: w2u + w56 stay in), a6
 # (grouped resample: a1 + a25 stay in), p14 (= W4 dedup; p123/p913
 # stay in), s10 (distributed binning: w56 + sketch families), j1
-# (natural join: every TPC-H join + j4/j5/j6 stay in). Everything
-# outside the window is verified by the identical local gate
-# (tools/check_oracle.py runs ALL entries).
+# (natural join: every TPC-H join + j4/j5/j6 stay in). Late-r05
+# second rotation: the session's new flagship families rotate in —
+# join_bloom_prefilter (runtime-filter pruning), graph_triangle_count
+# (oriented triangle counting), stats_ols_trend (exact-moment OLS),
+# eval_classifier_auc (exact rank-sum AUC) — over four shapes whose
+# operators stay attested by in-window siblings: q4 (EXISTS-semi =
+# j4_semi_anti), q19 (disjunctive scan-filter: q1/q6/q14/q18 stay),
+# q10 (agg top-k: q3's order+limit stays), p8 (set membership =
+# j4's semi/anti + p123/p913 stay). Everything outside the window is
+# verified by the identical local gate (tools/check_oracle.py runs
+# ALL entries).
 DRIVER_WINDOW = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
-    "q4_order_priority_exists",
+    "join_bloom_prefilter",
     "q7_volume_shipping",
-    "q10_returned_item_topk",
+    "stats_ols_trend",
     "q14_promo_revenue_ratio",
     "q18_large_orders",
-    "q19_disjunctive_revenue",
+    "graph_triangle_count",
     "j3_transitive_closure",
     "j4_semi_anti",
     "j5_asof_join",
     "j6_range_join",
     "p123_column_family",
-    "p8_filter_isin",
+    "eval_classifier_auc",
     "p913_distinct_years",
     "p10_marker_row_slice",
     "s8_filename_metadata",

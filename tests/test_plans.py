@@ -275,6 +275,9 @@ def test_driver_window_contract():
         "graph_pagerank_nations", "sketch_hll_portable",
         "dedup_jaccard_exact_join", "embed_kmeans_fit",
         "tokenizer_bpe_merges", "tokenizer_bpe_encode", "text_bm25_topk",
+        # late-r05 second rotation: the session's new flagships
+        "join_bloom_prefilter", "graph_triangle_count",
+        "stats_ols_trend", "eval_classifier_auc",
     ]:
         assert flagship in DRIVER_WINDOW, flagship
 
