@@ -615,3 +615,36 @@ def hll_rolling_estimate(
         F.broadcast(observed), day_col, "left_semi"
     )
     return hll_estimate(windows, p=p, group_cols=[day_col])
+
+
+def cm_join_cardinality(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    d: int = 3,
+) -> DataFrame:
+    """Equi-join cardinality estimate from two (merged) count-min
+    sketches built over the SAME key domain with the same (d, w):
+    the classic inner-product estimator — per hash row, sum the
+    cell-wise products of the two counter vectors; the estimate is
+    the MIN over rows. Never undercounts (collisions only add), and
+    exact when no cell holds two distinct keys. One row out:
+    ``(join_card_est)``.
+
+    This is how a planner sizes ``A JOIN B ON key`` from model-sized
+    sketch tables WITHOUT scanning either input — the sketches came
+    from earlier passes (or shard merges) and the estimate itself is
+    a d*w-row join + aggregate. All-integer, engine-exact."""
+    a = sketch_a.select("row", "bucket", F.col("cnt").alias("__ca"))
+    b = sketch_b.select("row", "bucket", F.col("cnt").alias("__cb"))
+    per_row = (
+        a.join(b, ["row", "bucket"])  # absent cells are zero products
+        .groupBy("row")
+        .agg(
+            F.sum(
+                F.col("__ca").cast("decimal(38,0)") * F.col("__cb").cast("decimal(38,0)")
+            ).alias("__ip")
+        )
+    )
+    return per_row.agg(
+        F.min("__ip").cast("bigint").alias("join_card_est")
+    )

@@ -6439,6 +6439,58 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CM_JOINCARD_ORACLE_SQL = f"""
+    WITH rows_d AS (SELECT unnest(generate_series(0, 2)) AS j),
+    ca AS MATERIALIZED (
+      SELECT j,
+             ({_hex60_sql("CAST(o_custkey AS VARCHAR) || '#' || CAST(j AS VARCHAR)")}) % 1024 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders CROSS JOIN rows_d GROUP BY 1, 2
+    ),
+    cb AS MATERIALIZED (
+      SELECT j,
+             ({_hex60_sql("CAST(c_custkey AS VARCHAR) || '#' || CAST(j AS VARCHAR)")}) % 1024 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM customer CROSS JOIN rows_d
+      WHERE c_mktsegment = 'BUILDING' GROUP BY 1, 2
+    ),
+    ip AS (
+      SELECT a.j, SUM(CAST(a.cnt AS HUGEINT) * CAST(b.cnt AS HUGEINT)) AS ip
+      FROM ca a JOIN cb b ON a.j = b.j AND a.bucket = b.bucket
+      GROUP BY a.j
+    ),
+    est AS (SELECT CAST(MIN(ip) AS BIGINT) AS join_card_est FROM ip),
+    tru AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS true_join_rows
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+    )
+    SELECT est.join_card_est, tru.true_join_rows FROM est, tru
+    """
+
+
+@query("sketch_cm_join_cardinality", _CM_JOINCARD_ORACLE_SQL)
+def sketch_cm_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from count-min sketches — the
+    inner-product estimator (ops/sketch.cm_join_cardinality): size
+    ``orders JOIN building-customers ON custkey`` from two d*w cell
+    tables WITHOUT scanning either input at estimate time, next to
+    the true join count (the estimate never undercounts; the gap is
+    the collision mass). This is how a planner sizes a join from
+    sketches built in earlier passes or merged from shards —
+    all-integer, so even the estimation ERROR hash-matches."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    c = _t(spark, sf_dir, "customer")
+    cb = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    sa = osk.cm_sketch(o, "o_custkey", d=3, w=1024)
+    sb = osk.cm_sketch(cb, "c_custkey", d=3, w=1024)
+    est = osk.cm_join_cardinality(sa, sb, d=3)
+    tru = o.join(
+        F.broadcast(cb), o.o_custkey == cb.c_custkey
+    ).agg(F.count(F.lit(1)).alias("true_join_rows"))
+    return est.crossJoin(F.broadcast(tru))
+
+
 _ATTRIB_ORACLE_SQL = """
     WITH conv AS MATERIALIZED (
       SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'

@@ -683,3 +683,48 @@ def bloom_stream_into_store(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def bitmap_stream_into_store(
+    rows: DataFrame,
+    key_col: str,
+    store_path: str,
+    checkpoint: str,
+):
+    """Incrementally maintain an EXACT distinct-count bitmap store
+    over a STREAM (ops/sketch.bitmap_build semantics: non-negative
+    integer keys, bit key%32 of word key//32). Word-wise OR merge is
+    idempotent, so replays cannot corrupt the store — the shared
+    guard still applies for uniform semantics. The store answers
+    exact "distinct keys ever seen" at any time via
+    ops/sketch.bitmap_distinct, and OR-merges with batch-built
+    bitmaps from other shards. availableNow trigger."""
+    from nhs_data_pipeline_spark.ops.sketch import bitmap_build, bitmap_merge
+
+    _ident_cache: dict[str, str] = {}
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if "k" not in _ident_cache:
+            _ident_cache["k"] = _stream_identity(checkpoint, spark)
+        stream_key = _ident_cache["k"]
+        old, is_replay = _load_guarded_store(
+            spark, store_path, stream_key, batch_id
+        )
+        if is_replay:
+            return
+        batch_words = bitmap_build(batch_df, key_col)
+        if old is None:
+            merged = batch_words
+        else:
+            merged = bitmap_merge(
+                batch_words.unionByName(old.select("word_idx", "word"))
+            )
+        _swap_store(merged, store_path, batch_id, stream_key)
+
+    return (
+        rows.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

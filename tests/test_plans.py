@@ -387,6 +387,9 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # the <=10-row bin table (llm/classify.calibration_bins) —
         # the scalar-broadcast shape
         "eval_classifier_calibration",
+        # audited: one-row estimate x one-row true-count cross
+        # (sketch_cm_join_cardinality) — the scalar-broadcast shape
+        "sketch_cm_join_cardinality",
         # audited: the 10-query x 50-corpus JL distance audit is an
         # explicit gate-sized cross of two broadcast-filtered slices
         # (same shape as embed_topk_bruteforce's query-side cross)

@@ -270,3 +270,75 @@ class TestHllRolling:
         assert abs(est[d5] - 500) / 500 < 0.10
         # first day: only its own 400
         assert abs(est[base] - 400) / 400 < 0.10
+
+
+class TestCmJoinCardinality:
+    def test_exact_when_collision_free_and_upper_bound(self, spark):
+        from nhs_data_pipeline_spark.ops.sketch import (
+            cm_join_cardinality,
+            cm_sketch,
+        )
+
+        # A: keys 0..49 each appearing (k%3 + 1) times; B: keys 25..74 once
+        rows_a = [(k,) for k in range(50) for _ in range(k % 3 + 1)]
+        rows_b = [(k,) for k in range(25, 75)]
+        a = spark.createDataFrame(rows_a, "k bigint")
+        b = spark.createDataFrame(rows_b, "k bigint")
+        true_join = a.join(b, "k").count()
+        sa = cm_sketch(a, "k", d=3, w=4096)
+        sb = cm_sketch(b, "k", d=3, w=4096)
+        est = cm_join_cardinality(sa, sb, d=3).collect()[0].join_card_est
+        # wide sketch, 75 keys -> almost surely collision-free: exact
+        assert est == true_join
+        # narrow sketch: still never undercounts
+        sa2 = cm_sketch(a, "k", d=3, w=16)
+        sb2 = cm_sketch(b, "k", d=3, w=16)
+        est2 = cm_join_cardinality(sa2, sb2, d=3).collect()[0].join_card_est
+        assert est2 >= true_join
+
+    def test_disjoint_sides_estimate_small(self, spark):
+        from nhs_data_pipeline_spark.ops.sketch import (
+            cm_join_cardinality,
+            cm_sketch,
+        )
+
+        a = spark.createDataFrame([(k,) for k in range(100)], "k bigint")
+        b = spark.createDataFrame([(k + 10_000,) for k in range(100)], "k bigint")
+        sa = cm_sketch(a, "k", d=3, w=4096)
+        sb = cm_sketch(b, "k", d=3, w=4096)
+        est = cm_join_cardinality(sa, sb, d=3).collect()[0].join_card_est
+        assert est <= 2  # only chance collisions
+
+
+def test_bitmap_stream_matches_batch(spark, tmp_path):
+    """Streamed bitmap store == one-shot batch bitmap; exact distinct
+    from the store equals the true distinct of everything streamed."""
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from nhs_data_pipeline_spark.ops.sketch import bitmap_build, bitmap_distinct
+    from nhs_data_pipeline_spark.streaming.pipeline import (
+        bitmap_stream_into_store,
+        stream_files,
+    )
+
+    schema = T.StructType([T.StructField("key", T.LongType())])
+    src = str(tmp_path / "bmsrc")
+    b1 = spark.createDataFrame([(i % 90,) for i in range(200)], schema)
+    b1.coalesce(1).write.parquet(src)
+    _time.sleep(1.1)
+    b2 = spark.createDataFrame([(i % 150,) for i in range(200)], schema)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    store = str(tmp_path / "bmstore")
+    q = bitmap_stream_into_store(
+        stream_files(spark, src, schema, max_files_per_trigger=1),
+        "key", store, checkpoint=str(tmp_path / "bmckpt"),
+    )
+    q.awaitTermination()
+    streamed = spark.read.parquet(store).drop("last_batch_id", "stream_key")
+    direct = bitmap_build(b1.unionByName(b2), "key")
+    assert sorted(map(tuple, streamed.collect())) == \
+           sorted(map(tuple, direct.collect()))
+    assert bitmap_distinct(streamed).collect()[0].distinct_exact == 150
