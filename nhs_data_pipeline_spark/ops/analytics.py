@@ -460,3 +460,71 @@ def target_encode_loo(
         / (F.col("__n") - 1).cast("double"),
     )
     return joined.withColumn("loo", loo).drop("__cat", "__sy", "__n")
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_int_col: str,
+    source_col: str,
+    id_col: str,
+    bucket_width: int = 1 << 16,
+) -> DataFrame:
+    """Cross-source quantile normalization: replace each row's value
+    with the GLOBAL order statistic at its within-source quantile —
+    after it, every source's value distribution is (a subsample of)
+    the same global distribution. The feature-harmonization step
+    before cross-source thresholds: a source whose lengths/scores run
+    systematically high no longer dominates a global cutoff.
+
+    Appends ``<value>_norm``. All decisions are exact integers:
+    within-source rank r of n maps to global rank
+    ``k = ceil(r*N/n) = (r*N + n - 1) div n`` (the float-ceil trap,
+    avoided), and the normalized value is the value at global rank k.
+
+    Scale shape — the global ranking NEVER uses a global window:
+    values bucket by ``value div bucket_width`` (value-ordered, so
+    bucket offsets from a model-sized cumulative window + within-
+    bucket row_number give exact global ranks — the two-pass rank
+    pattern of ops/sampling.shuffle_training_order, keyed by value
+    instead of hash). Ties break on (value, source, id) — a total
+    order, so ranks are engine- and partitioning-independent.
+    NULL values pass through with a NULL norm."""
+    v, s = F.col(value_int_col), F.col(source_col)
+    base = df.filter(v.isNotNull())
+    # pass 1: within-source ranks + source sizes
+    ws = Window.partitionBy(source_col).orderBy(value_int_col, id_col)
+    ranked = base.withColumn("__r", F.row_number().over(ws))
+    # NB: Spark resolution is case-insensitive — __n and __N would be
+    # AMBIGUOUS_REFERENCE; use distinct names
+    ns = base.groupBy(source_col).agg(F.count("*").alias("__sn"))
+    tot = base.agg(F.count("*").alias("__tn"))
+    # pass 2: exact global ranks via value-ordered buckets
+    bucketed = base.select(
+        value_int_col,
+        source_col,
+        id_col,
+        (v / bucket_width).cast("bigint").alias("__b"),
+    )
+    counts = bucketed.groupBy("__b").agg(F.count("*").alias("__c"))
+    woff = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__c").over(woff), F.lit(0).cast("bigint"))
+    ).select("__b", "__off")
+    wb = Window.partitionBy("__b").orderBy(value_int_col, source_col, id_col)
+    glob = (
+        bucketed.join(F.broadcast(offsets), "__b")
+        .withColumn("__g", F.col("__off") + F.row_number().over(wb))
+        .select(F.col("__g").alias("__k"), F.col(value_int_col).alias("__nv"))
+    )
+    # target global rank per row, then the value at that rank
+    tgt = (
+        ranked.join(F.broadcast(ns), source_col)
+        .crossJoin(F.broadcast(tot))
+        .withColumn("__k", F.expr("(__r * __tn + __sn - 1) div __sn"))
+    )
+    norm = tgt.join(glob, "__k").select(
+        F.col(id_col), F.col("__nv").alias(f"{value_int_col}_norm")
+    )
+    # NULL-value rows re-attach with a NULL norm (id_col must uniquely
+    # identify rows — the caller contract)
+    return df.join(norm, id_col, "left")

@@ -6439,6 +6439,52 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QNORM_ORACLE_SQL = """
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, source, n_chars FROM documents WHERE n_chars IS NOT NULL
+    ),
+    r AS MATERIALIZED (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY source) AS sn,
+             COUNT(*) OVER () AS tn
+      FROM base
+    ),
+    g AS MATERIALIZED (
+      SELECT n_chars AS nv,
+             ROW_NUMBER() OVER (ORDER BY n_chars, source, doc_id) AS k
+      FROM base
+    ),
+    norm AS MATERIALIZED (
+      SELECT r.doc_id, g.nv
+      FROM r JOIN g ON g.k = (r.r * r.tn + r.sn - 1) // r.sn
+    )
+    SELECT d.doc_id, d.source, d.n_chars, norm.nv AS n_chars_norm
+    FROM documents d LEFT JOIN norm USING (doc_id)
+    WHERE d.doc_id < 300
+    """
+
+
+@query("feature_quantile_normalize", _QNORM_ORACLE_SQL)
+def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of document lengths
+    (ops/analytics.quantile_normalize): each doc's n_chars becomes
+    the GLOBAL order statistic at its within-source quantile, so
+    every source's length distribution aligns before any global
+    cutoff. All rank decisions are exact integers (ceil via
+    (r*N+n-1) div n — the float-ceil trap avoided) and the global
+    ranking comes from value-ordered buckets + a model-sized offset
+    window — NEVER a global sort window (the two-pass rank pattern).
+    The emitted slice is key-bounded; normalization runs over the
+    full table."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    out = oan.quantile_normalize(docs, "n_chars", "source", "doc_id")
+    return out.filter(F.col("doc_id") < 300).select(
+        "doc_id", "source", "n_chars", "n_chars_norm"
+    )
+
+
 _CM_JOINCARD_ORACLE_SQL = f"""
     WITH rows_d AS (SELECT unnest(generate_series(0, 2)) AS j),
     ca AS MATERIALIZED (

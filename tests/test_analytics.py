@@ -582,3 +582,45 @@ def test_attribution_last_touch_semantics(spark):
     assert got[1] == "view"      # latest touch before ts(10)
     assert got[2] is None        # no touch before ts(0)
     assert got[3] is None        # touch exists but outside tolerance
+
+
+# ---------------------------------------------------------------------------
+# quantile_normalize
+# ---------------------------------------------------------------------------
+
+def test_quantile_normalize_aligns_shifted_sources(spark):
+    from nhs_data_pipeline_spark.ops.analytics import quantile_normalize
+
+    # source a: 1..10, source b: 101..110 — same shape, shifted
+    rows = [(i, "a", i) for i in range(1, 11)] + \
+           [(100 + i, "b", 100 + i) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "id bigint, src string, v bigint")
+    out = {r.id: r.v_norm for r in quantile_normalize(df, "v", "src", "id").collect()}
+    # both sources' k-th order statistic maps to the same global rank
+    # ceil(k*20/10) = 2k -> global sorted values [1..10,101..110]
+    g = sorted([v for _, _, v in rows])
+    for k in range(1, 11):
+        assert out[k] == g[2 * k - 1]          # source a, value k
+        assert out[100 + k] == g[2 * k - 1]    # source b, value 100+k
+    # after normalization the two sources have IDENTICAL distributions
+    assert sorted(out[k] for k in range(1, 11)) == \
+           sorted(out[100 + k] for k in range(1, 11))
+
+
+def test_quantile_normalize_null_values_pass_through(spark):
+    from nhs_data_pipeline_spark.ops.analytics import quantile_normalize
+
+    rows = [(1, "a", 5), (2, "a", None), (3, "b", 7)]
+    df = spark.createDataFrame(rows, "id bigint, src string, v bigint")
+    out = {r.id: r.v_norm for r in quantile_normalize(df, "v", "src", "id").collect()}
+    assert out[2] is None and out[1] is not None and out[3] is not None
+
+
+def test_quantile_normalize_bucket_width_invariance(spark):
+    from nhs_data_pipeline_spark.ops.analytics import quantile_normalize
+
+    rows = [(i, "s%d" % (i % 3), (i * 37) % 1000) for i in range(300)]
+    df = spark.createDataFrame(rows, "id bigint, src string, v bigint")
+    a = {r.id: r.v_norm for r in quantile_normalize(df, "v", "src", "id", bucket_width=8).collect()}
+    b = {r.id: r.v_norm for r in quantile_normalize(df, "v", "src", "id", bucket_width=1 << 20).collect()}
+    assert a == b  # bucketing is an implementation detail, not semantics

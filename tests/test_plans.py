@@ -282,6 +282,19 @@ def test_driver_window_contract():
         assert flagship in DRIVER_WINDOW, flagship
 
 
+def test_registry_size_tripwire():
+    """Exactly the expected number of registered queries/oracles — a
+    registry-touching edit once silently DELETED four registrations
+    (a str.replace meant for the DRIVER_WINDOW list also matched the
+    @query sites) and every gate stayed green on the remainder. Bump
+    these numbers deliberately when adding queries; never let them
+    drift."""
+    from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
+
+    assert len(QUERIES) == 162, len(QUERIES)
+    assert len(ORACLES) == 159, len(ORACLES)  # 3 rows-only Datasketches
+
+
 def test_registry_wide_plan_hygiene(spark, sf_dir):
     """EVERY registered query's physical plan, scanned for scale
     anti-patterns (the per-query tests above pin ~25 headline shapes;
@@ -339,6 +352,11 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # outer cannot broadcast, and the runs are (queries x k)-sized
         # at any corpus scale (llm/retrieval.rrf_fuse)
         "text_rrf_fusion",
+        # audited: quantile_normalize's rank-lookup join (corpus rows
+        # on the global-rank key) and the id-keyed norm re-attach are
+        # both corpus x corpus — shuffle joins are the correct plan;
+        # AQE broadcasts at gate scale (ops/analytics.quantile_normalize)
+        "feature_quantile_normalize",
     }
     # audited: broadcast one-row scalar aggregates (cross joins) and
     # the broadcast-query-side != join of exact top-k
@@ -390,6 +408,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # audited: one-row estimate x one-row true-count cross
         # (sketch_cm_join_cardinality) — the scalar-broadcast shape
         "sketch_cm_join_cardinality",
+        # audited: the one-row total-count aggregate crosses into the
+        # ranked stream for the target-rank formula (ops/analytics.
+        # quantile_normalize) — the scalar-broadcast shape
+        "feature_quantile_normalize",
         # audited: the 10-query x 50-corpus JL distance audit is an
         # explicit gate-sized cross of two broadcast-filtered slices
         # (same shape as embed_topk_bruteforce's query-side cross)
