@@ -95,6 +95,8 @@ BENCH_QUERIES = [
     "eval_classifier_auc",
     "eval_classifier_calibration",
     "events_attribution_last_touch",
+    "sketch_cm_join_cardinality",
+    "feature_quantile_normalize",
 ]
 
 

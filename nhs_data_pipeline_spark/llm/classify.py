@@ -381,3 +381,38 @@ def calibration_bins(
         ).alias("conf"),
         "ece",
     )
+
+
+def confusion_matrix(
+    scored: DataFrame,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Multi-class confusion matrix with per-cell shares: one row per
+    observed ``(label, pred)`` pair — ``(label, pred, n, label_total,
+    pred_total, recall_share, precision_share)`` where
+    ``recall_share = n / label_total`` (the diagonal cell's value IS
+    that label's recall) and ``precision_share = n / pred_total``
+    (diagonal = that prediction's precision).
+
+    NULL is a legal class on either axis (an abstaining classifier
+    predicts NULL) — totals come from window sums partitioned by the
+    class columns, which keep NULL partitions intact, so there are NO
+    joins to drop them (the NULL-key rule by construction). Counts
+    are integers; shares are single integer-fed divisions —
+    bit-identical, no rounding. One shuffle onto the classes^2
+    model-sized table."""
+    g = scored.groupBy(
+        F.col(label_col).alias("label"), F.col(pred_col).alias("pred")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    wl = Window.partitionBy("label")
+    wp = Window.partitionBy("pred")
+    return g.select(
+        "label",
+        "pred",
+        "n",
+        F.sum("n").over(wl).cast("bigint").alias("label_total"),
+        F.sum("n").over(wp).cast("bigint").alias("pred_total"),
+        (F.col("n").cast("double") / F.sum("n").over(wl).cast("double")).alias("recall_share"),
+        (F.col("n").cast("double") / F.sum("n").over(wp).cast("double")).alias("precision_share"),
+    )

@@ -6439,6 +6439,55 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONFUSION_ORACLE_SQL = f"""
+    WITH hits AS MATERIALIZED (
+      SELECT lang AS label,
+        len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|mit|ein|zu)\\b')) AS h_de,
+        len(regexp_extract_all(lower(text), '{_EN_PAT}')) AS h_en,
+        len(regexp_extract_all(lower(text), '\\b(el|los|las|una|es|en|que|por|con)\\b')) AS h_es,
+        len(regexp_extract_all(lower(text), '\\b(le|la|les|et|des|une|est|dans|pour)\\b')) AS h_fr
+      FROM documents
+    ),
+    pred AS MATERIALIZED (
+      SELECT label,
+             CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN NULL
+                  WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+                  WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+                  WHEN h_es >= h_fr THEN 'es'
+                  ELSE 'fr' END AS pred
+      FROM hits
+    ),
+    g AS MATERIALIZED (
+      SELECT label, pred, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2
+    )
+    SELECT label, pred, n,
+           CAST(SUM(n) OVER (PARTITION BY label) AS BIGINT) AS label_total,
+           CAST(SUM(n) OVER (PARTITION BY pred) AS BIGINT) AS pred_total,
+           CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY label) AS DOUBLE) AS recall_share,
+           CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY pred) AS DOUBLE) AS precision_share
+    FROM g
+    """
+
+
+@query("eval_lang_confusion", _CONFUSION_ORACLE_SQL)
+def eval_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language ID against the
+    labeled lang column (llm/classify.confusion_matrix over
+    llm/text.lang_id): diagonal recall/precision shares per class,
+    NULL predictions (no marker hits — e.g. the zh rows no marker set
+    covers) kept as a real class via window totals, never a dropping
+    join. Integer counts + single divisions — hash-exact with no
+    rounding."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.col("lang").alias("label"), tx.lang_id(F.col("text")).alias("pred")
+    )
+    return clf.confusion_matrix(scored, "label", "pred")
+
+
 _QNORM_ORACLE_SQL = """
     WITH base AS MATERIALIZED (
       SELECT doc_id, source, n_chars FROM documents WHERE n_chars IS NOT NULL

@@ -1288,3 +1288,20 @@ def test_calibration_top_edge_folds_into_last_bin(spark):
     df = spark.createDataFrame([(1_000_000, True)], "conf bigint, pos boolean")
     r = calibration_bins(df, "conf", "pos").collect()
     assert len(r) == 1 and r[0].bin == 9 and r[0].conf == 1.0 and r[0].ece == 0.0
+
+
+def test_confusion_matrix_hand_computed_with_null_class(spark):
+    from nhs_data_pipeline_spark.llm.classify import confusion_matrix
+
+    rows = [("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", None)]
+    df = spark.createDataFrame(rows, "label string, pred string")
+    got = {(r.label, r.pred): r for r in confusion_matrix(df, "label", "pred").collect()}
+    aa = got[("a", "a")]
+    assert (aa.n, aa.label_total, aa.pred_total) == (2, 3, 2)
+    assert aa.recall_share == 2 / 3 and aa.precision_share == 1.0
+    bb = got[("b", "b")]
+    # pred='b' appears twice overall: ("a","b") and ("b","b")
+    assert bb.recall_share == 1 / 2 and bb.precision_share == 1 / 2
+    # NULL prediction is a real class with its own totals
+    bn = got[("b", None)]
+    assert bn.n == 1 and bn.pred_total == 1 and bn.precision_share == 1.0
