@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "events_attribution_last_touch",
     "sketch_cm_join_cardinality",
     "feature_quantile_normalize",
+    "eval_lang_confusion",
+    "report_dataset_card",
 ]
 
 

@@ -6439,6 +6439,87 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DATASET_CARD_ORACLE_SQL = f"""
+    WITH per_doc AS MATERIALIZED (
+      SELECT source,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+             length(text) AS n_chars,
+             CASE WHEN COALESCE(lang, '') = 'en' THEN 1 ELSE 0 END AS is_en,
+             md5({_NORM_SQL}) AS fp,
+             CAST(ROUND(
+               least(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                     / 20.0, 1.0)
+               * greatest(0.0, 1.0 - 2.0 *
+                   (CASE WHEN length(text) = 0 THEN 0.0
+                         ELSE len(regexp_extract_all(text, '[^\\w\\s]'))
+                              * 1.0 / length(text) END))
+               * (0.5 + 0.5 * least(
+                    (CASE WHEN trim(text) = '' THEN 0.0
+                          ELSE len(regexp_extract_all(lower(text), '{_EN_PAT}'))
+                               * 1.0
+                               / (CASE WHEN trim(text) = '' THEN 1
+                                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+                     END) * 4.0, 1.0))
+               * 1000000.0) AS BIGINT) AS q_m
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN n_tok = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_empty,
+           CAST(SUM(is_en) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS pct_en_label,
+           CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_rate,
+           CAST(SUM(q_m) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS mean_quality
+    FROM per_doc GROUP BY source
+    """
+
+
+@query("report_dataset_card", _DATASET_CARD_ORACLE_SQL)
+def report_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset report card — the one-stop "what is in this
+    corpus" table a training-data owner reads first: doc/token/char
+    totals, empty-doc count, labeled-English share, exact-duplicate
+    rate (1 - distinct normalized fingerprints / docs), and mean
+    heuristic quality. ONE row-wise pass then one aggregate. Float
+    discipline: the per-doc quality (6-dp rounded, identical doubles
+    both engines) is integerized to millionths BEFORE summing — a sum
+    of 1e-6-resolution doubles is NOT exact and its mean coin-flips
+    (the fixed-resolution trap); every share is one division of exact
+    integers."""
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        tx.token_count(F.col("text")).alias("n_tok"),
+        F.length("text").alias("n_chars"),
+        (F.coalesce(F.col("lang"), F.lit("")) == "en").cast("int").alias("is_en"),
+        F.md5(tx.normalize_text(F.col("text"))).alias("fp"),
+        F.round(tx.quality_score(F.col("text")) * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("q_m"),
+    )
+    n = F.count("*")
+    return per_doc.groupBy("source").agg(
+        n.cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum((F.col("n_tok") == 0).cast("int")).cast("bigint").alias("n_empty"),
+        (F.sum("is_en").cast("double") / n.cast("double")).alias("pct_en_label"),
+        (
+            (n - F.count_distinct("fp")).cast("double") / n.cast("double")
+        ).alias("dup_rate"),
+        (
+            F.sum("q_m").cast("double") / (n.cast("double") * F.lit(1000000.0))
+        ).alias("mean_quality"),
+    )
+
+
 _CONFUSION_ORACLE_SQL = f"""
     WITH hits AS MATERIALIZED (
       SELECT lang AS label,
