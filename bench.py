@@ -167,6 +167,10 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = QUERIES.get(name)
         if fn is None:
+            # NOT silent: a bench name missing from the registry is how
+            # the accidental-deregistration bug was finally noticed
+            # (the per-query map lost exactly the deleted keys)
+            errors[name] = "not in QUERIES registry"
             continue
         # One broken query must never zero out the whole bench (r02 lost
         # all timings to a single events-schema change): record the error
