@@ -313,3 +313,44 @@ def ewma(
         F.col("__t.x").alias(value_col),
         F.expr("element_at(__tr, __pos + 1)").alias("ewma"),
     )
+
+
+def seasonal_baseline_deviation(
+    df: DataFrame,
+    group_cols: list[str],
+    day_col: str,
+    value_dec_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Seasonal-naive anomaly signal: compare each period's value to
+    the mean of its SAME-PHASE peers (same weekday for period=7) —
+    the adjustment that stops weekend troughs reading as anomalies.
+    Input is one row per (group, day) with an exact DECIMAL value
+    (the resample output); appends ``phase``, ``phase_mean`` and
+    ``dev_ratio = (value - phase_mean) / phase_mean`` (NULL when the
+    baseline is 0).
+
+    Portability: the phase is pure integer epoch arithmetic
+    (``days_since_epoch mod period`` — calendar weekday functions
+    disagree on numbering across engines); phase means divide exact
+    DECIMAL sums once; the deviation is a fixed double sequence on
+    identical inputs — no rounding anywhere. One model-sized phase
+    aggregate, broadcast back; NULL-safe on the group keys."""
+    from nhs_data_pipeline_spark.ops.sketch import _ns_join
+
+    phase = F.pmod(
+        F.datediff(F.col(day_col), F.to_date(F.lit("1970-01-01"))), F.lit(period)
+    )
+    base = df.withColumn("phase", phase)
+    means = base.groupBy(*group_cols, "phase").agg(
+        (
+            F.sum(F.col(value_dec_col)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("phase_mean")
+    )
+    joined = _ns_join(base, means, group_cols + ["phase"], broadcast_right=True)
+    dev = F.col(value_dec_col).cast("double") - F.col("phase_mean")
+    return joined.withColumn(
+        "dev_ratio",
+        F.when(F.col("phase_mean") != 0, dev / F.col("phase_mean")),
+    )

@@ -6439,6 +6439,55 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEASONAL_ORACLE_SQL = """
+    WITH daily AS MATERIALIZED (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(30,10))) AS x
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    ph AS MATERIALIZED (
+      SELECT event_type, day, x,
+             CAST((day - DATE '1970-01-01') % 7 AS INTEGER) AS phase
+      FROM daily
+    ),
+    m AS MATERIALIZED (
+      SELECT event_type, phase,
+             CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS phase_mean
+      FROM ph GROUP BY 1, 2
+    )
+    SELECT p.event_type, p.day, CAST(p.x AS DOUBLE) AS x, p.phase,
+           m.phase_mean,
+           CASE WHEN m.phase_mean <> 0 THEN
+             (CAST(p.x AS DOUBLE) - m.phase_mean) / m.phase_mean
+           END AS dev_ratio
+    FROM ph p JOIN m ON p.event_type IS NOT DISTINCT FROM m.event_type
+                    AND p.phase = m.phase
+    """
+
+
+@query("events_seasonal_deviation", _SEASONAL_ORACLE_SQL)
+def events_seasonal_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive anomaly signal over daily event values
+    (ops/temporal.seasonal_baseline_deviation): each day's total
+    against the mean of its same-weekday peers — weekend troughs stop
+    reading as anomalies. Phase is integer epoch arithmetic (calendar
+    weekday numbering disagrees between engines); daily sums are
+    exact DECIMAL(30,10); one division per baseline, a fixed double
+    sequence per deviation — hash-exact with no rounding."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(30,10)")).alias("x"))
+    out = ot.seasonal_baseline_deviation(
+        daily, ["event_type"], "day", "x", period=7
+    )
+    return out.select(
+        "event_type", "day", F.col("x").cast("double").alias("x"),
+        "phase", "phase_mean", "dev_ratio",
+    )
+
+
 _DATASET_CARD_ORACLE_SQL = f"""
     WITH per_doc AS MATERIALIZED (
       SELECT source,

@@ -165,3 +165,42 @@ def test_ewma_partitioning_invariance(spark):
     one = {(r.g, r.t): r.ewma for r in ewma(df.coalesce(1), ["g"], "t", "x").collect()}
     many = {(r.g, r.t): r.ewma for r in ewma(df.repartition(11), ["g"], "t", "x").collect()}
     assert one == many
+
+
+def test_seasonal_baseline_deviation_hand_computed(spark):
+    import datetime as dt
+    from decimal import Decimal
+
+    from nhs_data_pipeline_spark.ops.temporal import seasonal_baseline_deviation
+
+    base = dt.date(2024, 1, 1)  # a Monday; epoch-phase of Mondays = (day-epoch)%7
+    rows = []
+    # two weeks: Mondays carry 10 then 30 (mean 20); Tuesdays 5 and 5
+    for week, (mon, tue) in enumerate([(10, 5), (30, 5)]):
+        rows.append(("t", base + dt.timedelta(weeks=week), Decimal(mon)))
+        rows.append(("t", base + dt.timedelta(weeks=week, days=1), Decimal(tue)))
+    df = spark.createDataFrame(rows, "g string, day date, x decimal(30,10)")
+    got = {
+        (r.g, r.day): r
+        for r in seasonal_baseline_deviation(df, ["g"], "day", "x").collect()
+    }
+    m1 = got[("t", base)]
+    assert m1.phase_mean == 20.0 and m1.dev_ratio == (10.0 - 20.0) / 20.0
+    t1 = got[("t", base + dt.timedelta(days=1))]
+    assert t1.phase_mean == 5.0 and t1.dev_ratio == 0.0
+    # same-phase days share a baseline; different phases do not
+    assert got[("t", base + dt.timedelta(weeks=1))].phase == m1.phase
+    assert t1.phase != m1.phase
+
+
+def test_seasonal_baseline_zero_mean_gives_null_ratio(spark):
+    import datetime as dt
+    from decimal import Decimal
+
+    from nhs_data_pipeline_spark.ops.temporal import seasonal_baseline_deviation
+
+    base = dt.date(2024, 3, 4)
+    rows = [("g", base, Decimal(0)), ("g", base + dt.timedelta(weeks=1), Decimal(0))]
+    df = spark.createDataFrame(rows, "g string, day date, x decimal(30,10)")
+    out = seasonal_baseline_deviation(df, ["g"], "day", "x").collect()
+    assert all(r.dev_ratio is None for r in out)
