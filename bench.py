@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "feature_quantile_normalize",
     "eval_lang_confusion",
     "report_dataset_card",
+    "events_seasonal_deviation",
 ]
 
 

@@ -49,11 +49,13 @@ def test_bench_isolates_broken_queries(monkeypatch, capsys, spark):
     assert got["unit"] == "sec" and got["sf"] == 0.001
 
 
-def test_bench_skips_unknown_names(monkeypatch, capsys, spark):
-    """A registry rename must not crash the bench: unknown names are
-    skipped, not fatal."""
+def test_bench_reports_unknown_names(monkeypatch, capsys, spark):
+    """A registry rename must not crash the bench — but it must not be
+    SILENT either: unknown names are recorded as errors (the silent
+    skip hid an accidental four-query deregistration until the
+    per-query map was eyeballed)."""
     got = _run_bench(
         monkeypatch, capsys, ["q6_forecast_revenue", "__nonexistent__"]
     )
     assert set(got["queries"]) == {"q6_forecast_revenue"}
-    assert "errors" not in got
+    assert got["errors"] == {"__nonexistent__": "not in QUERIES registry"}
