@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "eval_lang_confusion",
     "report_dataset_card",
     "events_seasonal_deviation",
+    "diagnose_join_skew_orders",
 ]
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -82,3 +82,51 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     ).withColumn("__salt", F.col("__salt").cast("int"))
     return b.join(s, [*keys, "__salt"], how).drop("__salt")
+
+
+def diagnose_join_skew(
+    df: DataFrame,
+    key_cols: list[str],
+    top_k: int = 5,
+    target_rows_per_task: int = 5_000_000,
+) -> DataFrame:
+    """Pre-join skew diagnosis for a prospective join/aggregation key:
+    the ``top_k`` heaviest keys with global context —
+    ``(*key_cols, key_rows, n_rows, n_keys, key_share, skew_factor,
+    suggested_salt)`` where ``skew_factor = key_rows * n_keys /
+    n_rows`` (how many times heavier than the mean key — >> 1 means
+    the shuffle partition holding that key becomes the straggler) and
+    ``suggested_salt = ceil(max_key_rows / target_rows_per_task)``
+    (the salt_buckets to hand :func:`salted_join`, integer-exact
+    ceiling — the float-ceil trap).
+
+    This is the look-before-you-shuffle step at 100 TB: one map-side-
+    combinable count per key, one scalar aggregate, and a top-k over
+    the key-count table — no joins at all; NULL keys diagnose like
+    any other key (they are often THE hot key). All integer counts;
+    ``key_share``/``skew_factor`` are single exact-int divisions."""
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("key_rows"))
+    w = Window.orderBy(F.desc("key_rows"), *[F.asc_nulls_first(k) for k in key_cols])
+    top = counts.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= top_k
+    )
+    tot = counts.agg(
+        F.sum("key_rows").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.max("key_rows").cast("bigint").alias("__max"),
+    )
+    out = top.crossJoin(F.broadcast(tot))
+    return out.select(
+        *key_cols,
+        "key_rows",
+        "n_rows",
+        "n_keys",
+        (F.col("key_rows").cast("double") / F.col("n_rows").cast("double")).alias("key_share"),
+        (
+            (F.col("key_rows") * F.col("n_keys")).cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("skew_factor"),
+        F.expr(
+            f"(__max + {target_rows_per_task} - 1) div {target_rows_per_task}"
+        ).cast("bigint").alias("suggested_salt"),
+    )

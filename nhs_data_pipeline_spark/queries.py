@@ -47,6 +47,7 @@ from nhs_data_pipeline_spark.ops import analytics as oan
 from nhs_data_pipeline_spark.ops import binned as ob
 from nhs_data_pipeline_spark.ops import core as oc
 from nhs_data_pipeline_spark.ops import merge as omg
+from nhs_data_pipeline_spark.ops import skew as osk2
 from nhs_data_pipeline_spark.ops import quality as oq
 from nhs_data_pipeline_spark.ops import sampling as osmp
 from nhs_data_pipeline_spark.ops import temporal as ot
@@ -6436,6 +6437,49 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey",
         "n_name",
         F.coalesce("triangles", F.lit(0).cast("bigint")).alias("triangles"),
+    )
+
+
+_SKEW_DIAG_ORACLE_SQL = """
+    WITH counts AS MATERIALIZED (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS key_rows
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(key_rows) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(key_rows) AS BIGINT) AS mx
+      FROM counts
+    ),
+    top AS (
+      SELECT o_custkey, key_rows,
+             ROW_NUMBER() OVER (ORDER BY key_rows DESC,
+                                         o_custkey ASC NULLS FIRST) AS rk
+      FROM counts
+    )
+    SELECT t.o_custkey, t.key_rows, x.n_rows, x.n_keys,
+           CAST(t.key_rows AS DOUBLE) / CAST(x.n_rows AS DOUBLE)
+             AS key_share,
+           CAST(t.key_rows * x.n_keys AS DOUBLE) / CAST(x.n_rows AS DOUBLE)
+             AS skew_factor,
+           CAST((x.mx + 100 - 1) // 100 AS BIGINT) AS suggested_salt
+    FROM top t, tot x WHERE t.rk <= 5
+    """
+
+
+@query("diagnose_join_skew_orders", _SKEW_DIAG_ORACLE_SQL)
+def diagnose_join_skew_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Look-before-you-shuffle skew diagnosis on the orders customer
+    key (ops/skew.diagnose_join_skew): the five heaviest keys with
+    their share, skew factor (key_rows * n_keys / n_rows — how many
+    times the mean key), and the integer-exact suggested salt-bucket
+    count for salted_join (gate uses a tiny 100-rows-per-task target
+    so the suggestion is a non-trivial integer at gate scale). One
+    map-side-combinable count + one scalar aggregate — no joins; NULL
+    keys would diagnose like any other (often THE hot key)."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return osk2.diagnose_join_skew(
+        o, ["o_custkey"], top_k=5, target_rows_per_task=100
     )
 
 

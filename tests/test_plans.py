@@ -291,8 +291,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 165, len(QUERIES)
-    assert len(ORACLES) == 162, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 166, len(QUERIES)
+    assert len(ORACLES) == 163, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_registry_wide_plan_hygiene(spark, sf_dir):
@@ -408,6 +408,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # audited: one-row estimate x one-row true-count cross
         # (sketch_cm_join_cardinality) — the scalar-broadcast shape
         "sketch_cm_join_cardinality",
+        # audited: the one-row totals aggregate crosses into the
+        # top-k key table (ops/skew.diagnose_join_skew) — the
+        # scalar-broadcast shape
+        "diagnose_join_skew_orders",
         # audited: the one-row total-count aggregate crosses into the
         # ranked stream for the target-rank formula (ops/analytics.
         # quantile_normalize) — the scalar-broadcast shape

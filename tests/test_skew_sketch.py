@@ -342,3 +342,28 @@ def test_bitmap_stream_matches_batch(spark, tmp_path):
     assert sorted(map(tuple, streamed.collect())) == \
            sorted(map(tuple, direct.collect()))
     assert bitmap_distinct(streamed).collect()[0].distinct_exact == 150
+
+
+def test_diagnose_join_skew_hand_computed(spark):
+    from nhs_data_pipeline_spark.ops.skew import diagnose_join_skew
+
+    # hot key 7 with 60 rows; 20 cold keys with 2 rows each -> 100 rows
+    rows = [(7,)] * 60 + [(100 + k,) for k in range(20) for _ in range(2)]
+    df = spark.createDataFrame(rows, "k bigint")
+    got = diagnose_join_skew(df, ["k"], top_k=3, target_rows_per_task=25).collect()
+    assert [r.k for r in got][0] == 7
+    hot = got[0]
+    assert (hot.key_rows, hot.n_rows, hot.n_keys) == (60, 100, 21)
+    assert hot.key_share == 0.6 and hot.skew_factor == 60 * 21 / 100
+    assert hot.suggested_salt == 3  # ceil(60/25), exact-integer ceiling
+    # deterministic tie-break among the 2-row keys
+    assert [r.k for r in got[1:]] == [100, 101]
+
+
+def test_diagnose_join_skew_null_key_is_diagnosed(spark):
+    from nhs_data_pipeline_spark.ops.skew import diagnose_join_skew
+
+    rows = [(None,)] * 10 + [(1,), (2,)]
+    df = spark.createDataFrame(rows, "k bigint")
+    got = diagnose_join_skew(df, ["k"], top_k=1).collect()
+    assert got[0].k is None and got[0].key_rows == 10
