@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "report_dataset_card",
     "events_seasonal_deviation",
     "diagnose_join_skew_orders",
+    # r05 continuation: dense-subgraph peeling
+    "graph_kcore_nations",
 ]
 
 

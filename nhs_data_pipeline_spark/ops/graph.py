@@ -340,3 +340,60 @@ def shortest_paths(
     e.unpersist()
     nodes.unpersist()
     return dist
+
+
+def kcore(
+    edges: DataFrame,
+    k_table: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Iterative k-core peeling over an undirected edge table:
+    repeatedly drop nodes whose *current* degree is below ``k`` (and
+    the edges touching them) for ``rounds`` synchronous rounds, then
+    return ``(node, core_deg)`` for every node that still has at least
+    one surviving edge. The k-core is the standard dense-subgraph /
+    spam-farm filter over hyperlink graphs (a page kept only by
+    low-degree neighbors peels away; a genuinely embedded page
+    survives) — reference scope: the same graph-reduction family as
+    the org successor-chain closure (reference ``fns_join.R``
+    reachability), re-expressed as degree peeling.
+
+    ``edges`` must already be symmetrized (both directions present)
+    and deduplicated — degree is then ``COUNT(*)`` grouped by ``src``.
+    ``k_table`` is a ONE-ROW DataFrame with a BIGINT column ``k``: the
+    threshold stays in-plan (broadcast-crossed into the degree filter)
+    so oracles derive it from the data themselves — never a driver
+    literal (the build-notes magnitude-coupling rule).
+
+    100 TB design: the graph stays a distributed edge table; one round
+    = degree aggregate (map-side combined) + two semi-joins on the
+    surviving-node table, all shuffling on the node key. ``rounds``
+    bounds the peel depth; a converged graph passes through later
+    rounds unchanged, and the unrolled oracle replays the SAME fixed
+    rounds, converged or not — all-integer decisions, zero float
+    discipline. Each round ``localCheckpoint``s the edge table (the
+    iterative-loop lineage rule; plain persist leaves compounding
+    Catalyst analysis cost)."""
+    e = edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull()).select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    )
+    kt = F.broadcast(k_table)
+    for _ in range(rounds):
+        deg = e.groupBy("src").agg(F.count("*").alias("__deg"))
+        alive = (
+            deg.crossJoin(kt)
+            .filter(F.col("__deg") >= F.col("k"))
+            .select(F.col("src").alias("node"))
+        )
+        e = (
+            e.join(alive.withColumnRenamed("node", "src"), "src", "semi")
+            .join(alive.withColumnRenamed("node", "dst"), "dst", "semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+        e.count()
+    return e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("core_deg")
+    )

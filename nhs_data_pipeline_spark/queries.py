@@ -7664,6 +7664,124 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_nationkey", "n_name", "dist")
 
 
+def _kcore_oracle_sql(rounds: int = 4) -> str:
+    """Unrolled k-core peeling rounds over the symmetrized
+    above-average trade graph — all-integer degree decisions, zero
+    float discipline. k derives from the DATA (ceil(avg degree) + 1 in
+    exact integer arithmetic — never a magnitude-coupled literal), and
+    every CTE referenced more than once is MATERIALIZED (the DuckDB
+    inliner re-plans multiply-referenced chains exponentially — the
+    build-notes triangle-count rule)."""
+    its = []
+    for i in range(1, rounds + 1):
+        its.append(f"""
+    a{i} AS MATERIALIZED (
+      SELECT src AS node
+      FROM (SELECT src, COUNT(*) AS c FROM e{i - 1} GROUP BY src), kt
+      WHERE c >= kt.k
+    ),
+    e{i} AS MATERIALIZED (
+      SELECT s.src, s.dst
+      FROM e{i - 1} s JOIN a{i} x ON s.src = x.node
+      JOIN a{i} y ON s.dst = y.node
+    )""")
+    return f"""
+    WITH e0raw AS MATERIALIZED (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT COUNT(*) AS ne0, CAST(SUM(w) AS BIGINT) AS sw FROM e0raw),
+    kept AS MATERIALIZED (
+      SELECT src, dst FROM e0raw, tot
+      WHERE e0raw.w * tot.ne0 > tot.sw AND src <> dst
+    ),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM kept
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM kept
+      )
+    ),
+    st AS (
+      SELECT (SELECT COUNT(*) FROM e0) AS ne,
+             (SELECT COUNT(DISTINCT src) FROM e0) AS nv
+    ),
+    kt AS MATERIALIZED (
+      SELECT CAST((ne + nv - 1) // nv + 1 AS BIGINT) AS k FROM st
+    ),
+    {",".join(its)},
+    fd AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+      FROM e{rounds} GROUP BY src
+    )
+    SELECT n.n_nationkey, n.n_name, fd.core_deg,
+           fd.core_deg IS NOT NULL AS in_core
+    FROM nation n LEFT JOIN fd ON n.n_nationkey = fd.node
+    """
+
+
+@query("graph_kcore_nations", _kcore_oracle_sql(4))
+def graph_kcore_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (4 peeling rounds) of the symmetrized
+    above-average trade graph: per nation, whether it survives in the
+    k-core and its surviving degree (ops/graph.kcore). k derives from
+    the data in-plan — ceil(avg degree) + 1 in exact integer
+    arithmetic, broadcast-crossed into every round's filter (never a
+    driver literal). The dense-subgraph filter used on hyperlink
+    graphs (spam farms peel away; genuinely embedded pages survive);
+    all-integer decisions make the converged cores engine- and
+    partitioning-independent. The graph stays a distributed edge
+    table; one round = degree aggregate + two node-key semi-joins,
+    localCheckpoint per round — the billion-edge plan unchanged."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+        .persist()  # model-sized, full-fact-join lineage (triangle rule)
+    )
+    e0.count()
+    tot = e0.agg(F.count("*").alias("ne0"), F.sum("w").cast("bigint").alias("sw"))
+    kept = (
+        e0.crossJoin(F.broadcast(tot))
+        .filter((F.col("w") * F.col("ne0") > F.col("sw")) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+    )
+    sym = (
+        kept.unionByName(kept.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()  # read by the k derivation AND every peel round's kt lineage
+    )
+    sym.count()
+    ktab = sym.agg(
+        F.count("*").alias("ne"), F.count_distinct("src").alias("nv")
+    ).select(F.expr("CAST((ne + nv - 1) div nv + 1 AS BIGINT)").alias("k"))
+    core = og.kcore(sym, ktab, rounds=4)
+    e0.unpersist()
+    sym.unpersist()
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return nation.join(
+        F.broadcast(core), nation.n_nationkey == core.node, "left"
+    ).select(
+        "n_nationkey",
+        "n_name",
+        F.col("core_deg"),
+        F.col("core_deg").isNotNull().alias("in_core"),
+    )
+
+
 def _bloom_oracle_sql(k: int = 3, m_bits: int = 1024) -> str:
     """DuckDB replica of the portable Bloom prefilter: identical
     multiply-mod bit positions (ops/sketch._bloom_pos_expr — pure

@@ -1305,3 +1305,64 @@ def test_confusion_matrix_hand_computed_with_null_class(spark):
     # NULL prediction is a real class with its own totals
     bn = got[("b", None)]
     assert bn.n == 1 and bn.pred_total == 1 and bn.precision_share == 1.0
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling (ops/graph.kcore)
+# ---------------------------------------------------------------------------
+
+
+def _sym_edges(spark, pairs):
+    """Symmetrize + dedup an undirected pair list (kcore's contract)."""
+    both = sorted({(a, b) for a, b in pairs} | {(b, a) for a, b in pairs})
+    return spark.createDataFrame(both, ["src", "dst"])
+
+
+def _ktab(spark, k):
+    return spark.createDataFrame([(k,)], "k bigint")
+
+
+def test_kcore_pendant_peels_triangle_survives(spark):
+    # triangle {1,2,3} + pendant 4-1: at k=2 the pendant peels away,
+    # the triangle survives with degree 2 each
+    e = _sym_edges(spark, [(1, 2), (2, 3), (1, 3), (1, 4)])
+    out = {r.node: r.core_deg for r in og.kcore(e, _ktab(spark, 2), rounds=3).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_chain_fully_peels(spark):
+    # path 1-2-3-4 has no 2-core: endpoints peel each round until empty
+    e = _sym_edges(spark, [(1, 2), (2, 3), (3, 4)])
+    assert og.kcore(e, _ktab(spark, 2), rounds=3).count() == 0
+
+
+def test_kcore_cascade_needs_multiple_rounds(spark):
+    # chain 5-4 hanging off triangle {1,2,3} via 4-1: node 5 peels in
+    # round 1, node 4 (deg 2 until 5 drops) only in round 2
+    e = _sym_edges(spark, [(1, 2), (2, 3), (1, 3), (1, 4), (4, 5)])
+    after1 = set(
+        r.node for r in og.kcore(e, _ktab(spark, 2), rounds=1).collect()
+    )
+    assert after1 == {1, 2, 3, 4}  # 4 still alive: its degree was 2 pre-peel
+    after2 = set(
+        r.node for r in og.kcore(e, _ktab(spark, 2), rounds=2).collect()
+    )
+    assert after2 == {1, 2, 3}
+
+
+def test_kcore_converged_rounds_are_stable(spark):
+    e = _sym_edges(spark, [(1, 2), (2, 3), (1, 3), (1, 4), (4, 5)])
+    r3 = sorted(map(tuple, og.kcore(e, _ktab(spark, 2), rounds=3).collect()))
+    r5 = sorted(map(tuple, og.kcore(e, _ktab(spark, 2), rounds=5).collect()))
+    assert r3 == r5
+
+
+def test_kcore_partitioning_invariance(spark):
+    e = _sym_edges(
+        spark, [(i, j) for i in range(8) for j in range(i + 1, 8) if (i + j) % 3]
+    )
+    base = sorted(map(tuple, og.kcore(e, _ktab(spark, 4), rounds=4).collect()))
+    rep = sorted(
+        map(tuple, og.kcore(e.repartition(7), _ktab(spark, 4), rounds=4).collect())
+    )
+    assert base == rep and base  # non-empty and identical
