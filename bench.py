@@ -101,8 +101,10 @@ BENCH_QUERIES = [
     "report_dataset_card",
     "events_seasonal_deviation",
     "diagnose_join_skew_orders",
-    # r05 continuation: dense-subgraph peeling
+    # r05 continuation: dense-subgraph peeling, chi-square feature
+    # selection
     "graph_kcore_nations",
+    "feature_token_chi2",
 ]
 
 

@@ -416,3 +416,71 @@ def confusion_matrix(
         (F.col("n").cast("double") / F.sum("n").over(wl).cast("double")).alias("recall_share"),
         (F.col("n").cast("double") / F.sum("n").over(wp).cast("double")).alias("precision_share"),
     )
+
+
+def token_chi2(
+    docs: DataFrame,
+    label: Column,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-token chi-square association with a binary document label —
+    the classic feature-selection statistic for the linear quality
+    classifier (select the most label-discriminative vocabulary before
+    hashing; fastText-style pipelines prune features exactly this
+    way). ``label`` must be a 0/1 BIGINT column expression over
+    ``docs`` (NULL-safe: build it with ``eqNullSafe`` so a NULL
+    attribute is a real 0, not a dropped row).
+
+    Per token t over document-level presence (each doc counts once
+    however often t repeats): contingency counts n11 (label-1 docs
+    containing t), n10, n01, n00, and
+
+        chi2 = N * (n11*n00 - n10*n01)^2
+               / (df * (N - df) * N1 * (N - N1))
+
+    with df = n11 + n10. Degenerate denominators (a token in every
+    doc, or a single-class corpus) yield NULL, not a division error.
+
+    100 TB design: ONE aggregate on the token key over (doc, token)
+    distinct pairs (map-side combined; shuffle rows carry a token and
+    two ints); corpus totals are a broadcast one-row aggregate (never
+    driver literals — oracles derive N themselves). Output is a
+    model-sized vocabulary table.
+
+    Cross-engine determinism: every count is an exact integer; the
+    statistic is the documented IEEE sequence (cast the BIGINT
+    counts to double, multiply in fixed order, one division) on
+    identical operands, then the portable floor-round to 6 dp —
+    bit-identical in any engine at gate scale. At 1e12+ docs the
+    BIGINT product n11*n00 nears 2^63: compute diff in double there
+    (ranking error ~1e-16, harmless) — documented, not silent."""
+    toks = (
+        docs.select(
+            F.col(doc_col).alias("__doc"),
+            label.cast("bigint").alias("__lab"),
+            F.explode(F.split(F.col(text_col), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    per_tok = toks.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("__lab").cast("bigint").alias("n11"),
+    )
+    totals = docs.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(label.cast("bigint")).cast("bigint").alias("n1"),
+    )
+    j = per_tok.crossJoin(F.broadcast(totals))
+    n10 = F.col("df") - F.col("n11")
+    n01 = F.col("n1") - F.col("n11")
+    n00 = (F.col("n_docs") - F.col("n1")) - n10
+    diff = (F.col("n11") * n00 - n10 * n01).cast("double")
+    den = (
+        (F.col("df").cast("double") * (F.col("n_docs") - F.col("df")).cast("double"))
+        * F.col("n1").cast("double")
+    ) * (F.col("n_docs") - F.col("n1")).cast("double")
+    num = F.col("n_docs").cast("double") * (diff * diff)
+    chi2 = F.when(den != F.lit(0.0), F.floor(num / den * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+    return j.select("token", "df", "n11", chi2.alias("chi2"))

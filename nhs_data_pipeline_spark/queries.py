@@ -7880,6 +7880,65 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOKEN_CHI2_ORACLE = """
+WITH toks AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id AS doc,
+         CAST(CASE WHEN d.lang IS NOT DISTINCT FROM 'en'
+                   THEN 1 ELSE 0 END AS BIGINT) AS lab,
+         t.token
+  FROM documents d, unnest(str_split(d.text, ' ')) AS t(token)
+  WHERE t.token <> ''
+),
+pt AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(lab) AS BIGINT) AS n11
+  FROM toks GROUP BY token
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN lang IS NOT DISTINCT FROM 'en'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n1
+  FROM documents
+),
+scored AS (
+  SELECT token, df, n11,
+         CAST(n11 * ((n_docs - n1) - (df - n11))
+              - (df - n11) * (n1 - n11) AS DOUBLE) AS diff,
+         ((CAST(df AS DOUBLE) * CAST(n_docs - df AS DOUBLE))
+          * CAST(n1 AS DOUBLE)) * CAST(n_docs - n1 AS DOUBLE) AS den,
+         CAST(n_docs AS DOUBLE) AS nd
+  FROM pt, tot
+)
+SELECT token, df, n11,
+       CASE WHEN den <> 0
+            THEN floor(nd * (diff * diff) / den * 1e6 + 0.5) / 1e6
+       END AS chi2
+FROM scored
+ORDER BY chi2 DESC NULLS LAST, token
+LIMIT 40
+"""
+
+
+@query("feature_token_chi2", _TOKEN_CHI2_ORACLE)
+def feature_token_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square token/label feature selection over document-level
+    token presence (llm/classify.token_chi2): the 40 tokens most
+    associated with the English-language label, with their document
+    frequencies and contingency counts. The fastText-style
+    vocabulary-pruning step that precedes hashed-feature classifier
+    training. ONE aggregate on the token key (map-side combined);
+    corpus totals broadcast-crossed in-plan (never driver literals);
+    all counts exact integers and the statistic a fixed IEEE sequence
+    + portable floor-round — bit-identical cross-engine. NULL-safe
+    label (a NULL lang is a real 0, not a dropped row); degenerate
+    denominators yield NULL, not a division error."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = clf.token_chi2(docs, F.col("lang").eqNullSafe("en"))
+    return scored.orderBy(
+        F.col("chi2").desc_nulls_last(), F.col("token")
+    ).limit(40)
+
+
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # iteration order. This list pins that window: every SURVEY §2 operator
 # (single queries or merged same-table families), every bench headline

@@ -291,8 +291,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 167, len(QUERIES)
-    assert len(ORACLES) == 164, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 168, len(QUERIES)
+    assert len(ORACLES) == 165, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_registry_wide_plan_hygiene(spark, sf_dir):
@@ -420,6 +420,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # explicit gate-sized cross of two broadcast-filtered slices
         # (same shape as embed_topk_bruteforce's query-side cross)
         "embed_random_projection",
+        # audited: the one-row corpus-totals aggregate (N, N1) crosses
+        # into the per-token contingency table (llm/classify.
+        # token_chi2) — the scalar-broadcast shape
+        "feature_token_chi2",
     }
     explain_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
     violations = []

@@ -1366,3 +1366,69 @@ def test_kcore_partitioning_invariance(spark):
         map(tuple, og.kcore(e.repartition(7), _ktab(spark, 4), rounds=4).collect())
     )
     assert base == rep and base  # non-empty and identical
+
+
+# ---------------------------------------------------------------------------
+# chi-square token/label feature selection (llm/classify.token_chi2)
+# ---------------------------------------------------------------------------
+
+
+def _chi2_docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_token_chi2_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    docs = _chi2_docs(
+        spark,
+        [
+            (1, "a b", "en"),
+            (2, "a", "en"),
+            (3, "b c", "fr"),
+            (4, "c", "fr"),
+        ],
+    )
+    out = {
+        r.token: (r.df, r.n11, r.chi2)
+        for r in clf.token_chi2(docs, F.col("lang").eqNullSafe("en")).collect()
+    }
+    # a: (2,2): diff=4, chi2 = 4*16/(2*2*2*2) = 4.0 ; c mirrors with n11=0
+    assert out["a"] == (2, 2, 4.0)
+    assert out["c"] == (2, 0, 4.0)
+    assert out["b"] == (2, 1, 0.0)  # perfectly balanced token
+
+
+def test_token_chi2_all_docs_token_is_null_not_error(spark):
+    from pyspark.sql import functions as F
+
+    docs = _chi2_docs(spark, [(1, "z a", "en"), (2, "z", "fr")])
+    out = {
+        r.token: r.chi2
+        for r in clf.token_chi2(docs, F.col("lang").eqNullSafe("en")).collect()
+    }
+    assert out["z"] is None  # df == N -> zero denominator -> NULL
+
+
+def test_token_chi2_null_lang_is_label_zero(spark):
+    from pyspark.sql import functions as F
+
+    docs = _chi2_docs(spark, [(1, "a", "en"), (2, "a b", None), (3, "b", None)])
+    out = {
+        r.token: (r.df, r.n11)
+        for r in clf.token_chi2(docs, F.col("lang").eqNullSafe("en")).collect()
+    }
+    # the NULL-lang docs still count: b has df=2 with n11=0
+    assert out["b"] == (2, 0)
+    assert out["a"] == (2, 1)
+
+
+def test_token_chi2_repeated_token_counts_once_per_doc(spark):
+    from pyspark.sql import functions as F
+
+    docs = _chi2_docs(spark, [(1, "a a a", "en"), (2, "b", "fr")])
+    out = {
+        r.token: r.df
+        for r in clf.token_chi2(docs, F.col("lang").eqNullSafe("en")).collect()
+    }
+    assert out["a"] == 1  # presence, not term frequency
