@@ -102,9 +102,10 @@ BENCH_QUERIES = [
     "events_seasonal_deviation",
     "diagnose_join_skew_orders",
     # r05 continuation: dense-subgraph peeling, chi-square feature
-    # selection
+    # selection, product-quantization ANN
     "graph_kcore_nations",
     "feature_token_chi2",
+    "embed_pq_topk",
 ]
 
 

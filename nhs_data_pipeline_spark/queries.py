@@ -40,6 +40,7 @@ from nhs_data_pipeline_spark.llm import retrieval as rtv
 from nhs_data_pipeline_spark.llm import classify as clf
 from nhs_data_pipeline_spark.llm import bpe as bp
 from nhs_data_pipeline_spark.llm import cluster as cl
+from nhs_data_pipeline_spark.llm import pq
 from nhs_data_pipeline_spark.ops import graph as og
 from nhs_data_pipeline_spark.ops import layout as ol
 from nhs_data_pipeline_spark.ops import sketch as osk
@@ -7877,6 +7878,105 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("probe_rows") - F.col("true_match_rows")).cast("double"),
             6,
         ).alias("fp_rate"),
+    )
+
+
+_PQ_TOPK_ORACLE = """
+WITH base AS MATERIALIZED (
+  SELECT vec_id, g.m,
+         list_transform(embedding[g.m*8+1 : g.m*8+8],
+           x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings, unnest(generate_series(0, 7)) AS g(m)
+),
+c0 AS MATERIALIZED (
+  SELECT m, CAST(vec_id AS BIGINT) AS cid, qv FROM base WHERE vec_id < 4
+),
+a1 AS MATERIALIZED (
+  SELECT vec_id, m, cid FROM (
+    SELECT b.vec_id, b.m, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.vec_id, b.m
+             ORDER BY list_sum(list_transform(generate_series(1, 8),
+                       i -> (b.qv[i] - c.qv[i]) * (b.qv[i] - c.qv[i]))),
+                      c.cid
+           ) AS rn
+    FROM base b JOIN c0 c ON b.m = c.m
+  ) WHERE rn = 1
+),
+upd AS MATERIALIZED (
+  SELECT a.m, a.cid, d.i,
+         CAST(floor(CAST(SUM(b.qv[d.i]) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS mv
+  FROM a1 a JOIN base b ON a.vec_id = b.vec_id AND a.m = b.m,
+       unnest(generate_series(1, 8)) AS d(i)
+  GROUP BY a.m, a.cid, d.i
+),
+c1 AS MATERIALIZED (
+  SELECT s.m, s.cid, list(COALESCE(u.mv, s.old_v) ORDER BY s.i) AS qv
+  FROM (SELECT m, cid, g.i, qv[g.i] AS old_v
+        FROM c0, unnest(generate_series(1, 8)) AS g(i)) s
+  LEFT JOIN upd u ON s.m = u.m AND s.cid = u.cid AND s.i = u.i
+  GROUP BY s.m, s.cid
+),
+enc AS MATERIALIZED (
+  SELECT vec_id, m, cid FROM (
+    SELECT b.vec_id, b.m, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.vec_id, b.m
+             ORDER BY list_sum(list_transform(generate_series(1, 8),
+                       i -> (b.qv[i] - c.qv[i]) * (b.qv[i] - c.qv[i]))),
+                      c.cid
+           ) AS rn
+    FROM base b JOIN c1 c ON b.m = c.m
+  ) WHERE rn = 1
+),
+q AS (SELECT m, qv FROM base WHERE vec_id = 0),
+dt AS MATERIALIZED (
+  SELECT c.m, c.cid,
+         CAST(list_sum(list_transform(generate_series(1, 8),
+              i -> (c.qv[i] - q.qv[i]) * (c.qv[i] - q.qv[i]))) AS BIGINT) AS d
+  FROM c1 c JOIN q ON c.m = q.m
+),
+adc AS (
+  SELECT e.vec_id, CAST(SUM(dt.d) AS BIGINT) AS adc
+  FROM enc e JOIN dt ON e.m = dt.m AND e.cid = dt.cid
+  GROUP BY e.vec_id
+  ORDER BY adc, vec_id
+  LIMIT 10
+)
+SELECT a.vec_id, emb.label, a.adc
+FROM adc a JOIN embeddings emb ON a.vec_id = emb.vec_id
+ORDER BY a.adc, a.vec_id
+"""
+
+
+@query("embed_pq_topk", _PQ_TOPK_ORACLE)
+def embed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (llm/pq.py): split each 64-dim vector
+    into 8 subspaces, train 4-centroid per-subspace codebooks (one
+    Lloyd round from the deterministic first-k init), encode every
+    vector to 8 codes, and answer vec 0's query by asymmetric
+    distance computation — top 10 by exact-integer ADC distance. The
+    FAISS-style compressed index path: at 100 TB the scan reads M
+    CODES per vector (never floats), the codebook and the query's
+    M x K distance table are broadcast model tables, and training's
+    only corpus shuffle is the (m, cid, dim) partial-aggregated mean.
+    Coordinates integerize to millionths at ingest, so every
+    distance/argmin is exact integer arithmetic and the Lloyd mean is
+    one documented IEEE division + portable floor-round —
+    bit-identical cross-engine, zero float discipline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sub = pq.quantized_subvectors(emb).persist()
+    sub.count()
+    cb = pq.pq_train(sub, k=4, rounds=1)
+    codes = pq.pq_encode(sub, cb)
+    qsub = sub.filter(F.col("vec_id") == 0)
+    top = pq.adc_topk(codes, cb, qsub, 10)
+    sub.unpersist()
+    return (
+        top.join(emb.select("vec_id", "label"), "vec_id")
+        .select("vec_id", "label", "adc")
+        .orderBy("adc", "vec_id")
     )
 
 
