@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "graph_kcore_nations",
     "feature_token_chi2",
     "embed_pq_topk",
+    "dedup_cdc_chunks",
 ]
 
 

@@ -40,6 +40,7 @@ from nhs_data_pipeline_spark.llm import retrieval as rtv
 from nhs_data_pipeline_spark.llm import classify as clf
 from nhs_data_pipeline_spark.llm import bpe as bp
 from nhs_data_pipeline_spark.llm import cluster as cl
+from nhs_data_pipeline_spark.llm import cdc
 from nhs_data_pipeline_spark.llm import pq
 from nhs_data_pipeline_spark.ops import graph as og
 from nhs_data_pipeline_spark.ops import layout as ol
@@ -7879,6 +7880,83 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fp_rate"),
     )
+
+
+_CDC_ORACLE = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, source,
+         str_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+  WHERE text IS NOT NULL
+),
+base AS MATERIALIZED (
+  SELECT doc_id, source, w, len(w) AS n,
+         list_transform(w, t ->
+           CASE WHEN length(t) = 0 THEN CAST(0 AS BIGINT)
+                ELSE list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(generate_series(1, length(t)),
+                                   ci -> CAST(ascii(t[ci]) AS BIGINT))),
+                  (a, b) -> (a * 259 + b) % 1000000007)
+           END) AS th
+  FROM toks WHERE len(w) >= 1
+),
+bounded AS MATERIALIZED (
+  SELECT doc_id, source, w, n,
+         list_concat(
+           CASE WHEN n >= 5 THEN
+             list_filter(generate_series(3, n - 2), i ->
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT), th[i - 2 : i + 1]),
+                 (a, x) -> (a * 1000003 + x) % 1000000007) % 8 = 0)
+           ELSE CAST([] AS BIGINT[]) END,
+           [n - 1]) AS ends
+  FROM base
+),
+chunks AS MATERIALIZED (
+  SELECT doc_id, source,
+         md5(array_to_string(
+           w[CASE WHEN g.idx = 1 THEN 1 ELSE ends[g.idx - 1] + 2 END
+             : ends[g.idx] + 1], ' ')) AS ch,
+         CAST(ends[g.idx]
+              - CASE WHEN g.idx = 1 THEN 0 ELSE ends[g.idx - 1] + 1 END
+              + 1 AS BIGINT) AS n_tok
+  FROM bounded, unnest(generate_series(1, len(ends))) AS g(idx)
+),
+marked AS (
+  SELECT source, n_tok, COUNT(*) OVER (PARTITION BY ch) AS cnt FROM chunks
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+       CAST(SUM(n_tok) AS BIGINT) AS chunk_tokens,
+       CAST(SUM(CASE WHEN cnt > 1 THEN n_tok ELSE 0 END) AS BIGINT)
+         AS dup_tokens,
+       floor(CAST(SUM(CASE WHEN cnt > 1 THEN n_tok ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(n_tok) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS dup_share
+FROM marked
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("dedup_cdc_chunks", _CDC_ORACLE)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup report (llm/cdc.py): per source,
+    how many rolling-hash-delimited chunks exist, how many repeat
+    verbatim anywhere in the corpus, and the share of tokens inside
+    repeated chunks. The shift-robust span-dedup signal (FastCDC/LBFS
+    family): boundaries depend only on local content, so an inserted
+    token re-chunks one neighborhood instead of shifting every
+    fingerprint (contrast llm/spans.py fixed-k windows). Boundary
+    detection, chunk assembly, and md5 fingerprinting run IN-PLAN in
+    one projection per document — only (source, md5, n_tok) rows
+    leave the scan stage; duplicate marking is one high-cardinality
+    fingerprint partition. Two-level integer polynomial rolling hash
+    (engine-portable, BIGINT-exact); the one division floor-rounds
+    portably."""
+    docs = _t(spark, sf_dir, "documents")
+    return cdc.cdc_dedup_stats(docs).orderBy("source")
 
 
 _PQ_TOPK_ORACLE = """

@@ -291,8 +291,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 169, len(QUERIES)
-    assert len(ORACLES) == 166, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 170, len(QUERIES)
+    assert len(ORACLES) == 167, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_registry_wide_plan_hygiene(spark, sf_dir):
