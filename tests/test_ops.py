@@ -426,6 +426,24 @@ def test_winsorize_extremes_noop_and_null_group(spark):
     assert None in got and got[None].n == 2 and got[None].lo == 1
 
 
+def test_winsorize_null_values_excluded(spark):
+    """NULL VALUES (vs NULL group keys) are excluded from ranks,
+    counts and the mean — left in, they shift the ceil(q*n) order-
+    statistic ranks and can make a bound NULL (r05 advisor catch)."""
+    from nhs_data_pipeline_spark.ops.binned import winsorize_stats
+
+    rows = [("a", v) for v in range(1, 11)] + [("a", None)] * 5 + [("b", None)]
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    got = {r.g: r for r in winsorize_stats(df, "v", ["g"], 0.2, 0.8).collect()}
+    # identical to the no-NULL hand-computed case: 5 NULLs change nothing
+    r = got["a"]
+    assert (r.n, r.lo, r.hi) == (10, 2, 8)
+    assert (r.n_clipped_low, r.n_clipped_high) == (1, 2)
+    assert r.mean_after == 53 / 10
+    # an all-NULL group has no order statistics: it disappears
+    assert "b" not in got
+
+
 def test_winsorize_matches_numpy_order_stats(spark):
     import numpy as np
     from fractions import Fraction

@@ -442,3 +442,85 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
             violations.append((name, "unaudited BroadcastNestedLoopJoin"))
     assert not violations, violations
+
+
+def test_registry_no_array_or_map_outputs(spark, sf_dir):
+    """No registered query may emit an ARRAY/MAP/STRUCT column: the
+    driver's pandas canonicalizer sort_values->factorize step crashes
+    on unhashable list cells (r05: `embed_kmeans_fit` was the one
+    in-window array-output query and went red; four more sat latent
+    outside the window). Model tables ship long-form (kmeans/label
+    centroids: one row per dimension), lists ship joined to strings
+    (snapshot diff changed_columns, inverted-index postings),
+    fixed-size sketches ship as scalar columns (quantile sketch).
+    Library functions may still RETURN arrays — the contract binds
+    registered query outputs only."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from nhs_data_pipeline_spark.queries import QUERIES
+
+    offenders = []
+    for name, fn in QUERIES.items():
+        for f in fn(spark, sf_dir).schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, offenders
+
+
+def test_registry_no_unaudited_global_sort_windows(spark, sf_dir):
+    """Every un-partitioned window (WindowExec with no partition spec
+    — Spark moves ALL rows to a single task) must run over a table
+    that is provably model-sized, and be audited here. The r05 verdict
+    caught binary_auc ranking corpus-cardinality distinct scores in
+    one task; the fix is the bucketed two-pass rank (offsets from a
+    model-sized bucket-count table). A new query introducing a global
+    window gets caught and must be audited (or re-shaped).
+
+    Detection: a ``windowspecdefinition(...)`` whose first argument is
+    an ORDER spec (``ASC``/``DESC``) or a frame has no partition
+    columns."""
+    import re
+
+    from nhs_data_pipeline_spark.queries import QUERIES
+
+    # audited (the EXACT set — a registry scan found 7): every table
+    # under these windows is bounded by construction
+    unpart_ok = {
+        # value-bucket offset windows of the two-pass global rank —
+        # the window runs over the BUCKET-COUNT table
+        # (<= value_range/bucket_width rows), never the data:
+        # ops/analytics.quantile_normalize, ops/sampling's two-pass
+        # rank, llm/classify.binary_auc (the r06 fix itself)
+        "feature_quantile_normalize", "shuffle_training_order",
+        "eval_classifier_auc",
+        # vocabulary-head ranked query set (post-LIMIT <= 11 rows by
+        # the time the window ranks it; llm/retrieval data-derived
+        # queries) — rrf embeds the same bm25 subplan
+        "text_bm25_topk", "text_rrf_fusion",
+        # share denominator: Window.partitionBy() over the GROUPED
+        # attribution result (<= n_event_types rows)
+        "events_attribution_last_touch",
+        # marker-row slice needs the file's total row order by
+        # definition; the op is contracted to single-file ingest
+        # tables (reference CSV/Excel shape), never corpus facts
+        "p10_marker_row_slice",
+    }
+    explain_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    pat = re.compile(r"windowspecdefinition\(([^,)]*)")
+    violations = []
+    for name, fn in QUERIES.items():
+        plan = (
+            fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .explainString(explain_mode.fromString("formatted"))
+        )
+        for first_arg in pat.findall(plan):
+            unpartitioned = (
+                " ASC" in first_arg
+                or " DESC" in first_arg
+                or first_arg.startswith("specifiedwindowframe")
+            )
+            if unpartitioned and name not in unpart_ok:
+                violations.append((name, first_arg.strip()))
+                break
+    assert not violations, violations

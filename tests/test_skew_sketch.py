@@ -309,6 +309,25 @@ class TestCmJoinCardinality:
         est = cm_join_cardinality(sa, sb, d=3).collect()[0].join_card_est
         assert est <= 2  # only chance collisions
 
+    def test_fully_disjoint_zero_not_null(self, spark):
+        """A hash row whose sketches share no cells has inner product
+        0 — it must drive the MIN to 0, not vanish from it (the r05
+        advisor catch: the inner join dropped empty rows, so disjoint
+        sketches returned NULL/inflated estimates)."""
+        from nhs_data_pipeline_spark.ops.sketch import (
+            cm_join_cardinality,
+            cm_sketch,
+        )
+
+        a = spark.createDataFrame([(1,), (2,), (3,)], "k bigint")
+        b = spark.createDataFrame([(100001,), (100002,), (100003,)], "k bigint")
+        sa = cm_sketch(a, "k", d=3, w=4096)
+        sb = cm_sketch(b, "k", d=3, w=4096)
+        est = cm_join_cardinality(sa, sb, d=3).collect()[0].join_card_est
+        # 3 keys x 3 keys in 4096 buckets: every hash row almost
+        # surely shares no cell -> exact 0, and NEVER None
+        assert est == 0
+
 
 def test_bitmap_stream_matches_batch(spark, tmp_path):
     """Streamed bitmap store == one-shot batch bitmap; exact distinct
