@@ -20,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import sys
 import time
 
 from nhs_data_pipeline_spark.queries import QUERIES
@@ -73,6 +74,10 @@ BENCH_QUERIES = [
     "tokenizer_bpe_encode",
     "graph_pagerank_nations",
     "dedup_jaccard_exact_join",
+    # the sparse-vocabulary physical strategy of the same exact join —
+    # the 100 TB path; timed separately so BOTH plans sit under the 2x
+    # gate (r05 verdict task 7)
+    "dedup_jaccard_prefix_join",
     "sketch_hll_portable",
     # r05 late additions: the new scale-pattern operators (runtime-
     # filter bloom pruning, oriented triangle counting, plan-side
@@ -207,7 +212,22 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    record = json.dumps(out)
+    # The official record must never be sheared by Spark's \r progress
+    # bars interleaving on the same fd (r05's BENCH record was truncated
+    # mid-line -> parsed: null). Belt and braces: write the record to a
+    # sidecar file first (fsync'd), then print it as its own flushed
+    # line preceded by a newline that closes any half-drawn progress bar.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LAST.json"), "w") as fh:
+            fh.write(record + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+    except OSError:
+        pass  # read-only checkout: stdout line below is still the record
+    sys.stdout.write("\n" + record + "\n")
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -270,7 +270,7 @@ def test_driver_window_contract():
     for flagship in [
         "merge_upsert_customers", "scd2_point_in_time",
         "entity_resolve_suppliers", "shuffle_training_order",
-        "curate_mixture_v2", "orgchange_adjust_panel",
+        "curate_mixture_v2",
         # r05 rotation: never-driver-checked flagships now in-window
         "graph_pagerank_nations", "sketch_hll_portable",
         "dedup_jaccard_exact_join", "embed_kmeans_fit",
@@ -278,6 +278,13 @@ def test_driver_window_contract():
         # late-r05 second rotation: the session's new flagships
         "join_bloom_prefilter", "graph_triangle_count",
         "stats_ols_trend", "eval_classifier_auc",
+        # r06 rotation (3rd): the judge's ten never-attested picks
+        # (orgchange_adjust_panel rotated OUT — 5x driver-attested)
+        "classifier_logreg_fit", "graph_label_propagation",
+        "simhash_near_pairs", "dedup_semantic_cells", "embed_pq_topk",
+        "stats_winsorize_prices", "feature_quantile_normalize",
+        "sketch_quantile_hist", "sample_weighted_ares",
+        "events_zscore_outliers",
     ]:
         assert flagship in DRIVER_WINDOW, flagship
 
@@ -291,8 +298,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 170, len(QUERIES)
-    assert len(ORACLES) == 167, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 171, len(QUERIES)
+    assert len(ORACLES) == 168, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_registry_wide_plan_hygiene(spark, sf_dir):
@@ -336,6 +343,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # (doc, bigram) table, so a shuffle join is the correct plan
         # at scale even though gate-sized stats broadcast it today
         "dedup_jaccard_exact_join",
+        # audited: the PPJoin mode's prefix-candidate join and its
+        # exact-intersection verify join are likewise corpus x corpus
+        # on (prefix-token, doc-pair) keys — shuffle joins correct
+        "dedup_jaccard_prefix_join",
         # audited: the (doc, word) stream joins the encoded vocabulary
         # on the word key and the per-doc counts join back on doc_id
         # (llm/bpe.bpe_token_counts) — both sides corpus-scaled at
