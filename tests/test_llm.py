@@ -4,6 +4,7 @@ numpy, text signals, multimodal plumbing."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from nhs_data_pipeline_spark.llm import dedup as dd
@@ -452,6 +453,101 @@ def test_multimodal_decode_plumbing(spark):
     # deterministic fake: same bytes -> same features
     again = {r.media_id: r.feature for r in mm.decode_features(media, dim=4).collect()}
     assert again[1] == feats[1].feature
+
+
+def _make_bmp_2x2() -> bytes:
+    """Hand-built uncompressed 24-bit 2x2 BMP. Pixels (BGR, bottom-up):
+    bottom row = pure blue, pure green; top row = pure red, white."""
+    width, height = 2, 2
+    stride = ((24 * width + 31) // 32) * 4  # 8 bytes: 6 pixel + 2 pad
+    rows = [
+        b"\xff\x00\x00" + b"\x00\xff\x00" + b"\x00\x00",  # bottom: B, G
+        b"\x00\x00\xff" + b"\xff\xff\xff" + b"\x00\x00",  # top: R, white
+    ]
+    pixels = b"".join(rows)
+    assert len(pixels) == stride * height
+    header = (
+        b"BM"
+        + (54 + len(pixels)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")  # pixel data offset
+        + (40).to_bytes(4, "little")  # BITMAPINFOHEADER size
+        + width.to_bytes(4, "little")
+        + height.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # planes
+        + (24).to_bytes(2, "little")  # bpp
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + bytes(20)
+    )
+    return header + pixels
+
+
+def _make_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
+    """Hand-built 16-bit PCM mono RIFF/WAVE."""
+    data = b"".join(v.to_bytes(2, "little", signed=True) for v in samples)
+    fmt = (
+        (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")  # block align
+        + (16).to_bytes(2, "little")  # bits
+    )
+    body = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+
+
+def test_multimodal_real_decode_roundtrip(spark):
+    """REAL bytes-to-features decode (pure-python BMP + WAV parsers)
+    through the distributed mapInPandas path — not the deterministic
+    fake: hand-built files with hand-computed channel means / RMS /
+    zero-crossings must come back exactly."""
+    bmp = _make_bmp_2x2()
+    wav = _make_wav([16384, -16384, 16384, -16384])  # |v|=2^14 square
+    rows = [
+        (1, "image", bytearray(bmp), ("image/bmp", 2, 2, None)),
+        (2, "audio", bytearray(wav), ("audio/wav", None, None, None)),
+        (3, "image", bytearray(b"\x01\x02\x03"), (None, None, None, None)),
+        (4, "image", None, (None, None, None, None)),
+    ]
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    got = {
+        r.media_id: r
+        for r in mm.decode_features(media, real_decoder=mm.real_decode).collect()
+    }
+    # BMP: one pure B, G, R pixel + one white -> each channel mean 2/4
+    f = got[1].feature
+    assert got[1].decode_ok
+    assert f[:3] == pytest.approx([0.5, 0.5, 0.5])
+    assert f[3] == pytest.approx((299 + 587 + 114 + 1000) / 4000)
+    assert f[4:] == pytest.approx([2 / 4096, 2 / 4096, 1.0, 1.0])
+    # WAV: square wave, amp 2^14 -> mean=rms=0.5, 3 sign flips / 4
+    g = got[2].feature
+    assert got[2].decode_ok
+    assert g[0] == pytest.approx(0.5) and g[1] == pytest.approx(0.5)
+    assert g[2] == pytest.approx(3 / 4)
+    assert g[3] == pytest.approx(4 / 8000 / 3600)
+    assert g[4:] == pytest.approx([1 / 8, 8000 / 96000, 4 / 1e6, 2.0])
+    # unknown magic bytes and NULL content -> decode_ok False, no crash
+    assert not got[3].decode_ok and got[3].feature is None
+    assert not got[4].decode_ok and got[4].feature is None
+
+
+def test_real_decode_rejects_malformed():
+    """Truncated/exotic variants of known magics fail CLEANLY (None),
+    never raise: the mapInPandas batch must survive a corrupt blob."""
+    bmp, wav = _make_bmp_2x2(), _make_wav([1, -1])
+    for blob in [
+        bmp[:30],  # truncated header
+        bmp[:2] + b"\x00" * 60,  # BM magic, garbage header
+        bytes(bmp[:28]) + (8).to_bytes(2, "little") + bytes(bmp[30:]),  # 8bpp
+        wav[:10],  # truncated RIFF
+        wav.replace(b"data", b"datX"),  # no data chunk
+        wav.replace(b"\x10\x00\x64\x61", b"\x08\x00\x64\x61"),  # 8-bit
+        b"RIFF\x04\x00\x00\x00AVI ",  # RIFF but not WAVE
+    ]:
+        assert mm.real_decode(blob) is None
 
 
 def test_multimodal_frame_sampling(spark):
