@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "curate_corpus",
     "text_profile",
+    "quality_gopher_rules",
     "minhash_lsh_pairs",
     "embed_topk_bruteforce",
     "dedup_embed_cosine_pairs",

@@ -101,6 +101,87 @@ def quality_score(text: Column | str) -> Column:
     return F.round(len_term * punct_term * (0.5 + 0.5 * stop_term), 6)
 
 
+# The 8 canonical Gopher stop words (Rae et al. 2021, A1.1): a doc
+# must contain at least 2 DISTINCT ones to pass the stop-word rule.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher quality-filter rule panel (Rae et al. 2021, Appendix
+    A1.1 — the published ruleset most open-data pipelines start from):
+    per-document integer 0/1 flags for each rule plus the conjunction.
+
+    Rules (standard thresholds, exact INTEGER comparisons only — a
+    float ratio-vs-threshold compare can coin-flip between engines at
+    boundary docs, so every decision is cross-multiplied):
+
+    - ``ok_word_count``   : word count in [min_words, max_words]
+    - ``ok_mean_word_len``: mean word length in [3, 10]
+                            (``3*n <= sum_len AND sum_len <= 10*n``)
+    - ``ok_symbol_ratio`` : (# + ellipsis) / words <= 0.1
+    - ``ok_bullet_ratio`` : lines starting with a bullet <= 90%
+    - ``ok_ellipsis_line``: lines ending with '...' <= 30%
+    - ``ok_alpha_words``  : words containing a letter >= 80%
+    - ``ok_stopwords``    : >= 2 distinct Gopher stop words present
+    - ``pass_gopher``     : AND of all seven
+
+    Everything is a native column expression over one projection —
+    at 100 TB this runs inside the parquet scan stage, zero shuffles,
+    and each rule is reproducible in ANSI SQL for the oracle (same
+    whitespace tokenizer, same regexes). Word-length sum is computed
+    as ``length(regexp_replace(text, '\\s', ''))`` — total non-space
+    chars — which equals the sum over words without a lambda fold.
+    NULL text is treated as the empty string (flags still total)."""
+    t = F.coalesce(_c(text_col), F.lit(""))
+    trimmed = F.trim(t)
+    words = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+    lines = F.split(t, "\n")
+    n_words = F.size(words).cast("bigint")
+    sum_len = F.length(F.regexp_replace(t, r"\s", "")).cast("bigint")
+    n_alpha = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("bigint")
+    n_symbols = F.size(
+        F.regexp_extract_all(t, F.lit(r"#|\.\.\."), 0)
+    ).cast("bigint")
+    n_lines = F.size(lines).cast("bigint")
+    n_bullet = F.size(
+        F.filter(lines, lambda ln: F.ltrim(ln).rlike("^[-*•]"))
+    ).cast("bigint")
+    n_ell = F.size(
+        F.filter(lines, lambda ln: F.rtrim(ln).rlike(r"\.\.\.$"))
+    ).cast("bigint")
+    low = F.lower(t)
+    n_stop = sum(
+        F.when(low.rlike(rf"\b{w}\b"), 1).otherwise(0)
+        for w in GOPHER_STOPWORDS
+    ).cast("bigint")
+    flags = {
+        "ok_word_count": n_words.between(min_words, max_words),
+        "ok_mean_word_len": (3 * n_words <= sum_len) & (sum_len <= 10 * n_words),
+        "ok_symbol_ratio": 10 * n_symbols <= n_words,
+        "ok_bullet_ratio": 10 * n_bullet <= 9 * n_lines,
+        "ok_ellipsis_line": 10 * n_ell <= 3 * n_lines,
+        "ok_alpha_words": 5 * n_alpha >= 4 * n_words,
+        "ok_stopwords": n_stop >= 2,
+    }
+    cols = [F.col(id_col), n_words.alias("n_words")]
+    passing = F.lit(True)
+    for name, cond in flags.items():
+        cols.append(cond.cast("int").alias(name))
+        passing = passing & cond
+    cols.append(passing.cast("int").alias("pass_gopher"))
+    return df.select(*cols)
+
+
 def normalize_text(text: Column | str) -> Column:
     """Canonical form for exact-dup detection: lower, collapse
     whitespace, trim."""

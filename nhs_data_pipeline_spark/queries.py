@@ -1144,6 +1144,81 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "quality_gopher_rules",
+    """
+    WITH d AS (
+      SELECT doc_id, COALESCE(text, '') AS t FROM documents
+    ),
+    m AS (
+      SELECT doc_id, t,
+        CASE WHEN trim(t) = '' THEN CAST(0 AS BIGINT)
+             ELSE CAST(len(string_split_regex(trim(t), '\\s+')) AS BIGINT)
+          END AS n_words,
+        CAST(length(regexp_replace(t, '\\s', '', 'g')) AS BIGINT) AS sum_len,
+        CASE WHEN trim(t) = '' THEN CAST(0 AS BIGINT)
+             ELSE CAST(len(list_filter(string_split_regex(trim(t), '\\s+'),
+                                       w -> regexp_matches(w, '[A-Za-z]')))
+                       AS BIGINT) END AS n_alpha,
+        CAST(len(regexp_extract_all(t, '#|\\.\\.\\.')) AS BIGINT) AS n_symbols,
+        CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+        CAST(len(list_filter(string_split(t, chr(10)),
+                             l -> regexp_matches(ltrim(l), '^[-*•]')))
+             AS BIGINT) AS n_bullet,
+        CAST(len(list_filter(string_split(t, chr(10)),
+                             l -> regexp_matches(rtrim(l), '\\.\\.\\.$')))
+             AS BIGINT) AS n_ell,
+        (CASE WHEN regexp_matches(lower(t), '\\bthe\\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(t), '\\bbe\\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(t), '\\bto\\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(t), '\\bof\\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(t), '\\band\\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(t), '\\bthat\\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(t), '\\bhave\\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(t), '\\bwith\\b') THEN 1 ELSE 0 END
+        ) AS n_stop
+      FROM d
+    ),
+    f AS (
+      SELECT doc_id, n_words,
+        CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+          AS ok_word_count,
+        CASE WHEN 3 * n_words <= sum_len AND sum_len <= 10 * n_words
+             THEN 1 ELSE 0 END AS ok_mean_word_len,
+        CASE WHEN 10 * n_symbols <= n_words THEN 1 ELSE 0 END
+          AS ok_symbol_ratio,
+        CASE WHEN 10 * n_bullet <= 9 * n_lines THEN 1 ELSE 0 END
+          AS ok_bullet_ratio,
+        CASE WHEN 10 * n_ell <= 3 * n_lines THEN 1 ELSE 0 END
+          AS ok_ellipsis_line,
+        CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END
+          AS ok_alpha_words,
+        CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS ok_stopwords
+      FROM m
+    )
+    SELECT doc_id, n_words, ok_word_count, ok_mean_word_len,
+           ok_symbol_ratio, ok_bullet_ratio, ok_ellipsis_line,
+           ok_alpha_words, ok_stopwords,
+           ok_word_count * ok_mean_word_len * ok_symbol_ratio
+             * ok_bullet_ratio * ok_ellipsis_line * ok_alpha_words
+             * ok_stopwords AS pass_gopher
+    FROM f
+    """,
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher quality-filter ruleset (Rae et al. 2021,
+    Appendix A1.1) as a per-document 0/1 flag panel: word-count
+    bounds, mean word length [3,10], symbol-to-word ratio, bullet- and
+    ellipsis-line ratios, alphabetic-word share, distinct-stop-word
+    presence, and the conjunction. EVERY threshold decision is an
+    exact integer cross-multiplication (never a float ratio compare —
+    boundary docs would coin-flip between engines), and the whole
+    panel is native expressions in one projection: at 100 TB it runs
+    inside the parquet scan stage with zero shuffles
+    (llm/text.gopher_quality_flags)."""
+    return tx.gopher_quality_flags(_t(spark, sf_dir, "documents"))
+
+
 # ===========================================================================
 # LLM-pipeline: deduplication
 # ===========================================================================

@@ -455,6 +455,38 @@ def test_multimodal_decode_plumbing(spark):
     assert again[1] == feats[1].feature
 
 
+def test_gopher_quality_flags_rule_by_rule(spark):
+    """Each Gopher rule tripped by a crafted doc (the synthetic corpus
+    never exercises bullets/ellipses), with hand-computed flags."""
+    good = "the words that we have kept are fine and " + "solid " * 45
+    docs = [
+        (1, good),  # ~54 words, all rules pass
+        (2, "too short to pass but the words have merit"),  # word count
+        (3, "the of " + "a " * 60),  # mean word len < 3
+        (4, "the of " + "# " * 30 + "word " * 50),  # symbols > 10%
+        (5, "the of\n" + "\n".join("- item %d" % i for i in range(20))),  # bullets
+        (6, "the of\nplain line\nnext one goes on...\nand this too..."),  # ellipsis 2/4 lines
+        (7, "the of " + "1234 " * 60),  # alpha words < 80%
+        (8, "zz " * 60),  # no stop words
+        (9, None),  # NULL text -> all-integer flags, no NULLs
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in tx.gopher_quality_flags(df).collect()}
+    assert got[1]["pass_gopher"] == 1
+    assert got[2]["ok_word_count"] == 0 and got[2]["ok_mean_word_len"] == 1
+    assert got[3]["ok_mean_word_len"] == 0
+    assert got[4]["ok_symbol_ratio"] == 0
+    assert got[5]["ok_bullet_ratio"] == 0  # 20/21 lines bulleted
+    assert got[6]["ok_ellipsis_line"] == 0  # 2/4 > 30%
+    assert got[7]["ok_alpha_words"] == 0
+    assert got[8]["ok_stopwords"] == 0 and got[8]["pass_gopher"] == 0
+    assert got[9]["n_words"] == 0 and got[9]["pass_gopher"] == 0
+    for r in got.values():  # flags are total: 0/1, never NULL
+        assert all(
+            r[k] in (0, 1) for k in r if k.startswith(("ok_", "pass_"))
+        )
+
+
 def _make_bmp_2x2() -> bytes:
     """Hand-built uncompressed 24-bit 2x2 BMP. Pixels (BGR, bottom-up):
     bottom row = pure blue, pure green; top row = pure red, white."""
