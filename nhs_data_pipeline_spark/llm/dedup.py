@@ -1058,17 +1058,28 @@ def exact_jaccard_join(
             ),
         )
         .filter(F.col("__rk") <= F.col("__p"))
-        .select("doc_id", "bg")
+        .select("doc_id", "bg", "__sz")
         # eager: a lazy self-join would race its two scans through the
         # whole lineage (the measured 2x trap)
         .persist()
     )
     prefix.count()
-    a = prefix.select(F.col("doc_id").alias("id_a"), "bg")
-    b = prefix.select(F.col("doc_id").alias("id_b"), "bg")
+    a = prefix.select(
+        F.col("doc_id").alias("id_a"), "bg", F.col("__sz").alias("__sza")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("id_b"), "bg", F.col("__sz").alias("__szb")
+    )
+    # PPJoin length filter (lossless): J(A,B) <= min/max of the set
+    # sizes, so den*min >= num*max is NECESSARY for J >= t — pruned
+    # inside the candidate join, BEFORE the distinct shuffle and the
+    # array-intersect verify ever see the pair
+    len_ok = F.lit(den) * F.least("__sza", "__szb") >= F.lit(num) * F.greatest(
+        "__sza", "__szb"
+    )
     cand = (
         a.join(b, "bg")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") < F.col("id_b")) & len_ok)
         .select("id_a", "id_b")
         .distinct()
         # truncate to the (bounded) candidate table so the prefix
