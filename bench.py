@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "curate_corpus",
     "text_profile",
     "quality_gopher_rules",
+    "quality_c4_lines",
     "minhash_lsh_pairs",
     "embed_topk_bruteforce",
     "dedup_embed_cosine_pairs",

@@ -182,6 +182,50 @@ def gopher_quality_flags(
     return df.select(*cols)
 
 
+def c4_line_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4 line-level cleaning rules (Raffel et al. 2020 §2.2 — the
+    other canonical published ruleset, line-granular where Gopher's is
+    document-granular): a line is KEPT iff it ends in terminal
+    punctuation (``. ! ? "``), has at least 3 whitespace words, and
+    does not mention ``javascript`` (case-insensitive); the document-
+    level policy markers (``lorem ipsum``, ``{``) are flagged for the
+    caller's page-drop decision.
+
+    Returns per document: ``n_lines``, ``n_kept``, ``n_kept_words``
+    (exact integers), 0/1 ``has_lorem_ipsum`` / ``has_curly`` flags,
+    and ``kept_fp`` — the md5 of the kept lines rejoined with
+    ``\\n`` (the downstream exact-dedup key of the CLEANED text, so
+    two docs that clean to the same content collide here). One native
+    projection, scan-stage at 100 TB, zero shuffles; every expression
+    replays exactly in ANSI SQL. NULL text is the empty string."""
+    t = F.coalesce(_c(text_col), F.lit(""))
+    lines = F.split(t, "\n")
+    keep = F.filter(
+        lines,
+        lambda ln: F.rtrim(ln).rlike('[.!?"]$')
+        & (F.size(F.split(F.trim(ln), r"\s+")) >= 3)
+        & ~F.lower(ln).contains("javascript"),
+    )
+    kept_words = F.aggregate(
+        keep,
+        F.lit(0).cast("bigint"),
+        lambda acc, ln: acc + F.size(F.split(F.trim(ln), r"\s+")),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(keep).cast("bigint").alias("n_kept"),
+        kept_words.alias("n_kept_words"),
+        F.lower(t).contains("lorem ipsum").cast("int").alias("has_lorem_ipsum"),
+        t.contains("{").cast("int").alias("has_curly"),
+        F.md5(F.array_join(keep, "\n")).alias("kept_fp"),
+    )
+
+
 def normalize_text(text: Column | str) -> Column:
     """Canonical form for exact-dup detection: lower, collapse
     whitespace, trim."""

@@ -1144,8 +1144,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "quality_gopher_rules",
+_GOPHER_ORACLE_SQL = (
     """
     WITH d AS (
       SELECT doc_id, COALESCE(text, '') AS t FROM documents
@@ -1203,8 +1202,51 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              * ok_bullet_ratio * ok_ellipsis_line * ok_alpha_words
              * ok_stopwords AS pass_gopher
     FROM f
+    """
+)
+
+
+@query(
+    "quality_c4_lines",
+    """
+    WITH d AS (
+      SELECT doc_id, COALESCE(text, '') AS t FROM documents
+    ),
+    k AS (
+      SELECT doc_id, t,
+        string_split(t, chr(10)) AS lines,
+        list_filter(
+          string_split(t, chr(10)),
+          l -> regexp_matches(rtrim(l), '[.!?"]$')
+               AND len(string_split_regex(trim(l), '\\s+')) >= 3
+               AND NOT contains(lower(l), 'javascript')
+        ) AS keep
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(keep) AS BIGINT) AS n_kept,
+           COALESCE(CAST(list_sum(list_transform(keep,
+               l -> len(string_split_regex(trim(l), '\\s+')))) AS BIGINT),
+             0) AS n_kept_words,
+           CASE WHEN contains(lower(t), 'lorem ipsum') THEN 1 ELSE 0 END
+             AS has_lorem_ipsum,
+           CASE WHEN contains(t, '{') THEN 1 ELSE 0 END AS has_curly,
+           md5(COALESCE(array_to_string(keep, chr(10)), '')) AS kept_fp
+    FROM k
     """,
 )
+def quality_c4_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning rules (Raffel et al. 2020 §2.2):
+    terminal-punctuation + min-3-words + no-javascript line keeps,
+    lorem-ipsum / curly-brace page flags, and the md5 of the CLEANED
+    text (the downstream exact-dedup key). Line-granular counterpart
+    to the Gopher document panel; one scan-stage projection, all
+    integer counts, zero shuffles (llm/text.c4_line_filters)."""
+    return tx.c4_line_filters(_t(spark, sf_dir, "documents"))
+
+
+@query("quality_gopher_rules", _GOPHER_ORACLE_SQL)
 def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The published Gopher quality-filter ruleset (Rae et al. 2021,
     Appendix A1.1) as a per-document 0/1 flag panel: word-count

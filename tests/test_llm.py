@@ -487,6 +487,42 @@ def test_gopher_quality_flags_rule_by_rule(spark):
         )
 
 
+def test_c4_line_filters_hand_computed(spark):
+    """C4 line rules on crafted docs: terminal punctuation, min-3
+    words, javascript marker, page flags, and the cleaned-text md5."""
+    import hashlib
+
+    doc1 = "\n".join(
+        [
+            "This line stays here.",  # kept
+            "No terminal punctuation",  # dropped: no [.!?\"]
+            "Too short.",  # dropped: 2 words
+            "Enable JavaScript to continue.",  # dropped: marker
+            'He said "stop".',  # kept
+        ]
+    )
+    docs = [
+        (1, doc1),
+        (2, "lorem ipsum dolor sit amet.\nvar x = {1};"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in tx.c4_line_filters(df).collect()}
+    r1 = got[1]
+    assert (r1["n_lines"], r1["n_kept"], r1["n_kept_words"]) == (5, 2, 7)
+    assert r1["has_lorem_ipsum"] == 0 and r1["has_curly"] == 0
+    expected = 'This line stays here.\nHe said "stop".'
+    assert r1["kept_fp"] == hashlib.md5(expected.encode()).hexdigest()
+    r2 = got[2]
+    # line 1 kept (5 words, '.'); line 2 dropped (no terminal punct —
+    # ends in ';')
+    assert (r2["n_lines"], r2["n_kept"]) == (2, 1)
+    assert r2["has_lorem_ipsum"] == 1 and r2["has_curly"] == 1
+    r3 = got[3]  # NULL text == empty: 1 empty line, nothing kept
+    assert (r3["n_lines"], r3["n_kept"], r3["n_kept_words"]) == (1, 0, 0)
+    assert r3["kept_fp"] == hashlib.md5(b"").hexdigest()
+
+
 def _make_bmp_2x2() -> bytes:
     """Hand-built uncompressed 24-bit 2x2 BMP. Pixels (BGR, bottom-up):
     bottom row = pure blue, pure green; top row = pure red, white."""

@@ -298,8 +298,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 172, len(QUERIES)
-    assert len(ORACLES) == 169, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 173, len(QUERIES)
+    assert len(ORACLES) == 170, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_registry_wide_plan_hygiene(spark, sf_dir):
