@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "text_profile",
     "quality_gopher_rules",
     "quality_c4_lines",
+    "mixture_source_kl",
     "minhash_lsh_pairs",
     "embed_topk_bruteforce",
     "dedup_embed_cosine_pairs",

@@ -438,6 +438,71 @@ def tfidf_topk(
     )
 
 
+def source_token_kl(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data-mixture diagnostic: per-group KL divergence of the group's
+    unigram token distribution from the whole-corpus distribution —
+    ``KL(P_g || P) = sum_t (c_gt/n_g) * ln(c_gt*N / (n_g*c_t))`` —
+    the quantity mixture-balancing loops (DoReMi-style reweighting,
+    source pruning) monitor. Returns ``(group, n_tokens, n_terms,
+    kl)`` with kl >= 0, 6-decimal.
+
+    Determinism is the integer-numerator recipe (the r05 trainer
+    lesson): each ln is quantized to integer MILLIONTHS immediately
+    (``floor(ln(r)*1e6 + 0.5)`` — three IEEE ops, no library
+    rounding), weighted by the exact integer count, and summed as
+    DECIMAL(38,0) — order-free, so no sorted fold is needed and the
+    shuffle topology cannot change the value. One final double
+    division + the portable floor-round, spelled identically in the
+    oracle.
+
+    Shape for 100 TB: ONE (group, term) aggregate off the tokenize
+    stream builds the model-sized count table (persisted — the lm/dsir
+    rule: everything else derives from it, so the corpus is tokenized
+    once); corpus term totals re-aggregate it on the term key, group
+    totals and N are broadcast back. No window, no self-join."""
+    D = "decimal(38,0)"
+    toks = df.select(
+        F.col(group_col).alias("__g"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    cs = toks.groupBy("__g", "term").agg(F.count("*").alias("c_gt")).persist()
+    ct = cs.groupBy("term").agg(F.sum("c_gt").alias("c_t"))
+    ns = cs.groupBy("__g").agg(
+        F.sum("c_gt").alias("n_g"), F.count("*").alias("n_terms")
+    )
+    big_n = ns.agg(F.sum("n_g").alias("__N"))
+    ratio = (F.col("c_gt").cast(D) * F.col("__N").cast(D)).cast("double") / (
+        F.col("n_g").cast(D) * F.col("c_t").cast(D)
+    ).cast("double")
+    lnq = F.floor(F.log(ratio) * F.lit(1000000.0) + F.lit(0.5))
+    numer = (
+        cs.join(ct, "term")
+        .join(F.broadcast(ns), "__g")
+        .crossJoin(F.broadcast(big_n))
+        .groupBy("__g")
+        .agg(
+            F.sum((F.col("c_gt").cast(D) * lnq.cast(D))).alias("__num"),
+        )
+    )
+    kl = F.floor(F.col("__num").cast("double") / F.col("n_g") + F.lit(0.5)) / F.lit(
+        1000000.0
+    )
+    return (
+        numer.join(F.broadcast(ns), "__g")
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("n_g").cast("bigint").alias("n_tokens"),
+            F.col("n_terms").cast("bigint").alias("n_terms"),
+            kl.alias("kl"),
+        )
+    )
+
+
 def remove_boilerplate_lines(
     df: DataFrame,
     min_docs: int = 2,

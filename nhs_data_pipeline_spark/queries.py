@@ -1207,6 +1207,56 @@ _GOPHER_ORACLE_SQL = (
 
 
 @query(
+    "mixture_source_kl",
+    f"""
+    WITH toks AS (
+      SELECT source AS g, unnest(string_split({_NORM_SQL}, ' ')) AS term
+      FROM documents
+    ),
+    tf AS MATERIALIZED (
+      SELECT g, term, CAST(COUNT(*) AS BIGINT) AS c_gt
+      FROM toks WHERE term <> '' GROUP BY 1, 2
+    ),
+    ct AS (SELECT term, CAST(SUM(c_gt) AS BIGINT) AS c_t FROM tf GROUP BY 1),
+    ns AS MATERIALIZED (
+      SELECT g, CAST(SUM(c_gt) AS BIGINT) AS n_g,
+             CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM tf GROUP BY 1
+    ),
+    nn AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n FROM ns),
+    terms AS (
+      -- exact integer products cast ONCE to double (same IEEE value
+      -- as the engine's decimal->double), ln quantized to integer
+      -- millionths with the portable floor-round
+      SELECT tf.g, tf.c_gt,
+             CAST(FLOOR(ln(
+               CAST(CAST(tf.c_gt AS HUGEINT) * nn.n AS DOUBLE)
+               / CAST(CAST(ns.n_g AS HUGEINT) * ct.c_t AS DOUBLE)
+             ) * 1000000.0 + 0.5) AS HUGEINT) AS lnq
+      FROM tf JOIN ct USING (term) JOIN ns USING (g), nn
+    ),
+    num AS (
+      SELECT g, SUM(CAST(c_gt AS HUGEINT) * lnq) AS numer
+      FROM terms GROUP BY 1
+    )
+    SELECT ns.g AS source, ns.n_g AS n_tokens, ns.n_terms,
+           FLOOR(CAST(num.numer AS DOUBLE) / ns.n_g + 0.5) / 1000000.0 AS kl
+    FROM num JOIN ns USING (g)
+    """,
+)
+def mixture_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram-distribution KL divergence from the corpus
+    distribution — the mixture-balancing diagnostic (DoReMi-style
+    reweighting loops, source pruning). Integer-numerator determinism:
+    ln quantized to integer millionths immediately, weighted by exact
+    counts, summed as DECIMAL(38,0) (order-free — no fold), one final
+    division + portable floor-round. One (source, term) aggregate off
+    the tokenize stream; corpus totals derive from it
+    (llm/text.source_token_kl)."""
+    return tx.source_token_kl(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "quality_c4_lines",
     """
     WITH d AS (

@@ -487,6 +487,44 @@ def test_gopher_quality_flags_rule_by_rule(spark):
         )
 
 
+def test_source_token_kl_python_replica(spark):
+    """KL diagnostic vs an exact python replica of the same
+    quantization pipeline; identical distributions give exactly 0."""
+    import math
+    from collections import Counter
+
+    docs = [
+        (1, "a", "x y x z"),
+        (2, "a", "x q"),
+        (3, "b", "x x y y z z"),
+        (4, "c", "x y x z"),  # c == the distribution of source a
+        (5, "c", "x q"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    got = {r.source: r for r in tx.source_token_kl(df).collect()}
+
+    per_g: dict[str, Counter] = {}
+    for _, g, t in docs:
+        per_g.setdefault(g, Counter()).update(t.split())
+    tot = Counter()
+    for c in per_g.values():
+        tot.update(c)
+    big_n = sum(tot.values())
+    for g, c in per_g.items():
+        n_g = sum(c.values())
+        numer = sum(
+            cnt * math.floor(math.log((cnt * big_n) / (n_g * tot[t])) * 1e6 + 0.5)
+            for t, cnt in c.items()
+        )
+        kl = math.floor(numer / n_g + 0.5) / 1e6
+        r = got[g]
+        assert (r.n_tokens, r.n_terms) == (n_g, len(c))
+        assert r.kl == kl, (g, r.kl, kl)
+        assert r.kl >= 0.0
+    # sources a and c are the same distribution -> identical KL
+    assert got["a"].kl == got["c"].kl
+
+
 def test_c4_line_filters_hand_computed(spark):
     """C4 line rules on crafted docs: terminal punctuation, min-3
     words, javascript marker, page flags, and the cleaned-text md5."""

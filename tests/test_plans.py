@@ -298,8 +298,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 173, len(QUERIES)
-    assert len(ORACLES) == 170, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 174, len(QUERIES)
+    assert len(ORACLES) == 171, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_registry_wide_plan_hygiene(spark, sf_dir):
@@ -382,6 +382,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # audited: one-row vocabulary-size aggregate crossed into the
         # bigram term stream (llm/lm.py) — same scalar-broadcast shape
         "text_lm_perplexity",
+        # audited: one-row corpus-token-total aggregate crossed into
+        # the (source, term) count table (llm/text.source_token_kl) —
+        # scalar-broadcast shape
+        "mixture_source_kl",
         # audited: embeds the dsir + lm subplans above, so it inherits
         # their scalar-aggregate broadcasts
         "curate_audit_panel",
