@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "quality_gopher_rules",
     "quality_c4_lines",
     "mixture_source_kl",
+    "mixture_zipf_slopes",
     "minhash_lsh_pairs",
     "embed_topk_bruteforce",
     "dedup_embed_cosine_pairs",

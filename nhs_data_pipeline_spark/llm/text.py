@@ -503,6 +503,69 @@ def source_token_kl(
     )
 
 
+def zipf_slopes(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group Zipf fit: OLS slope of ``ln(term frequency)`` on
+    ``ln(frequency rank)`` over the group's unigram vocabulary — the
+    corpus-health diagnostic (natural text sits near slope -1;
+    boilerplate-heavy or template-generated slices drift off it).
+    Returns ``(group, n_terms, zipf_slope, r2)``, slope dimensionless.
+
+    Composition of two proven exact-at-scale pieces:
+
+    - ranks come from the TWO-PASS bucketed pattern keyed by the count
+      value itself (count DESC, term ASC ties — a total order): bucket
+      offsets from a cumulative window over the per-(group, count)
+      table (sqrt-bounded, PARTITIONED by group), within-bucket
+      row_number partitioned by (group, count). No unpartitioned
+      window anywhere, no vocabulary-sized single task.
+    - both lns are quantized to integer millionths immediately and fed
+      to ``ops/analytics.group_ols`` — every moment sum is an exact
+      DECIMAL(38,0) integer, order-free; the only floating point is
+      the fixed final (divide, portable-round) sequence. With x and y
+      in the same micro-ln units the slope is the dimensionless
+      d ln(c)/d ln(r) directly (y_scale=1)."""
+    from nhs_data_pipeline_spark.ops.analytics import group_ols
+
+    toks = df.select(
+        F.col(group_col).alias("__g"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("__g", "term").agg(F.count("*").alias("c"))
+    cc = tf.groupBy("__g", "c").agg(F.count("*").alias("__bc"))
+    woff = (
+        Window.partitionBy("__g")
+        .orderBy(F.desc("c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = cc.withColumn(
+        "__off", F.coalesce(F.sum("__bc").over(woff), F.lit(0).cast("bigint"))
+    ).select("__g", "c", "__off")
+    win = Window.partitionBy("__g", "c").orderBy("term")
+    micro = lambda col: F.floor(  # noqa: E731 — the portable micro-ln
+        F.log(col.cast("double")) * F.lit(1000000.0) + F.lit(0.5)
+    )
+    ranked = (
+        tf.join(offs, ["__g", "c"])
+        .withColumn("__r", F.col("__off") + F.row_number().over(win))
+        .select(
+            "__g",
+            micro(F.col("__r")).alias("__x"),
+            micro(F.col("c")).cast("bigint").alias("__y"),
+        )
+    )
+    fit = group_ols(ranked, ["__g"], "__x", "__y", y_scale=1)
+    return fit.select(
+        F.col("__g").alias(group_col),
+        F.col("n_points").alias("n_terms"),
+        F.col("slope").alias("zipf_slope"),
+        F.col("r2"),
+    )
+
+
 def remove_boilerplate_lines(
     df: DataFrame,
     min_docs: int = 2,

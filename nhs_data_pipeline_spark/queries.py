@@ -1257,6 +1257,68 @@ def mixture_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mixture_zipf_slopes",
+    f"""
+    WITH toks AS (
+      SELECT source AS g, unnest(string_split({_NORM_SQL}, ' ')) AS term
+      FROM documents
+    ),
+    tf AS MATERIALIZED (
+      SELECT g, term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks WHERE term <> '' GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT g, c,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY c DESC, term) AS r
+      FROM tf
+    ),
+    xy AS (
+      SELECT g,
+             CAST(FLOOR(ln(CAST(r AS DOUBLE)) * 1000000.0 + 0.5) AS HUGEINT)
+               AS x,
+             CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS HUGEINT)
+               AS y
+      FROM rk
+    ),
+    s AS (
+      SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+      FROM xy GROUP BY 1
+    ),
+    m AS (
+      SELECT g, n,
+             n * sxy - sx * sy AS num,
+             n * sxx - sx * sx AS den,
+             n * syy - sy * sy AS ssyy
+      FROM s
+    )
+    SELECT g AS source, CAST(n AS BIGINT) AS n_terms,
+           CASE WHEN den <> 0 THEN
+             FLOOR(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                   * 1000000.0 + 0.5) / 1000000.0
+           END AS zipf_slope,
+           CASE WHEN den <> 0 AND ssyy <> 0 THEN
+             FLOOR((CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+                   / (CAST(den AS DOUBLE) * CAST(ssyy AS DOUBLE))
+                   * 1000000.0 + 0.5) / 1000000.0
+           END AS r2
+    FROM m
+    """,
+)
+def mixture_zipf_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf fit — OLS slope of ln(term frequency) on
+    ln(frequency rank), the corpus-health diagnostic (natural text
+    near -1). Ranks via the two-pass bucketed pattern keyed by the
+    count value (no unpartitioned window, no vocab-sized task); both
+    lns quantized to integer millionths and fed through the exact
+    DECIMAL(38,0) moment sums of group_ols, so only the final fixed
+    (divide, portable-round) sequence is floating point
+    (llm/text.zipf_slopes)."""
+    return tx.zipf_slopes(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "quality_c4_lines",
     """
     WITH d AS (

@@ -525,6 +525,45 @@ def test_source_token_kl_python_replica(spark):
     assert got["a"].kl == got["c"].kl
 
 
+def test_zipf_slopes_python_replica(spark):
+    """Zipf slope vs an exact python replica of the full quantized
+    pipeline (rank by (count DESC, term), micro-ln, integer moments,
+    portable floor-round); a perfectly uniform source has slope 0."""
+    import math
+    from collections import Counter
+
+    docs = [
+        (1, "zipfy", "a a a a a a b b b c c d"),
+        (2, "flat", "p q r s p q r s"),  # all counts equal -> slope 0
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    got = {r.source: r for r in tx.zipf_slopes(df).collect()}
+
+    for g, text in [(s, t) for _, s, t in docs]:
+        counts = Counter(text.split())
+        ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        pts = [
+            (
+                math.floor(math.log(r) * 1e6 + 0.5),
+                math.floor(math.log(c) * 1e6 + 0.5),
+            )
+            for r, (_, c) in enumerate(ordered, start=1)
+        ]
+        n = len(pts)
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts); sxy = sum(x * y for x, y in pts)
+        syy = sum(y * y for _, y in pts)
+        num, den, ssyy = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+        r = got[g]
+        assert r.n_terms == n
+        exp_slope = math.floor(num / den / 1.0 * 1e6 + 0.5) / 1e6
+        assert r.zipf_slope == exp_slope, (g, r.zipf_slope, exp_slope)
+        if ssyy:
+            assert r.r2 == math.floor((num * num) / (den * ssyy) * 1e6 + 0.5) / 1e6
+    assert got["flat"].zipf_slope == 0.0
+    assert got["zipfy"].zipf_slope < -0.5
+
+
 def test_c4_line_filters_hand_computed(spark):
     """C4 line rules on crafted docs: terminal punctuation, min-3
     words, javascript marker, page flags, and the cleaned-text md5."""
