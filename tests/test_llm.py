@@ -525,6 +525,24 @@ def test_source_token_kl_python_replica(spark):
     assert got["a"].kl == got["c"].kl
 
 
+def test_mixture_ops_keep_null_source_group(spark):
+    """A NULL source is a legal group: the DuckDB oracles' GROUP BY /
+    PARTITION BY keep it, so the engine's group joins must be
+    NULL-safe or the gate goes red the first time the driver
+    regenerates data with a NULL source (r06 review catch)."""
+    docs = [
+        (1, None, "x y x z w q"),
+        (2, "a", "x y x z"),
+        (3, None, "p p q"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    kl = {r.source: r for r in tx.source_token_kl(df).collect()}
+    assert None in kl and kl[None].n_tokens == 9 and kl[None].n_terms == 6
+    zipf = {r.source: r for r in tx.zipf_slopes(df).collect()}
+    assert None in zipf and zipf[None].n_terms == 6
+    assert zipf[None].zipf_slope is not None
+
+
 def test_zipf_slopes_python_replica(spark):
     """Zipf slope vs an exact python replica of the full quantized
     pipeline (rank by (count DESC, term), micro-ln, integer moments,

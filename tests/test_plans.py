@@ -386,6 +386,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # the (source, term) count table (llm/text.source_token_kl) —
         # scalar-broadcast shape
         "mixture_source_kl",
+        # audited: one-row (min, max) score-range aggregate crossed
+        # into the distinct-score table to derive the rank bucket
+        # width (llm/classify.binary_auc) — scalar-broadcast shape
+        "eval_classifier_auc",
         # audited: embeds the dsir + lm subplans above, so it inherits
         # their scalar-aggregate broadcasts
         "curate_audit_panel",
