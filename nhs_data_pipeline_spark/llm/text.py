@@ -20,9 +20,15 @@ def _c(c: Column | str) -> Column:
 
 
 def token_count(text: Column | str) -> Column:
-    """Whitespace token count; 0 for empty/blank text."""
-    t = F.trim(_c(text))
-    return F.when(t == "", 0).otherwise(F.size(F.split(t, r"\s+")))
+    """Whitespace token count; 0 for empty/blank text; NULL for NULL.
+
+    Counts NON-EMPTY split pieces rather than trimming first: SQL
+    ``trim`` (Spark and DuckDB alike) strips only SPACES, so a doc
+    with a leading/trailing newline or tab kept phantom empty-string
+    tokens under the old trim-then-split form ("\\nfoo" counted 2 —
+    the r06 hypothesis fuzzer's catch). The filter form is exact for
+    every whitespace shape and needs no blank-text special case."""
+    return F.size(F.filter(F.split(_c(text), r"\s+"), lambda w: w != ""))
 
 
 def bpe_ish_token_count(text: Column | str) -> Column:
@@ -139,10 +145,9 @@ def gopher_quality_flags(
     chars — which equals the sum over words without a lambda fold.
     NULL text is treated as the empty string (flags still total)."""
     t = F.coalesce(_c(text_col), F.lit(""))
-    trimmed = F.trim(t)
-    words = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, r"\s+")
-    )
+    # non-empty split pieces, NOT trim-then-split: trim strips only
+    # SPACES, so "\nfoo" would keep a phantom '' word (fuzzer catch)
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
     lines = F.split(t, "\n")
     n_words = F.size(words).cast("bigint")
     sum_len = F.length(F.regexp_replace(t, r"\s", "")).cast("bigint")
@@ -204,16 +209,20 @@ def c4_line_filters(
     replays exactly in ANSI SQL. NULL text is the empty string."""
     t = F.coalesce(_c(text_col), F.lit(""))
     lines = F.split(t, "\n")
+    def _line_words(ln):
+        # non-empty pieces (trim strips only spaces — fuzzer catch)
+        return F.size(F.filter(F.split(ln, r"\s+"), lambda w: w != ""))
+
     keep = F.filter(
         lines,
         lambda ln: F.rtrim(ln).rlike('[.!?"]$')
-        & (F.size(F.split(F.trim(ln), r"\s+")) >= 3)
+        & (_line_words(ln) >= 3)
         & ~F.lower(ln).contains("javascript"),
     )
     kept_words = F.aggregate(
         keep,
         F.lit(0).cast("bigint"),
-        lambda acc, ln: acc + F.size(F.split(F.trim(ln), r"\s+")),
+        lambda acc, ln: acc + _line_words(ln).cast("bigint"),
     )
     return df.select(
         F.col(id_col),

@@ -1093,8 +1093,8 @@ _EN_PAT = r"\b(the|and|of|to|is|in|that|for|with)\b"
         len(regexp_extract_all(lower(text), '{_EN_PAT}')) AS h_en,
         len(regexp_extract_all(lower(text), '\\b(el|los|las|una|es|en|que|por|con)\\b')) AS h_es,
         len(regexp_extract_all(lower(text), '\\b(le|la|les|et|des|une|est|dans|pour)\\b')) AS h_fr,
-        CASE WHEN trim(text) = '' THEN 0
-             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+        len(list_filter(regexp_split_to_array(text, '\\s+'),
+                        __w -> __w <> '')) AS n_tok,
         CASE WHEN length(text) = 0 THEN 0.0
              ELSE len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text) END AS punct
       FROM documents
@@ -1103,7 +1103,7 @@ _EN_PAT = r"\b(the|and|of|to|is|in|that|for|with)\b"
            n_tok AS n_tokens,
            length(text) AS n_chars,
            ROUND(CASE WHEN length(text) = 0 THEN NULL ELSE punct END, 6) AS punct_ratio,
-           ROUND(CASE WHEN trim(text) = '' THEN NULL
+           ROUND(CASE WHEN n_tok = 0 THEN NULL
                  ELSE h_en * 1.0 / n_tok END, 6) AS stop_ratio,
            lang_actual,
            CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN NULL
@@ -1151,14 +1151,14 @@ _GOPHER_ORACLE_SQL = (
     ),
     m AS (
       SELECT doc_id, t,
-        CASE WHEN trim(t) = '' THEN CAST(0 AS BIGINT)
-             ELSE CAST(len(string_split_regex(trim(t), '\\s+')) AS BIGINT)
-          END AS n_words,
+        -- non-empty split pieces (trim strips only SPACES: a leading
+        -- newline/tab would keep phantom '' words — fuzzer catch)
+        CAST(len(list_filter(string_split_regex(t, '\\s+'),
+                             w -> w <> '')) AS BIGINT) AS n_words,
         CAST(length(regexp_replace(t, '\\s', '', 'g')) AS BIGINT) AS sum_len,
-        CASE WHEN trim(t) = '' THEN CAST(0 AS BIGINT)
-             ELSE CAST(len(list_filter(string_split_regex(trim(t), '\\s+'),
-                                       w -> regexp_matches(w, '[A-Za-z]')))
-                       AS BIGINT) END AS n_alpha,
+        CAST(len(list_filter(string_split_regex(t, '\\s+'),
+                             w -> regexp_matches(w, '[A-Za-z]')))
+             AS BIGINT) AS n_alpha,
         CAST(len(regexp_extract_all(t, '#|\\.\\.\\.')) AS BIGINT) AS n_symbols,
         CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
         CAST(len(list_filter(string_split(t, chr(10)),
@@ -1330,7 +1330,8 @@ def mixture_zipf_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
         list_filter(
           string_split(t, chr(10)),
           l -> regexp_matches(rtrim(l), '[.!?"]$')
-               AND len(string_split_regex(trim(l), '\\s+')) >= 3
+               AND len(list_filter(string_split_regex(l, '\\s+'),
+                                   w -> w <> '')) >= 3
                AND NOT contains(lower(l), 'javascript')
         ) AS keep
       FROM d
@@ -1339,7 +1340,8 @@ def mixture_zipf_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(lines) AS BIGINT) AS n_lines,
            CAST(len(keep) AS BIGINT) AS n_kept,
            COALESCE(CAST(list_sum(list_transform(keep,
-               l -> len(string_split_regex(trim(l), '\\s+')))) AS BIGINT),
+               l -> len(list_filter(string_split_regex(l, '\\s+'),
+                                    w -> w <> '')))) AS BIGINT),
              0) AS n_kept_words,
            CASE WHEN contains(lower(t), 'lorem ipsum') THEN 1 ELSE 0 END
              AS has_lorem_ipsum,
@@ -2304,15 +2306,12 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH q AS (
       SELECT doc_id,
-             ROUND(least(CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END / 20.0, 1.0)
+             ROUND(least(len(list_filter(regexp_split_to_array(text, '\s+'), __w -> __w <> '')) / 20.0, 1.0)
              * greatest(0.0, 1.0 - 2.0 * (CASE WHEN length(text) = 0 THEN 0.0
                         ELSE len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text) END))
-             * (0.5 + 0.5 * least((CASE WHEN (CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) = 0 THEN 0.0
+             * (0.5 + 0.5 * least((CASE WHEN (len(list_filter(regexp_split_to_array(text, '\s+'), __w -> __w <> ''))) = 0 THEN 0.0
                         ELSE len(regexp_extract_all(lower(text), '{_EN_PAT}')) * 1.0 /
-                             (CASE WHEN trim(text) = '' THEN 0
-                              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) END) * 4.0, 1.0)), 6)
+                             (len(list_filter(regexp_split_to_array(text, '\s+'), __w -> __w <> ''))) END) * 4.0, 1.0)), 6)
              AS quality
       FROM documents
     ), reps AS (
@@ -2622,15 +2621,12 @@ def _canonical_oracle_sql() -> str:
     WITH comp AS ({comp_sql}),
     q AS (
       SELECT doc_id,
-             ROUND(least(CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END / 20.0, 1.0)
+             ROUND(least(len(list_filter(regexp_split_to_array(text, '\s+'), __w -> __w <> '')) / 20.0, 1.0)
              * greatest(0.0, 1.0 - 2.0 * (CASE WHEN length(text) = 0 THEN 0.0
                         ELSE len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text) END))
-             * (0.5 + 0.5 * least((CASE WHEN (CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) = 0 THEN 0.0
+             * (0.5 + 0.5 * least((CASE WHEN (len(list_filter(regexp_split_to_array(text, '\s+'), __w -> __w <> ''))) = 0 THEN 0.0
                         ELSE len(regexp_extract_all(lower(text), '{_EN_PAT}')) * 1.0 /
-                             (CASE WHEN trim(text) = '' THEN 0
-                              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) END) * 4.0, 1.0)), 6)
+                             (len(list_filter(regexp_split_to_array(text, '\s+'), __w -> __w <> ''))) END) * 4.0, 1.0)), 6)
              AS quality
       FROM documents
     ),
@@ -3783,8 +3779,7 @@ def _repetition_oracle() -> str:
     ),
     base AS (
       SELECT doc_id,
-             CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+             len(list_filter(regexp_split_to_array(text, '\s+'), __w -> __w <> '')) AS n_tokens
       FROM documents
     ),
     {body}
@@ -4511,8 +4506,7 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
       SELECT doc_id, doc_id % 8 AS shard,
-             CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks
+             len(list_filter(regexp_split_to_array(text, '\s+'), __w -> __w <> '')) AS toks
       FROM documents
     ),
     c AS (
@@ -5720,8 +5714,7 @@ def _audit_panel_oracle() -> str:
     return f"""
     WITH qp0 AS (
       SELECT doc_id,
-        CASE WHEN trim(text) = '' THEN 0
-             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+        len(list_filter(regexp_split_to_array(text, '\s+'), __w -> __w <> '')) AS n_tokens,
         len(regexp_extract_all(lower(text), '{_EN_PAT}')) AS h_en,
         CASE WHEN length(text) = 0 THEN 0.0
              ELSE len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text) END AS punct
@@ -6839,25 +6832,22 @@ def events_seasonal_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DATASET_CARD_ORACLE_SQL = f"""
     WITH per_doc AS MATERIALIZED (
       SELECT source,
-             CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+             len(list_filter(regexp_split_to_array(text, '\s+'), __w -> __w <> '')) AS n_tok,
              length(text) AS n_chars,
              CASE WHEN COALESCE(lang, '') = 'en' THEN 1 ELSE 0 END AS is_en,
              md5({_NORM_SQL}) AS fp,
              CAST(ROUND(
-               least(CASE WHEN trim(text) = '' THEN 0
-                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+               least(len(list_filter(regexp_split_to_array(text, '\s+'), __w -> __w <> ''))
                      / 20.0, 1.0)
                * greatest(0.0, 1.0 - 2.0 *
                    (CASE WHEN length(text) = 0 THEN 0.0
                          ELSE len(regexp_extract_all(text, '[^\\w\\s]'))
                               * 1.0 / length(text) END))
                * (0.5 + 0.5 * least(
-                    (CASE WHEN trim(text) = '' THEN 0.0
+                    (CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'), __w -> __w <> '')) = 0 THEN 0.0
                           ELSE len(regexp_extract_all(lower(text), '{_EN_PAT}'))
                                * 1.0
-                               / (CASE WHEN trim(text) = '' THEN 1
-                                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+                               / len(list_filter(regexp_split_to_array(text, '\s+'), __w -> __w <> ''))
                      END) * 4.0, 1.0))
                * 1000000.0) AS BIGINT) AS q_m
       FROM documents
