@@ -146,6 +146,71 @@ def kmeans_fit(
     )
 
 
+def silhouette_by_cluster(
+    df: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster simplified silhouette under a fresh ``kmeans_fit``:
+    ``(cid, n_vectors, mean_silhouette, mean_dist)``.
+
+    The exact silhouette is O(n^2) pairwise distances — dead at corpus
+    scale. The standard centroid approximation (a = distance to the
+    OWN centroid, b = distance to the nearest OTHER centroid,
+    s = (b - a) / max(a, b)) is O(n * k) and needs only the same
+    broadcast cross-join the assignment step already does. Because the
+    own centroid is by definition the argmin, a <= b always, so
+    s = (b - a) / b in [0, 1]; a tied second centroid gives 0 and a
+    degenerate b = 0 (vector == both centroids) is defined as 0.
+
+    Cross-engine exactness: the squared distances fold in dim order
+    (bit-exact, see module docstring), ``sqrt`` is IEEE
+    correctly-rounded in every engine, the per-vector score is
+    quantized to integer millionths with the portable floor-round,
+    and per-cluster means divide the exact integer sums ONCE —
+    no order-dependent float accumulation anywhere.
+
+    100 TB shape: one broadcast join (k rows) + one (id)-partitioned
+    top-2 window + one (cid)-keyed aggregate with map-side partials.
+    """
+    vecs = _quantized(df, id_col, vec_col)
+    model = kmeans_fit(df, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col)
+    cent = model.select("cid", F.col("centroid").alias("__c"))
+    w = Window.partitionBy("id").orderBy(F.asc("__d"), F.asc("cid"))
+    two = (
+        vecs.join(F.broadcast(cent), how="cross")
+        .withColumn("__d", F.expr(_DIST))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 2)
+        .groupBy("id")
+        .agg(
+            F.max(F.when(F.col("__rk") == 1, F.col("cid"))).alias("cid"),
+            F.max(F.when(F.col("__rk") == 1, F.col("__d"))).alias("__a2"),
+            F.max(F.when(F.col("__rk") == 2, F.col("__d"))).alias("__b2"),
+        )
+    )
+    per = two.select(
+        "cid",
+        F.expr(
+            "cast(case when sqrt(__b2) > 0.0 then "
+            "floor((sqrt(__b2) - sqrt(__a2)) / sqrt(__b2) * 1e6 + 0.5) "
+            "else 0 end as bigint)"
+        ).alias("__s_m"),
+        F.expr("cast(floor(sqrt(__a2) * 1e6 + 0.5) as bigint)").alias("__a_m"),
+    )
+    return per.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.expr(
+            "floor(cast(sum(__s_m) as double) / cast(count(*) as double) + 0.5) / 1e6"
+        ).alias("mean_silhouette"),
+        F.expr(
+            "floor(cast(sum(__a_m) as double) / cast(count(*) as double) + 0.5) / 1e6"
+        ).alias("mean_dist"),
+    )
+
+
 def fit_centroids_engine(
     df: DataFrame,
     k: int = 16,

@@ -6160,34 +6160,42 @@ def sketch_count_min_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return osk.cm_estimate(merged, cand, "term", d=3, w=256)
 
 
-def _kmeans_oracle_sql(k: int = 4, iterations: int = 2) -> str:
-    """Unrolled-iteration DuckDB replica of llm/cluster.kmeans_fit:
-    6-decimal quantized input, dim-ordered distance folds with
-    (dist, cid) argmin tie-break, exact DECIMAL(18,6) centroid sums
-    with a single-rounded mean — the same bit-exact trajectory as the
-    Spark loop."""
+def _kmeans_dist_cte(cent: str) -> str:
+    """Per-(id, cid) squared distance against centroid table ``cent``
+    — the dim-ordered fold matching llm/cluster._DIST bit-for-bit."""
+    return f"""
+        SELECT e.id, c.cid,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list((e.v - c.c) * (e.v - c.c) ORDER BY e.dim)),
+                 (__a, __b) -> __a + __b) AS dd
+        FROM ex e JOIN {cent} c ON e.dim = c.dim
+        GROUP BY e.id, c.cid"""
 
-    def assign(name: str, cent: str) -> str:
-        return f"""
+
+def _kmeans_assign_cte(name: str, cent: str) -> str:
+    """Argmin assignment CTE with the (dist, cid) tie-break."""
+    return f"""
     {name} AS (
       SELECT id, cid FROM (
         SELECT t.id, t.cid,
                ROW_NUMBER() OVER (PARTITION BY t.id
                                   ORDER BY t.dd, t.cid) AS rk
-        FROM (
-          SELECT e.id, c.cid,
-                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                   list((e.v - c.c) * (e.v - c.c) ORDER BY e.dim)),
-                   (__a, __b) -> __a + __b) AS dd
-          FROM ex e JOIN {cent} c ON e.dim = c.dim
-          GROUP BY e.id, c.cid
+        FROM ({_kmeans_dist_cte(cent)}
         ) t
       ) WHERE rk = 1
     )"""
 
+
+def _kmeans_chain(k: int, iterations: int) -> str:
+    """WITH-chain body replaying llm/cluster.kmeans_fit: 6-decimal
+    quantized input, dim-ordered distance folds with (dist, cid)
+    argmin tie-break, exact DECIMAL(18,6) centroid sums with a
+    single-rounded mean — the same bit-exact trajectory as the Spark
+    loop. Final centroids land in ``ce{iterations}`` (long-form
+    cid, dim, c with 1-based dim)."""
     its = []
     for i in range(1, iterations + 1):
-        its.append(assign(f"a{i}", f"ce{i - 1}"))
+        its.append(_kmeans_assign_cte(f"a{i}", f"ce{i - 1}"))
         its.append(f"""
     ce{i} AS (
       SELECT p.cid, p.dim, COALESCE(u.m, p.c) AS c
@@ -6199,13 +6207,7 @@ def _kmeans_oracle_sql(k: int = 4, iterations: int = 2) -> str:
         GROUP BY a.cid, e.dim
       ) u ON p.cid = u.cid AND p.dim = u.dim
     )""")
-    its.append(assign("af", f"ce{iterations}"))
-    # long-form output (cid, dim, c, n_vectors): the driver's pandas
-    # canonicalizer cannot sort/factorize ARRAY columns (r05 red row),
-    # so the model ships one row per centroid dimension — ce{N} is
-    # already long-form; no list() re-pack
-    return f"""
-    WITH q AS (
+    return f"""q AS (
       SELECT vec_id AS id,
              list_transform(embedding,
                             __v -> round(CAST(__v AS DOUBLE), 6)) AS x
@@ -6222,11 +6224,61 @@ def _kmeans_oracle_sql(k: int = 4, iterations: int = 2) -> str:
     ce0 AS (
       SELECT c0.cid, ex.dim, ex.v AS c FROM c0 JOIN ex ON c0.id = ex.id
     ),
-    {",".join(its)},
+    {",".join(its)}"""
+
+
+def _kmeans_oracle_sql(k: int = 4, iterations: int = 2) -> str:
+    """DuckDB replica of llm/cluster.kmeans_fit (see _kmeans_chain)."""
+    # long-form output (cid, dim, c, n_vectors): the driver's pandas
+    # canonicalizer cannot sort/factorize ARRAY columns (r05 red row),
+    # so the model ships one row per centroid dimension — ce{N} is
+    # already long-form; no list() re-pack
+    return f"""
+    WITH {_kmeans_chain(k, iterations)},
+    {_kmeans_assign_cte("af", f"ce{iterations}")},
     sizes AS (SELECT cid, COUNT(*) AS n_vectors FROM af GROUP BY cid)
     SELECT ce.cid, CAST(ce.dim - 1 AS INTEGER) AS dim, ce.c,
            CAST(COALESCE(s.n_vectors, 0) AS BIGINT) AS n_vectors
     FROM ce{iterations} ce LEFT JOIN sizes s USING (cid)
+    """
+
+
+def _silhouette_oracle_sql(k: int = 4, iterations: int = 2) -> str:
+    """DuckDB replica of llm/cluster.silhouette_by_cluster: the same
+    kmeans trajectory, then per-vector top-2 centroid distances,
+    s = (sqrt(b2) - sqrt(a2)) / sqrt(b2) floor-rounded to integer
+    millionths, and per-cluster single-division means — every step an
+    exact or identically-spelled IEEE op in both engines."""
+    return f"""
+    WITH {_kmeans_chain(k, iterations)},
+    two AS (
+      SELECT t.id, t.cid, t.dd,
+             ROW_NUMBER() OVER (PARTITION BY t.id
+                                ORDER BY t.dd, t.cid) AS rk
+      FROM ({_kmeans_dist_cte(f"ce{iterations}")}
+      ) t
+    ),
+    pp AS (
+      SELECT id,
+             MAX(CASE WHEN rk = 1 THEN cid END) AS cid,
+             MAX(CASE WHEN rk = 1 THEN dd END) AS a2,
+             MAX(CASE WHEN rk = 2 THEN dd END) AS b2
+      FROM two WHERE rk <= 2 GROUP BY id
+    ),
+    per AS (
+      SELECT cid,
+             CAST(CASE WHEN sqrt(b2) > 0.0 THEN
+                    floor((sqrt(b2) - sqrt(a2)) / sqrt(b2) * 1e6 + 0.5)
+                  ELSE 0 END AS BIGINT) AS s_m,
+             CAST(floor(sqrt(a2) * 1e6 + 0.5) AS BIGINT) AS a_m
+      FROM pp
+    )
+    SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           floor(CAST(SUM(s_m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 + 0.5) / 1e6 AS mean_silhouette,
+           floor(CAST(SUM(a_m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 + 0.5) / 1e6 AS mean_dist
+    FROM per GROUP BY cid
     """
 
 
@@ -6245,6 +6297,20 @@ def embed_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = cl.kmeans_fit(_t(spark, sf_dir, "embeddings"), k=4, iterations=2)
     return m.select(
         "cid", F.posexplode("centroid").alias("dim", "c"), "n_vectors"
+    )
+
+
+@query("eval_kmeans_silhouette", _silhouette_oracle_sql(4, 2))
+def eval_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality evaluation for the k=4 quantizer fit: the
+    per-cluster simplified silhouette (centroid approximation —
+    a = own-centroid distance, b = nearest-other-centroid distance,
+    s = (b-a)/b), plus mean own-centroid distance. The exact O(n^2)
+    silhouette is replaced by the O(n*k) centroid form that survives
+    corpus scale: one broadcast join, one per-id top-2 window, one
+    (cid)-keyed aggregate (llm/cluster.silhouette_by_cluster)."""
+    return cl.silhouette_by_cluster(
+        _t(spark, sf_dir, "embeddings"), k=4, iterations=2
     )
 
 

@@ -298,8 +298,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 175, len(QUERIES)
-    assert len(ORACLES) == 172, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 176, len(QUERIES)
+    assert len(ORACLES) == 173, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_registry_wide_plan_hygiene(spark, sf_dir):
@@ -400,8 +400,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "text_bm25_topk", "text_rrf_fusion",
         # audited: the Lloyd assign step crosses every vector with the
         # broadcast k-row centroid table (llm/cluster._assign) — a
-        # keyless broadcast fan-out is the correct assign plan
-        "embed_kmeans_fit",
+        # keyless broadcast fan-out is the correct assign plan (the
+        # silhouette eval re-runs the same fit plus one more top-2
+        # distance cross against the same broadcast model)
+        "embed_kmeans_fit", "eval_kmeans_silhouette",
         # audited: each BPE round crosses the broadcast one-row winning
         # pair into the vocabulary for the in-plan merge (llm/bpe) —
         # the scalar-broadcast shape again (and the three encode-fed

@@ -465,6 +465,68 @@ def test_kmeans_partitioning_invariance(spark):
     assert sorted(map(tuple, a), key=lambda t: t[0]) == sorted(map(tuple, b), key=lambda t: t[0])
 
 
+def test_silhouette_clear_clusters(spark):
+    from nhs_data_pipeline_spark.llm import cluster as cl
+    rows = [(0, [0.0, 0.0]), (1, [10.0, 10.0]), (2, [0.2, 0.1]),
+            (3, [10.1, 9.9]), (4, [0.1, 0.2]), (5, [9.9, 10.2])]
+    out = {r.cid: r for r in
+           cl.silhouette_by_cluster(_vecs(spark, rows), k=2, iterations=3).collect()}
+    assert {r.n_vectors for r in out.values()} == {3, 3}
+    # tight, well-separated clusters: near-perfect silhouette, tiny
+    # own-centroid distances
+    for r in out.values():
+        assert r.mean_silhouette > 0.95, r
+        assert r.mean_dist < 0.3, r
+
+
+def test_silhouette_single_cluster_is_zero(spark):
+    from nhs_data_pipeline_spark.llm import cluster as cl
+    # k=1: no second centroid exists, b is NULL -> silhouette defined 0
+    rows = [(i, [float(i), 1.0]) for i in range(5)]
+    out = cl.silhouette_by_cluster(_vecs(spark, rows), k=1, iterations=1).collect()
+    assert len(out) == 1
+    assert out[0].n_vectors == 5
+    assert out[0].mean_silhouette == 0.0
+
+
+def test_silhouette_python_replica(spark):
+    import math
+    import random
+
+    import numpy as np
+    from nhs_data_pipeline_spark.llm import cluster as cl
+
+    rng = random.Random(11)
+    rows = [(i, [float(np.float32(rng.uniform(-1, 1))) for _ in range(4)])
+            for i in range(30)]
+    got = {r.cid: r for r in
+           cl.silhouette_by_cluster(_vecs(spark, rows), k=3, iterations=2).collect()}
+    # independent replica from the fitted centroids (trajectory is
+    # pinned by test_kmeans_matches_python_replica; here we pin the
+    # silhouette arithmetic itself)
+    cent = {r.cid: list(r.centroid) for r in
+            cl.kmeans_fit(_vecs(spark, rows), k=3, iterations=2).collect()}
+    X = {i: [round(v, 6) for v in xs] for i, xs in rows}
+    agg: dict[int, list[tuple[int, int]]] = {}
+    for i, x in X.items():
+        ds = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(x, c)), cid)
+            for cid, c in cent.items()
+        )
+        (a2, own), (b2, _) = ds[0], ds[1]
+        sa, sb = math.sqrt(a2), math.sqrt(b2)
+        s_m = int(math.floor((sb - sa) / sb * 1e6 + 0.5)) if sb > 0 else 0
+        a_m = int(math.floor(sa * 1e6 + 0.5))
+        agg.setdefault(own, []).append((s_m, a_m))
+    for cid, pairs in agg.items():
+        n = len(pairs)
+        exp_sil = math.floor(sum(p[0] for p in pairs) / n + 0.5) / 1e6
+        exp_dist = math.floor(sum(p[1] for p in pairs) / n + 0.5) / 1e6
+        assert got[cid].n_vectors == n
+        assert got[cid].mean_silhouette == exp_sil
+        assert got[cid].mean_dist == exp_dist
+
+
 def test_engine_fit_centroids_drive_ivf_exactly_like_bruteforce(spark):
     import random
     from nhs_data_pipeline_spark.llm import cluster as cl
