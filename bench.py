@@ -116,6 +116,13 @@ BENCH_QUERIES = [
     "feature_token_chi2",
     "embed_pq_topk",
     "dedup_cdc_chunks",
+    # r06 additions: clustering-quality eval, privacy audits, the
+    # 96-expression bootstrap aggregate, directional overlap metrics
+    "eval_kmeans_silhouette",
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "stats_bootstrap_ci",
+    "eval_dedup_pair_overlap",
 ]
 
 

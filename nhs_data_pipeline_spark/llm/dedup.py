@@ -942,6 +942,84 @@ def leakage_safe_split(
     )
 
 
+def _bigram_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Distinct word-bigram set per document: ``(doc_id, bg)``. NOT
+    persisted: corpus-sized, and per-call persists of corpus-sized
+    frames accumulate across long gate sessions (the lm/dsir lesson) —
+    consumers recompute the narrow tokenize+distinct pass."""
+    from nhs_data_pipeline_spark.llm.text import tokenized_frame
+
+    base = tokenized_frame(df, text_col, id_col)
+    bigrams = F.expr(
+        "CASE WHEN size(__w) > 1 THEN "
+        "transform(sequence(1, size(__w) - 1), "
+        "__bg -> concat(element_at(__w, __bg), ' ', element_at(__w, __bg + 1))) "
+        "ELSE cast(array() AS array<string>) END"
+    )
+    return base.select("doc_id", F.explode(bigrams).alias("bg")).distinct()
+
+
+def ngram_overlap_scores(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Directional overlap metrics for every document pair whose
+    word-bigram sets reach Jaccard >= ``threshold``: ``(id_a, id_b,
+    inter, n_a, n_b, jaccard, containment, f1)``, id_a < id_b.
+
+    Jaccard is symmetric and blind to DIRECTION: a 50-word quote fully
+    embedded in a 5000-word page scores ~0.01 Jaccard but containment
+    1.0 — the signal substring-style dedup policies act on. So beside
+    the exact Jaccard this emits ``containment = i / min(n_a, n_b)``
+    (how much of the SMALLER set the overlap covers) and the n-gram F1
+    ``2i / (n_a + n_b)`` (the BLEU/ROUGE-style harmonic precision-
+    recall summary for the pair).
+
+    Physical plan is the dense-vocabulary co-occurrence count-join of
+    :func:`exact_jaccard_join` (one bg-keyed self-join with map-side
+    partial counts, then two size joins); the threshold keep decision
+    is the same exact integer-fraction filter. Each metric is one IEEE
+    division of exact integers rounded to 6 decimals (magnitude <= 1,
+    where ROUND is engine-portable)."""
+    from fractions import Fraction
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
+
+    toks = _bigram_tokens(df, text_col, id_col)
+    sz = toks.groupBy("doc_id").agg(F.count("*").alias("__sz"))
+    a = toks.select(F.col("doc_id").alias("id_a"), "bg")
+    b = toks.select(F.col("doc_id").alias("id_b"), "bg")
+    inter = (
+        a.join(b, "bg")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sz.select(F.col("doc_id").alias("id_a"), F.col("__sz").alias("n_a"))
+    sb = sz.select(F.col("doc_id").alias("id_b"), F.col("__sz").alias("n_b"))
+    i, na, nb = F.col("inter"), F.col("n_a"), F.col("n_b")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter((F.lit(den) * i) >= (F.lit(num) * (na + nb - i)))
+        .select(
+            "id_a",
+            "id_b",
+            i.cast("bigint").alias("inter"),
+            na.cast("bigint").alias("n_a"),
+            nb.cast("bigint").alias("n_b"),
+            F.round(i / (na + nb - i), 6).alias("jaccard"),
+            F.round(i / F.least(na, nb), 6).alias("containment"),
+            F.round(F.lit(2) * i / (na + nb), 6).alias("f1"),
+        )
+    )
+
+
 def exact_jaccard_join(
     df: DataFrame,
     threshold: float = 0.6,
@@ -1001,17 +1079,7 @@ def exact_jaccard_join(
     frac = Fraction(str(threshold))
     num, den = frac.numerator, frac.denominator
 
-    base = tokenized_frame(df, text_col, id_col)
-    bigrams = F.expr(
-        "CASE WHEN size(__w) > 1 THEN "
-        "transform(sequence(1, size(__w) - 1), "
-        "__bg -> concat(element_at(__w, __bg), ' ', element_at(__w, __bg + 1))) "
-        "ELSE cast(array() AS array<string>) END"
-    )
-    # NOT persisted: corpus-sized, and per-call persists of corpus-
-    # sized frames accumulate across long gate sessions (the lm/dsir
-    # lesson) — consumers recompute the narrow tokenize+distinct pass.
-    toks = base.select("doc_id", F.explode(bigrams).alias("bg")).distinct()
+    toks = _bigram_tokens(df, text_col, id_col)
     sz = toks.groupBy("doc_id").agg(F.count("*").alias("__sz"))
 
     def _keep(i_col, na_col, nb_col):

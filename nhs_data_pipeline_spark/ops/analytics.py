@@ -543,3 +543,238 @@ def quantile_normalize(
     # NULL-value rows re-attach with a NULL norm (id_col must uniquely
     # identify rows — the caller contract)
     return df.join(norm, id_col, "left")
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_int_col: str,
+    key_col: str,
+    scale: int = 1,
+    replicates: int = 48,
+    lo_q: str = "1/40",
+    hi_q: str = "39/40",
+    salt: str = "boot",
+) -> DataFrame:
+    """Deterministic half-sample bootstrap CI for the mean of an
+    integer-quantized value: ``(n_rows, mean_value, ci_lo, ci_hi,
+    n_replicates)`` — one row.
+
+    Efron's bootstrap resamples rows; at corpus scale the portable
+    variant is the seeded HALF-SAMPLE (delete-d jackknife family):
+    replicate ``b`` keeps exactly the rows whose md5-derived bit ``b``
+    is set (independent p=1/2 per replicate, fully reproducible from
+    the row key on any partitioning, any engine). Each replicate mean
+    divides two EXACT integers once; the CI is the exact
+    (``lo_q``, ``hi_q``) order statistics of the <= 48 replicate means
+    — computed by sorting the length-``replicates`` array in the one
+    output row, no window, no second pass.
+
+    Scale shape: ONE map-side-combinable aggregate carrying
+    ``2*replicates + 2`` small expressions (the build-notes lesson:
+    many small aggregate expressions beat array-lambda forms) — no
+    explode (a row-per-replicate explode would scan ``replicates``x
+    the corpus), no joins, no shuffle beyond the scalar aggregate.
+
+    Exactness: the 60-bit hash is the md5 prefix (``conv`` hex ->
+    BIGINT, DuckDB: ``CAST('0x' || hex AS BIGINT)``); sums are exact
+    BIGINTs of the already-integer value; each mean is a single IEEE
+    division; the order-statistic ranks come from exact integer
+    ceilings of the ``Fraction`` quantiles (the float-ceil trap); the
+    final numbers are quantized with the portable floor-round.
+    ``replicates`` is capped at 48 so every bit index stays inside the
+    60-bit hash with marginal bias ~2^-60. Rows with NULL key or NULL
+    value are excluded (they cannot be resampled deterministically).
+    ``scale`` divides the integer value back to original units (e.g.
+    100 for cents).
+    """
+    from fractions import Fraction
+
+    if not 1 <= replicates <= 48:
+        raise ValueError("replicates must be in [1, 48]")
+    flo, fhi = Fraction(lo_q), Fraction(hi_q)
+    r_lo = (flo.numerator * replicates + flo.denominator - 1) // flo.denominator
+    r_hi = (fhi.numerator * replicates + fhi.denominator - 1) // fhi.denominator
+    r_lo, r_hi = max(1, r_lo), max(1, r_hi)
+
+    base = df.filter(
+        F.col(key_col).isNotNull() & F.col(value_int_col).isNotNull()
+    ).select(
+        F.col(value_int_col).cast("bigint").alias("__v"),
+        F.expr(
+            "cast(conv(substring(md5(concat(cast("
+            f"{key_col} as string), ':{salt}')), 1, 15), 16, 10) as bigint)"
+        ).alias("__h"),
+    )
+    aggs = [
+        F.count("*").cast("bigint").alias("__n"),
+        F.sum("__v").cast("bigint").alias("__s"),
+    ]
+    for b in range(replicates):
+        bit = F.expr(f"(__h >> {b}) & 1") == 1
+        aggs.append(F.sum(F.when(bit, F.col("__v"))).cast("bigint").alias(f"__s{b}"))
+        aggs.append(F.sum(bit.cast("bigint")).alias(f"__n{b}"))
+    one = base.agg(*aggs)
+    sc = float(scale)
+    means = ", ".join(
+        f"cast(__s{b} as double) / ({sc!r} * cast(__n{b} as double))"
+        for b in range(replicates)
+    )
+    return one.select(
+        F.col("__n").alias("n_rows"),
+        F.expr(
+            "floor(cast(__s as double) / "
+            f"({sc!r} * cast(__n as double)) * 1e6 + 0.5) / 1e6"
+        ).alias("mean_value"),
+        F.expr(
+            f"floor(element_at(sort_array(array({means})), {r_lo}) "
+            "* 1e6 + 0.5) / 1e6"
+        ).alias("ci_lo"),
+        F.expr(
+            f"floor(element_at(sort_array(array({means})), {r_hi}) "
+            "* 1e6 + 0.5) / 1e6"
+        ).alias("ci_hi"),
+        F.lit(replicates).cast("int").alias("n_replicates"),
+    )
+
+
+def corr_matrix(df: DataFrame, int_cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation over k integer-quantized columns:
+    long-form ``(col_a, col_b, n_rows, corr)``, col_a < col_b in the
+    given order — the feature-redundancy screen before classifier
+    training or mixture weighting.
+
+    Exactness follows :func:`group_ols`: columns must be integral
+    (caller fixed-point-scales), so all ``2k + k(k+1)/2`` moment sums
+    run EXACT in DECIMAL(38,0) — order-free, partition-proof — inside
+    ONE map-side-combinable aggregate (no per-pair passes, no
+    shuffle beyond the scalar agg; the build-notes many-small-
+    expressions lesson). The two variance combinations are cast to
+    double SEPARATELY before the multiply (their DECIMAL product can
+    exceed 38 digits), then one sqrt — correctly-rounded IEEE in
+    every engine — one division, one portable floor-round.
+
+    Complete-case contract: rows with a NULL in ANY of the columns
+    are dropped first (per-pair deletion would need 6x the aggregate
+    expressions per pair; completeness is the caller's screen — run
+    P3/check_not_null upstream). Zero-variance columns yield NULL
+    corr for their pairs, not a division error.
+    """
+    from itertools import combinations
+
+    D = "decimal(38,0)"
+    base = df
+    for c in int_cols:
+        base = base.filter(F.col(c).isNotNull())
+    aggs = [F.count("*").cast(D).alias("__n")]
+    for c in int_cols:
+        cd = F.col(c).cast(D)
+        aggs.append(F.sum(cd).alias(f"__s_{c}"))
+        aggs.append(F.sum(cd * cd).alias(f"__q_{c}"))
+    for a, b in combinations(int_cols, 2):
+        aggs.append(
+            F.sum(F.col(a).cast(D) * F.col(b).cast(D)).alias(f"__p_{a}_{b}")
+        )
+    one = base.agg(*aggs)
+    pairs = None
+    for a, b in combinations(int_cols, 2):
+        n = F.col("__n")
+        sa, sb = F.col(f"__s_{a}"), F.col(f"__s_{b}")
+        qa, qb = F.col(f"__q_{a}"), F.col(f"__q_{b}")
+        pab = F.col(f"__p_{a}_{b}")
+        num = (n * pab - sa * sb).cast("double")
+        va = (n * qa - sa * sa)
+        vb = (n * qb - sb * sb)
+        corr = F.when(
+            (va != 0) & (vb != 0),
+            F.floor(
+                num / F.sqrt(va.cast("double") * vb.cast("double"))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0),
+        )
+        row = one.select(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            n.cast("bigint").alias("n_rows"),
+            corr.alias("corr"),
+        )
+        pairs = row if pairs is None else pairs.unionByName(row)
+    return pairs
+
+
+def mutual_information(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns, with
+    the marginal entropies: one row ``(n_rows, n_cells, mi_nats, h_a,
+    h_b)`` — the association screen for mixture design (does source
+    predict language? does domain predict quality label?).
+
+    MI = sum_ij (n_ij/N) ln(N*n_ij / (n_i*n_j)). The transcendental
+    discipline (build notes): each ln is quantized to integer
+    millionths IMMEDIATELY (libms differ by ulps), then multiplied by
+    the EXACT integer cell count and summed — an order-free integer
+    sum, no fold — and divided by N once at the end. Entropies use
+    the same trick: H(a) = ln6(N) - sum_i n_i*ln6(n_i) / N.
+
+    Shape: one (a, b)-keyed count aggregate (map-side combined), two
+    marginal re-aggregates of the CELL table (model-sized: distinct
+    value combinations, not rows), joined back per cell — at 100 TB
+    the corpus is touched once. NULL categories are real categories
+    (SQL GROUP BY semantics — they carry information too).
+    """
+    LN6 = "cast(floor(ln({x}) * 1e6 + 0.5) as bigint)"
+    cells = df.groupBy(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).agg(F.count("*").cast("bigint").alias("__nij"))
+    ma = cells.groupBy("__a").agg(F.sum("__nij").alias("__ni"))
+    mb = cells.groupBy("__b").agg(F.sum("__nij").alias("__nj"))
+    tot = cells.agg(F.sum("__nij").alias("__nn"))
+    # NULL-safe marginal joins (a NULL category is a real category —
+    # the build-notes NULL-key rule); model-sized sides broadcast
+    j = (
+        cells.join(F.broadcast(ma), cells["__a"].eqNullSafe(ma["__a"]))
+        .drop(ma["__a"])
+        .join(F.broadcast(mb), cells["__b"].eqNullSafe(mb["__b"]))
+        .drop(mb["__b"])
+        .crossJoin(F.broadcast(tot))
+    )
+    # per-cell integer term: n_ij * ln6(N*n_ij / (n_i*n_j))
+    term = F.col("__nij") * F.expr(
+        LN6.format(
+            x="cast(__nn * __nij as double) / cast(__ni * __nj as double)"
+        )
+    )
+    ha_term = F.expr(LN6.format(x="cast(__ni as double)"))
+    hb_term = F.expr(LN6.format(x="cast(__nj as double)"))
+    agg = j.agg(
+        F.max("__nn").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.sum(term).alias("__mi_m"),
+        # marginal entropy sums count each (value, count) once per
+        # CELL it appears in weighted by the cell count — i.e. the
+        # exact sum_i n_i*ln6(n_i) since sum over cells of a value's
+        # n_ij recovers n_i
+        F.sum(F.col("__nij") * ha_term).alias("__ha_m"),
+        F.sum(F.col("__nij") * hb_term).alias("__hb_m"),
+    )
+    lnN = F.expr(LN6.format(x="cast(n_rows as double)"))
+
+    def _final(milli_sum):
+        # floor-round the closing division to 6 dp (portable)
+        return F.floor(
+            milli_sum.cast("double")
+            / F.col("n_rows").cast("double")
+            + F.lit(0.5)
+        ) / F.lit(1000000.0)
+
+    return agg.select(
+        "n_rows",
+        "n_cells",
+        _final(F.col("__mi_m")).alias("mi_nats"),
+        ((lnN.cast("double") - F.col("__ha_m").cast("double")
+          / F.col("n_rows").cast("double")) / F.lit(1000000.0)).alias("h_a"),
+        ((lnN.cast("double") - F.col("__hb_m").cast("double")
+          / F.col("n_rows").cast("double")) / F.lit(1000000.0)).alias("h_b"),
+    )

@@ -8482,6 +8482,229 @@ def feature_token_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(40)
 
 
+# ===========================================================================
+# Privacy risk audits: k-anonymity and l-diversity (ops/privacy)
+# ===========================================================================
+
+# customer quasi-identifiers: (nation, segment, 1000-unit balance
+# bucket). The balance bucket goes through exact cents and a shifted
+# integer division — `div` truncates toward zero in Spark while
+# DuckDB's `//` floors, so the +100000 shift keeps the operand
+# non-negative where the two agree.
+_K_ANON_ORACLE = """
+    WITH q AS (
+      SELECT c_nationkey, c_mktsegment,
+             (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000) // 100000
+               AS bal_kb
+      FROM customer
+    ),
+    cls AS (
+      SELECT c_nationkey, c_mktsegment, bal_kb, COUNT(*) AS cs
+      FROM q GROUP BY c_nationkey, c_mktsegment, bal_kb
+    )
+    SELECT CAST(5 AS INTEGER) AS k,
+           CAST(SUM(cs) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(cs) AS BIGINT) AS min_class_size,
+           CAST(SUM(CASE WHEN cs < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_risky_classes,
+           CAST(SUM(CASE WHEN cs < 5 THEN cs ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           floor(CAST(SUM(CASE WHEN cs < 5 THEN cs ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(cs) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS risk_share
+    FROM cls
+    """
+
+
+@query("privacy_k_anonymity", _K_ANON_ORACLE)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) of the customer table under the
+    quasi-identifiers (nation, market segment, 1000-unit balance
+    bucket) — Sweeney's re-identification check as a one-row report:
+    class count, achieved k, risky classes and the share of rows
+    sitting in them. Two map-side-combinable aggregates, no windows,
+    no joins (ops/privacy.k_anonymity_report)."""
+    from nhs_data_pipeline_spark.ops import privacy as opv
+
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "bal_kb",
+        F.expr(
+            "(cast(floor(c_acctbal * 100 + 0.5) as bigint) + 100000) "
+            "div 100000"
+        ),
+    )
+    return opv.k_anonymity_report(
+        c, ["c_nationkey", "c_mktsegment", "bal_kb"], k=5
+    )
+
+
+_L_DIV_ORACLE = """
+    WITH q AS (
+      SELECT o_orderstatus,
+             CAST(year(o_orderdate) AS INTEGER) AS yr,
+             o_custkey % 100 AS ck,
+             o_orderpriority
+      FROM orders
+    ),
+    cls AS (
+      SELECT o_orderstatus, yr, ck, COUNT(*) AS cs,
+             COUNT(DISTINCT COALESCE(CAST(o_orderpriority AS VARCHAR),
+                                     chr(0))) AS dv
+      FROM q GROUP BY o_orderstatus, yr, ck
+    )
+    SELECT CAST(3 AS INTEGER) AS l,
+           CAST(SUM(cs) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(dv) AS BIGINT) AS min_diversity,
+           CAST(SUM(CASE WHEN dv < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_risky_classes,
+           CAST(SUM(CASE WHEN dv < 3 THEN cs ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           floor(CAST(SUM(CASE WHEN dv < 3 THEN cs ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(cs) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS risk_share
+    FROM cls
+    """
+
+
+@query("privacy_l_diversity", _L_DIV_ORACLE)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit (l=3) of orders under the
+    quasi-identifiers (status, order year, customer-key bucket) with
+    order priority as the sensitive attribute: classes where fewer
+    than 3 distinct priorities appear let membership infer the
+    priority. Per-class distinct runs as the standard two-phase
+    distinct aggregate; NULL sensitive values count as one more class
+    via the chr(0) sentinel (ops/privacy.l_diversity_report)."""
+    from nhs_data_pipeline_spark.ops import privacy as opv
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.year("o_orderdate").alias("yr"),
+        (F.col("o_custkey") % 100).alias("ck"),
+        "o_orderpriority",
+    )
+    return opv.l_diversity_report(
+        o, ["o_orderstatus", "yr", "ck"], "o_orderpriority", l=3
+    )
+
+
+# ===========================================================================
+# Directional n-gram overlap metrics over a deterministic doc sample
+# ===========================================================================
+
+_OVERLAP_ORACLE = f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':ov'),
+                  1, 8)) AS BIGINT) < {int(0.3 * (1 << 32))}
+    ),
+    base AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w
+      FROM docs
+    ),
+    bgs AS (
+      SELECT DISTINCT doc_id, w[__j] || ' ' || w[__j + 1] AS bg
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS __j
+            FROM base WHERE len(w) > 1)
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM bgs GROUP BY 1),
+    it AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+      FROM bgs a JOIN bgs b ON a.bg = b.bg AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT it.id_a, it.id_b, it.i, sa.n AS na, sb.n AS nb
+      FROM it JOIN sz sa ON it.id_a = sa.doc_id
+              JOIN sz sb ON it.id_b = sb.doc_id
+    )
+    SELECT id_a, id_b, i AS inter,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(i / (na + nb - i), 6) AS jaccard,
+           ROUND(i / least(na, nb), 6) AS containment,
+           ROUND(2 * i / (na + nb), 6) AS f1
+    FROM j WHERE (2 * i) >= (1 * (na + nb - i))
+    """
+
+
+@query("eval_dedup_pair_overlap", _OVERLAP_ORACLE)
+def eval_dedup_pair_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional overlap metrics for near-dup pairs on a 30%
+    deterministic doc sample: exact bigram-set Jaccard PLUS
+    containment (i / min — the quote-inside-a-page signal Jaccard is
+    blind to) and n-gram F1 (the BLEU/ROUGE-style symmetric summary),
+    at Jaccard >= 0.5 (exact fraction 1/2). Sampling first is the
+    production shape for pairwise eval: the md5-bucket sample is
+    engine-portable and cuts the co-occurrence join volume
+    quadratically (llm/dedup.ngram_overlap_scores)."""
+    docs = osmp.deterministic_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", 0.3, salt="ov"
+    )
+    return dd.ngram_overlap_scores(docs, threshold=0.5)
+
+
+# ===========================================================================
+# Seeded half-sample bootstrap CI (ops/analytics.bootstrap_mean_ci)
+# ===========================================================================
+
+def _bootstrap_oracle_sql(replicates: int = 48) -> str:
+    """DuckDB replica of ops/analytics.bootstrap_mean_ci over
+    o_totalprice: the same 60-bit md5 hash, the same per-replicate
+    exact integer sums, the same single-division means, and the same
+    exact order-statistic ranks (ceil(48/40)=2, ceil(48*39/40)=47) on
+    the sorted 48-element mean list."""
+    sums = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN v END) AS BIGINT) AS s{b},"
+        f" CAST(SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n{b}"
+        for b in range(replicates)
+    )
+    means = ", ".join(
+        f"CAST(s{b} AS DOUBLE) / (100.0 * CAST(n{b} AS DOUBLE))"
+        for b in range(replicates)
+    )
+    return f"""
+    WITH base AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+             CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)
+                   || ':boot'), 1, 15)) AS BIGINT) AS h
+      FROM orders
+      WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(v) AS BIGINT) AS ss,
+           {sums}
+      FROM base
+    ),
+    m AS (SELECT nn, ss, list_sort([{means}]) AS ms FROM agg)
+    SELECT nn AS n_rows,
+           floor(CAST(ss AS DOUBLE) / (100.0 * CAST(nn AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS mean_value,
+           floor(ms[2] * 1e6 + 0.5) / 1e6 AS ci_lo,
+           floor(ms[47] * 1e6 + 0.5) / 1e6 AS ci_hi,
+           CAST({replicates} AS INTEGER) AS n_replicates
+    FROM m
+    """
+
+
+@query("stats_bootstrap_ci", _bootstrap_oracle_sql(48))
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic half-sample bootstrap 95% CI for the mean order
+    value: 48 seeded replicates from the md5 bit-field of the order
+    key, each mean an exact-integer division, CI = exact order
+    statistics of the sorted replicate means. ONE map-side-combinable
+    aggregate (96 small expressions — no explode, no window, no
+    shuffle beyond the scalar agg); fully reproducible on any
+    engine/partitioning (ops/analytics.bootstrap_mean_ci)."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "__cents",
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"),
+    )
+    return oan.bootstrap_mean_ci(
+        o, "__cents", "o_orderkey", scale=100, replicates=48
+    )
+
+
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # iteration order. This list pins that window: every SURVEY §2 operator
 # (single queries or merged same-table families), every bench headline

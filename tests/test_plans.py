@@ -298,8 +298,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 176, len(QUERIES)
-    assert len(ORACLES) == 173, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 180, len(QUERIES)
+    assert len(ORACLES) == 177, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_registry_wide_plan_hygiene(spark, sf_dir):
@@ -337,6 +337,11 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # general shuffle join is correct and AQE broadcasts it when
         # the model is small
         "text_lm_perplexity",
+        # audited: the sampled-doc bigram co-occurrence join is the
+        # same corpus x corpus shape as dedup_jaccard_exact_join
+        # (llm/dedup.ngram_overlap_scores reuses the countjoin plan on
+        # a 30% deterministic sample)
+        "eval_dedup_pair_overlap",
         # audited: the exact-Jaccard co-occurrence join is corpus x
         # corpus on the bigram key (llm/dedup.exact_jaccard_join,
         # countjoin mode) — both sides are the full distinct

@@ -1,0 +1,199 @@
+"""ops/privacy audits, the seeded bootstrap CI, and the directional
+n-gram overlap metrics — exact-value tests against hand-computed and
+independent-python replicas."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import Row
+
+from nhs_data_pipeline_spark.llm import dedup as dd
+from nhs_data_pipeline_spark.ops import analytics as oan
+from nhs_data_pipeline_spark.ops import privacy as opv
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity
+# ---------------------------------------------------------------------------
+
+def _people(spark):
+    rows = [
+        # (zip, age_band, disease)
+        ("111", "30s", "flu"),
+        ("111", "30s", "flu"),
+        ("111", "30s", "cold"),
+        ("111", "30s", "cold"),
+        ("111", "30s", "flu"),   # class size 5, diversity 2
+        ("222", "40s", "flu"),
+        ("222", "40s", "flu"),   # class size 2, diversity 1
+        ("333", "50s", "cold"),  # class size 1, diversity 1
+        (None, "50s", None),
+        (None, "50s", "flu"),    # NULL quasi key: one class, size 2,
+                                 # diversity 2 (NULL sensitive counts)
+    ]
+    return spark.createDataFrame(rows, "zip string, age string, disease string")
+
+
+def test_k_anonymity_report_exact(spark):
+    out = opv.k_anonymity_report(_people(spark), ["zip", "age"], k=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.k == 3
+    assert r.n_rows == 10
+    assert r.n_classes == 4
+    assert r.min_class_size == 1
+    # classes below 3: ('222','40s') size 2, ('333','50s') size 1,
+    # (NULL,'50s') size 2 -> 3 classes, 5 rows
+    assert r.n_risky_classes == 3
+    assert r.rows_at_risk == 5
+    assert r.risk_share == 0.5
+
+
+def test_l_diversity_report_exact(spark):
+    out = opv.l_diversity_report(
+        _people(spark), ["zip", "age"], "disease", l=2
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.l == 2
+    assert r.n_rows == 10
+    assert r.n_classes == 4
+    assert r.min_diversity == 1
+    # diversity: 111->2, 222->1, 333->1, NULL->2 (NULL disease is a
+    # distinct sensitive value via the sentinel)
+    assert r.n_risky_classes == 2
+    assert r.rows_at_risk == 3
+    assert r.risk_share == 0.3
+
+
+def test_anonymity_classes_null_key_is_a_class(spark):
+    cls = {
+        (r.zip, r.age): r.class_size
+        for r in opv.anonymity_classes(_people(spark), ["zip", "age"]).collect()
+    }
+    assert cls[(None, "50s")] == 2
+    assert cls[("111", "30s")] == 5
+
+
+# ---------------------------------------------------------------------------
+# bootstrap_mean_ci
+# ---------------------------------------------------------------------------
+
+def _h60(key, salt: str = "boot") -> int:
+    return int(hashlib.md5(f"{key}:{salt}".encode()).hexdigest()[:15], 16)
+
+
+def _floor6(x: float) -> float:
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def test_bootstrap_ci_python_replica(spark):
+    rows = [(i, (i * 37) % 1000 + 1) for i in range(1, 301)]
+    df = spark.createDataFrame(rows, "k bigint, v bigint")
+    B = 48
+    got = oan.bootstrap_mean_ci(df, "v", "k", scale=1, replicates=B).collect()[0]
+    # independent replica
+    means = []
+    for b in range(B):
+        sel = [v for k, v in rows if (_h60(k) >> b) & 1 == 1]
+        means.append(sum(sel) / len(sel))
+    means.sort()
+    n = len(rows)
+    assert got.n_rows == n
+    assert got.n_replicates == B
+    assert got.mean_value == _floor6(sum(v for _, v in rows) / n)
+    # ceil(48/40) = 2, ceil(48*39/40) = 47 (1-indexed order stats)
+    assert got.ci_lo == _floor6(means[1])
+    assert got.ci_hi == _floor6(means[46])
+    assert got.ci_lo <= got.mean_value <= got.ci_hi
+
+
+def test_bootstrap_ci_partitioning_invariant(spark):
+    rows = [(i, i * i % 503) for i in range(1, 200)]
+    df = spark.createDataFrame(rows, "k bigint, v bigint")
+    a = oan.bootstrap_mean_ci(df, "v", "k").collect()[0]
+    b = oan.bootstrap_mean_ci(df.repartition(7), "v", "k").collect()[0]
+    assert a == b
+
+
+def test_bootstrap_ci_excludes_null_keys_and_values(spark):
+    rows = [Row(k=1, v=10), Row(k=2, v=None), Row(k=None, v=99), Row(k=3, v=20)]
+    df = spark.createDataFrame(rows, "k bigint, v bigint")
+    got = oan.bootstrap_mean_ci(df, "v", "k").collect()[0]
+    assert got.n_rows == 2
+    assert got.mean_value == 15.0
+
+
+def test_bootstrap_ci_scale_divides_back(spark):
+    # cents -> units: scale=100
+    rows = [(i, 12345) for i in range(1, 100)]
+    df = spark.createDataFrame(rows, "k bigint, cents bigint")
+    got = oan.bootstrap_mean_ci(df, "cents", "k", scale=100).collect()[0]
+    assert got.mean_value == 123.45
+    assert got.ci_lo == 123.45 and got.ci_hi == 123.45
+
+
+# ---------------------------------------------------------------------------
+# ngram_overlap_scores
+# ---------------------------------------------------------------------------
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+
+def _bigrams(t: str) -> set[str]:
+    w = t.split()
+    return {f"{a} {b}" for a, b in zip(w, w[1:])}
+
+
+def test_overlap_scores_exact_values(spark):
+    texts = [
+        "a b c d e",          # bigrams {ab,bc,cd,de}
+        "a b c d e f",        # {ab,bc,cd,de,ef} — contains doc0
+        "x y z w q r s t u",  # disjoint
+    ]
+    out = {
+        (r.id_a, r.id_b): r
+        for r in dd.ngram_overlap_scores(_docs(spark, texts), 0.5).collect()
+    }
+    assert set(out) == {(0, 1)}
+    r = out[(0, 1)]
+    A, B = _bigrams(texts[0]), _bigrams(texts[1])
+    i, na, nb = len(A & B), len(A), len(B)
+    assert (r.inter, r.n_a, r.n_b) == (i, na, nb)
+    assert r.jaccard == round(i / (na + nb - i), 6)
+    assert r.containment == 1.0  # doc0's bigrams all inside doc1
+    assert r.f1 == round(2 * i / (na + nb), 6)
+
+
+def test_overlap_threshold_is_exact_fraction(spark):
+    # J = 3/7 exactly: i=3, na=5, nb=5 -> keep at t<=3/7, drop above
+    texts = ["a b c d e f", "a b c d x z"]
+    # bigrams0 {ab,bc,cd,de,ef}; bigrams1 {ab,bc,cd,dx,xz}; i=3
+    lo = dd.ngram_overlap_scores(_docs(spark, texts), threshold=3 / 7)
+    hi = dd.ngram_overlap_scores(_docs(spark, texts), threshold=0.43)
+    assert lo.count() == 1
+    assert hi.count() == 0
+
+
+def test_overlap_matches_exact_jaccard_pairs(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over a lazy dog",
+        "completely different content here with nothing shared at all",
+        "the quick brown fox jumps over the lazy dog",
+    ]
+    df = _docs(spark, texts)
+    ov = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.ngram_overlap_scores(df, 0.5).collect()
+    }
+    ex = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.exact_jaccard_join(df, threshold=0.5).collect()
+    }
+    assert ov == ex
