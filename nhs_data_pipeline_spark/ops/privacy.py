@@ -3,10 +3,13 @@
 Training-data pipelines that carry user-derived records need the
 re-identification primitives next to the PII scanners (llm/text.pii_*):
 k-anonymity (is every quasi-identifier combination shared by >= k
-rows?) and l-diversity (does every such class carry >= l distinct
+rows?), l-diversity (does every such class carry >= l distinct
 sensitive values, so membership does not disclose the sensitive
-attribute?). Sweeney's k-anonymity and Machanavajjhala's l-diversity
-are the published definitions these implement.
+attribute?) and t-closeness (is every class's sensitive-value
+DISTRIBUTION within distance t of the global one, closing
+l-diversity's skewness attack?). Sweeney's k-anonymity,
+Machanavajjhala's l-diversity and Li/Li/Venkatasubramanian's
+t-closeness are the published definitions these implement.
 
 Scale shape (100 TB): one map-side-combinable ``groupBy(quasi_cols)``
 aggregate builds the equivalence-class table, then one scalar
@@ -71,6 +74,134 @@ def k_anonymity_report(
                 x="cast(rows_at_risk as double) / cast(n_rows as double)"
             )
         ),
+    )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.25,
+) -> DataFrame:
+    """One-row (categorical, equal-ground-distance) t-closeness audit:
+    ``(t, n_rows, n_classes, max_distance, n_risky_classes,
+    rows_at_risk, risk_share)``.
+
+    For a categorical sensitive attribute with equal ground distance
+    the Earth Mover's Distance of Li/Li/Venkatasubramanian reduces to
+    the total variation distance between the class's sensitive-value
+    distribution and the global one:
+
+        TVD = (1/2) * sum_v | c_v/n  -  g_v/N |
+
+    (c_v/g_v = class/global counts of value v, n/N = class/table
+    sizes). A class is risky when TVD > t — l-diversity's skewness
+    gap: a class can hold l distinct values yet be 99% one of them.
+
+    EXACT arithmetic throughout (the build-notes float-threshold
+    trap): the TVD numerator over a common denominator 2*n*N is the
+    integer ``sum_v |c_v*N - g_v*n|``; values ABSENT from the class
+    contribute ``g_v*n``, folded in closed form as ``n*(N - B)`` with
+    ``B = sum of g_v over values present in the class`` — no
+    per-(class x value) dense cross join is ever materialized. The
+    risky decision rationalizes ``t`` once (``Fraction(str(t))``) and
+    compares ``den * tvd_num > num * 2 * n * N`` in DECIMAL(38,0)
+    (products reach n*N ~ 1e19 at corpus scale — past BIGINT).
+    ``max_distance`` is one IEEE division of identical exact integers
+    per class (identical doubles cross-engine), floor-rounded at 6.
+
+    Scale shape (100 TB): one (quasi, sentinel-NULL sensitive)
+    aggregate, one quasi-keyed class-size aggregate re-joined on the
+    same key (co-partitioned), the model-sized global value table
+    broadcast, and one scalar fold — no windows, no collects. NULL
+    sensitive values are one more category via the ``chr(0)``
+    sentinel; NULL quasi values group as values.
+    """
+    from fractions import Fraction
+
+    if not 0.0 <= t <= 1.0:
+        raise ValueError("t must be in [0, 1]")
+    frac = Fraction(str(t))
+    num, den = frac.numerator, frac.denominator
+
+    sent = F.coalesce(F.col(sensitive_col).cast("string"), F.lit("\x00"))
+    # per-(class, value) exact counts — the only corpus-shaped shuffle
+    cv = df.groupBy(*quasi_cols, sent.alias("__v")).agg(
+        F.count("*").cast("bigint").alias("__c")
+    )
+    # class sizes on the same key (co-partitioned join), global value
+    # counts as a broadcast model-sized table, N as a one-row scalar
+    # cross (never a driver literal — oracles must derive it too)
+    n_per = cv.groupBy(*quasi_cols).agg(
+        F.sum("__c").cast("bigint").alias("__ncls")
+    )
+    g_per = cv.groupBy("__v").agg(F.sum("__c").cast("bigint").alias("__g"))
+    total = g_per.agg(F.sum("__g").cast("bigint").alias("__ntot"))
+
+    from nhs_data_pipeline_spark.ops.sketch import _ns_join
+
+    dec = "decimal(38,0)"
+    # quasi keys can be NULL (NULL groups are classes too) -> the
+    # class-size re-join must be eqNullSafe or those classes vanish
+    term = (
+        _ns_join(cv, n_per, quasi_cols)
+        .join(F.broadcast(g_per), "__v")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "__dev",
+            F.abs(
+                F.col("__c").cast(dec) * F.col("__ntot").cast(dec)
+                - F.col("__g").cast(dec) * F.col("__ncls").cast(dec)
+            ),
+        )
+    )
+    cls = term.groupBy(*quasi_cols).agg(
+        F.max("__ncls").alias("__ncls"),
+        F.max("__ntot").alias("__ntot"),
+        F.sum("__dev").alias("__A"),
+        F.sum("__g").cast(dec).alias("__B"),
+    )
+    tvd_num = F.col("__A") + F.col("__ncls").cast(dec) * (
+        F.col("__ntot").cast(dec) - F.col("__B")
+    )
+    two_nn = (
+        F.lit(2).cast(dec) * F.col("__ncls").cast(dec) * F.col("__ntot").cast(dec)
+    )
+    cls = cls.withColumn("__tnum", tvd_num).withColumn(
+        "__risky",
+        (F.lit(den).cast(dec) * F.col("__tnum"))
+        > (F.lit(num).cast(dec) * two_nn),
+    )
+    dist = F.col("__tnum").cast("double") / two_nn.cast("double")
+    return (
+        cls.agg(
+            F.lit(float(t)).cast("double").alias("t"),
+            F.sum("__ncls").cast("bigint").alias("n_rows"),
+            F.count("*").cast("bigint").alias("n_classes"),
+            F.max(dist).alias("__maxd"),
+            F.sum(F.col("__risky").cast("bigint")).alias("n_risky_classes"),
+            F.sum(F.when(F.col("__risky"), F.col("__ncls")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_at_risk"),
+        )
+        .withColumn("max_distance", F.expr(_FLOOR6.format(x="__maxd")))
+        .withColumn(
+            "risk_share",
+            F.expr(
+                _FLOOR6.format(
+                    x="cast(rows_at_risk as double) / cast(n_rows as double)"
+                )
+            ),
+        )
+        .select(
+            "t",
+            "n_rows",
+            "n_classes",
+            "max_distance",
+            "n_risky_classes",
+            "rows_at_risk",
+            "risk_share",
+        )
     )
 
 

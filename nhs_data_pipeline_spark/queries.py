@@ -8588,6 +8588,100 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# t-closeness replica: the TVD numerator over the common denominator
+# 2*n*N is the exact integer sum_v |c_v*N - g_v*n|, with
+# absent-from-class values folded in closed form as n*(N - B). All
+# decisions integer (t = 1/4 -> risky iff 4*tnum > 2*n*N); the only
+# doubles are one division per class (identical exact integers ->
+# identical IEEE result cross-engine) and the floor-rounded shares.
+_T_CLOSE_ORACLE = """
+    WITH q AS (
+      SELECT o_orderstatus,
+             CAST(year(o_orderdate) AS INTEGER) AS yr,
+             o_custkey % 100 AS ck,
+             COALESCE(CAST(o_orderpriority AS VARCHAR), chr(0)) AS sv
+      FROM orders
+    ),
+    cv AS (
+      SELECT o_orderstatus, yr, ck, sv, CAST(COUNT(*) AS BIGINT) AS cvc
+      FROM q GROUP BY 1, 2, 3, 4
+    ),
+    np AS (
+      SELECT o_orderstatus, yr, ck, CAST(SUM(cvc) AS BIGINT) AS n_cls
+      FROM cv GROUP BY 1, 2, 3
+    ),
+    gp AS (SELECT sv, CAST(SUM(cvc) AS BIGINT) AS gv FROM cv GROUP BY sv),
+    tot AS (SELECT CAST(SUM(gv) AS BIGINT) AS n_tot FROM gp),
+    term AS (
+      SELECT cv.o_orderstatus, cv.yr, cv.ck, np.n_cls, tot.n_tot,
+             abs(CAST(cv.cvc AS DECIMAL(38,0)) *
+                 CAST(tot.n_tot AS DECIMAL(38,0))
+                 - CAST(gp.gv AS DECIMAL(38,0)) *
+                   CAST(np.n_cls AS DECIMAL(38,0))) AS dev,
+             CAST(gp.gv AS DECIMAL(38,0)) AS gvd
+      FROM cv
+      JOIN np ON cv.o_orderstatus IS NOT DISTINCT FROM np.o_orderstatus
+             AND cv.yr IS NOT DISTINCT FROM np.yr
+             AND cv.ck IS NOT DISTINCT FROM np.ck
+      JOIN gp USING (sv)
+      CROSS JOIN tot
+    ),
+    cls AS (
+      SELECT o_orderstatus, yr, ck,
+             MAX(n_cls) AS n_cls, MAX(n_tot) AS n_tot,
+             SUM(dev) AS dev_sum, SUM(gvd) AS g_present
+      FROM term GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT n_cls,
+             dev_sum + CAST(n_cls AS DECIMAL(38,0)) *
+               (CAST(n_tot AS DECIMAL(38,0)) - g_present) AS tnum,
+             CAST(2 AS DECIMAL(38,0)) * CAST(n_cls AS DECIMAL(38,0)) *
+               CAST(n_tot AS DECIMAL(38,0)) AS twonn
+      FROM cls
+    )
+    SELECT CAST(0.25 AS DOUBLE) AS t,
+           CAST(SUM(n_cls) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           floor(MAX(CAST(tnum AS DOUBLE) / CAST(twonn AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS max_distance,
+           CAST(SUM(CASE WHEN 4 * tnum > twonn THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_risky_classes,
+           CAST(SUM(CASE WHEN 4 * tnum > twonn THEN n_cls ELSE 0 END)
+                AS BIGINT) AS rows_at_risk,
+           floor(CAST(SUM(CASE WHEN 4 * tnum > twonn THEN n_cls ELSE 0 END)
+                      AS DOUBLE)
+                 / CAST(SUM(n_cls) AS DOUBLE) * 1e6 + 0.5) / 1e6
+             AS risk_share
+    FROM scored
+    """
+
+
+@query("privacy_t_closeness", _T_CLOSE_ORACLE)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (t=0.25, categorical/equal-ground EMD = total
+    variation distance) of orders under the same quasi-identifiers as
+    the l-diversity audit, with order priority sensitive — closing
+    l-diversity's skewness attack: a class can hold 3 distinct
+    priorities yet be 99% '1-URGENT'. Every risky decision is made in
+    exact integers over the common denominator 2*n*N (DECIMAL(38,0) —
+    n*N passes BIGINT at corpus scale); one (quasi, sensitive)
+    aggregate, an eqNullSafe co-partitioned class-size join, the
+    model-sized global value table broadcast, one scalar fold
+    (ops/privacy.t_closeness_report)."""
+    from nhs_data_pipeline_spark.ops import privacy as opv
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.year("o_orderdate").alias("yr"),
+        (F.col("o_custkey") % 100).alias("ck"),
+        "o_orderpriority",
+    )
+    return opv.t_closeness_report(
+        o, ["o_orderstatus", "yr", "ck"], "o_orderpriority", t=0.25
+    )
+
+
 # ===========================================================================
 # Directional n-gram overlap metrics over a deterministic doc sample
 # ===========================================================================

@@ -298,8 +298,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 180, len(QUERIES)
-    assert len(ORACLES) == 177, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 181, len(QUERIES)
+    assert len(ORACLES) == 178, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_registry_wide_plan_hygiene(spark, sf_dir):
@@ -377,6 +377,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
     # audited: broadcast one-row scalar aggregates (cross joins) and
     # the broadcast-query-side != join of exact top-k
     bnlj_ok = {
+        # audited: one-row global-row-total aggregate crossed into the
+        # (class, sensitive-value) table (ops/privacy.t_closeness_report)
+        # — scalar-broadcast shape
+        "privacy_t_closeness",
         "embed_topk_bruteforce", "embed_topk_auto", "q22_dormant_accounts",
         "q11_important_part_value", "text_tfidf_keywords",
         "sample_temperature", "ts_gap_fill_interpolate",

@@ -68,6 +68,45 @@ def test_l_diversity_report_exact(spark):
     assert r.risk_share == 0.3
 
 
+def test_t_closeness_report_exact(spark):
+    """Hand-computed TVDs over _people (global: flu 6/10, cold 3/10,
+    NULL 1/10): 111 -> 0.1, 222 -> 0.4, 333 -> 0.7, (NULL,'50s') ->
+    0.4. At t=0.25 the last three are risky."""
+    out = opv.t_closeness_report(
+        _people(spark), ["zip", "age"], "disease", t=0.25
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.t == 0.25
+    assert r.n_rows == 10
+    assert r.n_classes == 4
+    assert r.max_distance == 0.7
+    assert r.n_risky_classes == 3
+    assert r.rows_at_risk == 5
+    assert r.risk_share == 0.5
+
+
+def test_t_closeness_boundary_is_exact(spark):
+    """TVD('222') = 16/40 = 0.4 EXACTLY: at t=0.4 the risky test is
+    5*tnum > 2*2nN i.e. 80 > 80 -> false. A float boundary compare
+    would coin-flip this; the integer one cannot. Only 333 (0.7)
+    stays risky."""
+    r = opv.t_closeness_report(
+        _people(spark), ["zip", "age"], "disease", t=0.4
+    ).collect()[0]
+    assert r.n_risky_classes == 1
+    assert r.rows_at_risk == 1
+
+
+def test_t_closeness_identical_distribution_is_zero(spark):
+    rows = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")]
+    df = spark.createDataFrame(rows, "q string, s string")
+    r = opv.t_closeness_report(df, ["q"], "s", t=0.0).collect()[0]
+    assert r.max_distance == 0.0
+    assert r.n_risky_classes == 0
+    assert r.risk_share == 0.0
+
+
 def test_anonymity_classes_null_key_is_a_class(spark):
     cls = {
         (r.zip, r.age): r.class_size
