@@ -588,6 +588,83 @@ def zipf_slopes(
     )
 
 
+def ngram_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group n-gram (word-bigram) diversity diagnostics — the
+    self-BLEU-adjacent signals that catch template-generated or
+    collapsed slices before they reach a training mix: ``(group,
+    total_ngrams, distinct_ngrams, distinct_ratio, top_share,
+    entropy)``.
+
+    - ``distinct_ratio`` = distinct/total bigram occurrences (the
+      distinct-n metric of Li et al. 2016): near 1 for diverse prose,
+      collapsing toward 0 for repetitive generation.
+    - ``top_share`` = the most frequent bigram's share — one dominant
+      boilerplate phrase shows up here before it moves the mean.
+    - ``entropy`` = Shannon entropy of the bigram distribution in
+      nats: ``H = ln T - (1/T) * sum_g c_g ln c_g``.
+
+    Cross-engine exactness (the r05 trainer recipe): each ``ln c`` is
+    quantized to integer MILLIONTHS immediately, weighted by the exact
+    integer count and summed order-free in DECIMAL(38,0); ``ln T`` is
+    quantized the same way; the only remaining float is one division
+    of exact integers plus the shared portable floor-round — identical
+    IEEE sequences in the DuckDB oracle. Ratios are single divisions
+    of exact integers, floor-rounded at 6.
+
+    Scale shape (100 TB): ONE (group, bigram) aggregate off the shared
+    tokenize stream (map-side combined), then one group-keyed fold of
+    the vocabulary-sized count table. No windows, no joins, no
+    collects; a NULL group is a legal group (groupBy keeps it — no
+    key join exists to drop it)."""
+    D = "decimal(38,0)"
+    base = tokenized_frame(df, text_col, id_col, carry=(group_col,))
+    bigrams = F.expr(
+        "CASE WHEN size(__w) > 1 THEN "
+        "transform(sequence(1, size(__w) - 1), "
+        "__bg -> concat(element_at(__w, __bg), ' ', element_at(__w, __bg + 1))) "
+        "ELSE cast(array() AS array<string>) END"
+    )
+    grams = base.select(
+        F.col(group_col).alias("__g"), F.explode(bigrams).alias("bg")
+    )
+    cnt = grams.groupBy("__g", "bg").agg(F.count("*").alias("__c"))
+    lnq = F.floor(
+        F.log(F.col("__c").cast("double")) * F.lit(1000000.0) + F.lit(0.5)
+    )
+    per = cnt.groupBy("__g").agg(
+        F.sum("__c").cast("bigint").alias("total_ngrams"),
+        F.count("*").cast("bigint").alias("distinct_ngrams"),
+        F.max("__c").cast("bigint").alias("__maxc"),
+        F.sum(F.col("__c").cast(D) * lnq.cast(D)).alias("__s"),
+    )
+    t_dbl = F.col("total_ngrams").cast("double")
+    lnq_t = F.floor(F.log(t_dbl) * F.lit(1000000.0) + F.lit(0.5))
+    micro6 = lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5)) / F.lit(  # noqa: E731
+        1000000.0
+    )
+    entropy = (
+        F.floor(
+            lnq_t - F.col("__s").cast("double") / t_dbl + F.lit(0.5)
+        )
+        / F.lit(1000000.0)
+    )
+    return per.select(
+        F.col("__g").alias(group_col),
+        "total_ngrams",
+        "distinct_ngrams",
+        micro6(
+            F.col("distinct_ngrams").cast("double") / t_dbl
+        ).alias("distinct_ratio"),
+        micro6(F.col("__maxc").cast("double") / t_dbl).alias("top_share"),
+        entropy.alias("entropy"),
+    )
+
+
 def remove_boilerplate_lines(
     df: DataFrame,
     min_docs: int = 2,

@@ -1319,6 +1319,60 @@ def mixture_zipf_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mixture_ngram_diversity",
+    """
+    WITH base AS (
+      SELECT source,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                          ' ') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT source, w[__j] || ' ' || w[__j + 1] AS bg
+      FROM (SELECT source, w,
+                   unnest(generate_series(1, len(w) - 1)) AS __j
+            FROM base WHERE len(w) > 1)
+    ),
+    cnt AS (
+      SELECT source, bg, CAST(COUNT(*) AS BIGINT) AS c
+      FROM grams GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT source,
+             CAST(SUM(c) AS BIGINT) AS total_ngrams,
+             CAST(COUNT(*) AS BIGINT) AS distinct_ngrams,
+             CAST(MAX(c) AS BIGINT) AS maxc,
+             SUM(CAST(c AS HUGEINT) *
+                 CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5)
+                      AS HUGEINT)) AS s_sum
+      FROM cnt GROUP BY source
+    )
+    SELECT source, total_ngrams, distinct_ngrams,
+           FLOOR(CAST(distinct_ngrams AS DOUBLE)
+                 / CAST(total_ngrams AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS distinct_ratio,
+           FLOOR(CAST(maxc AS DOUBLE) / CAST(total_ngrams AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS top_share,
+           FLOOR(FLOOR(ln(CAST(total_ngrams AS DOUBLE)) * 1000000.0 + 0.5)
+                 - CAST(s_sum AS DOUBLE) / CAST(total_ngrams AS DOUBLE)
+                 + 0.5) / 1000000.0 AS entropy
+    FROM per
+    """,
+)
+def mixture_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source word-bigram diversity panel — distinct-n ratio (Li
+    et al. 2016), top-bigram share, and Shannon entropy in nats — the
+    self-BLEU-adjacent diagnostics that catch template-generated or
+    mode-collapsed slices before they reach a training mixture. ONE
+    (source, bigram) aggregate off the shared case-preserving tokenize
+    stream, then one group-keyed fold; per-count lns quantized to
+    integer millionths and summed order-free in DECIMAL(38,0) — only
+    single divisions of exact integers remain floating point
+    (llm/text.ngram_diversity)."""
+    return tx.ngram_diversity(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "quality_c4_lines",
     """
     WITH d AS (

@@ -543,6 +543,61 @@ def test_mixture_ops_keep_null_source_group(spark):
     assert zipf[None].zipf_slope is not None
 
 
+def test_ngram_diversity_python_replica(spark):
+    """Diversity panel vs an exact python replica of the quantized
+    pipeline (bigram counts, micro-ln, integer-numerator entropy sum,
+    portable floor-round); a NULL source is a legal group."""
+    import math
+    from collections import Counter
+
+    docs = [
+        (1, "rep", "spam spam spam spam spam ham"),
+        (2, "div", "the quick brown fox jumps over lazy dogs"),
+        (3, None, "x y x y x y"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    got = {r.source: r for r in tx.ngram_diversity(df).collect()}
+    assert set(got) == {"rep", "div", None}
+
+    for g, text in [(s, t) for _, s, t in docs]:
+        w = text.split()
+        counts = Counter(f"{a} {b}" for a, b in zip(w, w[1:]))
+        t_total = sum(counts.values())
+        s_sum = sum(
+            c * math.floor(math.log(c) * 1e6 + 0.5) for c in counts.values()
+        )
+        ent = (
+            math.floor(
+                math.floor(math.log(t_total) * 1e6 + 0.5) - s_sum / t_total + 0.5
+            )
+            / 1e6
+        )
+        r = got[g]
+        assert r.total_ngrams == t_total
+        assert r.distinct_ngrams == len(counts)
+        assert r.distinct_ratio == math.floor(len(counts) / t_total * 1e6 + 0.5) / 1e6
+        assert r.top_share == math.floor(
+            max(counts.values()) / t_total * 1e6 + 0.5
+        ) / 1e6
+        assert r.entropy == ent, (g, r.entropy, ent)
+    # repetitive slice scores below the diverse one on every signal
+    assert got["rep"].distinct_ratio < got["div"].distinct_ratio
+    assert got["rep"].entropy < got["div"].entropy
+    assert got["rep"].top_share > got["div"].top_share
+    # all-distinct bigrams: entropy == ln(T), ratio == 1
+    assert got["div"].distinct_ratio == 1.0
+
+
+def test_ngram_diversity_single_bigram_doc(spark):
+    """One repeated bigram: entropy exactly 0, top_share 1."""
+    df = spark.createDataFrame(
+        [(1, "s", "a a a a")], "doc_id long, source string, text string"
+    )
+    r = tx.ngram_diversity(df).collect()[0]
+    assert r.total_ngrams == 3 and r.distinct_ngrams == 1
+    assert r.top_share == 1.0 and r.entropy == 0.0
+
+
 def test_zipf_slopes_python_replica(spark):
     """Zipf slope vs an exact python replica of the full quantized
     pipeline (rank by (count DESC, term), micro-ln, integer moments,
