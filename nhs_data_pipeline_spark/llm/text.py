@@ -665,6 +665,86 @@ def ngram_diversity(
     )
 
 
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    top_k: int = 40,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over the
+    corpus's adjacent word pairs — the phrase-mining primitive
+    (Church & Hanks 1990; word2vec-style phrase detection):
+
+        PMI(a, b) = ln( p(ab) / (p(a) p(b)) )
+                  = ln( c_ab * T1^2 / (T2 * c_a * c_b) )
+
+    with c_ab adjacent-pair counts (T2 total pairs) and c_a unigram
+    counts (T1 total tokens). Returns ``(w1, w2, pair_count, pmi)``,
+    PMI in nats, highest first. ``min_count`` floors the pair count —
+    PMI's known rare-pair bias (a 1-occurrence pair of two hapaxes
+    maxes the score) is cut off exactly where every published phrase
+    miner cuts it.
+
+    Cross-engine exactness: every factor is an exact integer cast
+    ONCE to double (exact below 2^53 — holds past 10^15 tokens, ~4 PB
+    of text; no DECIMAL(38) product overflow at the most frequent
+    pair), the multiply/divide chain is one fixed IEEE sequence
+    spelled identically in the oracle, the ln is quantized to integer
+    millionths with the portable floor-round, and ties in the
+    quantized PMI break on (w1, w2).
+
+    Scale shape (100 TB): two token-keyed aggregates (pair and
+    unigram, both map-side combined); the unigram table re-joins the
+    ``min_count``-filtered pair table on each side's term key (vocab
+    is corpus-derived — shuffle joins, never a forced broadcast);
+    scalar totals broadcast-crossed; top-k is a distributed
+    TakeOrderedAndProject, never a global sort."""
+    base = tokenized_frame(df, text_col, id_col)
+    pair_arr = F.expr(
+        "CASE WHEN size(__w) > 1 THEN "
+        "transform(sequence(1, size(__w) - 1), "
+        "__bg -> struct(element_at(__w, __bg) AS w1, "
+        "element_at(__w, __bg + 1) AS w2)) "
+        "ELSE cast(array() AS array<struct<w1:string,w2:string>>) END"
+    )
+    pairs = base.select(F.explode(pair_arr).alias("__p")).select(
+        "__p.w1", "__p.w2"
+    )
+    uni = base.select(F.explode("__w").alias("term")).filter(
+        F.col("term") != ""
+    )
+    cp = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("pair_count"))
+        .filter(F.col("pair_count") >= F.lit(int(min_count)))
+    )
+    cu = uni.groupBy("term").agg(F.count("*").alias("__cu"))
+    tot1 = uni.agg(F.count("*").cast("bigint").alias("__t1"))
+    tot2 = pairs.agg(F.count("*").cast("bigint").alias("__t2"))
+    d = lambda c: c.cast("double")  # noqa: E731
+    joined = (
+        cp.join(cu.select(F.col("term").alias("w1"), F.col("__cu").alias("__ca")), "w1")
+        .join(cu.select(F.col("term").alias("w2"), F.col("__cu").alias("__cb")), "w2")
+        .crossJoin(F.broadcast(tot1))
+        .crossJoin(F.broadcast(tot2))
+    )
+    ratio = (d(F.col("pair_count")) * d(F.col("__t1")) * d(F.col("__t1"))) / (
+        d(F.col("__t2")) * d(F.col("__ca")) * d(F.col("__cb"))
+    )
+    pmi = F.floor(F.log(ratio) * F.lit(1000000.0) + F.lit(0.5)) / F.lit(
+        1000000.0
+    )
+    return (
+        joined.select(
+            "w1", "w2", F.col("pair_count").cast("bigint").alias("pair_count"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(int(top_k))
+    )
+
+
 def remove_boilerplate_lines(
     df: DataFrame,
     min_docs: int = 2,

@@ -1373,6 +1373,61 @@ def mixture_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_pmi_collocations",
+    """
+    WITH base AS (
+      SELECT string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                          ' ') AS w
+      FROM documents
+    ),
+    pairs AS (
+      SELECT w[__j] AS w1, w[__j + 1] AS w2
+      FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS __j
+            FROM base WHERE len(w) > 1)
+    ),
+    unif AS (
+      SELECT term FROM (SELECT unnest(w) AS term FROM base)
+      WHERE term <> ''
+    ),
+    cp AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_count
+      FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    ),
+    cu AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS cu_n FROM unif GROUP BY 1
+    ),
+    t1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS t1n FROM unif),
+    t2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS t2n FROM pairs)
+    SELECT w1, w2, pair_count,
+           FLOOR(ln(
+             (CAST(pair_count AS DOUBLE) * CAST(t1n AS DOUBLE)
+              * CAST(t1n AS DOUBLE))
+             / (CAST(t2n AS DOUBLE) * CAST(ca.cu_n AS DOUBLE)
+                * CAST(cb.cu_n AS DOUBLE))
+           ) * 1000000.0 + 0.5) / 1000000.0 AS pmi
+    FROM cp
+    JOIN cu AS ca ON cp.w1 = ca.term
+    JOIN cu AS cb ON cp.w2 = cb.term
+    CROSS JOIN t1 CROSS JOIN t2
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 40
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-40 PMI collocations (Church & Hanks) over the corpus's
+    adjacent word pairs with a pair-count floor of 5 — the
+    phrase-mining primitive behind word2vec-style phrase detection.
+    Two map-side-combined token-keyed aggregates, vocab-keyed shuffle
+    joins (never a forced broadcast of a corpus-derived vocabulary),
+    scalar totals broadcast-crossed, distributed TakeOrdered top-k;
+    every PMI factor an exact integer cast once to double and the ln
+    micro-quantized (llm/text.pmi_collocations)."""
+    return tx.pmi_collocations(
+        _t(spark, sf_dir, "documents"), min_count=5, top_k=40
+    )
+
+
+@query(
     "quality_c4_lines",
     """
     WITH d AS (

@@ -598,6 +598,61 @@ def test_ngram_diversity_single_bigram_doc(spark):
     assert r.top_share == 1.0 and r.entropy == 0.0
 
 
+def test_pmi_collocations_python_replica(spark):
+    """PMI vs an exact python replica (pair/unigram counts, the fixed
+    double multiply/divide sequence, micro-ln floor-round); the glued
+    collocation outranks the frequent-but-independent pair."""
+    import math
+    from collections import Counter
+
+    # "new york" always together (6x); "the cat"/"the dog" mix "the"
+    texts = [
+        "new york new york new york the cat sat",
+        "new york new york new york the dog sat",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = tx.pmi_collocations(df, min_count=2, top_k=10).collect()
+    pairs = Counter()
+    unis = Counter()
+    for t in texts:
+        w = t.split()
+        pairs.update(zip(w, w[1:]))
+        unis.update(w)
+    t1 = sum(unis.values())
+    t2 = sum(pairs.values())
+    exp = {}
+    for (a, b), c in pairs.items():
+        if c < 2:
+            continue
+        ratio = (float(c) * float(t1) * float(t1)) / (
+            float(t2) * float(unis[a]) * float(unis[b])
+        )
+        exp[(a, b)] = math.floor(math.log(ratio) * 1e6 + 0.5) / 1e6
+    got = {(r.w1, r.w2): (r.pair_count, r.pmi) for r in out}
+    assert set(got) == set(exp)
+    for k, (c, p) in got.items():
+        assert p == exp[k], (k, p, exp[k])
+        assert c == pairs[k]
+    ranked = [(r.w1, r.w2) for r in out]
+    # deterministic ordering: (pmi desc, w1, w2)
+    assert ranked == sorted(
+        exp, key=lambda k: (-exp[k], k[0], k[1])
+    )
+    assert got[("new", "york")][1] > got[("the", "cat")][1] if (
+        "the", "cat") in got else True
+
+
+def test_pmi_min_count_floor(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b c d")], "doc_id long, text string"
+    )
+    out = {(r.w1, r.w2) for r in tx.pmi_collocations(df, min_count=3).collect()}
+    # only 'a b' occurs 3x; 'b a' 2x, 'b c'/'c d' once
+    assert out == {("a", "b")}
+
+
 def test_zipf_slopes_python_replica(spark):
     """Zipf slope vs an exact python replica of the full quantized
     pipeline (rank by (count DESC, term), micro-ln, integer moments,

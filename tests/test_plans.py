@@ -298,8 +298,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 182, len(QUERIES)
-    assert len(ORACLES) == 179, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 183, len(QUERIES)
+    assert len(ORACLES) == 180, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_registry_wide_plan_hygiene(spark, sf_dir):
@@ -381,6 +381,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # (class, sensitive-value) table (ops/privacy.t_closeness_report)
         # — scalar-broadcast shape
         "privacy_t_closeness",
+        # audited: the two one-row token/pair-total aggregates crossed
+        # into the filtered pair table (llm/text.pmi_collocations) —
+        # scalar-broadcast shape
+        "text_pmi_collocations",
         "embed_topk_bruteforce", "embed_topk_auto", "q22_dormant_accounts",
         "q11_important_part_value", "text_tfidf_keywords",
         "sample_temperature", "ts_gap_fill_interpolate",
