@@ -545,6 +545,89 @@ def quantile_normalize(
     return df.join(norm, id_col, "left")
 
 
+def group_weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_int_col: str,
+    weight_int_col: str,
+    bucket_width: int = 1 << 16,
+) -> DataFrame:
+    """Exact per-group LOWER weighted median of a non-negative integer
+    value under integer weights: the smallest value v with
+    ``2 * cumulative_weight(<= v) >= total_weight`` — the
+    quantity-weighted "typical price" statistic GROUP BY mean hides.
+    Returns ``(*group_cols, n_rows, total_weight, weighted_median)``.
+
+    Every decision is an exact integer comparison (never a float
+    half-of-total), so the picked value replays bit-identically on any
+    engine and partitioning. Rows with NULL value/weight or
+    non-positive weight are excluded (a zero weight cannot move the
+    median; a negative one has no order-statistic meaning).
+
+    Scale shape (100 TB) — the repo's two-pass bucketed order-
+    statistic pattern (quantile_normalize, zipf ranks), weighted:
+
+    1. collapse to per-(group, value) weight sums (one map-side-
+       combined aggregate);
+    2. bucket values by ``value div bucket_width``; cumulative bucket
+       offsets run over the per-group BUCKET table (value-range /
+       width rows per group — model-sized), never the value table;
+    3. only the single median-holding bucket's values re-join for the
+       in-bucket cumulative walk (bucket-bounded window).
+
+    No group ever sorts its full value set in one task; group joins
+    are NULL-safe (a NULL group key is a legal group)."""
+    from nhs_data_pipeline_spark.ops.sketch import _ns_join
+
+    v, w = F.col(value_int_col), F.col(weight_int_col)
+    base = df.filter(v.isNotNull() & w.isNotNull() & (w > 0))
+    vw = base.groupBy(*group_cols, v.alias("__val")).agg(
+        F.sum(w).cast("bigint").alias("__wt"),
+        F.count("*").cast("bigint").alias("__cnt"),
+    )
+    bkt = vw.withColumn("__b", F.expr(f"__val div {int(bucket_width)}"))
+    bw = bkt.groupBy(*group_cols, "__b").agg(
+        F.sum("__wt").cast("bigint").alias("__bw")
+    )
+    woff = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = bw.withColumn(
+        "__off", F.coalesce(F.sum("__bw").over(woff), F.lit(0).cast("bigint"))
+    )
+    tot = vw.groupBy(*group_cols).agg(
+        F.sum("__wt").cast("bigint").alias("total_weight"),
+        F.sum("__cnt").cast("bigint").alias("n_rows"),
+    )
+    med_bucket = (
+        _ns_join(offs, tot, group_cols)
+        .filter(
+            (F.lit(2) * (F.col("__off") + F.col("__bw"))
+             >= F.col("total_weight"))
+            & (F.lit(2) * F.col("__off") < F.col("total_weight"))
+        )
+        .select(*group_cols, "__b", "__off", "total_weight", "n_rows")
+    )
+    inb = _ns_join(bkt, med_bucket, group_cols + ["__b"])
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__val")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        inb.withColumn("__cum", F.col("__off") + F.sum("__wt").over(wcum))
+        .filter(F.lit(2) * F.col("__cum") >= F.col("total_weight"))
+        .groupBy(*group_cols)
+        .agg(
+            F.max("n_rows").alias("n_rows"),
+            F.max("total_weight").alias("total_weight"),
+            F.min("__val").cast("bigint").alias("weighted_median"),
+        )
+    )
+
+
 def bootstrap_mean_ci(
     df: DataFrame,
     value_int_col: str,

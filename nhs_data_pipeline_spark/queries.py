@@ -3078,6 +3078,62 @@ def o3_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "o4_weighted_median",
+    """
+    WITH base AS (
+      SELECT l_returnflag AS g,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS val,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS wt
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    ),
+    vw AS (
+      SELECT g, val, CAST(SUM(wt) AS BIGINT) AS wt,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM base WHERE wt > 0 GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT g, CAST(SUM(wt) AS BIGINT) AS tw,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows
+      FROM vw GROUP BY g
+    ),
+    cum AS (
+      SELECT g, val,
+             CAST(SUM(wt) OVER (PARTITION BY g ORDER BY val) AS BIGINT)
+               AS cw
+      FROM vw
+    )
+    SELECT cum.g AS l_returnflag, MAX(tot.n_rows) AS n_rows,
+           MAX(tot.tw) AS total_weight,
+           CAST(MIN(val) AS BIGINT) AS weighted_median
+    FROM cum JOIN tot ON cum.g IS NOT DISTINCT FROM tot.g
+    WHERE 2 * cw >= tw
+    GROUP BY cum.g
+    """,
+)
+def o4_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median line price (in cents) per return
+    flag — the weighted order statistic a mean-of-prices hides when
+    quantities skew. Engine side runs the two-pass bucketed pattern
+    (per-group BUCKET-table cumulative offsets, then only the single
+    median-holding bucket walks its values — no group ever sorts its
+    full value set in one task); every half-of-total decision is an
+    exact integer comparison (ops/analytics.group_weighted_median).
+    The oracle replays the same integer decisions with a plain
+    cumulative window — same answer, different physical plan."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr(
+            "cast(floor(l_extendedprice * 100 + 0.5) as bigint)"
+        ).alias("__cents"),
+        F.expr("cast(floor(l_quantity + 0.5) as bigint)").alias("__qty"),
+    )
+    return oan.group_weighted_median(
+        li, ["l_returnflag"], "__cents", "__qty", bucket_width=100000
+    )
+
+
 # ===========================================================================
 # Driver-window ordering
 # ===========================================================================

@@ -624,3 +624,88 @@ def test_quantile_normalize_bucket_width_invariance(spark):
     a = {r.id: r.v_norm for r in quantile_normalize(df, "v", "src", "id", bucket_width=8).collect()}
     b = {r.id: r.v_norm for r in quantile_normalize(df, "v", "src", "id", bucket_width=1 << 20).collect()}
     assert a == b  # bucketing is an implementation detail, not semantics
+
+
+# ---------------------------------------------------------------------------
+# group_weighted_median
+# ---------------------------------------------------------------------------
+
+def _wmedian_replica(pairs):
+    """Lower weighted median: smallest v with 2*cum(<=v) >= total."""
+    tot = sum(w for _, w in pairs)
+    cum = 0
+    for v, w in sorted(pairs):
+        cum += w
+        if 2 * cum >= tot:
+            return v
+    raise AssertionError("unreachable")
+
+
+def test_weighted_median_python_replica(spark):
+    from nhs_data_pipeline_spark.ops.analytics import group_weighted_median
+
+    rows = []
+    groups = {}
+    for i in range(400):
+        g = "g%d" % (i % 3)
+        v = (i * 131) % 1000
+        w = (i % 7) + 1
+        rows.append((g, v, w))
+        groups.setdefault(g, []).append((v, w))
+    df = spark.createDataFrame(rows, "g string, v bigint, w bigint")
+    got = {
+        r.g: r
+        for r in group_weighted_median(df, ["g"], "v", "w", bucket_width=64)
+        .collect()
+    }
+    for g, pairs in groups.items():
+        assert got[g].weighted_median == _wmedian_replica(pairs), g
+        assert got[g].n_rows == len(pairs)
+        assert got[g].total_weight == sum(w for _, w in pairs)
+
+
+def test_weighted_median_even_total_takes_lower(spark):
+    from nhs_data_pipeline_spark.ops.analytics import group_weighted_median
+
+    # weights 1,1: total 2, cum at v=10 is 1, 2*1 >= 2 -> lower value
+    df = spark.createDataFrame(
+        [("a", 10, 1), ("a", 20, 1)], "g string, v bigint, w bigint"
+    )
+    r = group_weighted_median(df, ["g"], "v", "w").collect()[0]
+    assert r.weighted_median == 10
+
+
+def test_weighted_median_weight_dominates(spark):
+    from nhs_data_pipeline_spark.ops.analytics import group_weighted_median
+
+    # one heavy row outweighs many light ones
+    rows = [("a", i, 1) for i in range(10)] + [("a", 999, 100)]
+    df = spark.createDataFrame(rows, "g string, v bigint, w bigint")
+    r = group_weighted_median(df, ["g"], "v", "w").collect()[0]
+    assert r.weighted_median == 999
+
+
+def test_weighted_median_null_group_and_filters(spark):
+    from nhs_data_pipeline_spark.ops.analytics import group_weighted_median
+
+    rows = [
+        (None, 5, 2), (None, 7, 2), (None, 9, 1),   # median 7
+        ("a", 1, 0),                                 # zero weight: dropped
+        ("a", 3, 1), ("a", None, 5), ("a", 4, None),
+    ]
+    df = spark.createDataFrame(rows, "g string, v bigint, w bigint")
+    got = {r.g: r for r in group_weighted_median(df, ["g"], "v", "w").collect()}
+    assert got[None].weighted_median == 7 and got[None].n_rows == 3
+    assert got["a"].weighted_median == 3 and got["a"].n_rows == 1
+
+
+def test_weighted_median_bucket_width_invariance(spark):
+    from nhs_data_pipeline_spark.ops.analytics import group_weighted_median
+
+    rows = [("s%d" % (i % 2), (i * 37) % 500, i % 5 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, v bigint, w bigint")
+    a = {r.g: r.weighted_median
+         for r in group_weighted_median(df, ["g"], "v", "w", bucket_width=7).collect()}
+    b = {r.g: r.weighted_median
+         for r in group_weighted_median(df, ["g"], "v", "w", bucket_width=1 << 20).collect()}
+    assert a == b
