@@ -178,6 +178,80 @@ def rolling_time_agg(
     return out
 
 
+def time_weighted_avg(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Per-group LOCF time-weighted average of an irregularly-sampled
+    series (TimescaleDB's ``time_weight('LOCF', ...)`` semantics):
+    each observation's value holds until the NEXT observation, so
+
+        TWA = sum_i value_i * (t_{i+1} - t_i)  /  (t_last - t_first)
+
+    — the honest mean of a signal sampled at uneven intervals, where a
+    plain AVG over-weights bursts. Returns ``(*group_cols, n_events,
+    span_micros, twa)``; groups with fewer than two timestamped
+    observations have no duration and yield NULL twa (span 0).
+
+    Cross-engine exactness: values quantize to integer MILLIONTHS
+    immediately (one portable floor-round), durations are exact
+    ``unix_micros`` integers, and the weighted sum is a DECIMAL(38,0)
+    integer-product sum — order-free, partitioning-independent. One
+    double division at the end + the shared floor-round.
+
+    Scale shape: one ``partitionBy(group)`` window for ``lead`` (state
+    = one row) and one group-keyed aggregate — a group's rows shuffle
+    to one partition, which is the contract of per-entity series (an
+    entity's history fits; entities are many). NULL ts or value rows
+    are excluded up front (LOCF across a NULL observation would
+    fabricate a hold interval the engine never saw). ``order_tiebreak``
+    columns break equal-timestamp ties into a total order."""
+    tie = order_tiebreak or []
+    base = df.filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        *group_cols,
+        F.unix_micros(F.col(ts_col)).alias("__tus"),
+        F.floor(
+            F.col(value_col).cast("double") * F.lit(1000000.0) + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("__vmic"),
+        *[F.col(c) for c in tie],
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        "__tus", *[F.col(c) for c in tie]
+    )
+    dec = "decimal(38,0)"
+    stepped = base.withColumn("__next", F.lead("__tus").over(w)).withColumn(
+        "__dur", F.col("__next") - F.col("__tus")
+    )
+    out = stepped.groupBy(*group_cols).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.coalesce(F.sum("__dur"), F.lit(0)).cast("bigint").alias(
+            "span_micros"
+        ),
+        F.sum(F.col("__vmic").cast(dec) * F.col("__dur").cast(dec)).alias(
+            "__s"
+        ),
+    )
+    twa = F.floor(
+        F.col("__s").cast("double")
+        / (F.col("span_micros").cast("double") * F.lit(1000000.0))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ) / F.lit(1000000.0)
+    return out.select(
+        *group_cols,
+        "n_events",
+        "span_micros",
+        F.when(F.col("span_micros") > 0, twa).alias("twa"),
+    )
+
+
 def calendar_spine(
     df: DataFrame,
     keys: str | list[str],

@@ -1048,6 +1048,52 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_time_weighted_avg",
+    """
+    WITH base AS (
+      SELECT user_id, epoch_us(ts) AS tus,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS vmic,
+             event_id
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    stepped AS (
+      SELECT user_id, vmic,
+             lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+               - tus AS dur
+      FROM base
+    ),
+    agg AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COALESCE(SUM(dur), 0) AS BIGINT) AS span_micros,
+             SUM(CAST(vmic AS HUGEINT) * CAST(dur AS HUGEINT)) AS s
+      FROM stepped GROUP BY user_id
+    )
+    SELECT user_id, n_events, span_micros,
+           CASE WHEN span_micros > 0 THEN
+             FLOOR(CAST(s AS DOUBLE)
+                   / (CAST(span_micros AS DOUBLE) * 1000000.0)
+                   * 1000000.0 + 0.5) / 1000000.0
+           END AS twa
+    FROM agg
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user LOCF time-weighted average of the event value —
+    TimescaleDB's ``time_weight`` over an irregularly-sampled series,
+    where a plain AVG over-weights bursts. One per-user lead window
+    (total order via the event_id tiebreak) + one user-keyed
+    aggregate; values micro-quantized, durations exact unix_micros
+    integers, the weighted sum an order-free DECIMAL(38,0) product
+    sum, one final double division + portable floor-round
+    (ops/temporal.time_weighted_avg). Single-event users report NULL
+    twa (no duration), span 0."""
+    ev = _events(spark, sf_dir)
+    return ot.time_weighted_avg(
+        ev, ["user_id"], "ts", "value", order_tiebreak=["event_id"]
+    )
+
+
+@query(
     "events_json_extract",
     """
     SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,

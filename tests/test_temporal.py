@@ -204,3 +204,79 @@ def test_seasonal_baseline_zero_mean_gives_null_ratio(spark):
     df = spark.createDataFrame(rows, "g string, day date, x decimal(30,10)")
     out = seasonal_baseline_deviation(df, ["g"], "day", "x").collect()
     assert all(r.dev_ratio is None for r in out)
+
+
+# ---------------------------------------------------------------------------
+# time_weighted_avg
+# ---------------------------------------------------------------------------
+
+def _ts(s):
+    import datetime as dt
+
+    return dt.datetime.fromisoformat(s)
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    from nhs_data_pipeline_spark.ops.temporal import time_weighted_avg
+
+    # value 10 held 1s, value 20 held 3s, last point contributes 0:
+    # TWA = (10*1 + 20*3) / 4 = 17.5 — plain AVG would say 11.0
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 10.0, 1),
+        (1, _ts("2024-01-01T00:00:01"), 20.0, 2),
+        (1, _ts("2024-01-01T00:00:04"), 4.0, 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, value double, event_id bigint"
+    )
+    r = time_weighted_avg(
+        df, ["user_id"], order_tiebreak=["event_id"]
+    ).collect()[0]
+    assert r.n_events == 3
+    assert r.span_micros == 4_000_000
+    assert r.twa == 17.5
+
+
+def test_time_weighted_avg_single_event_null(spark):
+    from nhs_data_pipeline_spark.ops.temporal import time_weighted_avg
+
+    df = spark.createDataFrame(
+        [(7, _ts("2024-01-01T00:00:00"), 5.0, 1)],
+        "user_id bigint, ts timestamp, value double, event_id bigint",
+    )
+    r = time_weighted_avg(df, ["user_id"], order_tiebreak=["event_id"]).collect()[0]
+    assert r.n_events == 1 and r.span_micros == 0 and r.twa is None
+
+
+def test_time_weighted_avg_excludes_null_rows(spark):
+    from nhs_data_pipeline_spark.ops.temporal import time_weighted_avg
+
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 10.0, 1),
+        (1, _ts("2024-01-01T00:00:01"), None, 2),  # dropped, no hold
+        (1, _ts("2024-01-01T00:00:02"), 30.0, 3),
+        (1, None, 99.0, 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, value double, event_id bigint"
+    )
+    r = time_weighted_avg(df, ["user_id"], order_tiebreak=["event_id"]).collect()[0]
+    # 10 held the full 2s span (LOCF across the dropped row)
+    assert r.n_events == 2 and r.span_micros == 2_000_000 and r.twa == 10.0
+
+
+def test_time_weighted_avg_burst_insensitive(spark):
+    from nhs_data_pipeline_spark.ops.temporal import time_weighted_avg
+
+    # a burst of high samples in a short window must not dominate
+    rows = [(1, _ts("2024-01-01T00:00:00"), 1.0, 0)]
+    rows += [
+        (1, _ts(f"2024-01-01T00:59:00.{i:06d}"), 100.0, i + 1)
+        for i in range(20)
+    ]
+    rows += [(1, _ts("2024-01-01T01:00:00"), 1.0, 99)]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, value double, event_id bigint"
+    )
+    r = time_weighted_avg(df, ["user_id"], order_tiebreak=["event_id"]).collect()[0]
+    assert r.twa < 4.0  # plain AVG would be ~91
