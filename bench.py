@@ -123,6 +123,14 @@ BENCH_QUERIES = [
     "privacy_l_diversity",
     "stats_bootstrap_ci",
     "eval_dedup_pair_overlap",
+    # r06 continuation: t-closeness TVD audit, n-gram diversity panel,
+    # PMI collocation mining, bucketed weighted median, LOCF
+    # time-weighted average
+    "privacy_t_closeness",
+    "mixture_ngram_diversity",
+    "text_pmi_collocations",
+    "o4_weighted_median",
+    "events_time_weighted_avg",
 ]
 
 
