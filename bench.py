@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "text_pmi_collocations",
     "o4_weighted_median",
     "events_time_weighted_avg",
+    "stats_psi_drift",
 ]
 
 

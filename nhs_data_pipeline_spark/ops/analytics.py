@@ -628,6 +628,96 @@ def group_weighted_median(
     )
 
 
+def psi_report(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_int_col: str,
+    bucket_width: int = 1 << 16,
+) -> DataFrame:
+    """Population Stability Index between a baseline (A) and a
+    comparison (B) slice of an integer-quantized value — the standard
+    model-monitoring drift metric:
+
+        PSI = sum_i (p_ai - p_bi) * ln(p_ai / p_bi)
+
+    over value buckets, with add-one (Laplace) smoothing so buckets
+    present on only one side contribute finitely: ``p_xi = (c_xi + 1)
+    / (n_x + K)``, K = number of buckets observed in either side.
+    Returns one row ``(n_a, n_b, n_buckets, psi)``; rule of thumb:
+    < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 drifted.
+
+    Buckets are FIXED-WIDTH (``value div bucket_width``, non-negative
+    value contract like the histogram/k-anon bucket ops) — integer
+    membership, so no quantile-boundary float can flip a row between
+    buckets across engines. Every PSI term is built from exact
+    integers: the weight numerator ``(c_a+1)(n_b+K) - (c_b+1)(n_a+K)``
+    in DECIMAL(38,0), the ln of the same two exact products (cast once
+    to double), micro-quantized; one final double division + the
+    portable floor-round.
+
+    Scale shape: one bucket-keyed aggregate per side (map-side
+    combined), a full-outer NULL-safe join of two model-sized bucket
+    tables, scalar totals broadcast-crossed, one scalar fold."""
+    from nhs_data_pipeline_spark.ops.sketch import _ns_join
+
+    D = "decimal(38,0)"
+
+    def _counts(df: DataFrame, out: str) -> DataFrame:
+        v = F.col(value_int_col)
+        return (
+            df.filter(v.isNotNull())
+            .select(F.expr(f"{value_int_col} div {int(bucket_width)}").alias("__b"))
+            .groupBy("__b")
+            .agg(F.count("*").cast("bigint").alias(out))
+        )
+
+    ca = _counts(df_a, "__ca")
+    cb = _counts(df_b, "__cb")
+    both = _ns_join(ca, cb, ["__b"], how="full").select(
+        "__b",
+        F.coalesce("__ca", F.lit(0)).alias("__ca"),
+        F.coalesce("__cb", F.lit(0)).alias("__cb"),
+    )
+    tots = both.agg(
+        F.sum("__ca").cast("bigint").alias("__na"),
+        F.sum("__cb").cast("bigint").alias("__nb"),
+        F.count("*").cast("bigint").alias("__k"),
+    )
+    t = both.crossJoin(F.broadcast(tots))
+    pa_num = (F.col("__ca") + F.lit(1)).cast(D) * (
+        F.col("__nb") + F.col("__k")
+    ).cast(D)
+    pb_num = (F.col("__cb") + F.lit(1)).cast(D) * (
+        F.col("__na") + F.col("__k")
+    ).cast(D)
+    lnq = F.floor(
+        F.log(pa_num.cast("double") / pb_num.cast("double"))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    )
+    agg = t.agg(
+        F.max("__na").alias("n_a"),
+        F.max("__nb").alias("n_b"),
+        F.max("__k").alias("n_buckets"),
+        F.sum((pa_num - pb_num) * lnq.cast(D)).alias("__s"),
+    )
+    # den as a DOUBLE product of two double-cast exact integers —
+    # spelled identically in the oracle (a DECIMAL product cast to
+    # double could round differently once n_x * K passes 2^53)
+    den = (F.col("n_a") + F.col("n_buckets")).cast("double") * (
+        F.col("n_b") + F.col("n_buckets")
+    ).cast("double")
+    psi = F.floor(
+        F.col("__s").cast("double") / den + F.lit(0.5)
+    ) / F.lit(1000000.0)
+    return agg.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("n_buckets").cast("bigint").alias("n_buckets"),
+        psi.alias("psi"),
+    )
+
+
 def bootstrap_mean_ci(
     df: DataFrame,
     value_int_col: str,

@@ -8992,6 +8992,77 @@ def _bootstrap_oracle_sql(replicates: int = 48) -> str:
     """
 
 
+@query(
+    "stats_psi_drift",
+    """
+    WITH ca AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 2500000
+               AS b,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND year(o_orderdate) < 1998
+      GROUP BY 1
+    ),
+    cb AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 2500000
+               AS b,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND year(o_orderdate) >= 1998
+      GROUP BY 1
+    ),
+    both_b AS (
+      SELECT COALESCE(ca.c, 0) AS cca, COALESCE(cb.c, 0) AS ccb
+      FROM ca FULL OUTER JOIN cb ON ca.b IS NOT DISTINCT FROM cb.b
+    ),
+    tots AS (
+      SELECT CAST(SUM(cca) AS BIGINT) AS na, CAST(SUM(ccb) AS BIGINT) AS nb,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM both_b
+    ),
+    terms AS (
+      SELECT CAST(cca + 1 AS HUGEINT) * (nb + k) AS pa_num,
+             CAST(ccb + 1 AS HUGEINT) * (na + k) AS pb_num,
+             na, nb, k
+      FROM both_b CROSS JOIN tots
+    )
+    SELECT MAX(na) AS n_a, MAX(nb) AS n_b, MAX(k) AS n_buckets,
+           FLOOR(CAST(SUM((pa_num - pb_num) *
+                 CAST(FLOOR(ln(CAST(pa_num AS DOUBLE)
+                               / CAST(pb_num AS DOUBLE))
+                            * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)
+                 / (CAST(MAX(na) + MAX(k) AS DOUBLE)
+                    * CAST(MAX(nb) + MAX(k) AS DOUBLE))
+                 + 0.5) / 1000000.0 AS psi
+    FROM terms
+    """,
+)
+def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-value distribution,
+    pre-1998 baseline vs 1998+ — the model-monitoring drift metric
+    (<0.1 stable, >0.25 drifted), with add-one smoothing over
+    fixed-width $25k buckets (integer membership: no quantile
+    boundary float can flip a row between engines). One bucket-keyed
+    aggregate per slice, a full-outer NULL-safe join of two
+    model-sized bucket tables, scalar totals broadcast-crossed, one
+    scalar fold; every term from exact integers, ln micro-quantized
+    (ops/analytics.psi_report)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    ).select(
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias(
+            "__cents"
+        ),
+        F.year("o_orderdate").alias("__yr"),
+    )
+    return oan.psi_report(
+        o.filter(F.col("__yr") < 1998),
+        o.filter(F.col("__yr") >= 1998),
+        "__cents",
+        bucket_width=2500000,
+    )
+
+
 @query("stats_bootstrap_ci", _bootstrap_oracle_sql(48))
 def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic half-sample bootstrap 95% CI for the mean order

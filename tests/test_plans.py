@@ -298,8 +298,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 185, len(QUERIES)
-    assert len(ORACLES) == 182, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 186, len(QUERIES)
+    assert len(ORACLES) == 183, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_registry_wide_plan_hygiene(spark, sf_dir):
@@ -385,6 +385,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # into the filtered pair table (llm/text.pmi_collocations) —
         # scalar-broadcast shape
         "text_pmi_collocations",
+        # audited: one-row totals aggregate crossed into the
+        # model-sized bucket table (ops/analytics.psi_report) —
+        # scalar-broadcast shape
+        "stats_psi_drift",
         "embed_topk_bruteforce", "embed_topk_auto", "q22_dormant_accounts",
         "q11_important_part_value", "text_tfidf_keywords",
         "sample_temperature", "ts_gap_fill_interpolate",

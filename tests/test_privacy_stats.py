@@ -236,3 +236,60 @@ def test_overlap_matches_exact_jaccard_pairs(spark):
         for r in dd.exact_jaccard_join(df, threshold=0.5).collect()
     }
     assert ov == ex
+
+
+# ---------------------------------------------------------------------------
+# psi_report
+# ---------------------------------------------------------------------------
+
+def test_psi_identical_distributions_is_zero(spark):
+    rows = [(v,) for v in [10, 20, 30, 40, 50] * 20]
+    a = spark.createDataFrame(rows, "v bigint")
+    b = spark.createDataFrame(rows, "v bigint")
+    r = oan.psi_report(a, b, "v", bucket_width=10).collect()[0]
+    assert r.psi == 0.0
+    assert r.n_a == r.n_b == 100
+
+
+def test_psi_python_replica(spark):
+    import math
+
+    va = [(i * 7) % 100 for i in range(200)]
+    vb = [(i * 13) % 60 + 40 for i in range(150)]  # shifted slice
+    a = spark.createDataFrame([(v,) for v in va], "v bigint")
+    b = spark.createDataFrame([(v,) for v in vb], "v bigint")
+    W = 16
+    got = oan.psi_report(a, b, "v", bucket_width=W).collect()[0]
+
+    from collections import Counter
+
+    ca = Counter(v // W for v in va)
+    cb = Counter(v // W for v in vb)
+    buckets = set(ca) | set(cb)
+    na, nb, k = len(va), len(vb), len(buckets)
+    s = 0
+    for bk in buckets:
+        pa_num = (ca.get(bk, 0) + 1) * (nb + k)
+        pb_num = (cb.get(bk, 0) + 1) * (na + k)
+        lnq = math.floor(math.log(pa_num / pb_num) * 1e6 + 0.5)
+        s += (pa_num - pb_num) * lnq
+    psi = math.floor(s / (float(na + k) * float(nb + k)) + 0.5) / 1e6
+    assert got.n_a == na and got.n_b == nb and got.n_buckets == k
+    assert got.psi == psi
+    assert got.psi > 0.25  # the shifted slice reads as drifted
+
+
+def test_psi_one_sided_buckets_finite(spark):
+    # disjoint supports: smoothing keeps every term finite
+    a = spark.createDataFrame([(v,) for v in [0, 1, 2, 3]], "v bigint")
+    b = spark.createDataFrame([(v,) for v in [100, 101]], "v bigint")
+    r = oan.psi_report(a, b, "v", bucket_width=4).collect()[0]
+    assert r.psi is not None and r.psi > 0.25
+    assert r.n_buckets == 2
+
+
+def test_psi_null_values_excluded(spark):
+    a = spark.createDataFrame([(1,), (None,), (2,)], "v bigint")
+    b = spark.createDataFrame([(1,), (2,)], "v bigint")
+    r = oan.psi_report(a, b, "v", bucket_width=4).collect()[0]
+    assert r.n_a == 2 and r.n_b == 2 and r.psi == 0.0
