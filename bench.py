@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "o4_weighted_median",
     "events_time_weighted_avg",
     "stats_psi_drift",
+    "events_funnel_latency",
 ]
 
 

@@ -76,6 +76,66 @@ def funnel(
     )
 
 
+def funnel_conversion_times(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-to-convert distribution down an ordered funnel: for every
+    step past the first, the users who reached it and the EXACT lower
+    median of their (first-step arrival -> step arrival) latency in
+    microseconds: ``(step_idx, step, n_converted, median_micros)``.
+    The product question behind every funnel chart's second axis —
+    "how long does conversion take?" — where a mean is useless under
+    the heavy right tail of user latencies.
+
+    Composition of two proven pieces: the funnel's chained
+    conditional window minima (one ``partitionBy(user)`` shuffle for
+    any step count — same spec as ``funnel``) and the two-pass
+    bucketed weighted order statistic of ``group_weighted_median``
+    (unit weights), so the median decision is an exact integer
+    comparison and no step ever sorts its full latency set in one
+    task. Non-converted users simply have a NULL step arrival and
+    drop out of that step's group."""
+    if len(steps) < 2:
+        raise ValueError("conversion times need at least two steps")
+    w = Window.partitionBy(user_col)
+    df = events
+    tcols: list[str] = []
+    prev: str | None = None
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == step
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev))
+        c = f"__t{i}"
+        df = df.withColumn(c, F.min(F.when(cond, F.col(ts_col))).over(w))
+        tcols.append(c)
+        prev = c
+    per_user = df.groupBy(user_col).agg(
+        *[F.max(c).alias(c) for c in tcols]
+    )
+    stack = ", ".join(
+        f"{i}, '{s}', unix_micros(__t{i}) - unix_micros(__t0)"
+        for i, s in enumerate(steps[1:], start=1)
+    )
+    durs = per_user.select(
+        F.expr(
+            f"stack({len(steps) - 1}, {stack}) AS (step_idx, step, __dur)"
+        )
+    ).filter(F.col("__dur").isNotNull()).withColumn("__one", F.lit(1))
+    med = group_weighted_median(
+        durs, ["step_idx", "step"], "__dur", "__one", bucket_width=1 << 32
+    )
+    return med.select(
+        F.col("step_idx").cast("int").alias("step_idx"),
+        "step",
+        F.col("n_rows").alias("n_converted"),
+        F.col("weighted_median").alias("median_micros"),
+    )
+
+
 def retention_cohorts(
     events: DataFrame,
     user_col: str = "user_id",

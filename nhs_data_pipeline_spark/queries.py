@@ -4788,6 +4788,70 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_funnel_latency",
+    """
+    WITH t0 AS (
+      SELECT user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t0
+      FROM events
+    ), t1 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t0 THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM t0
+    ), t2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t1 THEN ts END)
+               OVER (PARTITION BY user_id) AS t2
+      FROM t1
+    ), pu AS (
+      SELECT user_id, MAX(t0) AS t0, MAX(t1) AS t1, MAX(t2) AS t2
+      FROM t2 GROUP BY user_id
+    ),
+    durs AS (
+      SELECT 1 AS step_idx, 'click' AS step,
+             epoch_us(t1) - epoch_us(t0) AS dur
+      FROM pu WHERE t1 IS NOT NULL
+      UNION ALL
+      SELECT 2, 'purchase', epoch_us(t2) - epoch_us(t0)
+      FROM pu WHERE t2 IS NOT NULL
+    ),
+    vw AS (
+      SELECT step_idx, step, dur, CAST(COUNT(*) AS BIGINT) AS wt
+      FROM durs GROUP BY 1, 2, 3
+    ),
+    tot AS (
+      SELECT step_idx, CAST(SUM(wt) AS BIGINT) AS tw FROM vw GROUP BY 1
+    ),
+    cum AS (
+      SELECT step_idx, step, dur,
+             CAST(SUM(wt) OVER (PARTITION BY step_idx ORDER BY dur)
+                  AS BIGINT) AS cw
+      FROM vw
+    )
+    SELECT CAST(cum.step_idx AS INTEGER) AS step_idx, MIN(step) AS step,
+           MAX(tot.tw) AS n_converted,
+           CAST(MIN(dur) AS BIGINT) AS median_micros
+    FROM cum JOIN tot USING (step_idx)
+    WHERE 2 * cw >= tw
+    GROUP BY cum.step_idx
+    """,
+)
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert down the view -> click -> purchase funnel: per
+    converted step, the EXACT lower median of (first view -> step
+    arrival) latency in microseconds — the funnel chart's second axis,
+    where a mean is useless under heavy-tailed user latencies. The
+    funnel's one-shuffle chained window minima feed the two-pass
+    bucketed weighted order statistic (unit weights), so the median
+    decision is an exact integer comparison and no step sorts its full
+    latency set in one task (ops/analytics.funnel_conversion_times).
+    The oracle replays the same integer decisions with a plain
+    cumulative window."""
+    ev = _events(spark, sf_dir)
+    return oan.funnel_conversion_times(ev, ["view", "click", "purchase"])
+
+
+@query(
     "events_retention",
     """
     WITH act AS (

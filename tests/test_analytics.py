@@ -709,3 +709,46 @@ def test_weighted_median_bucket_width_invariance(spark):
     b = {r.g: r.weighted_median
          for r in group_weighted_median(df, ["g"], "v", "w", bucket_width=1 << 20).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# funnel_conversion_times
+# ---------------------------------------------------------------------------
+
+def test_funnel_conversion_times_hand_computed(spark):
+    import datetime as dt
+
+    from nhs_data_pipeline_spark.ops.analytics import funnel_conversion_times
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # user 1 converts fully: view@0, click@10, purchase@30
+        (1, t(0), "view"), (1, t(10), "click"), (1, t(30), "purchase"),
+        # user 2: view@0, click@20 (no purchase)
+        (2, t(0), "view"), (2, t(20), "click"),
+        # user 3: click BEFORE view — ordered funnel must not count it
+        (3, t(5), "click"), (3, t(9), "view"),
+        # user 4: view only
+        (4, t(0), "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_type string")
+    got = {r.step_idx: r for r in funnel_conversion_times(
+        df, ["view", "click", "purchase"]).collect()}
+    assert set(got) == {1, 2}
+    # click latencies: u1 10s, u2 20s -> lower median 10s
+    assert got[1].step == "click"
+    assert got[1].n_converted == 2
+    assert got[1].median_micros == 10_000_000
+    # purchase: only u1 (30s)
+    assert got[2].n_converted == 1
+    assert got[2].median_micros == 30_000_000
+
+
+def test_funnel_conversion_times_needs_two_steps(spark):
+    import pytest as _pytest
+
+    from nhs_data_pipeline_spark.ops.analytics import funnel_conversion_times
+
+    df = spark.createDataFrame([], "user_id bigint, ts timestamp, event_type string")
+    with _pytest.raises(ValueError):
+        funnel_conversion_times(df, ["view"])
