@@ -368,6 +368,11 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # outer cannot broadcast, and the runs are (queries x k)-sized
         # at any corpus scale (llm/retrieval.rrf_fuse)
         "text_rrf_fusion",
+        # audited: psi_report full-outer-joins the two value-bucket
+        # count tables — full outer cannot broadcast, and both sides
+        # are model-sized (value-range / bucket_width rows)
+        # (ops/analytics.psi_report)
+        "stats_psi_drift",
         # audited: quantile_normalize's rank-lookup join (corpus rows
         # on the global-rank key) and the id-keyed norm re-attach are
         # both corpus x corpus — shuffle joins are the correct plan;
