@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "events_time_weighted_avg",
     "stats_psi_drift",
     "events_funnel_latency",
+    "eval_ann_recall",
 ]
 
 

@@ -2352,6 +2352,90 @@ def embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BRUTE_TOPK_ORACLE = """
+    SELECT query_id, neighbor_id, rank, ROUND(cosine, 6) AS cosine FROM (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])) AS cosine
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+      )
+    ) WHERE rank <= 5
+    """
+
+
+def _ann_recall_oracle_sql() -> str:
+    """Recall@5 of the IVF path against exact brute force: both
+    oracles embedded verbatim as CTE bodies (nested WITH is legal in a
+    parenthesized subquery), left join on (query, neighbor), exact
+    integer hit counts, one division + portable floor-round."""
+    return f"""
+    WITH brute AS ({_BRUTE_TOPK_ORACLE}),
+    ivf AS ({_ivf_oracle_sql()})
+    SELECT b.query_id,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits,
+           FLOOR(CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             AS recall
+    FROM brute b
+    LEFT JOIN ivf i ON b.query_id = i.query_id
+                   AND b.neighbor_id = i.neighbor_id
+    GROUP BY b.query_id
+    """
+
+
+@query("eval_ann_recall", _ann_recall_oracle_sql())
+def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF ANN path measured against the exact
+    brute-force top-k, per query vector — the index-quality number an
+    ANN deployment tunes n_probe against (and the reason approximate
+    search can be trusted in a curation pipeline at all). Both sides
+    are the registry's own oracled pipelines (embed_topk_ivf /
+    embed_topk_bruteforce); hits are exact integer counts from a
+    (query, neighbor)-keyed left join of two k-row-per-query tables,
+    recall one division + the portable floor-round
+    (llm/similarity.brute_force_topk + ivf_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    brute = sim.brute_force_topk(q, emb, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = sim.ivf_topk(
+        q,
+        emb,
+        k=5,
+        n_centroids=8,
+        n_probe=3,
+        centroids=[list(c) for c in _ivf_centroids(_QUANTIZER_SAMPLE_DIR)],
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    joined = brute.join(ivf, ["query_id", "neighbor_id"], "left")
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("k"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("bigint").alias(
+                "hits"
+            ),
+        )
+        .withColumn(
+            "recall",
+            F.floor(
+                F.col("hits").cast("double")
+                / F.col("k").cast("double")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0),
+        )
+    )
+
+
 @query(
     "events_sessionize",
     """
