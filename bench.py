@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "stats_psi_drift",
     "events_funnel_latency",
     "eval_ann_recall",
+    "merge_incremental_agg",
 ]
 
 

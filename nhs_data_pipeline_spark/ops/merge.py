@@ -147,6 +147,69 @@ def merge_upsert(
     return merged.select(*out_cols)
 
 
+def incremental_agg_merge(
+    base_agg: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    count_col: str = "n_rows",
+    sum_cols: dict[str, str] | None = None,
+    op_col: str = "__op",
+) -> DataFrame:
+    """Incremental maintenance of a (count, sums) aggregate table
+    under a CDC change feed — the 100 TB alternative to rebuilding the
+    aggregate from the corpus on every release: only the delta is
+    scanned, the base table merges by key.
+
+    ``base_agg`` carries ``(*keys, count_col, *sum_cols.keys())``;
+    ``changes`` carries ``(*keys, op_col, *sum_cols.values())`` with
+    ``op_col`` = +1 (insert) / -1 (delete); an update is a -1/+1 pair.
+    Additive measures merge exactly: the delta aggregate is
+    ``sum(op)`` / ``sum(op * value)`` per key, the merge is ONE
+    full-outer NULL-safe join of the base with the key-granular delta
+    (both sides aggregate-sized, shuffled on the key — a full outer
+    cannot broadcast), and groups whose merged count reaches zero drop
+    — exactly what a fresh GROUP BY of the post-change corpus yields,
+    which is what the registry oracle proves cross-engine.
+
+    All measures are exact integers (the caller quantizes); NULL keys
+    are legal groups (eqNullSafe join, coalesced key columns)."""
+    sum_cols = sum_cols or {}
+    delta = changes.groupBy(*keys).agg(
+        F.sum(F.col(op_col)).cast("bigint").alias("__dn"),
+        *[
+            F.sum(F.col(op_col) * F.col(src)).cast("bigint").alias(f"__d_{dst}")
+            for dst, src in sum_cols.items()
+        ],
+    )
+    r = delta
+    for k in keys:
+        r = r.withColumnRenamed(k, f"__r_{k}")
+    cond = F.col(keys[0]).eqNullSafe(F.col(f"__r_{keys[0]}"))
+    for k in keys[1:]:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"__r_{k}"))
+    merged = base_agg.join(r, cond, "full")
+    out_keys = [
+        F.coalesce(F.col(k), F.col(f"__r_{k}")).alias(k) for k in keys
+    ]
+    n = (
+        F.coalesce(F.col(count_col), F.lit(0))
+        + F.coalesce(F.col("__dn"), F.lit(0))
+    ).cast("bigint")
+    sums = [
+        (
+            F.coalesce(F.col(dst), F.lit(0))
+            + F.coalesce(F.col(f"__d_{dst}"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias(dst)
+        for dst in sum_cols
+    ]
+    return (
+        merged.select(*out_keys, n.alias(count_col), *sums)
+        .filter(F.col(count_col) > 0)
+    )
+
+
 def scd2_from_feed(
     feed: DataFrame,
     keys: list[str],

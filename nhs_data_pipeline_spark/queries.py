@@ -5017,6 +5017,62 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "merge_incremental_agg",
+    """
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM (
+      SELECT o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(year(o_orderdate) AS INTEGER) AS yr,
+             o_orderstatus AS st
+      FROM orders
+    )
+    WHERE (yr < 1998 AND NOT (yr < 1996 AND st = 'F')) OR yr >= 1998
+    GROUP BY o_custkey
+    """,
+)
+def merge_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the per-customer
+    (n_orders, total_cents) aggregate of the pre-1998 base absorbs a
+    CDC feed — deletes of purged pre-1996 'F' orders plus inserts of
+    the 1998+ orders — WITHOUT rescanning the base corpus: the delta
+    aggregates key-granularly (sum of +-1 ops, sum of signed cents)
+    and merges by one full-outer NULL-safe key join; zero-count groups
+    drop. The oracle is a from-scratch GROUP BY of the post-change
+    corpus — proving the incremental path lands on the exact same
+    table cross-engine (ops/merge.incremental_agg_merge)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+        ).alias("__cents"),
+        F.year("o_orderdate").alias("__yr"),
+        F.col("o_orderstatus").alias("__st"),
+    )
+    base = (
+        o.filter(F.col("__yr") < 1998)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("__cents").cast("bigint").alias("total_cents"),
+        )
+    )
+    purged = o.filter(
+        (F.col("__yr") < 1996) & (F.col("__st") == "F")
+    ).withColumn("__op", F.lit(-1))
+    inserts = o.filter(F.col("__yr") >= 1998).withColumn("__op", F.lit(1))
+    return omg.incremental_agg_merge(
+        base,
+        purged.unionByName(inserts),
+        ["o_custkey"],
+        count_col="n_orders",
+        sum_cols={"total_cents": "__cents"},
+    )
+
+
+@query(
     "scd2_priority_history",
     """
     WITH m AS (

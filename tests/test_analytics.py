@@ -752,3 +752,54 @@ def test_funnel_conversion_times_needs_two_steps(spark):
     df = spark.createDataFrame([], "user_id bigint, ts timestamp, event_type string")
     with _pytest.raises(ValueError):
         funnel_conversion_times(df, ["view"])
+
+
+# ---------------------------------------------------------------------------
+# incremental_agg_merge
+# ---------------------------------------------------------------------------
+
+def test_incremental_agg_matches_recompute(spark):
+    from nhs_data_pipeline_spark.ops.merge import incremental_agg_merge
+
+    base_rows = [("a", 10), ("a", 20), ("b", 5), (None, 7)]
+    changes = [
+        ("a", 10, -1),   # delete one of a's rows
+        ("b", 5, -1),    # delete b's only row -> group drops
+        ("c", 100, 1),   # brand-new group
+        (None, 3, 1),    # NULL key gains a row
+        ("a", 99, 1),    # update = delete+insert pair
+        ("a", 20, -1),
+    ]
+    base = spark.createDataFrame(base_rows, "k string, v bigint").groupBy(
+        "k"
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("v").cast("bigint").alias("total"),
+    )
+    ch = spark.createDataFrame(changes, "k string, v bigint, __op int")
+    got = {
+        r.k: (r.n_rows, r.total)
+        for r in incremental_agg_merge(
+            base, ch, ["k"], count_col="n_rows", sum_cols={"total": "v"}
+        ).collect()
+    }
+    # recompute from scratch
+    final = [("a", 99), (None, 7), (None, 3), ("c", 100)]
+    exp = {}
+    for k, v in final:
+        n, t = exp.get(k, (0, 0))
+        exp[k] = (n + 1, t + v)
+    assert got == exp
+    assert "b" not in got  # zero-count group dropped
+
+
+def test_incremental_agg_insert_only_and_count_only(spark):
+    from nhs_data_pipeline_spark.ops.merge import incremental_agg_merge
+
+    base = spark.createDataFrame([("x", 2)], "k string, n_rows bigint")
+    ch = spark.createDataFrame([("x", 1), ("y", 1)], "k string, __op int")
+    got = {
+        r.k: r.n_rows
+        for r in incremental_agg_merge(base, ch, ["k"]).collect()
+    }
+    assert got == {"x": 3, "y": 1}

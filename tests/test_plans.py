@@ -298,8 +298,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 188, len(QUERIES)
-    assert len(ORACLES) == 185, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 189, len(QUERIES)
+    assert len(ORACLES) == 186, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_registry_wide_plan_hygiene(spark, sf_dir):
