@@ -373,6 +373,17 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # are model-sized (value-range / bucket_width rows)
         # (ops/analytics.psi_report)
         "stats_psi_drift",
+        # audited: incremental_agg_merge full-outer-joins the base
+        # aggregate with the key-granular delta aggregate — full outer
+        # cannot broadcast and both sides are aggregate-sized, keyed
+        # on the group key (ops/merge.incremental_agg_merge)
+        "merge_incremental_agg",
+        # audited: the recall join matches two window-derived
+        # k-row-per-query top-k tables on (query, neighbor) — both
+        # sides are (n_queries x k)-sized at any corpus scale; stats
+        # are unknown post-window so the static plan is SMJ (AQE
+        # broadcasts at runtime)
+        "eval_ann_recall",
         # audited: quantile_normalize's rank-lookup join (corpus rows
         # on the global-rank key) and the id-keyed norm re-attach are
         # both corpus x corpus — shuffle joins are the correct plan;
@@ -394,6 +405,9 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # model-sized bucket table (ops/analytics.psi_report) —
         # scalar-broadcast shape
         "stats_psi_drift",
+        # audited: inherits brute_force_topk's broadcast-query-side
+        # != join (the embed_topk_bruteforce shape, already audited)
+        "eval_ann_recall",
         "embed_topk_bruteforce", "embed_topk_auto", "q22_dormant_accounts",
         "q11_important_part_value", "text_tfidf_keywords",
         "sample_temperature", "ts_gap_fill_interpolate",
