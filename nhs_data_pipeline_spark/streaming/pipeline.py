@@ -514,6 +514,74 @@ def cm_sketch_stream_into_store(
     )
 
 
+def agg_stream_into_store(
+    rows: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    keys: list[str],
+    count_col: str = "n_rows",
+    sum_cols: dict[str, str] | None = None,
+):
+    """Incrementally maintain an exact per-group (count, integer sums)
+    aggregate table over a STREAM — the live twin of the batch
+    ``ops/merge.incremental_agg_merge``, and it literally REUSES that
+    operator for the merge so the streaming store and a batch rebuild
+    can never drift semantically (every arriving row is an op=+1
+    change).
+
+    Each micro-batch aggregates itself key-granularly (one map-side-
+    combined shuffle over the batch only — history is never
+    rescanned), merges into the store via the batch op's full-outer
+    NULL-safe key join, and atomically swaps the store. The store is
+    group-cardinality-sized; measures must be exact integers (the
+    caller quantizes — the repo's decimal-cents discipline).
+
+    Delivery: effectively exactly-once via the shared replay guard +
+    rename swap (``_load_guarded_store`` / ``_swap_store`` — count
+    addition is NOT idempotent, so replayed batches must be skipped,
+    exactly like the XOR fingerprint store). availableNow trigger.
+    """
+    from nhs_data_pipeline_spark.ops.merge import incremental_agg_merge
+
+    sum_cols = sum_cols or {}
+    _ident_cache: dict[str, str] = {}
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if "k" not in _ident_cache:
+            _ident_cache["k"] = _stream_identity(checkpoint, spark)
+        stream_key = _ident_cache["k"]
+        old, is_replay = _load_guarded_store(
+            spark, store_path, stream_key, batch_id
+        )
+        if is_replay:
+            return
+        if old is None:
+            merged = batch_df.groupBy(*keys).agg(
+                F.count("*").cast("bigint").alias(count_col),
+                *[
+                    F.sum(F.col(src)).cast("bigint").alias(dst)
+                    for dst, src in sum_cols.items()
+                ],
+            )
+        else:
+            merged = incremental_agg_merge(
+                old.select(*keys, count_col, *sum_cols.keys()),
+                batch_df.withColumn("__op", F.lit(1)),
+                keys,
+                count_col=count_col,
+                sum_cols=sum_cols,
+            )
+        _swap_store(merged, store_path, batch_id, stream_key)
+
+    return (
+        rows.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def hll_stream_into_store(
     rows: DataFrame,
     key_col: str,

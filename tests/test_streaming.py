@@ -817,3 +817,128 @@ def test_bloom_stream_matches_batch_and_prefilters(spark, tmp_path):
     seen = b1.unionByName(b2).distinct()
     flagged = bloom_prefilter(seen, "key", streamed, k=3, m_bits=512)
     assert flagged.filter(~SF.col("bloom_pass")).count() == 0
+
+
+def test_agg_stream_matches_batch_rebuild(spark, tmp_path):
+    """Incremental (count, sum) aggregate store over a 3-batch stream
+    must equal a from-scratch GROUP BY of the union — the streaming
+    twin of ops/merge.incremental_agg_merge, which it reuses for the
+    merge."""
+    import time as _time
+
+    from nhs_data_pipeline_spark.streaming.pipeline import (
+        agg_stream_into_store,
+        stream_files,
+    )
+
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    src = str(tmp_path / "agg_src")
+    batches = [
+        [("a", 10), ("a", 20), ("b", 5)],
+        [("b", 7), ("c", 100), (None, 3)],
+        [("a", 1), (None, 4)],
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("append" if i else "overwrite").parquet(src)
+        _time.sleep(1.1)
+
+    store = str(tmp_path / "agg_store")
+    stream = stream_files(spark, src, schema, max_files_per_trigger=1)
+    q = agg_stream_into_store(
+        stream, store, checkpoint=str(tmp_path / "agg_ckpt"),
+        keys=["k"], count_col="n_rows", sum_cols={"total": "v"},
+    )
+    q.awaitTermination()
+
+    streamed = {
+        r.k: (r.n_rows, r.total)
+        for r in spark.read.parquet(store)
+        .drop("last_batch_id", "stream_key")
+        .collect()
+    }
+    allrows = [r for b in batches for r in b]
+    exp = {}
+    for k, v in allrows:
+        n, t = exp.get(k, (0, 0))
+        exp[k] = (n + 1, t + v)
+    assert streamed == exp
+    assert None in streamed  # NULL group survives the eqNullSafe merge
+
+
+def test_agg_stream_replay_guard(spark, tmp_path):
+    """A re-delivered batch (cloned checkpoint, last commit marker
+    removed) must NOT double-count into the aggregate store; a FRESH
+    checkpoint over the same store is a new stream and MUST apply."""
+    import os
+    import shutil as _sh
+    import time as _time
+
+    from nhs_data_pipeline_spark.streaming.pipeline import (
+        agg_stream_into_store,
+        stream_files,
+    )
+
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    src = str(tmp_path / "agr_src")
+    spark.createDataFrame([("a", 1), ("b", 2)], schema).coalesce(1).write.parquet(src)
+    _time.sleep(1.1)
+    spark.createDataFrame([("a", 10)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    store = str(tmp_path / "agr_store")
+    ckpt = tmp_path / "agr_ckpt"
+    q = agg_stream_into_store(
+        stream_files(spark, src, schema, max_files_per_trigger=1),
+        store, checkpoint=str(ckpt), keys=["k"], sum_cols={"total": "v"},
+    )
+    q.awaitTermination()
+    q.stop()
+    want = {"a": (2, 11), "b": (1, 2)}
+    got = {
+        r.k: (r.n_rows, r.total)
+        for r in spark.read.parquet(store)
+        .drop("last_batch_id", "stream_key").collect()
+    }
+    assert got == want
+
+    replay_ckpt = tmp_path / "agr_ckpt_replay"
+    _sh.copytree(ckpt, replay_ckpt)
+    commits = sorted(
+        p for p in (replay_ckpt / "commits").iterdir()
+        if not p.name.startswith(".")
+    )
+    os.remove(commits[-1])
+    crc = commits[-1].parent / f".{commits[-1].name}.crc"
+    if crc.exists():
+        os.remove(crc)
+    q2 = agg_stream_into_store(
+        stream_files(spark, src, schema, max_files_per_trigger=1),
+        store, checkpoint=str(replay_ckpt), keys=["k"],
+        sum_cols={"total": "v"},
+    )
+    q2.awaitTermination()
+    replayed = {
+        r.k: (r.n_rows, r.total)
+        for r in spark.read.parquet(store)
+        .drop("last_batch_id", "stream_key").collect()
+    }
+    assert replayed == want  # guard skipped the re-delivered batch
+
+    q3 = agg_stream_into_store(
+        stream_files(spark, src, schema, max_files_per_trigger=1),
+        store, checkpoint=str(tmp_path / "agr_ckpt_new"), keys=["k"],
+        sum_cols={"total": "v"},
+    )
+    q3.awaitTermination()
+    doubled = {
+        r.k: (r.n_rows, r.total)
+        for r in spark.read.parquet(store)
+        .drop("last_batch_id", "stream_key").collect()
+    }
+    assert doubled == {k: (2 * n, 2 * t) for k, (n, t) in want.items()}
