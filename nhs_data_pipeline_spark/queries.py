@@ -9334,13 +9334,21 @@ DRIVER_WINDOW = [
     # in-window near-dup siblings). embed_kmeans_fit STAYS: its r05
     # red row was the harness array-column crash, and the flattened
     # long-form output must be re-attested green.
+    # r06 fourth (in-round) rotation: the session's two strongest new
+    # flagships swap in for two multiply-attested entries whose
+    # families keep in-window representatives — q14 (join-agg family:
+    # q1 + q18 stay, driver-attested every round since r01) ->
+    # stats_psi_drift (drift detection), sample_stratified (md5-bucket
+    # rank mechanism shared with in-window sample_deterministic +
+    # sample_weighted_ares + sample_dsir_scores) ->
+    # merge_incremental_agg (incremental == rebuild proof).
     "q1_pricing_summary",
     "classifier_logreg_fit",
     "join_bloom_prefilter",
     "graph_label_propagation",
     "stats_ols_trend",
     "simhash_near_pairs",
-    "q14_promo_revenue_ratio",
+    "stats_psi_drift",
     "q18_large_orders",
     "graph_triangle_count",
     "dedup_semantic_cells",
@@ -9367,7 +9375,7 @@ DRIVER_WINDOW = [
     "f_string_date_family",
     "sample_deterministic",
     "scd2_point_in_time",
-    "sample_stratified",
+    "merge_incremental_agg",
     "text_profile",
     "sample_dsir_scores",
     "entity_resolve_suppliers",

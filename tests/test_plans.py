@@ -285,6 +285,10 @@ def test_driver_window_contract():
         "stats_winsorize_prices", "feature_quantile_normalize",
         "sketch_quantile_hist", "sample_weighted_ares",
         "events_zscore_outliers",
+        # r06 fourth (in-round) rotation: the session's strongest new
+        # flagships (q14 and sample_stratified rotated out — families
+        # keep in-window representatives)
+        "stats_psi_drift", "merge_incremental_agg",
     ]:
         assert flagship in DRIVER_WINDOW, flagship
 
