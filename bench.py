@@ -135,6 +135,8 @@ BENCH_QUERIES = [
     "events_funnel_latency",
     "eval_ann_recall",
     "merge_incremental_agg",
+    "stats_corr_matrix",
+    "stats_mutual_information",
 ]
 
 

@@ -908,7 +908,10 @@ def corr_matrix(df: DataFrame, int_cols: list[str]) -> DataFrame:
             F.sum(F.col(a).cast(D) * F.col(b).cast(D)).alias(f"__p_{a}_{b}")
         )
     one = base.agg(*aggs)
-    pairs = None
+    # ONE output branch: a union of per-pair selects re-plans (and can
+    # re-execute) the corpus aggregate once per pair — explode an
+    # array of structs off the single one-row aggregate instead
+    rows = []
     for a, b in combinations(int_cols, 2):
         n = F.col("__n")
         sa, sb = F.col(f"__s_{a}"), F.col(f"__s_{b}")
@@ -926,14 +929,17 @@ def corr_matrix(df: DataFrame, int_cols: list[str]) -> DataFrame:
             )
             / F.lit(1000000.0),
         )
-        row = one.select(
-            F.lit(a).alias("col_a"),
-            F.lit(b).alias("col_b"),
-            n.cast("bigint").alias("n_rows"),
-            corr.alias("corr"),
+        rows.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                n.cast("bigint").alias("n_rows"),
+                corr.alias("corr"),
+            )
         )
-        pairs = row if pairs is None else pairs.unionByName(row)
-    return pairs
+    return one.select(F.explode(F.array(*rows)).alias("__r")).select(
+        "__r.col_a", "__r.col_b", "__r.n_rows", "__r.corr"
+    )
 
 
 def mutual_information(

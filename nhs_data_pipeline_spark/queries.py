@@ -9196,6 +9196,139 @@ def _bootstrap_oracle_sql(replicates: int = 48) -> str:
     """
 
 
+def _corr_oracle_sql() -> str:
+    """DuckDB replica of ops/analytics.corr_matrix: complete-case
+    filter across ALL columns, the same exact-integer moment sums
+    (HUGEINT == the engine's DECIMAL(38,0) at these magnitudes), the
+    two variance combinations cast to double SEPARATELY before the
+    multiply, ONE sqrt, one division, the portable floor-round."""
+    cols = ["qty", "price_cents", "disc_c", "tax_c"]
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    moments = ["CAST(COUNT(*) AS HUGEINT) AS n"]
+    for c in cols:
+        moments.append(f"SUM(CAST({c} AS HUGEINT)) AS s_{c}")
+        moments.append(
+            f"SUM(CAST({c} AS HUGEINT) * CAST({c} AS HUGEINT)) AS q_{c}"
+        )
+    for a, b in pairs:
+        moments.append(
+            f"SUM(CAST({a} AS HUGEINT) * CAST({b} AS HUGEINT)) AS p_{a}_{b}"
+        )
+    sels = []
+    for a, b in pairs:
+        va = f"(n * q_{a} - s_{a} * s_{a})"
+        vb = f"(n * q_{b} - s_{b} * s_{b})"
+        num = f"CAST(n * p_{a}_{b} - s_{a} * s_{b} AS DOUBLE)"
+        sels.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b,\n"
+            f"CAST(n AS BIGINT) AS n_rows,\n"
+            f"CASE WHEN {va} <> 0 AND {vb} <> 0 THEN\n"
+            f"  FLOOR({num} / sqrt(CAST({va} AS DOUBLE)"
+            f" * CAST({vb} AS DOUBLE))\n"
+            f"        * 1000000.0 + 0.5) / 1000000.0 END AS corr FROM m"
+        )
+    fields = ",\n        ".join(moments)
+    body = "\n    UNION ALL ".join(sels)
+    return f"""
+    WITH base AS (
+      SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               AS price_cents,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_c,
+             CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tax_c
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+    ),
+    m AS (SELECT {fields} FROM base)
+    {body}
+    """
+
+
+@query("stats_corr_matrix", _corr_oracle_sql())
+def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation for all 6 pairs of lineitem's numeric
+    columns (quantity, price cents, discount, tax) in ONE map-side-
+    combinable scan — 18 exact DECIMAL(38,0) moment expressions, no
+    per-pair passes, no corpus-sized intermediate; the feature-
+    redundancy screen before classifier training. The correlation is a
+    fixed IEEE sequence on once-cast doubles (variances cast
+    SEPARATELY before the multiply — their decimal product could pass
+    38 digits) + the portable floor-round, spelled identically in the
+    oracle (ops/analytics.corr_matrix)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.expr("cast(floor(l_quantity + 0.5) as bigint)").alias("qty"),
+        F.expr(
+            "cast(floor(l_extendedprice * 100 + 0.5) as bigint)"
+        ).alias("price_cents"),
+        F.expr("cast(floor(l_discount * 100 + 0.5) as bigint)").alias(
+            "disc_c"
+        ),
+        F.expr("cast(floor(l_tax * 100 + 0.5) as bigint)").alias("tax_c"),
+    )
+    return oan.corr_matrix(li, ["qty", "price_cents", "disc_c", "tax_c"])
+
+
+@query(
+    "stats_mutual_information",
+    """
+    WITH cells AS (
+      SELECT source AS a, lang AS b, CAST(COUNT(*) AS BIGINT) AS nij
+      FROM documents GROUP BY 1, 2
+    ),
+    ma AS (SELECT a, CAST(SUM(nij) AS BIGINT) AS ni FROM cells GROUP BY a),
+    mb AS (SELECT b, CAST(SUM(nij) AS BIGINT) AS nj FROM cells GROUP BY b),
+    tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS nn FROM cells),
+    j AS (
+      SELECT nij, ni, nj, nn FROM cells
+      JOIN ma ON cells.a IS NOT DISTINCT FROM ma.a
+      JOIN mb ON cells.b IS NOT DISTINCT FROM mb.b
+      CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT CAST(MAX(nn) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_cells,
+             SUM(nij * CAST(FLOOR(ln(CAST(nn * nij AS DOUBLE)
+                                     / CAST(ni * nj AS DOUBLE))
+                                  * 1e6 + 0.5) AS BIGINT)) AS mi_m,
+             SUM(nij * CAST(FLOOR(ln(CAST(ni AS DOUBLE)) * 1e6 + 0.5)
+                            AS BIGINT)) AS ha_m,
+             SUM(nij * CAST(FLOOR(ln(CAST(nj AS DOUBLE)) * 1e6 + 0.5)
+                            AS BIGINT)) AS hb_m
+      FROM j
+    )
+    SELECT n_rows, n_cells,
+           FLOOR(CAST(mi_m AS DOUBLE) / CAST(n_rows AS DOUBLE) + 0.5)
+             / 1000000.0 AS mi_nats,
+           (CAST(CAST(FLOOR(ln(CAST(n_rows AS DOUBLE)) * 1e6 + 0.5)
+                      AS BIGINT) AS DOUBLE)
+            - CAST(ha_m AS DOUBLE) / CAST(n_rows AS DOUBLE)) / 1000000.0
+             AS h_a,
+           (CAST(CAST(FLOOR(ln(CAST(n_rows AS DOUBLE)) * 1e6 + 0.5)
+                      AS BIGINT) AS DOUBLE)
+            - CAST(hb_m AS DOUBLE) / CAST(n_rows AS DOUBLE)) / 1000000.0
+             AS h_b
+    FROM agg
+    """,
+)
+def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between document source and language,
+    with both marginal entropies — the association screen for mixture
+    design (does source predict language?). One (source, lang)-keyed
+    cell aggregate, model-sized marginals broadcast back NULL-safely
+    (a NULL category carries information too), every ln quantized to
+    integer millionths and weighted by exact cell counts — order-free
+    integer sums, one closing division
+    (ops/analytics.mutual_information)."""
+    return oan.mutual_information(
+        _t(spark, sf_dir, "documents"), "source", "lang"
+    )
+
+
 @query(
     "stats_psi_drift",
     """

@@ -803,3 +803,81 @@ def test_incremental_agg_insert_only_and_count_only(spark):
         for r in incremental_agg_merge(base, ch, ["k"]).collect()
     }
     assert got == {"x": 3, "y": 1}
+
+
+# ---------------------------------------------------------------------------
+# corr_matrix / mutual_information
+# ---------------------------------------------------------------------------
+
+def test_corr_matrix_python_replica(spark):
+    import math
+
+    from nhs_data_pipeline_spark.ops.analytics import corr_matrix
+
+    rows = [(i, 2 * i + 3, (i * 17) % 23, 7) for i in range(50)]
+    df = spark.createDataFrame(rows, "x bigint, y bigint, z bigint, c bigint")
+    got = {(r.col_a, r.col_b): r for r in corr_matrix(df, ["x", "y", "z", "c"]).collect()}
+    assert set(got) == {("x", "y"), ("x", "z"), ("x", "c"),
+                        ("y", "z"), ("y", "c"), ("z", "c")}
+    # y = 2x+3 -> corr exactly 1 (after floor-round)
+    assert got[("x", "y")].corr == 1.0
+    # constant column -> zero variance -> NULL corr
+    assert got[("x", "c")].corr is None
+    assert got[("z", "c")].corr is None
+    # replica for the non-trivial pair
+    n = len(rows)
+    xs = [r[0] for r in rows]; zs = [r[2] for r in rows]
+    sx, sz = sum(xs), sum(zs)
+    sxx = sum(v * v for v in xs); szz = sum(v * v for v in zs)
+    sxz = sum(a * b for a, b in zip(xs, zs))
+    num = n * sxz - sx * sz
+    va, vb = n * sxx - sx * sx, n * szz - sz * sz
+    exp = math.floor(num / math.sqrt(float(va) * float(vb)) * 1e6 + 0.5) / 1e6
+    assert got[("x", "z")].corr == exp
+    assert all(r.n_rows == n for r in got.values())
+
+
+def test_corr_matrix_complete_case_filter(spark):
+    from nhs_data_pipeline_spark.ops.analytics import corr_matrix
+
+    rows = [(1, 2, None), (2, 4, 5), (3, 6, 7), (4, 8, 9)]
+    df = spark.createDataFrame(rows, "x bigint, y bigint, z bigint")
+    got = {(r.col_a, r.col_b): r for r in corr_matrix(df, ["x", "y", "z"]).collect()}
+    assert all(r.n_rows == 3 for r in got.values())  # NULL row dropped
+
+
+def test_mutual_information_python_replica(spark):
+    import math
+    from collections import Counter
+
+    from nhs_data_pipeline_spark.ops.analytics import mutual_information
+
+    rows = [("a", "x"), ("a", "x"), ("a", "y"), ("b", "y"),
+            ("b", "y"), ("b", "x"), (None, "x"), (None, None)]
+    df = spark.createDataFrame(rows, "s string, l string")
+    got = mutual_information(df, "s", "l").collect()[0]
+    cells = Counter(rows)
+    ma = Counter(a for a, _ in rows)
+    mb = Counter(b for _, b in rows)
+    nn = len(rows)
+    ln6 = lambda x: math.floor(math.log(x) * 1e6 + 0.5)  # noqa: E731
+    mi_m = sum(
+        nij * ln6(nn * nij / (ma[a] * mb[b]))
+        for (a, b), nij in cells.items()
+    )
+    ha_m = sum(nij * ln6(ma[a]) for (a, b), nij in cells.items())
+    assert got.n_rows == nn
+    assert got.n_cells == len(cells)
+    assert got.mi_nats == math.floor(mi_m / nn + 0.5) / 1e6
+    assert got.h_a == (ln6(nn) - ha_m / nn) / 1e6
+    assert got.mi_nats >= 0
+
+
+def test_mutual_information_independent_is_zero(spark):
+    from nhs_data_pipeline_spark.ops.analytics import mutual_information
+
+    # perfectly independent 2x2: MI exactly 0
+    rows = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")] * 5
+    df = spark.createDataFrame(rows, "s string, l string")
+    got = mutual_information(df, "s", "l").collect()[0]
+    assert got.mi_nats == 0.0

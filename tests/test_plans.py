@@ -302,8 +302,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 189, len(QUERIES)
-    assert len(ORACLES) == 186, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 191, len(QUERIES)
+    assert len(ORACLES) == 188, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_registry_wide_plan_hygiene(spark, sf_dir):
@@ -412,6 +412,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # audited: inherits brute_force_topk's broadcast-query-side
         # != join (the embed_topk_bruteforce shape, already audited)
         "eval_ann_recall",
+        # audited: one-row corpus-total aggregate crossed into the
+        # model-sized (a, b) cell table
+        # (ops/analytics.mutual_information) — scalar-broadcast shape
+        "stats_mutual_information",
         "embed_topk_bruteforce", "embed_topk_auto", "q22_dormant_accounts",
         "q11_important_part_value", "text_tfidf_keywords",
         "sample_temperature", "ts_gap_fill_interpolate",
