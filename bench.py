@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "merge_incremental_agg",
     "stats_corr_matrix",
     "stats_mutual_information",
+    "quality_benford_digits",
 ]
 
 

@@ -127,6 +127,72 @@ def mad_outliers(
     )
 
 
+def benford_audit(df: DataFrame, value_int_col: str) -> DataFrame:
+    """Benford's-law first-digit audit of a positive integer-quantized
+    amount column — the classic fabricated-data / unit-mixing screen:
+    naturally occurring multi-scale amounts put digit d first with
+    probability ``log10(1 + 1/d)``; keyed-in or synthesized values
+    don't. Returns one row per digit 1-9: ``(digit, n_obs, share,
+    expected_share, chi2_term)`` — ``sum(chi2_term)`` is the Pearson
+    chi-square statistic against the Benford null (8 dof).
+
+    Exactness: the leading digit comes from the STRING head of the
+    exact integer (never ``floor(v / 10^floor(log10 v))`` — the log10
+    float lands on the wrong side at exact powers of ten); counts are
+    exact integers; the expected shares are inexact constants built as
+    python-float literals in the engine and ``CAST(... AS DOUBLE)``
+    literals in the oracle (the build-notes F.expr-decimal-literal
+    trap), so both engines run the identical IEEE sequence for the
+    share and chi-square terms, floor-rounded at 6.
+
+    Scale: one map-side-combinable 9-group aggregate + a broadcast
+    9-row expectation join. Non-positive and NULL values are excluded
+    (Benford is defined on positive magnitudes)."""
+    import math
+
+    v = F.col(value_int_col)
+    digits = (
+        df.filter(v.isNotNull() & (v > 0))
+        .select(
+            F.substring(v.cast("string"), 1, 1).cast("int").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n_obs"))
+    )
+    spark = df.sparkSession
+    exp = spark.createDataFrame(
+        [(d, math.log10(1.0 + 1.0 / d)) for d in range(1, 10)],
+        "digit int, expected_share double",
+    )
+    tot = digits.agg(F.sum("n_obs").cast("bigint").alias("__tot"))
+    j = (
+        F.broadcast(exp)
+        .join(digits, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("bigint").alias("n_obs"),
+            "expected_share",
+            "__tot",
+        )
+    )
+    share = F.col("n_obs").cast("double") / F.col("__tot").cast("double")
+    dev = share - F.col("expected_share")
+    chi2 = (
+        dev * dev / F.col("expected_share") * F.col("__tot").cast("double")
+    )
+    floor6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(  # noqa: E731
+        1000000.0
+    )
+    return j.select(
+        "digit",
+        "n_obs",
+        floor6(share).alias("share"),
+        floor6(F.col("expected_share")).alias("expected_share"),
+        floor6(chi2).alias("chi2_term"),
+    )
+
+
 def content_fingerprint(
     df: DataFrame,
     cols: list[str],

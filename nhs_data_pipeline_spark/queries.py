@@ -9329,6 +9329,66 @@ def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _benford_oracle_sql() -> str:
+    """DuckDB replica of ops/quality.benford_audit over order values:
+    identical string-head digit extraction on the exact integer cents,
+    the expected shares as repr-round-tripped DOUBLE literals (bit-
+    identical to the engine's python floats), identical IEEE share and
+    chi-square sequences, the portable floor-round."""
+    import math
+
+    vals = ",\n        ".join(
+        f"({d}, CAST({math.log10(1.0 + 1.0 / d)!r} AS DOUBLE))"
+        for d in range(1, 10)
+    )
+    f6 = "FLOOR({x} * 1000000.0 + 0.5) / 1000000.0"
+    share = "CAST(COALESCE(c.n_obs, 0) AS DOUBLE) / CAST(tt AS DOUBLE)"
+    chi2 = (
+        f"({share} - e.expected_share) * ({share} - e.expected_share)"
+        f" / e.expected_share * CAST(tt AS DOUBLE)"
+    )
+    return f"""
+    WITH d AS (
+      SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
+               AS digit
+      FROM (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+              AS cents
+            FROM orders WHERE o_totalprice IS NOT NULL)
+      WHERE cents > 0
+    ),
+    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+          FROM d GROUP BY digit),
+    e AS (SELECT * FROM (VALUES
+        {vals}) AS t(digit, expected_share)),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS tt FROM c)
+    SELECT e.digit,
+           CAST(COALESCE(c.n_obs, 0) AS BIGINT) AS n_obs,
+           {f6.format(x=share)} AS share,
+           {f6.format(x="e.expected_share")} AS expected_share,
+           {f6.format(x=chi2)} AS chi2_term
+    FROM e LEFT JOIN c USING (digit) CROSS JOIN tot
+    """
+
+
+@query("quality_benford_digits", _benford_oracle_sql())
+def quality_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order values (cents) — the
+    fabricated-data / unit-mixing screen: per digit 1-9, observed vs
+    Benford-expected share and the Pearson chi-square term (sum = the
+    8-dof statistic). Leading digit via the STRING head of the exact
+    integer (the log10-at-powers-of-ten float trap, avoided); one
+    9-group map-side aggregate + a broadcast 9-row expectation join
+    (ops/quality.benford_audit)."""
+    from nhs_data_pipeline_spark.ops import quality as oq
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.expr(
+            "cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+        ).alias("__cents")
+    )
+    return oq.benford_audit(o, "__cents")
+
+
 @query(
     "stats_psi_drift",
     """

@@ -881,3 +881,35 @@ def test_mutual_information_independent_is_zero(spark):
     df = spark.createDataFrame(rows, "s string, l string")
     got = mutual_information(df, "s", "l").collect()[0]
     assert got.mi_nats == 0.0
+
+
+# ---------------------------------------------------------------------------
+# benford_audit
+# ---------------------------------------------------------------------------
+
+def test_benford_audit_python_replica(spark):
+    import math
+    from collections import Counter
+
+    from nhs_data_pipeline_spark.ops.quality import benford_audit
+
+    vals = [1, 19, 199, 2, 23, 305, 47, 512, 6_000_001, 77, 81, 9]
+    rows = [(v,) for v in vals] + [(None,), (0,), (-5,)]  # excluded tail
+    df = spark.createDataFrame(rows, "v bigint")
+    got = {r.digit: r for r in benford_audit(df, "v").collect()}
+    assert set(got) == set(range(1, 10))
+    cnt = Counter(int(str(v)[0]) for v in vals)
+    tot = len(vals)
+    f6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    for d in range(1, 10):
+        exp_share = math.log10(1.0 + 1.0 / d)
+        share = cnt.get(d, 0) / tot
+        r = got[d]
+        assert r.n_obs == cnt.get(d, 0)
+        assert r.share == f6(share)
+        assert r.expected_share == f6(exp_share)
+        assert r.chi2_term == f6(
+            (share - exp_share) * (share - exp_share) / exp_share * tot
+        )
+    # digit 3/4/5 present once; digit 8 -> one obs (81); all 9 rows exist
+    assert got[3].n_obs == 1 and got[8].n_obs == 1

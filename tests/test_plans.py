@@ -302,8 +302,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 191, len(QUERIES)
-    assert len(ORACLES) == 188, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 192, len(QUERIES)
+    assert len(ORACLES) == 189, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_registry_wide_plan_hygiene(spark, sf_dir):
@@ -416,6 +416,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # model-sized (a, b) cell table
         # (ops/analytics.mutual_information) — scalar-broadcast shape
         "stats_mutual_information",
+        # audited: one-row digit-total aggregate crossed into the
+        # 9-row expectation table (ops/quality.benford_audit) —
+        # scalar-broadcast shape
+        "quality_benford_digits",
         "embed_topk_bruteforce", "embed_topk_auto", "q22_dormant_accounts",
         "q11_important_part_value", "text_tfidf_keywords",
         "sample_temperature", "ts_gap_fill_interpolate",
