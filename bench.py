@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "stats_corr_matrix",
     "stats_mutual_information",
     "quality_benford_digits",
+    "ts_cusum_changepoint",
 ]
 
 

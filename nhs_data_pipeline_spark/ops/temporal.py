@@ -252,6 +252,77 @@ def time_weighted_avg(
     )
 
 
+def cusum_changepoint(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Single change-point detection per group over a daily-resampled
+    series, via the classic CUSUM statistic: with daily totals x_i and
+    series mean m, ``CUSUM_t = sum_{i<=t} (x_i - m)`` peaks (in
+    absolute value) at the most likely level-shift day. Returns
+    ``(*group_cols, n_days, change_day, max_cusum)``; ties in |CUSUM|
+    break to the EARLIEST day.
+
+    Exactness: the mean is never materialized as a float — every
+    comparison runs on the n-scaled integer ``S_t = n * P_t - t * T``
+    (P_t = prefix sum of micro-quantized daily totals, T = series
+    total), in DECIMAL(38,0): argmax and tie-breaks are pure integer
+    decisions, and only the reported ``max_cusum = |S|/(n * 1e6)`` is
+    one double division + the portable floor-round.
+
+    Scale: the daily resample is one (group, day) map-side-combined
+    aggregate; every window after it runs on the MODEL-SIZED daily
+    table (days per group), partitioned by group — never over raw
+    events."""
+    D = "decimal(38,0)"
+    day = F.date_trunc("day", F.col(ts_col))
+    vmic = F.floor(
+        F.col(value_col).cast("double") * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("bigint")
+    daily = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(*group_cols, day.alias("__day"))
+        .agg(F.sum(vmic).cast("bigint").alias("__x"))
+    )
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(*group_cols)
+    scored = (
+        daily.withColumn("__p", F.sum("__x").over(wcum).cast(D))
+        .withColumn("__t", F.count("*").over(wcum).cast(D))
+        .withColumn("__tt", F.sum("__x").over(wall).cast(D))
+        .withColumn("__nd", F.count("*").over(wall).cast(D))
+        .withColumn(
+            "__s",
+            F.col("__nd") * F.col("__p") - F.col("__t") * F.col("__tt"),
+        )
+        .withColumn("__abs", F.abs(F.col("__s")))
+    )
+    pick = Window.partitionBy(*group_cols).orderBy(
+        F.desc("__abs"), F.asc("__day")
+    )
+    best = scored.withColumn("__rk", F.row_number().over(pick)).filter(
+        F.col("__rk") == 1
+    )
+    mc = F.floor(
+        F.col("__abs").cast("double")
+        / (F.col("__nd").cast("double") * F.lit(1000000.0))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ) / F.lit(1000000.0)
+    return best.select(
+        *group_cols,
+        F.col("__nd").cast("bigint").alias("n_days"),
+        F.col("__day").alias("change_day"),
+        mc.alias("max_cusum"),
+    )
+
+
 def calendar_spine(
     df: DataFrame,
     keys: str | list[str],

@@ -4872,6 +4872,55 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+             CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT event_type, d,
+             CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY d)
+                  AS HUGEINT) AS p,
+             CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY d)
+                  AS HUGEINT) AS t,
+             CAST(SUM(x) OVER (PARTITION BY event_type) AS HUGEINT) AS tt,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS HUGEINT)
+               AS nd
+      FROM daily
+    ),
+    ranked AS (
+      SELECT event_type, d, nd, abs(nd * p - t * tt) AS absn,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY abs(nd * p - t * tt) DESC, d)
+               AS rk
+      FROM scored
+    )
+    SELECT event_type, CAST(nd AS BIGINT) AS n_days, d AS change_day,
+           FLOOR(CAST(absn AS DOUBLE)
+                 / (CAST(nd AS DOUBLE) * 1000000.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS max_cusum
+    FROM ranked WHERE rk = 1
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point per event type over the daily value series:
+    the day where the cumulative deviation from the series mean peaks
+    — the level-shift detector run next to the seasonal-deviation
+    monitor. The mean never becomes a float: every argmax/tie decision
+    runs on the n-scaled integer n*prefix - t*total in DECIMAL(38,0);
+    only the reported magnitude is one division + floor-round. One
+    (type, day) aggregate, then model-sized per-type windows
+    (ops/temporal.cusum_changepoint)."""
+    ev = _events(spark, sf_dir)
+    return ot.cusum_changepoint(ev, ["event_type"], "ts", "value")
+
+
+@query(
     "events_funnel_latency",
     """
     WITH t0 AS (

@@ -280,3 +280,54 @@ def test_time_weighted_avg_burst_insensitive(spark):
     )
     r = time_weighted_avg(df, ["user_id"], order_tiebreak=["event_id"]).collect()[0]
     assert r.twa < 4.0  # plain AVG would be ~91
+
+
+# ---------------------------------------------------------------------------
+# cusum_changepoint
+# ---------------------------------------------------------------------------
+
+def test_cusum_finds_level_shift(spark):
+    import datetime as dt
+
+    from nhs_data_pipeline_spark.ops.temporal import cusum_changepoint
+
+    # 10 days at level 10, then 10 days at level 50: |CUSUM| peaks at
+    # the last low day (day 10)
+    rows = []
+    for i in range(20):
+        v = 10.0 if i < 10 else 50.0
+        rows.append(("a", dt.datetime(2024, 1, 1 + i, 12, 0), v))
+    df = spark.createDataFrame(rows, "g string, ts timestamp, value double")
+    r = cusum_changepoint(df, ["g"], "ts", "value").collect()[0]
+    assert r.n_days == 20
+    assert r.change_day == dt.datetime(2024, 1, 10)
+    # |CUSUM| at day 10 = 10 * (10 - 30) = 200 in value units
+    assert r.max_cusum == 200.0
+
+
+def test_cusum_python_replica_and_tiebreak(spark):
+    import datetime as dt
+    import math
+
+    from nhs_data_pipeline_spark.ops.temporal import cusum_changepoint
+
+    vals = [3.25, 7.5, 1.125, 9.0, 4.75, 2.5, 8.125, 5.0]
+    rows = [
+        ("g", dt.datetime(2024, 2, 1 + i), v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, value double")
+    r = cusum_changepoint(df, ["g"], "ts", "value").collect()[0]
+    micro = [math.floor(v * 1e6 + 0.5) for v in vals]
+    n, tot = len(micro), sum(micro)
+    best = None
+    pref = 0
+    for t, x in enumerate(micro, start=1):
+        pref += x
+        s = abs(n * pref - t * tot)
+        if best is None or s > best[0]:
+            best = (s, t)
+    exp_day = dt.datetime(2024, 2, best[1])
+    assert r.change_day == exp_day
+    assert r.max_cusum == math.floor(
+        best[0] / (n * 1e6) * 1e6 + 0.5
+    ) / 1e6
