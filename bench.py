@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "stats_mutual_information",
     "quality_benford_digits",
     "ts_cusum_changepoint",
+    "mixture_gini_concentration",
 ]
 
 

@@ -665,6 +665,73 @@ def ngram_diversity(
     )
 
 
+def gini_concentration(
+    df: DataFrame,
+    group_cols: list[str],
+    value_int_col: str,
+) -> DataFrame:
+    """Per-group Gini coefficient of a non-negative integer value —
+    the concentration diagnostic for mixture design (is a source's
+    token mass concentrated in a few mega-documents, or spread?):
+    0 = perfectly even, ->1 = one row holds everything. Returns
+    ``(*group_cols, n_rows, value_total, gini)``; groups with zero
+    total value yield NULL gini.
+
+    Gini = (2 * sum_i i * x_(i) - (n+1) * sum x) / (n * sum x) over
+    ascending-sorted values. The rank sum is TIE-INVARIANT (equal
+    values contribute identically under any tie order), so it
+    collapses duplicates exactly: a value v with count c after o
+    earlier rows contributes ``v * (2*c*o + c*(c+1))`` to 2S — pure
+    integer arithmetic in DECIMAL(38,0) (the doubled form: c*(c+1)
+    needs no halving, so no parity or integer-division concern), and
+    only the closing division is a float + the portable floor-round.
+
+    Scale: one (group, value) aggregate off the input, then a
+    per-group cumulative window over the DISTINCT-VALUE table — for
+    count-like values that table is bounded by the value range (max
+    document length), not the corpus."""
+    D = "decimal(38,0)"
+    v = F.col(value_int_col)
+    vw = (
+        df.filter(v.isNotNull() & (v >= 0))
+        .groupBy(*group_cols, v.alias("__v"))
+        .agg(F.count("*").cast("bigint").alias("__c"))
+    )
+    woff = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = vw.withColumn(
+        "__o", F.coalesce(F.sum("__c").over(woff), F.lit(0).cast("bigint"))
+    )
+    term = F.col("__v").cast(D) * (
+        F.lit(2).cast(D) * F.col("__c").cast(D) * F.col("__o").cast(D)
+        + F.col("__c").cast(D) * (F.col("__c").cast(D) + F.lit(1).cast(D))
+    )
+    agg = cum.groupBy(*group_cols).agg(
+        F.sum("__c").cast("bigint").alias("n_rows"),
+        F.sum(F.col("__v").cast(D) * F.col("__c").cast(D))
+        .cast(D)
+        .alias("__tt"),
+        F.sum(term).alias("__s2"),
+    )
+    n_d = F.col("n_rows").cast("double")
+    t_d = F.col("__tt").cast("double")
+    gini = F.floor(
+        (F.col("__s2").cast("double") - (n_d + F.lit(1.0)) * t_d)
+        / (n_d * t_d)
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ) / F.lit(1000000.0)
+    return agg.select(
+        *group_cols,
+        "n_rows",
+        F.col("__tt").cast("bigint").alias("value_total"),
+        F.when(F.col("__tt") > 0, gini).alias("gini"),
+    )
+
+
 def pmi_collocations(
     df: DataFrame,
     text_col: str = "text",

@@ -1419,6 +1419,66 @@ def mixture_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mixture_gini_concentration",
+    """
+    WITH tok AS (
+      SELECT source,
+             CAST(len(list_filter(
+               string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                            ' '),
+               x -> x <> '')) AS BIGINT) AS ntok
+      FROM documents
+    ),
+    vw AS (
+      SELECT source, ntok AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok WHERE ntok IS NOT NULL AND ntok >= 0 GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT source, v, c,
+             COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS o
+      FROM vw
+    ),
+    agg AS (
+      SELECT source,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             SUM(CAST(v AS HUGEINT) * CAST(c AS HUGEINT)) AS tt,
+             SUM(CAST(v AS HUGEINT) *
+                 (2 * CAST(c AS HUGEINT) * CAST(o AS HUGEINT)
+                  + CAST(c AS HUGEINT) * (CAST(c AS HUGEINT) + 1)))
+               AS s2
+      FROM cum GROUP BY source
+    )
+    SELECT source, n_rows, CAST(tt AS BIGINT) AS value_total,
+           CASE WHEN tt > 0 THEN
+             FLOOR((CAST(s2 AS DOUBLE)
+                    - (CAST(n_rows AS DOUBLE) + 1.0) * CAST(tt AS DOUBLE))
+                   / (CAST(n_rows AS DOUBLE) * CAST(tt AS DOUBLE))
+                   * 1000000.0 + 0.5) / 1000000.0 END AS gini
+    FROM agg
+    """,
+)
+def mixture_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini coefficient of per-document token counts — the
+    concentration diagnostic for mixture design: a source whose token
+    mass sits in a few mega-documents (gini -> 1) needs doc-level caps
+    before it can be mixture-weighted by token share. Tie-invariant
+    integer rank sums over the (source, count) DISTINCT-VALUE table
+    (bounded by max document length, not the corpus), one closing
+    division + floor-round (llm/text.gini_concentration)."""
+    docs = _t(spark, sf_dir, "documents")
+    base = tx.tokenized_frame(docs, "text", "doc_id", carry=("source",))
+    counted = base.select(
+        "source",
+        F.size(F.filter("__w", lambda x: x != "")).cast("bigint").alias(
+            "__ntok"
+        ),
+    )
+    return tx.gini_concentration(counted, ["source"], "__ntok")
+
+
+@query(
     "text_pmi_collocations",
     """
     WITH base AS (

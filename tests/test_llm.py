@@ -1151,3 +1151,33 @@ def test_random_projection_is_deterministic_across_calls(spark):
     a = sorted(map(tuple, random_projection(df, 4, 8, seed=5).select("proj").collect()))
     b = sorted(map(tuple, random_projection(df.repartition(7), 4, 8, seed=5).select("proj").collect()))
     assert a == b
+
+
+def test_gini_concentration_exact(spark):
+    import math
+
+    # group 'even': all equal -> gini 0; 'conc': one row holds all
+    rows = (
+        [("even", 10)] * 5
+        + [("conc", 0), ("conc", 0), ("conc", 0), ("conc", 100)]
+        + [("mix", 1), ("mix", 2), ("mix", 3), ("mix", 4)]
+    )
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    got = {r.g: r for r in tx.gini_concentration(df, ["g"], "v").collect()}
+    assert got["even"].gini == 0.0
+    # conc: sorted [0,0,0,100], 2S = 2*4*100 = 800, T=100, n=4:
+    # gini = (800 - 5*100)/(4*100) = 0.75
+    assert got["conc"].gini == 0.75
+    # mix replica: sorted [1,2,3,4], S = 1+4+9+16 = 30,
+    # gini = (60 - 5*10)/(4*10) = 0.25
+    assert got["mix"].gini == 0.25
+    assert got["mix"].n_rows == 4 and got["mix"].value_total == 10
+    # tie-invariance: duplicating the even group keeps gini 0
+    f6 = math.floor(0.75 * 1e6 + 0.5) / 1e6
+    assert got["conc"].gini == f6
+
+
+def test_gini_zero_total_is_null(spark):
+    df = spark.createDataFrame([("z", 0), ("z", 0)], "g string, v bigint")
+    r = tx.gini_concentration(df, ["g"], "v").collect()[0]
+    assert r.gini is None and r.value_total == 0
