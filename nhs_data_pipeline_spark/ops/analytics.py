@@ -25,6 +25,42 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _sq(label: str) -> str:
+    """Escape a step label for use inside a single-quoted SQL literal
+    (stack() exprs) — a step named \"o'clock deal\" must not break the
+    parse."""
+    return label.replace("'", "''")
+
+
+def _funnel_arrivals(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+) -> DataFrame:
+    """Per-user ordered first-arrival times for each funnel step:
+    ``(user_col, __t0 .. __t{k-1})`` — step i's arrival is the MIN
+    timestamp of a step-i event STRICTLY after the step-(i-1) arrival.
+    ONE ``partitionBy(user)`` window spec for any step count (a single
+    Exchange). Shared by ``funnel`` and ``funnel_conversion_times`` so
+    the ordered-funnel semantics can never drift between the user
+    counts and the latency medians."""
+    w = Window.partitionBy(user_col)
+    df = events
+    tcols: list[str] = []
+    prev: str | None = None
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == step
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev))
+        c = f"__t{i}"
+        df = df.withColumn(c, F.min(F.when(cond, F.col(ts_col))).over(w))
+        tcols.append(c)
+        prev = c
+    return df.groupBy(user_col).agg(*[F.max(c).alias(c) for c in tcols])
+
+
 def funnel(
     events: DataFrame,
     steps: list[str],
@@ -48,26 +84,12 @@ def funnel(
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
-    w = Window.partitionBy(user_col)
-    df = events
-    tcols: list[str] = []
-    prev: str | None = None
-    for i, step in enumerate(steps):
-        cond = F.col(type_col) == step
-        if prev is not None:
-            cond = cond & (F.col(ts_col) > F.col(prev))
-        c = f"__t{i}"
-        df = df.withColumn(c, F.min(F.when(cond, F.col(ts_col))).over(w))
-        tcols.append(c)
-        prev = c
-    per_user = df.groupBy(user_col).agg(
-        *[F.max(c).alias(c) for c in tcols]
-    )
+    per_user = _funnel_arrivals(events, steps, user_col, ts_col, type_col)
     counts = per_user.agg(
-        *[F.count(c).alias(f"__n{i}") for i, c in enumerate(tcols)]
+        *[F.count(f"__t{i}").alias(f"__n{i}") for i in range(len(steps))]
     )
     stack = ", ".join(
-        f"{i}, '{s}', __n{i}" for i, s in enumerate(steps)
+        f"{i}, '{_sq(s)}', __n{i}" for i, s in enumerate(steps)
     )
     return counts.select(
         F.expr(
@@ -101,23 +123,9 @@ def funnel_conversion_times(
     drop out of that step's group."""
     if len(steps) < 2:
         raise ValueError("conversion times need at least two steps")
-    w = Window.partitionBy(user_col)
-    df = events
-    tcols: list[str] = []
-    prev: str | None = None
-    for i, step in enumerate(steps):
-        cond = F.col(type_col) == step
-        if prev is not None:
-            cond = cond & (F.col(ts_col) > F.col(prev))
-        c = f"__t{i}"
-        df = df.withColumn(c, F.min(F.when(cond, F.col(ts_col))).over(w))
-        tcols.append(c)
-        prev = c
-    per_user = df.groupBy(user_col).agg(
-        *[F.max(c).alias(c) for c in tcols]
-    )
+    per_user = _funnel_arrivals(events, steps, user_col, ts_col, type_col)
     stack = ", ".join(
-        f"{i}, '{s}', unix_micros(__t{i}) - unix_micros(__t0)"
+        f"{i}, '{_sq(s)}', unix_micros(__t{i}) - unix_micros(__t0)"
         for i, s in enumerate(steps[1:], start=1)
     )
     durs = per_user.select(

@@ -171,8 +171,14 @@ def incremental_agg_merge(
     — exactly what a fresh GROUP BY of the post-change corpus yields,
     which is what the registry oracle proves cross-engine.
 
-    All measures are exact integers (the caller quantizes); NULL keys
-    are legal groups (eqNullSafe join, coalesced key columns)."""
+    All measures are exact integers and must be NON-NULL (the caller
+    quantizes and filters): SQL's SUM is NULL for an all-NULL group
+    while this merge's coalesced addition would say 0 — with NULL
+    measures admitted, the incremental result could diverge from a
+    fresh GROUP BY exactly when the driver regenerates data with an
+    all-NULL group (and a streaming store's value would depend on
+    batch arrival order). NULL keys are legal groups (eqNullSafe
+    join, coalesced key columns)."""
     sum_cols = sum_cols or {}
     delta = changes.groupBy(*keys).agg(
         F.sum(F.col(op_col)).cast("bigint").alias("__dn"),

@@ -1481,17 +1481,17 @@ def mixture_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_pmi_collocations",
     """
-    WITH base AS (
+    WITH base AS MATERIALIZED (
       SELECT string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
                           ' ') AS w
       FROM documents
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT w[__j] AS w1, w[__j + 1] AS w2
       FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS __j
             FROM base WHERE len(w) > 1)
     ),
-    unif AS (
+    unif AS MATERIALIZED (
       SELECT term FROM (SELECT unnest(w) AS term FROM base)
       WHERE term <> ''
     ),
@@ -1859,9 +1859,10 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LLM-pipeline: similarity search
 # ===========================================================================
 
-@query(
-    "embed_topk_bruteforce",
-    """
+# ONE copy of the exact brute-force top-k oracle: embed_topk_bruteforce,
+# embed_topk_auto (same exact path at gate scale) and eval_ann_recall's
+# embedded brute side must never drift apart
+_BRUTE_TOPK_ORACLE = """
     SELECT query_id, neighbor_id, rank, ROUND(cosine, 6) AS cosine FROM (
       SELECT query_id, neighbor_id, cosine,
              row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
@@ -1873,7 +1874,12 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
       )
     ) WHERE rank <= 5
-    """,
+    """
+
+
+@query(
+    "embed_topk_bruteforce",
+    _BRUTE_TOPK_ORACLE,
 )
 def embed_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for the first 10 query vectors:
@@ -1886,19 +1892,7 @@ def embed_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embed_topk_auto",
-    """
-    SELECT query_id, neighbor_id, rank, ROUND(cosine, 6) AS cosine FROM (
-      SELECT query_id, neighbor_id, cosine,
-             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-      FROM (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                      CAST(c.embedding AS DOUBLE[])) AS cosine
-        FROM embeddings q, embeddings c
-        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
-      )
-    ) WHERE rank <= 5
-    """,
+    _BRUTE_TOPK_ORACLE,
 )
 def embed_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k through the ``choose_topk`` dispatcher. The pair budget is
@@ -2410,21 +2404,6 @@ def embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
     )
-
-
-_BRUTE_TOPK_ORACLE = """
-    SELECT query_id, neighbor_id, rank, ROUND(cosine, 6) AS cosine FROM (
-      SELECT query_id, neighbor_id, cosine,
-             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-      FROM (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                      CAST(c.embedding AS DOUBLE[])) AS cosine
-        FROM embeddings q, embeddings c
-        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
-      )
-    ) WHERE rank <= 5
-    """
 
 
 def _ann_recall_oracle_sql() -> str:
@@ -3278,7 +3257,7 @@ def o3_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
       WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
     ),
-    vw AS (
+    vw AS MATERIALIZED (
       SELECT g, val, CAST(SUM(wt) AS BIGINT) AS wt,
              CAST(COUNT(*) AS BIGINT) AS cnt
       FROM base WHERE wt > 0 GROUP BY 1, 2
@@ -4996,7 +4975,7 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t1 THEN ts END)
                OVER (PARTITION BY user_id) AS t2
       FROM t1
-    ), pu AS (
+    ), pu AS MATERIALIZED (
       SELECT user_id, MAX(t0) AS t0, MAX(t1) AS t1, MAX(t2) AS t2
       FROM t2 GROUP BY user_id
     ),
@@ -5008,7 +4987,7 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 2, 'purchase', epoch_us(t2) - epoch_us(t0)
       FROM pu WHERE t2 IS NOT NULL
     ),
-    vw AS (
+    vw AS MATERIALIZED (
       SELECT step_idx, step, dur, CAST(COUNT(*) AS BIGINT) AS wt
       FROM durs GROUP BY 1, 2, 3
     ),
@@ -5136,7 +5115,7 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
              CAST(year(o_orderdate) AS INTEGER) AS yr,
              o_orderstatus AS st
-      FROM orders
+      FROM orders WHERE o_totalprice IS NOT NULL
     )
     WHERE (yr < 1998 AND NOT (yr < 1996 AND st = 'F')) OR yr >= 1998
     GROUP BY o_custkey
@@ -5151,8 +5130,13 @@ def merge_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     and merges by one full-outer NULL-safe key join; zero-count groups
     drop. The oracle is a from-scratch GROUP BY of the post-change
     corpus — proving the incremental path lands on the exact same
-    table cross-engine (ops/merge.incremental_agg_merge)."""
-    o = _t(spark, sf_dir, "orders").select(
+    table cross-engine. NULL-measure rows are filtered in BOTH engines
+    up front: the op's non-NULL measure contract — SQL's SUM says NULL
+    for an all-NULL group, a coalesced merge says 0
+    (ops/merge.incremental_agg_merge)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    ).select(
         "o_custkey",
         F.expr(
             "cast(floor(o_totalprice * 100 + 0.5) as bigint)"
@@ -9126,7 +9110,7 @@ _T_CLOSE_ORACLE = """
              COALESCE(CAST(o_orderpriority AS VARCHAR), chr(0)) AS sv
       FROM orders
     ),
-    cv AS (
+    cv AS MATERIALIZED (
       SELECT o_orderstatus, yr, ck, sv, CAST(COUNT(*) AS BIGINT) AS cvc
       FROM q GROUP BY 1, 2, 3, 4
     ),
@@ -9134,7 +9118,8 @@ _T_CLOSE_ORACLE = """
       SELECT o_orderstatus, yr, ck, CAST(SUM(cvc) AS BIGINT) AS n_cls
       FROM cv GROUP BY 1, 2, 3
     ),
-    gp AS (SELECT sv, CAST(SUM(cvc) AS BIGINT) AS gv FROM cv GROUP BY sv),
+    gp AS MATERIALIZED (SELECT sv, CAST(SUM(cvc) AS BIGINT) AS gv
+         FROM cv GROUP BY sv),
     tot AS (SELECT CAST(SUM(gv) AS BIGINT) AS n_tot FROM gp),
     term AS (
       SELECT cv.o_orderstatus, cv.yr, cv.ck, np.n_cls, tot.n_tot,
@@ -9353,7 +9338,7 @@ def _corr_oracle_sql() -> str:
       WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
         AND l_discount IS NOT NULL AND l_tax IS NOT NULL
     ),
-    m AS (SELECT {fields} FROM base)
+    m AS MATERIALIZED (SELECT {fields} FROM base)
     {body}
     """
 
@@ -9385,7 +9370,7 @@ def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stats_mutual_information",
     """
-    WITH cells AS (
+    WITH cells AS MATERIALIZED (
       SELECT source AS a, lang AS b, CAST(COUNT(*) AS BIGINT) AS nij
       FROM documents GROUP BY 1, 2
     ),
@@ -9465,7 +9450,7 @@ def _benford_oracle_sql() -> str:
             FROM orders WHERE o_totalprice IS NOT NULL)
       WHERE cents > 0
     ),
-    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+    c AS MATERIALIZED (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
           FROM d GROUP BY digit),
     e AS (SELECT * FROM (VALUES
         {vals}) AS t(digit, expected_share)),
@@ -9517,7 +9502,7 @@ def quality_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE o_totalprice IS NOT NULL AND year(o_orderdate) >= 1998
       GROUP BY 1
     ),
-    both_b AS (
+    both_b AS MATERIALIZED (
       SELECT COALESCE(ca.c, 0) AS cca, COALESCE(cb.c, 0) AS ccb
       FROM ca FULL OUTER JOIN cb ON ca.b IS NOT DISTINCT FROM cb.b
     ),
