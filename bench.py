@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "quality_benford_digits",
     "ts_cusum_changepoint",
     "mixture_gini_concentration",
+    "stats_cramers_v",
 ]
 
 

@@ -950,6 +950,99 @@ def corr_matrix(df: DataFrame, int_cols: list[str]) -> DataFrame:
     )
 
 
+def contingency_chi2(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, with Cramér's V — the bounded [0, 1] association strength
+    that complements ``mutual_information`` (V is comparable across
+    tables of different sizes; MI is not): one row ``(n_rows, n_cells,
+    a_levels, b_levels, chi2, cramers_v)``.
+
+    chi2 = sum_ij (n_ij - n_i n_j / N)^2 / (n_i n_j / N); each
+    OBSERVED cell's term is computed as ``dev^2 / (n_i * n_j * N)``
+    with ``dev = n_ij*N - n_i*n_j`` — an EXACT integer (DECIMAL(38,0))
+    whose square would pass 38 digits, so dev is cast once to double
+    (identical value both engines) and the per-cell double term is
+    quantized to integer MILLIONTHS immediately, making the cross-cell
+    sum order-free. ABSENT cells (expected > 0, observed 0) never
+    appear in the cell join; their total contribution
+    ``sum_absent n_i n_j / N`` folds in closed form as ``N - P/N``
+    with ``P = sum over observed cells of n_i*n_j`` (exact integer) —
+    no dense level-cross-join is materialized. V =
+    sqrt(chi2 / (N * (min(a_levels, b_levels) - 1))) is a fixed IEEE
+    sequence, floor-rounded at 6; single-level tables yield NULL V.
+
+    Shape: identical to mutual_information — one (a, b) cell
+    aggregate, broadcast NULL-safe marginals (NULL categories are
+    real), one scalar fold."""
+    cells = df.groupBy(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).agg(F.count("*").cast("bigint").alias("__nij"))
+    ma = cells.groupBy("__a").agg(F.sum("__nij").alias("__ni"))
+    mb = cells.groupBy("__b").agg(F.sum("__nij").alias("__nj"))
+    tot = cells.agg(F.sum("__nij").alias("__nn"))
+    ra = ma.agg(F.count("*").cast("bigint").alias("__ra"))
+    rb = mb.agg(F.count("*").cast("bigint").alias("__rb"))
+    D = "decimal(38,0)"
+    j = (
+        cells.join(F.broadcast(ma), cells["__a"].eqNullSafe(ma["__a"]))
+        .drop(ma["__a"])
+        .join(F.broadcast(mb), cells["__b"].eqNullSafe(mb["__b"]))
+        .drop(mb["__b"])
+        .crossJoin(F.broadcast(tot))
+    )
+    dev = (
+        F.col("__nij").cast(D) * F.col("__nn").cast(D)
+        - F.col("__ni").cast(D) * F.col("__nj").cast(D)
+    ).cast("double")
+    den = (
+        F.col("__ni").cast("double")
+        * F.col("__nj").cast("double")
+        * F.col("__nn").cast("double")
+    )
+    term_m = F.floor(dev * dev / den * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    agg = (
+        j.agg(
+            F.max("__nn").cast("bigint").alias("n_rows"),
+            F.count("*").cast("bigint").alias("n_cells"),
+            F.sum(term_m).alias("__chi_m"),
+            F.sum(F.col("__ni").cast(D) * F.col("__nj").cast(D)).alias(
+                "__p_sum"
+            ),
+        )
+        .crossJoin(F.broadcast(ra))
+        .crossJoin(F.broadcast(rb))
+    )
+    absent_m = F.floor(
+        (
+            F.col("n_rows").cast("double")
+            - F.col("__p_sum").cast("double") / F.col("n_rows").cast("double")
+        )
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    chi2 = (F.col("__chi_m") + absent_m).cast("double") / F.lit(1000000.0)
+    mindim = F.least(F.col("__ra"), F.col("__rb")) - F.lit(1)
+    v = F.floor(
+        F.sqrt(chi2 / (F.col("n_rows").cast("double") * mindim.cast("double")))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ) / F.lit(1000000.0)
+    return agg.select(
+        "n_rows",
+        "n_cells",
+        F.col("__ra").alias("a_levels"),
+        F.col("__rb").alias("b_levels"),
+        (F.floor(chi2 * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)).alias(
+            "chi2"
+        ),
+        F.when(mindim > 0, v).alias("cramers_v"),
+    )
+
+
 def mutual_information(
     df: DataFrame, col_a: str, col_b: str
 ) -> DataFrame:

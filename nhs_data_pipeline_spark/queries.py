@@ -9484,6 +9484,74 @@ def quality_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stats_cramers_v",
+    """
+    WITH cells AS MATERIALIZED (
+      SELECT source AS a, lang AS b, CAST(COUNT(*) AS BIGINT) AS nij
+      FROM documents GROUP BY 1, 2
+    ),
+    ma AS MATERIALIZED (
+      SELECT a, CAST(SUM(nij) AS BIGINT) AS ni FROM cells GROUP BY a),
+    mb AS MATERIALIZED (
+      SELECT b, CAST(SUM(nij) AS BIGINT) AS nj FROM cells GROUP BY b),
+    tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS nn FROM cells),
+    ra AS (SELECT CAST(COUNT(*) AS BIGINT) AS a_levels FROM ma),
+    rb AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_levels FROM mb),
+    j AS (
+      SELECT nij, ni, nj, nn FROM cells
+      JOIN ma ON cells.a IS NOT DISTINCT FROM ma.a
+      JOIN mb ON cells.b IS NOT DISTINCT FROM mb.b
+      CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT CAST(MAX(nn) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_cells,
+             SUM(CAST(FLOOR(
+               CAST(CAST(nij AS HUGEINT) * nn - CAST(ni AS HUGEINT) * nj
+                    AS DOUBLE)
+               * CAST(CAST(nij AS HUGEINT) * nn - CAST(ni AS HUGEINT) * nj
+                      AS DOUBLE)
+               / (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE)
+                  * CAST(nn AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT)) AS chi_m,
+             SUM(CAST(ni AS HUGEINT) * CAST(nj AS HUGEINT)) AS p_sum
+      FROM j
+    ),
+    agg2 AS (
+      SELECT n_rows, n_cells,
+             chi_m + CAST(FLOOR(
+               (CAST(n_rows AS DOUBLE)
+                - CAST(p_sum AS DOUBLE) / CAST(n_rows AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT) AS chi_t
+      FROM agg
+    )
+    SELECT n_rows, n_cells, a_levels, b_levels,
+           FLOOR(CAST(chi_t AS DOUBLE) / 1000000.0 * 1000000.0 + 0.5)
+             / 1000000.0 AS chi2,
+           CASE WHEN LEAST(a_levels, b_levels) - 1 > 0 THEN
+             FLOOR(sqrt((CAST(chi_t AS DOUBLE) / 1000000.0)
+                        / (CAST(n_rows AS DOUBLE)
+                           * CAST(LEAST(a_levels, b_levels) - 1
+                                  AS DOUBLE)))
+                   * 1000000.0 + 0.5) / 1000000.0 END AS cramers_v
+    FROM agg2 CROSS JOIN ra CROSS JOIN rb
+    """,
+)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test + Cramér's V between document
+    source and language — the bounded [0,1] association strength next
+    to the mutual-information screen (V compares across differently-
+    sized tables; MI does not). Same scale shape as MI: one (a, b)
+    cell aggregate, broadcast NULL-safe marginals, per-cell exact
+    integer deviations cast once to double and micro-quantized so the
+    cross-cell sum is order-free; absent cells fold in closed form as
+    N - P/N (ops/analytics.contingency_chi2)."""
+    return oan.contingency_chi2(
+        _t(spark, sf_dir, "documents"), "source", "lang"
+    )
+
+
+@query(
     "stats_psi_drift",
     """
     WITH ca AS (

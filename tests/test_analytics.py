@@ -913,3 +913,62 @@ def test_benford_audit_python_replica(spark):
         )
     # digit 3/4/5 present once; digit 8 -> one obs (81); all 9 rows exist
     assert got[3].n_obs == 1 and got[8].n_obs == 1
+
+
+def test_contingency_chi2_python_replica(spark):
+    import math
+    from collections import Counter
+
+    from nhs_data_pipeline_spark.ops.analytics import contingency_chi2
+
+    rows = [("a", "x"), ("a", "x"), ("a", "y"), ("b", "y"),
+            ("b", "y"), ("b", "y"), ("b", "x"), (None, "x")]
+    df = spark.createDataFrame(rows, "s string, l string")
+    got = contingency_chi2(df, "s", "l").collect()[0]
+    cells = Counter(rows)
+    ma = Counter(a for a, _ in rows)
+    mb = Counter(b for _, b in rows)
+    nn = len(rows)
+    chi_m = 0
+    p_sum = 0
+    for (a, b), nij in cells.items():
+        dev = float(nij * nn - ma[a] * mb[b])
+        chi_m += math.floor(
+            dev * dev / (float(ma[a]) * float(mb[b]) * float(nn)) * 1e6 + 0.5
+        )
+        p_sum += ma[a] * mb[b]
+    # absent cells (observed 0) fold in closed form as N - P/N
+    chi_m += math.floor((float(nn) - float(p_sum) / float(nn)) * 1e6 + 0.5)
+    chi2 = chi_m / 1e6
+    mindim = min(len(ma), len(mb)) - 1
+    v = math.floor(math.sqrt(chi2 / (nn * mindim)) * 1e6 + 0.5) / 1e6
+    assert got.n_rows == nn and got.n_cells == len(cells)
+    assert got.a_levels == len(ma) and got.b_levels == len(mb)
+    assert got.chi2 == math.floor(chi2 * 1e6 + 0.5) / 1e6
+    assert got.cramers_v == v
+
+
+def test_contingency_perfect_association_v_is_one(spark):
+    from nhs_data_pipeline_spark.ops.analytics import contingency_chi2
+
+    rows = [("a", "x")] * 5 + [("b", "y")] * 5
+    df = spark.createDataFrame(rows, "s string, l string")
+    r = contingency_chi2(df, "s", "l").collect()[0]
+    assert r.cramers_v == 1.0
+
+
+def test_contingency_independent_v_is_zero(spark):
+    from nhs_data_pipeline_spark.ops.analytics import contingency_chi2
+
+    rows = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")] * 4
+    df = spark.createDataFrame(rows, "s string, l string")
+    r = contingency_chi2(df, "s", "l").collect()[0]
+    assert r.chi2 == 0.0 and r.cramers_v == 0.0
+
+
+def test_contingency_single_level_null_v(spark):
+    from nhs_data_pipeline_spark.ops.analytics import contingency_chi2
+
+    df = spark.createDataFrame([("a", "x"), ("a", "y")], "s string, l string")
+    r = contingency_chi2(df, "s", "l").collect()[0]
+    assert r.cramers_v is None

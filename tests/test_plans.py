@@ -302,8 +302,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 194, len(QUERIES)
-    assert len(ORACLES) == 191, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 195, len(QUERIES)
+    assert len(ORACLES) == 192, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_registry_wide_plan_hygiene(spark, sf_dir):
@@ -420,6 +420,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # 9-row expectation table (ops/quality.benford_audit) —
         # scalar-broadcast shape
         "quality_benford_digits",
+        # audited: one-row corpus-total + level-count aggregates
+        # crossed into the model-sized cell table
+        # (ops/analytics.contingency_chi2) — scalar-broadcast shape
+        "stats_cramers_v",
         "embed_topk_bruteforce", "embed_topk_auto", "q22_dormant_accounts",
         "q11_important_part_value", "text_tfidf_keywords",
         "sample_temperature", "ts_gap_fill_interpolate",
