@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "ts_cusum_changepoint",
     "mixture_gini_concentration",
     "stats_cramers_v",
+    "events_path_trigrams",
 ]
 
 

@@ -4911,6 +4911,46 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_path_trigrams",
+    """
+    WITH seq AS (
+      SELECT event_type AS e1,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e2,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e3
+      FROM events
+    )
+    SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, e1, e2, e3
+    LIMIT 20
+    """,
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step user journeys (event-type trigrams in each
+    user's time-ordered stream) — the sequential-pattern summary next
+    to the Markov transition matrix (which only sees adjacent pairs).
+    One per-user lead window (total order via the event_id tiebreak),
+    one trigram-keyed map-side-combined count, distributed TakeOrdered
+    top-k with a deterministic tiebreak — never a global sort."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        seq.groupBy("e1", "e2", "e3")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "e1", "e2", "e3")
+        .limit(20)
+    )
+
+
+@query(
     "ts_cusum_changepoint",
     """
     WITH daily AS (
