@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "mixture_gini_concentration",
     "stats_cramers_v",
     "events_path_trigrams",
+    "o5_quantile_bands",
 ]
 
 

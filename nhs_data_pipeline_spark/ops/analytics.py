@@ -786,6 +786,108 @@ def psi_report(
     )
 
 
+def group_weighted_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_int_col: str,
+    weight_int_col: str,
+    qs: list[str],
+    bucket_width: int = 1 << 16,
+) -> DataFrame:
+    """Exact per-group LOWER weighted quantiles at several probes in
+    ONE pass: for each exact-fraction ``q`` ("1/4", "1/2", "3/4") the
+    smallest value v with ``den * cumulative_weight(<= v) >=
+    num * total_weight``. Returns ``(*group_cols, q, n_rows,
+    total_weight, value_at_q)`` — one row per (group, probe).
+
+    This is the 100 TB replacement for a sort-based ``percentile``
+    aggregate, which buffers a group's ENTIRE value set in one task:
+    the generalization of :func:`group_weighted_median` (q = 1/2).
+    Quantile probes are strings parsed by ``Fraction`` so every
+    threshold decision is an exact integer cross-multiplication —
+    never a float ceil/compare (the build-notes trap).
+
+    Shape: one (group, value) weight aggregate; per-group BUCKET-table
+    cumulative offsets (model-sized window); the probe list (tiny)
+    cross-joins the bucket table so each probe picks its own crossing
+    bucket with pure integer predicates; only picked buckets' values
+    re-join for the in-bucket walk. NULL-safe group joins; weights
+    must be positive integers, values non-negative integers."""
+    from fractions import Fraction
+
+    from nhs_data_pipeline_spark.ops.sketch import _ns_join
+
+    probes = [(s, Fraction(s)) for s in qs]
+    for s, fr in probes:
+        if not 0 < fr <= 1:
+            raise ValueError(f"quantile {s} must be in (0, 1]")
+    v, w = F.col(value_int_col), F.col(weight_int_col)
+    base = df.filter(v.isNotNull() & w.isNotNull() & (w > 0))
+    vw = base.groupBy(*group_cols, v.alias("__val")).agg(
+        F.sum(w).cast("bigint").alias("__wt"),
+        F.count("*").cast("bigint").alias("__cnt"),
+    )
+    bkt = vw.withColumn("__b", F.expr(f"__val div {int(bucket_width)}"))
+    bw = bkt.groupBy(*group_cols, "__b").agg(
+        F.sum("__wt").cast("bigint").alias("__bw")
+    )
+    woff = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = bw.withColumn(
+        "__off", F.coalesce(F.sum("__bw").over(woff), F.lit(0).cast("bigint"))
+    )
+    tot = vw.groupBy(*group_cols).agg(
+        F.sum("__wt").cast("bigint").alias("total_weight"),
+        F.sum("__cnt").cast("bigint").alias("n_rows"),
+    )
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(s, fr.numerator, fr.denominator) for s, fr in probes],
+        "q string, __num bigint, __den bigint",
+    )
+    # each probe picks the bucket where den*cum first reaches num*tot
+    picked = (
+        _ns_join(offs, tot, group_cols)
+        .crossJoin(F.broadcast(qdf))
+        .filter(
+            (
+                F.col("__den") * (F.col("__off") + F.col("__bw"))
+                >= F.col("__num") * F.col("total_weight")
+            )
+            & (
+                F.col("__den") * F.col("__off")
+                < F.col("__num") * F.col("total_weight")
+            )
+        )
+        .select(
+            *group_cols, "q", "__num", "__den", "__b", "__off",
+            "total_weight", "n_rows",
+        )
+    )
+    inb = _ns_join(bkt, picked, group_cols + ["__b"])
+    wcum = (
+        Window.partitionBy(*group_cols, "q")
+        .orderBy("__val")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        inb.withColumn("__cum", F.col("__off") + F.sum("__wt").over(wcum))
+        .filter(
+            F.col("__den") * F.col("__cum")
+            >= F.col("__num") * F.col("total_weight")
+        )
+        .groupBy(*group_cols, "q")
+        .agg(
+            F.max("n_rows").alias("n_rows"),
+            F.max("total_weight").alias("total_weight"),
+            F.min("__val").cast("bigint").alias("value_at_q"),
+        )
+    )
+
+
 def bootstrap_mean_ci(
     df: DataFrame,
     value_int_col: str,

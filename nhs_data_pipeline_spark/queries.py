@@ -3248,6 +3248,69 @@ def o3_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "o5_quantile_bands",
+    """
+    WITH base AS (
+      SELECT o_orderstatus AS g,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS val
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    vw AS MATERIALIZED (
+      SELECT g, val, CAST(COUNT(*) AS BIGINT) AS wt
+      FROM base GROUP BY 1, 2
+    ),
+    tot AS MATERIALIZED (
+      SELECT g, CAST(SUM(wt) AS BIGINT) AS tw FROM vw GROUP BY g
+    ),
+    cum AS MATERIALIZED (
+      SELECT g, val,
+             CAST(SUM(wt) OVER (PARTITION BY g ORDER BY val) AS BIGINT)
+               AS cw
+      FROM vw
+    ),
+    qs(q, num, den) AS (
+      VALUES ('1/4', 1, 4), ('1/2', 1, 2), ('3/4', 3, 4)
+    )
+    SELECT c.g AS o_orderstatus, qs.q,
+           MAX(t.tw) AS n_rows, MAX(t.tw) AS total_weight,
+           CAST(MIN(c.val) AS BIGINT) AS value_at_q
+    FROM cum c
+    JOIN tot t ON c.g IS NOT DISTINCT FROM t.g
+    CROSS JOIN qs
+    WHERE qs.den * c.cw >= qs.num * t.tw
+    GROUP BY c.g, qs.q
+    """,
+)
+def o5_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lower-quantile bands (p25/p50/p75) of the order value per
+    status in ONE pass — the 100 TB replacement for the sort-based
+    ``percentile`` aggregate (o3), which buffers a group's entire
+    value set in one task: per-group bucket-table offsets, each
+    exact-fraction probe picks its crossing bucket with integer
+    cross-multiplications, only picked buckets walk their values
+    (ops/analytics.group_weighted_quantiles, unit weights). The
+    oracle replays the same integer decisions with a plain cumulative
+    window."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    ).select(
+        "o_orderstatus",
+        F.expr(
+            "cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+        ).alias("__cents"),
+        F.lit(1).cast("bigint").alias("__one"),
+    )
+    return oan.group_weighted_quantiles(
+        o,
+        ["o_orderstatus"],
+        "__cents",
+        "__one",
+        qs=["1/4", "1/2", "3/4"],
+        bucket_width=100000,
+    )
+
+
+@query(
     "o4_weighted_median",
     """
     WITH base AS (

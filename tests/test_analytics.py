@@ -972,3 +972,68 @@ def test_contingency_single_level_null_v(spark):
     df = spark.createDataFrame([("a", "x"), ("a", "y")], "s string, l string")
     r = contingency_chi2(df, "s", "l").collect()[0]
     assert r.cramers_v is None
+
+
+def test_weighted_quantiles_python_replica(spark):
+    from fractions import Fraction
+
+    from nhs_data_pipeline_spark.ops.analytics import group_weighted_quantiles
+
+    rows = [("g%d" % (i % 2), (i * 131) % 997, (i % 5) + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, v bigint, w bigint")
+    qs = ["1/4", "1/2", "3/4", "9/10"]
+    got = {
+        (r.g, r.q): r
+        for r in group_weighted_quantiles(
+            df, ["g"], "v", "w", qs, bucket_width=64
+        ).collect()
+    }
+    groups = {}
+    for g, v, w in rows:
+        groups.setdefault(g, []).append((v, w))
+    for g, pairs in groups.items():
+        tot = sum(w for _, w in pairs)
+        for s in qs:
+            fr = Fraction(s)
+            cum = 0
+            for v, w in sorted(pairs):
+                cum += w
+                if fr.denominator * cum >= fr.numerator * tot:
+                    break
+            r = got[(g, s)]
+            assert r.value_at_q == v, (g, s)
+            assert r.total_weight == tot
+    # quantiles are monotone in q
+    for g in groups:
+        assert (
+            got[(g, "1/4")].value_at_q
+            <= got[(g, "1/2")].value_at_q
+            <= got[(g, "3/4")].value_at_q
+            <= got[(g, "9/10")].value_at_q
+        )
+
+
+def test_weighted_quantiles_median_matches_median_op(spark):
+    from nhs_data_pipeline_spark.ops.analytics import (
+        group_weighted_median,
+        group_weighted_quantiles,
+    )
+
+    rows = [("a", (i * 37) % 500, i % 3 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, v bigint, w bigint")
+    med = group_weighted_median(df, ["g"], "v", "w").collect()[0]
+    q = {
+        r.q: r
+        for r in group_weighted_quantiles(df, ["g"], "v", "w", ["1/2"]).collect()
+    }
+    assert q["1/2"].value_at_q == med.weighted_median
+
+
+def test_weighted_quantiles_rejects_bad_q(spark):
+    import pytest as _pytest
+
+    from nhs_data_pipeline_spark.ops.analytics import group_weighted_quantiles
+
+    df = spark.createDataFrame([("a", 1, 1)], "g string, v bigint, w bigint")
+    with _pytest.raises(ValueError):
+        group_weighted_quantiles(df, ["g"], "v", "w", ["0"])
