@@ -424,6 +424,11 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # crossed into the model-sized cell table
         # (ops/analytics.contingency_chi2) — scalar-broadcast shape
         "stats_cramers_v",
+        # audited: the tiny quantile-probe list (3 rows) crossed into
+        # the model-sized bucket table
+        # (ops/analytics.group_weighted_quantiles) — probe-broadcast
+        # shape
+        "o5_quantile_bands",
         "embed_topk_bruteforce", "embed_topk_auto", "q22_dormant_accounts",
         "q11_important_part_value", "text_tfidf_keywords",
         "sample_temperature", "ts_gap_fill_interpolate",
