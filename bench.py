@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "stats_cramers_v",
     "events_path_trigrams",
     "o5_quantile_bands",
+    "mixture_jsd",
 ]
 
 

@@ -1479,6 +1479,75 @@ def mixture_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mixture_jsd",
+    f"""
+    WITH tgt AS (SELECT MIN(source) AS t FROM documents),
+    toks AS (
+      SELECT CASE WHEN source IS NOT DISTINCT FROM tgt.t
+                  THEN 1 ELSE 0 END AS ta,
+             unnest(string_split({_NORM_SQL}, ' ')) AS term
+      FROM documents CROSS JOIN tgt
+    ),
+    cnt AS MATERIALIZED (
+      SELECT term, CAST(SUM(ta) AS BIGINT) AS ca,
+             CAST(SUM(1 - ta) AS BIGINT) AS cb
+      FROM toks WHERE term <> '' GROUP BY term
+    ),
+    tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na,
+             CAST(SUM(cb) AS BIGINT) AS nb
+      FROM cnt
+    ),
+    terms AS (
+      SELECT ca, cb, na, nb,
+             CASE WHEN ca > 0 THEN
+               CAST(FLOOR(ln(2.0
+                 * CAST(CAST(ca AS HUGEINT) * nb AS DOUBLE)
+                 / CAST(CAST(ca AS HUGEINT) * nb
+                        + CAST(cb AS HUGEINT) * na AS DOUBLE))
+                 * 1000000.0 + 0.5) AS HUGEINT) END AS la,
+             CASE WHEN cb > 0 THEN
+               CAST(FLOOR(ln(2.0
+                 * CAST(CAST(cb AS HUGEINT) * na AS DOUBLE)
+                 / CAST(CAST(ca AS HUGEINT) * nb
+                        + CAST(cb AS HUGEINT) * na AS DOUBLE))
+                 * 1000000.0 + 0.5) AS HUGEINT) END AS lb
+      FROM cnt CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT MAX(na) AS n_target_tokens, MAX(nb) AS n_rest_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_terms,
+             SUM(CASE WHEN ca > 0 THEN CAST(ca AS HUGEINT) * la END)
+               AS sa,
+             SUM(CASE WHEN cb > 0 THEN CAST(cb AS HUGEINT) * lb END)
+               AS sb
+      FROM terms
+    )
+    SELECT n_target_tokens, n_rest_tokens, n_terms,
+           FLOOR((CAST(sa AS DOUBLE) / CAST(n_target_tokens AS DOUBLE)
+                  + CAST(sb AS DOUBLE) / CAST(n_rest_tokens AS DOUBLE))
+                 / 2.0 + 0.5) / 1000000.0 AS jsd
+    FROM agg
+    """,
+)
+def mixture_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the alphabetically-first
+    source's unigram distribution and the rest of the corpus — the
+    bounded [0, ln 2] symmetric mixture metric (finite on disjoint
+    supports, unlike KL). The target is derived IN-PLAN (MIN(source)
+    scalar cross) so no literal can go stale when the driver
+    regenerates data. One (flag, term) conditional aggregate — no
+    two-slice self-join; exact-product log ratios micro-quantized,
+    integer-numerator sums (llm/text.source_jsd)."""
+    docs = _t(spark, sf_dir, "documents")
+    tgt = docs.agg(F.min("source").alias("__tgt"))
+    d2 = docs.crossJoin(F.broadcast(tgt))
+    return tx.source_jsd(
+        d2, F.col("source").eqNullSafe(F.col("__tgt"))
+    )
+
+
+@query(
     "text_pmi_collocations",
     """
     WITH base AS MATERIALIZED (
@@ -3235,7 +3304,12 @@ def o3_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (sort-based aggregate) — the
     exact counterpart to the sketch_quantiles path; Spark's
     ``percentile`` and DuckDB's ``quantile_cont`` share the linear-
-    interpolation definition."""
+    interpolation definition. SCALE NOTE: the sort-based aggregate
+    buffers each group's full value set in one task — fine for the
+    low-cardinality status groups here; for corpus-scale groups the
+    engine's scale path is ``o5_quantile_bands``
+    (group_weighted_quantiles: bucketed two-pass, exact lower
+    quantiles, no per-group buffer)."""
     return (
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")

@@ -1181,3 +1181,57 @@ def test_gini_zero_total_is_null(spark):
     df = spark.createDataFrame([("z", 0), ("z", 0)], "g string, v bigint")
     r = tx.gini_concentration(df, ["g"], "v").collect()[0]
     assert r.gini is None and r.value_total == 0
+
+
+def test_source_jsd_python_replica(spark):
+    import math
+    from collections import Counter
+
+    docs = [
+        (1, "a", "x y x z"),
+        (2, "b", "x p q q"),
+        (3, "b", "r r s"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    got = tx.source_jsd(df, F.col("source") == "a").collect()[0]
+    ca = Counter("x y x z".split())
+    cb = Counter("x p q q r r s".split())
+    na, nb = sum(ca.values()), sum(cb.values())
+    terms = set(ca) | set(cb)
+    sa = sum(
+        ca[t]
+        * math.floor(
+            math.log(2.0 * float(ca[t] * nb)
+                     / float(ca[t] * nb + cb.get(t, 0) * na)) * 1e6 + 0.5
+        )
+        for t in terms if ca.get(t, 0) > 0
+    )
+    sb = sum(
+        cb[t]
+        * math.floor(
+            math.log(2.0 * float(cb[t] * na)
+                     / float(ca.get(t, 0) * nb + cb[t] * na)) * 1e6 + 0.5
+        )
+        for t in terms if cb.get(t, 0) > 0
+    )
+    exp = math.floor((sa / na + sb / nb) / 2.0 + 0.5) / 1e6
+    assert got.n_target_tokens == na and got.n_rest_tokens == nb
+    assert got.n_terms == len(terms)
+    assert got.jsd == exp
+    assert 0.0 <= got.jsd <= math.log(2.0) + 1e-9
+
+
+def test_source_jsd_identical_slices_zero(spark):
+    docs = [(1, "a", "x y z"), (2, "b", "x y z")]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    r = tx.source_jsd(df, F.col("source") == "a").collect()[0]
+    assert r.jsd == 0.0
+
+
+def test_source_jsd_disjoint_is_ln2(spark):
+    import math
+
+    docs = [(1, "a", "x x y"), (2, "b", "p q r")]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    r = tx.source_jsd(df, F.col("source") == "a").collect()[0]
+    assert abs(r.jsd - math.log(2.0)) < 1e-5

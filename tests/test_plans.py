@@ -302,8 +302,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 197, len(QUERIES)
-    assert len(ORACLES) == 194, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 198, len(QUERIES)
+    assert len(ORACLES) == 195, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_registry_wide_plan_hygiene(spark, sf_dir):
@@ -429,6 +429,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # (ops/analytics.group_weighted_quantiles) — probe-broadcast
         # shape
         "o5_quantile_bands",
+        # audited: the one-row MIN(source) target + the one-row token
+        # totals crossed into the corpus stream / term table
+        # (llm/text.source_jsd) — scalar-broadcast shape
+        "mixture_jsd",
         "embed_topk_bruteforce", "embed_topk_auto", "q22_dormant_accounts",
         "q11_important_part_value", "text_tfidf_keywords",
         "sample_temperature", "ts_gap_fill_interpolate",
