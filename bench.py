@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "events_path_trigrams",
     "o5_quantile_bands",
     "mixture_jsd",
+    "stats_psi_by_segment",
 ]
 
 

@@ -786,6 +786,102 @@ def psi_report(
     )
 
 
+def psi_by_group(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    group_cols: list[str],
+    value_int_col: str,
+    bucket_width: int = 1 << 16,
+) -> DataFrame:
+    """Per-group PSI — :func:`psi_report` stratified by segment, so
+    drift localizes (WHICH source/segment moved?) instead of washing
+    out in the corpus-wide mean: ``(*group_cols, n_a, n_b, n_buckets,
+    psi)``, one row per group observed on either side. Same integer
+    recipe as psi_report (fixed-width buckets, add-one smoothing with
+    a PER-GROUP bucket count K, exact-integer term numerators,
+    micro-ln of the same products). Groups absent from one side keep
+    their key with n_x = 0 — THAT column is the absence signal; their
+    PSI stays finite and measures SHAPE difference only (a one-bucket
+    new group scores 0: both smoothed distributions are the same
+    point mass — volume drift is n_a vs n_b's job, not PSI's).
+
+    Scale: (group, bucket)-keyed aggregates per side, one full-outer
+    NULL-safe join (group keys COALESCED across sides — a right-only
+    group must keep its key), per-group totals re-joined on the group
+    key (co-partitioned), one group-keyed fold."""
+    from nhs_data_pipeline_spark.ops.sketch import _ns_join
+
+    D = "decimal(38,0)"
+
+    def _counts(df: DataFrame, out: str) -> DataFrame:
+        v = F.col(value_int_col)
+        return (
+            df.filter(v.isNotNull())
+            .select(
+                *group_cols,
+                F.expr(f"{value_int_col} div {int(bucket_width)}").alias(
+                    "__b"
+                ),
+            )
+            .groupBy(*group_cols, "__b")
+            .agg(F.count("*").cast("bigint").alias(out))
+        )
+
+    ca = _counts(df_a, "__ca")
+    cb = _counts(df_b, "__cb")
+    keys = group_cols + ["__b"]
+    r = cb
+    for k in keys:
+        r = r.withColumnRenamed(k, f"__r_{k}")
+    cond = F.col(keys[0]).eqNullSafe(F.col(f"__r_{keys[0]}"))
+    for k in keys[1:]:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"__r_{k}"))
+    both = ca.join(r, cond, "full").select(
+        *[
+            F.coalesce(F.col(k), F.col(f"__r_{k}")).alias(k)
+            for k in group_cols
+        ],
+        F.coalesce("__ca", F.lit(0)).alias("__ca"),
+        F.coalesce("__cb", F.lit(0)).alias("__cb"),
+    )
+    tots = both.groupBy(*group_cols).agg(
+        F.sum("__ca").cast("bigint").alias("__na"),
+        F.sum("__cb").cast("bigint").alias("__nb"),
+        F.count("*").cast("bigint").alias("__k"),
+    )
+    t = _ns_join(both, tots, group_cols)
+    pa_num = (F.col("__ca") + F.lit(1)).cast(D) * (
+        F.col("__nb") + F.col("__k")
+    ).cast(D)
+    pb_num = (F.col("__cb") + F.lit(1)).cast(D) * (
+        F.col("__na") + F.col("__k")
+    ).cast(D)
+    lnq = F.floor(
+        F.log(pa_num.cast("double") / pb_num.cast("double"))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    )
+    agg = t.groupBy(*group_cols).agg(
+        F.max("__na").alias("n_a"),
+        F.max("__nb").alias("n_b"),
+        F.max("__k").alias("n_buckets"),
+        F.sum((pa_num - pb_num) * lnq.cast(D)).alias("__s"),
+    )
+    den = (F.col("n_a") + F.col("n_buckets")).cast("double") * (
+        F.col("n_b") + F.col("n_buckets")
+    ).cast("double")
+    psi = F.floor(
+        F.col("__s").cast("double") / den + F.lit(0.5)
+    ) / F.lit(1000000.0)
+    return agg.select(
+        *group_cols,
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("n_buckets").cast("bigint").alias("n_buckets"),
+        psi.alias("psi"),
+    )
+
+
 def group_weighted_quantiles(
     df: DataFrame,
     group_cols: list[str],

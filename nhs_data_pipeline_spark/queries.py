@@ -9799,6 +9799,85 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stats_psi_by_segment",
+    """
+    WITH ca AS MATERIALIZED (
+      SELECT o_orderpriority AS g,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 2500000
+               AS b,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND year(o_orderdate) < 1998
+      GROUP BY 1, 2
+    ),
+    cb AS MATERIALIZED (
+      SELECT o_orderpriority AS g,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 2500000
+               AS b,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND year(o_orderdate) >= 1998
+      GROUP BY 1, 2
+    ),
+    both_b AS MATERIALIZED (
+      SELECT COALESCE(ca.g, cb.g) AS g,
+             COALESCE(ca.c, 0) AS cca, COALESCE(cb.c, 0) AS ccb
+      FROM ca FULL OUTER JOIN cb
+        ON ca.g IS NOT DISTINCT FROM cb.g
+       AND ca.b IS NOT DISTINCT FROM cb.b
+    ),
+    tots AS MATERIALIZED (
+      SELECT g, CAST(SUM(cca) AS BIGINT) AS na,
+             CAST(SUM(ccb) AS BIGINT) AS nb,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM both_b GROUP BY g
+    ),
+    terms AS (
+      SELECT b2.g,
+             CAST(cca + 1 AS HUGEINT) * (nb + k) AS pa_num,
+             CAST(ccb + 1 AS HUGEINT) * (na + k) AS pb_num,
+             na, nb, k
+      FROM both_b b2 JOIN tots t ON b2.g IS NOT DISTINCT FROM t.g
+    )
+    SELECT g AS o_orderpriority,
+           MAX(na) AS n_a, MAX(nb) AS n_b, MAX(k) AS n_buckets,
+           FLOOR(CAST(SUM((pa_num - pb_num) *
+                 CAST(FLOOR(ln(CAST(pa_num AS DOUBLE)
+                               / CAST(pb_num AS DOUBLE))
+                            * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)
+                 / (CAST(MAX(na) + MAX(k) AS DOUBLE)
+                    * CAST(MAX(nb) + MAX(k) AS DOUBLE))
+                 + 0.5) / 1000000.0 AS psi
+    FROM terms GROUP BY g
+    """,
+)
+def stats_psi_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI of the order-value distribution per order priority, pre-1998
+    baseline vs 1998+ — drift LOCALIZED by segment, so a shifted
+    priority class is visible before it washes out in the corpus-wide
+    PSI. Same integer recipe as stats_psi_drift with a per-group
+    bucket count K; group keys coalesced through the full-outer bucket
+    join so a side-absent group keeps its key
+    (ops/analytics.psi_by_group)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    ).select(
+        "o_orderpriority",
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias(
+            "__cents"
+        ),
+        F.year("o_orderdate").alias("__yr"),
+    )
+    return oan.psi_by_group(
+        o.filter(F.col("__yr") < 1998),
+        o.filter(F.col("__yr") >= 1998),
+        ["o_orderpriority"],
+        "__cents",
+        bucket_width=2500000,
+    )
+
+
 @query("stats_bootstrap_ci", _bootstrap_oracle_sql(48))
 def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic half-sample bootstrap 95% CI for the mean order

@@ -302,8 +302,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 198, len(QUERIES)
-    assert len(ORACLES) == 195, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 199, len(QUERIES)
+    assert len(ORACLES) == 196, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_registry_wide_plan_hygiene(spark, sf_dir):

@@ -293,3 +293,38 @@ def test_psi_null_values_excluded(spark):
     b = spark.createDataFrame([(1,), (2,)], "v bigint")
     r = oan.psi_report(a, b, "v", bucket_width=4).collect()[0]
     assert r.n_a == 2 and r.n_b == 2 and r.psi == 0.0
+
+
+def test_psi_by_group_localizes_drift(spark):
+    """One group identical across sides (psi 0), one shifted, one
+    present only in B — finite large psi with its key intact."""
+    a_rows = [("s", v) for v in [10, 20, 30, 40] * 10]
+    a_rows += [("d", v) for v in [10, 20, 30, 40] * 10]
+    b_rows = [("s", v) for v in [10, 20, 30, 40] * 10]
+    b_rows += [("d", v + 200) for v in [10, 20, 30, 40] * 10]
+    # a side-absent group's smoothed baseline is UNIFORM over its
+    # buckets, so its psi measures B's deviation from uniform (a
+    # uniform or one-bucket new group scores 0; absence itself is
+    # signalled by n_a=0) — make it skewed so the shape registers
+    b_rows += [("new", v) for v in [5] * 16 + [25, 45, 65, 85]]
+    a = spark.createDataFrame(a_rows, "g string, v bigint")
+    b = spark.createDataFrame(b_rows, "g string, v bigint")
+    got = {r.g: r for r in oan.psi_by_group(a, b, ["g"], "v", 16).collect()}
+    assert set(got) == {"s", "d", "new"}
+    assert got["s"].psi == 0.0
+    assert got["d"].psi > 0.25
+    assert got["new"].n_a == 0 and got["new"].n_b == 20
+    assert got["new"].psi is not None and got["new"].psi > 0.25
+
+
+def test_psi_by_group_matches_scalar_on_single_group(spark):
+    rows_a = [("only", (i * 7) % 90) for i in range(150)]
+    rows_b = [("only", (i * 11) % 120) for i in range(130)]
+    a = spark.createDataFrame(rows_a, "g string, v bigint")
+    b = spark.createDataFrame(rows_b, "g string, v bigint")
+    grouped = oan.psi_by_group(a, b, ["g"], "v", 16).collect()[0]
+    scalar = oan.psi_report(a, b, "v", 16).collect()[0]
+    assert grouped.psi == scalar.psi
+    assert (grouped.n_a, grouped.n_b, grouped.n_buckets) == (
+        scalar.n_a, scalar.n_b, scalar.n_buckets,
+    )
