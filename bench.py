@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "o5_quantile_bands",
     "mixture_jsd",
     "stats_psi_by_segment",
+    "sample_dsir_ess",
 ]
 
 

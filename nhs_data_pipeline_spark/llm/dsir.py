@@ -183,3 +183,52 @@ def dsir_topk(
         .orderBy(F.col("dsir_score").desc(), F.col("doc_id"))
         .limit(n)
     )
+
+
+def dsir_ess(scored: DataFrame, score_col: str = "dsir_score") -> DataFrame:
+    """Effective sample size of an importance-weighted corpus — the
+    diagnostic that tells you whether DSIR reweighting left you a
+    usable dataset or three documents wearing a trench coat:
+    ``ESS = (sum w)^2 / sum w^2`` with ``w_i = exp(score_i)``. One
+    row: ``(n_docs, ess, ess_ratio)``; ratio near 1 = weights flat,
+    near 0 = a few documents dominate the target distribution.
+
+    Numerics: scores are log-weights of unbounded magnitude, so exp
+    runs on ``score - max(score)`` (the log-sum-exp shift — ESS is
+    invariant under it, and weights land in (0, 1]); each exp is
+    quantized to integer MILLIONTHS immediately (libm ulp discipline)
+    making both sums exact integers (sum in BIGINT-safe DECIMAL(38,0),
+    sum of squares likewise), and ESS is scale-invariant in the
+    quantized measure — the 1e6 factors cancel. One final double
+    division + portable floor-rounds. Weights below 5e-7 of the max
+    quantize to 0 and drop — they are ESS-negligible by construction.
+
+    Shape: one scalar max (broadcast-crossed), one map-side-combined
+    scalar aggregate. NULL scores are excluded."""
+    D = "decimal(38,0)"
+    s = F.col(score_col)
+    base = scored.filter(s.isNotNull())
+    mx = base.agg(F.max(s).alias("__mx"))
+    w = base.crossJoin(F.broadcast(mx)).select(
+        F.floor(
+            F.exp(s - F.col("__mx")) * F.lit(1000000.0) + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("__wm")
+    )
+    agg = w.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("__wm").cast(D).alias("__s1"),
+        F.sum(F.col("__wm").cast(D) * F.col("__wm").cast(D)).alias("__s2"),
+    )
+    ess = (F.col("__s1") * F.col("__s1")).cast("double") / F.col(
+        "__s2"
+    ).cast("double")
+    f6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(  # noqa: E731
+        1000000.0
+    )
+    return agg.select(
+        "n_docs",
+        f6(ess).alias("ess"),
+        f6(ess / F.col("n_docs").cast("double")).alias("ess_ratio"),
+    )

@@ -6345,6 +6345,46 @@ def sample_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_dsir_ess",
+    f"""
+    WITH scores AS MATERIALIZED ({_dsir_oracle_sql()}),
+    mx AS (SELECT MAX(dsir_score) AS m FROM scores),
+    wts AS (
+      SELECT CAST(FLOOR(exp(dsir_score - m) * 1000000.0 + 0.5)
+                  AS BIGINT) AS wm
+      FROM scores CROSS JOIN mx
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(wm) AS HUGEINT) AS s1,
+             SUM(CAST(wm AS HUGEINT) * wm) AS s2
+      FROM wts
+    )
+    SELECT n_docs,
+           FLOOR(CAST(s1 * s1 AS DOUBLE) / CAST(s2 AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS ess,
+           FLOOR(CAST(s1 * s1 AS DOUBLE) / CAST(s2 AS DOUBLE)
+                 / CAST(n_docs AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS ess_ratio
+    FROM agg
+    """,
+)
+def sample_dsir_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of the DSIR importance weights — the
+    resampling-health diagnostic (ESS ratio near 0 means a few
+    documents dominate the target distribution and the reweighted
+    corpus is smaller than it looks). Log-sum-exp shifted, per-doc
+    exp micro-quantized (exact integer sums, scale-invariant ESS),
+    one scalar max + one scalar fold (llm/dsir.dsir_ess over the
+    oracled dsir_scores pipeline)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = dsir.dsir_scores(
+        docs, F.col("source") == "src0", "text", "doc_id", buckets=1024
+    )
+    return dsir.dsir_ess(scored)
+
+
+@query(
     "text_lm_perplexity",
     """
     WITH base AS (

@@ -1235,3 +1235,40 @@ def test_source_jsd_disjoint_is_ln2(spark):
     df = spark.createDataFrame(docs, "doc_id long, source string, text string")
     r = tx.source_jsd(df, F.col("source") == "a").collect()[0]
     assert abs(r.jsd - math.log(2.0)) < 1e-5
+
+
+def test_dsir_ess_flat_weights_full(spark):
+    from nhs_data_pipeline_spark.llm import dsir as di
+
+    # identical scores -> identical weights -> ESS == n, ratio 1
+    df = spark.createDataFrame(
+        [(i, 2.5) for i in range(40)], "doc_id long, dsir_score double"
+    )
+    r = di.dsir_ess(df).collect()[0]
+    assert r.n_docs == 40
+    assert r.ess == 40.0 and r.ess_ratio == 1.0
+
+
+def test_dsir_ess_dominated_python_replica(spark):
+    import math
+
+    from nhs_data_pipeline_spark.llm import dsir as di
+
+    scores = [0.0] * 9 + [10.0]  # one doc dominates after exp
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(scores)],
+        "doc_id long, dsir_score double",
+    )
+    r = di.dsir_ess(df).collect()[0]
+    m = max(scores)
+    wm = [math.floor(math.exp(s - m) * 1e6 + 0.5) for s in scores]
+    s1, s2 = sum(wm), sum(w * w for w in wm)
+    ess = s1 * s1 / s2
+    assert r.ess == math.floor(ess * 1e6 + 0.5) / 1e6
+    assert r.ess_ratio < 0.2  # dominated
+    # shift invariance: adding a constant changes nothing
+    df2 = spark.createDataFrame(
+        [(i, s + 100.0) for i, s in enumerate(scores)],
+        "doc_id long, dsir_score double",
+    )
+    assert di.dsir_ess(df2).collect()[0].ess == r.ess

@@ -302,8 +302,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 199, len(QUERIES)
-    assert len(ORACLES) == 196, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 200, len(QUERIES)
+    assert len(ORACLES) == 197, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_registry_wide_plan_hygiene(spark, sf_dir):
@@ -433,6 +433,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # totals crossed into the corpus stream / term table
         # (llm/text.source_jsd) — scalar-broadcast shape
         "mixture_jsd",
+        # audited: the one-row max-score aggregate crossed into the
+        # scored-doc stream, atop dsir's audited scalar crosses
+        # (llm/dsir.dsir_ess) — scalar-broadcast shape
+        "sample_dsir_ess",
         "embed_topk_bruteforce", "embed_topk_auto", "q22_dormant_accounts",
         "q11_important_part_value", "text_tfidf_keywords",
         "sample_temperature", "ts_gap_fill_interpolate",
