@@ -377,6 +377,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # are model-sized (value-range / bucket_width rows)
         # (ops/analytics.psi_report)
         "stats_psi_drift",
+        # audited: same full-outer bucket-join shape per group, plus
+        # the group-keyed totals re-join of two aggregate-sized
+        # tables (ops/analytics.psi_by_group)
+        "stats_psi_by_segment",
         # audited: incremental_agg_merge full-outer-joins the base
         # aggregate with the key-granular delta aggregate — full outer
         # cannot broadcast and both sides are aggregate-sized, keyed
