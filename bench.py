@@ -269,15 +269,38 @@ def main() -> None:
     # mid-line -> parsed: null). Belt and braces: write the record to a
     # sidecar file first (fsync'd), then print it as its own flushed
     # line preceded by a newline that closes any half-drawn progress bar.
+    # The sidecar path is env-routable so test runs never clobber the
+    # round's official BENCH_LAST.json (the r06 judge's pytest run
+    # destroyed the closing record with a 1-query stub).
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"
+    )
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_LAST.json"), "w") as fh:
+        with open(out_path, "w") as fh:
             fh.write(record + "\n")
             fh.flush()
             os.fsync(fh.fileno())
     except OSError:
         pass  # read-only checkout: stdout line below is still the record
     sys.stdout.write("\n" + record + "\n")
+    # The driver keeps only the LAST ~2000 chars of stdout, and the full
+    # record (~4 kB with 97 per-query timings) always gets its head
+    # sheared off -> BENCH "parsed": null two rounds running. The VERY
+    # LAST line is therefore a compact (<1.5 kB) self-contained summary
+    # that always fits whole inside the tail window; the full per-query
+    # map lives in the sidecar and the preceding stdout line.
+    worst5 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    summary = {
+        "metric": "headline_suite_total_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "worst5": worst5,
+        "full_record": os.path.basename(out_path),
+    }
+    sys.stdout.write(json.dumps(summary) + "\n")
     sys.stdout.flush()
 
 

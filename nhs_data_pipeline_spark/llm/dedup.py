@@ -1101,7 +1101,15 @@ def exact_jaccard_join(
             inter.join(sa, "id_a")
             .join(sb, "id_b")
             .filter(_keep(F.col("__i"), F.col("__na"), F.col("__nb")))
-            .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+            .select(
+                "id_a", "id_b",
+                # portable floor-round (repo rule): three IEEE ops
+                # spelled identically in the DuckDB oracle, never
+                # library ROUND (F.round is BigDecimal HALF_UP,
+                # DuckDB rounds in floats)
+                (F.floor(jac * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+                .alias("jaccard"),
+            )
         )
 
     freq = toks.groupBy("bg").agg(F.count("*").alias("__n"))
@@ -1198,5 +1206,13 @@ def exact_jaccard_join(
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .filter(_keep(inter, F.col("__na"), F.col("__nb")))
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .select(
+                "id_a", "id_b",
+                # portable floor-round (repo rule): three IEEE ops
+                # spelled identically in the DuckDB oracle, never
+                # library ROUND (F.round is BigDecimal HALF_UP,
+                # DuckDB rounds in floats)
+                (F.floor(jac * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+                .alias("jaccard"),
+            )
     )

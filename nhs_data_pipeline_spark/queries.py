@@ -2653,12 +2653,12 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH q AS (
       SELECT doc_id,
-             ROUND(least(len(list_filter(regexp_split_to_array(text, '\s+'), __w -> __w <> '')) / 20.0, 1.0)
+             ROUND(least(len(list_filter(regexp_split_to_array(text, '\\s+'), __w -> __w <> '')) / 20.0, 1.0)
              * greatest(0.0, 1.0 - 2.0 * (CASE WHEN length(text) = 0 THEN 0.0
                         ELSE len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text) END))
-             * (0.5 + 0.5 * least((CASE WHEN (len(list_filter(regexp_split_to_array(text, '\s+'), __w -> __w <> ''))) = 0 THEN 0.0
+             * (0.5 + 0.5 * least((CASE WHEN (len(list_filter(regexp_split_to_array(text, '\\s+'), __w -> __w <> ''))) = 0 THEN 0.0
                         ELSE len(regexp_extract_all(lower(text), '{_EN_PAT}')) * 1.0 /
-                             (len(list_filter(regexp_split_to_array(text, '\s+'), __w -> __w <> ''))) END) * 4.0, 1.0)), 6)
+                             (len(list_filter(regexp_split_to_array(text, '\\s+'), __w -> __w <> ''))) END) * 4.0, 1.0)), 6)
              AS quality
       FROM documents
     ), reps AS (
@@ -2968,12 +2968,12 @@ def _canonical_oracle_sql() -> str:
     WITH comp AS ({comp_sql}),
     q AS (
       SELECT doc_id,
-             ROUND(least(len(list_filter(regexp_split_to_array(text, '\s+'), __w -> __w <> '')) / 20.0, 1.0)
+             ROUND(least(len(list_filter(regexp_split_to_array(text, '\\s+'), __w -> __w <> '')) / 20.0, 1.0)
              * greatest(0.0, 1.0 - 2.0 * (CASE WHEN length(text) = 0 THEN 0.0
                         ELSE len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text) END))
-             * (0.5 + 0.5 * least((CASE WHEN (len(list_filter(regexp_split_to_array(text, '\s+'), __w -> __w <> ''))) = 0 THEN 0.0
+             * (0.5 + 0.5 * least((CASE WHEN (len(list_filter(regexp_split_to_array(text, '\\s+'), __w -> __w <> ''))) = 0 THEN 0.0
                         ELSE len(regexp_extract_all(lower(text), '{_EN_PAT}')) * 1.0 /
-                             (len(list_filter(regexp_split_to_array(text, '\s+'), __w -> __w <> ''))) END) * 4.0, 1.0)), 6)
+                             (len(list_filter(regexp_split_to_array(text, '\\s+'), __w -> __w <> ''))) END) * 4.0, 1.0)), 6)
              AS quality
       FROM documents
     ),
@@ -4250,7 +4250,7 @@ def _repetition_oracle() -> str:
     ),
     base AS (
       SELECT doc_id,
-             len(list_filter(regexp_split_to_array(text, '\s+'), __w -> __w <> '')) AS n_tokens
+             len(list_filter(regexp_split_to_array(text, '\\s+'), __w -> __w <> '')) AS n_tokens
       FROM documents
     ),
     {body}
@@ -4627,7 +4627,8 @@ _JACCARD_EXACT_ORACLE_TEMPLATE = """
       FROM inter it JOIN sz sa ON it.id_a = sa.doc_id
                     JOIN sz sb ON it.id_b = sb.doc_id
     )
-    SELECT id_a, id_b, ROUND(i / (na + nb - i), 6) AS jaccard
+    SELECT id_a, id_b,
+           floor(i / (na + nb - i) * 1e6 + 0.5) / 1e6 AS jaccard
     FROM j WHERE ({den} * i) >= ({num} * (na + nb - i))
     """
 
@@ -4977,7 +4978,7 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
       SELECT doc_id, doc_id % 8 AS shard,
-             len(list_filter(regexp_split_to_array(text, '\s+'), __w -> __w <> '')) AS toks
+             len(list_filter(regexp_split_to_array(text, '\\s+'), __w -> __w <> '')) AS toks
       FROM documents
     ),
     c AS (
@@ -6439,7 +6440,7 @@ def _audit_panel_oracle() -> str:
     return f"""
     WITH qp0 AS (
       SELECT doc_id,
-        len(list_filter(regexp_split_to_array(text, '\s+'), __w -> __w <> '')) AS n_tokens,
+        len(list_filter(regexp_split_to_array(text, '\\s+'), __w -> __w <> '')) AS n_tokens,
         len(regexp_extract_all(lower(text), '{_EN_PAT}')) AS h_en,
         CASE WHEN length(text) = 0 THEN 0.0
              ELSE len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text) END AS punct
@@ -7620,7 +7621,7 @@ def events_seasonal_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DATASET_CARD_ORACLE_SQL = f"""
+_DATASET_CARD_ORACLE_SQL = rf"""
     WITH per_doc AS MATERIALIZED (
       SELECT source,
              len(list_filter(regexp_split_to_array(text, '\s+'), __w -> __w <> '')) AS n_tok,
@@ -7632,7 +7633,7 @@ _DATASET_CARD_ORACLE_SQL = f"""
                      / 20.0, 1.0)
                * greatest(0.0, 1.0 - 2.0 *
                    (CASE WHEN length(text) = 0 THEN 0.0
-                         ELSE len(regexp_extract_all(text, '[^\\w\\s]'))
+                         ELSE len(regexp_extract_all(text, '[^\w\s]'))
                               * 1.0 / length(text) END))
                * (0.5 + 0.5 * least(
                     (CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'), __w -> __w <> '')) = 0 THEN 0.0
@@ -9977,6 +9978,30 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 # verified by the identical local gate (tools/check_oracle.py runs
 # ALL entries).
 DRIVER_WINDOW = [
+    # r07 rotation (4th): twelve never-driver-attested flagships
+    # (the r06 verdict's exact list) swap in for the twelve most
+    # multiply-attested entries (each 5-6x green across r01-r06;
+    # every rotated-out family keeps an in-window sibling or its
+    # 5x cumulative attestation + the all-200 local gate): q1/q18
+    # (join-agg: 6x/5x, q-family shapes also inside curate/graph
+    # composites), j4 (semi/anti: 5x, j5/j6 stay), p123/p913/p10
+    # (P filters: 5x each), s8 (5x), a25 (5x, agg family: w56
+    # stays), w2u (5x, window family: w56 stays), r78 (5x),
+    # text_profile (5x; curate_audit_panel transitively attests
+    # the same signals), dedup_embed_cosine_pairs (5x; embed
+    # family keeps embed_pq_topk/embed_kmeans_fit/topk_bruteforce).
+    "o4_weighted_median",
+    "o5_quantile_bands",
+    "stats_corr_matrix",
+    "stats_cramers_v",
+    "privacy_t_closeness",
+    "graph_shortest_paths",
+    "graph_kcore_nations",
+    "events_markov_transitions",
+    "feature_token_chi2",
+    "eval_classifier_calibration",
+    "dedup_cdc_chunks",
+    "dedup_jaccard_prefix_join",
     # r06 rotation (3rd): ten never-driver-attested flagships swapped
     # in for ten 4-5x-attested entries whose SURVEY §2 rows keep other
     # attested representatives (q3/q5/q6/q7 -> q1/q14/q18 join-agg
@@ -9993,46 +10018,34 @@ DRIVER_WINDOW = [
     # rank mechanism shared with in-window sample_deterministic +
     # sample_weighted_ares + sample_dsir_scores) ->
     # merge_incremental_agg (incremental == rebuild proof).
-    "q1_pricing_summary",
     "classifier_logreg_fit",
     "join_bloom_prefilter",
     "graph_label_propagation",
     "stats_ols_trend",
     "simhash_near_pairs",
     "stats_psi_drift",
-    "q18_large_orders",
     "graph_triangle_count",
     "dedup_semantic_cells",
-    "j4_semi_anti",
     "j5_asof_join",
     "j6_range_join",
-    "p123_column_family",
     "eval_classifier_auc",
-    "p913_distinct_years",
-    "p10_marker_row_slice",
-    "s8_filename_metadata",
     "skew_salted_sum",
     "embed_pq_topk",
-    "a25_group_audit",
     "shuffle_training_order",
     "stats_winsorize_prices",
-    "w2u_lag_fill",
     "w56_binned_stats",
     "merge_upsert_customers",
     "feature_quantile_normalize",
-    "r78_array_family",
     "sketch_quantile_hist",
     "curate_mixture_v2",
     "f_string_date_family",
     "sample_deterministic",
     "scd2_point_in_time",
     "merge_incremental_agg",
-    "text_profile",
     "sample_dsir_scores",
     "entity_resolve_suppliers",
     "sample_weighted_ares",
     "dedup_span_stats",
-    "dedup_embed_cosine_pairs",
     "embed_topk_bruteforce",
     "curate_audit_panel",
     "graph_pagerank_nations",

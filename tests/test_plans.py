@@ -289,6 +289,14 @@ def test_driver_window_contract():
         # flagships (q14 and sample_stratified rotated out — families
         # keep in-window representatives)
         "stats_psi_drift", "merge_incremental_agg",
+        # r07 rotation (4th round-level): the r06 verdict's twelve
+        # never-attested picks, swapped in over the twelve most
+        # multiply-attested entries (5-6x green r01-r06)
+        "o4_weighted_median", "o5_quantile_bands", "stats_corr_matrix",
+        "stats_cramers_v", "privacy_t_closeness", "graph_shortest_paths",
+        "graph_kcore_nations", "events_markov_transitions",
+        "feature_token_chi2", "eval_classifier_calibration",
+        "dedup_cdc_chunks", "dedup_jaccard_prefix_join",
     ]:
         assert flagship in DRIVER_WINDOW, flagship
 
