@@ -310,6 +310,17 @@ def binary_auc(
     combine. NaN scores are excluded along with NULLs (NaN has no
     rank; it would also poison the bucket id)."""
     D = "decimal(38,0)"
+    # the bucket id is derived from score.cast('double'): that cast is
+    # order-preserving for numeric/decimal scores but would SILENTLY
+    # corrupt ranks for a string-typed score column (lexicographic
+    # order != numeric order of the cast) — reject it loudly
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(scored.schema[score_col].dataType, NumericType):
+        raise TypeError(
+            f"binary_auc: score column {score_col!r} must be numeric, "
+            f"got {scored.schema[score_col].dataType.simpleString()}"
+        )
     pos = F.col(pos_col).cast("int")
     base = scored.filter(F.col(score_col).isNotNull())
     if isinstance(scored.schema[score_col].dataType, (DoubleType, FloatType)):

@@ -1023,6 +1023,9 @@ def bootstrap_mean_ci(
     ``replicates`` is capped at 48 so every bit index stays inside the
     60-bit hash with marginal bias ~2^-60. Rows with NULL key or NULL
     value are excluded (they cannot be resampled deterministically).
+    An EMPTY replicate (all hash bits zero — probability 2^-n, real
+    for tiny inputs) coalesces to the overall mean rather than
+    contributing a NULL whose sort position is engine-dependent.
     ``scale`` divides the integer value back to original units (e.g.
     100 for cents).
     """
@@ -1054,8 +1057,16 @@ def bootstrap_mean_ci(
         aggs.append(F.sum(bit.cast("bigint")).alias(f"__n{b}"))
     one = base.agg(*aggs)
     sc = float(scale)
+    # degenerate-replicate guard: an EMPTY half-sample (all hash bits
+    # 0 for bit b — probability 2^-n, real for tiny groups) has a NULL
+    # sum, and a NULL replicate mean sorts FIRST in Spark's sort_array
+    # but engine-dependently in DuckDB's list_sort, skewing the picked
+    # order statistics. Coalesce each replicate mean to the overall
+    # mean (the neutral bootstrap contribution), spelled identically
+    # in the oracle so both engines run the same IEEE sequence.
     means = ", ".join(
-        f"cast(__s{b} as double) / ({sc!r} * cast(__n{b} as double))"
+        f"coalesce(cast(__s{b} as double) / ({sc!r} * cast(__n{b} as double)),"
+        f" cast(__s as double) / ({sc!r} * cast(__n as double)))"
         for b in range(replicates)
     )
     return one.select(

@@ -179,6 +179,12 @@ def incremental_agg_merge(
     all-NULL group (and a streaming store's value would depend on
     batch arrival order). NULL keys are legal groups (eqNullSafe
     join, coalesced key columns)."""
+    if not keys:
+        raise ValueError(
+            "incremental_agg_merge: keys must be non-empty (a keyless "
+            "global aggregate has no merge identity; pre-aggregate to "
+            "one row with a constant key instead)"
+        )
     sum_cols = sum_cols or {}
     delta = changes.groupBy(*keys).agg(
         F.sum(F.col(op_col)).cast("bigint").alias("__dn"),

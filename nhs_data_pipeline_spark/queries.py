@@ -9480,8 +9480,11 @@ def _bootstrap_oracle_sql(replicates: int = 48) -> str:
         f" CAST(SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n{b}"
         for b in range(replicates)
     )
+    # empty-replicate coalesce mirrors the engine's degenerate guard
+    # (ops/analytics.bootstrap_mean_ci): same IEEE fallback expression
     means = ", ".join(
-        f"CAST(s{b} AS DOUBLE) / (100.0 * CAST(n{b} AS DOUBLE))"
+        f"COALESCE(CAST(s{b} AS DOUBLE) / (100.0 * CAST(n{b} AS DOUBLE)),"
+        f" CAST(ss AS DOUBLE) / (100.0 * CAST(nn AS DOUBLE)))"
         for b in range(replicates)
     )
     return f"""

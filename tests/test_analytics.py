@@ -805,6 +805,19 @@ def test_incremental_agg_insert_only_and_count_only(spark):
     assert got == {"x": 3, "y": 1}
 
 
+def test_incremental_agg_rejects_empty_keys(spark):
+    """keys=[] must raise a clear ValueError, not IndexError at the
+    keys[0] join-condition build (r06 ADVICE)."""
+    import pytest
+
+    from nhs_data_pipeline_spark.ops.merge import incremental_agg_merge
+
+    base = spark.createDataFrame([("x", 2)], "k string, n_rows bigint")
+    ch = spark.createDataFrame([("x", 1)], "k string, __op int")
+    with pytest.raises(ValueError, match="keys must be non-empty"):
+        incremental_agg_merge(base, ch, [])
+
+
 # ---------------------------------------------------------------------------
 # corr_matrix / mutual_information
 # ---------------------------------------------------------------------------

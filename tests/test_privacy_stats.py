@@ -165,6 +165,20 @@ def test_bootstrap_ci_excludes_null_keys_and_values(spark):
     assert got.mean_value == 15.0
 
 
+def test_bootstrap_ci_empty_replicate_coalesces_to_overall_mean(spark):
+    """A half-sample replicate that keeps NO rows (all hash bits 0 —
+    guaranteed for a 1-row input on the ~24 zero bits of its hash) has
+    a NULL mean; Spark's sort_array puts NULLs first while DuckDB's
+    list_sort order differs, so NULLs must never reach the sort. The
+    guard coalesces empty replicates to the overall mean (r06 ADVICE):
+    for a single row, every replicate mean is then exactly the value."""
+    df = spark.createDataFrame([(1, 10)], "k bigint, v bigint")
+    got = oan.bootstrap_mean_ci(df, "v", "k").collect()[0]
+    assert got.n_rows == 1
+    assert got.mean_value == 10.0
+    assert got.ci_lo == 10.0 and got.ci_hi == 10.0
+
+
 def test_bootstrap_ci_scale_divides_back(spark):
     # cents -> units: scale=100
     rows = [(i, 12345) for i in range(1, 100)]

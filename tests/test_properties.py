@@ -126,6 +126,10 @@ _doc_strategy = st.lists(
 ).map(lambda lns: "\n".join(sep.join(ws) for ws, sep in lns))
 
 
+# SQL ltrim/rtrim strip SPACES ONLY (Spark and DuckDB alike) — the
+# replicas below mirror that with lstrip(" ")/rstrip(" "), never the
+# all-whitespace python default (a line ending in a tab before its
+# terminal punctuation must disagree with the engines identically)
 def _py_gopher(text: str) -> dict:
     import re
 
@@ -137,8 +141,8 @@ def _py_gopher(text: str) -> dict:
     n_sym = len(re.findall(r"#|\.\.\.", t))
     lines = t.split("\n")
     n_lines = len(lines)
-    n_bullet = sum(1 for ln in lines if re.match(r"^[-*•]", ln.lstrip()))
-    n_ell = sum(1 for ln in lines if re.search(r"\.\.\.$", ln.rstrip()))
+    n_bullet = sum(1 for ln in lines if re.match(r"^[-*•]", ln.lstrip(" ")))
+    n_ell = sum(1 for ln in lines if re.search(r"\.\.\.$", ln.rstrip(" ")))
     low = t.lower()
     n_stop = sum(
         1
@@ -168,7 +172,7 @@ def _py_c4(text: str) -> dict:
         s = ln.strip()
         return (
             bool(s)
-            and bool(re.search(r'[.!?"]$', ln.rstrip()))
+            and bool(re.search(r'[.!?"]$', ln.rstrip(" ")))
             and len(re.split(r"\s+", s)) >= 3
             and "javascript" not in ln.lower()
         )

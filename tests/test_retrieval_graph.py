@@ -1328,6 +1328,21 @@ def test_auc_null_scores_excluded(spark):
     assert (r.n_pos, r.n_neg, r.auc) == (1, 1, 1.0)
 
 
+def test_auc_rejects_non_numeric_score(spark):
+    """A string score column would rank lexicographically while the
+    bucket id ranks its double cast — silent rank corruption. Must
+    raise loudly instead (r06 ADVICE)."""
+    import pytest
+
+    from nhs_data_pipeline_spark.llm.classify import binary_auc
+
+    df = spark.createDataFrame(
+        [("0.9", True), ("0.10", False)], "score string, pos boolean"
+    )
+    with pytest.raises(TypeError, match="must be numeric"):
+        binary_auc(df, "score", "pos")
+
+
 def test_calibration_bins_hand_computed_and_ece_exact(spark):
     from nhs_data_pipeline_spark.llm.classify import calibration_bins
 
