@@ -82,6 +82,9 @@ BENCH_QUERIES = [
     # the 100 TB path; timed separately so BOTH plans sit under the 2x
     # gate (r05 verdict task 7)
     "dedup_jaccard_prefix_join",
+    # r07: the mode dispatcher (estimate + chosen plan) timed under
+    # the same 2x gate as both fixed modes
+    "dedup_jaccard_auto",
     "sketch_hll_portable",
     # r05 late additions: the new scale-pattern operators (runtime-
     # filter bloom pruning, oriented triangle counting, plan-side

@@ -1020,12 +1020,104 @@ def ngram_overlap_scores(
     )
 
 
+def estimate_jaccard_join_modes(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Cost estimates for :func:`exact_jaccard_join`'s two physical
+    strategies, from one cheap token-frequency aggregate — never by
+    running either join.
+
+    - ``cj_pairs``: the countjoin's EXACT intermediate volume,
+      sum over tokens of C(df, 2) — computable from the df histogram
+      alone.
+    - ``pf_pairs``: an estimate of the prefix mode's pre-filter
+      candidate volume. Prefixes keep each doc's globally RAREST
+      ``n - ceil(t*n) + 1`` tokens, so the total prefix-token budget
+      ``P = sum_docs(n_i - exact_ceil(t*n_i) + 1)`` lands on the
+      low-df end of the histogram: fill bins rarest-first until P
+      occurrences are spent, summing C(df, 2) per filled token (the
+      boundary bin scales by fill-fraction squared). This ignores the
+      length/positional filters (which only shrink candidates), so it
+      upper-bounds the candidate join volume while preserving the
+      quantity that matters for dispatch: on Zipfian real-corpus
+      vocabularies the rarest-P occupancy has df ~ 1-2 and pf_pairs
+      collapses orders of magnitude below cj_pairs; on dense synthetic
+      vocabularies it stays a large fraction of cj_pairs.
+
+    Scale shape: one (token -> df) aggregate, one TINY df-histogram
+    aggregate (rows = distinct df values), one doc-size aggregate —
+    all map-side-combinable; two scalar collects; no joins. The same
+    shuffles the chosen mode pays anyway.
+    """
+    from fractions import Fraction
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    fr = Fraction(str(threshold))
+    num, den = fr.numerator, fr.denominator
+    toks = _bigram_tokens(df, text_col, id_col)
+    prow = (
+        toks.groupBy("doc_id")
+        .agg(F.count("*").alias("__sz"))
+        .agg(
+            F.sum(
+                F.col("__sz")
+                - F.expr(f"({num} * __sz + {den} - 1) div {den}")
+                + F.lit(1)
+            ).alias("__P")
+        )
+        .collect()[0]
+    )
+    P = int(prow["__P"] or 0)
+    # df histogram: rows = distinct df VALUES (bounded by max df, tiny
+    # in practice), ordered ascending = rarest-first
+    bins = (
+        toks.groupBy("bg")
+        .agg(F.count("*").alias("__df"))
+        .groupBy("__df")
+        .agg(F.count("*").alias("__ntok"))
+        .orderBy("__df")
+        .collect()
+    )
+    cj = 0
+    pf = 0.0
+    rem = P
+    for r in bins:
+        d, n = int(r["__df"]), int(r["__ntok"])
+        token_pairs = d * (d - 1) // 2
+        cj += n * token_pairs
+        occ = d * n
+        if rem >= occ:
+            pf += n * token_pairs
+            rem -= occ
+        elif rem > 0:
+            fill = rem / occ
+            pf += n * token_pairs * fill * fill
+            rem = 0
+    return {"cj_pairs": cj, "pf_pairs": pf, "prefix_budget": P}
+
+
+# Measured-crossover calibration (this host, local[32], sf0.1 dense
+# synthetic vocabulary, r07 session): prefix's per-candidate cost
+# (rank window + distinct + array-intersect verify) is ~6x countjoin's
+# per-pair count cost. At pf/cj = 0.38 (t=0.6 dense) countjoin measured
+# 2x faster (4.9 vs 9.8 s); at 0.19 (t=0.8 dense) they tie (4.1 vs
+# 4.6 s) — so the wall-clock crossover sits near pf/cj ~ 1/6. Real
+# sparse corpora land at pf/cj << 0.01 and dispatch to prefix
+# decisively; the factor only arbitrates the dense middle.
+_JACCARD_PREFIX_COST_FACTOR = 6
+
+
 def exact_jaccard_join(
     df: DataFrame,
     threshold: float = 0.6,
     text_col: str = "text",
     id_col: str = "doc_id",
     mode: str = "countjoin",
+    report: dict | None = None,
 ) -> DataFrame:
     """EXACT set-similarity self-join: every pair of documents whose
     word-bigram SETS have Jaccard >= ``threshold``, with the exact
@@ -1064,6 +1156,14 @@ def exact_jaccard_join(
       verify with one array intersection. Wins on SPARSE vocabularies
       (real corpora); on dense ones the prefixes stay frequent and
       verification drowns — hence not the default here.
+    - ``mode="auto"``: dispatch between the two from
+      :func:`estimate_jaccard_join_modes` (the measured-crossover
+      dispatcher pattern of ``llm/similarity.choose_topk``): prefix
+      when ``pf_pairs * _JACCARD_PREFIX_COST_FACTOR < cj_pairs``,
+      else countjoin. Both modes are lossless, so the choice affects
+      ONLY the physical plan — results (and any oracle) are identical
+      either way. ``report`` (optional dict) receives
+      {mode, cj_pairs, pf_pairs, prefix_budget} for observability.
 
     Determinism: all decisions are integer-exact; the reported
     similarity is one IEEE division on identical integers, rounded to
@@ -1076,6 +1176,21 @@ def exact_jaccard_join(
 
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
+    if mode not in ("countjoin", "prefix", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode == "auto":
+        est = estimate_jaccard_join_modes(df, threshold, text_col, id_col)
+        mode = (
+            "prefix"
+            if est["pf_pairs"] * _JACCARD_PREFIX_COST_FACTOR
+            < est["cj_pairs"]
+            else "countjoin"
+        )
+        if report is not None:
+            report.update(est)
+            report["mode"] = mode
+    elif report is not None:
+        report["mode"] = mode
     frac = Fraction(str(threshold))
     num, den = frac.numerator, frac.denominator
 

@@ -4678,6 +4678,30 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_jaccard_auto", _jaccard_oracle(3, 5))
+def dedup_jaccard_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.6 self-join through the MODE DISPATCHER
+    (llm/dedup.exact_jaccard_join mode='auto'): countjoin-vs-prefix
+    chosen from estimate_jaccard_join_modes' token-frequency cost
+    model, the mirror of embed_topk_auto's measured-crossover
+    dispatch. Both modes are lossless, so the SAME independently
+    written DuckDB threshold join checks the result whichever plan is
+    picked. On the deliberately dense synthetic vocabulary the
+    truncated rarest-first estimate stays a large fraction of the
+    countjoin volume (measured pf/cj ~ 0.38 at t=0.6 at BOTH sf0.01
+    and sf0.1 — the ratio is density-driven, not magnitude-driven),
+    so the dispatcher must land on countjoin at any gate sf; the
+    wiring assert pins that. The sparse-vocabulary side of the
+    crossover (prefix chosen) is exercised in tests/test_llm.py."""
+    report: dict = {}
+    out = dd.exact_jaccard_join(
+        _t(spark, sf_dir, "documents"), threshold=0.6, mode="auto",
+        report=report,
+    )
+    assert report["mode"] == "countjoin", report  # wiring check
+    return out
+
+
 def _bpe_cte_block(n_merges: int) -> str:
     """Shared CTE block replicating llm/bpe._train in DuckDB: the
     word-type table, per-round pair-count aggregates, (count desc, a,

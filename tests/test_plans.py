@@ -310,8 +310,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 200, len(QUERIES)
-    assert len(ORACLES) == 197, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 201, len(QUERIES)
+    assert len(ORACLES) == 198, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_registry_wide_plan_hygiene(spark, sf_dir):
@@ -360,6 +360,9 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # (doc, bigram) table, so a shuffle join is the correct plan
         # at scale even though gate-sized stats broadcast it today
         "dedup_jaccard_exact_join",
+        # audited: the auto dispatcher resolves to one of the two
+        # audited exact-Jaccard plans (countjoin at gate density)
+        "dedup_jaccard_auto",
         # audited: the PPJoin mode's prefix-candidate join and its
         # exact-intersection verify join are likewise corpus x corpus
         # on (prefix-token, doc-pair) keys — shuffle joins correct

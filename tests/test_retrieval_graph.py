@@ -1090,6 +1090,50 @@ def test_exact_jaccard_rejects_degenerate_threshold(spark):
     docs = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
     with _pytest.raises(ValueError):
         dd2.exact_jaccard_join(docs, 0.0)
+    with _pytest.raises(ValueError, match="unknown mode"):
+        dd2.exact_jaccard_join(docs, 0.5, mode="bogus")
+
+
+def test_exact_jaccard_auto_dispatches_by_vocabulary_shape(spark):
+    """The auto mode must pick countjoin on a DENSE vocabulary (every
+    token frequent: truncated rarest-first volume stays a large
+    fraction of sum C(df,2)) and prefix on a SPARSE one (near-unique
+    bigrams per doc: the rarest-P occupancy has df ~ 1 and the
+    estimate collapses), and in both cases return exactly the fixed
+    modes' (identical) results."""
+    import random
+
+    from nhs_data_pipeline_spark.llm import dedup as dd2
+
+    rng = random.Random(7)
+    # dense: 60 docs over a 6-word vocabulary -> df ~ docs
+    dense = spark.createDataFrame(
+        [(i, " ".join(rng.choice("a b c d e f".split())
+                      for _ in range(rng.randint(5, 15))))
+         for i in range(60)],
+        ["doc_id", "text"],
+    )
+    rep: dict = {}
+    got = sorted(map(tuple, dd2.exact_jaccard_join(
+        dense, 0.6, mode="auto", report=rep).collect()))
+    assert rep["mode"] == "countjoin", rep
+    assert got == sorted(map(tuple, dd2.exact_jaccard_join(
+        dense, 0.6, mode="countjoin").collect()))
+    # sparse: 60 docs with disjoint vocabularies (df == 1 everywhere)
+    # except one planted near-duplicate pair
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(12))) for i in range(59)]
+    rows.append((59, rows[0][1] + " extra"))
+    sparse = spark.createDataFrame(rows, ["doc_id", "text"])
+    rep2: dict = {}
+    got2 = sorted(map(tuple, dd2.exact_jaccard_join(
+        sparse, 0.6, mode="auto", report=rep2).collect()))
+    assert rep2["mode"] == "prefix", rep2
+    assert got2 == sorted(map(tuple, dd2.exact_jaccard_join(
+        sparse, 0.6, mode="prefix").collect()))
+    assert [(a, b) for a, b, _ in got2] == [(0, 59)]
+    # estimator internals are self-consistent
+    assert rep2["pf_pairs"] <= rep2["cj_pairs"]
+    assert rep["cj_pairs"] > 0 and rep["prefix_budget"] > 0
 
 
 def test_kfold_disjoint_exhaustive_stable(spark):
