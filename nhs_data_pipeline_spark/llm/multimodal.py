@@ -4,7 +4,8 @@ Images/audio/video ride through the engine as ``binary`` columns with a
 typed metadata struct — the Spark-side contract (schema, partitioning,
 Arrow batch shape) is real and tested. Formats a pure-python parser can
 own are decoded for real (:func:`real_decode`: uncompressed 24-bit BMP,
-16-bit PCM WAV; :func:`extract_image_meta`: PNG/JPEG header dims);
+16-bit PCM WAV, non-interlaced 8-bit PNG via stdlib zlib + the five
+scanline filters; :func:`extract_image_meta`: PNG/JPEG header dims);
 codecs that need external libraries (JPEG pixel decode, MP3, video)
 remain stubbed behind ``NotImplementedError`` / a deterministic fake
 because this container ships no media libraries.
@@ -155,11 +156,144 @@ def _decode_wav(b: bytes) -> list[float] | None:
     ]
 
 
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytearray | None:
+    """Invert the 5 PNG scanline filters (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6) over ``h`` scanlines of ``stride`` bytes each, ``bpp``
+    bytes per pixel. Pure integer byte arithmetic — exact on any
+    platform. Returns None on an unknown filter type."""
+    out = bytearray(h * stride)
+    prev_off = -1  # no prior scanline
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        src = r * (stride + 1) + 1
+        dst = r * stride
+        if ft == 0:  # None
+            out[dst : dst + stride] = raw[src : src + stride]
+        elif ft == 1:  # Sub
+            for c in range(stride):
+                left = out[dst + c - bpp] if c >= bpp else 0
+                out[dst + c] = (raw[src + c] + left) & 0xFF
+        elif ft == 2:  # Up
+            for c in range(stride):
+                up = out[prev_off + c] if prev_off >= 0 else 0
+                out[dst + c] = (raw[src + c] + up) & 0xFF
+        elif ft == 3:  # Average
+            for c in range(stride):
+                left = out[dst + c - bpp] if c >= bpp else 0
+                up = out[prev_off + c] if prev_off >= 0 else 0
+                out[dst + c] = (raw[src + c] + ((left + up) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for c in range(stride):
+                a = out[dst + c - bpp] if c >= bpp else 0
+                b_ = out[prev_off + c] if prev_off >= 0 else 0
+                cc = (
+                    out[prev_off + c - bpp]
+                    if (c >= bpp and prev_off >= 0)
+                    else 0
+                )
+                p = a + b_ - cc
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else cc)
+                out[dst + c] = (raw[src + c] + pred) & 0xFF
+        else:
+            return None
+        prev_off = dst
+    return out
+
+
+def _decode_png(b: bytes) -> list[float] | None:
+    """Pure-python decode of a NON-INTERLACED 8-bit PNG (grayscale,
+    gray+alpha, RGB, RGBA — color types 0/4/2/6) into the same 8-dim
+    feature shape as :func:`_decode_bmp`: ``[mean_r, mean_g, mean_b,
+    mean_luma, width/4096, height/4096, aspect_wh, 3.0]`` (grayscale
+    replicates the gray channel; alpha is ignored for the means).
+
+    stdlib ``zlib`` inflates the concatenated IDAT stream; the five
+    scanline filters are inverted exactly (:func:`_png_unfilter`);
+    channel sums are exact integers with one float division each.
+    Returns None — decode_ok False, never a crash — for interlaced,
+    paletted (color type 3), non-8-bit, truncated, or otherwise
+    malformed files. 16-bit depth and palettes are honest gaps; JPEG
+    pixel decode stays stubbed (no pure-python inverse DCT here).
+    Reference behavior: scripts feeding a vision pipeline decode PNG
+    via PIL; this is the library-free equivalent for the container."""
+    import zlib
+
+    if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    i, ihdr, idat = 8, None, []
+    while i + 8 <= len(b):
+        ln = int.from_bytes(b[i : i + 4], "big")
+        typ = b[i + 4 : i + 8]
+        body = b[i + 8 : i + 8 + ln]
+        if len(body) < ln:
+            return None  # truncated chunk
+        if typ == b"IHDR":
+            ihdr = body
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        i += 12 + ln  # length + type + body + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, comp, filt, interlace = ihdr[8:13]
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if (
+        bit_depth != 8 or comp != 0 or filt != 0 or interlace != 0
+        or channels is None or w <= 0 or h <= 0
+    ):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        return None
+    px = _png_unfilter(raw, h, stride, channels)
+    if px is None:
+        return None
+    sr = sg = sb = 0
+    if channels >= 3:
+        for r in range(h):
+            base = r * stride
+            for c in range(w):
+                p = base + channels * c
+                sr += px[p]
+                sg += px[p + 1]
+                sb += px[p + 2]
+    else:  # grayscale (+alpha): replicate
+        for r in range(h):
+            base = r * stride
+            for c in range(w):
+                g = px[base + channels * c]
+                sr += g
+                sg += g
+                sb += g
+    n = w * h
+    luma = (299 * sr + 587 * sg + 114 * sb) / (255000.0 * n)
+    return [
+        sr / (255.0 * n),
+        sg / (255.0 * n),
+        sb / (255.0 * n),
+        luma,
+        w / 4096.0,
+        h / 4096.0,
+        w / h,
+        3.0,
+    ]
+
+
 def real_decode(content: bytes | None) -> list[float] | None:
     """REAL bytes-to-features decoder for the formats a pure-python
-    parser can own: uncompressed 24-bit BMP and 16-bit PCM WAV. Sniffs
-    the magic bytes and dispatches; anything else (PNG/JPEG/MP3/...)
-    returns None -> ``decode_ok = False``. Pass it explicitly —
+    parser can own: uncompressed 24-bit BMP, 16-bit PCM WAV, and
+    non-interlaced 8-bit PNG (zlib IDAT + exact inversion of all five
+    scanline filters). Sniffs the magic bytes and dispatches; anything
+    else (JPEG/MP3/...) returns None -> ``decode_ok = False``. Pass it
+    explicitly —
     ``decode_features(media, real_decoder=real_decode)`` — to run
     genuine decode work through the mapInPandas path (the tests do
     exactly this); ``decode_features``'s DEFAULT stays the
@@ -173,6 +307,8 @@ def real_decode(content: bytes | None) -> list[float] | None:
         return _decode_bmp(b)
     if b[:4] == b"RIFF":
         return _decode_wav(b)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(b)
     return None
 
 

@@ -823,6 +823,117 @@ def test_real_decode_rejects_malformed():
         assert mm.real_decode(blob) is None
 
 
+def _make_png(pixels: list[list[tuple]], color_type: int,
+              filters: list[int]) -> bytes:
+    """Hand-built non-interlaced 8-bit PNG: ``pixels`` is rows of
+    channel tuples; each row is FORWARD-filtered with the given filter
+    type (0..4, RFC 2083 §6), so decoding must invert every filter to
+    recover the exact pixels."""
+    import zlib
+
+    def _chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big") + typ + body
+            + (zlib.crc32(typ + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    h, w = len(pixels), len(pixels[0])
+    ch = len(pixels[0][0])
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    raw = bytearray()
+    prev = bytes(w * ch)
+    for row, ft in zip(pixels, filters):
+        cur = bytes(v for px in row for v in px)
+        raw.append(ft)
+        for c in range(len(cur)):
+            a = cur[c - ch] if c >= ch else 0
+            b = prev[c]
+            cc = prev[c - ch] if c >= ch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            raw.append((cur[c] - pred) & 0xFF)
+        prev = cur
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filters_bit_exact():
+    """A 4x5 RGB PNG whose five scanlines use the five filter types
+    (None/Sub/Up/Average/Paeth) must decode to EXACTLY the known
+    channel means — pinning the unfilter math, not just 'runs'."""
+    import random
+
+    rng = random.Random(3)
+    pixels = [
+        [tuple(rng.randrange(256) for _ in range(3)) for _ in range(4)]
+        for _ in range(5)
+    ]
+    png = _make_png(pixels, color_type=2, filters=[0, 1, 2, 3, 4])
+    f = mm.real_decode(png)
+    assert f is not None
+    flat = [px for row in pixels for px in row]
+    n = len(flat)
+    sr, sg, sb = (sum(px[i] for px in flat) for i in range(3))
+    assert f[0] == sr / (255.0 * n)
+    assert f[1] == sg / (255.0 * n)
+    assert f[2] == sb / (255.0 * n)
+    assert f[3] == (299 * sr + 587 * sg + 114 * sb) / (255000.0 * n)
+    assert f[4:] == [4 / 4096, 5 / 4096, 4 / 5, 3.0]
+
+
+def test_png_decode_rgba_gray_and_malformed():
+    """RGBA ignores alpha in the means; grayscale replicates; paletted /
+    interlaced / truncated / corrupt-zlib files fail CLEANLY (None)."""
+    import zlib
+
+    rgba = [[(255, 0, 0, 7), (0, 0, 255, 9)]]
+    f = mm.real_decode(_make_png(rgba, color_type=6, filters=[4]))
+    assert f[:3] == [0.5, 0.0, 0.5]
+    gray = [[(100,), (200,)], [(0,), (60,)]]
+    g = mm.real_decode(_make_png(gray, color_type=0, filters=[2, 1]))
+    assert g[0] == g[1] == g[2] == 360 / (255.0 * 4)
+    good = _make_png([[(1, 2, 3)]], color_type=2, filters=[0])
+    # paletted color type
+    bad_ct = bytearray(good)
+    bad_ct[25] = 3  # IHDR color_type byte
+    assert mm.real_decode(bytes(bad_ct)) is None
+    # interlaced
+    bad_il = bytearray(good)
+    bad_il[28] = 1  # IHDR interlace byte
+    assert mm.real_decode(bytes(bad_il)) is None
+    # truncated mid-IDAT and corrupt deflate stream
+    assert mm.real_decode(good[:40]) is None
+    idat_at = good.index(b"IDAT")
+    corrupt = good[: idat_at + 4] + b"\x00\x01" + good[idat_at + 6:]
+    assert mm.real_decode(corrupt) is None
+    # unknown filter type inside a valid zlib stream
+    raw = bytes([7, 1, 2, 3])  # filter 7 on a 1-px RGB row
+    body = (1).to_bytes(4, "big") + (1).to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    def _ck(t, b):
+        return len(b).to_bytes(4, "big") + t + b + (
+            zlib.crc32(t + b) & 0xFFFFFFFF).to_bytes(4, "big")
+    bad_f = (b"\x89PNG\r\n\x1a\n" + _ck(b"IHDR", body)
+             + _ck(b"IDAT", zlib.compress(raw)) + _ck(b"IEND", b""))
+    assert mm.real_decode(bad_f) is None
+
+
 def test_multimodal_frame_sampling(spark):
     rows = [(3, "video", bytearray(b"\x03"), ("video/mp4", None, None, 2500))]
     media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
