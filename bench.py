@@ -149,6 +149,9 @@ BENCH_QUERIES = [
     "mixture_jsd",
     "stats_psi_by_segment",
     "sample_dsir_ess",
+    # r07 additions: bin-free KS drift statistic, HITS dual ranking
+    "stats_ks_test",
+    "graph_hits_nations",
 ]
 
 

@@ -1327,3 +1327,102 @@ def mutual_information(
         ((lnN.cast("double") - F.col("__hb_m").cast("double")
           / F.col("n_rows").cast("double")) / F.lit(1000000.0)).alias("h_b"),
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_int_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    bucket_width: int = 1 << 16,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    ``group_a`` and ``group_b`` slices of an integer-quantized value:
+    one row ``(n_a, n_b, ks_d)`` with
+
+        D = max over x of |ECDF_a(x) - ECDF_b(x)|
+
+    — the standard distribution-drift test statistic (heavier-duty
+    than PSI's binned divergence: D is bin-free and metric-exact).
+    The caller quantizes the value (KS is invariant under any strictly
+    monotone transform, so fixed-point cents/micros change nothing).
+
+    Exactness: per-value side counts are exact integers; the scaled
+    deviation ``|cum_a * n_b - cum_b * n_a|`` stays in DECIMAL(38,0)
+    (magnitude <= n_a * n_b); the ONE closing division casts the two
+    factors to double separately — identical IEEE sequence in the
+    oracle — then the portable floor-round to 6 dp. Rows with a NULL
+    value are excluded (they have no ECDF position); an empty side
+    yields NULL, not a zero-division.
+
+    Scale shape: one (value -> side counts) aggregate, then the
+    repo's bucketed two-pass cumulation (quantile_normalize's
+    pattern): cumulative offsets run over the model-sized BUCKET
+    table, the per-value walk is a window PARTITIONED by value
+    bucket, and the final max is one scalar aggregate. No global
+    window ever holds the distinct-value table in one task."""
+    v = F.col(value_int_col)
+    base = df.filter(
+        v.isNotNull() & F.col(group_col).isin([group_a, group_b])
+    )
+    D = "decimal(38,0)"
+    g = base.groupBy(value_int_col).agg(
+        F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0))
+        .cast(D).alias("__ca"),
+        F.sum(F.when(F.col(group_col) == group_b, 1).otherwise(0))
+        .cast(D).alias("__cb"),
+    )
+    tot = base.agg(
+        F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0))
+        .cast(D).alias("__na"),
+        F.sum(F.when(F.col(group_col) == group_b, 1).otherwise(0))
+        .cast(D).alias("__nb"),
+    )
+    bucketed = g.withColumn(
+        "__b", (v / bucket_width).cast("bigint")
+    )
+    counts = bucketed.groupBy("__b").agg(
+        F.sum("__ca").alias("__bca"), F.sum("__cb").alias("__bcb")
+    )
+    woff = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__b",
+        F.coalesce(F.sum("__bca").over(woff), F.lit(0).cast(D)).alias("__offa"),
+        F.coalesce(F.sum("__bcb").over(woff), F.lit(0).cast(D)).alias("__offb"),
+    )
+    wb = (
+        Window.partitionBy("__b")
+        .orderBy(value_int_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        bucketed.join(F.broadcast(offsets), "__b")
+        .select(
+            (F.col("__offa") + F.sum("__ca").over(wb)).alias("__cuma"),
+            (F.col("__offb") + F.sum("__cb").over(wb)).alias("__cumb"),
+        )
+    )
+    dev = cum.crossJoin(F.broadcast(tot)).select(
+        F.abs(
+            F.col("__cuma") * F.col("__nb") - F.col("__cumb") * F.col("__na")
+        ).alias("__dev"),
+        "__na",
+        "__nb",
+    )
+    return dev.groupBy("__na", "__nb").agg(
+        F.max("__dev").alias("__dmax")
+    ).select(
+        F.col("__na").cast("bigint").alias("n_a"),
+        F.col("__nb").cast("bigint").alias("n_b"),
+        F.when(
+            (F.col("__na") > 0) & (F.col("__nb") > 0),
+            F.floor(
+                F.col("__dmax").cast("double")
+                / (F.col("__na").cast("double") * F.col("__nb").cast("double"))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6),
+        ).alias("ks_d"),
+    )

@@ -397,3 +397,90 @@ def kcore(
     return e.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("bigint").alias("core_deg")
     )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    deterministic: bool = False,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg, public) after
+    ``iterations`` synchronous rounds: ``(node, hub, authority)``.
+    Each round:
+
+        a'(v) = sum_{(u,v) in E} h(u) * w(u,v);  a = round(a'/max(a'), 9)
+        h'(u) = sum_{(u,v) in E} a(v) * w(u,v);  h = round(h'/max(h'), 9)
+
+    with all-ones initial hubs. L-infinity normalization (divide by
+    the max) on purpose: ``max`` is ORDER-FREE over doubles, so the
+    normalizer is exact on any partitioning — an L2 norm's
+    sum-of-squares would be partition-order-dependent float addition
+    on top of the per-node sums (and converges to the same principal
+    eigenvector direction regardless).
+
+    Scale/determinism contract mirrors :func:`pagerank`: per-node sums
+    default to plain partial-aggregating ``F.sum`` (hub-node safe);
+    ``deterministic=True`` folds contributions in neighbor order via
+    ``sort_array(collect_list(...))`` for bit-exact cross-engine
+    replay at verification scale. Each round re-ranks off a
+    ``localCheckpoint`` so the unrolled plan never compounds
+    (module docstring); nodes with no in-edges (out-edges) hold
+    authority (hub) 0."""
+    e, nodes = _edge_and_node_tables(edges, src, dst, weight)
+    nodes.count()
+    hubs = nodes.withColumn("h", F.lit(1.0))
+    auths = None
+    for _ in range(iterations):
+        a_contrib = (
+            e.join(hubs.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                "src",
+                (F.col("h") * F.col("w")).alias("__c"),
+            )
+        )
+        a_sum = _per_node_sums(a_contrib, deterministic)
+        a_max = a_sum.agg(F.max("__s").alias("__m"))
+        auths = (
+            nodes.join(a_sum.select("node", "__s"), "node", "left")
+            .crossJoin(F.broadcast(a_max))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce("__s", F.lit(0.0)) / F.col("__m"), 9
+                ).alias("a"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        auths.count()
+        h_contrib = (
+            e.join(auths.withColumnRenamed("node", "dst"), "dst")
+            .select(
+                F.col("src").alias("node"),
+                F.col("dst").alias("src"),  # fold order key
+                (F.col("a") * F.col("w")).alias("__c"),
+            )
+        )
+        h_sum = _per_node_sums(h_contrib, deterministic)
+        h_max = h_sum.agg(F.max("__s").alias("__m"))
+        hubs = (
+            nodes.join(h_sum.select("node", "__s"), "node", "left")
+            .crossJoin(F.broadcast(h_max))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce("__s", F.lit(0.0)) / F.col("__m"), 9
+                ).alias("h"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        hubs.count()
+    out = hubs.join(auths, "node").select(
+        "node", F.col("h").alias("hub"), F.col("a").alias("authority")
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out

@@ -7222,6 +7222,97 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_nationkey", "n_name", "pr")
 
 
+def _hits_oracle_sql(iterations: int = 4) -> str:
+    """Unrolled-iteration DuckDB replica of ops/graph.hits on the same
+    trade graph as the PageRank oracle: per round, fold authority
+    contributions in src order and hub contributions in dst order
+    (the engine's deterministic fold keys), L-infinity normalize
+    (MAX is order-free), ROUND 9 — the identical IEEE sequence."""
+    its = []
+    for i in range(1, iterations + 1):
+        its.append(f"""
+    ac{i} AS (
+      SELECT e.dst AS node, e.src AS k, h{i - 1}.h * e.w AS c
+      FROM e JOIN h{i - 1} ON e.src = h{i - 1}.node
+    ),
+    sa{i} AS (
+      SELECT node,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY k)),
+                         (__x, __y) -> __x + __y) AS s
+      FROM ac{i} GROUP BY node
+    ),
+    am{i} AS (SELECT MAX(s) AS m FROM sa{i}),
+    a{i} AS MATERIALIZED (
+      SELECT nd.node,
+             ROUND(COALESCE(sa{i}.s, CAST(0.0 AS DOUBLE)) / am{i}.m, 9) AS a
+      FROM nd LEFT JOIN sa{i} USING (node), am{i}
+    ),
+    hc{i} AS (
+      SELECT e.src AS node, e.dst AS k, a{i}.a * e.w AS c
+      FROM e JOIN a{i} ON e.dst = a{i}.node
+    ),
+    sh{i} AS (
+      SELECT node,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY k)),
+                         (__x, __y) -> __x + __y) AS s
+      FROM hc{i} GROUP BY node
+    ),
+    hm{i} AS (SELECT MAX(s) AS m FROM sh{i}),
+    h{i} AS MATERIALIZED (
+      SELECT nd.node,
+             ROUND(COALESCE(sh{i}.s, CAST(0.0 AS DOUBLE)) / hm{i}.m, 9) AS h
+      FROM nd LEFT JOIN sh{i} USING (node), hm{i}
+    )""")
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    nd AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM nd),
+    {",".join(its)}
+    SELECT na.n_nationkey, na.n_name,
+           h{iterations}.h AS hub, a{iterations}.a AS authority
+    FROM h{iterations} JOIN a{iterations} USING (node)
+    JOIN nation na ON h{iterations}.node = na.n_nationkey
+    """
+
+
+@query("graph_hits_nations", _hits_oracle_sql(4))
+def graph_hits_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (4 synchronous rounds, L-infinity
+    normalized) over the customer-nation -> supplier-nation trade
+    graph: hub = how strongly a nation's customers buy from
+    authoritative suppliers, authority = how strongly a nation's
+    suppliers serve hub buyers. Same distributed join+groupBy rounds
+    as PageRank, two folds per round; max-normalization keeps the
+    normalizer order-free (no sum-of-squares float fold)
+    (ops/graph.hits)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    scores = og.hits(edges, iterations=4, deterministic=True)
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return scores.join(
+        F.broadcast(nation), scores.node == nation.n_nationkey
+    ).select("n_nationkey", "n_name", "hub", "authority")
+
+
 _MARKOV_ORACLE_SQL = """
     WITH seq AS MATERIALIZED (
       SELECT event_type AS next_state,
@@ -9943,6 +10034,61 @@ def stats_psi_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderpriority"],
         "__cents",
         bucket_width=2500000,
+    )
+
+
+@query(
+    "stats_ks_test",
+    """
+    WITH base AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ia,
+             CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS ib
+      FROM orders
+      WHERE o_totalprice IS NOT NULL
+        AND o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    g AS (
+      SELECT v, CAST(SUM(ia) AS HUGEINT) AS ca,
+             CAST(SUM(ib) AS HUGEINT) AS cb
+      FROM base GROUP BY v
+    ),
+    c AS (
+      SELECT SUM(ca) OVER (ORDER BY v) AS cuma,
+             SUM(cb) OVER (ORDER BY v) AS cumb
+      FROM g
+    ),
+    t AS (SELECT CAST(SUM(ia) AS HUGEINT) AS na,
+                 CAST(SUM(ib) AS HUGEINT) AS nb FROM base)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CASE WHEN na > 0 AND nb > 0 THEN
+             floor(CAST(MAX(ABS(cuma * nb - cumb * na)) AS DOUBLE)
+                   / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                   * 1e6 + 0.5) / 1e6
+           END AS ks_d
+    FROM c CROSS JOIN t
+    GROUP BY na, nb
+    """,
+)
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between urgent and low-priority
+    order-value distributions — the bin-free drift statistic next to
+    PSI's binned divergence. Exact integers end to end: per-value side
+    counts, the scaled deviation |cum_a*n_b - cum_b*n_a| in
+    DECIMAL(38,0) (DuckDB HUGEINT), one closing division of separately
+    double-cast factors, portable floor-round. The cumulation is the
+    bucketed two-pass pattern — never a global window over the
+    distinct-value table (ops/analytics.ks_two_sample)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    ).select(
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias(
+            "__cents"
+        ),
+        "o_orderpriority",
+    )
+    return oan.ks_two_sample(
+        o, "__cents", "o_orderpriority", "1-URGENT", "5-LOW"
     )
 
 

@@ -1050,3 +1050,51 @@ def test_weighted_quantiles_rejects_bad_q(spark):
     df = spark.createDataFrame([("a", 1, 1)], "g string, v bigint, w bigint")
     with _pytest.raises(ValueError):
         group_weighted_quantiles(df, ["g"], "v", "w", ["0"])
+
+
+# ---------------------------------------------------------------------------
+# ks_two_sample
+# ---------------------------------------------------------------------------
+
+def test_ks_identical_and_disjoint_distributions(spark):
+    from nhs_data_pipeline_spark.ops.analytics import ks_two_sample
+
+    rows = [(v, g) for v in (1, 2, 3, 4) for g in ("a", "b")]
+    df = spark.createDataFrame(rows, "v bigint, g string")
+    r = ks_two_sample(df, "v", "g", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b, r.ks_d) == (4, 4, 0.0)
+    rows = [(v, "a") for v in (1, 2)] + [(v, "b") for v in (10, 11)]
+    df = spark.createDataFrame(rows, "v bigint, g string")
+    r = ks_two_sample(df, "v", "g", "a", "b").collect()[0]
+    assert r.ks_d == 1.0
+
+
+def test_ks_hand_case_and_null_exclusion(spark):
+    from nhs_data_pipeline_spark.ops.analytics import ks_two_sample
+
+    # A = {1,2,3}, B = {2,3,4}: max ECDF gap is 1/3 (at x=1, 2, or 3)
+    rows = [(1, "a"), (2, "a"), (3, "a"), (2, "b"), (3, "b"), (4, "b"),
+            (None, "a"), (99, "zzz")]
+    df = spark.createDataFrame(rows, "v bigint, g string")
+    r = ks_two_sample(df, "v", "g", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b) == (3, 3)  # NULL value + foreign group excluded
+    assert r.ks_d == 0.333333  # floor(1/3 * 1e6 + 0.5) / 1e6
+
+
+def test_ks_empty_side_yields_null(spark):
+    from nhs_data_pipeline_spark.ops.analytics import ks_two_sample
+
+    df = spark.createDataFrame([(1, "a"), (2, "a")], "v bigint, g string")
+    r = ks_two_sample(df, "v", "g", "a", "b").collect()[0]
+    assert r.n_b == 0 and r.ks_d is None
+
+
+def test_ks_partitioning_invariance_and_bucket_width(spark):
+    from nhs_data_pipeline_spark.ops.analytics import ks_two_sample
+
+    rows = [((i * 37) % 1000, "a" if i % 3 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "v bigint, g string")
+    base = ks_two_sample(df, "v", "g", "a", "b").collect()[0]
+    rep = ks_two_sample(df.repartition(7), "v", "g", "a", "b").collect()[0]
+    tiny = ks_two_sample(df, "v", "g", "a", "b", bucket_width=8).collect()[0]
+    assert base == rep == tiny

@@ -1553,3 +1553,80 @@ def test_token_chi2_repeated_token_counts_once_per_doc(spark):
         for r in clf.token_chi2(docs, F.col("lang").eqNullSafe("en")).collect()
     }
     assert out["a"] == 1  # presence, not term frequency
+
+
+# ------------------------------------------------------------------- HITS
+
+def test_hits_bipartite_star_ranks_hub_and_authority(spark):
+    # 1 points at both authorities; 10 is pointed at by everyone
+    e = spark.createDataFrame(
+        [(1, 10, 1), (2, 10, 1), (3, 10, 1), (1, 11, 1)],
+        ["src", "dst", "w"],
+    )
+    out = {r.node: r for r in og.hits(e, iterations=4).collect()}
+    assert out[10].authority == 1.0  # L-inf: the max authority is 1
+    assert out[1].hub == 1.0  # the double-pointer is the max hub
+    assert out[2].hub < 1.0 and out[11].authority < 1.0
+    # pure authorities have hub 0; pure hubs have authority 0
+    assert out[10].hub == 0.0 and out[1].authority == 0.0
+
+
+def test_hits_matches_python_replica_bit_exact(spark):
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r9(x: float) -> float:
+        # Spark F.round is BigDecimal HALF_UP — python round() is
+        # banker's and differs at half boundaries (r05 lesson)
+        return float(Decimal(repr(x)).quantize(
+            Decimal("1e-9"), ROUND_HALF_UP))
+
+    rng = random.Random(23)
+    edges = [
+        (rng.randint(0, 7), rng.randint(0, 7), rng.randint(1, 4))
+        for _ in range(20)
+    ]
+    e = spark.createDataFrame(edges, ["src", "dst", "w"])
+    got = {
+        r.node: (r.hub, r.authority)
+        for r in og.hits(e, iterations=4, deterministic=True).collect()
+    }
+    agg = {}
+    for s, d, w in edges:
+        agg[(s, d)] = agg.get((s, d), 0) + w
+    nodes = sorted({s for s, _ in agg} | {d for _, d in agg})
+    h = {v: 1.0 for v in nodes}
+    a = {}
+    for _ in range(4):
+        inc = {v: [] for v in nodes}
+        for (s, d), w in agg.items():
+            inc[d].append((s, h[s] * w))
+        raw = {}
+        for v in nodes:
+            acc = 0.0
+            for _, c in sorted(inc[v]):  # src order == fold order
+                acc += c
+            raw[v] = acc
+        m = max(raw.values())
+        a = {v: r9(raw[v] / m) for v in nodes}
+        out_ = {v: [] for v in nodes}
+        for (s, d), w in agg.items():
+            out_[s].append((d, a[d] * w))
+        raw = {}
+        for v in nodes:
+            acc = 0.0
+            for _, c in sorted(out_[v]):  # dst order == fold order
+                acc += c
+            raw[v] = acc
+        m = max(raw.values())
+        h = {v: r9(raw[v] / m) for v in nodes}
+    assert got == {v: (h[v], a[v]) for v in nodes}
+
+
+def test_hits_partitioning_invariance_deterministic(spark):
+    rows = [(i % 6, (i * 3) % 6 + 1, 1 + i % 3) for i in range(30)]
+    e = spark.createDataFrame(rows, ["src", "dst", "w"])
+    x = sorted(map(tuple, og.hits(e, deterministic=True).collect()))
+    y = sorted(map(tuple, og.hits(
+        e.repartition(7), deterministic=True).collect()))
+    assert x == y
