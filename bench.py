@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     # r07 additions: bin-free KS drift statistic, HITS dual ranking
     "stats_ks_test",
     "graph_hits_nations",
+    "dedup_weighted_jaccard_join",
 ]
 
 

@@ -1331,3 +1331,89 @@ def exact_jaccard_join(
                 .alias("jaccard"),
             )
     )
+
+
+def weighted_jaccard_join(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    idf_scale: int = 1000,
+) -> DataFrame:
+    """EXACT IDF-weighted set-similarity self-join: every document
+    pair whose word-bigram sets reach weighted Jaccard >= ``threshold``
+    under inverse-document-frequency token weights,
+
+        J_w(A, B) = sum_{t in A&B} w(t) / sum_{t in A|B} w(t),
+        w(t) = (N_docs * idf_scale) div df(t)
+
+    — the near-dup variant that DOWN-WEIGHTS boilerplate: two docs
+    sharing only ubiquitous navigation/footer bigrams (df ~ N, w ~
+    idf_scale) no longer pass a threshold that genuinely-shared rare
+    content (w ~ N * idf_scale) clears. Returns ``(id_a, id_b,
+    wjaccard)``, id_a < id_b.
+
+    Exactness: the weight is a pure INTEGER floor division — no ln(),
+    so no transcendental quantization risk anywhere (the ln-based IDF
+    differs by ulps between libms; the reciprocal-frequency weight is
+    the same monotone rarity ranking with none of that) — and the
+    threshold filter is the exact integer cross-multiplication
+    ``den * inter_w >= num * (wa + wb - inter_w)`` on the decimal
+    fraction num/den. The reported similarity is one IEEE division +
+    the portable floor-round.
+
+    Scale shape: the dense-safe countjoin (exact_jaccard_join's
+    default physical strategy) with the weight joined per-token: one
+    (token -> df) aggregate broadcast-joined onto the token stream,
+    per-doc total weights, one co-occurrence join partial-aggregated
+    into per-pair intersection weight. Volume is sum over tokens of
+    C(df,2) — the documented dense-vocabulary cost model."""
+    from fractions import Fraction
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    fr = Fraction(str(threshold))
+    num, den = fr.numerator, fr.denominator
+
+    toks = _bigram_tokens(df, text_col, id_col)
+    # N as a plan-side scalar (broadcast cross), never a driver literal
+    # — the repo's scalar-aggregate rule: the oracle derives N the same
+    # way, and no extra driver action runs
+    nd = df.select(F.col(id_col).alias("doc_id")).distinct().agg(
+        F.count("*").cast("bigint").alias("__nd")
+    )
+    freq = toks.groupBy("bg").agg(F.count("*").alias("__df"))
+    wtoks = (
+        toks.join(freq, "bg")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "bg",
+            F.expr(f"__nd * {idf_scale} div __df").alias("__w"),
+        )
+    )
+    wsz = wtoks.groupBy("doc_id").agg(F.sum("__w").alias("__wt"))
+    a = wtoks.select(F.col("doc_id").alias("id_a"), "bg", "__w")
+    b = wtoks.select(F.col("doc_id").alias("id_b"), "bg")
+    inter = (
+        a.join(b, "bg")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("__w").alias("__iw"))
+    )
+    sa = wsz.select(F.col("doc_id").alias("id_a"), F.col("__wt").alias("__wa"))
+    sb = wsz.select(F.col("doc_id").alias("id_b"), F.col("__wt").alias("__wb"))
+    union_w = F.col("__wa") + F.col("__wb") - F.col("__iw")
+    wjac = F.col("__iw") / union_w
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter((F.lit(den) * F.col("__iw")) >= (F.lit(num) * union_w))
+        .select(
+            "id_a",
+            "id_b",
+            (F.floor(wjac * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+                "wjaccard"
+            ),
+        )
+    )

@@ -4678,6 +4678,59 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_weighted_jaccard_join",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    bgs AS MATERIALIZED (
+      SELECT DISTINCT doc_id, w[__j] || ' ' || w[__j + 1] AS bg
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS __j
+            FROM base WHERE len(w) > 1)
+    ),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
+           FROM documents),
+    freq AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS df FROM bgs GROUP BY 1),
+    wt AS MATERIALIZED (
+      SELECT b.doc_id, b.bg, (nd.n * 1000) // f.df AS w
+      FROM bgs b JOIN freq f ON b.bg = f.bg, nd
+    ),
+    wsz AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS wtot
+            FROM wt GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(SUM(a.w) AS BIGINT) AS iw
+      FROM wt a JOIN wt b ON a.bg = b.bg AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT it.id_a, it.id_b, it.iw, sa.wtot AS wa, sb.wtot AS wb
+      FROM inter it JOIN wsz sa ON it.id_a = sa.doc_id
+                    JOIN wsz sb ON it.id_b = sb.doc_id
+    )
+    SELECT id_a, id_b,
+           floor(iw / (wa + wb - iw) * 1e6 + 0.5) / 1e6 AS wjaccard
+    FROM j WHERE (2 * iw) >= (1 * (wa + wb - iw))
+    """,
+)
+def dedup_weighted_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted exact set-similarity self-join at weighted Jaccard
+    >= 0.5 (exact fraction 1/2): boilerplate-insensitive near-dup —
+    ubiquitous bigrams carry weight ~idf_scale while rare shared
+    content carries ~N*idf_scale, so navigation/footer overlap alone
+    can no longer clear the threshold. Weights are pure integer floor
+    divisions ((N*1000) div df — NO ln(), so no libm-ulp quantization
+    risk), the filter is an exact integer cross-multiplication, and N
+    is a plan-side scalar both engines derive identically
+    (llm/dedup.weighted_jaccard_join)."""
+    return dd.weighted_jaccard_join(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
 @query("dedup_jaccard_auto", _jaccard_oracle(3, 5))
 def dedup_jaccard_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard >= 0.6 self-join through the MODE DISPATCHER

@@ -310,8 +310,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 203, len(QUERIES)
-    assert len(ORACLES) == 200, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 204, len(QUERIES)
+    assert len(ORACLES) == 201, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_registry_wide_plan_hygiene(spark, sf_dir):
@@ -363,6 +363,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # audited: the auto dispatcher resolves to one of the two
         # audited exact-Jaccard plans (countjoin at gate density)
         "dedup_jaccard_auto",
+        # audited: IDF-weighted countjoin — same corpus x corpus
+        # co-occurrence shape on the bigram key plus the broadcast
+        # df/N weight joins (llm/dedup.weighted_jaccard_join)
+        "dedup_weighted_jaccard_join",
         # audited: the PPJoin mode's prefix-candidate join and its
         # exact-intersection verify join are likewise corpus x corpus
         # on (prefix-token, doc-pair) keys — shuffle joins correct

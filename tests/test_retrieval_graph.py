@@ -1630,3 +1630,70 @@ def test_hits_partitioning_invariance_deterministic(spark):
     y = sorted(map(tuple, og.hits(
         e.repartition(7), deterministic=True).collect()))
     assert x == y
+
+
+def test_weighted_jaccard_downweights_boilerplate(spark):
+    """Two docs sharing ONLY a ubiquitous footer must fail a weighted
+    threshold that the same docs pass under unweighted Jaccard, while
+    a rare-content pair passes both."""
+    from nhs_data_pipeline_spark.llm import dedup as dd2
+
+    footer = "contact us today please call now"  # shared by EVERY doc
+    rows = (
+        # 0/1 share only the footer (one-word distinct bodies): 5 of 7
+        # bigrams shared -> unweighted J = 5/9 >= 0.5, weighted << 0.5
+        [(0, f"alpha {footer}"), (1, f"gamma {footer}")]
+        # 2/3 share a rare body and the footer
+        + [(2, f"quantum flux capacitor {footer}"),
+           (3, f"quantum flux capacitor {footer}")]
+        # padding docs so the footer's df is high
+        + [(i, f"body{i} {footer}") for i in range(4, 20)]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    w = {(r.id_a, r.id_b): r.wjaccard
+         for r in dd2.weighted_jaccard_join(docs, 0.5).collect()}
+    u = {(r.id_a, r.id_b): r.jaccard
+         for r in dd2.exact_jaccard_join(docs, 0.5).collect()}
+    assert (2, 3) in w and w[(2, 3)] == 1.0
+    assert (0, 1) not in w  # footer-only overlap fails weighted 0.5
+    assert (0, 1) in u  # ...but passes unweighted (footer dominates)
+
+
+def test_weighted_jaccard_matches_python_replica(spark):
+    import itertools
+    import random
+
+    from nhs_data_pipeline_spark.llm import dedup as dd2
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(8)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12))))
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(map(tuple, dd2.weighted_jaccard_join(docs, 0.5).collect()))
+    rep = sorted(map(tuple, dd2.weighted_jaccard_join(
+        docs.repartition(7), 0.5).collect()))
+    assert got == rep  # partitioning invariance
+
+    sets = {}
+    for i, txt in rows:
+        ws = txt.split()
+        sets[i] = {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+    n = len(rows)
+    df_ = {}
+    for s in sets.values():
+        for t in s:
+            df_[t] = df_.get(t, 0) + 1
+    w_ = {t: (n * 1000) // d for t, d in df_.items()}
+    exp = []
+    for a, b in itertools.combinations(sorted(sets), 2):
+        iw = sum(w_[t] for t in sets[a] & sets[b])
+        if iw == 0:
+            continue
+        uw = sum(w_[t] for t in sets[a]) + sum(w_[t] for t in sets[b]) - iw
+        if 2 * iw >= uw:
+            import math
+            exp.append((a, b, math.floor(iw / uw * 1e6 + 0.5) / 1e6))
+    assert got == sorted(exp)
