@@ -1394,7 +1394,11 @@ def weighted_jaccard_join(
     )
     wsz = wtoks.groupBy("doc_id").agg(F.sum("__w").alias("__wt"))
     a = wtoks.select(F.col("doc_id").alias("id_a"), "bg", "__w")
-    b = wtoks.select(F.col("doc_id").alias("id_b"), "bg")
+    # b-side needs only (doc, bg): build it from the BARE token table —
+    # selecting from wtoks would drag the freq join + N cross through
+    # the self-join's second lineage (Catalyst prunes columns, not the
+    # key-preserving join it cannot prove redundant)
+    b = toks.select(F.col("doc_id").alias("id_b"), "bg")
     inter = (
         a.join(b, "bg")
         .filter(F.col("id_a") < F.col("id_b"))
