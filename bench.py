@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "stats_ks_test",
     "graph_hits_nations",
     "dedup_weighted_jaccard_join",
+    "eval_retrieval_metrics",
 ]
 
 

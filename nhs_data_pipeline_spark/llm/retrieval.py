@@ -323,3 +323,125 @@ def rrf_fuse(
             "rrf_rank",
         )
     )
+
+
+def retrieval_eval(
+    ranked: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Ranker-agnostic retrieval quality summary at cutoff ``k``: one
+    row ``(n_queries, hit_rate, mrr, ndcg)`` from a ranked run
+    (1-based ``rank_col``) and a binary-relevance qrels table
+    ``(query_col, id_col)``.
+
+    - ``hit_rate``: fraction of evaluated queries with >= 1 relevant
+      doc in the top-k.
+    - ``mrr``: mean reciprocal rank of the FIRST relevant hit (0 for
+      a miss). Reciprocals are EXACT integers: the contribution is
+      ``lcm(1..k) div rank`` (every rank divides the lcm), summed
+      exactly, ONE closing division.
+    - ``ndcg``: binary-relevance NDCG@k. The ``1/log2(r+1)`` gain for
+      each of the k possible ranks is computed ONCE in python and
+      inlined as an integer-millionths LITERAL into BOTH plans (the
+      seeded-literal pattern) — no engine evaluates a transcendental,
+      so no libm-ulp risk. Per query, DCG and ideal-DCG are exact
+      integer sums of those literals; the per-query ratio is one IEEE
+      division floor-rounded to millionths, the mean is an exact
+      integer sum with one division.
+
+    Queries with no qrels row are EXCLUDED (undefined metrics — the
+    standard convention); queries with relevant docs but no top-k hit
+    score 0 and are included. Scale shape: one broadcast-joinable
+    qrels aggregate, one (query, rank) hit aggregate, one scalar
+    fold — no windows, no self-joins."""
+    import math
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    L = math.lcm(*range(1, k + 1))
+    gains = [math.floor(1.0 / math.log2(r + 1) * 1e6 + 0.5) for r in range(1, k + 1)]
+    idcg = []
+    acc = 0
+    for g in gains:
+        acc += g
+        idcg.append(acc)
+    gain_case = "CASE __rnk " + " ".join(
+        f"WHEN {r + 1} THEN {g}L" for r, g in enumerate(gains)
+    ) + " ELSE 0L END"
+    idcg_case = "CASE least(__nrel, {k}) ".format(k=k) + " ".join(
+        f"WHEN {i + 1} THEN {v}L" for i, v in enumerate(idcg)
+    ) + " END"
+
+    rel = qrels.select(
+        F.col(query_col).alias("__q"), F.col(id_col).alias("__d")
+    ).distinct()
+    qstats = rel.groupBy("__q").agg(F.count("*").cast("bigint").alias("__nrel"))
+    hits = (
+        ranked.filter(F.col(rank_col) <= k)
+        .select(
+            F.col(query_col).alias("__q"),
+            F.col(id_col).alias("__d"),
+            F.col(rank_col).cast("int").alias("__rnk"),
+        )
+        .join(rel, ["__q", "__d"])
+    )
+    per_hit = hits.groupBy("__q").agg(
+        F.min("__rnk").alias("__minr"),
+        F.sum(F.expr(gain_case)).cast("bigint").alias("__dcg"),
+    )
+    perq = (
+        qstats.join(per_hit, "__q", "left")
+        .select(
+            F.when(
+                F.col("__minr").isNotNull(),
+                F.expr(f"cast({L} as bigint) div __minr"),
+            )
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("__rr"),
+            F.when(
+                F.col("__dcg").isNotNull(),
+                F.floor(
+                    F.col("__dcg").cast("double")
+                    / F.expr(idcg_case).cast("double")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                ).cast("bigint"),
+            )
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("__ndcg_m"),
+            (F.col("__minr").isNotNull()).cast("int").alias("__hit"),
+        )
+    )
+    return perq.agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        (
+            F.floor(
+                F.sum("__hit").cast("double")
+                / F.count("*").cast("double")
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("hit_rate"),
+        (
+            F.floor(
+                F.sum("__rr").cast("double")
+                / (F.lit(float(L)) * F.count("*").cast("double"))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("mrr"),
+        (
+            F.floor(
+                F.sum("__ndcg_m").cast("double")
+                / F.count("*").cast("double")
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("ndcg"),
+    )

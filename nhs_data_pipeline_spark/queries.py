@@ -6736,6 +6736,119 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _retrieval_eval_oracle_sql(k: int = 5, terms_per_query: int = 2) -> str:
+    """DuckDB replica of eval_retrieval_metrics: the TF run (all-integer
+    scoring), all-terms-contained qrels, and the MRR/NDCG fold with the
+    SAME python-computed integer gain literals the engine inlines —
+    neither engine evaluates a transcendental."""
+    import math
+
+    L = math.lcm(*range(1, k + 1))
+    gains = [
+        math.floor(1.0 / math.log2(r + 1) * 1e6 + 0.5) for r in range(1, k + 1)
+    ]
+    idcg = []
+    acc = 0
+    for g in gains:
+        acc += g
+        idcg.append(acc)
+    gain_case = "CASE rnk " + " ".join(
+        f"WHEN {r + 1} THEN {g}" for r, g in enumerate(gains)
+    ) + " ELSE 0 END"
+    idcg_case = f"CASE least(nrel, {k}) " + " ".join(
+        f"WHEN {i + 1} THEN {v}" for i, v in enumerate(idcg)
+    ) + " END"
+    return f"""
+    WITH toked AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents
+    ),
+    tok AS (SELECT doc_id, term FROM toked WHERE term <> ''),
+    tfq AS MATERIALIZED (
+      SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY term, doc_id
+    ),
+    rankedv AS (
+      SELECT term, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rk
+      FROM (SELECT term, COUNT(*) AS n FROM tok GROUP BY term
+            ORDER BY n DESC, term LIMIT 11)
+    ),
+    queries AS MATERIALIZED (
+      SELECT CAST((rk - 6) // {terms_per_query} AS INTEGER) AS query_id, term
+      FROM rankedv WHERE rk > 5
+    ),
+    run AS (
+      SELECT query_id, doc_id, rnk FROM (
+        SELECT q.query_id, t.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY SUM(t.tf) DESC, t.doc_id) AS rnk
+        FROM tfq t JOIN queries q USING (term)
+        GROUP BY q.query_id, t.doc_id
+      ) WHERE rnk <= {k}
+    ),
+    qrels AS MATERIALIZED (
+      SELECT q.query_id, t.doc_id
+      FROM tfq t JOIN queries q USING (term)
+      GROUP BY 1, 2 HAVING COUNT(*) = {terms_per_query}
+    ),
+    qstats AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS nrel
+      FROM qrels GROUP BY 1
+    ),
+    hit_agg AS (
+      SELECT r.query_id, MIN(r.rnk) AS minr,
+             CAST(SUM({gain_case}) AS BIGINT) AS dcg
+      FROM run r JOIN qrels USING (query_id, doc_id)
+      GROUP BY 1
+    ),
+    perq AS (
+      SELECT CASE WHEN minr IS NOT NULL THEN {L} // minr ELSE 0 END AS rr,
+             CASE WHEN dcg IS NOT NULL THEN
+               CAST(floor(CAST(dcg AS DOUBLE) / CAST({idcg_case} AS DOUBLE)
+                          * 1e6 + 0.5) AS BIGINT)
+             ELSE 0 END AS ndcg_m,
+             CASE WHEN minr IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM qstats LEFT JOIN hit_agg USING (query_id)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           floor(CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS hit_rate,
+           floor(CAST(SUM(rr) AS DOUBLE)
+                 / (CAST({L} AS DOUBLE) * CAST(COUNT(*) AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS mrr,
+           floor(CAST(SUM(ndcg_m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 + 0.5) / 1e6 AS ndcg
+    FROM perq
+    """
+
+
+@query("eval_retrieval_metrics", _retrieval_eval_oracle_sql(5, 2))
+def eval_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR / NDCG@5 / hit-rate of the all-integer TF ranker against
+    boolean-AND relevance (a doc is relevant to a query iff it contains
+    EVERY query term) on the data-derived query set — the retrieval
+    quality scorecard that completes the BM25/TF/RRF family. MRR
+    reciprocals are exact lcm-scaled integers; NDCG log2 gains are
+    python-computed integer literals inlined into BOTH engines (no
+    transcendental runs anywhere); three closing divisions
+    (llm/retrieval.retrieval_eval)."""
+    docs = _t(spark, sf_dir, "documents")
+    qs = rtv.derived_term_queries(
+        docs, n_queries=3, terms_per_query=2, skip_top=5
+    )
+    qs = qs.persist()
+    qs.count()
+    tf = rtv.term_doc_counts(docs, "text", "doc_id")
+    run = rtv.tf_topk(docs, qs, k=5, tf=tf)
+    qrels = (
+        tf.join(F.broadcast(qs), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("__m"))
+        .filter(F.col("__m") == 2)
+        .select("query_id", "doc_id")
+    )
+    return rtv.retrieval_eval(run, qrels, k=5)
+
+
+
 @query(
     "text_bm25_topk",
     f"""

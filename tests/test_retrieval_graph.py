@@ -1697,3 +1697,53 @@ def test_weighted_jaccard_matches_python_replica(spark):
             import math
             exp.append((a, b, math.floor(iw / uw * 1e6 + 0.5) / 1e6))
     assert got == sorted(exp)
+
+
+# ------------------------------------------------------- retrieval eval
+
+def test_retrieval_eval_hand_case(spark):
+    """Two queries, k=3: q0's first relevant hit at rank 2 (rr=1/2,
+    one of its 2 relevant docs ranked), q1 misses entirely (rr=0,
+    ndcg=0). Hand-computed against the same inlined gain literals."""
+    import math
+
+    run = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3), (1, 20, 1), (1, 21, 2)],
+        ["query_id", "doc_id", "rank"],
+    )
+    qrels = spark.createDataFrame(
+        [(0, 11), (0, 99), (1, 77)], ["query_id", "doc_id"]
+    )
+    r = rtv.retrieval_eval(run, qrels, k=3).collect()[0]
+    assert r.n_queries == 2
+    assert r.hit_rate == 0.5
+    # mrr = (1/2 + 0) / 2 = 0.25 exactly (lcm(1..3)=6: 6//2=3; 3/(6*2))
+    assert r.mrr == 0.25
+    g2 = math.floor(1.0 / math.log2(3) * 1e6 + 0.5)  # gain at rank 2
+    idcg2 = 1000000 + g2  # two relevant docs, ideal = ranks 1..2
+    ndcg0 = math.floor(g2 / idcg2 * 1e6 + 0.5)
+    assert r.ndcg == math.floor(ndcg0 / 2 + 0.5) / 1e6
+
+
+def test_retrieval_eval_perfect_run_and_exclusions(spark):
+    """A run that ranks the sole relevant doc first scores 1.0 on all
+    metrics; queries absent from qrels are excluded; hits beyond k
+    don't count."""
+    run = spark.createDataFrame(
+        [(0, 5, 1), (2, 6, 1), (3, 7, 9)], ["query_id", "doc_id", "rank"]
+    )
+    qrels = spark.createDataFrame(
+        [(0, 5), (3, 7)], ["query_id", "doc_id"]
+    )
+    r = rtv.retrieval_eval(run, qrels, k=5).collect()[0]
+    # query 2 has no qrels -> excluded; query 3's hit is at rank 9 > k
+    assert r.n_queries == 2
+    assert r.hit_rate == 0.5 and r.mrr == 0.5 and r.ndcg == 0.5
+
+
+def test_retrieval_eval_rejects_bad_k(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(0, 1, 1)], ["query_id", "doc_id", "rank"])
+    with _pytest.raises(ValueError):
+        rtv.retrieval_eval(df, df.select("query_id", "doc_id"), k=0)
