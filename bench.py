@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "graph_hits_nations",
     "dedup_weighted_jaccard_join",
     "eval_retrieval_metrics",
+    "events_robust_outliers",
 ]
 
 

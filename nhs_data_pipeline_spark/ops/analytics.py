@@ -1426,3 +1426,63 @@ def ks_two_sample(
             / F.lit(1e6),
         ).alias("ks_d"),
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_int_col: str,
+    threshold: str = "5.1891",
+    bucket_width: int = 1 << 16,
+) -> DataFrame:
+    """Median/MAD robust outlier flags per group: appends ``__med``,
+    ``__mad``, ``is_outlier`` where
+
+        is_outlier = |x - median| * den > num * MAD
+
+    with ``threshold = num/den`` an EXACT decimal fraction (default
+    5.1891 ~ 3.5 robust-z at the 1.4826 normal-consistency constant,
+    folded into the fraction so no float constant ever multiplies).
+    The mean/stddev z-score (``zscore_outliers``) breaks down exactly
+    when outliers matter — the outliers inflate the stddev that
+    defines them; median and MAD have 50% breakdown.
+
+    Exactness: two passes of the exact LOWER weighted median
+    (:func:`group_weighted_median`, unit weights) — value median,
+    then median of integer absolute deviations — and one integer
+    cross-multiplied flag. No floats anywhere, so flags replay
+    bit-identically cross-engine. MAD = 0 (>= half the group equals
+    its median) flags every row strictly off the median — the
+    documented degenerate behavior of robust z. Rows with NULL value
+    get a NULL flag; NULL group keys are legal groups (NULL-safe
+    joins throughout)."""
+    from fractions import Fraction
+
+    from nhs_data_pipeline_spark.ops.sketch import _ns_join
+
+    fr = Fraction(str(threshold))
+    num, den = fr.numerator, fr.denominator
+    v = F.col(value_int_col)
+    base = df.filter(v.isNotNull()).withColumn("__one", F.lit(1))
+    med = group_weighted_median(
+        base, group_cols, value_int_col, "__one", bucket_width
+    ).select(*group_cols, F.col("weighted_median").alias("__med"))
+    with_med = _ns_join(base, med, group_cols).withColumn(
+        "__dev", F.abs(v - F.col("__med"))
+    )
+    mad = group_weighted_median(
+        with_med, group_cols, "__dev", "__one", bucket_width
+    ).select(*group_cols, F.col("weighted_median").alias("__mad"))
+    flagged = _ns_join(with_med, mad, group_cols).withColumn(
+        "is_outlier",
+        (F.lit(den) * F.col("__dev")) > (F.lit(num) * F.col("__mad")),
+    ).drop("__one", "__dev")
+    # NULL-value rows re-attach with NULL med/mad/flag (plan-side
+    # union — no isEmpty() driver action; an empty side is free)
+    nulls = (
+        df.filter(v.isNull())
+        .withColumn("__med", F.lit(None).cast("bigint"))
+        .withColumn("__mad", F.lit(None).cast("bigint"))
+        .withColumn("is_outlier", F.lit(None).cast("boolean"))
+    )
+    return flagged.unionByName(nulls)

@@ -10204,6 +10204,76 @@ def stats_psi_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_robust_outliers",
+    """
+    WITH base AS (
+      SELECT event_type AS g,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    cnts AS MATERIALIZED (
+      SELECT g, v, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY 1, 2
+    ),
+    cc AS (
+      SELECT g, v, n,
+             SUM(n) OVER (PARTITION BY g ORDER BY v) AS cum,
+             SUM(n) OVER (PARTITION BY g) AS tot
+      FROM cnts
+    ),
+    med AS MATERIALIZED (
+      SELECT g, MIN(v) AS med FROM cc WHERE 2 * cum >= tot GROUP BY g
+    ),
+    dev AS MATERIALIZED (
+      SELECT b.g, ABS(b.v - m.med) AS d, b.v, m.med
+      FROM base b JOIN med m ON b.g = m.g
+    ),
+    dc AS (
+      SELECT g, d, CAST(COUNT(*) AS BIGINT) AS n FROM dev GROUP BY 1, 2
+    ),
+    dcc AS (
+      SELECT g, d, SUM(n) OVER (PARTITION BY g ORDER BY d) AS cum,
+             SUM(n) OVER (PARTITION BY g) AS tot
+      FROM dc
+    ),
+    mad AS MATERIALIZED (
+      SELECT g, MIN(d) AS mad FROM dcc WHERE 2 * cum >= tot GROUP BY g
+    )
+    SELECT dev.g AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MAX(dev.med) AS BIGINT) AS med_micros,
+           CAST(MAX(mad.mad) AS BIGINT) AS mad_micros,
+           CAST(SUM(CASE WHEN 10000 * dev.d > 51891 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad ON dev.g = mad.g
+    GROUP BY dev.g
+    """,
+)
+def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier summary of the event value per event
+    type: ``(event_type, n_rows, med_micros, mad_micros, n_outliers)``
+    at the 3.5-robust-z threshold (exact fraction 51891/10000 — the
+    1.4826 consistency constant folded in; no float constant ever
+    multiplies). Two exact bucketed weighted-median passes plus one
+    integer cross-multiplied flag — flags replay bit-identically on
+    any engine/partitioning, unlike the stddev-based z-score whose
+    defining moments the outliers themselves inflate
+    (ops/analytics.robust_outliers)."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.expr("cast(floor(value * 1e6 + 0.5) as bigint)").alias("__v"),
+    )
+    flagged = oan.robust_outliers(ev, ["event_type"], "__v")
+    return flagged.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.max("__med").cast("bigint").alias("med_micros"),
+        F.max("__mad").cast("bigint").alias("mad_micros"),
+        F.sum(F.col("is_outlier").cast("int")).cast("bigint").alias(
+            "n_outliers"
+        ),
+    )
+
+
+@query(
     "stats_ks_test",
     """
     WITH base AS (

@@ -1098,3 +1098,62 @@ def test_ks_partitioning_invariance_and_bucket_width(spark):
     rep = ks_two_sample(df.repartition(7), "v", "g", "a", "b").collect()[0]
     tiny = ks_two_sample(df, "v", "g", "a", "b", bucket_width=8).collect()[0]
     assert base == rep == tiny
+
+
+# ---------------------------------------------------------------------------
+# robust_outliers
+# ---------------------------------------------------------------------------
+
+def test_robust_outliers_hand_case(spark):
+    from nhs_data_pipeline_spark.ops.analytics import robust_outliers
+
+    # group g: values 10,11,12,13,14 and one wild 1000
+    # lower median of {10,11,12,13,14,1000} = 12;
+    # deviations {2,1,0,1,2,988} -> lower MAD = 1
+    # threshold 5.1891: outlier iff 10000*dev > 51891*1 -> dev >= 6
+    rows = [("g", v) for v in (10, 11, 12, 13, 14, 1000)]
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    got = {r["v"]: (r["__med"], r["__mad"], r["is_outlier"])
+           for r in robust_outliers(df, ["g"], "v").collect()}
+    assert all(m == (12, 1) for m, _ in [((a, b), c) for a, b, c in got.values()])
+    assert got[1000][2] is True
+    assert all(got[v][2] is False for v in (10, 11, 12, 13, 14))
+
+
+def test_robust_outliers_zero_mad_and_nulls(spark):
+    from nhs_data_pipeline_spark.ops.analytics import robust_outliers
+
+    # >= half the group equals the median -> MAD 0: anything strictly
+    # off the median flags (documented degenerate robust-z behavior)
+    rows = [("a", 5), ("a", 5), ("a", 5), ("a", 7), ("a", None)]
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    got = {(r.v): r.is_outlier for r in robust_outliers(df, ["g"], "v").collect()}
+    assert got[5] is False and got[7] is True
+    assert got[None] is None  # NULL value -> NULL flag, row kept
+
+
+def test_robust_outliers_beats_zscore_masking(spark):
+    """The classic masking failure: two huge outliers inflate the
+    stddev enough that a 2-sigma z-score misses them both, while
+    median/MAD flags them."""
+    from nhs_data_pipeline_spark.ops.analytics import robust_outliers
+
+    vals = [100 + i for i in range(20)] + [100000 + i for i in range(8)]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v bigint")
+    got = {r.v: r.is_outlier for r in robust_outliers(df, ["g"], "v").collect()}
+    assert all(got[100000 + i] for i in range(8))
+    assert not any(got[100 + i] for i in range(20))
+    import statistics
+    mu, sd = statistics.mean(vals), statistics.pstdev(vals)
+    assert abs(100007 - mu) / sd < 2.3  # z-score would NOT flag at 2.3
+
+
+def test_robust_outliers_partitioning_invariance(spark):
+    from nhs_data_pipeline_spark.ops.analytics import robust_outliers
+
+    rows = [(f"g{i % 3}", (i * 37) % 500) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    a = sorted(map(tuple, robust_outliers(df, ["g"], "v").collect()))
+    b = sorted(map(tuple, robust_outliers(
+        df.repartition(11), ["g"], "v").collect()))
+    assert a == b
