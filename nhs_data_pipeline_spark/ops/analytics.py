@@ -669,8 +669,13 @@ def group_weighted_median(
         F.sum("__wt").cast("bigint").alias("total_weight"),
         F.sum("__cnt").cast("bigint").alias("n_rows"),
     )
+    # tot (one row per group) and med_bucket (one bucket-row per
+    # group) are group-cardinality model tables: broadcast explicitly —
+    # the eqNullSafe condition loses the stats-chosen broadcast when
+    # the input lineage hides row counts (the r05 lesson; surfaced by
+    # robust_outliers' MAD pass feeding a joined frame back in)
     med_bucket = (
-        _ns_join(offs, tot, group_cols)
+        _ns_join(offs, tot, group_cols, broadcast_right=True)
         .filter(
             (F.lit(2) * (F.col("__off") + F.col("__bw"))
              >= F.col("total_weight"))
@@ -678,7 +683,7 @@ def group_weighted_median(
         )
         .select(*group_cols, "__b", "__off", "total_weight", "n_rows")
     )
-    inb = _ns_join(bkt, med_bucket, group_cols + ["__b"])
+    inb = _ns_join(bkt, med_bucket, group_cols + ["__b"], broadcast_right=True)
     wcum = (
         Window.partitionBy(*group_cols)
         .orderBy("__val")
@@ -726,21 +731,39 @@ def psi_report(
     Scale shape: one bucket-keyed aggregate per side (map-side
     combined), a full-outer NULL-safe join of two model-sized bucket
     tables, scalar totals broadcast-crossed, one scalar fold."""
+    ca = psi_bucket_counts(df_a, value_int_col, bucket_width, out="__ca")
+    cb = psi_bucket_counts(df_b, value_int_col, bucket_width, out="__cb")
+    return psi_from_bucket_counts(ca, cb)
+
+
+def psi_bucket_counts(
+    df: DataFrame,
+    value_int_col: str,
+    bucket_width: int = 1 << 16,
+    out: str = "__ca",
+) -> DataFrame:
+    """Fixed-width bucket counts ``(__b, <out>)`` of an integer value —
+    the model-sized PSI input table (and the state a streaming drift
+    monitor maintains incrementally: counts are additive)."""
+    v = F.col(value_int_col)
+    return (
+        df.filter(v.isNotNull())
+        .select(F.expr(f"{value_int_col} div {int(bucket_width)}").alias("__b"))
+        .groupBy("__b")
+        .agg(F.count("*").cast("bigint").alias(out))
+    )
+
+
+def psi_from_bucket_counts(ca: DataFrame, cb: DataFrame) -> DataFrame:
+    """PSI from two pre-bucketed count tables ``(__b, __ca)`` /
+    ``(__b, __cb)`` — the shared core of :func:`psi_report` and the
+    streaming drift monitor (streaming/pipeline.psi_stream_monitor),
+    so the live metric and a batch rebuild can never drift
+    semantically. Same exact-integer term construction and float
+    discipline as psi_report's docstring."""
     from nhs_data_pipeline_spark.ops.sketch import _ns_join
 
     D = "decimal(38,0)"
-
-    def _counts(df: DataFrame, out: str) -> DataFrame:
-        v = F.col(value_int_col)
-        return (
-            df.filter(v.isNotNull())
-            .select(F.expr(f"{value_int_col} div {int(bucket_width)}").alias("__b"))
-            .groupBy("__b")
-            .agg(F.count("*").cast("bigint").alias(out))
-        )
-
-    ca = _counts(df_a, "__ca")
-    cb = _counts(df_b, "__cb")
     both = _ns_join(ca, cb, ["__b"], how="full").select(
         "__b",
         F.coalesce("__ca", F.lit(0)).alias("__ca"),
@@ -1467,13 +1490,18 @@ def robust_outliers(
     med = group_weighted_median(
         base, group_cols, value_int_col, "__one", bucket_width
     ).select(*group_cols, F.col("weighted_median").alias("__med"))
-    with_med = _ns_join(base, med, group_cols).withColumn(
+    # med/mad are group-cardinality model tables: broadcast explicitly —
+    # an eqNullSafe condition silently loses the stats-chosen broadcast
+    # (the r05 lesson), and an SMJ here would sort the corpus twice
+    with_med = _ns_join(base, med, group_cols, broadcast_right=True).withColumn(
         "__dev", F.abs(v - F.col("__med"))
     )
     mad = group_weighted_median(
         with_med, group_cols, "__dev", "__one", bucket_width
     ).select(*group_cols, F.col("weighted_median").alias("__mad"))
-    flagged = _ns_join(with_med, mad, group_cols).withColumn(
+    flagged = _ns_join(
+        with_med, mad, group_cols, broadcast_right=True
+    ).withColumn(
         "is_outlier",
         (F.lit(den) * F.col("__dev")) > (F.lit(num) * F.col("__mad")),
     ).drop("__one", "__dev")

@@ -367,6 +367,11 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # co-occurrence shape on the bigram key plus the broadcast
         # df/N weight joins (llm/dedup.weighted_jaccard_join)
         "dedup_weighted_jaccard_join",
+        # audited: the final hubs x authorities assembly joins two
+        # node-cardinality localCheckpoint tables (stats-less RDD
+        # scans; both sides corpus-scaled on a billion-node graph,
+        # so the co-partitioned shuffle join is the correct plan)
+        "graph_hits_nations",
         # audited: the PPJoin mode's prefix-candidate join and its
         # exact-intersection verify join are likewise corpus x corpus
         # on (prefix-token, doc-pair) keys — shuffle joins correct
@@ -416,6 +421,14 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
     # audited: broadcast one-row scalar aggregates (cross joins) and
     # the broadcast-query-side != join of exact top-k
     bnlj_ok = {
+        # audited: the one-row (n_a, n_b) totals aggregate crossed
+        # into the cumulative-deviation stream
+        # (ops/analytics.ks_two_sample) — scalar-broadcast shape
+        "stats_ks_test",
+        # audited: the one-row distinct-doc-count aggregate crossed
+        # into the token stream to build integer IDF weights
+        # (llm/dedup.weighted_jaccard_join) — scalar-broadcast shape
+        "dedup_weighted_jaccard_join",
         # audited: one-row global-row-total aggregate crossed into the
         # (class, sensitive-value) table (ops/privacy.t_closeness_report)
         # — scalar-broadcast shape
