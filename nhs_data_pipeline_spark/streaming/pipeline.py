@@ -796,3 +796,92 @@ def bitmap_stream_into_store(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def psi_stream_monitor(
+    rows: DataFrame,
+    baseline_counts: DataFrame,
+    value_int_col: str,
+    store_path: str,
+    checkpoint: str,
+    log_path: str,
+    bucket_width: int = 1 << 16,
+):
+    """Streaming drift monitor: maintain cumulative fixed-width bucket
+    counts of an arriving integer value and, after every micro-batch,
+    append ``(batch_id, n_a, n_b, n_buckets, psi)`` — the PSI of the
+    cumulative stream against a FIXED baseline — to a monitor log.
+    The model-monitoring loop a 100 TB feature pipeline runs live:
+    the log row crossing 0.25 is the drift alarm.
+
+    ``baseline_counts`` is the reference bucket table from
+    ``ops/analytics.psi_bucket_counts(baseline_df, value_int_col,
+    bucket_width)`` (columns ``__b, __ca``) — computed once, tiny,
+    read on the driver per batch. The PSI itself is computed by the
+    SAME ``psi_from_bucket_counts`` core as the batch ``psi_report``,
+    so the live metric and a batch rebuild can never drift
+    semantically (the agg-store precedent).
+
+    State is bucket-cardinality-sized. Count addition is NOT
+    idempotent: the shared replay guard + rename swap give the store
+    effectively-exactly-once semantics; a replayed batch also appends
+    no duplicate log row (the guard returns before the log write).
+    The log append itself is at-least-once only on a crash BETWEEN
+    swap and append (one missing-then-absent log row, never a wrong
+    store). availableNow trigger."""
+    from nhs_data_pipeline_spark.ops.analytics import psi_from_bucket_counts
+
+    _ident_cache: dict[str, str] = {}
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if "k" not in _ident_cache:
+            _ident_cache["k"] = _stream_identity(checkpoint, spark)
+        stream_key = _ident_cache["k"]
+        old, is_replay = _load_guarded_store(
+            spark, store_path, stream_key, batch_id
+        )
+        if is_replay:
+            return
+        batch_counts = (
+            batch_df.filter(F.col(value_int_col).isNotNull())
+            .select(
+                F.expr(f"{value_int_col} div {int(bucket_width)}").alias("__b")
+            )
+            .groupBy("__b")
+            .agg(F.count("*").cast("bigint").alias("__cb"))
+        )
+        if old is None:
+            merged = batch_counts
+        else:
+            from nhs_data_pipeline_spark.ops.sketch import _ns_join
+
+            merged = _ns_join(
+                old.withColumnRenamed("__cb", "__old"),
+                batch_counts,
+                ["__b"],
+                how="full",
+            ).select(
+                "__b",
+                (
+                    F.coalesce("__old", F.lit(0))
+                    + F.coalesce("__cb", F.lit(0))
+                ).cast("bigint").alias("__cb"),
+            )
+        _swap_store(merged, store_path, batch_id, stream_key)
+        cur = spark.read.parquet(store_path).select("__b", "__cb")
+        psi_row = psi_from_bucket_counts(baseline_counts, cur).select(
+            F.lit(batch_id).cast("bigint").alias("batch_id"),
+            "n_a",
+            "n_b",
+            "n_buckets",
+            "psi",
+        )
+        psi_row.coalesce(1).write.mode("append").parquet(log_path)
+
+    return (
+        rows.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -942,3 +942,62 @@ def test_agg_stream_replay_guard(spark, tmp_path):
         .drop("last_batch_id", "stream_key").collect()
     }
     assert doubled == {k: (2 * n, 2 * t) for k, (n, t) in want.items()}
+
+
+def test_psi_stream_monitor_matches_batch_psi(spark, tmp_path):
+    """The monitor's FINAL log row must equal a from-scratch batch
+    psi_report(baseline, all streamed rows) — stream == batch through
+    the shared psi_from_bucket_counts core — and the log must carry
+    one row per real batch with PSI growing as the stream drifts."""
+    import time as _time
+
+    from nhs_data_pipeline_spark.ops.analytics import (
+        psi_bucket_counts,
+        psi_report,
+    )
+    from nhs_data_pipeline_spark.streaming.pipeline import (
+        psi_stream_monitor,
+        stream_files,
+    )
+
+    schema = T.StructType([T.StructField("v", T.LongType())])
+    W = 100
+    baseline_df = spark.createDataFrame(
+        [(v,) for v in (10, 20, 110, 120, 210, 220)], schema
+    )
+    baseline = psi_bucket_counts(baseline_df, "v", W, out="__ca")
+    src = str(tmp_path / "psi_src")
+    batches = [
+        [(15,), (115,), (215,)],          # matches the baseline shape
+        [(915,), (925,), (935,), (945,)],  # drifts into a new bucket
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("append" if i else "overwrite").parquet(src)
+        _time.sleep(1.1)
+
+    q = psi_stream_monitor(
+        stream_files(spark, src, schema, max_files_per_trigger=1),
+        baseline,
+        "v",
+        store_path=str(tmp_path / "psi_store"),
+        checkpoint=str(tmp_path / "psi_ckpt"),
+        log_path=str(tmp_path / "psi_log"),
+        bucket_width=W,
+    )
+    q.awaitTermination()
+
+    log = {r.batch_id: r for r in spark.read.parquet(
+        str(tmp_path / "psi_log")).collect()}
+    assert len(log) == 2
+    final = log[max(log)]
+    allrows = spark.createDataFrame(
+        [r for b in batches for r in b], schema
+    )
+    exp = psi_report(baseline_df, allrows, "v", W).collect()[0]
+    assert (final.n_a, final.n_b, final.n_buckets, final.psi) == (
+        exp.n_a, exp.n_b, exp.n_buckets, exp.psi
+    )
+    # drift direction: the second batch pushes mass into an unseen
+    # bucket, so PSI must strictly increase
+    assert final.psi > log[min(log)].psi
