@@ -378,51 +378,3 @@ def with_filename_metadata(df: DataFrame, col: str = "_source_file") -> DataFram
         .withColumn("file_pathway", extract_pathway(src))
     )
 
-
-def read_jsonl(
-    spark: SparkSession,
-    path: str,
-    schema: str | None = None,
-    corrupt_col: str = "_corrupt_record",
-    drop_corrupt: bool = False,
-) -> DataFrame:
-    """Distributed JSONL (one JSON object per line) reader — the
-    dominant raw format of LLM corpus dumps. Spark-native
-    ``spark.read.json`` in line mode, so the scan parallelizes per
-    file split (no driver-side parsing), with the malformed-line
-    policy made EXPLICIT:
-
-    - ``schema`` (DDL string, e.g. ``"doc_id bigint, text string"``):
-      strongly recommended at scale — without it Spark runs a full
-      inference pre-pass over the data (twice the I/O at 100 TB) and
-      the inferred schema can drift between releases (the events-ts
-      lesson: readers must not assume last release's types). The
-      corrupt-capture column is appended automatically.
-    - malformed lines land in ``corrupt_col`` (PERMISSIVE mode) with
-      every data column NULL, so bad records are COUNTABLE and
-      quarantinable instead of silently dropped; ``drop_corrupt=True``
-      filters them out after the scan (and drops the capture column).
-
-    Returns the DataFrame with ``_source_file`` attached (S8
-    convention). Note Spark requires the corrupt column referenced
-    through a cache/materialization boundary in some plans; counting
-    corrupt rows right after the scan is the supported pattern."""
-    reader = spark.read.option("mode", "PERMISSIVE").option(
-        "columnNameOfCorruptRecord", corrupt_col
-    )
-    if schema is not None:
-        from pyspark.sql.types import StructField, StringType
-        from pyspark.sql.types import _parse_datatype_string
-
-        st = _parse_datatype_string(schema)
-        if corrupt_col not in st.fieldNames():
-            st = st.add(StructField(corrupt_col, StringType(), True))
-        reader = reader.schema(st)
-    df = reader.json(path)
-    if corrupt_col not in df.columns:
-        # all-clean inference pass: add an empty capture column so the
-        # contract (column always present unless dropped) holds
-        df = df.withColumn(corrupt_col, F.lit(None).cast("string"))
-    if drop_corrupt:
-        df = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
-    return df.withColumn("_source_file", F.input_file_name())

@@ -435,54 +435,3 @@ def test_xlsx_row_without_r_attribute_follows_previous(tmp_path):
     # h1 at row 0, row5 at row 4, anon at row 5 (AFTER row5, not at
     # index 2 where len(rows)+1 would have put it).
     assert col[0] == "h1" and col[4] == "row5" and col[5] == "anon"
-
-
-# ---------------------------------------------------------------------------
-# read_jsonl
-# ---------------------------------------------------------------------------
-
-def _write_jsonl(tmp_path, name, lines):
-    p = tmp_path / name
-    p.write_text("\n".join(lines) + "\n")
-    return str(p)
-
-
-def test_read_jsonl_with_schema_and_corrupt_capture(spark, tmp_path):
-    from nhs_data_pipeline_spark.io.readers import read_jsonl
-
-    path = _write_jsonl(tmp_path, "docs.jsonl", [
-        '{"doc_id": 1, "text": "hello world"}',
-        'this is not json at all',
-        '{"doc_id": 2, "text": "second"}',
-        '{"doc_id": 3',  # truncated object
-    ])
-    df = read_jsonl(spark, path, schema="doc_id bigint, text string")
-    rows = df.collect()
-    assert len(rows) == 4
-    good = {r.doc_id: r.text for r in rows if r._corrupt_record is None}
-    assert good == {1: "hello world", 2: "second"}
-    bad = [r for r in rows if r._corrupt_record is not None]
-    assert len(bad) == 2
-    assert all(r.doc_id is None and r.text is None for r in bad)
-    assert all(r._source_file.endswith("docs.jsonl") for r in rows)
-
-
-def test_read_jsonl_drop_corrupt_and_clean_inference(spark, tmp_path):
-    from nhs_data_pipeline_spark.io.readers import read_jsonl
-
-    path = _write_jsonl(tmp_path, "mix.jsonl", [
-        '{"doc_id": 1, "text": "a"}',
-        'garbage',
-        '{"doc_id": 2, "text": "b"}',
-    ])
-    df = read_jsonl(spark, path, schema="doc_id bigint, text string",
-                    drop_corrupt=True)
-    assert "_corrupt_record" not in df.columns
-    assert sorted(r.doc_id for r in df.collect()) == [1, 2]
-    # schema-less inference on a clean file: capture column still
-    # present (contract) and empty
-    clean = _write_jsonl(tmp_path, "clean.jsonl", ['{"k": 5}', '{"k": 6}'])
-    df2 = read_jsonl(spark, clean)
-    assert "_corrupt_record" in df2.columns
-    assert df2.filter("_corrupt_record is not null").count() == 0
-    assert sorted(r.k for r in df2.collect()) == [5, 6]
