@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "dedup_weighted_jaccard_join",
     "eval_retrieval_metrics",
     "events_robust_outliers",
+    "stats_rate_wilson_ci",
 ]
 
 

@@ -1514,3 +1514,54 @@ def robust_outliers(
         .withColumn("is_outlier", F.lit(None).cast("boolean"))
     )
     return flagged.unionByName(nulls)
+
+
+def group_rate_wilson_ci(
+    df: DataFrame,
+    group_cols: list[str],
+    success_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-group binomial rate with the Wilson score interval:
+    ``(*group_cols, n, n_success, rate, ci_lo, ci_hi)`` — the
+    right-behaved rate CI (never escapes [0, 1], sane at 0/1 rates
+    and small n, unlike the normal-approximation +-z*sqrt(pq/n)).
+
+    ``success_col`` is a boolean/0-1 column; NULL successes are
+    excluded (unknown outcome rows can't be counted either way).
+    Exactness: (n, s) are exact integers; every downstream arithmetic
+    op (the Wilson center/half-width, one sqrt — correctly-rounded
+    IEEE in every engine) is spelled identically in the oracle, so
+    the floor-rounded 6-dp bounds replay bit-identically. One
+    map-side-combinable aggregate, no joins, no windows."""
+    zl = F.lit(float(z))
+    base = df.filter(F.col(success_col).isNotNull())
+    agg = base.groupBy(*group_cols).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col(success_col).cast("int")).cast("bigint").alias("n_success"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("n_success").cast("double") / nd
+    z2 = zl * zl
+    denom = F.lit(1.0) + z2 / nd
+    center = (p + z2 / (F.lit(2.0) * nd)) / denom
+    half = (
+        zl
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / nd
+            + z2 / (F.lit(4.0) * nd * nd)
+        )
+        / denom
+    )
+
+    def _r6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    return agg.select(
+        *group_cols,
+        "n",
+        "n_success",
+        _r6(p).alias("rate"),
+        _r6(F.greatest(F.lit(0.0), center - half)).alias("ci_lo"),
+        _r6(F.least(F.lit(1.0), center + half)).alias("ci_hi"),
+    )

@@ -10204,6 +10204,48 @@ def stats_psi_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stats_rate_wilson_ci",
+    """
+    WITH agg AS (
+      SELECT l_linestatus,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_success
+      FROM lineitem WHERE l_returnflag IS NOT NULL
+      GROUP BY l_linestatus
+    )
+    SELECT l_linestatus, n, n_success,
+           floor(p * 1e6 + 0.5) / 1e6 AS rate,
+           floor(GREATEST(CAST(0.0 AS DOUBLE),
+                 (p + z*z / (2.0 * nd)) / (1.0 + z*z / nd)
+                 - z * sqrt(p * (1.0 - p) / nd + z*z / (4.0 * nd * nd))
+                   / (1.0 + z*z / nd)) * 1e6 + 0.5) / 1e6 AS ci_lo,
+           floor(LEAST(CAST(1.0 AS DOUBLE),
+                 (p + z*z / (2.0 * nd)) / (1.0 + z*z / nd)
+                 + z * sqrt(p * (1.0 - p) / nd + z*z / (4.0 * nd * nd))
+                   / (1.0 + z*z / nd)) * 1e6 + 0.5) / 1e6 AS ci_hi
+    FROM (SELECT *, CAST(n AS DOUBLE) AS nd,
+                 CAST(n_success AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                 CAST(1.96 AS DOUBLE) AS z
+          FROM agg)
+    """,
+)
+def stats_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item rate per lineitem status with the 95% Wilson
+    score interval — the rate CI that stays inside [0, 1] and behaves
+    at extreme rates, where the normal approximation does not. Exact
+    integer (n, successes) into an identically-spelled IEEE sequence
+    (one correctly-rounded sqrt) in both engines
+    (ops/analytics.group_rate_wilson_ci)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isNotNull()
+    ).select(
+        "l_linestatus", (F.col("l_returnflag") == "R").alias("__ret")
+    )
+    return oan.group_rate_wilson_ci(li, ["l_linestatus"], "__ret")
+
+
+@query(
     "events_robust_outliers",
     """
     WITH base AS (

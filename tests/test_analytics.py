@@ -1157,3 +1157,40 @@ def test_robust_outliers_partitioning_invariance(spark):
     b = sorted(map(tuple, robust_outliers(
         df.repartition(11), ["g"], "v").collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# group_rate_wilson_ci
+# ---------------------------------------------------------------------------
+
+def test_wilson_ci_hand_case(spark):
+    import math
+
+    from nhs_data_pipeline_spark.ops.analytics import group_rate_wilson_ci
+
+    # g: 3 of 4 successes
+    rows = [("g", True), ("g", True), ("g", True), ("g", False),
+            ("g", None)]
+    df = spark.createDataFrame(rows, "g string, ok boolean")
+    r = group_rate_wilson_ci(df, ["g"], "ok").collect()[0]
+    assert (r.n, r.n_success, r.rate) == (4, 3, 0.75)
+    z, n, p = 1.96, 4.0, 0.75
+    denom = 1.0 + z * z / n
+    center = (p + z * z / (2.0 * n)) / denom
+    half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+    assert r.ci_lo == math.floor(max(0.0, center - half) * 1e6 + 0.5) / 1e6
+    assert r.ci_hi == math.floor(min(1.0, center + half) * 1e6 + 0.5) / 1e6
+    assert 0.0 <= r.ci_lo < 0.75 < r.ci_hi <= 1.0
+
+
+def test_wilson_ci_extreme_rates_stay_in_unit_interval(spark):
+    from nhs_data_pipeline_spark.ops.analytics import group_rate_wilson_ci
+
+    rows = [("all", True)] * 5 + [("none", False)] * 5
+    df = spark.createDataFrame(rows, "g string, ok boolean")
+    got = {r.g: r for r in group_rate_wilson_ci(df, ["g"], "ok").collect()}
+    # the normal approximation would put ci_hi > 1 / ci_lo < 0 here
+    assert got["all"].rate == 1.0 and got["all"].ci_hi == 1.0
+    assert got["all"].ci_lo > 0.5  # informative even at p-hat = 1
+    assert got["none"].rate == 0.0 and got["none"].ci_lo == 0.0
+    assert got["none"].ci_hi < 0.5

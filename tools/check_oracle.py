@@ -82,6 +82,13 @@ def close(a, b):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # a typo'd / renamed query name must FAIL LOUDLY — with a silent
+    # set-intersection the gate prints "all green" vacuously having
+    # checked nothing (the build-notes silent-skip trap)
+    unknown = only - set(QUERIES)
+    if unknown:
+        print(f"FAIL  unknown query names: {sorted(unknown)}")
+        sys.exit(2)
     spark = get_spark("oracle-check")
     con = duck_con(sf_dir)
     failures = []
