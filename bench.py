@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "eval_retrieval_metrics",
     "events_robust_outliers",
     "stats_rate_wilson_ci",
+    "embed_kcenter_coreset",
 ]
 
 

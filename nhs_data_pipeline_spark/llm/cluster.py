@@ -232,3 +232,70 @@ def fit_centroids_engine(
     rows = kmeans_fit(df, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col)
     out = {r["cid"]: [float(v) for v in r["centroid"]] for r in rows.collect()}
     return [out[c] for c in sorted(out)]
+
+
+def kcenter_coreset(
+    emb: DataFrame,
+    k: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez's 2-approximation,
+    public) over an embedding column: pick the deterministic seed (min
+    id), then ``k - 1`` times the point FARTHEST from every selected
+    center — the classic diverse-subset selector for training-data
+    curation (maximize coverage of embedding space with k exemplars;
+    the dual of dedup's remove-the-closest). Returns ``(sel_order,
+    <id_col>, radius2)`` where ``radius2`` is the squared L2 max-min
+    distance at selection time (the coverage radius achieved AFTER the
+    previous pick; NULL for the seed).
+
+    Determinism/exactness: distances fold ``(double(x_i) -
+    double(c_i))^2`` left-to-right in index order — float->double
+    casts are exact and the fold order is pinned, so d2 is
+    bit-identical in any engine — and the argmax tiebreaks on the id.
+    Each round updates a running min-distance column (least) over ONE
+    corpus scan, truncated with localCheckpoint (the iterative-loop
+    rule); the only driver crossing is the k-row argmax/center
+    hand-off (the kmeans centroid precedent, llm/cluster.py:233).
+    Total work k corpus scans — the textbook greedy k-center cost."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    base = emb.select(
+        F.col(id_col), F.col(vec_col).alias("__v")
+    ).filter(F.col("__v").isNotNull())
+
+    def _dist2_expr(center: list[float]) -> str:
+        arr = "array(" + ", ".join(repr(float(x)) for x in center) + ")"
+        return (
+            f"aggregate(zip_with(__v, {arr}, "
+            "(a, b) -> (cast(a as double) - b) * (cast(a as double) - b)), "
+            "cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+
+    seed = base.orderBy(id_col).limit(1).collect()[0]
+    selected = [(0, seed[id_col], None)]
+    center = [float(x) for x in seed["__v"]]
+    cur = base.withColumn("__d2", F.expr(_dist2_expr(center)))
+    for i in range(1, k):
+        cur = cur.localCheckpoint(eager=False)
+        cur.count()
+        far = (
+            cur.orderBy(F.desc("__d2"), F.asc(id_col)).limit(1).collect()[0]
+        )
+        selected.append((i, far[id_col], float(far["__d2"])))
+        center = [float(x) for x in far["__v"]]
+        cur = cur.withColumn(
+            "__d2", F.least("__d2", F.expr(_dist2_expr(center)))
+        )
+    spark = emb.sparkSession
+    out = spark.createDataFrame(
+        selected, f"sel_order int, {id_col} bigint, radius2 double"
+    )
+    return out.select(
+        "sel_order",
+        id_col,
+        (F.floor(F.col("radius2") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "radius2"
+        ),
+    )

@@ -1984,6 +1984,68 @@ def embed_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kcenter_oracle_sql(k: int = 6) -> str:
+    """Unrolled-round DuckDB replica of llm/cluster.kcenter_coreset:
+    the same pinned-order double-cast left-fold distance, the same
+    LEAST running minimum, the same (d2 DESC, vec_id) argmax — so
+    every selected id and rounded radius replays bit-identically."""
+
+    def dist(e: str, c: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, len({e})), "
+            f"__i -> (CAST({e}[__i] AS DOUBLE) - CAST({c}[__i] AS DOUBLE)) "
+            f"* (CAST({e}[__i] AS DOUBLE) - CAST({c}[__i] AS DOUBLE)))), "
+            "(__a, __b) -> __a + __b)"
+        )
+
+    ctes = [
+        "s0 AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings "
+        "WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 1)",
+        f"""d1 AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding,
+             {dist('e.embedding', 's.embedding')} AS d2
+      FROM embeddings e, s0 s WHERE e.embedding IS NOT NULL
+    )""",
+        "s1 AS MATERIALIZED (SELECT * FROM d1 ORDER BY d2 DESC, vec_id "
+        "LIMIT 1)",
+    ]
+    for i in range(2, k):
+        ctes.append(f"""d{i} AS MATERIALIZED (
+      SELECT d.vec_id, d.embedding,
+             LEAST(d.d2, {dist('d.embedding', 's.embedding')}) AS d2
+      FROM d{i - 1} d, s{i - 1} s
+    )""")
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT * FROM d{i} "
+            "ORDER BY d2 DESC, vec_id LIMIT 1)"
+        )
+    selects = [
+        "SELECT CAST(0 AS INTEGER) AS sel_order, vec_id, "
+        "CAST(NULL AS DOUBLE) AS radius2 FROM s0"
+    ] + [
+        f"SELECT CAST({i} AS INTEGER), vec_id, "
+        f"floor(d2 * 1e6 + 0.5) / 1e6 FROM s{i}"
+        for i in range(1, k)
+    ]
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(
+        selects
+    )
+
+
+@query("embed_kcenter_coreset", _kcenter_oracle_sql(6))
+def embed_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (6 exemplars) over the embedding table —
+    the diverse-subset selector for curation (cover the embedding
+    space with k exemplars; the dual of near-dup removal). Every round
+    is ONE corpus scan updating a running min-distance column; the
+    pinned-order double-cast fold makes distances bit-identical
+    cross-engine, so even the argmax sequence replays exactly
+    (llm/cluster.kcenter_coreset)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cl.kcenter_coreset(emb, k=6)
+
+
 @query("embed_topk_lsh")  # approximate: rows-only check (recall tested in tests)
 def embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN (16 bits, 4 bands) re-ranked by exact

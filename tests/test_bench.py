@@ -121,3 +121,15 @@ def test_bench_does_not_clobber_official_record(monkeypatch, capsys,
         with open(official, "rb") as fh:
             after = fh.read()
     assert before == after
+
+
+def test_bench_suite_names_all_registered():
+    """Every BENCH_QUERIES name must exist in the registry — a rename
+    otherwise only surfaces as a runtime 'not in QUERIES registry'
+    error in the round's official record."""
+    import bench
+    from nhs_data_pipeline_spark.queries import QUERIES
+
+    missing = [n for n in bench.BENCH_QUERIES if n not in QUERIES]
+    assert not missing, missing
+    assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)

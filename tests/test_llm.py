@@ -1383,3 +1383,46 @@ def test_dsir_ess_dominated_python_replica(spark):
         "doc_id long, dsir_score double",
     )
     assert di.dsir_ess(df2).collect()[0].ess == r.ess
+
+
+# ----------------------------------------------------------- k-center
+
+def test_kcenter_picks_farthest_points(spark):
+    """Three tight clusters + the min-id seed: the first two greedy
+    picks must come from the two clusters NOT containing the seed."""
+    from nhs_data_pipeline_spark.llm import cluster as cl2
+
+    def vec(base, eps):
+        return [float(base + eps), 0.0, 0.0, 0.0]
+
+    rows = ([(i, vec(0, i * 0.01)) for i in range(3)]          # cluster A
+            + [(10 + i, vec(100, i * 0.01)) for i in range(3)]  # cluster B
+            + [(20 + i, vec(-100, i * 0.01)) for i in range(3)])  # cluster C
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.sel_order: r for r in cl2.kcenter_coreset(
+        emb, k=3).collect()}
+    assert got[0].vec_id == 0 and got[0].radius2 is None
+    # seed at ~0: the farthest point overall is cluster B's outermost
+    # member (100.02 -> id 12); the next pick is cluster C's outermost
+    # (-100 -> id 20), covering the remaining far cluster
+    assert got[1].vec_id == 12
+    assert got[2].vec_id == 20
+    assert got[1].radius2 > got[2].radius2 > 0
+
+
+def test_kcenter_deterministic_and_duplicate_safe(spark):
+    from nhs_data_pipeline_spark.llm import cluster as cl2
+
+    rows = [(i, [float((i * 7) % 13), float((i * 3) % 11)])
+            for i in range(30)]
+    rows.append((30, rows[0][1]))  # exact duplicate of the seed
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(map(tuple, cl2.kcenter_coreset(emb, k=4).collect()))
+    b = sorted(map(tuple, cl2.kcenter_coreset(
+        emb.repartition(7), k=4).collect()))
+    assert a == b
+    ids = [t[1] for t in a]
+    assert len(set(ids)) == 4  # never re-selects (min distance 0)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cl2.kcenter_coreset(emb, k=0)
