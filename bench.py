@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "events_robust_outliers",
     "stats_rate_wilson_ci",
     "embed_kcenter_coreset",
+    "events_ks_by_type",
 ]
 
 

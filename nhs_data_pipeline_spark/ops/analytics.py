@@ -1565,3 +1565,94 @@ def group_rate_wilson_ci(
         _r6(F.greatest(F.lit(0.0), center - half)).alias("ci_lo"),
         _r6(F.least(F.lit(1.0), center + half)).alias("ci_hi"),
     )
+
+
+def ks_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    value_int_col: str,
+    side_col: str,
+    side_a,
+    side_b,
+    bucket_width: int = 1 << 16,
+) -> DataFrame:
+    """Per-group two-sample Kolmogorov-Smirnov D — :func:`ks_two_sample`
+    stratified by segment (the A/B-readout shape: which segment's value
+    distribution differs between cohorts?): ``(*group_cols, n_a, n_b,
+    ks_d)``, one row per group with a non-NULL value on either side.
+    Same exact-integer recipe; the cumulation windows are PARTITIONED
+    by (group, value-bucket), offsets run over the model-sized
+    per-group bucket table (broadcast), and groups where either side
+    is empty return a NULL ``ks_d`` (a one-sided ECDF has no gap to
+    measure). NULL group keys are legal groups (NULL-safe joins)."""
+    from nhs_data_pipeline_spark.ops.sketch import _ns_join
+
+    v = F.col(value_int_col)
+    D = "decimal(38,0)"
+    base = df.filter(
+        v.isNotNull() & F.col(side_col).isin([side_a, side_b])
+    )
+    g = base.groupBy(*group_cols, value_int_col).agg(
+        F.sum(F.when(F.col(side_col) == side_a, 1).otherwise(0))
+        .cast(D).alias("__ca"),
+        F.sum(F.when(F.col(side_col) == side_b, 1).otherwise(0))
+        .cast(D).alias("__cb"),
+    )
+    tot = base.groupBy(*group_cols).agg(
+        F.sum(F.when(F.col(side_col) == side_a, 1).otherwise(0))
+        .cast(D).alias("__na"),
+        F.sum(F.when(F.col(side_col) == side_b, 1).otherwise(0))
+        .cast(D).alias("__nb"),
+    )
+    bucketed = g.withColumn("__b", (v / bucket_width).cast("bigint"))
+    counts = bucketed.groupBy(*group_cols, "__b").agg(
+        F.sum("__ca").alias("__bca"), F.sum("__cb").alias("__bcb")
+    )
+    woff = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *group_cols,
+        "__b",
+        F.coalesce(F.sum("__bca").over(woff), F.lit(0).cast(D)).alias("__offa"),
+        F.coalesce(F.sum("__bcb").over(woff), F.lit(0).cast(D)).alias("__offb"),
+    )
+    wb = (
+        Window.partitionBy(*group_cols, "__b")
+        .orderBy(value_int_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = _ns_join(
+        bucketed, offsets, group_cols + ["__b"], broadcast_right=True
+    ).select(
+        *group_cols,
+        (F.col("__offa") + F.sum("__ca").over(wb)).alias("__cuma"),
+        (F.col("__offb") + F.sum("__cb").over(wb)).alias("__cumb"),
+    )
+    dev = _ns_join(cum, tot, group_cols, broadcast_right=True).select(
+        *group_cols,
+        "__na",
+        "__nb",
+        F.abs(
+            F.col("__cuma") * F.col("__nb") - F.col("__cumb") * F.col("__na")
+        ).alias("__dev"),
+    )
+    return dev.groupBy(*group_cols).agg(
+        F.max("__na").cast("bigint").alias("n_a"),
+        F.max("__nb").cast("bigint").alias("n_b"),
+        F.when(
+            (F.max("__na") > 0) & (F.max("__nb") > 0),
+            F.floor(
+                F.max("__dev").cast("double")
+                / (
+                    F.max("__na").cast("double")
+                    * F.max("__nb").cast("double")
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6),
+        ).alias("ks_d"),
+    )

@@ -10266,6 +10266,61 @@ def stats_psi_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_ks_by_type",
+    """
+    WITH base AS (
+      SELECT event_type AS g,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ia,
+             CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS ib
+      FROM events
+      WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ),
+    gg AS (
+      SELECT g, v, CAST(SUM(ia) AS HUGEINT) AS ca,
+             CAST(SUM(ib) AS HUGEINT) AS cb
+      FROM base GROUP BY g, v
+    ),
+    c AS (
+      SELECT g,
+             SUM(ca) OVER (PARTITION BY g ORDER BY v) AS cuma,
+             SUM(cb) OVER (PARTITION BY g ORDER BY v) AS cumb
+      FROM gg
+    ),
+    t AS (SELECT g, CAST(SUM(ia) AS HUGEINT) AS na,
+                 CAST(SUM(ib) AS HUGEINT) AS nb FROM base GROUP BY g)
+    SELECT c.g AS event_type,
+           CAST(MAX(t.na) AS BIGINT) AS n_a,
+           CAST(MAX(t.nb) AS BIGINT) AS n_b,
+           CASE WHEN MAX(t.na) > 0 AND MAX(t.nb) > 0 THEN
+             floor(CAST(MAX(ABS(c.cuma * t.nb - c.cumb * t.na)) AS DOUBLE)
+                   / (CAST(MAX(t.na) AS DOUBLE) * CAST(MAX(t.nb) AS DOUBLE))
+                   * 1e6 + 0.5) / 1e6
+           END AS ks_d
+    FROM c JOIN t ON c.g = t.g
+    GROUP BY c.g
+    """,
+)
+def events_ks_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-cohort KS per event type: the Kolmogorov-Smirnov D between
+    even- and odd-user value distributions, stratified by event type —
+    the per-segment experiment readout (which event's value
+    distribution differs between cohorts?). Exact-integer recipe of
+    stats_ks_test with (group, bucket)-partitioned cumulation windows
+    (ops/analytics.ks_by_group)."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        "event_type",
+        F.expr("cast(floor(value * 1e6 + 0.5) as bigint)").alias("__v"),
+        (F.col("user_id") % 2).cast("int").alias("__cohort"),
+    )
+    return oan.ks_by_group(
+        ev, ["event_type"], "__v", "__cohort", 0, 1
+    ).withColumnRenamed("event_type", "event_type")
+
+
+@query(
     "stats_rate_wilson_ci",
     """
     WITH agg AS (

@@ -1194,3 +1194,33 @@ def test_wilson_ci_extreme_rates_stay_in_unit_interval(spark):
     assert got["all"].ci_lo > 0.5  # informative even at p-hat = 1
     assert got["none"].rate == 0.0 and got["none"].ci_lo == 0.0
     assert got["none"].ci_hi < 0.5
+
+
+def test_ks_by_group_localizes_the_shifted_segment(spark):
+    from nhs_data_pipeline_spark.ops.analytics import ks_by_group
+
+    rows = (
+        # segment "same": identical cohort distributions -> D = 0
+        [("same", v, c) for v in (1, 2, 3) for c in (0, 1)]
+        # segment "shifted": disjoint supports -> D = 1
+        + [("shifted", v, 0) for v in (1, 2)]
+        + [("shifted", v, 1) for v in (100, 200)]
+        # segment "onesided": cohort 1 empty -> NULL D
+        + [("onesided", 5, 0)]
+    )
+    df = spark.createDataFrame(rows, "g string, v bigint, side int")
+    got = {r.g: r for r in ks_by_group(
+        df, ["g"], "v", "side", 0, 1).collect()}
+    assert got["same"].ks_d == 0.0
+    assert got["shifted"].ks_d == 1.0
+    assert got["onesided"].n_b == 0 and got["onesided"].ks_d is None
+    # matches the unstratified op per segment
+    from nhs_data_pipeline_spark.ops.analytics import ks_two_sample
+
+    solo = ks_two_sample(
+        df.filter("g = 'shifted'").withColumnRenamed("side", "grp"),
+        "v", "grp", 0, 1,
+    ).collect()[0]
+    assert (solo.n_a, solo.n_b, solo.ks_d) == (
+        got["shifted"].n_a, got["shifted"].n_b, got["shifted"].ks_d
+    )
