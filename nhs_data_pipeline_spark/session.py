@@ -61,3 +61,56 @@ def read_tables(spark: SparkSession, sf_dir: str, *names: str):
     """Load the named parquet tables from an sf directory as DataFrames."""
     dfs = [spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names]
     return dfs[0] if len(dfs) == 1 else dfs
+
+
+def cluster_conf(
+    target_tb: float = 100.0,
+    executors: int = 1000,
+    cores_per_executor: int = 4,
+    executor_mem_gb: int = 16,
+) -> dict[str, str]:
+    """The recommended Spark conf for running this engine against a
+    real cluster at ~``target_tb`` TB — the settings local[32] cannot
+    exercise but every operator here was shaped for. Returned as a
+    dict so deploy tooling can splat it into ``get_spark(extra_conf=
+    cluster_conf())`` or spark-submit ``--conf`` flags; each value
+    carries its sizing rationale:
+
+    - ``spark.sql.shuffle.partitions``: ~2-3 tasks per core across the
+      fleet so AQE has room to COALESCE down (its coalescing only
+      merges, never splits) — the initial number is a ceiling, not a
+      target.
+    - ``spark.sql.files.maxPartitionBytes`` 256m: scan tasks sized so
+      a row-group-dense parquet split decompresses comfortably inside
+      a task's share of executor memory.
+    - AQE on, with skew-join splitting — the synthetic-data salting
+      ops (ops/skew.py) cover the cases AQE cannot (aggregation skew);
+      ``skewedPartitionThresholdInBytes`` matches advisory size so
+      detection actually fires.
+    - ``autoBroadcastJoinThreshold`` 64m: the engine broadcasts its
+      model-sized tables EXPLICITLY (broadcast hints at every
+      eqNullSafe join; plan-hygiene tests enforce it), so the
+      stats-based threshold is a backstop, not the mechanism.
+    - shuffle compression/spill settings left at defaults (zstd via
+      ``spark.io.compression.codec`` is the one worth pinning).
+    """
+    fleet_cores = executors * cores_per_executor
+    return {
+        "spark.sql.shuffle.partitions": str(fleet_cores * 2),
+        "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(
+            128 * 1024 * 1024
+        ),
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": str(
+            256 * 1024 * 1024
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.io.compression.codec": "zstd",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        "spark.executor.cores": str(cores_per_executor),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+    }

@@ -435,3 +435,20 @@ def test_xlsx_row_without_r_attribute_follows_previous(tmp_path):
     # h1 at row 0, row5 at row 4, anon at row 5 (AFTER row5, not at
     # index 2 where len(rows)+1 would have put it).
     assert col[0] == "h1" and col[4] == "row5" and col[5] == "anon"
+
+
+def test_cluster_conf_profile_is_consistent(spark):
+    """The documented 100 TB conf profile: shuffle partitions scale
+    with fleet cores (2-3x for AQE coalescing headroom), AQE + skew
+    split on, UTC pinned, and it splats cleanly into get_spark's
+    extra_conf contract (string values only)."""
+    from nhs_data_pipeline_spark.session import cluster_conf
+
+    c = cluster_conf(executors=1000, cores_per_executor=4)
+    assert c["spark.sql.shuffle.partitions"] == str(1000 * 4 * 2)
+    assert c["spark.sql.adaptive.enabled"] == "true"
+    assert c["spark.sql.adaptive.skewJoin.enabled"] == "true"
+    assert c["spark.sql.session.timeZone"] == "UTC"
+    assert all(isinstance(v, str) for v in c.values())
+    small = cluster_conf(executors=10, cores_per_executor=8)
+    assert small["spark.sql.shuffle.partitions"] == str(10 * 8 * 2)
