@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "stats_rate_wilson_ci",
     "embed_kcenter_coreset",
     "events_ks_by_type",
+    "eval_precision_curve",
 ]
 
 

@@ -543,3 +543,128 @@ def token_chi2(
     num = F.col("n_docs").cast("double") * (diff * diff)
     chi2 = F.when(den != F.lit(0.0), F.floor(num / den * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
     return j.select("token", "df", "n11", chi2.alias("chi2"))
+
+
+def precision_threshold_curve(
+    scored: DataFrame,
+    score_col: str,
+    pos_col: str,
+    targets: list[tuple[int, int]] = ((1, 4), (2, 5), (1, 2), (3, 4)),
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Deployment operating curve for a binary scorer: for each target
+    precision ``num/den``, the LOWEST score threshold whose
+    predict-positive set (score >= threshold) still meets the target —
+    i.e. maximal recall at that precision — one row per target:
+    ``(target, threshold, n_predicted, n_tp, precision, recall)``.
+    Unachievable targets keep their row with NULL threshold/stats (a
+    stable row count however the data drifts).
+
+    Exactness: per-score (count, positives) are exact integers; the
+    qualification test is the integer cross-multiplication
+    ``den * cum_tp >= num * cum_n``; the chosen row's stats ride a
+    lexicographic min-struct keyed on the score (distinct scores —
+    exactly MIN(score) + lookup); precision/recall are single closing
+    divisions with the portable floor-round. The threshold itself is
+    returned raw (both engines computed the identical double).
+
+    Scale: binary_auc's bucketed two-pass cumulation mirrored
+    DESCENDING (cum-from-the-top) — the distinct-score table is
+    corpus-cardinality for continuous scores and never sorts in one
+    task; the curve itself is ONE aggregate with ``len(targets)``
+    conditional min-structs."""
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(scored.schema[score_col].dataType, NumericType):
+        raise TypeError(
+            f"precision_threshold_curve: score column {score_col!r} must "
+            f"be numeric, got "
+            f"{scored.schema[score_col].dataType.simpleString()}"
+        )
+    pos = F.col(pos_col).cast("int")
+    base = scored.filter(F.col(score_col).isNotNull())
+    if isinstance(scored.schema[score_col].dataType, (DoubleType, FloatType)):
+        base = base.filter(~F.isnan(F.col(score_col)))
+    g = base.groupBy(score_col).agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum(pos).cast("bigint").alias("pc"),
+    )
+    s = F.col(score_col).cast("double")
+    rng = g.agg(F.min(s).alias("__lo"), F.max(s).alias("__hi"))
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets))
+    gb = (
+        g.crossJoin(F.broadcast(rng))
+        .withColumn(
+            "__bk",
+            F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor((s - F.col("__lo")) / width),
+                    F.lit(n_buckets - 1),
+                )
+            )
+            .cast("bigint"),
+        )
+        .drop("__lo", "__hi")
+    )
+    # descending cum-from-the-top: offsets over the bucket table in
+    # DESC bucket order, within-bucket window in DESC score order
+    bcounts = gb.groupBy("__bk").agg(
+        F.sum("cnt").alias("__bc"), F.sum("pc").alias("__bp")
+    )
+    woff = Window.orderBy(F.desc("__bk")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bcounts.select(
+        "__bk",
+        F.coalesce(F.sum("__bc").over(woff), F.lit(0).cast("bigint")).alias(
+            "__offn"
+        ),
+        F.coalesce(F.sum("__bp").over(woff), F.lit(0).cast("bigint")).alias(
+            "__offp"
+        ),
+    )
+    win = Window.partitionBy("__bk").orderBy(F.desc(score_col)).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = gb.join(F.broadcast(offsets), "__bk").select(
+        s.alias("__score"),
+        (F.col("__offn") + F.sum("cnt").over(win)).alias("__cumn"),
+        (F.col("__offp") + F.sum("pc").over(win)).alias("__cumtp"),
+    )
+    tot = base.agg(F.sum(pos).cast("bigint").alias("__totp"))
+    aggs = []
+    for i, (num, den) in enumerate(targets):
+        cond = (F.lit(den) * F.col("__cumtp")) >= (
+            F.lit(num) * F.col("__cumn")
+        )
+        aggs.append(
+            F.min(
+                F.when(cond, F.struct("__score", "__cumn", "__cumtp"))
+            ).alias(f"__m{i}")
+        )
+    one = cum.agg(*aggs).crossJoin(F.broadcast(tot))
+
+    def _r6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    rows = []
+    for i, (num, den) in enumerate(targets):
+        m = F.col(f"__m{i}")
+        rows.append(
+            F.struct(
+                F.lit(f"{num}/{den}").alias("target"),
+                m["__score"].alias("threshold"),
+                m["__cumn"].alias("n_predicted"),
+                m["__cumtp"].alias("n_tp"),
+                _r6(
+                    m["__cumtp"].cast("double") / m["__cumn"].cast("double")
+                ).alias("precision"),
+                _r6(
+                    m["__cumtp"].cast("double") / F.col("__totp").cast("double")
+                ).alias("recall"),
+            )
+        )
+    return one.select(
+        F.explode(F.array(*rows)).alias("__r")
+    ).select("__r.*")

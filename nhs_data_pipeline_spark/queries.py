@@ -8408,6 +8408,85 @@ _AUC_ORACLE_SQL = f"""
     """
 
 
+def _precision_curve_oracle_sql() -> str:
+    """DuckDB replica of eval_precision_curve: the SAME scored/label
+    CTE head as _AUC_ORACLE_SQL (kept textually in lockstep — both are
+    gate-pinned), a descending cumulation, and per-target MIN(score)
+    selection with the integer qualification test."""
+    head = f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(string_split({_NORM_SQL}, ' '), __t -> __t <> '') AS w
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, unnest(w) AS tok FROM base WHERE len(w) > 0
+    ),
+    wts AS (
+      SELECT doc_id,
+             (((({_hex60_sql('tok')}) % 1024) * 2654435761 + 12345) % 1000001) AS k
+      FROM toks
+    ),
+    sc AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(SUM(k) AS DOUBLE) / (1000000.0 * COUNT(*)) - 0.5 AS logit
+      FROM wts GROUP BY doc_id
+    ),
+    lab AS MATERIALIZED (
+      SELECT sc.logit AS score,
+             CASE WHEN COALESCE(d.lang, '') = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents d JOIN sc USING (doc_id)
+      WHERE sc.logit IS NOT NULL
+    ),
+    g AS MATERIALIZED (
+      SELECT score, CAST(COUNT(*) AS HUGEINT) AS cnt,
+             CAST(SUM(pos) AS HUGEINT) AS pc
+      FROM lab GROUP BY 1
+    ),
+    c AS MATERIALIZED (
+      SELECT score,
+             SUM(cnt) OVER (ORDER BY score DESC) AS cumn,
+             SUM(pc) OVER (ORDER BY score DESC) AS cumtp
+      FROM g
+    ),
+    t AS (SELECT CAST(SUM(pc) AS HUGEINT) AS totp FROM g)"""
+    rows = []
+    for num, den in ((1, 4), (2, 5), (1, 2), (3, 4)):
+        rows.append(f"""
+    SELECT '{num}/{den}' AS target, s.th AS threshold,
+           CAST(c.cumn AS BIGINT) AS n_predicted,
+           CAST(c.cumtp AS BIGINT) AS n_tp,
+           floor(CAST(c.cumtp AS DOUBLE) / CAST(c.cumn AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS "precision",
+           floor(CAST(c.cumtp AS DOUBLE) / CAST(t.totp AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS recall
+    FROM (SELECT MIN(score) AS th FROM c
+          WHERE {den} * cumtp >= {num} * cumn) s
+    LEFT JOIN c ON c.score = s.th, t""")
+    return head + "\n    UNION ALL ".join(rows)
+
+
+@query("eval_precision_curve", _precision_curve_oracle_sql())
+def eval_precision_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployment operating curve of the hashed quality scorer against
+    the English label: for each target precision (25/40/50/75%), the
+    lowest threshold still meeting it — maximal recall at that
+    precision — with the achieved precision/recall; unachievable
+    targets keep NULL rows (stable shape under data drift). The
+    distinct-score cumulation runs DESCENDING through binary_auc's
+    bucketed two-pass pattern, never a single-task sort
+    (llm/classify.precision_threshold_curve)."""
+    docs = _t(spark, sf_dir, "documents")
+    scores = clf.linear_quality_scores(docs, buckets=1024).select(
+        "doc_id", "logit"
+    )
+    lab = scores.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "logit",
+        (F.coalesce(F.col("lang"), F.lit("")) == "en").alias("pos"),
+    )
+    return clf.precision_threshold_curve(lab, "logit", "pos")
+
+
 @query("eval_classifier_auc", _AUC_ORACLE_SQL)
 def eval_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ROC-AUC of the hashed linear quality scorer against the

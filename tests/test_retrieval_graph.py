@@ -1747,3 +1747,45 @@ def test_retrieval_eval_rejects_bad_k(spark):
     df = spark.createDataFrame([(0, 1, 1)], ["query_id", "doc_id", "rank"])
     with _pytest.raises(ValueError):
         rtv.retrieval_eval(df, df.select("query_id", "doc_id"), k=0)
+
+
+# ------------------------------------------------ precision threshold curve
+
+def test_precision_curve_hand_case(spark):
+    from nhs_data_pipeline_spark.llm.classify import precision_threshold_curve
+
+    # scores desc: 9(+), 8(-), 7(+), 6(+), 5(-)
+    # prefix precisions: 1/1, 1/2, 2/3, 3/4, 3/5
+    rows = [(9.0, True), (8.0, False), (7.0, True), (6.0, True), (5.0, False)]
+    df = spark.createDataFrame(rows, "score double, pos boolean")
+    got = {r.target: r for r in precision_threshold_curve(
+        df, "score", "pos", targets=[(3, 4), (9, 10), (1, 2)]).collect()}
+    r34 = got["3/4"]  # 3/4 met at threshold 6 (prefix of 4) — max recall
+    assert (r34.threshold, r34.n_predicted, r34.n_tp) == (6.0, 4, 3)
+    assert r34.precision == 0.75 and r34.recall == 1.0
+    r12 = got["1/2"]  # met even at the full set (3/5 >= 1/2)
+    assert (r12.threshold, r12.n_predicted) == (5.0, 5)
+    r910 = got["9/10"]  # only the top-1 prefix reaches 100% >= 90%
+    assert (r910.threshold, r910.n_predicted, r910.n_tp) == (9.0, 1, 1)
+
+
+def test_precision_curve_unachievable_target_keeps_null_row(spark):
+    from nhs_data_pipeline_spark.llm.classify import precision_threshold_curve
+
+    rows = [(2.0, False), (1.0, True)]  # top prefix precision 0, then 1/2
+    df = spark.createDataFrame(rows, "score double, pos boolean")
+    got = {r.target: r for r in precision_threshold_curve(
+        df, "score", "pos", targets=[(9, 10)]).collect()}
+    r = got["9/10"]
+    assert r.threshold is None and r.n_predicted is None
+    assert r.precision is None and r.recall is None
+
+
+def test_precision_curve_rejects_string_scores(spark):
+    import pytest as _pytest
+
+    from nhs_data_pipeline_spark.llm.classify import precision_threshold_curve
+
+    df = spark.createDataFrame([("0.9", True)], "score string, pos boolean")
+    with _pytest.raises(TypeError, match="must be numeric"):
+        precision_threshold_curve(df, "score", "pos")
