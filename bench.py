@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "embed_kcenter_coreset",
     "events_ks_by_type",
     "eval_precision_curve",
+    "entity_phonetic_match",
 ]
 
 

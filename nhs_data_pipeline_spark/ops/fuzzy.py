@@ -104,3 +104,114 @@ def fuzzy_match_dist1(
             F.col("__dist").cast("int").alias(dist_col),
         )
     )
+
+
+# American Soundex letter codes, position-aligned with A..Z. Vowels +
+# Y map to 0 (they separate runs but emit nothing); H/W map to 9 in
+# NON-FIRST positions (removed BEFORE run-collapse, which is exactly
+# the "same-coded letters separated by h/w collapse" rule).
+_SOUNDEX_CODES = "01230129022455012623019202"
+
+
+def _soundex_steps(letters_sql: str, g_flag: str) -> str:
+    """The shared engine/oracle SQL pipeline from an all-letters
+    uppercase string to the 4-char Soundex code. ``g_flag`` is ''
+    for Spark (regexp_replace replaces all matches) and ", 'g'" for
+    DuckDB (flag argument). Identical arithmetic either way."""
+    first = f"substring({letters_sql}, 1, 1)"
+    # first letter: true code for consonants (so a following same-coded
+    # letter collapses into it — Pfister -> P236), but H/W become '0'
+    # (no code of their own; must NOT vanish in the 9-removal and shift
+    # the body — Hradek must keep R's 6)
+    d1 = (
+        f"CASE WHEN {first} IN ('H', 'W') THEN '0' "
+        f"ELSE translate({first}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+        f"'{_SOUNDEX_CODES}') END"
+    )
+    rest = (
+        f"translate(substring({letters_sql}, 2), "
+        f"'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '{_SOUNDEX_CODES}')"
+    )
+    d = f"replace(concat({d1}, {rest}), '9', '')"
+    for c in "0123456":
+        d = f"regexp_replace({d}, '{c}+', '{c}'{g_flag})"
+    body = f"replace(substring({d}, 2), '0', '')"
+    return (
+        f"concat({first}, substring(concat({body}, '000'), 1, 3))"
+    )
+
+
+def soundex_expr(name_sql: str) -> "F.Column":
+    """Portable American Soundex as a Spark Column (pure codegen
+    string ops — translate / replace / regexp_replace — spelled
+    identically in :func:`soundex_oracle_sql`, so codes replay exactly
+    cross-engine; Spark's builtin ``F.soundex`` is NOT used because
+    its edge-case behavior is not contractually mirrored in other
+    engines). NULL/letterless names code NULL."""
+    letters = f"upper(regexp_replace({name_sql}, '[^A-Za-z]', ''))"
+    return F.expr(
+        f"CASE WHEN length({letters}) > 0 THEN "
+        + _soundex_steps(letters, "")
+        + " END"
+    )
+
+
+def soundex_oracle_sql(name_sql: str) -> str:
+    """The DuckDB text of the SAME pipeline (global regexp flags)."""
+    letters = f"upper(regexp_replace({name_sql}, '[^A-Za-z]', '', 'g'))"
+    return (
+        f"CASE WHEN length({letters}) > 0 THEN "
+        + _soundex_steps(letters, ", 'g'")
+        + " END"
+    )
+
+
+def phonetic_match_best(
+    dirty: DataFrame,
+    canon: DataFrame,
+    dirty_id: str,
+    dirty_name: str,
+    canon_name: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Resolve dirty names through SOUNDEX blocking + levenshtein
+    verify — the phonetic complement to ``fuzzy_match_dist1``: vowel
+    swaps, doubled letters, and other sound-preserving corruptions of
+    ANY edit distance share the dirty name's soundex block, so they
+    are candidates the distance-1 deletion neighborhood never sees.
+    Candidates verify with exact ``levenshtein <= max_dist``; best
+    match per dirty row by (distance, canonical name). Returns every
+    dirty row with ``matched_name``/``match_distance`` (NULL = no
+    phonetic match within distance).
+
+    Scale: blocks are soundex-code-sized (vocabulary-bounded); the
+    join is an equi-join on the 4-char code; never a cross join."""
+    d = dirty.select(
+        F.col(dirty_id).alias("__did"), F.col(dirty_name).alias("__dn")
+    ).withColumn("__sdx", soundex_expr("__dn"))
+    c = (
+        canon.select(F.col(canon_name).alias("__cn"))
+        .distinct()
+        .withColumn("__sdx", soundex_expr("__cn"))
+    )
+    scored = (
+        d.join(c, "__sdx")
+        .withColumn("__dist", F.levenshtein("__dn", "__cn"))
+        .filter(F.col("__dist") <= max_dist)
+    )
+    w = Window.partitionBy("__did").orderBy("__dist", "__cn")
+    best = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("__did", "__cn", "__dist")
+    )
+    return (
+        d.drop("__sdx")
+        .join(best, "__did", "left")
+        .select(
+            F.col("__did").alias(dirty_id),
+            F.col("__dn").alias(dirty_name),
+            F.col("__cn").alias("matched_name"),
+            F.col("__dist").cast("int").alias("match_distance"),
+        )
+    )

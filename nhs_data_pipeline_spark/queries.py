@@ -6193,6 +6193,88 @@ def entity_resolve_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _phonetic_oracle_sql() -> str:
+    """DuckDB replica of entity_phonetic_match: the identical portable
+    Soundex pipeline (ops/fuzzy.soundex_oracle_sql — same translate
+    constant, same 9-removal + run-collapse, same first-letter H/W
+    rule), the same deterministic corruption, blocking equi-join on
+    the 4-char code, levenshtein <= 2 verify, (dist, name) best."""
+    from nhs_data_pipeline_spark.ops.fuzzy import soundex_oracle_sql
+
+    return f"""
+    WITH nouns AS (SELECT DISTINCT split_part(p_name, ' ', 2) AS noun
+                   FROM part WHERE p_name IS NOT NULL),
+    dirty AS (
+      SELECT p_partkey,
+             CASE WHEN p_partkey % 3 = 0
+                    THEN replace(split_part(p_name, ' ', 2), 'e', 'i')
+                  WHEN p_partkey % 3 = 1
+                    THEN split_part(p_name, ' ', 2)
+                         || substr(split_part(p_name, ' ', 2),
+                                   length(split_part(p_name, ' ', 2)), 1)
+                  ELSE split_part(p_name, ' ', 2) END AS dirty_noun
+      FROM part WHERE p_name IS NOT NULL
+    ),
+    dk AS (SELECT p_partkey, dirty_noun,
+                  {soundex_oracle_sql('dirty_noun')} AS sdx FROM dirty),
+    ck AS (SELECT noun, {soundex_oracle_sql('noun')} AS sdx FROM nouns),
+    scored AS (
+      SELECT dk.p_partkey, dk.dirty_noun, ck.noun,
+             levenshtein(dk.dirty_noun, ck.noun) AS dist
+      FROM dk JOIN ck USING (sdx)
+      WHERE levenshtein(dk.dirty_noun, ck.noun) <= 2
+    ),
+    best AS (
+      SELECT p_partkey, noun, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY p_partkey
+                    ORDER BY dist, noun) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT d.p_partkey, d.dirty_noun, b.noun AS matched_name,
+           CAST(b.dist AS INTEGER) AS match_distance
+    FROM dirty d LEFT JOIN best b USING (p_partkey)
+    """
+
+
+@query("entity_phonetic_match", _phonetic_oracle_sql())
+def entity_phonetic_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic entity resolution: a deterministically-corrupted
+    part-noun feed (vowel swap e->i / doubled final letter / clean)
+    resolved against the canonical noun vocabulary via portable
+    SOUNDEX blocking + exact levenshtein verify — the sound-preserving
+    corruptions share the canonical name's soundex block at ANY edit
+    distance, where distance-1 deletion blocking would miss them.
+    The Soundex itself is pure codegen string ops spelled identically
+    in both engines — codes, blocks, and matches replay exactly
+    (ops/fuzzy.soundex_expr / phonetic_match_best)."""
+    from nhs_data_pipeline_spark.ops import fuzzy as fz
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").isNotNull())
+    noun = F.expr("split_part(p_name, ' ', 2)")
+    dirty = p.select(
+        "p_partkey",
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.expr("replace(split_part(p_name, ' ', 2), 'e', 'i')"),
+        )
+        .when(
+            F.col("p_partkey") % 3 == 1,
+            F.expr(
+                "split_part(p_name, ' ', 2) || substring("
+                "split_part(p_name, ' ', 2), "
+                "length(split_part(p_name, ' ', 2)), 1)"
+            ),
+        )
+        .otherwise(noun)
+        .alias("dirty_noun"),
+    )
+    nouns = p.select(noun.alias("noun"))
+    return fz.phonetic_match_best(
+        dirty, nouns, "p_partkey", "dirty_noun", "noun", max_dist=2
+    )
+
+
 @query(
     "table_fingerprint_by_source",
     """

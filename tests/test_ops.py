@@ -459,3 +459,64 @@ def test_winsorize_matches_numpy_order_stats(spark):
     assert r.lo == s[25 - 1] and r.hi == s[475 - 1]
     clipped = [min(max(v, r.lo), r.hi) for v in vals]
     assert r.mean_after == sum(clipped) / 500
+
+
+# ---------------------------------------------------------------------------
+# portable Soundex + phonetic matching
+# ---------------------------------------------------------------------------
+
+def test_soundex_standard_codes_and_edge_cases(spark):
+    """The portable pipeline must reproduce the canonical American
+    Soundex examples — including the h/w-separation collapse
+    (Ashcraft), the first-letter absorption (Pfister), and first-letter
+    H/W keeping the next consonant's code (Hradek)."""
+    from nhs_data_pipeline_spark.ops import fuzzy as fz
+
+    exp = {
+        "Robert": "R163", "Rupert": "R163", "Ashcraft": "A261",
+        "Ashcroft": "A261", "Tymczak": "T522", "Pfister": "P236",
+        "Honeyman": "H555", "Hradek": "H632", "White": "W300",
+        "Wu": "W000", "A": "A000", "123": None, "": None,
+    }
+    df = spark.createDataFrame([(n,) for n in exp], ["n"])
+    got = {r.n: r.s for r in df.select(
+        "n", fz.soundex_expr("n").alias("s")).collect()}
+    assert got == exp
+
+
+def test_soundex_cross_engine_parity(spark):
+    import duckdb
+
+    from nhs_data_pipeline_spark.ops import fuzzy as fz
+
+    names = ["widget", "wedgit", "boltt", "gear", "giar", "O'Brien",
+             "Mc Donald", "llama", "aeiou"]
+    df = spark.createDataFrame([(n,) for n in names], ["n"])
+    got = {r.n: r.s for r in df.select(
+        "n", fz.soundex_expr("n").alias("s")).collect()}
+    con = duckdb.connect()
+    for n in names:
+        lit = "'" + n.replace("'", "''") + "'"
+        d = con.execute(
+            "SELECT " + fz.soundex_oracle_sql(lit)).fetchone()[0]
+        assert d == got[n], (n, got[n], d)
+
+
+def test_phonetic_match_catches_what_dist1_blocking_misses(spark):
+    """A 2-edit sound-preserving corruption ('widget' -> 'wedgit')
+    must resolve through the soundex block; an unrelated name must
+    stay unmatched (NULL)."""
+    from nhs_data_pipeline_spark.ops import fuzzy as fz
+
+    canon = spark.createDataFrame(
+        [("widget",), ("bolt",), ("gear",)], ["name"]
+    )
+    dirty = spark.createDataFrame(
+        [(1, "wedgit"), (2, "boltt"), (3, "zzzzz")], ["id", "dn"]
+    )
+    got = {r.id: (r.matched_name, r.match_distance)
+           for r in fz.phonetic_match_best(
+               dirty, canon, "id", "dn", "name").collect()}
+    assert got[1] == ("widget", 2)  # distance 2: deletion blocking misses it
+    assert got[2] == ("bolt", 1)
+    assert got[3] == (None, None)
