@@ -622,6 +622,18 @@ def test_registry_no_unaudited_global_sort_windows(spark, sf_dir):
         # definition; the op is contracted to single-file ingest
         # tables (reference CSV/Excel shape), never corpus facts
         "p10_marker_row_slice",
+        # r07 audited additions, all the bucket-offset shape: KS's
+        # cumulative offsets run over the value-BUCKET table
+        # (ops/analytics.ks_two_sample; the per-group variant
+        # partitions by group and is not flagged)
+        "stats_ks_test",
+        # descending bucket offsets over the <= n_buckets table
+        # (llm/classify.precision_threshold_curve)
+        "eval_precision_curve",
+        # the vocabulary-head ranked query set again (post-LIMIT
+        # <= 11 rows; llm/retrieval.derived_term_queries) — same
+        # audited subplan as text_bm25_topk
+        "eval_retrieval_metrics",
     }
     explain_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
     pat = re.compile(r"windowspecdefinition\(([^,)]*)")
