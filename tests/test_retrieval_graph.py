@@ -1789,3 +1789,18 @@ def test_precision_curve_rejects_string_scores(spark):
     df = spark.createDataFrame([("0.9", True)], "score string, pos boolean")
     with _pytest.raises(TypeError, match="must be numeric"):
         precision_threshold_curve(df, "score", "pos")
+
+
+def test_exact_jaccard_auto_empty_corpus(spark):
+    """The dispatcher must handle an empty/degenerate corpus: zero
+    estimates dispatch to countjoin and the join returns no pairs."""
+    from nhs_data_pipeline_spark.llm import dedup as dd2
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, None), (2, "one")], ["doc_id", "text"]
+    )
+    rep: dict = {}
+    out = dd2.exact_jaccard_join(docs, 0.5, mode="auto", report=rep)
+    assert out.count() == 0
+    assert rep["mode"] == "countjoin"
+    assert rep["cj_pairs"] == 0 and rep["prefix_budget"] == 0
