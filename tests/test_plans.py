@@ -425,6 +425,11 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # into the cumulative-deviation stream
         # (ops/analytics.ks_two_sample) — scalar-broadcast shape
         "stats_ks_test",
+        # audited: the one-row (min, max) score-range aggregate (the
+        # rank-bucket width, binary_auc's audited shape) plus the
+        # one-row positives total crossed into the curve aggregate
+        # (llm/classify.precision_threshold_curve) — scalar-broadcast
+        "eval_precision_curve",
         # audited: the one-row distinct-doc-count aggregate crossed
         # into the token stream to build integer IDF weights
         # (llm/dedup.weighted_jaccard_join) — scalar-broadcast shape
