@@ -73,10 +73,23 @@ def main() -> int:
     # BENCH_r*.json = driver records (sheared tails: only the last ~60
     # per-query entries survive); BENCH_CLOSE_r*.json = the committed
     # full closing record of each session (complete per-query map) —
-    # the convention that gives head-of-suite queries a history at all
+    # the convention that gives head-of-suite queries a history at all.
+    # Records BEFORE round 5 are excluded: r05 switched the bench
+    # action from count() (which let Catalyst prune aggregate-join
+    # work — the count()-lies trap) to hash-sum-all-columns, so
+    # r01-r04 per-query times measure less work and are incomparable
+    # (q1 read 0.33 s under count() vs ~1.1 s honestly evaluated).
+    def _comparable(path: str) -> bool:
+        import re as _re
+
+        m = _re.search(r"BENCH(?:_CLOSE)?_r(\d+)\.json$", path)
+        return bool(m) and int(m.group(1)) >= 5
+
     history = sorted(
-        glob.glob(os.path.join(REPO, "BENCH_r0*.json"))
+        p
+        for p in glob.glob(os.path.join(REPO, "BENCH_r0*.json"))
         + glob.glob(os.path.join(REPO, "BENCH_CLOSE_r0*.json"))
+        if _comparable(p)
     )
     for p in history:
         for k, v in _load_queries(p).items():
