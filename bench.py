@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "events_ks_by_type",
     "eval_precision_curve",
     "entity_phonetic_match",
+    "eval_lsh_candidate_quality",
 ]
 
 

@@ -1800,6 +1800,125 @@ def _minhash_portable_oracle() -> str:
     """
 
 
+def _lsh_quality_oracle() -> str:
+    """Composed replica of eval_lsh_candidate_quality: the portable
+    MinHash band chain (candidate pairs on plain documents) joined
+    against the exact word-bigram Jaccard truth at t = 3/5 — both
+    fragments individually gate-green; this composes them with exact
+    integer counts and two closing divisions."""
+    chain = _minhash_chain_sql("SELECT doc_id, text FROM documents")
+    return f"""
+    WITH {chain},
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    tb AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    tbg AS (
+      SELECT DISTINCT doc_id, w[__j] || ' ' || w[__j + 1] AS bg
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS __j
+            FROM tb WHERE len(w) > 1)
+    ),
+    tsz AS (SELECT doc_id, COUNT(*) AS n FROM tbg GROUP BY 1),
+    tinter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS i
+      FROM tbg a JOIN tbg b ON a.bg = b.bg AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS MATERIALIZED (
+      SELECT it.id_a, it.id_b
+      FROM tinter it JOIN tsz sa ON it.id_a = sa.doc_id
+                     JOIN tsz sb ON it.id_b = sb.doc_id
+      WHERE (5 * it.i) >= (3 * (sa.n + sb.n - it.i))
+    ),
+    hit AS (SELECT COUNT(*) AS nh FROM cand JOIN truth
+            USING (id_a, id_b)),
+    c AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM cand),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM truth)
+    SELECT t.nt AS n_exact, c.nc AS n_candidates,
+           CAST(hit.nh AS BIGINT) AS n_hit,
+           CASE WHEN t.nt > 0 THEN
+             floor(CAST(hit.nh AS DOUBLE) / CAST(t.nt AS DOUBLE)
+                   * 1e6 + 0.5) / 1e6 END AS recall,
+           CASE WHEN c.nc > 0 THEN
+             floor(CAST(hit.nh AS DOUBLE) / CAST(c.nc AS DOUBLE)
+                   * 1e6 + 0.5) / 1e6 END AS candidate_precision
+    FROM hit, c, t
+    """
+
+
+@query("eval_lsh_candidate_quality", _lsh_quality_oracle())
+def eval_lsh_candidate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Honest end-to-end quality of the MinHash-LSH blocking against
+    the EXACT near-dup truth: recall (what fraction of true exact
+    word-bigram-Jaccard >= 0.6 pairs appear among the LSH candidates)
+    and candidate precision (what fraction of candidates are true
+    pairs — the verify-stage efficiency). The two pipelines use
+    different similarity bases on purpose (sampled char-5 shingles vs
+    word bigrams): this measures the BLOCKING's usefulness for the
+    dedup definition actually deployed, not the s-curve's textbook
+    recall on its own shingle universe (that is property-tested).
+    Exact integer counts, two closing divisions
+    (llm/dedup.minhash_lsh_pairs + exact_jaccard_join)."""
+    d = _t(spark, sf_dir, "documents")
+    # eager per-call persists: the hit join reads both pair tables a
+    # second time; released via the localCheckpoint'd scalar result
+    cand = dd.minhash_lsh_pairs(d, hash_fn="portable").select(
+        "id_a", "id_b"
+    ).persist()
+    cand.count()
+    truth = dd.exact_jaccard_join(d, threshold=0.6).select(
+        "id_a", "id_b"
+    ).persist()
+    truth.count()
+    nh = cand.join(truth, ["id_a", "id_b"]).agg(
+        F.count("*").cast("bigint").alias("n_hit")
+    )
+    nc = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
+    nt = truth.agg(F.count("*").cast("bigint").alias("n_exact"))
+    out = (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_exact",
+            "n_candidates",
+            "n_hit",
+            F.when(
+                F.col("n_exact") > 0,
+                F.floor(
+                    F.col("n_hit").cast("double")
+                    / F.col("n_exact").cast("double")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6),
+            ).alias("recall"),
+            F.when(
+                F.col("n_candidates") > 0,
+                F.floor(
+                    F.col("n_hit").cast("double")
+                    / F.col("n_candidates").cast("double")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6),
+            ).alias("candidate_precision"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    out.count()
+    cand.unpersist()
+    truth.unpersist()
+    return out
+
+
 @query("minhash_lsh_pairs", _minhash_portable_oracle())
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs (64 hashes, 8 bands over sampled

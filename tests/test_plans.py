@@ -310,8 +310,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 211, len(QUERIES)
-    assert len(ORACLES) == 208, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 212, len(QUERIES)
+    assert len(ORACLES) == 209, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_registry_wide_plan_hygiene(spark, sf_dir):
@@ -360,6 +360,9 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # (doc, bigram) table, so a shuffle join is the correct plan
         # at scale even though gate-sized stats broadcast it today
         "dedup_jaccard_exact_join",
+        # audited: embeds the exact-Jaccard countjoin as its truth
+        # side plus pair-table joins (llm/dedup composition)
+        "eval_lsh_candidate_quality",
         # audited: the auto dispatcher resolves to one of the two
         # audited exact-Jaccard plans (countjoin at gate density)
         "dedup_jaccard_auto",
