@@ -161,6 +161,8 @@ BENCH_QUERIES = [
     "eval_precision_curve",
     "entity_phonetic_match",
     "eval_lsh_candidate_quality",
+    "contamination_semantic",
+    "diagnose_feature_collisions",
 ]
 
 

@@ -701,3 +701,51 @@ def random_projection(
         lambda p: _dot(F.col(vec_col), p),
     )
     return v.withColumn("proj", proj)
+
+
+def semantic_contamination(
+    benchmark: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level benchmark decontamination screen: for every
+    benchmark vector, how many corpus vectors sit above ``threshold``
+    cosine (near-verbatim paraphrases the n-gram contamination check
+    misses) and the maximum cosine observed — per-benchmark rows
+    ``(bench_id, n_corpus, n_contaminated, max_cosine)``.
+
+    Shape: the broadcast-benchmark pair scorer of
+    :func:`brute_force_topk` (one Arrow-batched cosine stage, corpus
+    never shuffles) feeding ONE map-side-combinable aggregate — no
+    top-k window at all, so the scan is a single pass however large
+    the corpus. The decision column rounds cosine to 6 dp first
+    (portable floor-round), so the count replays exactly cross-engine;
+    NULL cosines (zero-norm vectors) count as uncontaminated."""
+    q = _as_double(
+        benchmark.select(
+            F.col(id_col).alias("bench_id"), F.col(vec_col).alias("__qv")
+        ),
+        "__qv",
+    )
+    c = _as_double(
+        corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv")),
+        "__cv",
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("bench_id") != F.col("__cid"))
+        .withColumn("cosine", _cosine_pairs(F.col("__qv"), F.col("__cv")))
+        .withColumn(
+            "__c6",
+            F.floor(F.col("cosine") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+        )
+    )
+    return scored.groupBy("bench_id").agg(
+        F.count("*").cast("bigint").alias("n_corpus"),
+        F.sum(
+            F.when(F.col("__c6") >= F.lit(float(threshold)), 1).otherwise(0)
+        ).cast("bigint").alias("n_contaminated"),
+        F.max("__c6").alias("max_cosine"),
+    )

@@ -2165,6 +2165,106 @@ def embed_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cl.kcenter_coreset(emb, k=6)
 
 
+@query(
+    "diagnose_feature_collisions",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split({{norm}}, ' '), __t -> __t <> '') AS w
+      FROM documents
+    ),
+    terms AS (
+      SELECT DISTINCT unnest(w) AS tok FROM base WHERE len(w) > 0
+    ),
+    hashed AS (
+      SELECT tok, ({{h60}}) % 1024 AS bucket FROM terms
+    ),
+    per_bucket AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM hashed GROUP BY bucket
+    )
+    SELECT CAST(SUM(n_terms) AS BIGINT) AS n_terms,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+           CAST(MAX(n_terms) AS BIGINT) AS max_bucket_terms,
+           floor(CAST(SUM(n_terms) - COUNT(*) AS DOUBLE)
+                 / CAST(SUM(n_terms) AS DOUBLE) * 1e6 + 0.5) / 1e6
+             AS collision_rate
+    FROM per_bucket
+    """.replace("{norm}", _NORM_SQL).replace("{h60}", _hex60_sql("tok")),
+)
+def diagnose_feature_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing collision diagnostic for the 1024-bucket
+    classifier space: distinct vocabulary terms, buckets actually
+    occupied, the worst bucket's term count, and the collision rate
+    (terms sharing a bucket with another term / terms) — the
+    dimensioning check before trusting hashed-feature weights (a high
+    rate means the classifier conflates unrelated tokens and buckets
+    should double). One vocabulary aggregate, exact integers, one
+    closing division."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = tx.explode_terms(docs, "text", "doc_id").select(
+        "term"
+    ).distinct()
+    hashed = terms.select(
+        F.pmod(F.expr(dd._MD5_H60.format(x="term")), F.lit(1024)).alias(
+            "bucket"
+        )
+    )
+    per_bucket = hashed.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_terms")
+    )
+    return per_bucket.agg(
+        F.sum("n_terms").cast("bigint").alias("n_terms"),
+        F.count("*").cast("bigint").alias("n_buckets_used"),
+        F.max("n_terms").cast("bigint").alias("max_bucket_terms"),
+        (
+            F.floor(
+                (F.sum("n_terms") - F.count("*")).cast("double")
+                / F.sum("n_terms").cast("double")
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("collision_rate"),
+    )
+
+
+@query(
+    "contamination_semantic",
+    """
+    SELECT bench_id, n_corpus, n_contaminated, max_cosine FROM (
+      SELECT q.vec_id AS bench_id,
+             CAST(COUNT(*) AS BIGINT) AS n_corpus,
+             CAST(SUM(CASE WHEN c6 >= 0.95 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+             MAX(c6) AS max_cosine
+      FROM (
+        SELECT q.vec_id,
+               floor(list_cosine_similarity(
+                       CAST(q.embedding AS DOUBLE[]),
+                       CAST(c.embedding AS DOUBLE[])) * 1e6 + 0.5) / 1e6
+                 AS c6
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+      ) q(vec_id, c6)
+      GROUP BY q.vec_id
+    )
+    """,
+)
+def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level benchmark decontamination screen: per benchmark
+    vector (the first 10), the number of corpus vectors above 0.95
+    cosine and the max cosine seen — the paraphrase-contamination
+    check the n-gram overlap test (contamination_ngram) cannot catch.
+    One broadcast-benchmark Arrow-batched cosine pass + one aggregate;
+    no top-k window, corpus never shuffles
+    (llm/similarity.semantic_contamination)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.semantic_contamination(
+        emb.filter(F.col("vec_id") < 10), emb, threshold=0.95
+    )
+
+
 @query("embed_topk_lsh")  # approximate: rows-only check (recall tested in tests)
 def embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN (16 bits, 4 bands) re-ranked by exact

@@ -310,8 +310,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 212, len(QUERIES)
-    assert len(ORACLES) == 209, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 214, len(QUERIES)
+    assert len(ORACLES) == 211, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_registry_wide_plan_hygiene(spark, sf_dir):
