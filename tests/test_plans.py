@@ -477,6 +477,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # scored-doc stream, atop dsir's audited scalar crosses
         # (llm/dsir.dsir_ess) — scalar-broadcast shape
         "sample_dsir_ess",
+        # audited: the broadcast-benchmark != pair join of the
+        # decontamination screen — the same shape as
+        # embed_topk_bruteforce (small side broadcast, corpus streamed)
+        "contamination_semantic",
         "embed_topk_bruteforce", "embed_topk_auto", "q22_dormant_accounts",
         "q11_important_part_value", "text_tfidf_keywords",
         "sample_temperature", "ts_gap_fill_interpolate",
