@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _DIST = (
     "aggregate(zip_with(__x, __c, (a, b) -> (a - b) * (a - b)), "
@@ -289,8 +290,18 @@ def kcenter_coreset(
             "__d2", F.least("__d2", F.expr(_dist2_expr(center)))
         )
     spark = emb.sparkSession
+    # carry the input's id dtype through (string doc ids work too; a
+    # hardcoded bigint miscast/failed for non-bigint ids — r8 fix)
+    id_type = emb.schema[id_col].dataType
     out = spark.createDataFrame(
-        selected, f"sel_order int, {id_col} bigint, radius2 double"
+        selected,
+        T.StructType(
+            [
+                T.StructField("sel_order", T.IntegerType()),
+                T.StructField(id_col, id_type),
+                T.StructField("radius2", T.DoubleType()),
+            ]
+        ),
     )
     return out.select(
         "sel_order",

@@ -1379,8 +1379,11 @@ def weighted_jaccard_join(
     # N as a plan-side scalar (broadcast cross), never a driver literal
     # — the repo's scalar-aggregate rule: the oracle derives N the same
     # way, and no extra driver action runs
+    # count(doc_id), not count(*): DISTINCT keeps a NULL id row but the
+    # DuckDB oracle's COUNT(DISTINCT doc_id) excludes it — counting the
+    # column drops NULLs on both engines identically (r8 ADVICE fix)
     nd = df.select(F.col(id_col).alias("doc_id")).distinct().agg(
-        F.count("*").cast("bigint").alias("__nd")
+        F.count("doc_id").cast("bigint").alias("__nd")
     )
     freq = toks.groupBy("bg").agg(F.count("*").alias("__df"))
     wtoks = (

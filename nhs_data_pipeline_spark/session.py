@@ -76,10 +76,13 @@ def cluster_conf(
     cluster_conf())`` or spark-submit ``--conf`` flags; each value
     carries its sizing rationale:
 
-    - ``spark.sql.shuffle.partitions``: ~2-3 tasks per core across the
-      fleet so AQE has room to COALESCE down (its coalescing only
-      merges, never splits) — the initial number is a ceiling, not a
-      target.
+    - ``spark.sql.shuffle.partitions``: the LARGER of ~2 tasks per core
+      across the fleet and ``target_tb / advisory partition size`` — a
+      full-corpus shuffle at the target volume must land under the
+      128 MiB advisory per-partition size (AQE's coalescing only
+      merges, never splits, so the initial number is a ceiling the
+      data size sets, not the core count alone: at 100 TB that is
+      ~819k initial partitions, coalesced down for smaller stages).
     - ``spark.sql.files.maxPartitionBytes`` 256m: scan tasks sized so
       a row-group-dense parquet split decompresses comfortably inside
       a task's share of executor memory.
@@ -95,8 +98,15 @@ def cluster_conf(
       ``spark.io.compression.codec`` is the one worth pinning).
     """
     fleet_cores = executors * cores_per_executor
+    advisory_bytes = 128 * 1024 * 1024
+    target_bytes = int(target_tb * (1 << 40))
+    # enough partitions that a full-corpus shuffle fits the advisory
+    # size, never fewer than 2 waves of tasks across the fleet
+    shuffle_parts = max(
+        fleet_cores * 2, -(-target_bytes // advisory_bytes)
+    )
     return {
-        "spark.sql.shuffle.partitions": str(fleet_cores * 2),
+        "spark.sql.shuffle.partitions": str(shuffle_parts),
         "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",

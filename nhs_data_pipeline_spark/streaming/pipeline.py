@@ -854,19 +854,15 @@ def psi_stream_monitor(
         if old is None:
             merged = batch_counts
         else:
-            from nhs_data_pipeline_spark.ops.sketch import _ns_join
-
-            merged = _ns_join(
-                old.withColumnRenamed("__cb", "__old"),
-                batch_counts,
-                ["__b"],
-                how="full",
-            ).select(
-                "__b",
-                (
-                    F.coalesce("__old", F.lit(0))
-                    + F.coalesce("__cb", F.lit(0))
-                ).cast("bigint").alias("__cb"),
+            # union+re-aggregate, like the other count stores: a full
+            # _ns_join kept only the LEFT key copy, so a bucket first
+            # seen after batch 1 landed as __b=NULL and later batches
+            # appended more NULL rows instead of accumulating (r8 fix).
+            merged = (
+                old.select("__b", "__cb")
+                .unionByName(batch_counts)
+                .groupBy("__b")
+                .agg(F.sum("__cb").cast("bigint").alias("__cb"))
             )
         _swap_store(merged, store_path, batch_id, stream_key)
         cur = spark.read.parquet(store_path).select("__b", "__cb")

@@ -438,17 +438,23 @@ def test_xlsx_row_without_r_attribute_follows_previous(tmp_path):
 
 
 def test_cluster_conf_profile_is_consistent(spark):
-    """The documented 100 TB conf profile: shuffle partitions scale
-    with fleet cores (2-3x for AQE coalescing headroom), AQE + skew
-    split on, UTC pinned, and it splats cleanly into get_spark's
-    extra_conf contract (string values only)."""
+    """The documented 100 TB conf profile: shuffle partitions are the
+    max of fleet-core headroom (2x for AQE coalescing) and the count
+    needed so a full-target_tb shuffle fits the 128 MiB advisory
+    partition size; AQE + skew split on, UTC pinned, and it splats
+    cleanly into get_spark's extra_conf contract (string values)."""
     from nhs_data_pipeline_spark.session import cluster_conf
 
-    c = cluster_conf(executors=1000, cores_per_executor=4)
-    assert c["spark.sql.shuffle.partitions"] == str(1000 * 4 * 2)
+    adv = 128 * 1024 * 1024
+    c = cluster_conf(target_tb=100.0, executors=1000, cores_per_executor=4)
+    # at 100 TB the data term dominates: ceil(100 TiB / 128 MiB) = 819200
+    assert c["spark.sql.shuffle.partitions"] == str(
+        max(1000 * 4 * 2, -(-(100 * (1 << 40)) // adv))
+    )
     assert c["spark.sql.adaptive.enabled"] == "true"
     assert c["spark.sql.adaptive.skewJoin.enabled"] == "true"
     assert c["spark.sql.session.timeZone"] == "UTC"
     assert all(isinstance(v, str) for v in c.values())
-    small = cluster_conf(executors=10, cores_per_executor=8)
+    # at small targets the fleet-core floor dominates
+    small = cluster_conf(target_tb=0.001, executors=10, cores_per_executor=8)
     assert small["spark.sql.shuffle.partitions"] == str(10 * 8 * 2)

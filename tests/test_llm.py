@@ -1426,3 +1426,19 @@ def test_kcenter_deterministic_and_duplicate_safe(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         cl2.kcenter_coreset(emb, k=0)
+
+
+def test_kcenter_string_ids(spark):
+    """Regression (r8 ADVICE): the result schema must carry the INPUT
+    id dtype — a hardcoded bigint broke string doc ids."""
+    from nhs_data_pipeline_spark.llm import cluster as cl2
+
+    rows = [("doc_a", [0.0, 0.0]), ("doc_b", [100.0, 0.0]),
+            ("doc_c", [0.0, 100.0]), ("doc_d", [1.0, 1.0])]
+    emb = spark.createDataFrame(rows, "doc_id string, embedding array<float>")
+    out = cl2.kcenter_coreset(emb, k=3, id_col="doc_id")
+    assert dict(out.dtypes)["doc_id"] == "string"
+    got = {r.sel_order: r.doc_id for r in out.collect()}
+    assert got[0] == "doc_a"  # min-id seed
+    assert set(got.values()) <= {"doc_a", "doc_b", "doc_c", "doc_d"}
+    assert len(set(got.values())) == 3

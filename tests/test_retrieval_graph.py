@@ -1659,6 +1659,27 @@ def test_weighted_jaccard_downweights_boilerplate(spark):
     assert (0, 1) in u  # ...but passes unweighted (footer dominates)
 
 
+def test_weighted_jaccard_null_id_excluded_from_n(spark):
+    """Regression (r8 ADVICE): N must be COUNT(doc_id)-style — a NULL
+    doc_id row must not inflate the IDF numerator (the DuckDB oracle's
+    COUNT(DISTINCT doc_id) excludes NULLs). The NULL row carries a
+    single word (zero bigrams), so the ONLY thing it could change is
+    N — results must be identical with and without it."""
+    from nhs_data_pipeline_spark.llm import dedup as dd2
+
+    rows = [(0, "quantum flux capacitor now"),
+            (1, "quantum flux capacitor today"),
+            (2, "alpha beta gamma delta"),
+            (3, "alpha beta gamma epsilon")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    with_null = docs.unionByName(
+        spark.createDataFrame([(None, "oneword")],
+                              "doc_id bigint, text string"))
+    a = sorted(map(tuple, dd2.weighted_jaccard_join(docs, 0.3).collect()))
+    b = sorted(map(tuple, dd2.weighted_jaccard_join(with_null, 0.3).collect()))
+    assert a == b and len(a) >= 2
+
+
 def test_weighted_jaccard_matches_python_replica(spark):
     import itertools
     import random

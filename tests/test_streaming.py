@@ -1001,3 +1001,69 @@ def test_psi_stream_monitor_matches_batch_psi(spark, tmp_path):
     # drift direction: the second batch pushes mass into an unseen
     # bucket, so PSI must strictly increase
     assert final.psi > log[min(log)].psi
+
+
+def test_psi_stream_monitor_new_bucket_accumulates(spark, tmp_path):
+    """Regression (r8, ADVICE high): a bucket first seen AFTER batch 1
+    that then receives data in two consecutive batches must accumulate
+    into ONE store row. The old _ns_join(how='full') merge kept only
+    the left key copy, so such a bucket was stored as __b=NULL and each
+    later batch appended another NULL row instead of summing — the live
+    PSI diverged from a batch rebuild."""
+    import time as _time
+
+    from nhs_data_pipeline_spark.ops.analytics import (
+        psi_bucket_counts,
+        psi_report,
+    )
+    from nhs_data_pipeline_spark.streaming.pipeline import (
+        psi_stream_monitor,
+        stream_files,
+    )
+
+    schema = T.StructType([T.StructField("v", T.LongType())])
+    W = 100
+    baseline_df = spark.createDataFrame(
+        [(v,) for v in (10, 20, 110, 120)], schema
+    )
+    baseline = psi_bucket_counts(baseline_df, "v", W, out="__ca")
+    src = str(tmp_path / "psi2_src")
+    batches = [
+        [(15,), (115,)],            # baseline-shaped
+        [(915,), (925,)],           # NEW bucket 9 appears (batch 2)
+        [(935,), (945,), (955,)],   # bucket 9 again (batch 3)
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("append" if i else "overwrite").parquet(src)
+        _time.sleep(1.1)
+
+    store = str(tmp_path / "psi2_store")
+    q = psi_stream_monitor(
+        stream_files(spark, src, schema, max_files_per_trigger=1),
+        baseline,
+        "v",
+        store_path=store,
+        checkpoint=str(tmp_path / "psi2_ckpt"),
+        log_path=str(tmp_path / "psi2_log"),
+        bucket_width=W,
+    )
+    q.awaitTermination()
+
+    kept = {
+        r.__getitem__("__b"): r.__getitem__("__cb")
+        for r in spark.read.parquet(store).select("__b", "__cb").collect()
+    }
+    assert None not in kept  # no NULL-keyed store rows
+    assert kept == {0: 1, 1: 1, 9: 5}  # bucket 9 accumulated 2+3
+
+    log = {r.batch_id: r for r in spark.read.parquet(
+        str(tmp_path / "psi2_log")).collect()}
+    final = log[max(log)]
+    allrows = spark.createDataFrame(
+        [r for b in batches for r in b], schema
+    )
+    exp = psi_report(baseline_df, allrows, "v", W).collect()[0]
+    assert (final.n_a, final.n_b, final.n_buckets, final.psi) == (
+        exp.n_a, exp.n_b, exp.n_buckets, exp.psi
+    )

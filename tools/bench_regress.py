@@ -58,12 +58,22 @@ def _load_queries(path: str) -> dict[str, float]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # parse --factor first so its space-separated value token is not
+    # mistaken for the positional current-record path (r8 ADVICE fix)
     factor = 2.0
-    for a in sys.argv[1:]:
+    factor_value_idx: set[int] = set()
+    for i, a in enumerate(sys.argv[1:], start=1):
         if a.startswith("--factor"):
-            factor = float(a.split("=", 1)[1] if "=" in a else sys.argv[
-                sys.argv.index(a) + 1])
+            if "=" in a:
+                factor = float(a.split("=", 1)[1])
+            else:
+                factor = float(sys.argv[i + 1])
+                factor_value_idx.add(i + 1)
+    args = [
+        a
+        for i, a in enumerate(sys.argv[1:], start=1)
+        if not a.startswith("--") and i not in factor_value_idx
+    ]
     cur_path = args[0] if args else os.path.join(REPO, "BENCH_LAST.json")
     cur = _load_queries(cur_path)
     if not cur:
@@ -87,8 +97,8 @@ def main() -> int:
 
     history = sorted(
         p
-        for p in glob.glob(os.path.join(REPO, "BENCH_r0*.json"))
-        + glob.glob(os.path.join(REPO, "BENCH_CLOSE_r0*.json"))
+        for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+        + glob.glob(os.path.join(REPO, "BENCH_CLOSE_r*.json"))
         if _comparable(p)
     )
     for p in history:
