@@ -10926,6 +10926,33 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 # verified by the identical local gate (tools/check_oracle.py runs
 # ALL entries).
 DRIVER_WINDOW = [
+    # r08 rotation (5th): the r07 verdict's twelve never-attested picks
+    # (this round's strongest claims) swap in for the twelve most
+    # multiply-attested entries (4-6x green r01-r07; every rotated-out
+    # family keeps an in-window sibling or its cumulative attestation +
+    # the all-entries local gate): skew_salted_sum (6x),
+    # w56_binned_stats (6x; sketch_quantile_hist stays),
+    # f_string_date_family (6x), sample_deterministic (6x;
+    # sample_dsir_scores + sample_weighted_ares stay),
+    # embed_topk_bruteforce (6x; embed_pq_topk/embed_kmeans_fit stay +
+    # embed_kcenter_coreset arrives), j5_asof_join/j6_range_join (5x
+    # each), shuffle_training_order (4x), merge_upsert_customers (4x;
+    # merge_incremental_agg stays), curate_mixture_v2 (4x;
+    # curate_audit_panel stays), scd2_point_in_time (4x),
+    # entity_resolve_suppliers (4x; entity_phonetic_match arrives as
+    # the entity-resolution representative).
+    "dedup_jaccard_auto",
+    "dedup_weighted_jaccard_join",
+    "eval_lsh_candidate_quality",
+    "graph_hits_nations",
+    "stats_ks_test",
+    "events_ks_by_type",
+    "eval_retrieval_metrics",
+    "embed_kcenter_coreset",
+    "eval_precision_curve",
+    "entity_phonetic_match",
+    "contamination_semantic",
+    "events_robust_outliers",
     # r07 rotation (4th): twelve never-driver-attested flagships
     # (the r06 verdict's exact list) swap in for the twelve most
     # multiply-attested entries (each 5-6x green across r01-r06;
@@ -10974,27 +11001,15 @@ DRIVER_WINDOW = [
     "stats_psi_drift",
     "graph_triangle_count",
     "dedup_semantic_cells",
-    "j5_asof_join",
-    "j6_range_join",
     "eval_classifier_auc",
-    "skew_salted_sum",
     "embed_pq_topk",
-    "shuffle_training_order",
     "stats_winsorize_prices",
-    "w56_binned_stats",
-    "merge_upsert_customers",
     "feature_quantile_normalize",
     "sketch_quantile_hist",
-    "curate_mixture_v2",
-    "f_string_date_family",
-    "sample_deterministic",
-    "scd2_point_in_time",
     "merge_incremental_agg",
     "sample_dsir_scores",
-    "entity_resolve_suppliers",
     "sample_weighted_ares",
     "dedup_span_stats",
-    "embed_topk_bruteforce",
     "curate_audit_panel",
     "graph_pagerank_nations",
     "sketch_hll_portable",

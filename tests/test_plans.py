@@ -268,9 +268,6 @@ def test_driver_window_contract():
     missing_oracles = [n for n in DRIVER_WINDOW if n not in ORACLES]
     assert not missing_oracles, missing_oracles
     for flagship in [
-        "merge_upsert_customers", "scd2_point_in_time",
-        "entity_resolve_suppliers", "shuffle_training_order",
-        "curate_mixture_v2",
         # r05 rotation: never-driver-checked flagships now in-window
         "graph_pagerank_nations", "sketch_hll_portable",
         "dedup_jaccard_exact_join", "embed_kmeans_fit",
@@ -297,6 +294,16 @@ def test_driver_window_contract():
         "graph_kcore_nations", "events_markov_transitions",
         "feature_token_chi2", "eval_classifier_calibration",
         "dedup_cdc_chunks", "dedup_jaccard_prefix_join",
+        # r08 rotation (5th): the r07 verdict's twelve never-attested
+        # picks (merge_upsert/scd2/entity_resolve/shuffle_training/
+        # curate_mixture_v2 rotated out — 4x driver-attested each,
+        # families keep in-window representatives)
+        "dedup_jaccard_auto", "dedup_weighted_jaccard_join",
+        "eval_lsh_candidate_quality", "graph_hits_nations",
+        "stats_ks_test", "events_ks_by_type", "eval_retrieval_metrics",
+        "embed_kcenter_coreset", "eval_precision_curve",
+        "entity_phonetic_match", "contamination_semantic",
+        "events_robust_outliers",
     ]:
         assert flagship in DRIVER_WINDOW, flagship
 
