@@ -321,6 +321,31 @@ def test_registry_size_tripwire():
     assert len(ORACLES) == 211, len(ORACLES)  # 3 rows-only Datasketches
 
 
+def test_readme_registry_tallies_match():
+    """README's advertised registry counts must track the live registry
+    — tallies drifted silently in three consecutive rounds because no
+    test covered prose (r07 verdict ask #2). Extracts the 'exposes N
+    operator queries; M carry' sentence and asserts both numbers."""
+    import os
+    import re
+
+    from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
+
+    readme = open(
+        os.path.join(os.path.dirname(__file__), "..", "README.md")
+    ).read()
+    m = re.search(
+        r"exposes (\d+) operator queries; (\d+) carry", readme
+    )
+    assert m, "README registry-tally sentence not found"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"README says {m.group(1)} queries, registry has {len(QUERIES)}"
+    )
+    assert int(m.group(2)) == len(ORACLES), (
+        f"README says {m.group(2)} oracles, registry has {len(ORACLES)}"
+    )
+
+
 def test_registry_wide_plan_hygiene(spark, sf_dir):
     """EVERY registered query's physical plan, scanned for scale
     anti-patterns (the per-query tests above pin ~25 headline shapes;
