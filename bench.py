@@ -160,7 +160,9 @@ BENCH_QUERIES = [
     "events_ks_by_type",
     "eval_precision_curve",
     "entity_phonetic_match",
-    "eval_lsh_candidate_quality",
+    # the sampled variant is the production (100 TB) shape; the
+    # full-width eval stays gate-only (r07 verdict ask #4)
+    "eval_lsh_sampled_quality",
     "contamination_semantic",
     "diagnose_feature_collisions",
 ]

@@ -1800,13 +1800,16 @@ def _minhash_portable_oracle() -> str:
     """
 
 
-def _lsh_quality_oracle() -> str:
+def _lsh_quality_oracle(
+    source_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
     """Composed replica of eval_lsh_candidate_quality: the portable
-    MinHash band chain (candidate pairs on plain documents) joined
+    MinHash band chain (candidate pairs on ``source_sql``) joined
     against the exact word-bigram Jaccard truth at t = 3/5 — both
     fragments individually gate-green; this composes them with exact
-    integer counts and two closing divisions."""
-    chain = _minhash_chain_sql("SELECT doc_id, text FROM documents")
+    integer counts and two closing divisions. The sampled variant
+    passes a deterministically md5-filtered source."""
+    chain = _minhash_chain_sql(source_sql)
     return f"""
     WITH {chain},
     cand AS MATERIALIZED (
@@ -1818,7 +1821,7 @@ def _lsh_quality_oracle() -> str:
     tb AS (
       SELECT doc_id,
              string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w
-      FROM documents
+      FROM ({source_sql})
     ),
     tbg AS (
       SELECT DISTINCT doc_id, w[__j] || ' ' || w[__j + 1] AS bg
@@ -1854,20 +1857,11 @@ def _lsh_quality_oracle() -> str:
     """
 
 
-@query("eval_lsh_candidate_quality", _lsh_quality_oracle())
-def eval_lsh_candidate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Honest end-to-end quality of the MinHash-LSH blocking against
-    the EXACT near-dup truth: recall (what fraction of true exact
-    word-bigram-Jaccard >= 0.6 pairs appear among the LSH candidates)
-    and candidate precision (what fraction of candidates are true
-    pairs — the verify-stage efficiency). The two pipelines use
-    different similarity bases on purpose (sampled char-5 shingles vs
-    word bigrams): this measures the BLOCKING's usefulness for the
-    dedup definition actually deployed, not the s-curve's textbook
-    recall on its own shingle universe (that is property-tested).
-    Exact integer counts, two closing divisions
-    (llm/dedup.minhash_lsh_pairs + exact_jaccard_join)."""
-    d = _t(spark, sf_dir, "documents")
+def _lsh_quality_frame(d: DataFrame) -> DataFrame:
+    """Shared body of the LSH-blocking quality evals: LSH candidates
+    vs exact word-bigram Jaccard >= 0.6 truth over the SAME doc frame,
+    reduced to (n_exact, n_candidates, n_hit, recall,
+    candidate_precision)."""
     # eager per-call persists: the hit join reads both pair tables a
     # second time; released via the localCheckpoint'd scalar result
     cand = dd.minhash_lsh_pairs(d, hash_fn="portable").select(
@@ -1917,6 +1911,45 @@ def eval_lsh_candidate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand.unpersist()
     truth.unpersist()
     return out
+
+
+@query("eval_lsh_candidate_quality", _lsh_quality_oracle())
+def eval_lsh_candidate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Honest end-to-end quality of the MinHash-LSH blocking against
+    the EXACT near-dup truth: recall (what fraction of true exact
+    word-bigram-Jaccard >= 0.6 pairs appear among the LSH candidates)
+    and candidate precision (what fraction of candidates are true
+    pairs — the verify-stage efficiency). The two pipelines use
+    different similarity bases on purpose (sampled char-5 shingles vs
+    word bigrams): this measures the BLOCKING's usefulness for the
+    dedup definition actually deployed, not the s-curve's textbook
+    recall on its own shingle universe (that is property-tested).
+    Exact integer counts, two closing divisions
+    (llm/dedup.minhash_lsh_pairs + exact_jaccard_join). Gate-only at
+    full width: at 100 TB run eval_lsh_sampled_quality instead."""
+    return _lsh_quality_frame(_t(spark, sf_dir, "documents"))
+
+
+_LSHQ_SAMPLE_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':lshq'),"
+    f" 1, 8)) AS BIGINT) < {int(0.3 * (1 << 32))}"
+)
+
+
+@query("eval_lsh_sampled_quality", _lsh_quality_oracle(_LSHQ_SAMPLE_SQL))
+def eval_lsh_sampled_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH-blocking quality eval on a 30% deterministic md5 doc
+    sample (the eval_dedup_pair_overlap precedent): the exact-truth
+    side's co-occurrence join volume falls quadratically (~9x), which
+    is the ONLY way this eval runs at 100 TB — recall/precision are
+    ratio estimates and concentrate fast at production pair counts.
+    Same seeded sample inlined in the oracle; the full-width variant
+    stays registered for the sf0.01 gate."""
+    d = osmp.deterministic_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", 0.3, salt="lshq"
+    )
+    return _lsh_quality_frame(d)
 
 
 @query("minhash_lsh_pairs", _minhash_portable_oracle())

@@ -317,8 +317,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 214, len(QUERIES)
-    assert len(ORACLES) == 211, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 215, len(QUERIES)
+    assert len(ORACLES) == 212, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_readme_registry_tallies_match():
@@ -393,8 +393,9 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # at scale even though gate-sized stats broadcast it today
         "dedup_jaccard_exact_join",
         # audited: embeds the exact-Jaccard countjoin as its truth
-        # side plus pair-table joins (llm/dedup composition)
-        "eval_lsh_candidate_quality",
+        # side plus pair-table joins (llm/dedup composition); the
+        # sampled variant is the same plan on a 30% md5 doc sample
+        "eval_lsh_candidate_quality", "eval_lsh_sampled_quality",
         # audited: the auto dispatcher resolves to one of the two
         # audited exact-Jaccard plans (countjoin at gate density)
         "dedup_jaccard_auto",
