@@ -4,8 +4,10 @@ Images/audio/video ride through the engine as ``binary`` columns with a
 typed metadata struct — the Spark-side contract (schema, partitioning,
 Arrow batch shape) is real and tested. Formats a pure-python parser can
 own are decoded for real (:func:`real_decode`: uncompressed 24-bit BMP,
-16-bit PCM WAV, non-interlaced 8-bit PNG via stdlib zlib + the five
-scanline filters; :func:`extract_image_meta`: PNG/JPEG header dims);
+16-bit PCM WAV, non-interlaced PNG — 8/16-bit color types 0/2/4/6,
+paletted type 3 at 1/2/4/8-bit, sub-byte grayscale — via stdlib zlib +
+the five scanline filters; :func:`extract_image_meta`: PNG/JPEG header
+dims);
 codecs that need external libraries (JPEG pixel decode, MP3, video)
 remain stubbed behind ``NotImplementedError`` / a deterministic fake
 because this container ships no media libraries.
@@ -202,18 +204,20 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytearray | None
 
 
 def _decode_png(b: bytes) -> list[float] | None:
-    """Pure-python decode of a NON-INTERLACED 8-bit PNG (grayscale,
-    gray+alpha, RGB, RGBA — color types 0/4/2/6) into the same 8-dim
+    """Pure-python decode of a NON-INTERLACED PNG into the same 8-dim
     feature shape as :func:`_decode_bmp`: ``[mean_r, mean_g, mean_b,
     mean_luma, width/4096, height/4096, aspect_wh, 3.0]`` (grayscale
     replicates the gray channel; alpha is ignored for the means).
 
-    stdlib ``zlib`` inflates the concatenated IDAT stream; the five
-    scanline filters are inverted exactly (:func:`_png_unfilter`);
-    channel sums are exact integers with one float division each.
-    Returns None — decode_ok False, never a crash — for interlaced,
-    paletted (color type 3), non-8-bit, truncated, or otherwise
-    malformed files. 16-bit depth and palettes are honest gaps; JPEG
+    Covers (r8, closing the two r7 honest gaps): color types 0/2/4/6
+    at 8- AND 16-bit depth, paletted color type 3 (PLTE) at 1/2/4/8-bit
+    indices, and sub-byte grayscale (type 0 at 1/2/4 bits). stdlib
+    ``zlib`` inflates the concatenated IDAT stream; the five scanline
+    filters are inverted exactly (:func:`_png_unfilter`); channel sums
+    are exact integers normalized by the depth's native max (255,
+    65535, or 2^d - 1) with one float division each. Returns None —
+    decode_ok False, never a crash — for interlaced, truncated,
+    out-of-range palette indices, or otherwise malformed files. JPEG
     pixel decode stays stubbed (no pure-python inverse DCT here).
     Reference behavior: scripts feeding a vision pipeline decode PNG
     via PIL; this is the library-free equivalent for the container."""
@@ -221,7 +225,7 @@ def _decode_png(b: bytes) -> list[float] | None:
 
     if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
         return None
-    i, ihdr, idat = 8, None, []
+    i, ihdr, idat, plte = 8, None, [], None
     while i + 8 <= len(b):
         ln = int.from_bytes(b[i : i + 4], "big")
         typ = b[i + 4 : i + 8]
@@ -230,6 +234,8 @@ def _decode_png(b: bytes) -> list[float] | None:
             return None  # truncated chunk
         if typ == b"IHDR":
             ihdr = body
+        elif typ == b"PLTE":
+            plte = body
         elif typ == b"IDAT":
             idat.append(body)
         elif typ == b"IEND":
@@ -240,45 +246,106 @@ def _decode_png(b: bytes) -> list[float] | None:
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     bit_depth, color_type, comp, filt, interlace = ihdr[8:13]
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
-    if (
-        bit_depth != 8 or comp != 0 or filt != 0 or interlace != 0
-        or channels is None or w <= 0 or h <= 0
-    ):
+    if comp != 0 or filt != 0 or interlace != 0 or w <= 0 or h <= 0:
         return None
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        return None
+    packed = False  # sub-byte samples packed MSB-first into bytes
+    if color_type == 3:
+        if bit_depth not in (1, 2, 4, 8) or plte is None or len(plte) % 3:
+            return None
+        packed = bit_depth < 8
+    elif bit_depth in (1, 2, 4):
+        if color_type != 0:
+            return None  # sub-byte depth is grayscale-only per spec
+        packed = True
+    elif bit_depth not in (8, 16):
+        return None
+    if packed:
+        stride = (w * bit_depth + 7) // 8
+        bpp = 1
+    else:
+        bytes_per_sample = bit_depth // 8
+        stride = w * channels * bytes_per_sample
+        bpp = channels * bytes_per_sample
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    stride = w * channels
     if len(raw) != h * (stride + 1):
         return None
-    px = _png_unfilter(raw, h, stride, channels)
+    px = _png_unfilter(raw, h, stride, bpp)
     if px is None:
         return None
-    sr = sg = sb = 0
-    if channels >= 3:
-        for r in range(h):
-            base = r * stride
-            for c in range(w):
-                p = base + channels * c
-                sr += px[p]
-                sg += px[p + 1]
-                sb += px[p + 2]
-    else:  # grayscale (+alpha): replicate
-        for r in range(h):
-            base = r * stride
-            for c in range(w):
-                g = px[base + channels * c]
-                sr += g
-                sg += g
-                sb += g
+
     n = w * h
-    luma = (299 * sr + 587 * sg + 114 * sb) / (255000.0 * n)
+    sr = sg = sb = 0
+    if packed or (color_type == 3 and bit_depth == 8):
+        # palette indices / sub-byte gray samples, unpacked MSB-first
+        mask = (1 << bit_depth) - 1
+        vmax = 255 if color_type == 3 else mask
+        for r in range(h):
+            base = r * stride
+            for c in range(w):
+                if bit_depth == 8:
+                    v = px[base + c]
+                else:
+                    bitpos = c * bit_depth
+                    v = (
+                        px[base + (bitpos >> 3)]
+                        >> (8 - bit_depth - (bitpos & 7))
+                    ) & mask
+                if color_type == 3:
+                    p = 3 * v
+                    if p + 2 >= len(plte):
+                        return None  # out-of-range palette index
+                    sr += plte[p]
+                    sg += plte[p + 1]
+                    sb += plte[p + 2]
+                else:
+                    sr += v
+                    sg += v
+                    sb += v
+    elif bit_depth == 16:
+        vmax = 65535
+        step = channels * 2
+        for r in range(h):
+            base = r * stride
+            for c in range(w):
+                p = base + step * c
+                if channels >= 3:
+                    sr += (px[p] << 8) | px[p + 1]
+                    sg += (px[p + 2] << 8) | px[p + 3]
+                    sb += (px[p + 4] << 8) | px[p + 5]
+                else:
+                    g = (px[p] << 8) | px[p + 1]
+                    sr += g
+                    sg += g
+                    sb += g
+    else:  # 8-bit direct color
+        vmax = 255
+        if channels >= 3:
+            for r in range(h):
+                base = r * stride
+                for c in range(w):
+                    p = base + channels * c
+                    sr += px[p]
+                    sg += px[p + 1]
+                    sb += px[p + 2]
+        else:  # grayscale (+alpha): replicate
+            for r in range(h):
+                base = r * stride
+                for c in range(w):
+                    g = px[base + channels * c]
+                    sr += g
+                    sg += g
+                    sb += g
+    luma = (299 * sr + 587 * sg + 114 * sb) / (1000.0 * vmax * n)
     return [
-        sr / (255.0 * n),
-        sg / (255.0 * n),
-        sb / (255.0 * n),
+        sr / (float(vmax) * n),
+        sg / (float(vmax) * n),
+        sb / (float(vmax) * n),
         luma,
         w / 4096.0,
         h / 4096.0,
@@ -290,7 +357,8 @@ def _decode_png(b: bytes) -> list[float] | None:
 def real_decode(content: bytes | None) -> list[float] | None:
     """REAL bytes-to-features decoder for the formats a pure-python
     parser can own: uncompressed 24-bit BMP, 16-bit PCM WAV, and
-    non-interlaced 8-bit PNG (zlib IDAT + exact inversion of all five
+    non-interlaced PNG at every PLTE/depth combination the spec allows
+    short of interlacing (zlib IDAT + exact inversion of all five
     scanline filters). Sniffs the magic bytes and dispatches; anything
     else (JPEG/MP3/...) returns None -> ``decode_ok = False``. Pass it
     explicitly —

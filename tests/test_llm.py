@@ -934,6 +934,106 @@ def test_png_decode_rgba_gray_and_malformed():
     assert mm.real_decode(bad_f) is None
 
 
+def _make_png_raw(rows_bytes: list[bytes], w: int, h: int, bit_depth: int,
+                  color_type: int, bpp: int, filters: list[int],
+                  plte: bytes | None = None) -> bytes:
+    """General hand-built non-interlaced PNG from pre-packed scanline
+    sample bytes (any depth/type): each row FORWARD-filtered with the
+    given type so decode must invert it; optional PLTE chunk."""
+    import zlib
+
+    def _chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big") + typ + body
+            + (zlib.crc32(typ + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([bit_depth, color_type, 0, 0, 0])
+    )
+    raw = bytearray()
+    prev = bytes(len(rows_bytes[0]))
+    for cur, ft in zip(rows_bytes, filters):
+        raw.append(ft)
+        for c in range(len(cur)):
+            a = cur[c - bpp] if c >= bpp else 0
+            b = prev[c]
+            cc = prev[c - bpp] if c >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            raw.append((cur[c] - pred) & 0xFF)
+        prev = cur
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", plte)
+    return out + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")
+
+
+def test_png_decode_paletted_bit_exact():
+    """Color type 3 (r8: the common-web-case gap closed): 8-bit and
+    4-bit palette indices — including a Paeth-filtered row — decode to
+    the exact palette-RGB means; an out-of-range index and a PLTE of
+    non-multiple-of-3 length fail cleanly."""
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    # 8-bit indices, 2x2: red, green / blue, idx3
+    rows = [bytes([0, 1]), bytes([2, 3])]
+    f = mm.real_decode(_make_png_raw(rows, 2, 2, 8, 3, 1, [0, 4], plte))
+    assert f is not None
+    sr, sg, sb = 255 + 10, 255 + 20, 255 + 30
+    assert f[:3] == [sr / (255.0 * 4), sg / (255.0 * 4), sb / (255.0 * 4)]
+    assert f[3] == (299 * sr + 587 * sg + 114 * sb) / (255000.0 * 4)
+    # 4-bit indices, 3 px/row (packed MSB-first, padded final nibble)
+    rows4 = [bytes([(0 << 4) | 1, 2 << 4]), bytes([(3 << 4) | 3, 1 << 4])]
+    f4 = mm.real_decode(_make_png_raw(rows4, 3, 2, 4, 3, 1, [1, 2], plte))
+    assert f4 is not None
+    sr4 = 255 + 0 + 0 + 10 + 10 + 0
+    sg4 = 0 + 255 + 0 + 20 + 20 + 255
+    sb4 = 0 + 0 + 255 + 30 + 30 + 0
+    assert f4[:3] == [sr4 / (255.0 * 6), sg4 / (255.0 * 6), sb4 / (255.0 * 6)]
+    # out-of-range palette index -> None (4 >= 4 entries)
+    bad = mm.real_decode(_make_png_raw([bytes([4])], 1, 1, 8, 3, 1, [0], plte))
+    assert bad is None
+    # PLTE length not a multiple of 3 -> None
+    bad2 = mm.real_decode(_make_png_raw([bytes([0])], 1, 1, 8, 3, 1, [0],
+                                        plte[:4]))
+    assert bad2 is None
+
+
+def test_png_decode_16bit_and_subbyte_gray_bit_exact():
+    """16-bit RGB/gray samples (big-endian) normalize by 65535; 2-bit
+    grayscale unpacks MSB-first and normalizes by 3 (r8: the 16-bit
+    gap closed)."""
+    # 2x1 16-bit RGB: (65535, 0, 256), (0, 32768, 65535)
+    row = bytes([0xFF, 0xFF, 0, 0, 0x01, 0x00,
+                 0, 0, 0x80, 0x00, 0xFF, 0xFF])
+    f = mm.real_decode(_make_png_raw([row], 2, 1, 16, 2, 6, [1]))
+    assert f is not None
+    sr, sg, sb = 65535, 32768, 256 + 65535
+    assert f[:3] == [sr / (65535.0 * 2), sg / (65535.0 * 2), sb / (65535.0 * 2)]
+    assert f[3] == (299 * sr + 587 * sg + 114 * sb) / (1000.0 * 65535 * 2)
+    # 1x2 16-bit grayscale: 4660, 65535 (replicated channels)
+    g = mm.real_decode(_make_png_raw(
+        [bytes([0x12, 0x34]), bytes([0xFF, 0xFF])], 1, 2, 16, 0, 2, [0, 2]))
+    assert g[0] == g[1] == g[2] == (0x1234 + 65535) / (65535.0 * 2)
+    # 5-px 2-bit grayscale row: values 0,1,2,3,2 packed MSB-first
+    packed = bytes([(0 << 6) | (1 << 4) | (2 << 2) | 3, 2 << 6])
+    s = mm.real_decode(_make_png_raw([packed], 5, 1, 2, 0, 1, [0]))
+    assert s[0] == s[1] == s[2] == (0 + 1 + 2 + 3 + 2) / (3.0 * 5)
+    # sub-byte depth on a COLOR type -> None (spec: gray only)
+    assert mm.real_decode(_make_png_raw([packed], 5, 1, 2, 2, 1, [0])) is None
+
+
 def test_multimodal_frame_sampling(spark):
     rows = [(3, "video", bytearray(b"\x03"), ("video/mp4", None, None, 2500))]
     media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
