@@ -1039,13 +1039,18 @@ def estimate_jaccard_join_modes(
       ``P = sum_docs(n_i - exact_ceil(t*n_i) + 1)`` lands on the
       low-df end of the histogram: fill bins rarest-first until P
       occurrences are spent, summing C(df, 2) per filled token (the
-      boundary bin scales by fill-fraction squared). This ignores the
-      length/positional filters (which only shrink candidates), so it
-      upper-bounds the candidate join volume while preserving the
-      quantity that matters for dispatch: on Zipfian real-corpus
-      vocabularies the rarest-P occupancy has df ~ 1-2 and pf_pairs
-      collapses orders of magnitude below cj_pairs; on dense synthetic
-      vocabularies it stays a large fraction of cj_pairs.
+      boundary bin scales by fill-fraction squared). NOT a bound in
+      either direction (measured, r8 rehearsal): each DOC takes its
+      own rarest tokens, which can have df >= 2 even when globally
+      rarer tokens exist elsewhere — on a 50k-doc Zipfian corpus the
+      fill predicted 0 while the actual prefix join carried 8,948
+      rows. It is an ORDERING signal, and a reliable one: the same
+      corpus had cj_pairs = 6.9e8, and the errors are orders of
+      magnitude smaller than the gap the dispatch decision rides on.
+      On Zipfian real-corpus vocabularies pf_pairs collapses far
+      below cj_pairs (prefix measured 16x faster at 50k docs); on
+      dense synthetic vocabularies it stays a large fraction of
+      cj_pairs and countjoin wins.
 
     Scale shape: one (token -> df) aggregate, one TINY df-histogram
     aggregate (rows = distinct df values), one doc-size aggregate —

@@ -6,9 +6,10 @@ Arrow batch shape) is real and tested. Formats a pure-python parser can
 own are decoded for real (:func:`real_decode`: uncompressed 24-bit BMP,
 16-bit PCM WAV, non-interlaced PNG — 8/16-bit color types 0/2/4/6,
 paletted type 3 at 1/2/4/8-bit, sub-byte grayscale — via stdlib zlib +
-the five scanline filters; :func:`extract_image_meta`: PNG/JPEG header
-dims);
-codecs that need external libraries (JPEG pixel decode, MP3, video)
+the five scanline filters; baseline-sequential JPEG — canonical
+Huffman + restart intervals, dequant, numpy IDCT, chroma upsampling,
+JFIF YCbCr->RGB; :func:`extract_image_meta`: PNG/JPEG header dims);
+codecs that need external libraries (progressive JPEG, MP3, video)
 remain stubbed behind ``NotImplementedError`` / a deterministic fake
 because this container ships no media libraries.
 
@@ -217,8 +218,7 @@ def _decode_png(b: bytes) -> list[float] | None:
     are exact integers normalized by the depth's native max (255,
     65535, or 2^d - 1) with one float division each. Returns None —
     decode_ok False, never a crash — for interlaced, truncated,
-    out-of-range palette indices, or otherwise malformed files. JPEG
-    pixel decode stays stubbed (no pure-python inverse DCT here).
+    out-of-range palette indices, or otherwise malformed files.
     Reference behavior: scripts feeding a vision pipeline decode PNG
     via PIL; this is the library-free equivalent for the container."""
     import zlib
@@ -354,13 +354,327 @@ def _decode_png(b: bytes) -> list[float] | None:
     ]
 
 
+def _jpeg_huffman(counts: bytes, symbols: bytes) -> dict:
+    """Canonical JPEG Huffman table (ITU T.81 Annex C): map
+    ``(code_length, code_value) -> symbol``."""
+    table: dict = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            if k >= len(symbols):
+                return table
+            table[(ln, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over one entropy-coded interval (already
+    unstuffed). Raises IndexError past the end — callers treat that as
+    malformed input."""
+
+    def __init__(self, data: bytes) -> None:
+        self.d = data
+        self.pos = 0
+        self.bit = 0
+
+    def read1(self) -> int:
+        byte = self.d[self.pos]
+        v = (byte >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return v
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read1()
+        return v
+
+    def huff(self, table: dict) -> int:
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | self.read1()
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise IndexError("bad huffman code")
+
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """T.81 EXTEND: map a ``t``-bit magnitude to its signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_jpeg(b: bytes) -> list[float] | None:
+    """Pure-python+numpy decode of a BASELINE sequential JPEG (SOF0;
+    SOF1's identical structure is accepted too) into the 8-dim feature
+    shape ``[mean_r, mean_g, mean_b, mean_luma, width/4096,
+    height/4096, aspect_wh, 4.0]`` — the last stubbed image format now
+    decoded for real (r8): canonical Huffman entropy decode with byte
+    unstuffing and restart-interval support, dequantization, zigzag,
+    separable float64 IDCT (numpy), nearest-neighbor chroma upsampling
+    for any h/v sampling factors, and the JFIF YCbCr->RGB transform
+    with the portable floor-round. Grayscale (1 component) replicates;
+    3 components are treated as JFIF YCbCr. Returns None — decode_ok
+    False, never a crash — for progressive (SOF2) / arithmetic-coded /
+    hierarchical / truncated / malformed files.
+    Reference behavior: scripts feeding a vision pipeline decode JPEG
+    via PIL; this is the library-free equivalent for the container."""
+    import numpy as np
+
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    sof = None
+    restart_interval = 0
+    i = 2
+    scan = None
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker == 0xD8 or (0xD0 <= marker <= 0xD7):
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            return None
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        body = b[i + 4 : i + 2 + seg_len]
+        if len(body) != seg_len - 2:
+            return None
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 15
+                j += 1
+                if pq == 0:
+                    vals = list(body[j : j + 64])
+                    j += 64
+                else:
+                    vals = [
+                        int.from_bytes(body[j + 2 * k : j + 2 * k + 2], "big")
+                        for k in range(64)
+                    ]
+                    j += 128
+                if len(vals) != 64:
+                    return None
+                qt[tq] = vals
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline-shaped
+            sof = body
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # progressive / arithmetic / hierarchical
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            j = 0
+            while j + 17 <= len(body):
+                tc, th = body[j] >> 4, body[j] & 15
+                counts = body[j + 1 : j + 17]
+                n = sum(counts)
+                symbols = body[j + 17 : j + 17 + n]
+                if len(symbols) != n:
+                    return None
+                (huff_dc if tc == 0 else huff_ac)[th] = _jpeg_huffman(
+                    counts, symbols
+                )
+                j += 17 + n
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            scan = (body, i + 2 + seg_len)
+            break
+        i += 2 + seg_len
+    if sof is None or scan is None or len(sof) < 6:
+        return None
+    precision = sof[0]
+    h = int.from_bytes(sof[1:3], "big")
+    w = int.from_bytes(sof[3:5], "big")
+    n_comp = sof[5]
+    if precision != 8 or w <= 0 or h <= 0 or n_comp not in (1, 3):
+        return None
+    comps = []
+    for c in range(n_comp):
+        o = 6 + 3 * c
+        if o + 3 > len(sof):
+            return None
+        comps.append(
+            {"id": sof[o], "h": sof[o + 1] >> 4, "v": sof[o + 1] & 15,
+             "tq": sof[o + 2]}
+        )
+    sos_body, data_start = scan
+    ns = sos_body[0]
+    if ns != n_comp or len(sos_body) < 1 + 2 * ns:
+        return None
+    tabmap = {}
+    for s in range(ns):
+        cid = sos_body[1 + 2 * s]
+        tabmap[cid] = (sos_body[2 + 2 * s] >> 4, sos_body[2 + 2 * s] & 15)
+    for comp in comps:
+        if comp["id"] not in tabmap or comp["tq"] not in qt:
+            return None
+        td, ta = tabmap[comp["id"]]
+        if td not in huff_dc or ta not in huff_ac:
+            return None
+        comp["td"], comp["ta"] = td, ta
+        if not (1 <= comp["h"] <= 4 and 1 <= comp["v"] <= 4):
+            return None
+
+    # split the entropy stream into restart intervals, unstuffing 0xFF00
+    intervals: list[bytes] = []
+    cur = bytearray()
+    j = data_start
+    while j < len(b):
+        byte = b[j]
+        if byte == 0xFF:
+            nxt = b[j + 1] if j + 1 < len(b) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                j += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                intervals.append(bytes(cur))
+                cur = bytearray()
+                j += 2
+                continue
+            break  # EOI or any other marker ends the scan
+        cur.append(byte)
+        j += 1
+    intervals.append(bytes(cur))
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    n_mcus = mcus_x * mcus_y
+
+    basis = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            basis[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+
+    planes = [
+        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.int64)
+        for c in comps
+    ]
+    preds = [0] * n_comp
+    reader = _JpegBits(intervals[0])
+    interval_idx = 0
+    try:
+        for m in range(n_mcus):
+            if restart_interval and m and m % restart_interval == 0:
+                interval_idx += 1
+                if interval_idx >= len(intervals):
+                    return None
+                reader = _JpegBits(intervals[interval_idx])
+                preds = [0] * n_comp
+            my, mx = divmod(m, mcus_x)
+            for ci, comp in enumerate(comps):
+                q = qt[comp["tq"]]
+                dc_t, ac_t = huff_dc[comp["td"]], huff_ac[comp["ta"]]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        coef = [0] * 64
+                        t = reader.huff(dc_t)
+                        diff = _jpeg_extend(reader.receive(t), t)
+                        preds[ci] += diff
+                        coef[0] = preds[ci] * q[0]
+                        k = 1
+                        while k < 64:
+                            sym = reader.huff(ac_t)
+                            if sym == 0:
+                                break  # EOB
+                            r, s = sym >> 4, sym & 15
+                            if s == 0:
+                                if r != 15:
+                                    return None
+                                k += 16  # ZRL
+                                continue
+                            k += r
+                            if k > 63:
+                                return None
+                            coef[k] = (
+                                _jpeg_extend(reader.receive(s), s) * q[k]
+                            )
+                            k += 1
+                        blk = np.zeros((8, 8))
+                        for z in range(64):
+                            if coef[z]:
+                                blk[_JPEG_ZIGZAG[z] >> 3,
+                                    _JPEG_ZIGZAG[z] & 7] = coef[z]
+                        px = basis.T @ blk @ basis
+                        px = np.floor(px + 128.0 + 0.5)
+                        np.clip(px, 0, 255, out=px)
+                        y0 = (my * comp["v"] + by) * 8
+                        x0 = (mx * comp["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px.astype(
+                            np.int64
+                        )
+    except IndexError:
+        return None
+
+    # crop/upsample every component to full resolution (nearest)
+    full = []
+    ys = np.arange(h)
+    xs = np.arange(w)
+    for ci, comp in enumerate(comps):
+        yy = (ys * comp["v"]) // vmax
+        xx = (xs * comp["h"]) // hmax
+        full.append(planes[ci][np.ix_(yy, xx)])
+    if n_comp == 1:
+        r_arr = g_arr = b_arr = full[0]
+    else:
+        y_p, cb, cr = (a.astype(np.float64) for a in full)
+        r_f = y_p + 1.402 * (cr - 128.0)
+        g_f = y_p - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b_f = y_p + 1.772 * (cb - 128.0)
+        r_arr, g_arr, b_arr = (
+            np.clip(np.floor(a + 0.5), 0, 255).astype(np.int64)
+            for a in (r_f, g_f, b_f)
+        )
+    n = w * h
+    sr = int(r_arr.sum())
+    sg = int(g_arr.sum())
+    sb = int(b_arr.sum())
+    luma = (299 * sr + 587 * sg + 114 * sb) / (255000.0 * n)
+    return [
+        sr / (255.0 * n),
+        sg / (255.0 * n),
+        sb / (255.0 * n),
+        luma,
+        w / 4096.0,
+        h / 4096.0,
+        w / h,
+        4.0,
+    ]
+
+
 def real_decode(content: bytes | None) -> list[float] | None:
     """REAL bytes-to-features decoder for the formats a pure-python
     parser can own: uncompressed 24-bit BMP, 16-bit PCM WAV, and
     non-interlaced PNG at every PLTE/depth combination the spec allows
     short of interlacing (zlib IDAT + exact inversion of all five
-    scanline filters). Sniffs the magic bytes and dispatches; anything
-    else (JPEG/MP3/...) returns None -> ``decode_ok = False``. Pass it
+    scanline filters), and baseline-sequential JPEG (Huffman + IDCT).
+    Sniffs the magic bytes and dispatches; anything else (progressive
+    JPEG/MP3/...) returns None -> ``decode_ok = False``. Pass it
     explicitly —
     ``decode_features(media, real_decoder=real_decode)`` — to run
     genuine decode work through the mapInPandas path (the tests do
@@ -377,6 +691,8 @@ def real_decode(content: bytes | None) -> list[float] | None:
         return _decode_wav(b)
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(b)
+    if b[:2] == b"\xff\xd8":
+        return _decode_jpeg(b)
     return None
 
 

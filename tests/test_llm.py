@@ -1034,6 +1034,272 @@ def test_png_decode_16bit_and_subbyte_gray_bit_exact():
     assert mm.real_decode(_make_png_raw([packed], 5, 1, 2, 2, 1, [0])) is None
 
 
+def _encode_jpeg(coef_blocks, w, h, sampling, quant, restart_interval=0):
+    """Minimal baseline JPEG ENCODER for tests: Huffman-encodes the
+    given QUANTIZED coefficient blocks (natural 8x8 order, one list of
+    blocks per component, MCU-interleaved order) with single-table
+    fixed-length-8 canonical Huffman tables, zigzagged DQT, optional
+    restart markers. The test's expected pixels come from an
+    independent IDCT replica over the same coefficients."""
+    zz = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+
+    class W:
+        def __init__(self):
+            self.out = bytearray()
+            self.acc = 0
+            self.nb = 0
+
+        def bits(self, v, n):
+            for i in range(n - 1, -1, -1):
+                self.acc = (self.acc << 1) | ((v >> i) & 1)
+                self.nb += 1
+                if self.nb == 8:
+                    self.out.append(self.acc)
+                    if self.acc == 0xFF:
+                        self.out.append(0x00)
+                    self.acc = 0
+                    self.nb = 0
+
+        def flush(self):
+            while self.nb:
+                self.bits(1, 1)
+
+    def cat(v):
+        a, t = abs(v), 0
+        while a:
+            a >>= 1
+            t += 1
+        return t
+
+    # gather used symbols -> canonical len-8 tables
+    dc_syms, ac_syms = set(), set()
+    flat = [blk for comp in coef_blocks for blk in comp]
+    for comp in coef_blocks:
+        pred = 0
+        for blk in comp:
+            dc_syms.add(cat(blk[0][0] - pred))
+            pred = blk[0][0]
+    # conservative: include every possible (run, size) we may emit
+    for comp in coef_blocks:
+        for blk in comp:
+            seq = [blk[zz[k] >> 3][zz[k] & 7] for k in range(64)]
+            run = 0
+            for k in range(1, 64):
+                if seq[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ac_syms.add(0xF0)
+                    run -= 16
+                ac_syms.add((run << 4) | cat(seq[k]))
+                run = 0
+            if run:
+                ac_syms.add(0)
+    ac_syms.add(0)
+    dc_list, ac_list = sorted(dc_syms), sorted(ac_syms)
+
+    def dht(tc, syms):
+        counts = [0] * 16
+        counts[7] = len(syms)
+        return bytes([tc << 4]) + bytes(counts) + bytes(syms)
+
+    def code_of(syms, s):
+        return syms.index(s)  # canonical len-8 codes start at 0
+
+    def chunk(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    n_comp = len(coef_blocks)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(
+        [n_comp]
+    )
+    for ci, (sh, sv) in enumerate(sampling):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0])
+    sos = bytes([n_comp])
+    for ci in range(n_comp):
+        sos += bytes([ci + 1, 0])
+    sos += bytes([0, 63, 0])
+
+    out = bytearray(b"\xff\xd8")
+    qzz = bytes([0]) + bytes(quant[zz[k]] for k in range(64))
+    out += chunk(0xDB, qzz)
+    out += chunk(0xC0, sof)
+    out += chunk(0xC4, dht(0, dc_list))
+    out += chunk(0xC4, dht(1, ac_list))
+    if restart_interval:
+        out += chunk(0xDD, restart_interval.to_bytes(2, "big"))
+    out += chunk(0xDA, sos)
+
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcus = (
+        ((w + 8 * hmax - 1) // (8 * hmax))
+        * ((h + 8 * vmax - 1) // (8 * vmax))
+    )
+    idx = [0] * n_comp
+    preds = [0] * n_comp
+    wtr = W()
+    rst = 0
+    for m in range(mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            wtr.flush()
+            out += wtr.out
+            out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            wtr = W()
+            preds = [0] * n_comp
+        for ci, (sh, sv) in enumerate(sampling):
+            for _ in range(sh * sv):
+                blk = coef_blocks[ci][idx[ci]]
+                idx[ci] += 1
+                seq = [blk[zz[k] >> 3][zz[k] & 7] for k in range(64)]
+                diff = seq[0] - preds[ci]
+                preds[ci] = seq[0]
+                t = cat(diff)
+                wtr.bits(code_of(dc_list, t), 8)
+                if t:
+                    wtr.bits(diff if diff > 0 else diff + (1 << t) - 1, t)
+                run = 0
+                for k in range(1, 64):
+                    if seq[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        wtr.bits(code_of(ac_list, 0xF0), 8)
+                        run -= 16
+                    s = cat(seq[k])
+                    wtr.bits(code_of(ac_list, (run << 4) | s), 8)
+                    v = seq[k]
+                    wtr.bits(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if run:
+                    wtr.bits(code_of(ac_list, 0), 8)
+    wtr.flush()
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out), flat
+
+
+def _jpeg_replica_plane(blocks, blocks_x, quant):
+    """Independent IDCT replica: pixels for a component plane from its
+    quantized coefficient blocks (natural order, raster block order)."""
+    import numpy as np
+
+    basis = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            basis[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    qn = np.array(quant, dtype=np.float64).reshape(8, 8)
+    rows = len(blocks) // blocks_x
+    plane = np.zeros((rows * 8, blocks_x * 8), dtype=np.int64)
+    for bi, blk in enumerate(blocks):
+        f = np.array(blk, dtype=np.float64) * qn
+        px = basis.T @ f @ basis
+        px = np.clip(np.floor(px + 128.5), 0, 255).astype(np.int64)
+        by, bx = divmod(bi, blocks_x)
+        plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+    return plane
+
+
+def test_jpeg_decode_grayscale_bit_exact():
+    """A 16x8 grayscale baseline JPEG (2 MCUs, DC + scattered ACs,
+    a ZRL run) must decode to EXACTLY the replica's channel means —
+    pinning Huffman, zigzag, dequant, IDCT and assembly (r8: the last
+    stubbed image format now decodes for real)."""
+    import numpy as np
+
+    quant = [1] * 64
+    quant[0] = 16
+    quant[63] = 3
+    b1 = [[0] * 8 for _ in range(8)]
+    b1[0][0] = 40
+    b1[0][1] = -13
+    b1[2][3] = 7
+    b2 = [[0] * 8 for _ in range(8)]
+    b2[0][0] = -24
+    b2[7][7] = 2  # forces a long zero run (ZRL) before the last coef
+    png_blocks = [b1, b2]
+    data, _ = _encode_jpeg([png_blocks], 16, 8, [(1, 1)], quant)
+    f = mm.real_decode(data)
+    assert f is not None and f[7] == 4.0
+    plane = _jpeg_replica_plane(png_blocks, 2, quant)
+    n = 16 * 8
+    sg = int(plane.sum())
+    assert f[0] == f[1] == f[2] == sg / (255.0 * n)
+    assert f[3] == (299 * sg + 587 * sg + 114 * sg) / (255000.0 * n)
+    assert f[4:7] == [16 / 4096, 8 / 4096, 2.0]
+
+
+def test_jpeg_decode_420_color_restart_and_malformed():
+    """A 32x16 4:2:0 YCbCr JPEG with restart_interval=1 (two MCUs, one
+    RST marker, DC predictors reset) matches the replica's RGB means
+    exactly; progressive (SOF2) and truncated streams fail cleanly."""
+    import numpy as np
+
+    quant = [2] * 64
+    rng = np.random.RandomState(11)
+
+    def blocks(n, dc_range=30, n_ac=4):
+        out = []
+        for _ in range(n):
+            blk = [[0] * 8 for _ in range(8)]
+            blk[0][0] = int(rng.randint(-dc_range, dc_range))
+            for _ in range(n_ac):
+                u, v = int(rng.randint(8)), int(rng.randint(8))
+                blk[u][v] = int(rng.randint(-9, 9))
+            blk[0][0] = blk[0][0] if blk[0][0] else 5
+            out.append(blk)
+        return out
+
+    yb = blocks(8)       # 2 MCUs x 4 luma blocks (2x2)
+    cbb = blocks(2, 20, 2)
+    crb = blocks(2, 20, 2)
+    data, _ = _encode_jpeg(
+        [yb, cbb, crb], 32, 16, [(2, 2), (1, 1), (1, 1)], quant,
+        restart_interval=1,
+    )
+    f = mm.real_decode(data)
+    assert f is not None and f[7] == 4.0
+
+    # replica: reassemble the MCU-interleaved luma blocks into raster
+    # order (MCU m contributes a 2x2 block tile at column m)
+    raster = [yb[0], yb[1], yb[4], yb[5], yb[2], yb[3], yb[6], yb[7]]
+    yp = _jpeg_replica_plane(raster, 4, quant)
+    cb = _jpeg_replica_plane(cbb, 2, quant)
+    cr = _jpeg_replica_plane(crb, 2, quant)
+    ys, xs = np.arange(16), np.arange(32)
+    cbf = cb[np.ix_(ys // 2, xs // 2)].astype(np.float64)
+    crf = cr[np.ix_(ys // 2, xs // 2)].astype(np.float64)
+    ypf = yp.astype(np.float64)
+    r = np.clip(np.floor(ypf + 1.402 * (crf - 128.0) + 0.5), 0, 255)
+    g = np.clip(
+        np.floor(
+            ypf - 0.344136 * (cbf - 128.0) - 0.714136 * (crf - 128.0) + 0.5
+        ), 0, 255,
+    )
+    bch = np.clip(np.floor(ypf + 1.772 * (cbf - 128.0) + 0.5), 0, 255)
+    n = 32 * 16
+    sr, sg, sb = int(r.sum()), int(g.sum()), int(bch.sum())
+    assert f[0] == sr / (255.0 * n)
+    assert f[1] == sg / (255.0 * n)
+    assert f[2] == sb / (255.0 * n)
+    assert f[3] == (299 * sr + 587 * sg + 114 * sb) / (255000.0 * n)
+
+    # progressive marker -> clean None
+    prog = bytearray(data)
+    sof_at = bytes(prog).index(b"\xff\xc0")
+    prog[sof_at + 1] = 0xC2
+    assert mm.real_decode(bytes(prog)) is None
+    # truncated entropy stream -> clean None
+    assert mm.real_decode(data[: len(data) // 2]) is None
+
+
 def test_multimodal_frame_sampling(spark):
     rows = [(3, "video", bytearray(b"\x03"), ("video/mp4", None, None, 2500))]
     media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)

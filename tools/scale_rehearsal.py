@@ -190,7 +190,12 @@ def main() -> int:
     }
     actual_pf = _prefix_candidate_volume(zipf, 0.6)
     summary["zipf50k"]["actual_prefix_candidates"] = actual_pf
-    summary["zipf50k"]["pf_bound_holds"] = actual_pf <= est_z["pf_pairs"]
+    # pf_pairs is an ordering signal, not a bound (it can under- or
+    # over-shoot the per-doc prefix choice); what must hold is that
+    # the actual volume stays orders of magnitude below cj_pairs
+    summary["zipf50k"]["actual_vs_cj_ratio"] = (
+        actual_pf / est_z["cj_pairs"] if est_z["cj_pairs"] else None
+    )
 
     # run BOTH modes on the sparse corpus (both tractable there) and
     # check the dispatcher picked the faster wall
