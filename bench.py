@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "embed_kmeans_fit",
     "tokenizer_bpe_merges",
     "tokenizer_bpe_encode",
+    "tokenizer_fertility_by_source",
+    "dedup_component_profile",
     "graph_pagerank_nations",
     "dedup_jaccard_exact_join",
     # the sparse-vocabulary physical strategy of the same exact join —

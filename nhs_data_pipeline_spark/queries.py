@@ -10958,6 +10958,127 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 # j4's semi/anti + p123/p913 stay). Everything outside the window is
 # verified by the identical local gate (tools/check_oracle.py runs
 # ALL entries).
+# ===========================================================================
+# Tokenizer fertility + duplication profile (r08 additions)
+# ===========================================================================
+
+@query(
+    "tokenizer_fertility_by_source",
+    f"""
+    WITH {_bpe_counts_cte(4)},
+    fj AS (
+      SELECT d.source,
+             CAST(length({_NORM_SQL}) AS BIGINT) AS n_chars,
+             c.n_words, c.n_bpe_tokens
+      FROM documents d JOIN bpe_counts c USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CASE WHEN SUM(n_words) > 0 THEN
+             floor(CAST(SUM(n_bpe_tokens) AS DOUBLE)
+                   / CAST(SUM(n_words) AS DOUBLE) * 1e6 + 0.5) / 1e6
+           END AS tokens_per_word,
+           CASE WHEN SUM(n_bpe_tokens) > 0 THEN
+             floor(CAST(SUM(n_chars) AS DOUBLE)
+                   / CAST(SUM(n_bpe_tokens) AS DOUBLE) * 1e6 + 0.5) / 1e6
+           END AS chars_per_token
+    FROM fj GROUP BY source
+    """,
+)
+def tokenizer_fertility_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer FERTILITY diagnostics per source: tokens-per-word and
+    chars-per-token under the corpus-trained BPE (4 merges) — the
+    standard check that a tokenizer compresses each mixture component
+    comparably (a source with outlier fertility burns training budget
+    on fragmentation; the multilingual-tokenizer audit in any 100 TB
+    mixture design). Composes the shared train+encode loop with one
+    source-keyed integer aggregate; ratios are single IEEE divisions
+    of exact integer sums with the portable floor-round. char counts
+    use the same normalized text as the word stream, so both engines
+    measure identical strings (llm/bpe.bpe_token_counts)."""
+    docs = _t(spark, sf_dir, "documents")
+    merges, vocab = bp.bpe_train_encode(docs, n_merges=4)
+    counts = bp.bpe_token_counts(docs, merges, encoded_vocab=vocab)
+    j = docs.select(
+        "doc_id",
+        "source",
+        F.length(tx.normalize_text("text")).cast("bigint").alias("n_chars"),
+    ).join(counts, "doc_id")
+    agg = j.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    def _ratio(num, den):
+        return F.when(
+            F.col(den) > 0,
+            F.floor(
+                F.col(num).cast("double") / F.col(den).cast("double")
+                * F.lit(1e6) + F.lit(0.5)
+            ) / F.lit(1e6),
+        )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_words",
+        "n_bpe_tokens",
+        "n_chars",
+        _ratio("n_bpe_tokens", "n_words").alias("tokens_per_word"),
+        _ratio("n_chars", "n_bpe_tokens").alias("chars_per_token"),
+    )
+
+
+@query(
+    "dedup_component_profile",
+    f"""
+    WITH comp AS ({_components_oracle_sql()}),
+    csz AS (
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS component_size
+      FROM comp GROUP BY component
+    )
+    SELECT component_size,
+           CAST(COUNT(*) AS BIGINT) AS n_components,
+           CAST(component_size * COUNT(*) AS BIGINT) AS n_docs,
+           CAST((component_size - 1) * COUNT(*) AS BIGINT) AS n_removable
+    FROM csz GROUP BY component_size
+    """,
+)
+def dedup_component_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUPLICATION PROFILE: the distribution of near-dup cluster sizes
+    (embedding-cosine components) — the dataset-card number a dedup
+    policy is sized from: ``n_removable`` per size bucket is exactly
+    the row count a keep-one-per-cluster pass deletes, and a heavy
+    tail here is the signal to re-block before an LSH flood (SCALE.md
+    r=4 lesson). Two tiny aggregates over the already-oracled
+    component table; all integers."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = sim.cosine_dedup_pairs(emb, threshold=0.35)
+    cc = dd.connected_components(pairs, nodes=emb, id_col="vec_id")
+    szs = cc.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("component_size")
+    )
+    return (
+        szs.groupBy("component_size")
+        .agg(F.count("*").cast("bigint").alias("n_components"))
+        .select(
+            "component_size",
+            "n_components",
+            (F.col("component_size") * F.col("n_components"))
+            .cast("bigint")
+            .alias("n_docs"),
+            ((F.col("component_size") - 1) * F.col("n_components"))
+            .cast("bigint")
+            .alias("n_removable"),
+        )
+    )
+
+
 DRIVER_WINDOW = [
     # r08 rotation (5th): the r07 verdict's twelve never-attested picks
     # (this round's strongest claims) swap in for the twelve most
