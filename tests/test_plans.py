@@ -419,6 +419,9 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # vocab side at gate scale
         "tokenizer_bpe_encode", "sample_token_budget_bpe",
         "pack_bpe_sequences",
+        # audited: same (doc, word)->counts doc_id join shape plus the
+        # source-keyed aggregate (r8)
+        "tokenizer_fertility_by_source",
         # audited: per-round feature joins (doc-keyed z fold, err join,
         # bucket-keyed gradient) over the corpus-sized hashed-feature
         # table (llm/classify.logreg_fit) — both sides corpus-scaled at
@@ -552,6 +555,8 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # queries embed the same training loop)
         "tokenizer_bpe_merges", "tokenizer_bpe_encode",
         "sample_token_budget_bpe", "pack_bpe_sequences",
+        # audited: same embedded BPE training loop (r8)
+        "tokenizer_fertility_by_source",
         # audited: the 3-row quantile-literal table crosses into the
         # per-group totals (ops/sketch.histogram_quantiles) — broadcast
         # fan-out of a constant probe set, the correct plan
