@@ -1300,6 +1300,47 @@ def test_jpeg_decode_420_color_restart_and_malformed():
     assert mm.real_decode(data[: len(data) // 2]) is None
 
 
+def test_jpeg_decode_422_asymmetric_sampling():
+    """4:2:2 (luma 2x1, chroma 1x1 — hmax != vmax) exercises the
+    horizontal-only chroma upsampling path; pinned against the
+    replica."""
+    import numpy as np
+
+    quant = [1] * 64
+
+    def dcblk(dc):
+        blk = [[0] * 8 for _ in range(8)]
+        blk[0][0] = dc
+        return blk
+
+    yb = [dcblk(32), dcblk(-16)]       # one MCU: two luma blocks wide
+    cbb = [dcblk(8)]
+    crb = [dcblk(-8)]
+    data, _ = _encode_jpeg(
+        [yb, cbb, crb], 16, 8, [(2, 1), (1, 1), (1, 1)], quant
+    )
+    f = mm.real_decode(data)
+    assert f is not None and f[7] == 4.0
+    yp = _jpeg_replica_plane(yb, 2, quant)
+    cb = _jpeg_replica_plane(cbb, 1, quant)
+    cr = _jpeg_replica_plane(crb, 1, quant)
+    ys, xs = np.arange(8), np.arange(16)
+    cbf = cb[np.ix_(ys, xs // 2)].astype(np.float64)
+    crf = cr[np.ix_(ys, xs // 2)].astype(np.float64)
+    ypf = yp.astype(np.float64)
+    r = np.clip(np.floor(ypf + 1.402 * (crf - 128.0) + 0.5), 0, 255)
+    g = np.clip(
+        np.floor(
+            ypf - 0.344136 * (cbf - 128.0) - 0.714136 * (crf - 128.0) + 0.5
+        ), 0, 255,
+    )
+    bch = np.clip(np.floor(ypf + 1.772 * (cbf - 128.0) + 0.5), 0, 255)
+    n = 16 * 8
+    assert f[0] == int(r.sum()) / (255.0 * n)
+    assert f[1] == int(g.sum()) / (255.0 * n)
+    assert f[2] == int(bch.sum()) / (255.0 * n)
+
+
 def test_multimodal_frame_sampling(spark):
     rows = [(3, "video", bytearray(b"\x03"), ("video/mp4", None, None, 2500))]
     media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
