@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "f9_fiscal_calendar",
     # LLM-pipeline ops (present from round 1+ as implemented)
     "dedup_exact",
+    "dedup_incremental_near",
     "curate_corpus",
     "text_profile",
     "quality_gopher_rules",

@@ -214,59 +214,32 @@ def estimate_candidate_pairs(
     return int(row["__n"] or 0)
 
 
-def minhash_lsh_pairs(
+def _minhash_sig(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 64,
-    bands: int = 8,
-    shingle_k: int = 5,
-    shingle_sample_mod: int = 4,
-    seed: int = 42,
-    hash_fn: str = "xxhash64",
-    max_candidates_per_doc: float | None = None,
-    band_report: dict | None = None,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_k: int,
+    shingle_sample_mod: int,
+    seed: int,
+    hash_fn: str,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via banded MinHash-LSH.
+    """Shared MinHash signature pipeline: ``(id_col, sig array<bigint>)``
+    — extracted (r8) so the self-join path (:func:`minhash_lsh_pairs`)
+    and the batch-vs-corpus incremental screen
+    (:func:`lsh_incremental_screen`) can never drift apart.
 
-    Returns ``(id_a, id_b, n_shared_bands)`` with ``id_a < id_b``.
-    Default 64 hashes x 8 bands = r=8 rows per band: s-curve threshold
-    ~ (1/8)^(1/8) ~ 0.77 Jaccard — dedup-grade precision. On highly
-    self-similar corpora a loose threshold (r=4) floods the bucket join
-    with O(n^2)-ish candidates (measured 527k pairs on 10k synthetic
-    docs); candidate volume, not signature math, is what blows up at
-    scale, so precision is the default and recall-hungry callers lower
-    ``bands``-per-hash deliberately.
-
-    ``hash_fn``: ``"xxhash64"`` (default — fastest, JVM-native) or
-    ``"portable"`` — shingles encoded with the base-259 character
-    polynomial (``_poly_shingle_sql``), sampling decided by a seeded
-    universal hash, and band keys kept as plain signature strings, so
-    an external engine reproduces the candidate set exactly with plain
-    SQL arithmetic (cross-engine verification / engine-portable dedup
-    keys). Portable mode stays inside whole-stage codegen — measured
-    ~1.4x the xxhash64 runtime at sf0.1, vs ~3x for per-shingle md5.
-
-    ``max_candidates_per_doc``: candidate-volume guardrail. When set,
-    the blocked pair count is measured from bucket sizes (never
-    materialized) BEFORE the self-join; if it exceeds
-    ``max_candidates_per_doc * n_docs`` the banding auto-widens
-    (bands halve -> rows-per-band double -> stricter s-curve), re-banding
-    the already-computed signatures — no shingle/signature recompute.
-    On a self-similar corpus this is the difference between a bounded
-    join and an accidental O(n^2) shuffle. ``band_report`` (optional
-    dict) receives {bands, rows_per_band, n_docs, est_candidates}."""
-    # PERF shape (each step measured at sf0.1, local[32]):
-    # 1. normalize BEFORE a repartition exchange — parallelism decoupled
-    #    from input splits, normalization materialized (10x on inlined
-    #    regex, 4x on 2-split parallelism).
-    # 2. ROW-LEVEL shingling: explode positions, then substring/hash/
-    #    sample-filter as ordinary row expressions. Higher-order array
-    #    lambdas (transform/filter) are ALWAYS interpreted — the array
-    #    form of this same pipeline ran 3.3x slower (19.7s -> 5.9s).
-    # 3. distinct via (id, hash) partial-aggregate, then the 64-min
-    #    signature aggregate — map-side combines keep both shuffles at
-    #    ~|distinct shingles| and |docs| rows respectively.
+    PERF shape (each step measured at sf0.1, local[32]):
+    1. normalize BEFORE a repartition exchange — parallelism decoupled
+       from input splits, normalization materialized (10x on inlined
+       regex, 4x on 2-split parallelism).
+    2. ROW-LEVEL shingling: explode positions, then substring/hash/
+       sample-filter as ordinary row expressions. Higher-order array
+       lambdas (transform/filter) are ALWAYS interpreted — the array
+       form of this same pipeline ran 3.3x slower (19.7s -> 5.9s).
+    3. distinct via (id, hash) partial-aggregate, then the 64-min
+       signature aggregate — map-side combines keep both shuffles at
+       ~|distinct shingles| and |docs| rows respectively."""
     par = df.sparkSession.sparkContext.defaultParallelism
     norm = df.select(
         F.col(id_col), normalize_text(F.col(text_col)).alias("__norm")
@@ -320,10 +293,24 @@ def minhash_lsh_pairs(
             .select(F.col(id_col), F.pmod("__sh64", F.lit(_MERSENNE)).alias("__h"))
         )
     mins = _signature_cols(distinct_h, id_col, num_hashes, seed)
-    sig = mins.select(
+    return mins.select(
         F.col(id_col), F.array(*[f"__m{j}" for j in range(num_hashes)]).alias("sig")
     )
-    def _band_key(b: int, rows_per_band: int) -> Column:
+
+
+def _banded_from_sig(
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    n_bands: int,
+    hash_fn: str,
+) -> DataFrame:
+    """Band table ``(id_col, band_idx, band_hash)`` from a signature
+    frame (the LSH bucket keys; shared by self-join and incremental
+    paths)."""
+    rows_per_band = num_hashes // n_bands
+
+    def _band_key(b: int) -> Column:
         key = F.concat_ws(
             ",",
             *[
@@ -336,22 +323,71 @@ def minhash_lsh_pairs(
         # xxhash64; default mode hashes it to 8 bytes for shuffle economy.
         return F.xxhash64(key) if hash_fn == "xxhash64" else key
 
+    return sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        _band_key(b).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_hash")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 8,
+    shingle_k: int = 5,
+    shingle_sample_mod: int = 4,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    max_candidates_per_doc: float | None = None,
+    band_report: dict | None = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    Returns ``(id_a, id_b, n_shared_bands)`` with ``id_a < id_b``.
+    Default 64 hashes x 8 bands = r=8 rows per band: s-curve threshold
+    ~ (1/8)^(1/8) ~ 0.77 Jaccard — dedup-grade precision. On highly
+    self-similar corpora a loose threshold (r=4) floods the bucket join
+    with O(n^2)-ish candidates (measured 527k pairs on 10k synthetic
+    docs); candidate volume, not signature math, is what blows up at
+    scale, so precision is the default and recall-hungry callers lower
+    ``bands``-per-hash deliberately.
+
+    ``hash_fn``: ``"xxhash64"`` (default — fastest, JVM-native) or
+    ``"portable"`` — shingles encoded with the base-259 character
+    polynomial (``_poly_shingle_sql``), sampling decided by a seeded
+    universal hash, and band keys kept as plain signature strings, so
+    an external engine reproduces the candidate set exactly with plain
+    SQL arithmetic (cross-engine verification / engine-portable dedup
+    keys). Portable mode stays inside whole-stage codegen — measured
+    ~1.4x the xxhash64 runtime at sf0.1, vs ~3x for per-shingle md5.
+
+    ``max_candidates_per_doc``: candidate-volume guardrail. When set,
+    the blocked pair count is measured from bucket sizes (never
+    materialized) BEFORE the self-join; if it exceeds
+    ``max_candidates_per_doc * n_docs`` the banding auto-widens
+    (bands halve -> rows-per-band double -> stricter s-curve), re-banding
+    the already-computed signatures — no shingle/signature recompute.
+    On a self-similar corpus this is the difference between a bounded
+    join and an accidental O(n^2) shuffle. ``band_report`` (optional
+    dict) receives {bands, rows_per_band, n_docs, est_candidates}."""
+    sig = _minhash_sig(
+        df, text_col, id_col, num_hashes, shingle_k,
+        shingle_sample_mod, seed, hash_fn,
+    )
+
     def _banded(n_bands: int) -> DataFrame:
-        rows_per_band = num_hashes // n_bands
-        return sig.select(
-            id_col,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band_idx"),
-                            _band_key(b, rows_per_band).alias("band_hash"),
-                        )
-                        for b in range(n_bands)
-                    ]
-                )
-            ).alias("band"),
-        ).select(id_col, "band.band_idx", "band.band_hash")
+        return _banded_from_sig(sig, id_col, num_hashes, n_bands, hash_fn)
 
     # Persist before the self-join: both join sides share this lineage,
     # and without a materialization the whole shingle+signature pipeline
@@ -398,6 +434,77 @@ def minhash_lsh_pairs(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
         .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def lsh_incremental_screen(
+    corpus: DataFrame,
+    new_batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 8,
+    shingle_k: int = 5,
+    shingle_sample_mod: int = 4,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Ingest-time NEAR-dup admission: screen an arriving batch against
+    the standing corpus by joining their MinHash-LSH band tables — the
+    near-dup counterpart of :func:`incremental_dedup`'s exact-md5
+    screen, and the shape a 100 TB ingest actually runs: the corpus's
+    band table is computed once and stored (n_docs x bands rows of
+    three longs — a fraction of corpus bytes); each arriving batch
+    shingles ONLY itself and probes with one equi-join on
+    (band_idx, band_hash). Nothing ever self-joins the corpus.
+
+    Returns one row per new doc: ``(doc_id, n_corpus_matches,
+    best_match, max_shared_bands, admitted)`` — best_match is the
+    smallest colliding corpus id among those sharing the most bands
+    (deterministic tiebreak), NULL (with admitted = true) when no
+    corpus band collides. Same signature pipeline as
+    :func:`minhash_lsh_pairs` (shared ``_minhash_sig`` /
+    ``_banded_from_sig``), so the screen's s-curve is identical to the
+    batch dedup it gates for."""
+    cb = _banded_from_sig(
+        _minhash_sig(corpus, text_col, id_col, num_hashes, shingle_k,
+                     shingle_sample_mod, seed, hash_fn),
+        id_col, num_hashes, bands, hash_fn,
+    ).select(
+        F.col(id_col).alias("__cid"), "band_idx", "band_hash"
+    )
+    nb = _banded_from_sig(
+        _minhash_sig(new_batch, text_col, id_col, num_hashes, shingle_k,
+                     shingle_sample_mod, seed, hash_fn),
+        id_col, num_hashes, bands, hash_fn,
+    )
+    hits = (
+        nb.join(cb, ["band_idx", "band_hash"])
+        .groupBy(id_col, "__cid")
+        .agg(F.count("*").alias("__nb"))
+    )
+    per_new = hits.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_corpus_matches"),
+        F.max(F.struct(F.col("__nb"), (-F.col("__cid")).alias("__neg")))
+        .alias("__best"),
+    ).select(
+        id_col,
+        "n_corpus_matches",
+        (-F.col("__best.__neg")).alias("best_match"),
+        F.col("__best.__nb").cast("bigint").alias("max_shared_bands"),
+    )
+    return (
+        new_batch.select(id_col).distinct()
+        .join(per_new, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_corpus_matches", F.lit(0).cast("bigint")).alias(
+                "n_corpus_matches"
+            ),
+            "best_match",
+            "max_shared_bands",
+            F.col("n_corpus_matches").isNull().alias("admitted"),
+        )
     )
 
 

@@ -11079,6 +11079,83 @@ def dedup_component_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_near_oracle() -> str:
+    """Composed replica of dedup_incremental_near: the portable
+    MinHash band chain instantiated for the standing corpus and for
+    the arriving batch (nested WITH per derived table — the chain's
+    CTE names are fixed), band-equi-joined, best match by
+    (shared bands DESC, corpus id) — the deterministic tiebreak the
+    engine's max(struct) encodes."""
+    corpus_sql = "SELECT doc_id, text FROM documents WHERE doc_id < 400"
+    new_sql = (
+        "SELECT doc_id, text FROM documents WHERE doc_id >= 400 "
+        "UNION ALL SELECT doc_id + 500000 AS doc_id, text "
+        "FROM documents WHERE doc_id < 50"
+    )
+    c_chain = _minhash_chain_sql(corpus_sql)
+    n_chain = _minhash_chain_sql(new_sql)
+    return f"""
+    WITH cbands AS (
+      SELECT * FROM (WITH {c_chain}
+        SELECT doc_id AS cid, band_idx, band_key FROM bands)
+    ),
+    nbands AS (
+      SELECT * FROM (WITH {n_chain}
+        SELECT doc_id, band_idx, band_key FROM bands)
+    ),
+    hits AS (
+      SELECT n.doc_id, c.cid, CAST(COUNT(*) AS BIGINT) AS nb
+      FROM nbands n JOIN cbands c
+        ON n.band_idx = c.band_idx AND n.band_key = c.band_key
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT doc_id, cid, nb,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY nb DESC, cid) AS rk,
+             COUNT(*) OVER (PARTITION BY doc_id) AS nm
+      FROM hits
+    ),
+    per_new AS (
+      SELECT doc_id, CAST(nm AS BIGINT) AS n_corpus_matches,
+             cid AS best_match, CAST(nb AS BIGINT) AS max_shared_bands
+      FROM ranked WHERE rk = 1
+    )
+    SELECT a.doc_id,
+           COALESCE(p.n_corpus_matches, CAST(0 AS BIGINT))
+             AS n_corpus_matches,
+           p.best_match, p.max_shared_bands,
+           p.doc_id IS NULL AS admitted
+    FROM (SELECT DISTINCT doc_id FROM ({new_sql})) a
+    LEFT JOIN per_new p USING (doc_id)
+    """
+
+
+@query("dedup_incremental_near", _incremental_near_oracle())
+def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time NEAR-dup admission of an arriving batch against the
+    standing corpus — the near-dup twin of dedup_incremental's exact
+    screen: the corpus's LSH band table joins the batch's on
+    (band_idx, band_key); only the batch is shingled per ingest, the
+    corpus never self-joins. Docs <400 are the corpus; the batch is
+    docs >=400 plus 50 re-submitted corpus texts (id+500000), which
+    must collide on all 8 bands and be rejected
+    (llm/dedup.lsh_incremental_screen, shared signature pipeline with
+    minhash_lsh_pairs)."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < 400).select("doc_id", "text")
+    newb = (
+        d.filter(F.col("doc_id") >= 400)
+        .select("doc_id", "text")
+        .unionByName(
+            d.filter(F.col("doc_id") < 50).select(
+                (F.col("doc_id") + 500000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return dd.lsh_incremental_screen(corpus, newb, hash_fn="portable")
+
+
 DRIVER_WINDOW = [
     # r08 rotation (5th): the r07 verdict's twelve never-attested picks
     # (this round's strongest claims) swap in for the twelve most

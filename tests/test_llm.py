@@ -59,6 +59,36 @@ def test_minhash_portable_mode_finds_near_dups(spark):
     assert (1, 4) not in got and (3, 4) not in got
 
 
+def test_lsh_incremental_screen_admits_and_rejects(spark):
+    """Ingest screen (r8): an exact re-submission of a corpus doc must
+    be rejected with all 8 bands shared and the corpus doc as best
+    match; a near-dup must be rejected; an unrelated doc is admitted
+    (NULL match columns). Results match minhash_lsh_pairs' s-curve —
+    the shared signature pipeline."""
+    corpus = _docs(spark).filter(F.col("doc_id") < 5)
+    newb = spark.createDataFrame(
+        [
+            (100, BASE),                                 # exact re-submit
+            (101, BASE.replace("winter", "summer")),     # near dup
+            (102, "totally novel content on nothing related whatsoever "
+                  "covering gardening herbs tomatoes and soil acidity"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in dd.lsh_incremental_screen(
+        corpus, newb).collect()}
+    assert len(out) == 3
+    assert not out[100].admitted
+    assert out[100].max_shared_bands == 8  # exact copy: every band
+    assert out[100].best_match == 1  # smallest colliding corpus id
+    assert out[100].n_corpus_matches >= 2  # docs 1 AND 2 collide
+    assert not out[101].admitted
+    assert out[102].admitted
+    assert out[102].best_match is None
+    assert out[102].max_shared_bands is None
+    assert out[102].n_corpus_matches == 0
+
+
 def test_leakage_safe_split_no_straddling_pairs(spark):
     """The eval-integrity guarantee: after repair, NO near-dup pair
     straddles train/val; repair is component-granular (a val doc whose

@@ -317,8 +317,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 217, len(QUERIES)
-    assert len(ORACLES) == 214, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 218, len(QUERIES)
+    assert len(ORACLES) == 215, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_readme_registry_tallies_match():
@@ -399,6 +399,13 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # audited: the auto dispatcher resolves to one of the two
         # audited exact-Jaccard plans (countjoin at gate density)
         "dedup_jaccard_auto",
+        # audited: the ingest screen equi-joins the arriving batch's
+        # band table against the standing corpus's on
+        # (band_idx, band_hash) — both sides corpus-scaled at 100 TB,
+        # so the co-partitioned shuffle join is the correct plan (AQE
+        # broadcasts the batch side at gate scale)
+        # (llm/dedup.lsh_incremental_screen)
+        "dedup_incremental_near",
         # audited: IDF-weighted countjoin — same corpus x corpus
         # co-occurrence shape on the bigram key plus the broadcast
         # df/N weight joins (llm/dedup.weighted_jaccard_join)
