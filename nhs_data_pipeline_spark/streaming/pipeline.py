@@ -288,6 +288,107 @@ def dedup_stream_against_store(
 
 
 
+def near_dedup_stream_against_store(
+    docs: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 8,
+    shingle_k: int = 5,
+    shingle_sample_mod: int = 4,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+):
+    """Ingest-time NEAR-dup dedup of a document stream against a
+    persistent MinHash band-table store — the streaming twin of
+    ``llm/dedup.lsh_incremental_screen`` and the near-dup upgrade of
+    :func:`dedup_stream_against_store`: every micro-batch is screened
+    within itself (a doc is rejected when a smaller-id batch doc
+    shares any LSH band — mirroring the exact store's min-id
+    representative rule, so a group whose representative dies with the
+    store dies whole) and against every band ever admitted; admitted
+    documents append to ``out_path`` and their bands to
+    ``store_path``.
+
+    Scale shape: the store holds ``bands`` small rows per ADMITTED
+    document — never text, never signatures of rejected docs — so the
+    per-batch screen is one equi-join on (band_idx, band_hash); only
+    the batch is shingled. Each batch re-reads the store, so bands
+    admitted by batch N screen batch N+1 without driver-side state.
+    Admission uses the same s-curve as the batch ops (shared
+    ``_minhash_sig``/``_banded_from_sig`` pipeline), and the admitted
+    set is always pairwise band-disjoint.
+
+    Delivery: exactly-once stream bookkeeping; at-least-once for the
+    two appends (the dedup_stream_against_store contract — a
+    transactional table format would close the gap in production)."""
+    from nhs_data_pipeline_spark.llm.dedup import (
+        _banded_from_sig,
+        _minhash_sig,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(F.col(id_col), F.col(text_col)).dropDuplicates(
+            [id_col]
+        ).persist()
+        batch.count()
+        bands_df = _banded_from_sig(
+            _minhash_sig(batch, text_col, id_col, num_hashes, shingle_k,
+                         shingle_sample_mod, seed, hash_fn),
+            id_col, num_hashes, bands, hash_fn,
+        ).persist()
+        bands_df.count()
+        # in-batch rule first (mirrors the exact store's min-id rep):
+        # a doc dies when any SMALLER-id batch doc shares a band,
+        # regardless of that doc's own fate against the store
+        a = bands_df.select(
+            F.col(id_col).alias("__ia"), "band_idx", "band_hash"
+        )
+        b = bands_df.select(
+            F.col(id_col).alias("__ib"), "band_idx", "band_hash"
+        )
+        beaten = (
+            a.join(b, ["band_idx", "band_hash"])
+            .filter(F.col("__ia") < F.col("__ib"))
+            .select(F.col("__ib").alias(id_col))
+            .distinct()
+        )
+        store = _read_store_or_none(spark, store_path)
+        hit = (
+            bands_df.join(
+                store.select("band_idx", "band_hash"),
+                ["band_idx", "band_hash"],
+                "left_semi",
+            ).select(id_col).distinct()
+            if store is not None
+            else None
+        )
+        rejected = beaten if hit is None else beaten.unionByName(hit)
+        admitted_ids = (
+            batch.select(id_col).join(rejected, id_col, "left_anti")
+        )
+        survivors = batch.join(admitted_ids, id_col, "left_semi").persist()
+        survivors.count()  # eager: both appends reuse one computation
+        survivors.write.mode("append").parquet(out_path)
+        bands_df.join(admitted_ids, id_col, "left_semi").write.mode(
+            "append"
+        ).parquet(store_path)
+        survivors.unpersist()
+        bands_df.unpersist()
+        batch.unpersist()
+
+    return (
+        docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _load_guarded_store(
     spark: SparkSession, store_path: str, stream_key: str, batch_id: int
 ):

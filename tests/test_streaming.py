@@ -329,6 +329,92 @@ def test_dedup_stream_against_store_cross_batch(spark, tmp_path):
     assert spark.read.parquet(store).count() == 3
 
 
+def test_near_dedup_stream_against_store(spark, tmp_path):
+    """Streaming near-dup store (r8): exact re-submissions AND near
+    duplicates of admitted docs are rejected cross-batch via the band
+    store; within a batch the min-id doc of a colliding pair wins;
+    novel docs are admitted; the store holds bands only for admitted
+    docs; and the admitted set matches the batch screen
+    (lsh_incremental_screen) on the same corpus/batch split."""
+    import time as _time
+
+    from nhs_data_pipeline_spark.llm.dedup import lsh_incremental_screen
+    from nhs_data_pipeline_spark.streaming.pipeline import (
+        near_dedup_stream_against_store,
+        stream_files,
+    )
+
+    base_text = (
+        "the national health service publishes monthly bed occupancy "
+        "statistics for every acute trust in england covering winter "
+        "pressures and escalation capacity across all regions"
+    )
+    other = (
+        "completely different corpus text about spark shuffles and "
+        "partitions with broadcast joins and adaptive query execution"
+    )
+    novel = (
+        "gardening notes on tomato soil acidity herb rotation and "
+        "greenhouse ventilation schedules for late summer harvests"
+    )
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "nd_src")
+    # batch 1: two distinct docs + an in-batch exact pair (30 beats 31)
+    b1 = spark.createDataFrame(
+        [(1, base_text), (4, other), (30, novel), (31, novel)], doc_schema
+    )
+    b1.coalesce(1).write.parquet(src)
+    _time.sleep(1.1)
+    # batch 2: exact re-submit of 1, a NEAR dup of 1, and a novel doc
+    b2 = spark.createDataFrame(
+        [
+            (100, base_text),
+            (101, base_text.replace("winter", "summer")),
+            (102, "entirely new material on orchestra rehearsal "
+                  "schedules woodwind tuning and concert hall acoustics"),
+        ],
+        doc_schema,
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    store = str(tmp_path / "nd_store")
+    out = str(tmp_path / "nd_out")
+    q = near_dedup_stream_against_store(
+        stream_files(spark, src, doc_schema, max_files_per_trigger=1),
+        store, out, checkpoint=str(tmp_path / "nd_ckpt"),
+    )
+    q.awaitTermination()
+
+    admitted = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert admitted == {1, 4, 30, 102}
+    # store holds exactly 8 bands per admitted doc, none for rejected
+    st = spark.read.parquet(store)
+    assert st.count() == 4 * 8
+    assert {r.doc_id for r in st.select("doc_id").distinct().collect()} == (
+        admitted
+    )
+    # stream == batch: the batch screen over (admitted-so-far, batch 2)
+    # must reject/admit the same batch-2 docs
+    corpus = spark.createDataFrame(
+        [(1, base_text), (4, other), (30, novel)], doc_schema
+    )
+    newb = spark.createDataFrame(
+        [(100, base_text),
+         (101, base_text.replace("winter", "summer")),
+         (102, "entirely new material on orchestra rehearsal "
+               "schedules woodwind tuning and concert hall acoustics")],
+        doc_schema,
+    )
+    screen = {r.doc_id: r.admitted
+              for r in lsh_incremental_screen(corpus, newb).collect()}
+    assert screen == {100: False, 101: False, 102: True}
+
+
 def test_fingerprint_stream_matches_batch(spark, tmp_path):
     """Incremental XOR fingerprint store over a 2-batch stream must end
     exactly equal to the one-shot batch content_fingerprint of the
