@@ -1330,6 +1330,79 @@ def test_jpeg_decode_420_color_restart_and_malformed():
     assert mm.real_decode(data[: len(data) // 2]) is None
 
 
+def test_png_decode_property_random_filters():
+    """Property (hypothesis): ANY 8-bit RGB pixel grid under ANY
+    per-row filter choice decodes to exactly the arithmetic channel
+    means — the unfilter inversion is total, not case-pinned."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(1, 5),
+        st.integers(1, 5),
+        st.data(),
+    )
+    def run(w, h, data):
+        pixels = [
+            [
+                tuple(
+                    data.draw(st.integers(0, 255)) for _ in range(3)
+                )
+                for _ in range(w)
+            ]
+            for _ in range(h)
+        ]
+        filters = [data.draw(st.integers(0, 4)) for _ in range(h)]
+        f = mm.real_decode(_make_png(pixels, color_type=2, filters=filters))
+        assert f is not None
+        flat = [px for row in pixels for px in row]
+        n = len(flat)
+        for i in range(3):
+            assert f[i] == sum(px[i] for px in flat) / (255.0 * n)
+
+    run()
+
+
+def test_jpeg_decode_property_random_coefficients():
+    """Property (hypothesis): ANY bounded quantized-coefficient stream
+    (random sparsity, random quant table, optional restart interval)
+    round-trips through the encoder + decoder to exactly the replica's
+    means — Huffman/zigzag/dequant/IDCT are total over the input
+    space, not example-pinned."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.integers(1, 3), st.data())
+    def run(n_blocks, data):
+        import numpy as np
+
+        quant = [data.draw(st.integers(1, 16)) for _ in range(64)]
+        blocks = []
+        for _ in range(n_blocks):
+            blk = [[0] * 8 for _ in range(8)]
+            blk[0][0] = data.draw(st.integers(-64, 64))
+            for _ in range(data.draw(st.integers(0, 6))):
+                u = data.draw(st.integers(0, 7))
+                v = data.draw(st.integers(0, 7))
+                if (u, v) != (0, 0):
+                    blk[u][v] = data.draw(st.integers(-16, 16))
+            blocks.append(blk)
+        rst = data.draw(st.sampled_from([0, 1]))
+        w = 8 * n_blocks
+        jpg, _ = _encode_jpeg(
+            [blocks], w, 8, [(1, 1)], quant, restart_interval=rst
+        )
+        f = mm.real_decode(jpg)
+        assert f is not None
+        plane = _jpeg_replica_plane(blocks, n_blocks, quant)
+        n = w * 8
+        assert f[0] == f[1] == f[2] == int(plane.sum()) / (255.0 * n)
+
+    run()
+
+
 def test_jpeg_decode_422_asymmetric_sampling():
     """4:2:2 (luma 2x1, chroma 1x1 — hmax != vmax) exercises the
     horizontal-only chroma upsampling path; pinned against the
