@@ -1139,6 +1139,7 @@ def estimate_jaccard_join_modes(
     threshold: float,
     text_col: str = "text",
     id_col: str = "doc_id",
+    _toks: DataFrame | None = None,
 ) -> dict:
     """Cost estimates for :func:`exact_jaccard_join`'s two physical
     strategies, from one cheap token-frequency aggregate — never by
@@ -1178,9 +1179,15 @@ def estimate_jaccard_join_modes(
     fr = Fraction(str(threshold))
     num, den = fr.numerator, fr.denominator
     # both scalar aggregates below consume toks inside this call, so a
-    # persist/release pair halves the tokenize+distinct work (r8)
-    toks = _bigram_tokens(df, text_col, id_col).persist()
-    toks.count()
+    # persist/release pair halves the tokenize+distinct work (r8);
+    # auto-mode callers pass their already-persisted table via _toks
+    # (and keep ownership of its release)
+    own_toks = _toks is None
+    if own_toks:
+        toks = _bigram_tokens(df, text_col, id_col).persist()
+        toks.count()
+    else:
+        toks = _toks
     prow = (
         toks.groupBy("doc_id")
         .agg(F.count("*").alias("__sz"))
@@ -1204,7 +1211,8 @@ def estimate_jaccard_join_modes(
         .orderBy("__df")
         .collect()
     )
-    toks.unpersist()
+    if own_toks:
+        toks.unpersist()
     cj = 0
     pf = 0.0
     rem = P
@@ -1302,7 +1310,15 @@ def exact_jaccard_join(
     if mode not in ("countjoin", "prefix", "auto"):
         raise ValueError(f"unknown mode {mode!r}")
     if mode == "auto":
-        est = estimate_jaccard_join_modes(df, threshold, text_col, id_col)
+        # persist toks BEFORE the estimate so the dispatch aggregates
+        # and the chosen join share one tokenize+distinct computation
+        # (the branch below re-persists the same plan — a no-op — and
+        # owns the release)
+        _shared_toks = _bigram_tokens(df, text_col, id_col).persist()
+        _shared_toks.count()
+        est = estimate_jaccard_join_modes(
+            df, threshold, text_col, id_col, _toks=_shared_toks
+        )
         mode = (
             "prefix"
             if est["pf_pairs"] * _JACCARD_PREFIX_COST_FACTOR
