@@ -1106,30 +1106,42 @@ def _encode_jpeg(coef_blocks, w, h, sampling, quant, restart_interval=0):
             t += 1
         return t
 
-    # gather used symbols -> canonical len-8 tables
-    dc_syms, ac_syms = set(), set()
+    # gather used symbols -> canonical len-8 tables, by SIMULATING the
+    # exact emission loop below (incl. restart-interval DC resets — a
+    # continuous-prediction dry run once missed the cat-0 diff a reset
+    # produces, caught by the hypothesis sweep)
     flat = [blk for comp in coef_blocks for blk in comp]
-    for comp in coef_blocks:
-        pred = 0
-        for blk in comp:
-            dc_syms.add(cat(blk[0][0] - pred))
-            pred = blk[0][0]
-    # conservative: include every possible (run, size) we may emit
-    for comp in coef_blocks:
-        for blk in comp:
-            seq = [blk[zz[k] >> 3][zz[k] & 7] for k in range(64)]
-            run = 0
-            for k in range(1, 64):
-                if seq[k] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    ac_syms.add(0xF0)
-                    run -= 16
-                ac_syms.add((run << 4) | cat(seq[k]))
+    hmax_g = max(s[0] for s in sampling)
+    vmax_g = max(s[1] for s in sampling)
+    mcus_g = (
+        ((w + 8 * hmax_g - 1) // (8 * hmax_g))
+        * ((h + 8 * vmax_g - 1) // (8 * vmax_g))
+    )
+    dc_syms, ac_syms = set(), set()
+    g_idx = [0] * len(coef_blocks)
+    g_preds = [0] * len(coef_blocks)
+    for m in range(mcus_g):
+        if restart_interval and m and m % restart_interval == 0:
+            g_preds = [0] * len(coef_blocks)
+        for ci, (sh, sv) in enumerate(sampling):
+            for _ in range(sh * sv):
+                blk = coef_blocks[ci][g_idx[ci]]
+                g_idx[ci] += 1
+                seq = [blk[zz[k] >> 3][zz[k] & 7] for k in range(64)]
+                dc_syms.add(cat(seq[0] - g_preds[ci]))
+                g_preds[ci] = seq[0]
                 run = 0
-            if run:
-                ac_syms.add(0)
+                for k in range(1, 64):
+                    if seq[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ac_syms.add(0xF0)
+                        run -= 16
+                    ac_syms.add((run << 4) | cat(seq[k]))
+                    run = 0
+                if run:
+                    ac_syms.add(0)
     ac_syms.add(0)
     dc_list, ac_list = sorted(dc_syms), sorted(ac_syms)
 
