@@ -4,8 +4,8 @@ Images/audio/video ride through the engine as ``binary`` columns with a
 typed metadata struct — the Spark-side contract (schema, partitioning,
 Arrow batch shape) is real and tested. Formats a pure-python parser can
 own are decoded for real (:func:`real_decode`: uncompressed 24-bit BMP,
-16-bit PCM WAV, non-interlaced PNG — 8/16-bit color types 0/2/4/6,
-paletted type 3 at 1/2/4/8-bit, sub-byte grayscale — via stdlib zlib +
+16-bit PCM WAV, PNG — 8/16-bit color types 0/2/4/6, paletted type 3 at
+1/2/4/8-bit, sub-byte grayscale, Adam7 interlacing — via stdlib zlib +
 the five scanline filters; baseline-sequential JPEG — canonical
 Huffman + restart intervals, dequant, numpy IDCT, chroma upsampling,
 JFIF YCbCr->RGB; :func:`extract_image_meta`: PNG/JPEG header dims);
@@ -205,20 +205,24 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytearray | None
 
 
 def _decode_png(b: bytes) -> list[float] | None:
-    """Pure-python decode of a NON-INTERLACED PNG into the same 8-dim
-    feature shape as :func:`_decode_bmp`: ``[mean_r, mean_g, mean_b,
-    mean_luma, width/4096, height/4096, aspect_wh, 3.0]`` (grayscale
-    replicates the gray channel; alpha is ignored for the means).
+    """Pure-python decode of ANY spec-conforming PNG into the same
+    8-dim feature shape as :func:`_decode_bmp`: ``[mean_r, mean_g,
+    mean_b, mean_luma, width/4096, height/4096, aspect_wh, 3.0]``
+    (grayscale replicates the gray channel; alpha is ignored for the
+    means).
 
-    Covers (r8, closing the two r7 honest gaps): color types 0/2/4/6
-    at 8- AND 16-bit depth, paletted color type 3 (PLTE) at 1/2/4/8-bit
-    indices, and sub-byte grayscale (type 0 at 1/2/4 bits). stdlib
-    ``zlib`` inflates the concatenated IDAT stream; the five scanline
-    filters are inverted exactly (:func:`_png_unfilter`); channel sums
-    are exact integers normalized by the depth's native max (255,
-    65535, or 2^d - 1) with one float division each. Returns None —
-    decode_ok False, never a crash — for interlaced, truncated,
-    out-of-range palette indices, or otherwise malformed files.
+    Covers (r8, closing every r7 honest gap): color types 0/2/4/6 at
+    8- AND 16-bit depth, paletted color type 3 (PLTE) at 1/2/4/8-bit
+    indices, sub-byte grayscale (type 0 at 1/2/4 bits), and Adam7
+    INTERLACING (each of the seven passes is an independently filtered
+    sub-image; every pixel belongs to exactly one pass, so the exact
+    channel sums add without any placement). stdlib ``zlib`` inflates
+    the concatenated IDAT stream; the five scanline filters are
+    inverted exactly (:func:`_png_unfilter`); channel sums are exact
+    integers normalized by the depth's native max (255, 65535, or
+    2^d - 1) with one float division each. Returns None — decode_ok
+    False, never a crash — for truncated, out-of-range palette
+    indices, or otherwise malformed files.
     Reference behavior: scripts feeding a vision pipeline decode PNG
     via PIL; this is the library-free equivalent for the container."""
     import zlib
@@ -246,7 +250,7 @@ def _decode_png(b: bytes) -> list[float] | None:
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     bit_depth, color_type, comp, filt, interlace = ihdr[8:13]
-    if comp != 0 or filt != 0 or interlace != 0 or w <= 0 or h <= 0:
+    if comp != 0 or filt != 0 or interlace not in (0, 1) or w <= 0 or h <= 0:
         return None
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
@@ -262,85 +266,131 @@ def _decode_png(b: bytes) -> list[float] | None:
         packed = True
     elif bit_depth not in (8, 16):
         return None
+    def _sub_stride(w_p: int) -> tuple[int, int]:
+        """(stride, bpp) of a sub-image w_p pixels wide."""
+        if packed:
+            return (w_p * bit_depth + 7) // 8, 1
+        bps = bit_depth // 8
+        return w_p * channels * bps, channels * bps
+
+    def _sum_sub(px: bytearray, w_p: int, h_p: int, stride: int):
+        """Exact (sr, sg, sb) channel sums over one unfiltered
+        sub-image — pixel POSITIONS never matter for means, so Adam7
+        passes sum independently. Returns None on a bad palette
+        index."""
+        sr = sg = sb = 0
+        if packed or (color_type == 3 and bit_depth == 8):
+            mask = (1 << bit_depth) - 1
+            for r in range(h_p):
+                base = r * stride
+                for c in range(w_p):
+                    if bit_depth == 8:
+                        v = px[base + c]
+                    else:
+                        bitpos = c * bit_depth
+                        v = (
+                            px[base + (bitpos >> 3)]
+                            >> (8 - bit_depth - (bitpos & 7))
+                        ) & mask
+                    if color_type == 3:
+                        p = 3 * v
+                        if p + 2 >= len(plte):
+                            return None  # out-of-range palette index
+                        sr += plte[p]
+                        sg += plte[p + 1]
+                        sb += plte[p + 2]
+                    else:
+                        sr += v
+                        sg += v
+                        sb += v
+        elif bit_depth == 16:
+            step = channels * 2
+            for r in range(h_p):
+                base = r * stride
+                for c in range(w_p):
+                    p = base + step * c
+                    if channels >= 3:
+                        sr += (px[p] << 8) | px[p + 1]
+                        sg += (px[p + 2] << 8) | px[p + 3]
+                        sb += (px[p + 4] << 8) | px[p + 5]
+                    else:
+                        g = (px[p] << 8) | px[p + 1]
+                        sr += g
+                        sg += g
+                        sb += g
+        else:  # 8-bit direct color
+            if channels >= 3:
+                for r in range(h_p):
+                    base = r * stride
+                    for c in range(w_p):
+                        p = base + channels * c
+                        sr += px[p]
+                        sg += px[p + 1]
+                        sb += px[p + 2]
+            else:  # grayscale (+alpha): replicate
+                for r in range(h_p):
+                    base = r * stride
+                    for c in range(w_p):
+                        g = px[base + channels * c]
+                        sr += g
+                        sg += g
+                        sb += g
+        return sr, sg, sb
+
     if packed:
-        stride = (w * bit_depth + 7) // 8
-        bpp = 1
+        vmax = 255 if color_type == 3 else (1 << bit_depth) - 1
     else:
-        bytes_per_sample = bit_depth // 8
-        stride = w * channels * bytes_per_sample
-        bpp = channels * bytes_per_sample
+        vmax = (1 << bit_depth) - 1
+
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    if len(raw) != h * (stride + 1):
-        return None
-    px = _png_unfilter(raw, h, stride, bpp)
-    if px is None:
-        return None
 
     n = w * h
     sr = sg = sb = 0
-    if packed or (color_type == 3 and bit_depth == 8):
-        # palette indices / sub-byte gray samples, unpacked MSB-first
-        mask = (1 << bit_depth) - 1
-        vmax = 255 if color_type == 3 else mask
-        for r in range(h):
-            base = r * stride
-            for c in range(w):
-                if bit_depth == 8:
-                    v = px[base + c]
-                else:
-                    bitpos = c * bit_depth
-                    v = (
-                        px[base + (bitpos >> 3)]
-                        >> (8 - bit_depth - (bitpos & 7))
-                    ) & mask
-                if color_type == 3:
-                    p = 3 * v
-                    if p + 2 >= len(plte):
-                        return None  # out-of-range palette index
-                    sr += plte[p]
-                    sg += plte[p + 1]
-                    sb += plte[p + 2]
-                else:
-                    sr += v
-                    sg += v
-                    sb += v
-    elif bit_depth == 16:
-        vmax = 65535
-        step = channels * 2
-        for r in range(h):
-            base = r * stride
-            for c in range(w):
-                p = base + step * c
-                if channels >= 3:
-                    sr += (px[p] << 8) | px[p + 1]
-                    sg += (px[p + 2] << 8) | px[p + 3]
-                    sb += (px[p + 4] << 8) | px[p + 5]
-                else:
-                    g = (px[p] << 8) | px[p + 1]
-                    sr += g
-                    sg += g
-                    sb += g
-    else:  # 8-bit direct color
-        vmax = 255
-        if channels >= 3:
-            for r in range(h):
-                base = r * stride
-                for c in range(w):
-                    p = base + channels * c
-                    sr += px[p]
-                    sg += px[p + 1]
-                    sb += px[p + 2]
-        else:  # grayscale (+alpha): replicate
-            for r in range(h):
-                base = r * stride
-                for c in range(w):
-                    g = px[base + channels * c]
-                    sr += g
-                    sg += g
-                    sb += g
+    if interlace == 0:
+        stride, bpp = _sub_stride(w)
+        if len(raw) != h * (stride + 1):
+            return None
+        px = _png_unfilter(raw, h, stride, bpp)
+        if px is None:
+            return None
+        sums = _sum_sub(px, w, h, stride)
+        if sums is None:
+            return None
+        sr, sg, sb = sums
+    else:
+        # Adam7: seven filtered sub-images concatenated in the IDAT
+        # stream, each with its own width/stride; a pass with zero
+        # width or height contributes NO scanlines. Every image pixel
+        # belongs to exactly one pass, so channel sums add up.
+        passes = [
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ]
+        off = 0
+        for x0, y0, dx, dy in passes:
+            w_p = (w - x0 + dx - 1) // dx if w > x0 else 0
+            h_p = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if w_p <= 0 or h_p <= 0:
+                continue
+            stride, bpp = _sub_stride(w_p)
+            end = off + h_p * (stride + 1)
+            if end > len(raw):
+                return None
+            px = _png_unfilter(raw[off:end], h_p, stride, bpp)
+            if px is None:
+                return None
+            sums = _sum_sub(px, w_p, h_p, stride)
+            if sums is None:
+                return None
+            sr += sums[0]
+            sg += sums[1]
+            sb += sums[2]
+            off = end
+        if off != len(raw):
+            return None  # trailing garbage / short stream
     luma = (299 * sr + 587 * sg + 114 * sb) / (1000.0 * vmax * n)
     return [
         sr / (float(vmax) * n),
@@ -670,9 +720,10 @@ def _decode_jpeg(b: bytes) -> list[float] | None:
 def real_decode(content: bytes | None) -> list[float] | None:
     """REAL bytes-to-features decoder for the formats a pure-python
     parser can own: uncompressed 24-bit BMP, 16-bit PCM WAV, and
-    non-interlaced PNG at every PLTE/depth combination the spec allows
-    short of interlacing (zlib IDAT + exact inversion of all five
-    scanline filters), and baseline-sequential JPEG (Huffman + IDCT).
+    PNG at every PLTE/depth/interlace combination the spec allows
+    (zlib IDAT + exact inversion of all five scanline filters, Adam7
+    passes summed exactly), and baseline-sequential JPEG
+    (Huffman + IDCT).
     Sniffs the magic bytes and dispatches; anything else (progressive
     JPEG/MP3/...) returns None -> ``decode_ok = False``. Pass it
     explicitly —

@@ -944,9 +944,15 @@ def test_png_decode_rgba_gray_and_malformed():
     bad_ct = bytearray(good)
     bad_ct[25] = 3  # IHDR color_type byte
     assert mm.real_decode(bytes(bad_ct)) is None
-    # interlaced
+    # interlaced flag on a 1x1 image: the Adam7 stream is byte-identical
+    # to the non-interlaced one (only pass 1 is non-empty), so it now
+    # DECODES (r8 — Adam7 support) and must equal the plain decode
+    il = bytearray(good)
+    il[28] = 1  # IHDR interlace byte
+    assert mm.real_decode(bytes(il)) == mm.real_decode(good)
+    # an ILLEGAL interlace method still fails cleanly
     bad_il = bytearray(good)
-    bad_il[28] = 1  # IHDR interlace byte
+    bad_il[28] = 2
     assert mm.real_decode(bytes(bad_il)) is None
     # truncated mid-IDAT and corrupt deflate stream
     assert mm.real_decode(good[:40]) is None
@@ -1340,6 +1346,110 @@ def test_jpeg_decode_420_color_restart_and_malformed():
     assert mm.real_decode(bytes(prog)) is None
     # truncated entropy stream -> clean None
     assert mm.real_decode(data[: len(data) // 2]) is None
+
+
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _make_png_adam7(pixels: list[list[tuple]], color_type: int,
+                    filt_of_pass: list[int]) -> bytes:
+    """Hand-built Adam7-INTERLACED 8-bit PNG: pixels split into the
+    seven passes, each pass forward-filtered row-by-row with the given
+    per-pass filter type, streams concatenated into one IDAT."""
+    import zlib
+
+    def _chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big") + typ + body
+            + (zlib.crc32(typ + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    h, w = len(pixels), len(pixels[0])
+    ch = len(pixels[0][0])
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 1])  # interlace = Adam7
+    )
+    raw = bytearray()
+    for (x0, y0, dx, dy), ft in zip(_ADAM7, filt_of_pass):
+        rows = [
+            [pixels[y][x] for x in range(x0, w, dx)]
+            for y in range(y0, h, dy)
+        ]
+        if not rows or not rows[0]:
+            continue
+        prev = bytes(len(rows[0]) * ch)
+        for row in rows:
+            cur = bytes(v for px in row for v in px)
+            raw.append(ft)
+            for c in range(len(cur)):
+                a = cur[c - ch] if c >= ch else 0
+                b = prev[c]
+                cc = prev[c - ch] if c >= ch else 0
+                if ft == 0:
+                    pred = 0
+                elif ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = b
+                elif ft == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else cc)
+                raw.append((cur[c] - pred) & 0xFF)
+            prev = cur
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_adam7_interlaced_bit_exact():
+    """Adam7 (r8: the last PNG gap closed): an 8x8 RGB image — every
+    one of the seven passes non-empty — with a DIFFERENT filter per
+    pass must decode to exactly the arithmetic channel means; a
+    truncated pass stream fails cleanly."""
+    import random
+
+    rng = random.Random(17)
+    pixels = [
+        [tuple(rng.randrange(256) for _ in range(3)) for _ in range(8)]
+        for _ in range(8)
+    ]
+    png = _make_png_adam7(pixels, 2, [0, 1, 2, 3, 4, 1, 2])
+    f = mm.real_decode(png)
+    assert f is not None
+    flat = [px for row in pixels for px in row]
+    n = len(flat)
+    for i in range(3):
+        assert f[i] == sum(px[i] for px in flat) / (255.0 * n)
+    # the same pixels non-interlaced must give the identical means
+    g = mm.real_decode(_make_png(pixels, 2, [4] * 8))
+    assert f == g
+    # truncate mid-stream -> clean None
+    idat_at = png.index(b"IDAT")
+    short = png[: idat_at + 20]
+    assert mm.real_decode(short) is None
+
+
+def test_png_decode_adam7_odd_dims_and_gray():
+    """Odd (non-multiple-of-8) dimensions exercise empty/partial
+    passes; 5x3 grayscale interlaced == non-interlaced means."""
+    import random
+
+    rng = random.Random(23)
+    pixels = [[(rng.randrange(256),) for _ in range(5)] for _ in range(3)]
+    f = mm.real_decode(_make_png_adam7(pixels, 0, [1, 0, 2, 0, 3, 0, 4]))
+    g = mm.real_decode(_make_png(pixels, 0, [0, 1, 2]))
+    assert f is not None and f == g
+    flat = [px[0] for row in pixels for px in row]
+    assert f[0] == sum(flat) / (255.0 * 15)
 
 
 def test_png_decode_property_random_filters():
