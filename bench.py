@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "dedup_span_stats",
     "sample_dsir_scores",
     "text_lm_perplexity",
+    "curate_ccnet_buckets",
     "curate_audit_panel",
     "embed_kmeans_fit",
     "tokenizer_bpe_merges",

@@ -6858,10 +6858,11 @@ def sample_dsir_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir.dsir_ess(scored)
 
 
-@query(
-    "text_lm_perplexity",
-    """
-    WITH base AS (
+# Shared CTE block for the add-1 bigram LM cross-entropy (reference
+# slice = source 'src1'): defines ``lm_scored(doc_id, n_bigrams,
+# cross_entropy)``. Reused by text_lm_perplexity and the CCNet
+# bucketing oracle.
+_LM_CE_CTES = """base AS (
       SELECT doc_id, (source = 'src1') AS ref,
              string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w
       FROM documents
@@ -6882,15 +6883,21 @@ def sample_dsir_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM big b LEFT JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
                  LEFT JOIN cu ON b.w1 = cu.w1, v
     ),
-    scored AS (
+    lm_scored AS MATERIALIZED (
       SELECT doc_id, COUNT(*) AS n_bigrams,
              -list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY pos)),
                           (__a, __b) -> __a + __b) / COUNT(*) AS cross_entropy
       FROM terms GROUP BY doc_id
-    )
+    )"""
+
+
+@query(
+    "text_lm_perplexity",
+    f"""
+    WITH {_LM_CE_CTES}
     SELECT d.doc_id, CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
            s.cross_entropy
-    FROM documents d LEFT JOIN scored s USING (doc_id)
+    FROM documents d LEFT JOIN lm_scored s USING (doc_id)
     """,
 )
 def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11154,6 +11161,112 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dd.lsh_incremental_screen(corpus, newb, hash_fn="portable")
+
+
+@query(
+    "curate_ccnet_buckets",
+    f"""
+    WITH {_LM_CE_CTES},
+    ww AS MATERIALIZED (
+      SELECT d.source,
+             CAST(FLOOR(s.cross_entropy * 1000000.0 + 0.5) AS BIGINT) AS cei
+      FROM lm_scored s JOIN documents d USING (doc_id)
+      WHERE s.cross_entropy IS NOT NULL
+    ),
+    cum AS MATERIALIZED (
+      SELECT source, cei,
+             SUM(COUNT(*)) OVER (PARTITION BY source ORDER BY cei) AS cw,
+             SUM(COUNT(*)) OVER (PARTITION BY source) AS tot
+      FROM ww GROUP BY source, cei
+    ),
+    b1 AS (SELECT source, MIN(cei) AS v1 FROM cum
+           WHERE 3 * cw >= tot GROUP BY source),
+    b2 AS (SELECT source, MIN(cei) AS v2 FROM cum
+           WHERE 3 * cw >= 2 * tot GROUP BY source),
+    bucketed AS (
+      SELECT w.source,
+             CASE WHEN w.cei <= b1.v1 THEN 'head'
+                  WHEN w.cei <= b2.v2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             w.cei
+      FROM ww w JOIN b1 USING (source) JOIN b2 USING (source)
+    )
+    SELECT source, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           FLOOR(CAST(SUM(cei) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) + 0.5)
+             / 1000000.0 AS mean_ce
+    FROM bucketed GROUP BY source, bucket
+    """,
+)
+def curate_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., public): every
+    scored document lands in its SOURCE's head / middle / tail
+    cross-entropy tercile — the split CCNet keeps (head), down-weights
+    (middle), or drops (tail). Boundaries are exact per-source LOWER
+    terciles of the micro-quantized cross-entropy (floor(ce*1e6+0.5) —
+    an exact integer both engines derive identically from the
+    bit-reproducible LM score), computed by the bucketed-cumulation
+    group-quantile op — never a corpus-wide sort. Returns one row per
+    (source, bucket) with the doc count and the portable-rounded mean
+    cross-entropy (one IEEE division of exact integer sums).
+    Scale shape: the LM pipeline scores once (persisted, released via
+    the materialized result); boundaries are a source-cardinality
+    table broadcast onto the scored stream
+    (ops/analytics.group_weighted_quantiles + llm/lm)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = lm.lm_cross_entropy(docs, F.col("source") == "src1")
+    ww = (
+        docs.select("doc_id", "source")
+        .join(scored, "doc_id")
+        .filter(F.col("cross_entropy").isNotNull())
+        .select(
+            "source",
+            F.floor(F.col("cross_entropy") * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint")
+            .alias("cei"),
+            F.lit(1).alias("__one"),
+        )
+        .persist()
+    )
+    ww.count()
+    qb = oan.group_weighted_quantiles(
+        ww, ["source"], "cei", "__one", ["1/3", "2/3"]
+    )
+    bounds = qb.groupBy("source").agg(
+        F.max(F.when(F.col("q") == "1/3", F.col("value_at_q"))).alias("v1"),
+        F.max(F.when(F.col("q") == "2/3", F.col("value_at_q"))).alias("v2"),
+    )
+    bucketed = ww.join(F.broadcast(bounds), "source").select(
+        "source",
+        F.when(F.col("cei") <= F.col("v1"), F.lit("head"))
+        .when(F.col("cei") <= F.col("v2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+        "cei",
+    )
+    out = (
+        bucketed.groupBy("source", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("cei").cast("bigint").alias("__s"),
+        )
+        .select(
+            "source",
+            "bucket",
+            "n_docs",
+            (
+                F.floor(
+                    F.col("__s").cast("double") / F.col("n_docs").cast("double")
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("mean_ce"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    out.count()
+    ww.unpersist()
+    return out
 
 
 DRIVER_WINDOW = [
