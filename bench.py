@@ -169,6 +169,8 @@ BENCH_QUERIES = [
     "eval_lsh_sampled_quality",
     "contamination_semantic",
     "diagnose_feature_collisions",
+    # r08 additions: engine-native distributed PCA (power iteration)
+    "embed_pca_power",
 ]
 
 

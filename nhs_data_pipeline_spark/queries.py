@@ -41,6 +41,7 @@ from nhs_data_pipeline_spark.llm import classify as clf
 from nhs_data_pipeline_spark.llm import bpe as bp
 from nhs_data_pipeline_spark.llm import cluster as cl
 from nhs_data_pipeline_spark.llm import cdc
+from nhs_data_pipeline_spark.llm import pca as pcam
 from nhs_data_pipeline_spark.llm import pq
 from nhs_data_pipeline_spark.ops import graph as og
 from nhs_data_pipeline_spark.ops import layout as ol
@@ -7630,6 +7631,130 @@ def eval_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cid)-keyed aggregate (llm/cluster.silhouette_by_cluster)."""
     return cl.silhouette_by_cluster(
         _t(spark, sf_dir, "embeddings"), k=4, iterations=2
+    )
+
+
+def _pca_oracle_sql(dim: int = 64, n_pc: int = 2, iterations: int = 10) -> str:
+    """Unrolled-iteration DuckDB replica of llm/pca.power_pca: the
+    exact integer-quantized moments, the 64x64 covariance in
+    identically-spelled double arithmetic, then per component an
+    unrolled matvec/normalize CTE chain (dim-ordered list_reduce
+    folds == Spark's sorted-collect aggregate folds), the Rayleigh
+    eigenvalue, sign canonicalization, and Hotelling deflation."""
+    blocks: list[str] = []
+    finals: list[str] = []
+    for p in range(n_pc):
+        blocks.append(f"""
+    v{p}_0 AS (
+      SELECT CAST(range AS INTEGER) AS d, CAST(1.0 AS DOUBLE) AS val
+      FROM range({dim})
+    )""")
+        for t in range(1, iterations + 1):
+            blocks.append(f"""
+    w{p}_{t} AS MATERIALIZED (
+      SELECT c.i AS d,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(c.c * v.val ORDER BY c.j)),
+               (__a, __x) -> __a + __x) AS w
+      FROM cov{p} c JOIN v{p}_{t - 1} v ON c.j = v.d GROUP BY c.i
+    ),
+    n{p}_{t} AS MATERIALIZED (
+      SELECT sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(w * w ORDER BY d)), (__a, __x) -> __a + __x)) AS nrm
+      FROM w{p}_{t}
+    ),
+    v{p}_{t} AS MATERIALIZED (
+      SELECT d, w / (SELECT nrm FROM n{p}_{t}) AS val FROM w{p}_{t}
+    )""")
+        blocks.append(f"""
+    cv{p} AS (
+      SELECT c.i AS d,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(c.c * v.val ORDER BY c.j)),
+               (__a, __x) -> __a + __x) AS w
+      FROM cov{p} c JOIN v{p}_{iterations} v ON c.j = v.d GROUP BY c.i
+    ),
+    lam{p} AS MATERIALIZED (
+      SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(v.val * t.w ORDER BY v.d)),
+               (__a, __x) -> __a + __x) AS lam
+      FROM v{p}_{iterations} v JOIN cv{p} t ON v.d = t.d
+    ),
+    sg{p} AS MATERIALIZED (
+      SELECT CASE WHEN val < 0 THEN CAST(-1.0 AS DOUBLE)
+                  ELSE CAST(1.0 AS DOUBLE) END AS sg
+      FROM v{p}_{iterations} ORDER BY abs(val) DESC, d LIMIT 1
+    )""")
+        if p + 1 < n_pc:
+            blocks.append(f"""
+    cov{p + 1} AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.c - (SELECT lam FROM lam{p}) * a.val * b.val AS c
+      FROM cov{p} c
+      JOIN v{p}_{iterations} a ON c.i = a.d
+      JOIN v{p}_{iterations} b ON c.j = b.d
+    )""")
+        finals.append(f"""
+    SELECT CAST({p} AS INTEGER) AS pc, CAST(v.d AS INTEGER) AS dim,
+           floor(v.val * s.sg * 1e6 + 0.5) / 1e6 AS component,
+           floor(l.lam * 1e6 + 0.5) / 1e6 AS eigenvalue,
+           floor(l.lam / t.tr * 1e6 + 0.5) / 1e6 AS explained_ratio
+    FROM v{p}_{iterations} v, sg{p} s, lam{p} l, tr t""")
+    return f"""
+    WITH xm AS MATERIALIZED (
+      SELECT list_transform(CAST(embedding AS DOUBLE[]),
+               v -> CAST(floor(v * 1e6 + 0.5) AS BIGINT)) AS x
+      FROM embeddings
+    ),
+    exi AS MATERIALIZED (
+      SELECT x, generate_subscripts(x, 1) - 1 AS i, unnest(x) AS xi FROM xm
+    ),
+    exij AS (
+      SELECT i, xi, generate_subscripts(x, 1) - 1 AS j, unnest(x) AS xj
+      FROM exi
+    ),
+    gram AS MATERIALIZED (
+      SELECT i, j, SUM(CAST(xi * xj AS DECIMAL(38,0))) AS g,
+             COUNT(*) AS n
+      FROM exij GROUP BY i, j
+    ),
+    sums AS MATERIALIZED (
+      SELECT i AS d, SUM(CAST(xi AS DECIMAL(38,0))) AS s, COUNT(*) AS cn
+      FROM exi GROUP BY i
+    ),
+    cov0 AS MATERIALIZED (
+      SELECT p.i, p.j,
+             CAST(p.g AS DOUBLE) / CAST(p.n AS DOUBLE) / 1e12
+             - (CAST(a.s AS DOUBLE) / CAST(a.cn AS DOUBLE) / 1e6)
+             * (CAST(b.s AS DOUBLE) / CAST(b.cn AS DOUBLE) / 1e6) AS c
+      FROM gram p JOIN sums a ON p.i = a.d JOIN sums b ON p.j = b.d
+    ),
+    tr AS MATERIALIZED (
+      SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(c ORDER BY i)), (__a, __x) -> __a + __x) AS tr
+      FROM cov0 WHERE i = j
+    ),
+    {",".join(blocks)}
+    {" UNION ALL ".join(finals)}
+    """
+
+
+@query("embed_pca_power", _pca_oracle_sql(64, 2, 10))
+def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native distributed PCA: the top-2 principal components
+    of the embeddings table by power iteration (10 rounds) with
+    Hotelling deflation — the whitening/low-rank fit that SemDeDup
+    and reduced-space ANN consume, computed without ever collecting
+    the corpus (llm/pca module docstring). ONE corpus scan aggregates
+    exact integer micro-unit moments onto dim^2 keys (map-side
+    partials — the shuffle carries 4096 rows per partition at ANY
+    corpus size); the iteration itself runs on the model-sized
+    covariance table with dim-ordered folds, so the whole trajectory
+    is bit-identical in any engine. Ships LONG-FORM (pc, dim,
+    component, eigenvalue, explained_ratio), sign-canonicalized,
+    floor-rounded to 6 decimals."""
+    return pcam.power_pca(
+        _t(spark, sf_dir, "embeddings"), dim=64, n_pc=2, iterations=10
     )
 
 

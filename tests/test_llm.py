@@ -2074,3 +2074,67 @@ def test_kcenter_string_ids(spark):
     assert got[0] == "doc_a"  # min-id seed
     assert set(got.values()) <= {"doc_a", "doc_b", "doc_c", "doc_d"}
     assert len(set(got.values())) == 3
+
+
+def test_power_pca_matches_numpy_eigh(spark):
+    """power_pca's converged components/eigenvalues vs a numpy ``eigh``
+    replica on the SAME quantized moments: on a well-separated
+    spectrum 10 power rounds must land within 1e-4 of the closed-form
+    top-2 eigenpairs (sign-canonicalized the same way)."""
+    import numpy as np
+
+    from nhs_data_pipeline_spark.llm import pca as pcam2
+
+    rng = np.random.RandomState(7)
+    # anisotropic cloud: two dominant directions with a clear eigengap
+    base = rng.randn(200, 4) * np.array([6.0, 3.0, 0.5, 0.1])
+    q, _ = np.linalg.qr(rng.randn(4, 4))
+    x = base @ q.T
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    )
+    got = pcam2.power_pca(emb, dim=4, n_pc=2, iterations=10)
+    rows = {(r["pc"], r["dim"]): r for r in got.collect()}
+
+    # replica on the quantized values (what the engine actually sees)
+    xq = np.floor(x * 1e6 + 0.5) / 1e6
+    n = xq.shape[0]
+    cov = (xq.T @ xq) / n - np.outer(xq.mean(axis=0), xq.mean(axis=0))
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1]
+    tr = np.trace(cov)
+    for p in range(2):
+        lam = vals[order[p]]
+        v = vecs[:, order[p]]
+        v = v * (1.0 if v[np.argmax(np.abs(v))] >= 0 else -1.0)
+        for d in range(4):
+            r = rows[(p, d)]
+            assert abs(r["component"] - v[d]) < 1e-4, (p, d, r, v[d])
+            assert abs(r["eigenvalue"] - lam) < 1e-4
+            assert abs(r["explained_ratio"] - lam / tr) < 1e-4
+
+
+def test_power_pca_unit_norm_and_sign(spark):
+    """Component vectors are unit-L2 (within rounding) and
+    sign-canonicalized: the largest-|coordinate| entry is positive;
+    eigenvalues are non-increasing across pcs."""
+    from nhs_data_pipeline_spark.llm import pca as pcam2
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(100)
+    )
+    out = pcam2.power_pca(emb, dim=64, n_pc=2, iterations=6).collect()
+    by_pc: dict[int, list] = {}
+    lams = {}
+    for r in out:
+        by_pc.setdefault(r["pc"], []).append((r["dim"], r["component"]))
+        lams[r["pc"]] = r["eigenvalue"]
+    assert set(by_pc) == {0, 1} and all(len(v) == 64 for v in by_pc.values())
+    for p, comps in by_pc.items():
+        vals = [c for _, c in comps]
+        nrm = sum(c * c for c in vals) ** 0.5
+        assert abs(nrm - 1.0) < 1e-3, (p, nrm)
+        assert max(vals, key=abs) >= 0, (p, vals)  # sign-canonicalized
+    assert lams[0] >= lams[1] - 1e-9
