@@ -169,8 +169,10 @@ BENCH_QUERIES = [
     "eval_lsh_sampled_quality",
     "contamination_semantic",
     "diagnose_feature_collisions",
-    # r08 additions: engine-native distributed PCA (power iteration)
+    # r08 additions: engine-native distributed PCA (power iteration),
+    # Kaplan-Meier time-to-conversion survival
     "embed_pca_power",
+    "events_kaplan_meier",
 ]
 
 

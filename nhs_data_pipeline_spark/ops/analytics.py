@@ -1656,3 +1656,136 @@ def ks_by_group(
             / F.lit(1e6),
         ).alias("ks_d"),
     )
+
+
+def kaplan_meier(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    start_type: str = "signup",
+    event_type: str = "purchase",
+) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-event cohorts (the
+    product-limit estimator — churn/retention/time-to-conversion
+    analysis): per subject, the duration in whole days from the first
+    ``start_type`` event to the first subsequent ``event_type`` event,
+    right-censored at the global observation end (the corpus max
+    timestamp) when no such event occurs.  Returns one row per event
+    time: ``(dur_days, n_risk, d_events, c_censored, log_surv_micro,
+    survival)`` where ``survival`` is the running product
+    ``prod(1 - d_i / n_i)`` over event times ``<= dur_days``.
+
+    100 TB shape: two subject-keyed aggregates (first start / first
+    qualifying event) and ONE day-granular aggregate; the risk-set
+    cumulation windows run over the MODEL-sized duration table (one
+    row per distinct day, bounded by the observation window), never
+    over subjects.  The observation-end scalar is an audited one-row
+    broadcast cross.
+
+    Cross-engine exactness: durations are integer micro-second
+    differences floor-divided to days (exact); risk counts are integer
+    window sums; the product folds as a cumulative INTEGER sum of
+    per-term ``ln(1 - d/n)`` quantized to millionths (the house
+    transcendental rule — libm ulp differences die in the quantize),
+    shipped exactly as ``log_surv_micro`` with ``survival`` derived by
+    one identically-spelled ``exp`` + floor-round."""
+    ev = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        F.col(type_col).alias("__et"),
+    )
+    cmax = ev.agg(F.max(F.unix_micros(F.col("__ts"))).alias("__cmax"))
+    starts = (
+        ev.filter(F.col("__et") == start_type)
+        .groupBy("__u")
+        .agg(F.min(F.unix_micros(F.col("__ts"))).alias("__t0"))
+    )
+    hits = (
+        ev.filter(F.col("__et") == event_type)
+        .select("__u", F.unix_micros(F.col("__ts")).alias("__tp"))
+        # user-keyed equi-join: both sides are subject-cardinality at
+        # 100 TB — co-partitioned shuffle is the correct plan (AQE
+        # broadcasts at gate scale); audited in test_plans
+        .join(starts.select("__u", "__t0"), "__u")
+        .filter(F.col("__tp") >= F.col("__t0"))
+        .groupBy("__u")
+        .agg(F.min("__tp").alias("__te"))
+    )
+    subj = (
+        starts.join(hits, "__u", "left")
+        .crossJoin(F.broadcast(cmax))
+        .select(
+            F.expr(
+                "cast((coalesce(__te, __cmax) - __t0) div 86400000000"
+                " as bigint)"
+            ).alias("__dur"),
+            F.when(F.col("__te").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("__obs"),
+        )
+    )
+    day = subj.groupBy("__dur").agg(
+        F.sum("__obs").cast("bigint").alias("__d"),
+        F.sum(1 - F.col("__obs")).cast("bigint").alias("__c"),
+    )
+    n_total = subj.agg(F.count("*").cast("bigint").alias("__n"))
+    w_prior = Window.orderBy("__dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("__dur").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risked = (
+        day.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "__nrisk",
+            F.col("__n")
+            - F.coalesce(
+                F.sum(F.col("__d") + F.col("__c")).over(w_prior), F.lit(0)
+            ),
+        )
+        .withColumn(
+            "__lnm",
+            F.when(
+                (F.col("__d") > 0) & (F.col("__nrisk") > F.col("__d")),
+                F.expr(
+                    "cast(floor(ln(cast(__nrisk - __d as double)"
+                    " / cast(__nrisk as double)) * 1e6 + 0.5) as bigint)"
+                ),
+            )
+            .when(F.col("__d") > 0, F.lit(None).cast("bigint"))
+            .otherwise(F.lit(0)),
+        )
+    )
+    # a time where EVERY remaining subject dies (__nrisk == __d) sends
+    # ln to -inf: the curve hits exact zero there and stays.  Windowed
+    # SUM skips NULLs in both engines, so the sentinel is an explicit
+    # cumulative flag: any NULL term so far -> NULL micro-sum,
+    # survival 0.0, carried to every later row.
+    out = (
+        risked.withColumn("__ls", F.sum("__lnm").over(w_cum))
+        .withColumn(
+            "__dead",
+            F.sum(
+                F.when(F.col("__lnm").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).over(w_cum),
+        )
+        .filter(F.col("__d") > 0)
+        .select(
+            F.col("__dur").alias("dur_days"),
+            F.col("__nrisk").cast("bigint").alias("n_risk"),
+            F.col("__d").alias("d_events"),
+            F.col("__c").alias("c_censored"),
+            F.when(F.col("__dead") == 0, F.col("__ls")).alias(
+                "log_surv_micro"
+            ),
+            F.when(F.col("__dead") > 0, F.lit(0.0))
+            .otherwise(
+                F.expr("floor(exp(cast(__ls as double) / 1e6) * 1e6 + 0.5)"
+                       " / 1e6")
+            )
+            .alias("survival"),
+        )
+    )
+    return out

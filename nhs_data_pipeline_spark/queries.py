@@ -1049,6 +1049,80 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_kaplan_meier",
+    """
+    WITH cmax AS (SELECT MAX(epoch_us(ts)) AS cm FROM events),
+    st AS (
+      SELECT user_id AS u, MIN(epoch_us(ts)) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ),
+    ht AS (
+      SELECT e.user_id AS u, MIN(epoch_us(e.ts)) AS te
+      FROM events e JOIN st ON e.user_id = st.u
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= st.t0
+      GROUP BY 1
+    ),
+    subj AS (
+      SELECT CAST((COALESCE(h.te, (SELECT cm FROM cmax)) - s.t0)
+                  // 86400000000 AS BIGINT) AS dur,
+             CASE WHEN h.te IS NOT NULL THEN 1 ELSE 0 END AS obs
+      FROM st s LEFT JOIN ht h ON s.u = h.u
+    ),
+    day AS (
+      SELECT dur, CAST(SUM(obs) AS BIGINT) AS d,
+             CAST(SUM(1 - obs) AS BIGINT) AS c
+      FROM subj GROUP BY dur
+    ),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM subj),
+    risked AS (
+      SELECT dur, d, c,
+             CAST((SELECT n FROM nt)
+                  - COALESCE(SUM(d + c) OVER (ORDER BY dur
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS nrisk
+      FROM day
+    ),
+    terms AS (
+      SELECT dur, d, c, nrisk,
+             CASE WHEN d > 0 AND nrisk > d THEN
+               CAST(floor(ln(CAST(nrisk - d AS DOUBLE)
+                             / CAST(nrisk AS DOUBLE)) * 1e6 + 0.5)
+                    AS BIGINT)
+             WHEN d > 0 THEN NULL
+             ELSE CAST(0 AS BIGINT) END AS lnm
+      FROM risked
+    ),
+    cum AS (
+      SELECT dur, d, c, nrisk,
+             CAST(SUM(lnm) OVER w AS BIGINT) AS ls,
+             SUM(CASE WHEN lnm IS NULL THEN 1 ELSE 0 END) OVER w AS dead
+      FROM terms
+      WINDOW w AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT dur AS dur_days, nrisk AS n_risk, d AS d_events,
+           c AS c_censored,
+           CASE WHEN dead = 0 THEN ls END AS log_surv_micro,
+           CASE WHEN dead > 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE floor(exp(CAST(ls AS DOUBLE) / 1e6) * 1e6 + 0.5)
+                     / 1e6 END AS survival
+    FROM cum WHERE d > 0
+    """,
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion survival curve: per user, days
+    from first signup to first subsequent purchase, right-censored at
+    the corpus max timestamp; one row per event time with the risk
+    set, deaths, censorings and the product-limit survival estimate
+    (ops/analytics.kaplan_meier). Durations are exact integer
+    microsecond diffs; risk sets are integer window sums over the
+    MODEL-sized per-day table; the running product ships as an exact
+    integer micro-ln sum (libm-proof) with survival derived by one
+    identically-spelled exp + floor-round."""
+    return oan.kaplan_meier(_events(spark, sf_dir))
+
+
+@query(
     "events_time_weighted_avg",
     """
     WITH base AS (

@@ -1224,3 +1224,77 @@ def test_ks_by_group_localizes_the_shifted_segment(spark):
     assert (solo.n_a, solo.n_b, solo.ks_d) == (
         got["shifted"].n_a, got["shifted"].n_b, got["shifted"].ks_d
     )
+
+
+class TestKaplanMeier:
+    """ops/analytics.kaplan_meier — the product-limit estimator."""
+
+    @staticmethod
+    def _ev(spark, rows):
+        import datetime as dt
+
+        base = dt.datetime(2000, 1, 1)
+        data = [
+            (u, base + dt.timedelta(days=d), et)
+            for (u, d, et) in rows
+        ]
+        return spark.createDataFrame(
+            data, "user_id long, ts timestamp, event_type string"
+        )
+
+    def test_textbook_case(self, spark):
+        """observed durations {5, 10, 10}, censored {7, 12} (censor =
+        corpus max at day 100): S(5) = 4/5, S(10) = 0.8 * (3-2)/3."""
+        import math
+
+        from nhs_data_pipeline_spark.ops import analytics as oan2
+
+        ev = self._ev(spark, [
+            (1, 0, "signup"), (1, 5, "purchase"),
+            (2, 93, "signup"),                      # censored at 7
+            (3, 0, "signup"), (3, 10, "purchase"),
+            (4, 10, "signup"), (4, 20, "purchase"),  # dur 10
+            (5, 88, "signup"),                      # censored at 12
+            (9, 100, "view"),                       # pins corpus max
+            (1, -3, "purchase"),  # before signup: must be ignored
+            (7, 50, "purchase"),  # no signup: excluded entirely
+        ])
+        out = {r["dur_days"]: r for r in
+               oan2.kaplan_meier(ev).collect()}
+        assert set(out) == {5, 10}
+        r5 = out[5]
+        assert (r5["n_risk"], r5["d_events"], r5["c_censored"]) == (5, 1, 0)
+        m5 = math.floor(math.log(4 / 5) * 1e6 + 0.5)
+        assert r5["log_surv_micro"] == m5
+        assert abs(r5["survival"] - 0.8) < 2e-6
+        r10 = out[10]
+        assert (r10["n_risk"], r10["d_events"]) == (3, 2)
+        m10 = m5 + math.floor(math.log(1 / 3) * 1e6 + 0.5)
+        assert r10["log_surv_micro"] == m10
+        assert abs(r10["survival"] - 0.8 / 3) < 2e-6
+
+    def test_all_die_hits_exact_zero(self, spark):
+        """A time where the whole risk set converts: ln(-inf) is
+        modeled as NULL log-survival + survival exactly 0.0, carried
+        to later rows."""
+        from nhs_data_pipeline_spark.ops import analytics as oan2
+
+        ev = self._ev(spark, [
+            (1, 0, "signup"), (1, 5, "purchase"),
+            (2, 0, "signup"), (2, 5, "purchase"),
+        ])
+        rows = oan2.kaplan_meier(ev).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["dur_days"], r["n_risk"], r["d_events"]) == (5, 2, 2)
+        assert r["log_surv_micro"] is None
+        assert r["survival"] == 0.0
+
+    def test_no_events_only_censoring(self, spark):
+        """All subjects censored: no event times, empty curve."""
+        from nhs_data_pipeline_spark.ops import analytics as oan2
+
+        ev = self._ev(spark, [
+            (1, 0, "signup"), (2, 3, "signup"), (9, 10, "view"),
+        ])
+        assert oan2.kaplan_meier(ev).count() == 0

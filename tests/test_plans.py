@@ -317,8 +317,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 220, len(QUERIES)
-    assert len(ORACLES) == 217, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 221, len(QUERIES)
+    assert len(ORACLES) == 218, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_readme_registry_tallies_match():
@@ -507,6 +507,11 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # crossed into the model-sized cell table
         # (ops/analytics.contingency_chi2) — scalar-broadcast shape
         "stats_cramers_v",
+        # audited: the one-row observation-end (censor time) and
+        # subject-total aggregates crossed into the subject / per-day
+        # duration tables (ops/analytics.kaplan_meier) —
+        # scalar-broadcast shape
+        "events_kaplan_meier",
         # audited: the one-row norm / eigenvalue / sign / trace
         # aggregates crossed into the 64-row eigenvector table each
         # power-iteration round (llm/pca.power_pca) — scalar-broadcast
