@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     # Kaplan-Meier time-to-conversion survival
     "embed_pca_power",
     "events_kaplan_meier",
+    "dedup_containment_join",
 ]
 
 

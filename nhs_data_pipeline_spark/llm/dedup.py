@@ -1493,6 +1493,77 @@ def exact_jaccard_join(
     return out
 
 
+def containment_join(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT overlap-coefficient self-join: every document pair whose
+    word-bigram sets satisfy ``|A ∩ B| / min(|A|, |B|) >= threshold``
+    — the ASYMMETRIC near-dup detector Jaccard misses: a short doc
+    wholly contained in a long one (quote farms, boilerplate wrappers,
+    truncated duplicates) scores overlap 1.0 but arbitrarily low
+    Jaccard as the long side grows.  Returns
+    ``(id_a, id_b, overlap, cont_a, cont_b)``, id_a < id_b, where
+    ``cont_a = |A∩B|/|A|`` (how much of A sits inside B) and vice
+    versa — the directional signals a dedup policy keeps/drops on.
+
+    Same co-occurrence count-join shape (and Σ df(token)² cost model)
+    as :func:`exact_jaccard_join` mode='countjoin': intersections are
+    computed ONLY for co-occurring pairs, the threshold decision is
+    exact integer arithmetic (``den*i >= num*least(na, nb)`` on the
+    rationalized threshold — never a float boundary), and the three
+    reported ratios are single IEEE divisions floor-rounded to 6
+    decimals — the pair set and values replay exactly cross-engine.
+    """
+    from fractions import Fraction
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
+
+    toks = _bigram_tokens(df, text_col, id_col).persist()
+    toks.count()
+    sz = toks.groupBy("doc_id").agg(F.count("*").alias("__sz"))
+    a = toks.select(F.col("doc_id").alias("id_a"), "bg")
+    b = toks.select(F.col("doc_id").alias("id_b"), "bg")
+    inter = (
+        a.join(b, "bg")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__i"))
+    )
+    sa = sz.select(F.col("doc_id").alias("id_a"), F.col("__sz").alias("__na"))
+    sb = sz.select(F.col("doc_id").alias("id_b"), F.col("__sz").alias("__nb"))
+
+    def _r6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            (F.lit(den) * F.col("__i"))
+            >= (F.lit(num) * F.least(F.col("__na"), F.col("__nb")))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            _r6(F.col("__i") / F.least(F.col("__na"), F.col("__nb"))).alias(
+                "overlap"
+            ),
+            _r6(F.col("__i") / F.col("__na")).alias("cont_a"),
+            _r6(F.col("__i") / F.col("__nb")).alias("cont_b"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    out.count()
+    toks.unpersist()
+    return out
+
+
 def weighted_jaccard_join(
     df: DataFrame,
     threshold: float = 0.5,

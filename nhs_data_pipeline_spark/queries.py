@@ -5068,6 +5068,54 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_containment_join",
+    # independently-written overlap-coefficient join at the exact
+    # fraction 4/5: 5i >= 4*least(na, nb), never a float boundary
+    """
+    WITH base AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    bgs AS (
+      SELECT DISTINCT doc_id, w[__j] || ' ' || w[__j + 1] AS bg
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS __j
+            FROM base WHERE len(w) > 1)
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM bgs GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+      FROM bgs a JOIN bgs b ON a.bg = b.bg AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT it.id_a, it.id_b, it.i, sa.n AS na, sb.n AS nb
+      FROM inter it JOIN sz sa ON it.id_a = sa.doc_id
+                    JOIN sz sb ON it.id_b = sb.doc_id
+    )
+    SELECT id_a, id_b,
+           floor(i / least(na, nb) * 1e6 + 0.5) / 1e6 AS overlap,
+           floor(i / na * 1e6 + 0.5) / 1e6 AS cont_a,
+           floor(i / nb * 1e6 + 0.5) / 1e6 AS cont_b
+    FROM j WHERE (5 * i) >= (4 * least(na, nb))
+    """,
+)
+def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT overlap-coefficient (containment) self-join at
+    |A∩B|/min(|A|,|B|) >= 0.8 — the asymmetric near-dup detector:
+    a short document wholly contained in a longer one scores overlap
+    1.0 but arbitrarily low Jaccard, so a Jaccard-only dedup policy
+    never sees quote farms, boilerplate wrappers, or truncations.
+    Ships both directional containments (|A∩B|/|A|, |A∩B|/|B|) — the
+    signals a keep/drop policy acts on. Same countjoin shape and
+    integer-exact threshold discipline as dedup_jaccard_exact_join
+    (llm/dedup.containment_join)."""
+    return dd.containment_join(
+        _t(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+@query(
     "dedup_weighted_jaccard_join",
     """
     WITH base AS (

@@ -2138,3 +2138,43 @@ def test_power_pca_unit_norm_and_sign(spark):
         assert abs(nrm - 1.0) < 1e-3, (p, nrm)
         assert max(vals, key=abs) >= 0, (p, vals)  # sign-canonicalized
     assert lams[0] >= lams[1] - 1e-9
+
+
+def test_containment_join_finds_subsets_jaccard_misses(spark):
+    """A short doc wholly contained in a long one: overlap == 1.0 and
+    cont_a == 1.0 even though Jaccard is far below any usable
+    threshold; disjoint docs never pair."""
+    from nhs_data_pipeline_spark.llm import dedup as dd2
+
+    long = " ".join(f"w{i}" for i in range(40))
+    short = " ".join(f"w{i}" for i in range(8))       # prefix subset
+    other = " ".join(f"z{i}" for i in range(20))      # disjoint
+    df = spark.createDataFrame(
+        [(1, long), (2, short), (3, other)], "doc_id long, text string"
+    )
+    rows = {(r.id_a, r.id_b): r
+            for r in dd2.containment_join(df, threshold=0.8).collect()}
+    assert set(rows) == {(1, 2)}
+    r = rows[(1, 2)]
+    assert r.overlap == 1.0
+    # bigrams: long has 39, short has 7, all 7 shared
+    assert r.cont_b == 1.0 and abs(r.cont_a - 7 / 39) < 2e-6
+    # the same pair is invisible to exact Jaccard at any real threshold
+    jac = dd2.exact_jaccard_join(df, threshold=0.5)
+    assert jac.filter("id_a = 1 and id_b = 2").count() == 0
+
+
+def test_containment_threshold_is_integer_exact(spark):
+    """Boundary pair sits EXACTLY at threshold: overlap == t must be
+    kept (>=), via the integer cross-multiplied filter."""
+    from nhs_data_pipeline_spark.llm import dedup as dd2
+
+    # A: 10 bigrams (11 words); B shares exactly 8 of A's bigrams
+    a = " ".join(f"w{i}" for i in range(11))
+    b = " ".join(f"w{i}" for i in range(9)) + " q1 q2 q3"
+    df = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    out = dd2.containment_join(df, threshold=0.8).collect()
+    assert len(out) == 1 and out[0].overlap == 0.8
+    assert not dd2.containment_join(df, threshold=0.81).collect()

@@ -317,8 +317,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 221, len(QUERIES)
-    assert len(ORACLES) == 218, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 222, len(QUERIES)
+    assert len(ORACLES) == 219, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_readme_registry_tallies_match():
@@ -386,6 +386,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # (llm/dedup.ngram_overlap_scores reuses the countjoin plan on
         # a 30% deterministic sample)
         "eval_dedup_pair_overlap",
+        # audited: the overlap-coefficient join is the same corpus x
+        # corpus co-occurrence countjoin shape on the bigram key
+        # (llm/dedup.containment_join)
+        "dedup_containment_join",
         # audited: the exact-Jaccard co-occurrence join is corpus x
         # corpus on the bigram key (llm/dedup.exact_jaccard_join,
         # countjoin mode) — both sides are the full distinct
