@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "embed_pca_power",
     "events_kaplan_meier",
     "dedup_containment_join",
+    "stats_theil_sen_trend",
 ]
 
 

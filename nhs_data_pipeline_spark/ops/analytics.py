@@ -1789,3 +1789,81 @@ def kaplan_meier(
         )
     )
     return out
+
+
+def group_theil_sen(
+    pts: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    v_micro_col: str,
+) -> DataFrame:
+    """Theil-Sen robust trend per group: the MEDIAN of all pairwise
+    slopes ``(v_j - v_i) / (x_j - x_i)`` over a group's points — the
+    estimator that shrugs off the outliers OLS chases (up to ~29%
+    contamination).  Expects an already-AGGREGATED point table
+    (``x_col`` integer positions — e.g. day ordinals, ``v_micro_col``
+    integer micro-unit values) and returns
+    ``(*group_cols, n_points, n_pairs, ts_slope)``.
+
+    100 TB shape: the caller reduces the corpus to a MODEL-sized point
+    table first (day-granular aggregates are bounded by the
+    observation window, not the corpus); the C(n,2) pair explosion is
+    a self-join of that model table (broadcast one side) and the
+    median is one partitioned rank window over pairs — never a corpus
+    shuffle.
+
+    Cross-engine exactness: slopes are single IEEE divisions of exact
+    integer differences (identically spelled); the median picks the
+    rank-⌈n/2⌉ and rank-⌊n/2⌋+1 VALUES (ties in slope order cannot
+    change the selected values) and averages them as
+    ``(min + max) / 2`` — one add, one divide; floor-rounded to 6
+    decimals."""
+    g = [F.col(c) for c in group_cols]
+    a = pts.select(
+        *group_cols,
+        F.col(x_col).alias("__xa"),
+        F.col(v_micro_col).alias("__va"),
+    )
+    b = pts.select(
+        *[F.col(c).alias(f"__g_{c}") for c in group_cols],
+        F.col(x_col).alias("__xb"),
+        F.col(v_micro_col).alias("__vb"),
+    )
+    cond = [
+        a[c].eqNullSafe(b[f"__g_{c}"]) for c in group_cols
+    ]
+    pairs = (
+        a.join(F.broadcast(b), cond)
+        .filter(F.col("__xa") < F.col("__xb"))
+        .select(
+            *group_cols,
+            F.expr(
+                "cast(__vb - __va as double)"
+                " / cast(__xb - __xa as double) / 1e6"
+            ).alias("__sl"),
+        )
+    )
+    w_rank = Window.partitionBy(*group_cols).orderBy("__sl")
+    w_cnt = Window.partitionBy(*group_cols)
+    sel = (
+        pairs.withColumn("__rn", F.row_number().over(w_rank))
+        .withColumn("__cnt", F.count("*").over(w_cnt))
+        .filter(
+            # integer ranks only: lower middle (cnt+1) div 2, upper
+            # middle cnt div 2 + 1 (equal when cnt is odd)
+            (F.col("__rn") == F.expr("(__cnt + 1) div 2"))
+            | (F.col("__rn") == F.expr("__cnt div 2 + 1"))
+        )
+    )
+    npts = pts.groupBy(*group_cols).agg(
+        F.count("*").cast("bigint").alias("n_points")
+    )
+    med = sel.groupBy(*group_cols).agg(
+        F.max("__cnt").cast("bigint").alias("n_pairs"),
+        F.expr(
+            "floor((min(__sl) + max(__sl)) / 2.0 * 1e6 + 0.5) / 1e6"
+        ).alias("ts_slope"),
+    )
+    return npts.join(med, group_cols).select(
+        *group_cols, "n_points", "n_pairs", "ts_slope"
+    )

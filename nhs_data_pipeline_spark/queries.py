@@ -1123,6 +1123,76 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stats_theil_sen_trend",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS xd,
+             CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
+                  AS BIGINT) AS vm
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             CAST(b.vm - a.vm AS DOUBLE)
+               / CAST(b.xd - a.xd AS DOUBLE) / 1e6 AS sl
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.xd < b.xd
+    ),
+    ranked AS (
+      SELECT event_type, sl,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY sl)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM pairs
+    ),
+    sel AS (
+      SELECT event_type, CAST(MAX(cnt) AS BIGINT) AS n_pairs,
+             floor((MIN(sl) + MAX(sl)) / 2.0 * 1e6 + 0.5) / 1e6
+               AS ts_slope
+      FROM ranked
+      WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
+      GROUP BY 1
+    ),
+    np AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points
+           FROM daily GROUP BY 1)
+    SELECT n.event_type, n.n_points, s.n_pairs, s.ts_slope
+    FROM np n JOIN sel s ON n.event_type = s.event_type
+    """,
+)
+def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust daily-value trend per event type: the median
+    of all C(n,2) pairwise slopes over the day-granular value series —
+    the outlier-proof complement to stats_ols_trend (up to ~29%
+    contamination leaves the estimate standing where OLS follows the
+    spike). The corpus reduces to a MODEL-sized daily table first
+    (bounded by the observation window); pairs are a self-join of that
+    table and the median is one integer-rank window — exact
+    cross-engine by single-division slopes and the (min+max)/2 middle
+    pick (ops/analytics.group_theil_sen)."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).cast("bigint").alias("__xd"),
+        )
+        .agg(
+            F.expr(
+                "cast(sum(cast(floor(value * 1e6 + 0.5) as bigint))"
+                " as bigint)"
+            ).alias("__vm")
+        )
+    )
+    return oan.group_theil_sen(
+        daily, ["event_type"], "__xd", "__vm"
+    )
+
+
+@query(
     "events_time_weighted_avg",
     """
     WITH base AS (

@@ -1298,3 +1298,58 @@ class TestKaplanMeier:
             (1, 0, "signup"), (2, 3, "signup"), (9, 10, "view"),
         ])
         assert oan2.kaplan_meier(ev).count() == 0
+
+
+class TestTheilSen:
+    """ops/analytics.group_theil_sen — robust pairwise-median slope."""
+
+    @staticmethod
+    def _pts(spark, rows):
+        return spark.createDataFrame(
+            rows, "g string, x bigint, vm bigint"
+        )
+
+    def test_clean_line_exact_slope(self, spark):
+        """Perfect line vm = 2e6 * x (slope 2.0/day in value units):
+        every pairwise slope is identical."""
+        from nhs_data_pipeline_spark.ops import analytics as oan2
+
+        pts = self._pts(spark, [("a", x, 2_000_000 * x)
+                                for x in range(6)])
+        r = oan2.group_theil_sen(pts, ["g"], "x", "vm").collect()[0]
+        assert (r.n_points, r.n_pairs) == (6, 15)
+        assert r.ts_slope == 2.0
+
+    def test_outlier_robustness_vs_mean(self, spark):
+        """One wild outlier barely moves the Theil-Sen slope (median of
+        pairwise slopes) while the OLS slope would chase it."""
+        from nhs_data_pipeline_spark.ops import analytics as oan2
+
+        rows = [("a", x, 1_000_000 * x) for x in range(9)]
+        rows[4] = ("a", 4, 500_000_000)  # massive spike at x=4
+        r = oan2.group_theil_sen(
+            self._pts(spark, rows), ["g"], "x", "vm"
+        ).collect()[0]
+        assert abs(r.ts_slope - 1.0) < 0.01, r.ts_slope
+
+    def test_even_pair_count_averages_middles(self, spark):
+        """4 points -> 6 pairs (even): median = mean of 3rd and 4th
+        ordered slopes."""
+        from nhs_data_pipeline_spark.ops import analytics as oan2
+
+        pts = self._pts(spark, [("a", 0, 0), ("a", 1, 1_000_000),
+                                ("a", 2, 4_000_000), ("a", 3, 5_000_000)])
+        # slopes: 1, 2, 5/3; 3, 2; 1 -> sorted [1,1,5/3,2,2,3] -> (5/3+2)/2
+        r = oan2.group_theil_sen(pts, ["g"], "x", "vm").collect()[0]
+        import math
+        exp = math.floor((5 / 3 + 2.0) / 2.0 * 1e6 + 0.5) / 1e6
+        assert r.ts_slope == exp, (r.ts_slope, exp)
+
+    def test_single_point_group_dropped(self, spark):
+        from nhs_data_pipeline_spark.ops import analytics as oan2
+
+        pts = self._pts(spark, [("a", 0, 0), ("a", 5, 1_000_000),
+                                ("lonely", 3, 7_000_000)])
+        got = {r.g for r in
+               oan2.group_theil_sen(pts, ["g"], "x", "vm").collect()}
+        assert got == {"a"}

@@ -317,8 +317,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 222, len(QUERIES)
-    assert len(ORACLES) == 219, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 223, len(QUERIES)
+    assert len(ORACLES) == 220, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_readme_registry_tallies_match():
