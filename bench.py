@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "events_kaplan_meier",
     "dedup_containment_join",
     "stats_theil_sen_trend",
+    "stats_mannwhitney_u",
 ]
 
 

@@ -1867,3 +1867,145 @@ def group_theil_sen(
     return npts.join(med, group_cols).select(
         *group_cols, "n_points", "n_pairs", "ts_slope"
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_int_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    bucket_width: int = 1 << 16,
+) -> DataFrame:
+    """Exact two-sample Mann-Whitney U (Wilcoxon rank-sum) between the
+    ``group_a`` and ``group_b`` slices of an integer-quantized value:
+    one row ``(n_a, n_b, u_a, u_b, auc_effect, z_approx)`` — the
+    rank-based location test that pairs with :func:`ks_two_sample`'s
+    shape test, and ``auc_effect = U_a / (n_a * n_b)`` is EXACTLY the
+    probability a random A value exceeds a random B value (the
+    common-language effect size == ROC AUC of the value as a
+    classifier for the group).
+
+    Exactness: midranks with ties stay integer by working in DOUBLED
+    ranks (``2 * midrank = 2 * prior + t + 1`` at a value with ``t``
+    ties); ``2 * R_a = sum(c_a * midrank2)`` accumulates in
+    DECIMAL(38,0); U values are exact halves (doubles represent them
+    exactly). ``z_approx`` uses the tie-corrected normal approximation
+    — the one closing sqrt/divisions spelled identically in the
+    oracle, floor-rounded to 6 dp.
+
+    Scale shape: identical to ks_two_sample — one (value -> side
+    counts) aggregate, bucketed two-pass cumulation (offsets over the
+    model-sized bucket table, per-value walk partitioned by bucket),
+    and scalar-broadcast totals. NULL values are excluded; an empty
+    side yields NULL u/z."""
+    v = F.col(value_int_col)
+    base = df.filter(
+        v.isNotNull() & F.col(group_col).isin([group_a, group_b])
+    )
+    D = "decimal(38,0)"
+    g = base.groupBy(value_int_col).agg(
+        F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0))
+        .cast(D).alias("__ca"),
+        F.sum(F.when(F.col(group_col) == group_b, 1).otherwise(0))
+        .cast(D).alias("__cb"),
+    )
+    tot = base.agg(
+        F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0))
+        .cast(D).alias("__na"),
+        F.sum(F.when(F.col(group_col) == group_b, 1).otherwise(0))
+        .cast(D).alias("__nb"),
+    )
+    bucketed = g.withColumn("__b", (v / bucket_width).cast("bigint"))
+    counts = bucketed.groupBy("__b").agg(
+        F.sum(F.col("__ca") + F.col("__cb")).alias("__bt")
+    )
+    woff = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__b",
+        F.coalesce(F.sum("__bt").over(woff), F.lit(0).cast(D)).alias(
+            "__off"
+        ),
+    )
+    wb = (
+        Window.partitionBy("__b")
+        .orderBy(value_int_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_value = (
+        bucketed.join(F.broadcast(offsets), "__b")
+        .select(
+            "__ca",
+            "__cb",
+            (
+                F.col("__off")
+                + F.coalesce(
+                    F.sum(F.col("__ca") + F.col("__cb")).over(wb),
+                    F.lit(0).cast(D),
+                )
+            ).alias("__prior"),
+        )
+        .select(
+            "__ca",
+            "__cb",
+            # doubled midrank: 2*prior + t + 1 (t = ca + cb ties here)
+            (
+                F.lit(2).cast(D) * F.col("__prior")
+                + F.col("__ca") + F.col("__cb") + F.lit(1).cast(D)
+            ).alias("__mr2"),
+            (F.col("__ca") + F.col("__cb")).alias("__t"),
+        )
+    )
+    agg = per_value.agg(
+        F.sum(F.col("__ca") * F.col("__mr2")).alias("__r2a"),
+        # tie correction term: sum t^3 - t, exact in DECIMAL(38,0)
+        F.sum(
+            F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")
+        ).alias("__tcor"),
+    )
+    out = agg.crossJoin(F.broadcast(tot)).select(
+        F.col("__na").cast("bigint").alias("n_a"),
+        F.col("__nb").cast("bigint").alias("n_b"),
+        # 2*U_a = 2*R_a - n_a*(n_a+1); U exact in halves
+        (
+            (
+                F.col("__r2a")
+                - F.col("__na") * (F.col("__na") + F.lit(1).cast(D))
+            ).cast("double")
+            / F.lit(2.0)
+        ).alias("__ua"),
+        F.col("__na").cast("double").alias("__nad"),
+        F.col("__nb").cast("double").alias("__nbd"),
+        F.col("__tcor").cast("double").alias("__tc"),
+    )
+    n = F.col("__nad") + F.col("__nbd")
+    var = (
+        F.col("__nad") * F.col("__nbd") / F.lit(12.0)
+        * ((n + F.lit(1.0)) - F.col("__tc") / (n * (n - F.lit(1.0))))
+    )
+    return out.select(
+        "n_a",
+        "n_b",
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), F.col("__ua"))
+        .alias("u_a"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.col("__nad") * F.col("__nbd") - F.col("__ua"),
+        ).alias("u_b"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.expr(
+                "floor(__ua / (__nad * __nbd) * 1e6 + 0.5) / 1e6"
+            ),
+        ).alias("auc_effect"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var > 0),
+            F.floor(
+                (F.col("__ua") - F.col("__nad") * F.col("__nbd") / F.lit(2.0))
+                / F.sqrt(var)
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6),
+        ).alias("z_approx"),
+    )

@@ -11224,6 +11224,79 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stats_mannwhitney_u",
+    """
+    WITH base AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ia,
+             CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS ib
+      FROM orders
+      WHERE o_totalprice IS NOT NULL
+        AND o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    g AS (
+      SELECT v, CAST(SUM(ia) AS HUGEINT) AS ca,
+             CAST(SUM(ib) AS HUGEINT) AS cb
+      FROM base GROUP BY v
+    ),
+    pv AS (
+      SELECT ca, cb,
+             2 * COALESCE(SUM(ca + cb) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + ca + cb + 1 AS mr2,
+             ca + cb AS t
+      FROM g
+    ),
+    ag AS (
+      SELECT SUM(ca * mr2) AS r2a, SUM(t * t * t - t) AS tcor FROM pv
+    ),
+    tt AS (SELECT CAST(SUM(ia) AS HUGEINT) AS na,
+                  CAST(SUM(ib) AS HUGEINT) AS nb FROM base),
+    fin AS (
+      SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0 AS ua,
+             CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+             CAST(tcor AS DOUBLE) AS tc
+      FROM ag CROSS JOIN tt
+    )
+    SELECT n_a, n_b,
+      CASE WHEN n_a > 0 AND n_b > 0 THEN ua END AS u_a,
+      CASE WHEN n_a > 0 AND n_b > 0 THEN nad * nbd - ua END AS u_b,
+      CASE WHEN n_a > 0 AND n_b > 0 THEN
+        floor(ua / (nad * nbd) * 1e6 + 0.5) / 1e6 END AS auc_effect,
+      CASE WHEN n_a > 0 AND n_b > 0 AND
+           (nad * nbd / 12.0 * ((nad + nbd + 1.0)
+             - tc / ((nad + nbd) * (nad + nbd - 1.0)))) > 0 THEN
+        floor((ua - nad * nbd / 2.0)
+              / sqrt(nad * nbd / 12.0 * ((nad + nbd + 1.0)
+                     - tc / ((nad + nbd) * (nad + nbd - 1.0))))
+              * 1e6 + 0.5) / 1e6 END AS z_approx
+    FROM fin
+    """,
+)
+def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Mann-Whitney U (Wilcoxon rank-sum) between
+    urgent and low-priority order values — the rank-based LOCATION
+    test beside stats_ks_test's shape test, with the common-language
+    effect size ``auc_effect = U_a/(n_a*n_b)`` (exactly the ROC AUC of
+    the value as a group classifier) and the tie-corrected normal
+    z. Midranks stay integer by working in doubled ranks; rank sums
+    accumulate in DECIMAL(38,0); the cumulation is the bucketed
+    two-pass pattern (ops/analytics.mann_whitney_u)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    ).select(
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias(
+            "__cents"
+        ),
+        "o_orderpriority",
+    )
+    return oan.mann_whitney_u(
+        o, "__cents", "o_orderpriority", "1-URGENT", "5-LOW"
+    )
+
+
 @query("stats_bootstrap_ci", _bootstrap_oracle_sql(48))
 def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic half-sample bootstrap 95% CI for the mean order

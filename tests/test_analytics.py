@@ -1353,3 +1353,64 @@ class TestTheilSen:
         got = {r.g for r in
                oan2.group_theil_sen(pts, ["g"], "x", "vm").collect()}
         assert got == {"a"}
+
+
+class TestMannWhitney:
+    """ops/analytics.mann_whitney_u — exact rank-sum with midranks."""
+
+    @staticmethod
+    def _df(spark, a_vals, b_vals):
+        rows = [(v, "A") for v in a_vals] + [(v, "B") for v in b_vals]
+        return spark.createDataFrame(rows, "v bigint, g string")
+
+    def test_textbook_no_ties(self, spark):
+        """A = {1,2,3}, B = {4,5}: every B beats every A -> U_a = 0,
+        U_b = 6, AUC 0."""
+        from nhs_data_pipeline_spark.ops import analytics as oan2
+
+        r = oan2.mann_whitney_u(
+            self._df(spark, [1, 2, 3], [4, 5]), "v", "g", "A", "B"
+        ).collect()[0]
+        assert (r.n_a, r.n_b) == (3, 2)
+        assert r.u_a == 0.0 and r.u_b == 6.0
+        assert r.auc_effect == 0.0
+
+    def test_ties_give_half_units_scipy_replica(self, spark):
+        """Tied values produce exact half-unit U; cross-checked against
+        the closed-form midrank computation."""
+        from nhs_data_pipeline_spark.ops import analytics as oan2
+
+        a, b = [1, 2, 2, 5], [2, 3, 5]
+        r = oan2.mann_whitney_u(
+            self._df(spark, a, b), "v", "g", "A", "B"
+        ).collect()[0]
+        # ranks of sorted [1,2,2,2,3,5,5]: midranks 1, 3,3,3, 5, 6.5,6.5
+        # R_a = 1 + 3 + 3 + 6.5 = 13.5; U_a = 13.5 - 4*5/2 = 3.5
+        assert r.u_a == 3.5 and r.u_b == 4 * 3 - 3.5
+        assert abs(r.auc_effect - 3.5 / 12) < 2e-6
+        try:
+            from scipy.stats import mannwhitneyu  # noqa: F401
+        except Exception:
+            return
+        import numpy as np
+        res = mannwhitneyu(np.array(a), np.array(b),
+                           alternative="two-sided", method="asymptotic")
+        assert abs(res.statistic - r.u_a) < 1e-9
+
+    def test_empty_side_null(self, spark):
+        from nhs_data_pipeline_spark.ops import analytics as oan2
+
+        r = oan2.mann_whitney_u(
+            self._df(spark, [1, 2], []), "v", "g", "A", "B"
+        ).collect()[0]
+        assert r.n_b == 0 and r.u_a is None and r.z_approx is None
+
+    def test_identical_distributions_auc_half(self, spark):
+        from nhs_data_pipeline_spark.ops import analytics as oan2
+
+        vals = list(range(50))
+        r = oan2.mann_whitney_u(
+            self._df(spark, vals, vals), "v", "g", "A", "B"
+        ).collect()[0]
+        assert r.auc_effect == 0.5
+        assert abs(r.z_approx) < 1e-6

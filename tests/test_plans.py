@@ -317,8 +317,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 223, len(QUERIES)
-    assert len(ORACLES) == 220, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 224, len(QUERIES)
+    assert len(ORACLES) == 221, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_readme_registry_tallies_match():
@@ -475,6 +475,9 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # into the cumulative-deviation stream
         # (ops/analytics.ks_two_sample) — scalar-broadcast shape
         "stats_ks_test",
+        # audited: the same one-row totals cross into the rank-sum
+        # aggregate (ops/analytics.mann_whitney_u) — scalar-broadcast
+        "stats_mannwhitney_u",
         # audited: the one-row (min, max) score-range aggregate (the
         # rank-bucket width, binary_auc's audited shape) plus the
         # one-row positives total crossed into the curve aggregate
