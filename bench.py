@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "dedup_containment_join",
     "stats_theil_sen_trend",
     "stats_mannwhitney_u",
+    "ts_autocorrelation",
 ]
 
 

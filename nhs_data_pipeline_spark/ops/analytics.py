@@ -2009,3 +2009,87 @@ def mann_whitney_u(
             / F.lit(1e6),
         ).alias("z_approx"),
     )
+
+
+def group_acf(
+    pts: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    v_micro_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Autocorrelation function per group: the Box-Jenkins lag-k
+    estimator ``r_k = sum((y_t - ybar)(y_{t+k} - ybar)) / sum((y_t -
+    ybar)^2)`` for ``k = 1..max_lag`` over an integer-positioned
+    series — the seasonality/persistence diagnostic next to the EWMA
+    and CUSUM ops (a weekly cycle shows as a peak at lag 7).  Lags are
+    CALENDAR lags: ``x_t + k`` must exist or the pair drops (gaps
+    shrink ``n_pairs``, they do not misalign the series).  Returns
+    ``(*group_cols, lag, n_points, n_pairs, acf)``.
+
+    Exactness: every moment (pair products, pair sums, global sum /
+    squared sum) accumulates as an exact DECIMAL(38,0) integer; the
+    estimator assembles from those moments in identically-spelled
+    double arithmetic with ONE mean division — no float accumulation
+    anywhere, bit-identical cross-engine before the 6-dp floor-round.
+
+    Scale shape: the caller reduces to a MODEL-sized point table
+    first; the lag join is a broadcast self-join on the exact
+    ``(group, x + k)`` key; moments are two small aggregates."""
+    D = "decimal(38,0)"
+    spark = pts.sparkSession
+    ks = spark.range(1, max_lag + 1).select(
+        F.col("id").cast("bigint").alias("__k")
+    )
+    a = pts.select(
+        *group_cols,
+        F.col(x_col).alias("__xa"),
+        F.col(v_micro_col).cast(D).alias("__va"),
+    ).crossJoin(F.broadcast(ks))
+    b = pts.select(
+        *[F.col(c).alias(f"__g_{c}") for c in group_cols],
+        F.col(x_col).alias("__xb"),
+        F.col(v_micro_col).cast(D).alias("__vb"),
+    )
+    cond = [a[c].eqNullSafe(b[f"__g_{c}"]) for c in group_cols] + [
+        b["__xb"] == a["__xa"] + a["__k"]
+    ]
+    pair_m = (
+        a.join(F.broadcast(b), cond)
+        .groupBy(*group_cols, "__k")
+        .agg(
+            F.count("*").cast("bigint").alias("__m"),
+            F.sum(F.col("__va") * F.col("__vb")).alias("__p"),
+            F.sum("__va").alias("__sa"),
+            F.sum("__vb").alias("__sb"),
+        )
+    )
+    glob = pts.groupBy(*group_cols).agg(
+        F.count("*").cast("bigint").alias("__n"),
+        F.sum(F.col(v_micro_col).cast(D)).alias("__s"),
+        F.sum(
+            F.col(v_micro_col).cast(D) * F.col(v_micro_col).cast(D)
+        ).alias("__q"),
+    )
+    yb = F.col("__s").cast("double") / F.col("__n").cast("double")
+    num = (
+        F.col("__p").cast("double")
+        - yb * (F.col("__sa").cast("double") + F.col("__sb").cast("double"))
+        + F.col("__m").cast("double") * yb * yb
+    )
+    den = F.col("__q").cast("double") - F.col("__s").cast("double") * F.col(
+        "__s"
+    ).cast("double") / F.col("__n").cast("double")
+    return (
+        pair_m.join(F.broadcast(glob), group_cols)
+        .select(
+            *group_cols,
+            F.col("__k").alias("lag"),
+            F.col("__n").alias("n_points"),
+            F.col("__m").alias("n_pairs"),
+            F.when(
+                den > 0,
+                F.floor(num / den * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+            ).alias("acf"),
+        )
+    )

@@ -1193,6 +1193,80 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_autocorrelation",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS xd,
+             CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
+                  AS BIGINT) AS vm
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    ks AS (SELECT unnest(generate_series(1, 7)) AS k),
+    pm AS (
+      SELECT a.event_type, ks.k AS lag,
+             CAST(COUNT(*) AS BIGINT) AS m,
+             SUM(CAST(a.vm AS HUGEINT) * CAST(b.vm AS HUGEINT)) AS p,
+             CAST(SUM(a.vm) AS HUGEINT) AS sa,
+             CAST(SUM(b.vm) AS HUGEINT) AS sb
+      FROM daily a CROSS JOIN ks
+      JOIN daily b ON b.event_type = a.event_type
+                  AND b.xd = a.xd + ks.k
+      GROUP BY 1, 2
+    ),
+    gl AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(vm) AS HUGEINT) AS s,
+             SUM(CAST(vm AS HUGEINT) * CAST(vm AS HUGEINT)) AS q
+      FROM daily GROUP BY 1
+    )
+    SELECT p.event_type, CAST(p.lag AS BIGINT) AS lag,
+           g.n AS n_points, p.m AS n_pairs,
+      CASE WHEN (CAST(g.q AS DOUBLE)
+                 - CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE)
+                   / CAST(g.n AS DOUBLE)) > 0 THEN
+        floor((CAST(p.p AS DOUBLE)
+               - CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE)
+                 * (CAST(p.sa AS DOUBLE) + CAST(p.sb AS DOUBLE))
+               + CAST(p.m AS DOUBLE)
+                 * (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))
+                 * (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE)))
+              / (CAST(g.q AS DOUBLE)
+                 - CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE)
+                   / CAST(g.n AS DOUBLE))
+              * 1e6 + 0.5) / 1e6 END AS acf
+    FROM pm p JOIN gl g ON p.event_type = g.event_type
+    """,
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily value series per event
+    type — the seasonality/persistence diagnostic beside EWMA and
+    CUSUM (a weekly cycle peaks at lag 7; white noise sits near 0).
+    Calendar lags over the MODEL-sized daily table (missing days drop
+    pairs, never misalign); every moment is an exact DECIMAL(38,0)
+    integer and the Box-Jenkins estimator assembles in identically-
+    spelled double arithmetic (ops/analytics.group_acf)."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).cast("bigint").alias("__xd"),
+        )
+        .agg(
+            F.expr(
+                "cast(sum(cast(floor(value * 1e6 + 0.5) as bigint))"
+                " as bigint)"
+            ).alias("__vm")
+        )
+    )
+    return oan.group_acf(daily, ["event_type"], "__xd", "__vm", max_lag=7)
+
+
+@query(
     "events_time_weighted_avg",
     """
     WITH base AS (

@@ -1414,3 +1414,57 @@ class TestMannWhitney:
         ).collect()[0]
         assert r.auc_effect == 0.5
         assert abs(r.z_approx) < 1e-6
+
+
+class TestGroupAcf:
+    """ops/analytics.group_acf — exact-moment Box-Jenkins ACF."""
+
+    def test_matches_numpy_replica(self, spark):
+        """Random-ish integer series: every lag matches the closed-form
+        estimator computed in numpy at 6 dp."""
+        import math
+
+        from nhs_data_pipeline_spark.ops import analytics as oan2
+
+        vals = [((i * 37) % 11) * 1_000_000 - 3_000_000 for i in range(30)]
+        pts = spark.createDataFrame(
+            [("a", i, v) for i, v in enumerate(vals)],
+            "g string, x bigint, vm bigint",
+        )
+        got = {r.lag: r for r in
+               oan2.group_acf(pts, ["g"], "x", "vm", max_lag=3).collect()}
+        n = len(vals)
+        ybar = sum(vals) / n
+        den = sum((v - ybar) ** 2 for v in vals)
+        for k in (1, 2, 3):
+            num = sum((vals[t] - ybar) * (vals[t + k] - ybar)
+                      for t in range(n - k))
+            exp = math.floor(num / den * 1e6 + 0.5) / 1e6
+            assert abs(got[k].acf - exp) < 2e-6, (k, got[k].acf, exp)
+            assert got[k].n_pairs == n - k
+
+    def test_weekly_cycle_peaks_at_period(self, spark):
+        """A pure period-7 cycle: acf(7) ~ 1, acf(1) well below."""
+        from nhs_data_pipeline_spark.ops import analytics as oan2
+
+        vals = [(1_000_000 if i % 7 == 0 else 0) for i in range(70)]
+        pts = spark.createDataFrame(
+            [("a", i, v) for i, v in enumerate(vals)],
+            "g string, x bigint, vm bigint",
+        )
+        got = {r.lag: r.acf for r in
+               oan2.group_acf(pts, ["g"], "x", "vm", max_lag=7).collect()}
+        assert got[7] > 0.8 and got[1] < 0.0
+
+    def test_calendar_gaps_drop_pairs(self, spark):
+        """A missing day removes exactly the pairs that straddle it."""
+        from nhs_data_pipeline_spark.ops import analytics as oan2
+
+        pts = spark.createDataFrame(
+            [("a", x, x * 1_000_000) for x in [0, 1, 2, 4, 5]],
+            "g string, x bigint, vm bigint",
+        )
+        got = {r.lag: r.n_pairs for r in
+               oan2.group_acf(pts, ["g"], "x", "vm", max_lag=2).collect()}
+        assert got[1] == 3  # (0,1),(1,2),(4,5); (2,3),(3,4) straddle x=3
+        assert got[2] == 2  # (0,2),(2,4); (3,5) needs the missing x=3
