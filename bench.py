@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "stats_theil_sen_trend",
     "stats_mannwhitney_u",
     "ts_autocorrelation",
+    "embed_class_separability",
 ]
 
 

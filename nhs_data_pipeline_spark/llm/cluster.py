@@ -310,3 +310,108 @@ def kcenter_coreset(
             "radius2"
         ),
     )
+
+
+def class_separability(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Fisher-style class-separability diagnostic per label: how far
+    each class centroid sits from the global mean relative to the
+    class's internal spread — the linear-probe-ready check that
+    embedding labels are actually separable (and the drift alarm when
+    a re-embedding collapses classes).  Returns one row per label:
+
+        (label, n_vectors, dist2_to_global, within_var, sep_ratio)
+
+    where ``dist2_to_global = ||mu_c - mu||^2``, ``within_var`` is the
+    mean squared distance to the OWN centroid, and ``sep_ratio`` their
+    quotient (the per-class Fisher criterion; higher = more
+    separable).
+
+    Exactness: vectors quantize ONCE to integer micro-units; all
+    moments (per-(label, dim) sums, per-label squared norms) are exact
+    integer sums via ``W = sum||x||^2 - n||mu||^2``; centroid algebra
+    folds in dimension order over the MODEL-sized per-label table —
+    identical IEEE sequences cross-engine, 6-dp floor-round.
+
+    Scale shape: ONE corpus scan (posexplode -> (label, dim) partial
+    sums + one per-label squared-norm aggregate); everything after is
+    label-cardinality."""
+    D = "decimal(38,0)"
+    xm = df.select(
+        F.col(label_col).alias("__lb"),
+        F.expr(
+            f"transform({vec_col}, v -> "
+            "cast(floor(cast(v as double) * 1e6 + 0.5) as bigint))"
+        ).alias("__xm"),
+    )
+    ex = xm.select("__lb", F.posexplode("__xm").alias("__d", "__x"))
+    ld = ex.groupBy("__lb", "__d").agg(
+        F.sum(F.col("__x").cast(D)).alias("__s"),
+        F.count("*").alias("__nc"),
+    )
+    gd = ld.groupBy("__d").agg(
+        F.sum("__s").alias("__gs"), F.sum("__nc").alias("__gn")
+    )
+    q = ex.groupBy("__lb").agg(
+        F.sum(F.col("__x").cast(D) * F.col("__x").cast(D)).alias("__q")
+    )
+    # per-(label, dim) centroid terms, folded in dim order per label
+    terms = ld.join(F.broadcast(gd), "__d").select(
+        "__lb",
+        F.col("__d").alias("__k"),
+        (
+            F.col("__s").cast("double") / F.col("__nc").cast("double")
+        ).alias("__m"),
+        (
+            F.col("__s").cast("double") / F.col("__nc").cast("double")
+            - F.col("__gs").cast("double") / F.col("__gn").cast("double")
+        ).alias("__dv"),
+        F.col("__nc"),
+    )
+    folded = terms.select(
+        "__lb",
+        "__k",
+        F.col("__nc"),
+        (F.col("__m") * F.col("__m")).alias("__m2"),
+        (F.col("__dv") * F.col("__dv")).alias("__dv2"),
+    ).groupBy("__lb").agg(
+        F.max("__nc").cast("bigint").alias("n_vectors"),
+        F.expr(
+            "aggregate(transform(sort_array(collect_list("
+            "struct(__k, __m2))), s -> s.__m2), cast(0.0 as double), "
+            "(a, x) -> a + x)"
+        ).alias("__mu2"),
+        F.expr(
+            "aggregate(transform(sort_array(collect_list("
+            "struct(__k, __dv2))), s -> s.__dv2), cast(0.0 as double), "
+            "(a, x) -> a + x)"
+        ).alias("__d2"),
+    )
+    within = (
+        F.col("__q").cast("double") / F.col("n_vectors").cast("double")
+        - F.col("__mu2")
+    )
+    return (
+        # eqNullSafe: a NULL label is a legal class (NULL-key rule)
+        folded.join(F.broadcast(q), folded["__lb"].eqNullSafe(q["__lb"]))
+        .select(
+            folded["__lb"].alias(label_col),
+            "n_vectors",
+            F.expr("floor(__d2 / 1e12 * 1e6 + 0.5) / 1e6").alias(
+                "dist2_to_global"
+            ),
+            (F.floor(within / F.lit(1e12) * F.lit(1e6) + F.lit(0.5))
+             / F.lit(1e6)).alias("within_var"),
+            F.when(
+                within > 0,
+                F.floor(
+                    F.col("__d2") / within * F.lit(1e6) + F.lit(0.5)
+                )
+                / F.lit(1e6),
+            ).alias("sep_ratio"),
+        )
+    )

@@ -8024,6 +8024,71 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embed_class_separability",
+    """
+    WITH xm AS MATERIALIZED (
+      SELECT label AS lb,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               v -> CAST(floor(v * 1e6 + 0.5) AS BIGINT)) AS x
+      FROM embeddings
+    ),
+    ex AS MATERIALIZED (
+      SELECT lb, generate_subscripts(x, 1) - 1 AS d, unnest(x) AS xv
+      FROM xm
+    ),
+    ld AS MATERIALIZED (
+      SELECT lb, d, CAST(SUM(xv) AS HUGEINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS nc
+      FROM ex GROUP BY 1, 2
+    ),
+    gd AS (SELECT d, CAST(SUM(s) AS HUGEINT) AS gs,
+                  CAST(SUM(nc) AS BIGINT) AS gn FROM ld GROUP BY 1),
+    qq AS (SELECT lb, SUM(CAST(xv AS HUGEINT) * CAST(xv AS HUGEINT))
+                    AS q
+           FROM ex GROUP BY 1),
+    terms AS (
+      SELECT l.lb, l.d,
+             CAST(l.s AS DOUBLE) / CAST(l.nc AS DOUBLE) AS m,
+             CAST(l.s AS DOUBLE) / CAST(l.nc AS DOUBLE)
+               - CAST(g.gs AS DOUBLE) / CAST(g.gn AS DOUBLE) AS dv,
+             l.nc
+      FROM ld l JOIN gd g ON l.d = g.d
+    ),
+    folded AS (
+      SELECT lb, CAST(MAX(nc) AS BIGINT) AS n_vectors,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(m * m ORDER BY d)), (__a, __x) -> __a + __x) AS mu2,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(dv * dv ORDER BY d)), (__a, __x) -> __a + __x) AS d2
+      FROM terms GROUP BY lb
+    )
+    SELECT f.lb AS label, f.n_vectors,
+           floor(d2 / 1e12 * 1e6 + 0.5) / 1e6 AS dist2_to_global,
+           floor((CAST(qq.q AS DOUBLE) / CAST(f.n_vectors AS DOUBLE)
+                  - mu2) / 1e12 * 1e6 + 0.5) / 1e6 AS within_var,
+           CASE WHEN (CAST(qq.q AS DOUBLE) / CAST(f.n_vectors AS DOUBLE)
+                      - mu2) > 0 THEN
+             floor(d2 / (CAST(qq.q AS DOUBLE)
+                         / CAST(f.n_vectors AS DOUBLE) - mu2)
+                   * 1e6 + 0.5) / 1e6 END AS sep_ratio
+    FROM folded f JOIN qq ON f.lb IS NOT DISTINCT FROM qq.lb
+    """,
+)
+def embed_class_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher-style class-separability per embedding label: centroid
+    distance to the global mean vs within-class variance, and their
+    ratio — the check that labels are linearly separable in the
+    embedding space (and the drift alarm when a re-embedding collapses
+    classes). ONE corpus scan of exact integer micro-unit moments
+    ((label, dim) partial sums + per-label squared norms via
+    W = sum||x||^2 - n||mu||^2); centroid algebra folds in dim order
+    over the label-cardinality table (llm/cluster.class_separability)."""
+    return cl.class_separability(
+        _t(spark, sf_dir, "embeddings"), label_col="label", vec_col="embedding"
+    )
+
+
 # ===========================================================================
 # Graph analytics: weighted PageRank over the trade-flow nation graph
 # ===========================================================================

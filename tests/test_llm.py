@@ -2178,3 +2178,53 @@ def test_containment_threshold_is_integer_exact(spark):
     out = dd2.containment_join(df, threshold=0.8).collect()
     assert len(out) == 1 and out[0].overlap == 0.8
     assert not dd2.containment_join(df, threshold=0.81).collect()
+
+
+def test_class_separability_well_separated_vs_collapsed(spark):
+    """Two tight, far-apart classes: huge sep_ratio; the same data
+    under one label: dist2 == 0. Values match a numpy replica."""
+    import numpy as np
+
+    from nhs_data_pipeline_spark.llm import cluster as cl2
+
+    rng = np.random.RandomState(3)
+    a = rng.randn(40, 4) * 0.1 + np.array([10.0, 0, 0, 0])
+    b = rng.randn(40, 4) * 0.1 - np.array([10.0, 0, 0, 0])
+    rows = [(0, [float(v) for v in r]) for r in a] + [
+        (1, [float(v) for v in r]) for r in b
+    ]
+    emb = spark.createDataFrame(rows, "label int, embedding array<float>")
+    got = {r.label: r for r in
+           cl2.class_separability(emb, dim=4).collect()}
+    assert got[0].n_vectors == 40 and got[1].n_vectors == 40
+    # centroids sit ~10 from the global mean -> dist2 ~ 100, within ~ 0.04
+    assert 90 < got[0].dist2_to_global < 110
+    assert got[0].within_var < 0.2
+    assert got[0].sep_ratio > 500
+
+    # numpy replica on the quantized values
+    xq = np.floor(np.vstack([a, b]) * 1e6 + 0.5) / 1e6
+    lab = np.array([0] * 40 + [1] * 40)
+    mu = xq.mean(axis=0)
+    for c in (0, 1):
+        xc = xq[lab == c]
+        d2 = float(((xc.mean(axis=0) - mu) ** 2).sum())
+        wv = float(((xc - xc.mean(axis=0)) ** 2).sum() / len(xc))
+        assert abs(got[c].dist2_to_global - d2) < 1e-4
+        assert abs(got[c].within_var - wv) < 1e-4
+
+    one = emb.withColumn("label", F.lit(0))
+    g1 = cl2.class_separability(one, dim=4).collect()[0]
+    assert g1.dist2_to_global == 0.0 and g1.sep_ratio == 0.0
+
+
+def test_class_separability_null_label_is_a_class(spark):
+    """NULL labels form their own class (NULL-key discipline)."""
+    from nhs_data_pipeline_spark.llm import cluster as cl2
+
+    rows = [(None, [10.0, 0.0]), (None, [10.0, 0.0]),
+            (1, [0.0, 5.0]), (1, [0.0, 5.0])]
+    emb = spark.createDataFrame(rows, "label int, embedding array<float>")
+    got = {r.label: r for r in cl2.class_separability(emb, dim=2).collect()}
+    assert set(got) == {None, 1}
+    assert got[None].n_vectors == 2 and got[None].within_var == 0.0
