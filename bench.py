@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "stats_mannwhitney_u",
     "ts_autocorrelation",
     "embed_class_separability",
+    "embed_pca_scores",
 ]
 
 

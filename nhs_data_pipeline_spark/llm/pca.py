@@ -244,3 +244,79 @@ def power_pca(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def pca_scores_by_label(
+    df: DataFrame,
+    label_col: str = "label",
+    dim: int = 64,
+    n_pc: int = 2,
+    iterations: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Consume the :func:`power_pca` fit at corpus scale: project
+    every vector onto each fitted component and report per-label
+    score statistics ``(pc, label, n_vectors, mean_score, var_score)``
+    — the class structure along the principal axes (components that
+    separate label means are the ones a linear probe uses; a variance
+    collapse along PC1 is the re-embedding drift alarm).
+
+    The fit's model table re-packs into one array per component
+    (model-sized sorted collect); the projection is a pure per-row
+    zip_with fold against that broadcast 2-row table — no shuffle, no
+    UDF, pipelined into the scan.  Scores quantize to integer
+    micro-units immediately (the transcendental-free version of the
+    house rule), so the per-label mean/variance assemble from exact
+    integer sums with single divisions — bit-identical cross-engine.
+    """
+    model = power_pca(
+        df, dim=dim, n_pc=n_pc, iterations=iterations, vec_col=vec_col
+    )
+    comp = model.groupBy("pc").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(dim, component))), "
+            "s -> s.component)"
+        ).alias("__comp")
+    )
+    xq = df.select(
+        F.col(label_col).alias("__lb"),
+        F.expr(
+            f"transform({vec_col}, v -> "
+            "floor(cast(v as double) * 1e6 + 0.5) / 1e6)"
+        ).alias("__xq"),
+    )
+    D = "decimal(38,0)"
+    scored = xq.crossJoin(F.broadcast(comp)).select(
+        "pc",
+        "__lb",
+        F.expr(
+            "cast(floor(aggregate(zip_with(__xq, __comp, "
+            "(a, b) -> a * b), cast(0.0 as double), "
+            "(__a, __x) -> __a + __x) * 1e6 + 0.5) as bigint)"
+        ).alias("__sm"),
+    )
+    agg = scored.groupBy("pc", "__lb").agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.sum(F.col("__sm").cast(D)).alias("__s"),
+        F.sum(F.col("__sm").cast(D) * F.col("__sm").cast(D)).alias("__q"),
+    )
+    mean_d = F.col("__s").cast("double") / F.col("n_vectors").cast("double")
+    return agg.select(
+        F.col("pc").cast("int").alias("pc"),
+        F.col("__lb").alias(label_col),
+        "n_vectors",
+        (F.floor(mean_d + F.lit(0.5)) / F.lit(1e6)).alias("mean_score"),
+        (
+            F.floor(
+                (
+                    F.col("__q").cast("double")
+                    / F.col("n_vectors").cast("double")
+                    - mean_d * mean_d
+                )
+                / F.lit(1e12)
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("var_score"),
+    )

@@ -7900,15 +7900,13 @@ def eval_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pca_oracle_sql(dim: int = 64, n_pc: int = 2, iterations: int = 10) -> str:
-    """Unrolled-iteration DuckDB replica of llm/pca.power_pca: the
-    exact integer-quantized moments, the 64x64 covariance in
-    identically-spelled double arithmetic, then per component an
-    unrolled matvec/normalize CTE chain (dim-ordered list_reduce
-    folds == Spark's sorted-collect aggregate folds), the Rayleigh
-    eigenvalue, sign canonicalization, and Hotelling deflation."""
+def _pca_chain_sql(dim: int = 64, n_pc: int = 2, iterations: int = 10) -> str:
+    """The shared CTE chain replicating llm/pca.power_pca (exact
+    integer-quantized moments, unrolled matvec/normalize rounds,
+    Rayleigh eigenvalue, sign, Hotelling deflation): everything up to
+    — but not including — a final SELECT, so both the fit oracle and
+    the projection-consumer oracle replay the identical trajectory."""
     blocks: list[str] = []
-    finals: list[str] = []
     for p in range(n_pc):
         blocks.append(f"""
     v{p}_0 AS (
@@ -7960,12 +7958,6 @@ def _pca_oracle_sql(dim: int = 64, n_pc: int = 2, iterations: int = 10) -> str:
       JOIN v{p}_{iterations} a ON c.i = a.d
       JOIN v{p}_{iterations} b ON c.j = b.d
     )""")
-        finals.append(f"""
-    SELECT CAST({p} AS INTEGER) AS pc, CAST(v.d AS INTEGER) AS dim,
-           floor(v.val * s.sg * 1e6 + 0.5) / 1e6 AS component,
-           floor(l.lam * 1e6 + 0.5) / 1e6 AS eigenvalue,
-           floor(l.lam / t.tr * 1e6 + 0.5) / 1e6 AS explained_ratio
-    FROM v{p}_{iterations} v, sg{p} s, lam{p} l, tr t""")
     return f"""
     WITH xm AS MATERIALIZED (
       SELECT list_transform(CAST(embedding AS DOUBLE[]),
@@ -8001,8 +7993,82 @@ def _pca_oracle_sql(dim: int = 64, n_pc: int = 2, iterations: int = 10) -> str:
       FROM cov0 WHERE i = j
     ),
     {",".join(blocks)}
-    {" UNION ALL ".join(finals)}
     """
+
+
+def _pca_oracle_sql(dim: int = 64, n_pc: int = 2, iterations: int = 10) -> str:
+    """Unrolled-iteration DuckDB replica of llm/pca.power_pca: the
+    shared trajectory chain plus the long-form model SELECT."""
+    finals = [
+        f"""
+    SELECT CAST({p} AS INTEGER) AS pc, CAST(v.d AS INTEGER) AS dim,
+           floor(v.val * s.sg * 1e6 + 0.5) / 1e6 AS component,
+           floor(l.lam * 1e6 + 0.5) / 1e6 AS eigenvalue,
+           floor(l.lam / t.tr * 1e6 + 0.5) / 1e6 AS explained_ratio
+    FROM v{p}_{iterations} v, sg{p} s, lam{p} l, tr t"""
+        for p in range(n_pc)
+    ]
+    return _pca_chain_sql(dim, n_pc, iterations) + " UNION ALL ".join(finals)
+
+
+def _pca_scores_oracle_sql(
+    dim: int = 64, n_pc: int = 2, iterations: int = 10
+) -> str:
+    """DuckDB replica of llm/pca.pca_scores_by_label: the shared
+    trajectory chain, then per component the sign-rounded vector,
+    per-row dim-ordered projection folds, micro-quantized scores, and
+    per-label exact-integer mean/variance."""
+    parts: list[str] = []
+    finals: list[str] = []
+    for p in range(n_pc):
+        parts.append(f"""
+    compfin{p} AS MATERIALIZED (
+      SELECT d, floor(val * (SELECT sg FROM sg{p}) * 1e6 + 0.5) / 1e6 AS c
+      FROM v{p}_{iterations}
+    ),
+    sc{p} AS (
+      SELECT xe.rid, xe.lb,
+             CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(xe.xv * c.c ORDER BY xe.d)),
+               (__a, __x) -> __a + __x) * 1e6 + 0.5) AS BIGINT) AS sm
+      FROM xe JOIN compfin{p} c ON xe.d = c.d
+      GROUP BY xe.rid, xe.lb
+    ),
+    ag{p} AS (
+      SELECT lb, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(sm) AS HUGEINT) AS s,
+             SUM(CAST(sm AS HUGEINT) * CAST(sm AS HUGEINT)) AS q
+      FROM sc{p} GROUP BY lb
+    )""")
+        finals.append(f"""
+    SELECT CAST({p} AS INTEGER) AS pc, lb AS label, n AS n_vectors,
+           floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) / 1e6
+             AS mean_score,
+           floor((CAST(q AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / 1e12 * 1e6 + 0.5) / 1e6 AS var_score
+    FROM ag{p}""")
+    scoring = f"""
+    xs AS MATERIALIZED (
+      SELECT vec_id AS rid, label AS lb,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               v -> floor(v * 1e6 + 0.5) / 1e6) AS xq
+      FROM embeddings
+    ),
+    xe AS MATERIALIZED (
+      SELECT rid, lb, generate_subscripts(xq, 1) - 1 AS d,
+             unnest(xq) AS xv
+      FROM xs
+    ),
+    {",".join(parts)}
+    """
+    return (
+        _pca_chain_sql(dim, n_pc, iterations)
+        + ","
+        + scoring
+        + " UNION ALL ".join(finals)
+    )
 
 
 @query("embed_pca_power", _pca_oracle_sql(64, 2, 10))
@@ -8021,6 +8087,23 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-rounded to 6 decimals."""
     return pcam.power_pca(
         _t(spark, sf_dir, "embeddings"), dim=64, n_pc=2, iterations=10
+    )
+
+
+@query("embed_pca_scores", _pca_scores_oracle_sql(64, 2, 10))
+def embed_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PCA fit CONSUMED at corpus scale: every embedding projected
+    onto the two fitted components (a pure per-row fold against the
+    broadcast 2-row component table — no shuffle, pipelined into the
+    scan) with per-label score means and variances — the class
+    structure along the principal axes, and the companion readout to
+    embed_class_separability. Scores quantize to integer micro-units
+    immediately, so the per-label statistics assemble from exact
+    integer sums; the oracle replays the full fit trajectory plus the
+    projection (llm/pca.pca_scores_by_label)."""
+    return pcam.pca_scores_by_label(
+        _t(spark, sf_dir, "embeddings"), label_col="label",
+        dim=64, n_pc=2, iterations=10,
     )
 
 

@@ -2228,3 +2228,31 @@ def test_class_separability_null_label_is_a_class(spark):
     got = {r.label: r for r in cl2.class_separability(emb, dim=2).collect()}
     assert set(got) == {None, 1}
     assert got[None].n_vectors == 2 and got[None].within_var == 0.0
+
+
+def test_pca_scores_variance_matches_eigenvalue(spark):
+    """With one label, the variance of the PC-k scores IS the k-th
+    eigenvalue (up to component rounding): the consumer query and the
+    fit agree on the spectrum. Means along each PC are ~0 for centered
+    clouds projected onto unit components."""
+    import numpy as np
+
+    from nhs_data_pipeline_spark.llm import pca as pcam2
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(150, 4) * np.array([5.0, 2.0, 0.3, 0.1])
+    q, _ = np.linalg.qr(rng.randn(4, 4))
+    x = base @ q.T
+    emb = spark.createDataFrame(
+        [(i, 0, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, label int, embedding array<float>",
+    )
+    lam = {r["pc"]: r["eigenvalue"]
+           for r in pcam2.power_pca(emb, dim=4, n_pc=2,
+                                    iterations=10).collect()}
+    got = {r["pc"]: r for r in pcam2.pca_scores_by_label(
+        emb, dim=4, n_pc=2, iterations=10).collect()}
+    for p in (0, 1):
+        assert got[p].n_vectors == 150
+        # scores are projections of NON-centered x: var is still lam
+        assert abs(got[p].var_score - lam[p]) < 2e-3, (p, got[p], lam[p])

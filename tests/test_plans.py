@@ -317,8 +317,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 226, len(QUERIES)
-    assert len(ORACLES) == 223, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 227, len(QUERIES)
+    assert len(ORACLES) == 224, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_readme_registry_tallies_match():
@@ -524,6 +524,11 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # power-iteration round (llm/pca.power_pca) — scalar-broadcast
         # shape over model-sized tables only
         "embed_pca_power",
+        # audited: inherits power_pca's scalar crosses plus the 2-row
+        # component-array table crossed into the corpus scan (a pure
+        # per-row projection fold, no shuffle)
+        # (llm/pca.pca_scores_by_label)
+        "embed_pca_scores",
         # audited: the tiny quantile-probe list (3 rows) crossed into
         # the model-sized bucket table
         # (ops/analytics.group_weighted_quantiles) — probe-broadcast
