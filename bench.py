@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "ts_autocorrelation",
     "embed_class_separability",
     "embed_pca_scores",
+    "text_ngram_novelty",
 ]
 
 

@@ -1665,3 +1665,65 @@ def weighted_jaccard_join(
     out.count()
     toks.unpersist()
     return out
+
+
+def ngram_novelty_by_source(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source n-gram novelty profile: for each document, the
+    fraction of its distinct word-bigrams that occur NOWHERE else in
+    the corpus, rolled up per source — the memorization-risk /
+    templating diagnostic (a source whose docs are mostly
+    corpus-unique bigrams contributes fresh text; one near zero is
+    recombining boilerplate the dedup family should look harder at).
+    Returns ``(source, n_docs, mean_novelty, singleton_share)`` where
+    ``singleton_share`` is the token-weighted variant
+    ``sum(unique)/sum(total)``.
+
+    Exactness: per-doc ratios are exact integer divisions
+    (``u * 1e6 div n``), the mean is one division of their exact
+    integer sum, and the share is one division of two exact sums —
+    no float accumulation (the fixed-resolution-weights rule: never
+    average pre-rounded floats, sum integers and divide once).
+
+    100 TB shape: tokenize once, ONE (bg -> df) aggregate joined back
+    on the bigram key (corpus x vocabulary — co-partitioned shuffle),
+    one doc-keyed aggregate, one source-keyed rollup. Docs with fewer
+    than two words have no bigrams and drop (documented)."""
+    toks = _bigram_tokens(df, text_col, id_col)
+    freq = toks.groupBy("bg").agg(F.count("*").alias("__df"))
+    per_doc = (
+        toks.join(freq, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("__n"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("__u"),
+        )
+        .select(
+            "doc_id",
+            "__n",
+            "__u",
+            F.expr("(__u * 1000000) div __n").alias("__rm"),
+        )
+    )
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(source_col))
+    return (
+        src.join(per_doc, "doc_id")
+        .groupBy(source_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.expr(
+                "floor(cast(sum(__rm) as double)"
+                " / cast(count(*) as double) + 0.5) / 1e6"
+            ).alias("mean_novelty"),
+            F.expr(
+                "floor(cast(sum(__u) as double)"
+                " / cast(sum(__n) as double) * 1e6 + 0.5) / 1e6"
+            ).alias("singleton_share"),
+        )
+    )

@@ -5260,6 +5260,50 @@ def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_ngram_novelty",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    bgs AS (
+      SELECT DISTINCT doc_id, w[__j] || ' ' || w[__j + 1] AS bg
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS __j
+            FROM base WHERE len(w) > 1)
+    ),
+    freq AS (SELECT bg, COUNT(*) AS df FROM bgs GROUP BY 1),
+    pd AS (
+      SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS u
+      FROM bgs b JOIN freq f ON b.bg = f.bg GROUP BY 1
+    ),
+    rm AS (SELECT doc_id, n, u, (u * 1000000) // n AS rmv FROM pd),
+    j AS (
+      SELECT d.source, r.rmv, r.n, r.u
+      FROM documents d JOIN rm r ON d.doc_id = r.doc_id
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           floor(CAST(SUM(rmv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 + 0.5) / 1e6 AS mean_novelty,
+           floor(CAST(SUM(u) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS singleton_share
+    FROM j GROUP BY 1
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram novelty: the fraction of each document's
+    distinct bigrams that occur nowhere else in the corpus, rolled up
+    per source — the memorization-risk / templating diagnostic (a
+    near-zero source is recombining boilerplate; the dedup family
+    should look harder at it). Exact integer per-doc ratios, one
+    division per aggregate — never an average of pre-rounded floats
+    (llm/dedup.ngram_novelty_by_source)."""
+    return dd.ngram_novelty_by_source(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "dedup_weighted_jaccard_join",
     """
     WITH base AS (

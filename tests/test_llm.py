@@ -2256,3 +2256,20 @@ def test_pca_scores_variance_matches_eigenvalue(spark):
         assert got[p].n_vectors == 150
         # scores are projections of NON-centered x: var is still lam
         assert abs(got[p].var_score - lam[p]) < 2e-3, (p, got[p], lam[p])
+
+
+def test_ngram_novelty_duplicates_vs_fresh(spark):
+    """A source of copy-paste docs scores ~0 novelty; a source of
+    all-fresh docs scores 1.0; integer-exact means."""
+    from nhs_data_pipeline_spark.llm import dedup as dd2
+
+    dup = "alpha beta gamma delta epsilon"
+    rows = [(i, dup, "copies") for i in range(4)]
+    rows += [(10 + i, f"x{i} y{i} z{i} w{i}", "fresh") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in dd2.ngram_novelty_by_source(df).collect()}
+    assert got["copies"].mean_novelty == 0.0
+    assert got["copies"].singleton_share == 0.0
+    assert got["fresh"].mean_novelty == 1.0
+    assert got["fresh"].singleton_share == 1.0
+    assert got["copies"].n_docs == 4 and got["fresh"].n_docs == 3

@@ -317,8 +317,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 227, len(QUERIES)
-    assert len(ORACLES) == 224, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 228, len(QUERIES)
+    assert len(ORACLES) == 225, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_readme_registry_tallies_match():
@@ -386,6 +386,11 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # (llm/dedup.ngram_overlap_scores reuses the countjoin plan on
         # a 30% deterministic sample)
         "eval_dedup_pair_overlap",
+        # audited: the novelty profile joins the (bg -> df) aggregate
+        # back on the bigram key and the per-doc table on doc_id —
+        # both corpus-scaled at 100 TB, co-partitioned shuffle correct
+        # (llm/dedup.ngram_novelty_by_source)
+        "text_ngram_novelty",
         # audited: the overlap-coefficient join is the same corpus x
         # corpus co-occurrence countjoin shape on the bigram key
         # (llm/dedup.containment_join)
