@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "embed_class_separability",
     "embed_pca_scores",
     "text_ngram_novelty",
+    "privacy_dp_counts",
 ]
 
 

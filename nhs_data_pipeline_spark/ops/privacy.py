@@ -244,3 +244,58 @@ def l_diversity_report(
             )
         ),
     )
+
+
+def dp_group_counts(
+    df: DataFrame,
+    group_col: str,
+    epsilon: float = 1.0,
+    salt: str = "dp0",
+) -> DataFrame:
+    """Differentially-private group counts via the Laplace mechanism:
+    ``count + Laplace(sensitivity / epsilon)`` with sensitivity 1 (one
+    row changes one group's count by one) — the standard
+    privacy-preserving release for per-source/per-cohort tallies that
+    k-anonymity-style suppression cannot provide a budget for.
+
+    The noise here is DETERMINISTIC seeded inverse-CDF sampling: a
+    portable md5 uniform per group (``ops/sampling.hash_bucket``, NULL
+    keys via the NUL sentinel) pushed through the Laplace quantile
+    function ``F^-1(u) = b*ln(2u)`` / ``-b*ln(2(1-u))``.  That makes
+    the mechanism REPLAYABLE (oracle-checkable, stable across rounds)
+    — the test harness for the plumbing; a production release derives
+    ``salt`` from fresh entropy per publication and drops everything
+    but ``noisy_count``.  The ln is quantized to integer micros
+    immediately (house transcendental rule), so ``noisy_micro =
+    count*1e6 + noise_micro`` is an EXACT integer cross-engine.
+
+    100 TB shape: one group-keyed aggregate; the noise is a pure
+    per-row expression on the aggregate output."""
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
+    from nhs_data_pipeline_spark.ops.sampling import hash_bucket
+
+    b = repr(1.0 / epsilon)
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__c"))
+    withu = counts.withColumn(
+        "__u",
+        (hash_bucket(F.col(group_col), salt).cast("double") + F.lit(0.5))
+        / F.lit(4294967296.0),
+    )
+    noised = withu.withColumn(
+        "__xm",
+        F.expr(
+            f"case when __u < 0.5 then"
+            f" cast(floor({b} * ln(2.0 * __u) * 1e6 + 0.5) as bigint)"
+            f" else"
+            f" cast(floor(-({b}) * ln(2.0 * (1.0 - __u)) * 1e6 + 0.5)"
+            f" as bigint) end"
+        ),
+    )
+    return noised.select(
+        group_col,
+        F.expr("__c * 1000000 + __xm").alias("noisy_micro"),
+        F.expr("cast(__c * 1000000 + __xm as double) / 1e6").alias(
+            "noisy_count"
+        ),
+    )

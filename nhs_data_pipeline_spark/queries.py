@@ -10755,6 +10755,55 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dp_counts_oracle_sql(epsilon: float = 1.0, salt: str = "dp8") -> str:
+    """DuckDB replica of ops/privacy.dp_group_counts: the same md5
+    uniform (NUL sentinel for NULL keys), the same Laplace quantile
+    with per-item micro-quantized ln — noisy_micro is an exact integer
+    in both engines."""
+    b = repr(1.0 / epsilon)
+    return f"""
+    WITH c AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS c FROM documents
+      GROUP BY 1
+    ),
+    u AS (
+      SELECT source, c,
+             (CAST(CAST(('0x' || substring(md5(
+                COALESCE(CAST(source AS VARCHAR), chr(0)) || ':{salt}'),
+                1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS u
+      FROM c
+    ),
+    x AS (
+      SELECT source, c,
+             CASE WHEN u < 0.5 THEN
+               CAST(floor({b} * ln(2.0 * u) * 1e6 + 0.5) AS BIGINT)
+             ELSE
+               CAST(floor(-({b}) * ln(2.0 * (1.0 - u)) * 1e6 + 0.5)
+                    AS BIGINT) END AS xm
+      FROM u
+    )
+    SELECT source, c * 1000000 + xm AS noisy_micro,
+           CAST(c * 1000000 + xm AS DOUBLE) / 1e6 AS noisy_count
+    FROM x
+    """
+
+
+@query("privacy_dp_counts", _dp_counts_oracle_sql(1.0, "dp8"))
+def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private per-source document counts: the Laplace
+    mechanism (sensitivity 1, epsilon 1) with deterministic seeded
+    inverse-CDF noise — the replayable test harness for the DP release
+    plumbing (a production release derives the salt from fresh entropy
+    per publication and ships only noisy_count). The md5 uniform and
+    the micro-quantized Laplace quantile make noisy_micro an exact
+    integer cross-engine (ops/privacy.dp_group_counts)."""
+    from nhs_data_pipeline_spark.ops import privacy as opv
+
+    return opv.dp_group_counts(
+        _t(spark, sf_dir, "documents"), "source", epsilon=1.0, salt="dp8"
+    )
+
+
 # ===========================================================================
 # Directional n-gram overlap metrics over a deterministic doc sample
 # ===========================================================================

@@ -317,8 +317,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 228, len(QUERIES)
-    assert len(ORACLES) == 225, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 229, len(QUERIES)
+    assert len(ORACLES) == 226, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_readme_registry_tallies_match():

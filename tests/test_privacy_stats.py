@@ -342,3 +342,60 @@ def test_psi_by_group_matches_scalar_on_single_group(spark):
     assert (grouped.n_a, grouped.n_b, grouped.n_buckets) == (
         scalar.n_a, scalar.n_b, scalar.n_buckets,
     )
+
+
+class TestDpCounts:
+    """ops/privacy.dp_group_counts — seeded Laplace mechanism."""
+
+    def test_noise_matches_python_replica_and_distribution(self, spark):
+        """Noise replays the exact inverse-CDF from the md5 uniform;
+        across many groups the noise is centered near 0 with the
+        Laplace b=1 spread."""
+        import hashlib
+        import math
+
+        from nhs_data_pipeline_spark.ops import privacy as opv2
+
+        rows = [(f"g{i}", j) for i in range(200) for j in range(3)]
+        df = spark.createDataFrame(rows, "g string, x int")
+        got = {r.g: r for r in
+               opv2.dp_group_counts(df, "g", epsilon=1.0,
+                                    salt="t1").collect()}
+        assert len(got) == 200
+        noises = []
+        for i in range(200):
+            key = f"g{i}"
+            h = int(hashlib.md5(f"{key}:t1".encode()).hexdigest()[:8], 16)
+            u = (h + 0.5) / 4294967296.0
+            if u < 0.5:
+                xm = math.floor(1.0 * math.log(2.0 * u) * 1e6 + 0.5)
+            else:
+                xm = math.floor(-1.0 * math.log(2.0 * (1.0 - u)) * 1e6 + 0.5)
+            assert got[key].noisy_micro == 3 * 1000000 + xm, key
+            noises.append(xm / 1e6)
+        mean = sum(noises) / len(noises)
+        assert abs(mean) < 0.3                       # centered
+        assert sum(1 for n in noises if abs(n) > 0.6) > 20  # real spread
+
+    def test_epsilon_scales_noise_and_validates(self, spark):
+        import pytest as _pytest
+
+        from nhs_data_pipeline_spark.ops import privacy as opv2
+
+        df = spark.createDataFrame([("a", 1)] * 5, "g string, x int")
+        n1 = opv2.dp_group_counts(df, "g", epsilon=1.0).collect()[0]
+        n10 = opv2.dp_group_counts(df, "g", epsilon=10.0).collect()[0]
+        d1, d10 = n1.noisy_count - 5, n10.noisy_count - 5
+        assert abs(d10) < abs(d1) or d1 == 0.0
+        with _pytest.raises(ValueError):
+            opv2.dp_group_counts(df, "g", epsilon=0.0)
+
+    def test_null_group_gets_noise_not_null(self, spark):
+        from nhs_data_pipeline_spark.ops import privacy as opv2
+
+        df = spark.createDataFrame(
+            [(None, 1), (None, 2), ("a", 3)], "g string, x int"
+        )
+        got = {r.g: r for r in opv2.dp_group_counts(df, "g").collect()}
+        assert got[None].noisy_micro is not None
+        assert abs(got[None].noisy_count - 2) < 10  # count 2 + Laplace(1)
