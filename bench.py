@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "embed_pca_scores",
     "text_ngram_novelty",
     "privacy_dp_counts",
+    "stats_hill_tail_index",
 ]
 
 

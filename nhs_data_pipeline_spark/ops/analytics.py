@@ -2093,3 +2093,57 @@ def group_acf(
             ).alias("acf"),
         )
     )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    value_col: str,
+    x_min: int,
+) -> DataFrame:
+    """Hill estimator of the power-law tail index over an integer
+    value column: ``alpha = 1 + n_tail / sum(ln(x_i / x_min))`` for
+    ``x_i >= x_min`` — the DENSITY exponent in the Clauset et al.
+    convention (p(x) ~ x^-alpha; the survival/CCDF exponent is
+    ``alpha - 1``) — the heavy-tail diagnostic behind skew planning
+    (degree distributions, per-key row counts, document lengths: an
+    alpha near 2 means the hottest key dominates shuffles; a large
+    alpha means the tail is benign).  One row:
+    ``(x_min, n_total, n_tail, max_value, alpha)``.
+
+    Exactness: each ``ln(x / x_min)`` quantizes to integer micros
+    immediately (house transcendental rule), the sum is an exact
+    integer, and alpha is assembled in identically-spelled double
+    arithmetic; NULL when the tail is empty or all tail values equal
+    ``x_min`` (zero log-sum).
+
+    Scale shape: one filtered aggregate + one totals aggregate,
+    scalar-broadcast crossed."""
+    if x_min <= 0:
+        raise ValueError("x_min must be positive")
+    v = F.col(value_col)
+    tail = df.filter(v >= x_min).select(
+        F.expr(
+            f"cast(floor(ln(cast({value_col} as double)"
+            f" / cast({x_min} as double)) * 1e6 + 0.5) as bigint)"
+        ).alias("__lm")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_tail"),
+        F.coalesce(F.sum("__lm"), F.lit(0)).cast("bigint").alias("__s"),
+    )
+    tot = df.filter(v.isNotNull()).agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.max(v).cast("bigint").alias("max_value"),
+    )
+    return tail.crossJoin(F.broadcast(tot)).select(
+        F.lit(x_min).cast("bigint").alias("x_min"),
+        "n_total",
+        "n_tail",
+        "max_value",
+        F.when(
+            (F.col("n_tail") > 0) & (F.col("__s") > 0),
+            F.expr(
+                "floor((1.0 + cast(n_tail as double)"
+                " / (cast(__s as double) / 1e6)) * 1e6 + 0.5) / 1e6"
+            ),
+        ).alias("alpha"),
+    )

@@ -11540,6 +11540,46 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stats_hill_tail_index",
+    """
+    WITH deg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS d FROM orders
+      GROUP BY o_custkey
+    ),
+    tail AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+             CAST(COALESCE(SUM(CAST(floor(ln(CAST(d AS DOUBLE)
+                    / CAST(15 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)), 0)
+                  AS BIGINT) AS s
+      FROM deg WHERE d >= 15
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(MAX(d) AS BIGINT) AS max_value
+      FROM deg WHERE d IS NOT NULL
+    )
+    SELECT CAST(15 AS BIGINT) AS x_min, n_total, n_tail, max_value,
+           CASE WHEN n_tail > 0 AND s > 0 THEN
+             floor((1.0 + CAST(n_tail AS DOUBLE)
+                    / (CAST(s AS DOUBLE) / 1e6)) * 1e6 + 0.5) / 1e6
+           END AS alpha
+    FROM tail CROSS JOIN tot
+    """,
+)
+def stats_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill power-law tail index of the per-customer order-count
+    distribution (x_min = 15) — the heavy-tail diagnostic behind skew
+    planning: alpha near 2 means the hottest keys dominate shuffles
+    (salt them), large alpha means the tail is benign. Per-item
+    micro-quantized ln, exact integer sum, one identically-spelled
+    closing expression (ops/analytics.hill_tail_index)."""
+    deg = _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("__d")
+    )
+    return oan.hill_tail_index(deg, "__d", x_min=15)
+
+
+@query(
     "stats_mannwhitney_u",
     """
     WITH base AS (

@@ -1468,3 +1468,37 @@ class TestGroupAcf:
                oan2.group_acf(pts, ["g"], "x", "vm", max_lag=2).collect()}
         assert got[1] == 3  # (0,1),(1,2),(4,5); (2,3),(3,4) straddle x=3
         assert got[2] == 2  # (0,2),(2,4); (3,5) needs the missing x=3
+
+
+class TestHillTailIndex:
+    """ops/analytics.hill_tail_index — power-law tail estimator."""
+
+    def test_pareto_sample_recovers_alpha(self, spark):
+        """Deterministic Pareto(alpha=2.5) quantile sample: the Hill
+        estimate lands near the true exponent."""
+        from nhs_data_pipeline_spark.ops import analytics as oan2
+
+        surv = 2.5  # survival exponent; density (Clauset) alpha = 3.5
+        n = 2000
+        # x_min 1000 keeps integer rounding from biasing ln(x/x_min)
+        vals = [int(round(1000.0 * (1.0 - (i + 0.5) / n) ** (-1.0 / surv)))
+                for i in range(n)]
+        df = spark.createDataFrame([(v,) for v in vals], "v bigint")
+        r = oan2.hill_tail_index(df, "v", x_min=1000).collect()[0]
+        assert r.n_tail > 1500
+        assert 3.3 < r.alpha < 3.7, r.alpha
+
+    def test_empty_tail_and_degenerate(self, spark):
+        import pytest as _pytest
+
+        from nhs_data_pipeline_spark.ops import analytics as oan2
+
+        df = spark.createDataFrame([(1,), (2,), (3,)], "v bigint")
+        r = oan2.hill_tail_index(df, "v", x_min=100).collect()[0]
+        assert r.n_tail == 0 and r.alpha is None
+        # all tail values == x_min: log-sum 0 -> NULL, not div0
+        d2 = spark.createDataFrame([(5,), (5,), (5,)], "v bigint")
+        r2 = oan2.hill_tail_index(d2, "v", x_min=5).collect()[0]
+        assert r2.n_tail == 3 and r2.alpha is None
+        with _pytest.raises(ValueError):
+            oan2.hill_tail_index(df, "v", x_min=0)

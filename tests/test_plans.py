@@ -317,8 +317,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 229, len(QUERIES)
-    assert len(ORACLES) == 226, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 230, len(QUERIES)
+    assert len(ORACLES) == 227, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_readme_registry_tallies_match():
@@ -483,6 +483,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # audited: the same one-row totals cross into the rank-sum
         # aggregate (ops/analytics.mann_whitney_u) — scalar-broadcast
         "stats_mannwhitney_u",
+        # audited: the one-row totals aggregate crossed into the
+        # one-row tail aggregate (ops/analytics.hill_tail_index) —
+        # scalar-broadcast shape
+        "stats_hill_tail_index",
         # audited: the one-row (min, max) score-range aggregate (the
         # rank-bucket width, binary_auc's audited shape) plus the
         # one-row positives total crossed into the curve aggregate
