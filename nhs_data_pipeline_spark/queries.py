@@ -12015,6 +12015,25 @@ def curate_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DRIVER_WINDOW = [
+    # r08 in-round rotation (6th): the second session's eight
+    # strongest new operators swap in for eight 3x+-attested entries
+    # whose families keep in-window representatives:
+    # tokenizer_bpe_merges (encode stays), text_bm25_topk
+    # (eval_retrieval_metrics stays), events_zscore_outliers
+    # (robust_outliers + ks_by_type stay), graph_pagerank_nations
+    # (hits/kcore/shortest_paths/label_prop/triangles stay),
+    # sketch_hll_portable (sketch_quantile_hist stays),
+    # dedup_span_stats (five jaccard/cdc/semantic sibs stay),
+    # sample_weighted_ares (sample_dsir_scores stays),
+    # stats_winsorize_prices (corr/cramers/ks/psi/ols stay).
+    "embed_pca_power",
+    "embed_pca_scores",
+    "embed_class_separability",
+    "events_kaplan_meier",
+    "stats_mannwhitney_u",
+    "ts_autocorrelation",
+    "dedup_containment_join",
+    "privacy_dp_counts",
     # r08 rotation (5th): the r07 verdict's twelve never-attested picks
     # (this round's strongest claims) swap in for the twelve most
     # multiply-attested entries (4-6x green r01-r07; every rotated-out
@@ -12092,22 +12111,14 @@ DRIVER_WINDOW = [
     "dedup_semantic_cells",
     "eval_classifier_auc",
     "embed_pq_topk",
-    "stats_winsorize_prices",
     "feature_quantile_normalize",
     "sketch_quantile_hist",
     "merge_incremental_agg",
     "sample_dsir_scores",
-    "sample_weighted_ares",
-    "dedup_span_stats",
     "curate_audit_panel",
-    "graph_pagerank_nations",
-    "sketch_hll_portable",
     "dedup_jaccard_exact_join",
     "embed_kmeans_fit",
-    "tokenizer_bpe_merges",
     "tokenizer_bpe_encode",
-    "text_bm25_topk",
-    "events_zscore_outliers",
 ]
 
 
