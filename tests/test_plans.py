@@ -268,10 +268,11 @@ def test_driver_window_contract():
     missing_oracles = [n for n in DRIVER_WINDOW if n not in ORACLES]
     assert not missing_oracles, missing_oracles
     for flagship in [
-        # r05 rotation: never-driver-checked flagships now in-window
-        "graph_pagerank_nations", "sketch_hll_portable",
+        # r05 rotation survivors (r08 6th rotation moved pagerank /
+        # hll_portable / bpe_merges / bm25 out — 3x+ attested, families
+        # keep in-window representatives)
         "dedup_jaccard_exact_join", "embed_kmeans_fit",
-        "tokenizer_bpe_merges", "tokenizer_bpe_encode", "text_bm25_topk",
+        "tokenizer_bpe_encode",
         # late-r05 second rotation: the session's new flagships
         "join_bloom_prefilter", "graph_triangle_count",
         "stats_ols_trend", "eval_classifier_auc",
@@ -279,9 +280,7 @@ def test_driver_window_contract():
         # (orgchange_adjust_panel rotated OUT — 5x driver-attested)
         "classifier_logreg_fit", "graph_label_propagation",
         "simhash_near_pairs", "dedup_semantic_cells", "embed_pq_topk",
-        "stats_winsorize_prices", "feature_quantile_normalize",
-        "sketch_quantile_hist", "sample_weighted_ares",
-        "events_zscore_outliers",
+        "feature_quantile_normalize", "sketch_quantile_hist",
         # r06 fourth (in-round) rotation: the session's strongest new
         # flagships (q14 and sample_stratified rotated out — families
         # keep in-window representatives)
@@ -304,6 +303,14 @@ def test_driver_window_contract():
         "embed_kcenter_coreset", "eval_precision_curve",
         "entity_phonetic_match", "contamination_semantic",
         "events_robust_outliers",
+        # r08 in-round rotation (6th): the second session's eight new
+        # operators (winsorize / zscore_outliers / weighted_ares /
+        # span_stats / pagerank / hll_portable / bpe_merges / bm25
+        # rotated out — 3x+ attested, families keep representatives)
+        "embed_pca_power", "embed_pca_scores",
+        "embed_class_separability", "events_kaplan_meier",
+        "stats_mannwhitney_u", "ts_autocorrelation",
+        "dedup_containment_join", "privacy_dp_counts",
     ]:
         assert flagship in DRIVER_WINDOW, flagship
 
