@@ -530,6 +530,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # crossed into the model-sized cell table
         # (ops/analytics.contingency_chi2) — scalar-broadcast shape
         "stats_cramers_v",
+        # audited: the 7-row literal lag table crossed into the
+        # model-sized daily point table (ops/analytics.group_acf) —
+        # probe-broadcast shape
+        "ts_autocorrelation",
         # audited: the one-row observation-end (censor time) and
         # subject-total aggregates crossed into the subject / per-day
         # duration tables (ops/analytics.kaplan_meier) —
@@ -729,6 +733,17 @@ def test_registry_no_unaudited_global_sort_windows(spark, sf_dir):
         # <= 11 rows; llm/retrieval.derived_term_queries) — same
         # audited subplan as text_bm25_topk
         "eval_retrieval_metrics",
+        # r08 audited additions: sign-canonicalization rank over the
+        # 64-row eigenvector table (llm/pca.power_pca; the scores
+        # consumer embeds the same fit subplan)
+        "embed_pca_power", "embed_pca_scores",
+        # risk-set cumulation over the per-DAY duration table
+        # (bounded by the observation window, never subjects;
+        # ops/analytics.kaplan_meier)
+        "events_kaplan_meier",
+        # midrank bucket offsets over the value-BUCKET table —
+        # ks_two_sample's audited shape (ops/analytics.mann_whitney_u)
+        "stats_mannwhitney_u",
     }
     explain_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
     pat = re.compile(r"windowspecdefinition\(([^,)]*)")
