@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "text_ngram_novelty",
     "privacy_dp_counts",
     "stats_hill_tail_index",
+    "eval_isotonic_calibration",
 ]
 
 

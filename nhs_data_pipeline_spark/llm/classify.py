@@ -668,3 +668,100 @@ def precision_threshold_curve(
     return one.select(
         F.explode(F.array(*rows)).alias("__r")
     ).select("__r.*")
+
+
+def isotonic_calibrate(
+    bins_df: DataFrame,
+    order_col: str = "bin",
+    n_col: str = "n_bin",
+    pos_col: str = "n_pos",
+    rounds: int | None = None,
+) -> DataFrame:
+    """EXACT isotonic regression (pool-adjacent-violators) over a
+    reliability table: the monotone calibration map every production
+    classifier release fits after training — raw bucket rates are
+    noisy and non-monotone; PAV pools adjacent violating buckets until
+    rates are non-decreasing in score, giving the least-squares
+    monotone fit.  Input: ``(order_col, n, pos)``, one row per score
+    bucket.  Output per ORIGINAL bucket:
+    ``(bin, n_bin, n_pos, raw_rate, iso_num, iso_den, iso_rate)``
+    where ``iso_num/iso_den`` is the pooled rate as an EXACT integer
+    rational.
+
+    The loop is pure INTEGER arithmetic: violator checks cross-
+    multiply pooled sums (``sy_prev * sw_cur > sy_cur * sw_prev`` in
+    DECIMAL(38,0) — never a float mean), whole violating chains merge
+    per round via a kept-boundary prefix count, and ``rounds``
+    defaults to ``bins - 1`` (each round removes >= 1 boundary if any
+    violation remains, so that is guaranteed convergence, and stable
+    rounds are idempotent).  The trajectory therefore replays
+    bit-identically in any engine (oracle: unrolled CTE rounds — the
+    kmeans pattern).
+
+    Scale shape: the input is already model-sized (<= bins rows); every
+    round is three tiny aggregates/windows, localCheckpoint per round
+    (the iterative-loop lineage rule).  The corpus-scale work — the
+    scored aggregate feeding ``bins_df`` — happens before this op."""
+    D = "decimal(38,0)"
+    st = bins_df.select(
+        F.col(order_col).cast("bigint").alias("bin"),
+        F.col(n_col).cast("bigint").alias("__n"),
+        F.col(pos_col).cast("bigint").alias("__p"),
+        F.col(order_col).cast("bigint").alias("__seg"),
+    )
+    n_rounds = rounds
+    if n_rounds is None:
+        n_rounds = max(int(bins_df.count()) - 1, 0)
+    w = Window.orderBy("__seg")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+
+    def _seg_sums(state: DataFrame) -> DataFrame:
+        return state.groupBy("__seg").agg(
+            F.sum("__n").cast("bigint").alias("__sw"),
+            F.sum("__p").cast("bigint").alias("__sy"),
+        )
+
+    for _ in range(n_rounds):
+        sg = _seg_sums(st)
+        bd = sg.select(
+            "__seg",
+            F.when(
+                F.lag(F.col("__sy").cast(D)).over(w)
+                * F.col("__sw").cast(D)
+                > F.col("__sy").cast(D)
+                * F.lag(F.col("__sw").cast(D)).over(w),
+                F.lit(0),
+            )
+            .otherwise(F.lit(1))
+            .alias("__ng"),
+        )
+        gp = bd.withColumn("__gid", F.sum("__ng").over(wcum))
+        ld = gp.groupBy("__gid").agg(F.min("__seg").alias("__leader"))
+        st = (
+            st.join(F.broadcast(gp.select("__seg", "__gid")), "__seg")
+            .join(F.broadcast(ld), "__gid")
+            .select(
+                "bin", "__n", "__p", F.col("__leader").alias("__seg")
+            )
+        )
+        st = st.localCheckpoint(eager=False)
+        st.count()
+
+    fin = _seg_sums(st)
+    return (
+        st.join(F.broadcast(fin), "__seg")
+        .select(
+            "bin",
+            F.col("__n").alias("n_bin"),
+            F.col("__p").alias("n_pos"),
+            (
+                F.col("__p").cast("double") / F.col("__n").cast("double")
+            ).alias("raw_rate"),
+            F.col("__sy").alias("iso_num"),
+            F.col("__sw").alias("iso_den"),
+            F.expr(
+                "floor(cast(__sy as double) / cast(__sw as double)"
+                " * 1e6 + 0.5) / 1e6"
+            ).alias("iso_rate"),
+        )
+    )

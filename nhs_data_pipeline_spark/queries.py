@@ -9280,6 +9280,126 @@ def eval_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clf.calibration_bins(lab, "conf", "pos", bins=10)
 
 
+def _isotonic_oracle_sql(rounds: int = 9) -> str:
+    """DuckDB replica of llm/classify.isotonic_calibrate over the same
+    scored reliability buckets as eval_classifier_calibration: the
+    shared conf/label chain, then ``rounds`` unrolled PAV rounds —
+    integer cross-multiplied violator checks, kept-boundary prefix
+    grouping, min-seg leaders — the kmeans unrolled-trajectory
+    pattern."""
+    rows: list[str] = []
+    for t in range(rounds):
+        rows.append(f"""
+    sg{t} AS (
+      SELECT seg, CAST(SUM(n) AS BIGINT) AS sw,
+             CAST(SUM(p) AS BIGINT) AS sy
+      FROM st{t} GROUP BY seg
+    ),
+    bd{t} AS (
+      SELECT seg,
+             CASE WHEN lag(CAST(sy AS HUGEINT)) OVER (ORDER BY seg)
+                       * CAST(sw AS HUGEINT)
+                       > CAST(sy AS HUGEINT)
+                       * lag(CAST(sw AS HUGEINT)) OVER (ORDER BY seg)
+                  THEN 0 ELSE 1 END AS ng
+      FROM sg{t}
+    ),
+    gp{t} AS (
+      SELECT seg, SUM(ng) OVER (ORDER BY seg
+               ROWS UNBOUNDED PRECEDING) AS gid
+      FROM bd{t}
+    ),
+    ld{t} AS (SELECT gid, MIN(seg) AS leader FROM gp{t} GROUP BY gid),
+    st{t + 1} AS MATERIALIZED (
+      SELECT s.bin, s.n, s.p, l.leader AS seg
+      FROM st{t} s JOIN gp{t} gg ON s.seg = gg.seg
+                   JOIN ld{t} l ON gg.gid = l.gid
+    )""")
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(string_split({_NORM_SQL}, ' '), __t -> __t <> '') AS w
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, unnest(w) AS tok FROM base WHERE len(w) > 0
+    ),
+    wts AS (
+      SELECT doc_id,
+             (((({_hex60_sql('tok')}) % 1024) * 2654435761 + 12345) % 1000001) AS k
+      FROM toks
+    ),
+    sc AS MATERIALIZED (
+      SELECT doc_id, CAST(SUM(k) // COUNT(*) AS BIGINT) AS conf
+      FROM wts GROUP BY doc_id
+    ),
+    lab AS MATERIALIZED (
+      SELECT sc.conf,
+             CASE WHEN COALESCE(d.lang, '') = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents d JOIN sc USING (doc_id)
+    ),
+    st0 AS MATERIALIZED (
+      SELECT LEAST(conf // 100000, 9) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS p,
+             LEAST(conf // 100000, 9) AS seg
+      FROM lab GROUP BY 1
+    ),
+    {",".join(rows)},
+    fin AS (
+      SELECT seg, CAST(SUM(n) AS BIGINT) AS sw,
+             CAST(SUM(p) AS BIGINT) AS sy
+      FROM st{rounds} GROUP BY seg
+    )
+    SELECT s.bin, s.n AS n_bin, s.p AS n_pos,
+           CAST(s.p AS DOUBLE) / CAST(s.n AS DOUBLE) AS raw_rate,
+           f.sy AS iso_num, f.sw AS iso_den,
+           floor(CAST(f.sy AS DOUBLE) / CAST(f.sw AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS iso_rate
+    FROM st{rounds} s JOIN fin f ON s.seg = f.seg
+    """
+
+
+@query("eval_isotonic_calibration", _isotonic_oracle_sql(9))
+def eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT isotonic (PAV) calibration of the hashed quality scorer's
+    reliability diagram: adjacent score buckets whose positive rates
+    violate monotonicity pool until the calibration map is
+    non-decreasing — the production recalibration step after
+    eval_classifier_calibration measures the miscalibration. The PAV
+    loop is pure integer arithmetic over the 10-row bucket table
+    (cross-multiplied violator checks, chain merging via kept-boundary
+    prefix counts), so the whole trajectory replays bit-identically;
+    pooled rates ship as exact integer rationals plus one floor-
+    rounded division (llm/classify.isotonic_calibrate)."""
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toks = tx.explode_terms(docs.repartition(par), "text", "doc_id").select(
+        F.col("doc_id"), F.col("term").alias("__tok")
+    )
+    k = clf.bucket_weight_millionths(
+        F.pmod(F.expr(dd._MD5_H60.format(x="__tok")), F.lit(1024))
+    )
+    per_doc = (
+        toks.select("doc_id", k.alias("__k"))
+        .groupBy("doc_id")
+        .agg(F.expr("sum(__k) div count(*)").alias("conf"))
+    )
+    lab = per_doc.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "conf",
+        (F.coalesce(F.col("lang"), F.lit("")) == "en")
+        .cast("int")
+        .alias("pos"),
+    )
+    bins = lab.groupBy(
+        F.least(F.expr("conf div 100000"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_bin"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+    )
+    return clf.isotonic_calibrate(bins, "bin", "n_bin", "n_pos", rounds=9)
+
+
 _AUC_ORACLE_SQL = f"""
     WITH base AS MATERIALIZED (
       SELECT doc_id,

@@ -2273,3 +2273,61 @@ def test_ngram_novelty_duplicates_vs_fresh(spark):
     assert got["fresh"].mean_novelty == 1.0
     assert got["fresh"].singleton_share == 1.0
     assert got["copies"].n_docs == 4 and got["fresh"].n_docs == 3
+
+
+class TestIsotonicCalibrate:
+    """llm/classify.isotonic_calibrate — exact PAV."""
+
+    @staticmethod
+    def _bins(spark, rates):
+        # equal-weight buckets: (bin, n=10, pos=rate*10)
+        rows = [(i, 10, int(r * 10)) for i, r in enumerate(rates)]
+        return spark.createDataFrame(
+            rows, "bin bigint, n_bin bigint, n_pos bigint"
+        )
+
+    def test_textbook_pooling(self, spark):
+        """[0.1, 0.3, 0.2, 0.5]: buckets 1,2 violate and pool to 0.25;
+        ends untouched."""
+        from nhs_data_pipeline_spark.llm import classify as clf2
+
+        out = {r.bin: r for r in clf2.isotonic_calibrate(
+            self._bins(spark, [0.1, 0.3, 0.2, 0.5])).collect()}
+        assert out[0].iso_rate == 0.1
+        assert out[1].iso_rate == 0.25 and out[2].iso_rate == 0.25
+        assert out[1].iso_num == 5 and out[1].iso_den == 20
+        assert out[3].iso_rate == 0.5
+
+    def test_fully_decreasing_pools_to_global(self, spark):
+        from nhs_data_pipeline_spark.llm import classify as clf2
+
+        out = clf2.isotonic_calibrate(
+            self._bins(spark, [0.9, 0.7, 0.5, 0.3])).collect()
+        assert {r.iso_rate for r in out} == {0.6}
+        assert {(r.iso_num, r.iso_den) for r in out} == {(24, 40)}
+
+    def test_monotone_input_unchanged_and_chain(self, spark):
+        """Already-monotone stays; a 3-chain [0.6,0.5,0.4,0.7] pools
+        the first three to 0.5 (sklearn-verified shape)."""
+        from nhs_data_pipeline_spark.llm import classify as clf2
+
+        mono = clf2.isotonic_calibrate(
+            self._bins(spark, [0.1, 0.2, 0.2, 0.8])).collect()
+        for r in mono:
+            assert r.iso_rate == r.n_pos / r.n_bin
+        chain = {r.bin: r.iso_rate for r in clf2.isotonic_calibrate(
+            self._bins(spark, [0.6, 0.5, 0.4, 0.7])).collect()}
+        assert chain[0] == chain[1] == chain[2] == 0.5
+        assert chain[3] == 0.7
+
+    def test_unequal_weights(self, spark):
+        """Weighted pool: (n=2,pos=2 rate 1.0) then (n=8,pos=0): pool
+        -> 2/10."""
+        from nhs_data_pipeline_spark.llm import classify as clf2
+
+        df = spark.createDataFrame(
+            [(0, 2, 2), (1, 8, 0)], "bin bigint, n_bin bigint, n_pos bigint"
+        )
+        out = {r.bin: r for r in clf2.isotonic_calibrate(df).collect()}
+        assert out[0].iso_rate == out[1].iso_rate == 0.2
+        assert out[0].iso_num == 2 and out[0].iso_den == 10

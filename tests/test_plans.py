@@ -324,8 +324,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 230, len(QUERIES)
-    assert len(ORACLES) == 227, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 231, len(QUERIES)
+    assert len(ORACLES) == 228, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_readme_registry_tallies_match():
@@ -744,6 +744,9 @@ def test_registry_no_unaudited_global_sort_windows(spark, sf_dir):
         # midrank bucket offsets over the value-BUCKET table —
         # ks_two_sample's audited shape (ops/analytics.mann_whitney_u)
         "stats_mannwhitney_u",
+        # PAV boundary/grouping windows over the <= 10-row segment
+        # table each round (llm/classify.isotonic_calibrate)
+        "eval_isotonic_calibration",
     }
     explain_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
     pat = re.compile(r"windowspecdefinition\(([^,)]*)")
