@@ -183,6 +183,7 @@ BENCH_QUERIES = [
     "privacy_dp_counts",
     "stats_hill_tail_index",
     "eval_isotonic_calibration",
+    "stats_spearman_drift",
 ]
 
 

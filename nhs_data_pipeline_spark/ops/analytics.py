@@ -2147,3 +2147,102 @@ def hill_tail_index(
             ),
         ).alias("alpha"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_int_col: str,
+    y_int_col: str,
+    bucket_width: int = 1 << 16,
+) -> DataFrame:
+    """Exact Spearman rank correlation between two integer-quantized
+    columns: Pearson's formula over midranks — the monotone-trend
+    test that sees what Pearson misses (any nonlinear but monotone
+    drift) and shrugs at outliers.  One row ``(n, rho_spearman)``.
+
+    Exactness: midranks stay integer by working in DOUBLED ranks
+    (``2*prior + t + 1`` at a value with ``t`` ties — the
+    mann_whitney_u device); every moment (sums, squares, cross
+    products of doubled ranks) accumulates in DECIMAL(38,0) —
+    ``sum((2r)^2) <= 4n^3`` holds to n ~ 1e11 rows — and the closing
+    formula assembles from those exact integers in identically-
+    spelled double arithmetic, floor-rounded to 6 dp.
+
+    Scale shape: per column, one (value -> count) aggregate, the
+    bucketed two-pass cumulation (offsets over the model-sized bucket
+    table), and a rank LOOKUP join back on the value key (the
+    quantile_normalize audited corpus-x-distinct shape); then ONE
+    moment aggregate.  NULL rows in either column are excluded
+    pairwise."""
+    D = "decimal(38,0)"
+    base = df.filter(
+        F.col(x_int_col).isNotNull() & F.col(y_int_col).isNotNull()
+    ).select(F.col(x_int_col).alias("__x"), F.col(y_int_col).alias("__y"))
+
+    def _rank2(col: str, out: str) -> DataFrame:
+        g = base.groupBy(col).agg(F.count("*").cast(D).alias("__c"))
+        b = g.withColumn("__b", (F.col(col) / bucket_width).cast("bigint"))
+        counts = b.groupBy("__b").agg(F.sum("__c").alias("__bc"))
+        woff = Window.orderBy("__b").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offs = counts.select(
+            "__b",
+            F.coalesce(F.sum("__bc").over(woff), F.lit(0).cast(D)).alias(
+                "__off"
+            ),
+        )
+        wb = (
+            Window.partitionBy("__b")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return (
+            b.join(F.broadcast(offs), "__b")
+            .select(
+                col,
+                (
+                    F.lit(2).cast(D)
+                    * (
+                        F.col("__off")
+                        + F.coalesce(
+                            F.sum("__c").over(wb), F.lit(0).cast(D)
+                        )
+                    )
+                    + F.col("__c")
+                    + F.lit(1).cast(D)
+                ).alias(out),
+            )
+        )
+
+    rx = _rank2("__x", "__rx")
+    ry = _rank2("__y", "__ry")
+    ranked = base.join(rx, "__x").join(ry, "__y")
+    m = ranked.agg(
+        F.count("*").cast(D).alias("__n"),
+        F.sum("__rx").alias("__sx"),
+        F.sum("__ry").alias("__sy"),
+        F.sum(F.col("__rx") * F.col("__rx")).alias("__sxx"),
+        F.sum(F.col("__ry") * F.col("__ry")).alias("__syy"),
+        F.sum(F.col("__rx") * F.col("__ry")).alias("__sxy"),
+    )
+    num = (
+        F.col("__n").cast("double") * F.col("__sxy").cast("double")
+        - F.col("__sx").cast("double") * F.col("__sy").cast("double")
+    )
+    dx = (
+        F.col("__n").cast("double") * F.col("__sxx").cast("double")
+        - F.col("__sx").cast("double") * F.col("__sx").cast("double")
+    )
+    dy = (
+        F.col("__n").cast("double") * F.col("__syy").cast("double")
+        - F.col("__sy").cast("double") * F.col("__sy").cast("double")
+    )
+    return m.select(
+        F.col("__n").cast("bigint").alias("n"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            F.floor(num / F.sqrt(dx * dy) * F.lit(1e6) + F.lit(0.5))
+            / F.lit(1e6),
+        ).alias("rho_spearman"),
+    )

@@ -11660,6 +11660,76 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stats_spearman_drift",
+    # independently-written oracle: DuckDB derives the midranks from
+    # its own global cumulation (ranks are construction-independent
+    # exact integers), then the identical closing double sequence
+    """
+    WITH base AS MATERIALIZED (
+      SELECT CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS x,
+             epoch_us(ts) AS y
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    gx AS (SELECT x, CAST(COUNT(*) AS HUGEINT) AS c FROM base GROUP BY x),
+    rx AS MATERIALIZED (
+      SELECT x, 2 * COALESCE(SUM(c) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + c + 1 AS r2
+      FROM gx
+    ),
+    gy AS (SELECT y, CAST(COUNT(*) AS HUGEINT) AS c FROM base GROUP BY y),
+    ry AS MATERIALIZED (
+      SELECT y, 2 * COALESCE(SUM(c) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + c + 1 AS r2
+      FROM gy
+    ),
+    j AS (
+      SELECT rx.r2 AS rxv, ry.r2 AS ryv
+      FROM base JOIN rx ON base.x = rx.x JOIN ry ON base.y = ry.y
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(rxv) AS sx,
+             SUM(ryv) AS sy, SUM(rxv * rxv) AS sxx,
+             SUM(ryv * ryv) AS syy, SUM(rxv * ryv) AS sxy
+      FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+      CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+            AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0 THEN
+        floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+              * 1e6 + 0.5) / 1e6 END AS rho_spearman
+    FROM m
+    """,
+)
+def stats_spearman_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rank correlation between event value and event
+    time — the rank-based monotone-drift test (sees any monotone
+    trend Pearson's linear form misses; immune to outliers). Doubled
+    midranks stay integer under ties, every moment accumulates in
+    DECIMAL(38,0), and the closing formula assembles from exact
+    integers in identically-spelled doubles. Ranks come from the
+    bucketed two-pass cumulation + a rank lookup join on the value
+    key — no global window over the data
+    (ops/analytics.spearman_corr)."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    base = ev.select(
+        F.expr("cast(floor(value * 1e6 + 0.5) as bigint)").alias("__xv"),
+        F.unix_micros(F.col("ts")).alias("__yv"),
+    )
+    return oan.spearman_corr(base, "__xv", "__yv")
+
+
+@query(
     "stats_hill_tail_index",
     """
     WITH deg AS (

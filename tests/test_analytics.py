@@ -1502,3 +1502,45 @@ class TestHillTailIndex:
         assert r2.n_tail == 3 and r2.alpha is None
         with _pytest.raises(ValueError):
             oan2.hill_tail_index(df, "v", x_min=0)
+
+
+class TestSpearman:
+    """ops/analytics.spearman_corr — exact midrank Spearman."""
+
+    def test_perfect_monotone_nonlinear(self, spark):
+        """y = x^3 (nonlinear, monotone): Pearson < 1 but Spearman
+        exactly 1; reversed sign gives exactly -1."""
+        from nhs_data_pipeline_spark.ops import analytics as oan2
+
+        rows = [(x, x ** 3) for x in range(1, 40)]
+        df = spark.createDataFrame(rows, "a bigint, b bigint")
+        r = oan2.spearman_corr(df, "a", "b").collect()[0]
+        assert r.n == 39 and r.rho_spearman == 1.0
+        neg = spark.createDataFrame(
+            [(x, -(x ** 3)) for x in range(1, 40)], "a bigint, b bigint"
+        )
+        assert oan2.spearman_corr(neg, "a", "b").collect()[0].rho_spearman == -1.0
+
+    def test_ties_match_scipy(self, spark):
+        from nhs_data_pipeline_spark.ops import analytics as oan2
+
+        a = [1, 2, 2, 3, 3, 3, 4, 10, 10, 5]
+        b = [2, 1, 3, 3, 5, 4, 4, 9, 12, 7]
+        df = spark.createDataFrame(list(zip(a, b)), "a bigint, b bigint")
+        r = oan2.spearman_corr(df, "a", "b").collect()[0]
+        try:
+            from scipy.stats import spearmanr
+        except Exception:
+            assert 0.5 < r.rho_spearman < 1.0
+            return
+        exp = spearmanr(a, b).statistic
+        assert abs(r.rho_spearman - exp) < 2e-6, (r.rho_spearman, exp)
+
+    def test_constant_column_null(self, spark):
+        from nhs_data_pipeline_spark.ops import analytics as oan2
+
+        df = spark.createDataFrame(
+            [(1, 5), (2, 5), (3, 5)], "a bigint, b bigint"
+        )
+        r = oan2.spearman_corr(df, "a", "b").collect()[0]
+        assert r.rho_spearman is None

@@ -324,8 +324,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 231, len(QUERIES)
-    assert len(ORACLES) == 228, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 232, len(QUERIES)
+    assert len(ORACLES) == 229, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_readme_registry_tallies_match():
@@ -479,6 +479,11 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # both corpus x corpus — shuffle joins are the correct plan;
         # AQE broadcasts at gate scale (ops/analytics.quantile_normalize)
         "feature_quantile_normalize",
+        # audited: the same rank-lookup shape twice — each column's
+        # midrank table joins back on the value key (corpus x
+        # distinct-values; AQE broadcasts at gate scale)
+        # (ops/analytics.spearman_corr)
+        "stats_spearman_drift",
     }
     # audited: broadcast one-row scalar aggregates (cross joins) and
     # the broadcast-query-side != join of exact top-k
