@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "stats_hill_tail_index",
     "eval_isotonic_calibration",
     "stats_spearman_drift",
+    "events_mannwhitney_by_type",
 ]
 
 

@@ -2246,3 +2246,135 @@ def spearman_corr(
             / F.lit(1e6),
         ).alias("rho_spearman"),
     )
+
+
+def mann_whitney_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    value_int_col: str,
+    side_col: str,
+    side_a,
+    side_b,
+    bucket_width: int = 1 << 16,
+) -> DataFrame:
+    """Per-group exact Mann-Whitney U — :func:`mann_whitney_u`
+    stratified by segment (the A/B-readout shape: WHICH segment's
+    value distribution shifted between cohorts, and by how much?):
+    one row per group ``(*group_cols, n_a, n_b, u_a, auc_effect,
+    z_approx)``.  The location-test companion to :func:`ks_by_group`'s
+    shape test; ``auc_effect`` is the per-segment common-language
+    effect size.
+
+    Same exactness recipe (doubled midranks, DECIMAL(38,0) rank sums,
+    tie-corrected z); the cumulation windows are PARTITIONED by
+    (group, value-bucket), offsets run over the model-sized per-group
+    bucket table, totals join back NULL-safely (NULL group keys are
+    legal groups), and an empty side yields NULL u/auc/z."""
+    from nhs_data_pipeline_spark.ops.sketch import _ns_join
+
+    v = F.col(value_int_col)
+    D = "decimal(38,0)"
+    base = df.filter(
+        v.isNotNull() & F.col(side_col).isin([side_a, side_b])
+    )
+    g = base.groupBy(*group_cols, value_int_col).agg(
+        F.sum(F.when(F.col(side_col) == side_a, 1).otherwise(0))
+        .cast(D).alias("__ca"),
+        F.sum(F.when(F.col(side_col) == side_b, 1).otherwise(0))
+        .cast(D).alias("__cb"),
+    )
+    tot = base.groupBy(*group_cols).agg(
+        F.sum(F.when(F.col(side_col) == side_a, 1).otherwise(0))
+        .cast(D).alias("__na"),
+        F.sum(F.when(F.col(side_col) == side_b, 1).otherwise(0))
+        .cast(D).alias("__nb"),
+    )
+    bucketed = g.withColumn("__b", (v / bucket_width).cast("bigint"))
+    counts = bucketed.groupBy(*group_cols, "__b").agg(
+        F.sum(F.col("__ca") + F.col("__cb")).alias("__bt")
+    )
+    woff = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *group_cols,
+        "__b",
+        F.coalesce(F.sum("__bt").over(woff), F.lit(0).cast(D)).alias(
+            "__off"
+        ),
+    )
+    wb = (
+        Window.partitionBy(*group_cols, "__b")
+        .orderBy(value_int_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_value = _ns_join(
+        bucketed, offsets, group_cols + ["__b"], broadcast_right=True
+    ).select(
+        *group_cols,
+        "__ca",
+        "__cb",
+        (
+            F.lit(2).cast(D)
+            * (
+                F.col("__off")
+                + F.coalesce(
+                    F.sum(F.col("__ca") + F.col("__cb")).over(wb),
+                    F.lit(0).cast(D),
+                )
+            )
+            + F.col("__ca") + F.col("__cb") + F.lit(1).cast(D)
+        ).alias("__mr2"),
+        (F.col("__ca") + F.col("__cb")).alias("__t"),
+    )
+    agg = per_value.groupBy(*group_cols).agg(
+        F.sum(F.col("__ca") * F.col("__mr2")).alias("__r2a"),
+        F.sum(
+            F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")
+        ).alias("__tcor"),
+    )
+    out = _ns_join(agg, tot, group_cols, broadcast_right=True).select(
+        *group_cols,
+        F.col("__na").cast("bigint").alias("n_a"),
+        F.col("__nb").cast("bigint").alias("n_b"),
+        (
+            (
+                F.col("__r2a")
+                - F.col("__na") * (F.col("__na") + F.lit(1).cast(D))
+            ).cast("double")
+            / F.lit(2.0)
+        ).alias("__ua"),
+        F.col("__na").cast("double").alias("__nad"),
+        F.col("__nb").cast("double").alias("__nbd"),
+        F.col("__tcor").cast("double").alias("__tc"),
+    )
+    n = F.col("__nad") + F.col("__nbd")
+    var = (
+        F.col("__nad") * F.col("__nbd") / F.lit(12.0)
+        * ((n + F.lit(1.0)) - F.col("__tc") / (n * (n - F.lit(1.0))))
+    )
+    return out.select(
+        *group_cols,
+        "n_a",
+        "n_b",
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), F.col("__ua"))
+        .alias("u_a"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.expr(
+                "floor(__ua / (__nad * __nbd) * 1e6 + 0.5) / 1e6"
+            ),
+        ).alias("auc_effect"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var > 0),
+            F.floor(
+                (F.col("__ua") - F.col("__nad") * F.col("__nbd") / F.lit(2.0))
+                / F.sqrt(var)
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6),
+        ).alias("z_approx"),
+    )

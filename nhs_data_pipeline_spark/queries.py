@@ -11493,6 +11493,77 @@ def events_ks_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_mannwhitney_by_type",
+    """
+    WITH base AS (
+      SELECT event_type AS g,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ia,
+             CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS ib
+      FROM events
+      WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ),
+    gg AS (
+      SELECT g, v, CAST(SUM(ia) AS HUGEINT) AS ca,
+             CAST(SUM(ib) AS HUGEINT) AS cb
+      FROM base GROUP BY g, v
+    ),
+    pv AS (
+      SELECT g, ca, cb,
+             2 * COALESCE(SUM(ca + cb) OVER (PARTITION BY g ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + ca + cb + 1 AS mr2,
+             ca + cb AS t
+      FROM gg
+    ),
+    ag AS (
+      SELECT g, SUM(ca * mr2) AS r2a, SUM(t * t * t - t) AS tcor
+      FROM pv GROUP BY g
+    ),
+    tt AS (SELECT g, CAST(SUM(ia) AS HUGEINT) AS na,
+                  CAST(SUM(ib) AS HUGEINT) AS nb FROM base GROUP BY g),
+    fin AS (
+      SELECT a.g, CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+             CAST(a.r2a - t.na * (t.na + 1) AS DOUBLE) / 2.0 AS ua,
+             CAST(t.na AS DOUBLE) AS nad, CAST(t.nb AS DOUBLE) AS nbd,
+             CAST(a.tcor AS DOUBLE) AS tc
+      FROM ag a JOIN tt t ON a.g IS NOT DISTINCT FROM t.g
+    )
+    SELECT g AS event_type, n_a, n_b,
+      CASE WHEN n_a > 0 AND n_b > 0 THEN ua END AS u_a,
+      CASE WHEN n_a > 0 AND n_b > 0 THEN
+        floor(ua / (nad * nbd) * 1e6 + 0.5) / 1e6 END AS auc_effect,
+      CASE WHEN n_a > 0 AND n_b > 0 AND
+           (nad * nbd / 12.0 * ((nad + nbd + 1.0)
+             - tc / ((nad + nbd) * (nad + nbd - 1.0)))) > 0 THEN
+        floor((ua - nad * nbd / 2.0)
+              / sqrt(nad * nbd / 12.0 * ((nad + nbd + 1.0)
+                     - tc / ((nad + nbd) * (nad + nbd - 1.0))))
+              * 1e6 + 0.5) / 1e6 END AS z_approx
+    FROM fin
+    """,
+)
+def events_mannwhitney_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type exact Mann-Whitney U between the even and odd
+    user cohorts — the segmented LOCATION test beside
+    events_ks_by_type's segmented shape test, with the per-segment
+    common-language effect size (AUC) and tie-corrected z. Doubled
+    midranks, DECIMAL(38,0) rank sums, (group, bucket)-partitioned
+    cumulation, NULL-safe totals join
+    (ops/analytics.mann_whitney_by_group)."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        "event_type",
+        F.expr("cast(floor(value * 1e6 + 0.5) as bigint)").alias("__v"),
+        (F.col("user_id") % 2).cast("int").alias("__cohort"),
+    )
+    return oan.mann_whitney_by_group(
+        ev, ["event_type"], "__v", "__cohort", 0, 1
+    )
+
+
+@query(
     "stats_rate_wilson_ci",
     """
     WITH agg AS (

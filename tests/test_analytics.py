@@ -1544,3 +1544,31 @@ class TestSpearman:
         )
         r = oan2.spearman_corr(df, "a", "b").collect()[0]
         assert r.rho_spearman is None
+
+
+def test_mannwhitney_by_group_matches_global_and_isolates(spark):
+    """Each group's row equals the global op run on that slice; a
+    shifted group shows auc > 0.5 while an identical group sits at
+    exactly 0.5; NULL group keys are legal groups."""
+    from nhs_data_pipeline_spark.ops import analytics as oan2
+
+    rows = []
+    rows += [("shift", v, "A") for v in range(20, 40)]
+    rows += [("shift", v, "B") for v in range(0, 20)]
+    rows += [("same", v, "A") for v in range(10)]
+    rows += [("same", v, "B") for v in range(10)]
+    rows += [(None, v, "A") for v in (1, 2)]
+    rows += [(None, v, "B") for v in (1, 3)]
+    df = spark.createDataFrame(rows, "g string, v bigint, s string")
+    got = {r.g: r for r in oan2.mann_whitney_by_group(
+        df, ["g"], "v", "s", "A", "B").collect()}
+    assert got["shift"].auc_effect == 1.0
+    assert got["same"].auc_effect == 0.5
+    assert None in got and got[None].n_a == 2
+    for gname in ("shift", "same"):
+        sub = df.filter(
+            f"g = '{gname}'" if gname else "g is null"
+        )
+        glob = oan2.mann_whitney_u(sub, "v", "s", "A", "B").collect()[0]
+        assert glob.u_a == got[gname].u_a
+        assert glob.auc_effect == got[gname].auc_effect

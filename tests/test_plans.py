@@ -324,8 +324,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 232, len(QUERIES)
-    assert len(ORACLES) == 229, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 233, len(QUERIES)
+    assert len(ORACLES) == 230, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_readme_registry_tallies_match():
