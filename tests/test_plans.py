@@ -752,6 +752,10 @@ def test_registry_no_unaudited_global_sort_windows(spark, sf_dir):
         # PAV boundary/grouping windows over the <= 10-row segment
         # table each round (llm/classify.isotonic_calibrate)
         "eval_isotonic_calibration",
+        # the two per-column bucket-offset windows of the midrank
+        # cumulation — each runs over the model-sized value-BUCKET
+        # table (ops/analytics.spearman_corr; ks_two_sample's shape)
+        "stats_spearman_drift",
     }
     explain_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
     pat = re.compile(r"windowspecdefinition\(([^,)]*)")
