@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "eval_isotonic_calibration",
     "stats_spearman_drift",
     "events_mannwhitney_by_type",
+    "events_km_by_cohort",
 ]
 
 

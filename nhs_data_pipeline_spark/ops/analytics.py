@@ -2378,3 +2378,128 @@ def mann_whitney_by_group(
             / F.lit(1e6),
         ).alias("z_approx"),
     )
+
+
+def kaplan_meier_by_group(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    start_type: str = "signup",
+    event_type: str = "purchase",
+) -> DataFrame:
+    """Kaplan-Meier survival curves stratified by SIGNUP-YEAR cohort —
+    the standard retention readout (does this year's cohort convert
+    faster than last year's?): :func:`kaplan_meier`'s exact recipe
+    with every window PARTITIONED by cohort and per-cohort totals
+    joined back NULL-safely.  Returns one row per (cohort, event
+    time): ``(cohort, dur_days, n_risk, d_events, c_censored,
+    log_surv_micro, survival)``.
+
+    Same exactness contract: integer micro-second durations, integer
+    risk sets over the MODEL-sized (cohort, day) table, micro-
+    quantized ln terms summed exactly, all-die times carried as exact
+    zero.  Censoring is at the GLOBAL observation end (one scalar
+    cross) — cohorts share the calendar."""
+    ev = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        F.col(type_col).alias("__et"),
+    )
+    cmax = ev.agg(F.max(F.unix_micros(F.col("__ts"))).alias("__cmax"))
+    starts = (
+        ev.filter(F.col("__et") == start_type)
+        .groupBy("__u")
+        .agg(F.min(F.unix_micros(F.col("__ts"))).alias("__t0"))
+        .withColumn("__coh", F.year(F.timestamp_micros(F.col("__t0"))))
+    )
+    hits = (
+        ev.filter(F.col("__et") == event_type)
+        .select("__u", F.unix_micros(F.col("__ts")).alias("__tp"))
+        .join(starts.select("__u", "__t0"), "__u")
+        .filter(F.col("__tp") >= F.col("__t0"))
+        .groupBy("__u")
+        .agg(F.min("__tp").alias("__te"))
+    )
+    subj = (
+        starts.join(hits, "__u", "left")
+        .crossJoin(F.broadcast(cmax))
+        .select(
+            F.col("__coh"),
+            F.expr(
+                "cast((coalesce(__te, __cmax) - __t0) div 86400000000"
+                " as bigint)"
+            ).alias("__dur"),
+            F.when(F.col("__te").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("__obs"),
+        )
+    )
+    day = subj.groupBy("__coh", "__dur").agg(
+        F.sum("__obs").cast("bigint").alias("__d"),
+        F.sum(1 - F.col("__obs")).cast("bigint").alias("__c"),
+    )
+    n_total = subj.groupBy("__coh").agg(
+        F.count("*").cast("bigint").alias("__n")
+    )
+    w_prior = (
+        Window.partitionBy("__coh")
+        .orderBy("__dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("__coh")
+        .orderBy("__dur")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    from nhs_data_pipeline_spark.ops.sketch import _ns_join
+
+    risked = (
+        _ns_join(day, n_total, ["__coh"], broadcast_right=True)
+        .withColumn(
+            "__nrisk",
+            F.col("__n")
+            - F.coalesce(
+                F.sum(F.col("__d") + F.col("__c")).over(w_prior), F.lit(0)
+            ),
+        )
+        .withColumn(
+            "__lnm",
+            F.when(
+                (F.col("__d") > 0) & (F.col("__nrisk") > F.col("__d")),
+                F.expr(
+                    "cast(floor(ln(cast(__nrisk - __d as double)"
+                    " / cast(__nrisk as double)) * 1e6 + 0.5) as bigint)"
+                ),
+            )
+            .when(F.col("__d") > 0, F.lit(None).cast("bigint"))
+            .otherwise(F.lit(0)),
+        )
+    )
+    out = (
+        risked.withColumn("__ls", F.sum("__lnm").over(w_cum))
+        .withColumn(
+            "__dead",
+            F.sum(
+                F.when(F.col("__lnm").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).over(w_cum),
+        )
+        .filter(F.col("__d") > 0)
+        .select(
+            F.col("__coh").alias("cohort"),
+            F.col("__dur").alias("dur_days"),
+            F.col("__nrisk").cast("bigint").alias("n_risk"),
+            F.col("__d").alias("d_events"),
+            F.col("__c").alias("c_censored"),
+            F.when(F.col("__dead") == 0, F.col("__ls")).alias(
+                "log_surv_micro"
+            ),
+            F.when(F.col("__dead") > 0, F.lit(0.0))
+            .otherwise(
+                F.expr("floor(exp(cast(__ls as double) / 1e6) * 1e6 + 0.5)"
+                       " / 1e6")
+            )
+            .alias("survival"),
+        )
+    )
+    return out

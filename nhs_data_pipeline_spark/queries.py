@@ -1123,6 +1123,82 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_km_by_cohort",
+    """
+    WITH cmax AS (SELECT MAX(epoch_us(ts)) AS cm FROM events),
+    st AS (
+      SELECT user_id AS u, MIN(epoch_us(ts)) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ),
+    stc AS (
+      SELECT u, t0, CAST(year(make_timestamp(t0)) AS INTEGER) AS coh
+      FROM st
+    ),
+    ht AS (
+      SELECT e.user_id AS u, MIN(epoch_us(e.ts)) AS te
+      FROM events e JOIN stc ON e.user_id = stc.u
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= stc.t0
+      GROUP BY 1
+    ),
+    subj AS (
+      SELECT s.coh,
+             CAST((COALESCE(h.te, (SELECT cm FROM cmax)) - s.t0)
+                  // 86400000000 AS BIGINT) AS dur,
+             CASE WHEN h.te IS NOT NULL THEN 1 ELSE 0 END AS obs
+      FROM stc s LEFT JOIN ht h ON s.u = h.u
+    ),
+    day AS (
+      SELECT coh, dur, CAST(SUM(obs) AS BIGINT) AS d,
+             CAST(SUM(1 - obs) AS BIGINT) AS c
+      FROM subj GROUP BY 1, 2
+    ),
+    nt AS (SELECT coh, CAST(COUNT(*) AS BIGINT) AS n FROM subj
+           GROUP BY 1),
+    risked AS (
+      SELECT d.coh, d.dur, d.d, d.c,
+             CAST(n.n - COALESCE(SUM(d.d + d.c) OVER (PARTITION BY d.coh
+                 ORDER BY d.dur ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS BIGINT) AS nrisk
+      FROM day d JOIN nt n ON d.coh IS NOT DISTINCT FROM n.coh
+    ),
+    terms AS (
+      SELECT coh, dur, d, c, nrisk,
+             CASE WHEN d > 0 AND nrisk > d THEN
+               CAST(floor(ln(CAST(nrisk - d AS DOUBLE)
+                             / CAST(nrisk AS DOUBLE)) * 1e6 + 0.5)
+                    AS BIGINT)
+             WHEN d > 0 THEN NULL
+             ELSE CAST(0 AS BIGINT) END AS lnm
+      FROM risked
+    ),
+    cum AS (
+      SELECT coh, dur, d, c, nrisk,
+             CAST(SUM(lnm) OVER w AS BIGINT) AS ls,
+             SUM(CASE WHEN lnm IS NULL THEN 1 ELSE 0 END) OVER w AS dead
+      FROM terms
+      WINDOW w AS (PARTITION BY coh ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT coh AS cohort, dur AS dur_days, nrisk AS n_risk,
+           d AS d_events, c AS c_censored,
+           CASE WHEN dead = 0 THEN ls END AS log_surv_micro,
+           CASE WHEN dead > 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE floor(exp(CAST(ls AS DOUBLE) / 1e6) * 1e6 + 0.5)
+                     / 1e6 END AS survival
+    FROM cum WHERE d > 0
+    """,
+)
+def events_km_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curves stratified by signup-year cohort —
+    the standard retention readout (does this year's cohort convert
+    faster?). Same exact recipe as events_kaplan_meier with every
+    window PARTITIONED by cohort and NULL-safe per-cohort totals;
+    censoring at the shared global observation end
+    (ops/analytics.kaplan_meier_by_group)."""
+    return oan.kaplan_meier_by_group(_events(spark, sf_dir))
+
+
+@query(
     "stats_theil_sen_trend",
     """
     WITH daily AS (

@@ -1572,3 +1572,33 @@ def test_mannwhitney_by_group_matches_global_and_isolates(spark):
         glob = oan2.mann_whitney_u(sub, "v", "s", "A", "B").collect()[0]
         assert glob.u_a == got[gname].u_a
         assert glob.auc_effect == got[gname].auc_effect
+
+
+def test_km_by_cohort_matches_global_per_slice(spark):
+    """Each cohort's curve equals the global op run on that cohort's
+    users alone (with the same global censor time pinned)."""
+    import datetime as dt
+
+    from nhs_data_pipeline_spark.ops import analytics as oan2
+
+    base = dt.datetime(2000, 1, 1)
+    rows = []
+    # cohort 2000: two users, one converts at 5d, one censored
+    rows += [(1, base, "signup"), (1, base + dt.timedelta(days=5), "purchase")]
+    rows += [(2, base + dt.timedelta(days=2), "signup")]
+    # cohort 2001: one user converting at 3d
+    y1 = base + dt.timedelta(days=400)
+    rows += [(3, y1, "signup"), (3, y1 + dt.timedelta(days=3), "purchase")]
+    rows += [(9, base + dt.timedelta(days=500), "view")]  # censor pin
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {(r.cohort, r.dur_days): r
+           for r in oan2.kaplan_meier_by_group(ev).collect()}
+    assert set(got) == {(2000, 5), (2001, 3)}
+    r0 = got[(2000, 5)]
+    assert (r0.n_risk, r0.d_events) == (2, 1)
+    assert abs(r0.survival - 0.5) < 2e-6
+    r1 = got[(2001, 3)]
+    assert (r1.n_risk, r1.d_events) == (1, 1)
+    assert r1.survival == 0.0 and r1.log_surv_micro is None

@@ -324,8 +324,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 233, len(QUERIES)
-    assert len(ORACLES) == 230, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 234, len(QUERIES)
+    assert len(ORACLES) == 231, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_readme_registry_tallies_match():
@@ -544,6 +544,9 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # duration tables (ops/analytics.kaplan_meier) —
         # scalar-broadcast shape
         "events_kaplan_meier",
+        # audited: the same censor-time scalar cross, cohort variant
+        # (ops/analytics.kaplan_meier_by_group)
+        "events_km_by_cohort",
         # audited: the one-row norm / eigenvalue / sign / trace
         # aggregates crossed into the 64-row eigenvector table each
         # power-iteration round (llm/pca.power_pca) — scalar-broadcast
