@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "stats_spearman_drift",
     "events_mannwhitney_by_type",
     "events_km_by_cohort",
+    "events_conversion_ztest",
 ]
 
 

@@ -2503,3 +2503,61 @@ def kaplan_meier_by_group(
         )
     )
     return out
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    side_a,
+    side_b,
+) -> DataFrame:
+    """Two-proportion z-test on conversion-style rates: one row
+    ``(n_a, k_a, rate_a, n_b, k_b, rate_b, diff, z_pooled)`` — the
+    classic A/B readout for binary outcomes, the significance
+    companion to the per-group Wilson intervals.  Expects one row per
+    SUBJECT with an integer 0/1 ``success_col``.
+
+    Exactness: counts are exact integers; rates, the difference, and
+    the pooled-variance z assemble in identically-spelled double
+    arithmetic (one sqrt), floor-rounded to 6 dp; a degenerate pooled
+    rate (0 or 1) or an empty side yields NULL z."""
+    g = F.col(group_col)
+    agg = df.filter(g.isin([side_a, side_b])).agg(
+        F.sum(F.when(g == side_a, 1).otherwise(0)).cast("bigint").alias(
+            "n_a"
+        ),
+        F.sum(F.when(g == side_a, F.col(success_col)).otherwise(0))
+        .cast("bigint")
+        .alias("k_a"),
+        F.sum(F.when(g == side_b, 1).otherwise(0)).cast("bigint").alias(
+            "n_b"
+        ),
+        F.sum(F.when(g == side_b, F.col(success_col)).otherwise(0))
+        .cast("bigint")
+        .alias("k_b"),
+    )
+    na, ka = F.col("n_a").cast("double"), F.col("k_a").cast("double")
+    nb, kb = F.col("n_b").cast("double"), F.col("k_b").cast("double")
+    pa, pb = ka / na, kb / nb
+    pp = (ka + kb) / (na + nb)
+    se2 = pp * (F.lit(1.0) - pp) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+
+    def _r6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    return agg.select(
+        "n_a",
+        "k_a",
+        F.when(F.col("n_a") > 0, _r6(pa)).alias("rate_a"),
+        "n_b",
+        "k_b",
+        F.when(F.col("n_b") > 0, _r6(pb)).alias("rate_b"),
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), _r6(pa - pb)).alias(
+            "diff"
+        ),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0) & (se2 > 0),
+            _r6((pa - pb) / F.sqrt(se2)),
+        ).alias("z_pooled"),
+    )

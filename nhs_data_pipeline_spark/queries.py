@@ -1123,6 +1123,97 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_conversion_ztest",
+    """
+    WITH st AS (
+      SELECT user_id AS u, MIN(epoch_us(ts)) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ),
+    ht AS (
+      SELECT e.user_id AS u, MIN(epoch_us(e.ts)) AS te
+      FROM events e JOIN st ON e.user_id = st.u
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= st.t0
+      GROUP BY 1
+    ),
+    subj AS (
+      SELECT CAST(s.u % 2 AS INTEGER) AS coh,
+             CASE WHEN h.te IS NOT NULL THEN 1 ELSE 0 END AS conv
+      FROM st s LEFT JOIN ht h ON s.u = h.u
+    ),
+    ag AS (
+      SELECT
+        CAST(SUM(CASE WHEN coh = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN coh = 0 THEN conv ELSE 0 END) AS BIGINT) AS k_a,
+        CAST(SUM(CASE WHEN coh = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN coh = 1 THEN conv ELSE 0 END) AS BIGINT) AS k_b
+      FROM subj
+    )
+    SELECT n_a, k_a,
+      CASE WHEN n_a > 0 THEN
+        floor(CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) * 1e6 + 0.5)
+        / 1e6 END AS rate_a,
+      n_b, k_b,
+      CASE WHEN n_b > 0 THEN
+        floor(CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE) * 1e6 + 0.5)
+        / 1e6 END AS rate_b,
+      CASE WHEN n_a > 0 AND n_b > 0 THEN
+        floor((CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+               - CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+              * 1e6 + 0.5) / 1e6 END AS diff,
+      CASE WHEN n_a > 0 AND n_b > 0 AND
+        ((CAST(k_a AS DOUBLE) + CAST(k_b AS DOUBLE))
+         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+         * (1.0 - (CAST(k_a AS DOUBLE) + CAST(k_b AS DOUBLE))
+            / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+         * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) > 0
+      THEN
+        floor((CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+               - CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+              / sqrt((CAST(k_a AS DOUBLE) + CAST(k_b AS DOUBLE))
+                     / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                     * (1.0 - (CAST(k_a AS DOUBLE) + CAST(k_b AS DOUBLE))
+                        / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                     * (1.0 / CAST(n_a AS DOUBLE)
+                        + 1.0 / CAST(n_b AS DOUBLE)))
+              * 1e6 + 0.5) / 1e6 END AS z_pooled
+    FROM ag
+    """,
+)
+def events_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on signup-to-purchase conversion between
+    the even and odd user cohorts — the classic binary-outcome A/B
+    significance readout beside the per-group Wilson intervals. Exact
+    integer subject/conversion counts; rates, difference, and the
+    pooled-variance z assemble in identically-spelled doubles
+    (ops/analytics.two_proportion_ztest)."""
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("__u"),
+        F.col("ts").alias("__ts"),
+        F.col("event_type").alias("__et"),
+    )
+    starts = (
+        ev.filter(F.col("__et") == "signup")
+        .groupBy("__u")
+        .agg(F.min(F.unix_micros(F.col("__ts"))).alias("__t0"))
+    )
+    hits = (
+        ev.filter(F.col("__et") == "purchase")
+        .select("__u", F.unix_micros(F.col("__ts")).alias("__tp"))
+        .join(starts.select("__u", "__t0"), "__u")
+        .filter(F.col("__tp") >= F.col("__t0"))
+        .groupBy("__u")
+        .agg(F.min("__tp").alias("__te"))
+    )
+    subj = starts.join(hits, "__u", "left").select(
+        (F.col("__u") % 2).cast("int").alias("__coh"),
+        F.when(F.col("__te").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("__conv"),
+    )
+    return oan.two_proportion_ztest(subj, "__coh", "__conv", 0, 1)
+
+
+@query(
     "events_km_by_cohort",
     """
     WITH cmax AS (SELECT MAX(epoch_us(ts)) AS cm FROM events),

@@ -1602,3 +1602,31 @@ def test_km_by_cohort_matches_global_per_slice(spark):
     r1 = got[(2001, 3)]
     assert (r1.n_risk, r1.d_events) == (1, 1)
     assert r1.survival == 0.0 and r1.log_surv_micro is None
+
+
+def test_two_proportion_ztest_textbook(spark):
+    """50/100 vs 30/100: diff 0.2, z = 0.2/sqrt(0.4*0.6*0.02) —
+    cross-checked against the closed form; empty side -> NULLs."""
+    import math
+
+    from nhs_data_pipeline_spark.ops import analytics as oan2
+
+    rows = [("a", 1)] * 50 + [("a", 0)] * 50 + [("b", 1)] * 30 + [("b", 0)] * 70
+    df = spark.createDataFrame(rows, "g string, s int")
+    r = oan2.two_proportion_ztest(df, "g", "s", "a", "b").collect()[0]
+    assert (r.n_a, r.k_a, r.n_b, r.k_b) == (100, 50, 100, 30)
+    assert r.rate_a == 0.5 and r.rate_b == 0.3 and r.diff == 0.2
+    exp = 0.2 / math.sqrt(0.4 * 0.6 * 0.02)
+    assert abs(r.z_pooled - exp) < 2e-6
+    # one-sided empty
+    e = oan2.two_proportion_ztest(
+        spark.createDataFrame([("a", 1)], "g string, s int"),
+        "g", "s", "a", "b",
+    ).collect()[0]
+    assert e.n_b == 0 and e.z_pooled is None and e.diff is None
+    # degenerate pooled rate (all successes): NULL z, valid rates
+    d = oan2.two_proportion_ztest(
+        spark.createDataFrame([("a", 1), ("b", 1)], "g string, s int"),
+        "g", "s", "a", "b",
+    ).collect()[0]
+    assert d.rate_a == 1.0 and d.z_pooled is None

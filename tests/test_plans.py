@@ -324,8 +324,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 234, len(QUERIES)
-    assert len(ORACLES) == 231, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 235, len(QUERIES)
+    assert len(ORACLES) == 232, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_readme_registry_tallies_match():
