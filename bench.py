@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "events_mannwhitney_by_type",
     "events_km_by_cohort",
     "events_conversion_ztest",
+    "events_logrank_test",
 ]
 
 

@@ -2561,3 +2561,135 @@ def two_proportion_ztest(
             _r6((pa - pb) / F.sqrt(se2)),
         ).alias("z_pooled"),
     )
+
+
+def logrank_test(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    start_type: str = "signup",
+    event_type: str = "purchase",
+) -> DataFrame:
+    """Two-cohort log-rank test on time-to-event curves (cohort = user
+    parity, the repo's standard A/B split): does cohort A's survival
+    curve differ from B's, accounting for censoring? — the
+    significance readout over the Kaplan-Meier family.  One row:
+    ``(o_a, e_a, v_lr, z_logrank)`` with observed events in A, the
+    expected count under the pooled-hazard null
+    ``E = sum_i d_i * n_ai / n_i``, the hypergeometric variance, and
+    ``z = (O - E)/sqrt(V)``.
+
+    Exactness: risk sets are exact integer window sums over the
+    MODEL-sized per-day table; the per-time E and V terms (rational in
+    integers) quantize to integer micros immediately and sum exactly
+    — one closing subtraction/sqrt/division in identically-spelled
+    doubles, floor-rounded to 6 dp.  Times where every remaining
+    subject is at risk in one cohort only contribute zero variance
+    terms naturally; V == 0 yields NULL z."""
+    ev = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        F.col(type_col).alias("__et"),
+    )
+    cmax = ev.agg(F.max(F.unix_micros(F.col("__ts"))).alias("__cmax"))
+    starts = (
+        ev.filter(F.col("__et") == start_type)
+        .groupBy("__u")
+        .agg(F.min(F.unix_micros(F.col("__ts"))).alias("__t0"))
+    )
+    hits = (
+        ev.filter(F.col("__et") == event_type)
+        .select("__u", F.unix_micros(F.col("__ts")).alias("__tp"))
+        .join(starts.select("__u", "__t0"), "__u")
+        .filter(F.col("__tp") >= F.col("__t0"))
+        .groupBy("__u")
+        .agg(F.min("__tp").alias("__te"))
+    )
+    subj = (
+        starts.join(hits, "__u", "left")
+        .crossJoin(F.broadcast(cmax))
+        .select(
+            (F.col("__u") % 2).cast("int").alias("__coh"),
+            F.expr(
+                "cast((coalesce(__te, __cmax) - __t0) div 86400000000"
+                " as bigint)"
+            ).alias("__dur"),
+            F.when(F.col("__te").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("__obs"),
+        )
+    )
+    day = subj.groupBy("__dur").agg(
+        F.sum(F.when(F.col("__coh") == 0, F.col("__obs")).otherwise(0))
+        .cast("bigint").alias("__da"),
+        F.sum(F.when(F.col("__coh") == 0, 1 - F.col("__obs")).otherwise(0))
+        .cast("bigint").alias("__ca"),
+        F.sum(F.when(F.col("__coh") == 1, F.col("__obs")).otherwise(0))
+        .cast("bigint").alias("__db"),
+        F.sum(F.when(F.col("__coh") == 1, 1 - F.col("__obs")).otherwise(0))
+        .cast("bigint").alias("__cb"),
+    )
+    tot = subj.agg(
+        F.sum(F.when(F.col("__coh") == 0, 1).otherwise(0))
+        .cast("bigint").alias("__nta"),
+        F.sum(F.when(F.col("__coh") == 1, 1).otherwise(0))
+        .cast("bigint").alias("__ntb"),
+    )
+    w_prior = Window.orderBy("__dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risked = day.crossJoin(F.broadcast(tot)).select(
+        "__da",
+        "__db",
+        (
+            F.col("__nta")
+            - F.coalesce(
+                F.sum(F.col("__da") + F.col("__ca")).over(w_prior), F.lit(0)
+            )
+        ).alias("__na"),
+        (
+            F.col("__ntb")
+            - F.coalesce(
+                F.sum(F.col("__db") + F.col("__cb")).over(w_prior), F.lit(0)
+            )
+        ).alias("__nb"),
+    )
+    terms = risked.filter(F.col("__da") + F.col("__db") > 0).select(
+        "__da",
+        F.expr(
+            "cast(floor(cast(__da + __db as double)"
+            " * cast(__na as double) / cast(__na + __nb as double)"
+            " * 1e6 + 0.5) as bigint)"
+        ).alias("__em"),
+        F.expr(
+            "case when __na + __nb > 1 then"
+            " cast(floor(cast(__da + __db as double)"
+            " * (cast(__na as double) / cast(__na + __nb as double))"
+            " * (1.0 - cast(__na as double) / cast(__na + __nb as double))"
+            " * cast(__na + __nb - (__da + __db) as double)"
+            " / cast(__na + __nb - 1 as double)"
+            " * 1e6 + 0.5) as bigint) else cast(0 as bigint) end"
+        ).alias("__vm"),
+    )
+    agg = terms.agg(
+        F.sum("__da").cast("bigint").alias("o_a"),
+        F.sum("__em").cast("bigint").alias("__ems"),
+        F.sum("__vm").cast("bigint").alias("__vms"),
+    )
+    return agg.select(
+        "o_a",
+        F.expr("floor(cast(__ems as double) / 1e6 * 1e6 + 0.5) / 1e6").alias(
+            "e_a"
+        ),
+        F.expr("floor(cast(__vms as double) / 1e6 * 1e6 + 0.5) / 1e6").alias(
+            "v_lr"
+        ),
+        F.when(
+            F.col("__vms") > 0,
+            F.expr(
+                "floor((cast(o_a as double) - cast(__ems as double) / 1e6)"
+                " / sqrt(cast(__vms as double) / 1e6) * 1e6 + 0.5) / 1e6"
+            ),
+        ).alias("z_logrank"),
+    )

@@ -1123,6 +1123,93 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_logrank_test",
+    """
+    WITH cmax AS (SELECT MAX(epoch_us(ts)) AS cm FROM events),
+    st AS (
+      SELECT user_id AS u, MIN(epoch_us(ts)) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ),
+    ht AS (
+      SELECT e.user_id AS u, MIN(epoch_us(e.ts)) AS te
+      FROM events e JOIN st ON e.user_id = st.u
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= st.t0
+      GROUP BY 1
+    ),
+    subj AS (
+      SELECT CAST(s.u % 2 AS INTEGER) AS coh,
+             CAST((COALESCE(h.te, (SELECT cm FROM cmax)) - s.t0)
+                  // 86400000000 AS BIGINT) AS dur,
+             CASE WHEN h.te IS NOT NULL THEN 1 ELSE 0 END AS obs
+      FROM st s LEFT JOIN ht h ON s.u = h.u
+    ),
+    day AS (
+      SELECT dur,
+        CAST(SUM(CASE WHEN coh = 0 THEN obs ELSE 0 END) AS BIGINT) AS da,
+        CAST(SUM(CASE WHEN coh = 0 THEN 1 - obs ELSE 0 END) AS BIGINT)
+          AS ca,
+        CAST(SUM(CASE WHEN coh = 1 THEN obs ELSE 0 END) AS BIGINT) AS db,
+        CAST(SUM(CASE WHEN coh = 1 THEN 1 - obs ELSE 0 END) AS BIGINT)
+          AS cb
+      FROM subj GROUP BY dur
+    ),
+    tot AS (
+      SELECT
+        CAST(SUM(CASE WHEN coh = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nta,
+        CAST(SUM(CASE WHEN coh = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ntb
+      FROM subj
+    ),
+    risked AS (
+      SELECT da, db,
+        CAST(t.nta - COALESCE(SUM(da + ca) OVER (ORDER BY dur
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS na,
+        CAST(t.ntb - COALESCE(SUM(db + cb) OVER (ORDER BY dur
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS nb
+      FROM day CROSS JOIN tot t
+    ),
+    terms AS (
+      SELECT da,
+        CAST(floor(CAST(da + db AS DOUBLE) * CAST(na AS DOUBLE)
+             / CAST(na + nb AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS em,
+        CASE WHEN na + nb > 1 THEN
+          CAST(floor(CAST(da + db AS DOUBLE)
+               * (CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE))
+               * (1.0 - CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE))
+               * CAST(na + nb - (da + db) AS DOUBLE)
+               / CAST(na + nb - 1 AS DOUBLE)
+               * 1e6 + 0.5) AS BIGINT)
+        ELSE CAST(0 AS BIGINT) END AS vm
+      FROM risked WHERE da + db > 0
+    ),
+    ag AS (
+      SELECT CAST(SUM(da) AS BIGINT) AS o_a,
+             CAST(SUM(em) AS BIGINT) AS ems,
+             CAST(SUM(vm) AS BIGINT) AS vms
+      FROM terms
+    )
+    SELECT o_a,
+      floor(CAST(ems AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS e_a,
+      floor(CAST(vms AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS v_lr,
+      CASE WHEN vms > 0 THEN
+        floor((CAST(o_a AS DOUBLE) - CAST(ems AS DOUBLE) / 1e6)
+              / sqrt(CAST(vms AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6
+      END AS z_logrank
+    FROM ag
+    """,
+)
+def events_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-cohort log-rank test on signup-to-purchase survival (even
+    vs odd users) — the significance readout over the Kaplan-Meier
+    family: observed vs pooled-hazard-expected conversions with the
+    hypergeometric variance. Risk sets are exact integer window sums
+    over the model-sized per-day table; per-time E/V terms quantize
+    to integer micros and sum exactly (ops/analytics.logrank_test)."""
+    return oan.logrank_test(_events(spark, sf_dir))
+
+
+@query(
     "events_conversion_ztest",
     """
     WITH st AS (

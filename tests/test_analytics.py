@@ -1630,3 +1630,46 @@ def test_two_proportion_ztest_textbook(spark):
         "g", "s", "a", "b",
     ).collect()[0]
     assert d.rate_a == 1.0 and d.z_pooled is None
+
+
+def test_logrank_identical_cohorts_and_lifelines_replica(spark):
+    """Mirrored cohorts (same durations/censoring in both): O == E
+    exactly and z ~ 0; a strongly separated pair gives |z| large with
+    the sign of the faster-converting cohort; values match a direct
+    python replica of the pooled-hazard formula."""
+    import datetime as dt
+    import math
+
+    from nhs_data_pipeline_spark.ops import analytics as oan2
+
+    base = dt.datetime(2000, 1, 1)
+
+    def ev(spark, spec):
+        # spec: list of (uid, conv_day or None)
+        rows = [(9999, base + dt.timedelta(days=200), "view")]
+        for uid, d in spec:
+            rows.append((uid, base, "signup"))
+            if d is not None:
+                rows.append((uid, base + dt.timedelta(days=d), "purchase"))
+        return spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string"
+        )
+
+    # mirrored: even uid 2k and odd uid 2k+1 behave identically
+    spec = []
+    for k, d in enumerate([3, 7, None, 12, None]):
+        spec += [(2 * k, d), (2 * k + 1, d)]
+    r = oan2.logrank_test(ev(spark, spec)).collect()[0]
+    assert r.o_a == 3 and abs(r.e_a - 3.0) < 2e-6
+    assert abs(r.z_logrank) < 1e-4
+
+    # separated: evens all convert day 1, odds never
+    spec2 = [(2 * k, 1) for k in range(8)] + [(2 * k + 1, None)
+                                              for k in range(8)]
+    r2 = oan2.logrank_test(ev(spark, spec2)).collect()[0]
+    assert r2.o_a == 8
+    # python replica: single event time, d=8, na=nb=8
+    e = 8 * 8 / 16
+    v = 8 * (8 / 16) * (1 - 8 / 16) * (16 - 8) / (16 - 1)
+    z = math.floor((8 - e) / math.sqrt(v) * 1e6 + 0.5) / 1e6
+    assert abs(r2.e_a - e) < 2e-6 and abs(r2.z_logrank - z) < 2e-6

@@ -324,8 +324,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 235, len(QUERIES)
-    assert len(ORACLES) == 232, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 236, len(QUERIES)
+    assert len(ORACLES) == 233, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_readme_registry_tallies_match():
@@ -547,6 +547,9 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # audited: the same censor-time scalar cross, cohort variant
         # (ops/analytics.kaplan_meier_by_group)
         "events_km_by_cohort",
+        # audited: censor-time + cohort-totals scalar crosses into the
+        # per-day table (ops/analytics.logrank_test)
+        "events_logrank_test",
         # audited: the one-row norm / eigenvalue / sign / trace
         # aggregates crossed into the 64-row eigenvector table each
         # power-iteration round (llm/pca.power_pca) — scalar-broadcast
@@ -749,6 +752,9 @@ def test_registry_no_unaudited_global_sort_windows(spark, sf_dir):
         # (bounded by the observation window, never subjects;
         # ops/analytics.kaplan_meier)
         "events_kaplan_meier",
+        # the same per-day risk-set cumulation, two-cohort variant
+        # (ops/analytics.logrank_test)
+        "events_logrank_test",
         # midrank bucket offsets over the value-BUCKET table —
         # ks_two_sample's audited shape (ops/analytics.mann_whitney_u)
         "stats_mannwhitney_u",
