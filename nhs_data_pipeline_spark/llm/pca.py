@@ -282,7 +282,14 @@ def pca_scores_by_label(
             "s -> s.component)"
         ).alias("__comp")
     )
-    xq = df.select(
+    # NULL / short embeddings: the DuckDB oracle's unnest path drops
+    # such rows from BOTH count and sums, while count(*) here would
+    # keep them and deflate mean/var (r8 ADVICE medium). Mirror
+    # exact_knn's defensive filter so a future data regeneration with
+    # NULL embeddings cannot split the engines.
+    xq = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    ).select(
         F.col(label_col).alias("__lb"),
         F.expr(
             f"transform({vec_col}, v -> "

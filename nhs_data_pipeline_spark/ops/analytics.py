@@ -1696,10 +1696,15 @@ def kaplan_meier(
         F.col(type_col).alias("__et"),
     )
     cmax = ev.agg(F.max(F.unix_micros(F.col("__ts"))).alias("__cmax"))
+    # Subjects whose only signup ts is NULL get a NULL __t0/__dur;
+    # Spark windows sort NULLS FIRST while DuckDB sorts NULLS LAST, so
+    # the cumulative risk-set sums would diverge cross-engine (r8
+    # ADVICE). Drop them explicitly here and in the oracle's HAVING.
     starts = (
         ev.filter(F.col("__et") == start_type)
         .groupBy("__u")
         .agg(F.min(F.unix_micros(F.col("__ts"))).alias("__t0"))
+        .filter(F.col("__t0").isNotNull())
     )
     hits = (
         ev.filter(F.col("__et") == event_type)
@@ -1817,8 +1822,14 @@ def group_theil_sen(
     rank-⌈n/2⌉ and rank-⌊n/2⌋+1 VALUES (ties in slope order cannot
     change the selected values) and averages them as
     ``(min + max) / 2`` — one add, one divide; floor-rounded to 6
-    decimals."""
-    g = [F.col(c) for c in group_cols]
+    decimals.
+
+    NULL-key groups are dropped UP FRONT (matching the oracle, which
+    also drops them): the pre-fix shape matched NULL groups through
+    the pair join with eqNullSafe only to discard them at the final
+    name join — wasted pair work and inconsistent semantics (r8
+    ADVICE)."""
+    pts = pts.na.drop(subset=group_cols)
     a = pts.select(
         *group_cols,
         F.col(x_col).alias("__xa"),
@@ -1830,7 +1841,7 @@ def group_theil_sen(
         F.col(v_micro_col).alias("__vb"),
     )
     cond = [
-        a[c].eqNullSafe(b[f"__g_{c}"]) for c in group_cols
+        a[c] == b[f"__g_{c}"] for c in group_cols
     ]
     pairs = (
         a.join(F.broadcast(b), cond)
@@ -2035,8 +2046,13 @@ def group_acf(
 
     Scale shape: the caller reduces to a MODEL-sized point table
     first; the lag join is a broadcast self-join on the exact
-    ``(group, x + k)`` key; moments are two small aggregates."""
+    ``(group, x + k)`` key; moments are two small aggregates.
+
+    NULL-key groups are dropped UP FRONT (matching the oracle): the
+    pre-fix shape eqNullSafe-matched NULL groups through the lag join
+    only to discard them at the final name join (r8 ADVICE)."""
     D = "decimal(38,0)"
+    pts = pts.na.drop(subset=group_cols)
     spark = pts.sparkSession
     ks = spark.range(1, max_lag + 1).select(
         F.col("id").cast("bigint").alias("__k")
@@ -2051,7 +2067,7 @@ def group_acf(
         F.col(x_col).alias("__xb"),
         F.col(v_micro_col).cast(D).alias("__vb"),
     )
-    cond = [a[c].eqNullSafe(b[f"__g_{c}"]) for c in group_cols] + [
+    cond = [a[c] == b[f"__g_{c}"] for c in group_cols] + [
         b["__xb"] == a["__xa"] + a["__k"]
     ]
     pair_m = (
@@ -2411,6 +2427,9 @@ def kaplan_meier_by_group(
         ev.filter(F.col("__et") == start_type)
         .groupBy("__u")
         .agg(F.min(F.unix_micros(F.col("__ts"))).alias("__t0"))
+        # NULL __t0 -> NULL __dur sorts opposite ways cross-engine in
+        # the risk-set windows (r8 ADVICE); drop like kaplan_meier.
+        .filter(F.col("__t0").isNotNull())
         .withColumn("__coh", F.year(F.timestamp_micros(F.col("__t0"))))
     )
     hits = (
@@ -2593,10 +2612,15 @@ def logrank_test(
         F.col(type_col).alias("__et"),
     )
     cmax = ev.agg(F.max(F.unix_micros(F.col("__ts"))).alias("__cmax"))
+    # Subjects whose only signup ts is NULL get a NULL __t0/__dur;
+    # Spark windows sort NULLS FIRST while DuckDB sorts NULLS LAST, so
+    # the cumulative risk-set sums would diverge cross-engine (r8
+    # ADVICE). Drop them explicitly here and in the oracle's HAVING.
     starts = (
         ev.filter(F.col("__et") == start_type)
         .groupBy("__u")
         .agg(F.min(F.unix_micros(F.col("__ts"))).alias("__t0"))
+        .filter(F.col("__t0").isNotNull())
     )
     hits = (
         ev.filter(F.col("__et") == event_type)

@@ -1055,6 +1055,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     st AS (
       SELECT user_id AS u, MIN(epoch_us(ts)) AS t0 FROM events
       WHERE event_type = 'signup' GROUP BY 1
+      HAVING MIN(epoch_us(ts)) IS NOT NULL
     ),
     ht AS (
       SELECT e.user_id AS u, MIN(epoch_us(e.ts)) AS te
@@ -1129,6 +1130,7 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     st AS (
       SELECT user_id AS u, MIN(epoch_us(ts)) AS t0 FROM events
       WHERE event_type = 'signup' GROUP BY 1
+      HAVING MIN(epoch_us(ts)) IS NOT NULL
     ),
     ht AS (
       SELECT e.user_id AS u, MIN(epoch_us(e.ts)) AS te
@@ -1307,6 +1309,7 @@ def events_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     st AS (
       SELECT user_id AS u, MIN(epoch_us(ts)) AS t0 FROM events
       WHERE event_type = 'signup' GROUP BY 1
+      HAVING MIN(epoch_us(ts)) IS NOT NULL
     ),
     stc AS (
       SELECT u, t0, CAST(year(make_timestamp(t0)) AS INTEGER) AS coh
@@ -8353,6 +8356,7 @@ def _pca_scores_oracle_sql(
              list_transform(CAST(embedding AS DOUBLE[]),
                v -> floor(v * 1e6 + 0.5) / 1e6) AS xq
       FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = {dim}
     ),
     xe AS MATERIALIZED (
       SELECT rid, lb, generate_subscripts(xq, 1) - 1 AS d,

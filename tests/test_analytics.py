@@ -1632,6 +1632,68 @@ def test_two_proportion_ztest_textbook(spark):
     assert d.rate_a == 1.0 and d.z_pooled is None
 
 
+def test_survival_ops_drop_null_start_ts(spark):
+    """Regression (r8 ADVICE): a subject whose only signup ts is NULL
+    gets a NULL __t0/__dur; Spark windows sort NULLS FIRST while
+    DuckDB sorts NULLS LAST, so the cumulative risk-set sums would
+    coin-flip cross-engine. All three survival ops must drop such
+    subjects — outputs equal the same data without the NULL-ts user."""
+    import datetime as dt
+
+    from nhs_data_pipeline_spark.ops import analytics as oan2
+
+    base = dt.datetime(2000, 1, 1)
+    clean = [
+        (1, base, "signup"),
+        (1, base + dt.timedelta(days=5), "purchase"),
+        (2, base + dt.timedelta(days=2), "signup"),
+        (3, base, "signup"),
+        (3, base + dt.timedelta(days=3), "purchase"),
+        (9, base + dt.timedelta(days=100), "view"),
+    ]
+    dirty = clean + [(7, None, "signup")]
+    for op in (
+        oan2.kaplan_meier,
+        oan2.kaplan_meier_by_group,
+        oan2.logrank_test,
+    ):
+        ev_c = spark.createDataFrame(
+            clean, "user_id long, ts timestamp, event_type string"
+        )
+        ev_d = spark.createDataFrame(
+            dirty, "user_id long, ts timestamp, event_type string"
+        )
+        rows_c = sorted(map(tuple, op(ev_c).collect()))
+        rows_d = sorted(map(tuple, op(ev_d).collect()))
+        assert rows_c == rows_d, op.__name__
+
+
+def test_theil_sen_acf_drop_null_groups_up_front(spark):
+    """Regression (r8 ADVICE): group_theil_sen / group_acf drop
+    NULL-key groups UP FRONT (matching their oracles) instead of
+    carrying them through the pair join only to lose them at the final
+    name join — NULL-group rows yield no output and leave the other
+    groups' results untouched."""
+    from nhs_data_pipeline_spark.ops import analytics as oan2
+
+    rows = [("a", x, 1000000 * (x + 1)) for x in range(5)]
+    rows += [(None, x, 7000000 * x) for x in range(5)]
+    pts = spark.createDataFrame(rows, "g string, x bigint, vm bigint")
+    clean = pts.filter(F.col("g").isNotNull())
+
+    ts_d = sorted(map(tuple, oan2.group_theil_sen(
+        pts, ["g"], "x", "vm").collect()))
+    ts_c = sorted(map(tuple, oan2.group_theil_sen(
+        clean, ["g"], "x", "vm").collect()))
+    assert ts_d == ts_c and len(ts_d) == 1 and ts_d[0][0] == "a"
+
+    acf_d = sorted(map(tuple, oan2.group_acf(
+        pts, ["g"], "x", "vm", max_lag=2).collect()))
+    acf_c = sorted(map(tuple, oan2.group_acf(
+        clean, ["g"], "x", "vm", max_lag=2).collect()))
+    assert acf_d == acf_c and {r[0] for r in acf_d} == {"a"}
+
+
 def test_logrank_identical_cohorts_and_lifelines_replica(spark):
     """Mirrored cohorts (same durations/censoring in both): O == E
     exactly and z ~ 0; a strongly separated pair gives |z| large with
