@@ -12534,6 +12534,52 @@ def curate_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DRIVER_WINDOW = [
+    # r09 rotation (7th): the r08 verdict's twenty never-driver-
+    # attested picks (the full list from VERDICT "Next round #1")
+    # swap in for the twenty most multiply-attested entries; every
+    # rotated-out family keeps an in-window sibling or its cumulative
+    # attestation + the all-entries local gate:
+    # o5_quantile_bands (2x; o4_weighted_median stays),
+    # eval_classifier_calibration (2x; eval_isotonic_calibration
+    # arrives as the calibration representative),
+    # classifier_logreg_fit (3x; classifier family keeps the
+    # isotonic/calibration eval), join_bloom_prefilter (3x),
+    # graph_label_propagation / graph_triangle_count (3x each;
+    # hits/kcore/shortest_paths stay), stats_ols_trend (3x;
+    # stats_theil_sen_trend arrives as the trend representative),
+    # simhash_near_pairs (3x; the jaccard/cdc near-dup sibs stay),
+    # stats_psi_drift (3x; stats_spearman_drift arrives as the drift
+    # representative), dedup_semantic_cells (3x; dedup_component_
+    # profile + dedup_incremental_near arrive), eval_classifier_auc
+    # (3x; precision_curve + retrieval_metrics stay), embed_pq_topk
+    # (3x; kcenter/pca family stays), feature_quantile_normalize
+    # (3x; feature_token_chi2 stays), sketch_quantile_hist (3x;
+    # layout_zorder_hist arrives as the histogram representative),
+    # merge_incremental_agg (3x), sample_dsir_scores (4x),
+    # curate_audit_panel (4x; curate_ccnet_buckets arrives),
+    # dedup_jaccard_exact_join (4x; auto/prefix/weighted/containment
+    # stay), embed_kmeans_fit (4x), tokenizer_bpe_encode (4x;
+    # tokenizer_fertility_by_source arrives).
+    "eval_lsh_sampled_quality",
+    "dedup_component_profile",
+    "dedup_incremental_near",
+    "curate_ccnet_buckets",
+    "tokenizer_fertility_by_source",
+    "eval_isotonic_calibration",
+    "stats_spearman_drift",
+    "events_logrank_test",
+    "events_km_by_cohort",
+    "events_conversion_ztest",
+    "events_mannwhitney_by_type",
+    "stats_theil_sen_trend",
+    "w7_rank_family",
+    "events_sessionize",
+    "layout_zorder_hist",
+    "q11_important_part_value",
+    "q13_customer_distribution",
+    "q16_supplier_part_count",
+    "q20_excess_shippers",
+    "q22_dormant_accounts",
     # r08 in-round rotation (6th): the second session's eight
     # strongest new operators swap in for eight 3x+-attested entries
     # whose families keep in-window representatives:
@@ -12593,7 +12639,6 @@ DRIVER_WINDOW = [
     # the same signals), dedup_embed_cosine_pairs (5x; embed
     # family keeps embed_pq_topk/embed_kmeans_fit/topk_bruteforce).
     "o4_weighted_median",
-    "o5_quantile_bands",
     "stats_corr_matrix",
     "stats_cramers_v",
     "privacy_t_closeness",
@@ -12601,7 +12646,6 @@ DRIVER_WINDOW = [
     "graph_kcore_nations",
     "events_markov_transitions",
     "feature_token_chi2",
-    "eval_classifier_calibration",
     "dedup_cdc_chunks",
     "dedup_jaccard_prefix_join",
     # r06 rotation (3rd): ten never-driver-attested flagships swapped
@@ -12620,24 +12664,6 @@ DRIVER_WINDOW = [
     # rank mechanism shared with in-window sample_deterministic +
     # sample_weighted_ares + sample_dsir_scores) ->
     # merge_incremental_agg (incremental == rebuild proof).
-    "classifier_logreg_fit",
-    "join_bloom_prefilter",
-    "graph_label_propagation",
-    "stats_ols_trend",
-    "simhash_near_pairs",
-    "stats_psi_drift",
-    "graph_triangle_count",
-    "dedup_semantic_cells",
-    "eval_classifier_auc",
-    "embed_pq_topk",
-    "feature_quantile_normalize",
-    "sketch_quantile_hist",
-    "merge_incremental_agg",
-    "sample_dsir_scores",
-    "curate_audit_panel",
-    "dedup_jaccard_exact_join",
-    "embed_kmeans_fit",
-    "tokenizer_bpe_encode",
 ]
 
 

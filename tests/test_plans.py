@@ -268,45 +268,40 @@ def test_driver_window_contract():
     missing_oracles = [n for n in DRIVER_WINDOW if n not in ORACLES]
     assert not missing_oracles, missing_oracles
     for flagship in [
-        # r05 rotation survivors (r08 6th rotation moved pagerank /
-        # hll_portable / bpe_merges / bm25 out — 3x+ attested, families
-        # keep in-window representatives)
-        "dedup_jaccard_exact_join", "embed_kmeans_fit",
-        "tokenizer_bpe_encode",
-        # late-r05 second rotation: the session's new flagships
-        "join_bloom_prefilter", "graph_triangle_count",
-        "stats_ols_trend", "eval_classifier_auc",
-        # r06 rotation (3rd): the judge's ten never-attested picks
-        # (orgchange_adjust_panel rotated OUT — 5x driver-attested)
-        "classifier_logreg_fit", "graph_label_propagation",
-        "simhash_near_pairs", "dedup_semantic_cells", "embed_pq_topk",
-        "feature_quantile_normalize", "sketch_quantile_hist",
-        # r06 fourth (in-round) rotation: the session's strongest new
-        # flagships (q14 and sample_stratified rotated out — families
-        # keep in-window representatives)
-        "stats_psi_drift", "merge_incremental_agg",
-        # r07 rotation (4th round-level): the r06 verdict's twelve
-        # never-attested picks, swapped in over the twelve most
-        # multiply-attested entries (5-6x green r01-r06)
-        "o4_weighted_median", "o5_quantile_bands", "stats_corr_matrix",
-        "stats_cramers_v", "privacy_t_closeness", "graph_shortest_paths",
-        "graph_kcore_nations", "events_markov_transitions",
-        "feature_token_chi2", "eval_classifier_calibration",
-        "dedup_cdc_chunks", "dedup_jaccard_prefix_join",
-        # r08 rotation (5th): the r07 verdict's twelve never-attested
-        # picks (merge_upsert/scd2/entity_resolve/shuffle_training/
-        # curate_mixture_v2 rotated out — 4x driver-attested each,
+        # r09 rotation (7th): the r08 verdict's twenty never-attested
+        # picks (o5_quantile_bands/eval_classifier_calibration/
+        # classifier_logreg_fit/join_bloom_prefilter/
+        # graph_label_propagation/graph_triangle_count/stats_ols_trend/
+        # simhash_near_pairs/stats_psi_drift/dedup_semantic_cells/
+        # eval_classifier_auc/embed_pq_topk/feature_quantile_normalize/
+        # sketch_quantile_hist/merge_incremental_agg/sample_dsir_scores/
+        # curate_audit_panel/dedup_jaccard_exact_join/embed_kmeans_fit/
+        # tokenizer_bpe_encode rotated out — 2-4x driver-attested each,
         # families keep in-window representatives)
+        "eval_lsh_sampled_quality", "dedup_component_profile",
+        "dedup_incremental_near", "curate_ccnet_buckets",
+        "tokenizer_fertility_by_source", "eval_isotonic_calibration",
+        "stats_spearman_drift", "events_logrank_test",
+        "events_km_by_cohort", "events_conversion_ztest",
+        "events_mannwhitney_by_type", "stats_theil_sen_trend",
+        "w7_rank_family", "events_sessionize", "layout_zorder_hist",
+        "q11_important_part_value", "q13_customer_distribution",
+        "q16_supplier_part_count", "q20_excess_shippers",
+        "q22_dormant_accounts",
+        # r07 rotation survivors still in-window (2x attested)
+        "o4_weighted_median", "stats_corr_matrix", "stats_cramers_v",
+        "privacy_t_closeness", "graph_shortest_paths",
+        "graph_kcore_nations", "events_markov_transitions",
+        "feature_token_chi2", "dedup_cdc_chunks",
+        "dedup_jaccard_prefix_join",
+        # r08 rotation (5th) survivors (1x attested)
         "dedup_jaccard_auto", "dedup_weighted_jaccard_join",
         "eval_lsh_candidate_quality", "graph_hits_nations",
         "stats_ks_test", "events_ks_by_type", "eval_retrieval_metrics",
         "embed_kcenter_coreset", "eval_precision_curve",
         "entity_phonetic_match", "contamination_semantic",
         "events_robust_outliers",
-        # r08 in-round rotation (6th): the second session's eight new
-        # operators (winsorize / zscore_outliers / weighted_ares /
-        # span_stats / pagerank / hll_portable / bpe_merges / bm25
-        # rotated out — 3x+ attested, families keep representatives)
+        # r08 in-round rotation (6th) survivors (1x attested)
         "embed_pca_power", "embed_pca_scores",
         "embed_class_separability", "events_kaplan_meier",
         "stats_mannwhitney_u", "ts_autocorrelation",
