@@ -471,6 +471,110 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _jpeg_idct_plane(coefs, q) -> "object":
+    """Dequantize + inverse-DCT one component's zigzag-order RAW
+    coefficient blocks ``(bh, bw, 64)`` into an int64 pixel plane —
+    the baseline decoder's per-block math, extracted so the
+    progressive path reuses the IDENTICAL float expression (same
+    2-D matmuls per block, same floor-round: bit-for-bit against the
+    test replica)."""
+    import numpy as np
+
+    basis = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            basis[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    bh, bw = coefs.shape[0], coefs.shape[1]
+    plane = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+    for by in range(bh):
+        for bx in range(bw):
+            cblk = coefs[by, bx]
+            blk = np.zeros((8, 8))
+            for z in range(64):
+                if cblk[z]:
+                    blk[_JPEG_ZIGZAG[z] >> 3, _JPEG_ZIGZAG[z] & 7] = (
+                        int(cblk[z]) * q[z]
+                    )
+            px = basis.T @ blk @ basis
+            px = np.floor(px + 128.0 + 0.5)
+            np.clip(px, 0, 255, out=px)
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px.astype(
+                np.int64
+            )
+    return plane
+
+
+def _jpeg_features(comps, planes, w: int, h: int, hmax: int, vmax: int):
+    """Crop/upsample decoded component planes to full resolution
+    (nearest), apply the JFIF YCbCr->RGB transform with the portable
+    floor-round, and reduce to the 8-dim feature vector — the shared
+    tail of the baseline and progressive decoders."""
+    import numpy as np
+
+    full = []
+    ys = np.arange(h)
+    xs = np.arange(w)
+    for ci, comp in enumerate(comps):
+        yy = (ys * comp["v"]) // vmax
+        xx = (xs * comp["h"]) // hmax
+        full.append(planes[ci][np.ix_(yy, xx)])
+    if len(comps) == 1:
+        r_arr = g_arr = b_arr = full[0]
+    else:
+        y_p, cb, cr = (a.astype(np.float64) for a in full)
+        r_f = y_p + 1.402 * (cr - 128.0)
+        g_f = y_p - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b_f = y_p + 1.772 * (cb - 128.0)
+        r_arr, g_arr, b_arr = (
+            np.clip(np.floor(a + 0.5), 0, 255).astype(np.int64)
+            for a in (r_f, g_f, b_f)
+        )
+    n = w * h
+    sr = int(r_arr.sum())
+    sg = int(g_arr.sum())
+    sb = int(b_arr.sum())
+    luma = (299 * sr + 587 * sg + 114 * sb) / (255000.0 * n)
+    return [
+        sr / (255.0 * n),
+        sg / (255.0 * n),
+        sb / (255.0 * n),
+        luma,
+        w / 4096.0,
+        h / 4096.0,
+        w / h,
+        4.0,
+    ]
+
+
+def _jpeg_scan_intervals(b: bytes, start: int) -> tuple[list[bytes], int]:
+    """Split one scan's entropy-coded data (from ``start``) into
+    restart intervals, unstuffing 0xFF00; returns ``(intervals,
+    end_index)`` with ``end_index`` at the terminating marker's 0xFF
+    (NOT consumed — progressive streams continue with more segments)."""
+    intervals: list[bytes] = []
+    cur = bytearray()
+    j = start
+    while j < len(b):
+        byte = b[j]
+        if byte == 0xFF:
+            nxt = b[j + 1] if j + 1 < len(b) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                j += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                intervals.append(bytes(cur))
+                cur = bytearray()
+                j += 2
+                continue
+            break  # EOI or any other marker ends the scan
+        cur.append(byte)
+        j += 1
+    intervals.append(bytes(cur))
+    return intervals, j
+
+
 def _decode_jpeg(b: bytes) -> list[float] | None:
     """Pure-python+numpy decode of a BASELINE sequential JPEG (SOF0;
     SOF1's identical structure is accepted too) into the 8-dim feature
@@ -529,9 +633,11 @@ def _decode_jpeg(b: bytes) -> list[float] | None:
                 qt[tq] = vals
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline-shaped
             sof = body
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker == 0xC2:  # SOF2: progressive DCT (r9)
+            return _decode_jpeg_progressive(b)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # progressive / arithmetic / hierarchical
+            return None  # lossless / arithmetic / hierarchical
         elif marker == 0xC4:  # DHT (possibly several tables)
             j = 0
             while j + 17 <= len(body):
@@ -587,26 +693,7 @@ def _decode_jpeg(b: bytes) -> list[float] | None:
             return None
 
     # split the entropy stream into restart intervals, unstuffing 0xFF00
-    intervals: list[bytes] = []
-    cur = bytearray()
-    j = data_start
-    while j < len(b):
-        byte = b[j]
-        if byte == 0xFF:
-            nxt = b[j + 1] if j + 1 < len(b) else 0xD9
-            if nxt == 0x00:
-                cur.append(0xFF)
-                j += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn
-                intervals.append(bytes(cur))
-                cur = bytearray()
-                j += 2
-                continue
-            break  # EOI or any other marker ends the scan
-        cur.append(byte)
-        j += 1
-    intervals.append(bytes(cur))
+    intervals, _ = _jpeg_scan_intervals(b, data_start)
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -615,14 +702,8 @@ def _decode_jpeg(b: bytes) -> list[float] | None:
     mcus_y = (h + mcu_h - 1) // mcu_h
     n_mcus = mcus_x * mcus_y
 
-    basis = np.zeros((8, 8))
-    for u in range(8):
-        cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
-        for x in range(8):
-            basis[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
-
-    planes = [
-        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.int64)
+    coef_planes = [
+        np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64)
         for c in comps
     ]
     preds = [0] * n_comp
@@ -638,7 +719,6 @@ def _decode_jpeg(b: bytes) -> list[float] | None:
                 preds = [0] * n_comp
             my, mx = divmod(m, mcus_x)
             for ci, comp in enumerate(comps):
-                q = qt[comp["tq"]]
                 dc_t, ac_t = huff_dc[comp["td"]], huff_ac[comp["ta"]]
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
@@ -646,7 +726,7 @@ def _decode_jpeg(b: bytes) -> list[float] | None:
                         t = reader.huff(dc_t)
                         diff = _jpeg_extend(reader.receive(t), t)
                         preds[ci] += diff
-                        coef[0] = preds[ci] * q[0]
+                        coef[0] = preds[ci]
                         k = 1
                         while k < 64:
                             sym = reader.huff(ac_t)
@@ -661,60 +741,297 @@ def _decode_jpeg(b: bytes) -> list[float] | None:
                             k += r
                             if k > 63:
                                 return None
-                            coef[k] = (
-                                _jpeg_extend(reader.receive(s), s) * q[k]
-                            )
+                            coef[k] = _jpeg_extend(reader.receive(s), s)
                             k += 1
-                        blk = np.zeros((8, 8))
-                        for z in range(64):
-                            if coef[z]:
-                                blk[_JPEG_ZIGZAG[z] >> 3,
-                                    _JPEG_ZIGZAG[z] & 7] = coef[z]
-                        px = basis.T @ blk @ basis
-                        px = np.floor(px + 128.0 + 0.5)
-                        np.clip(px, 0, 255, out=px)
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px.astype(
-                            np.int64
-                        )
+                        coef_planes[ci][my * comp["v"] + by,
+                                        mx * comp["h"] + bx] = coef
     except IndexError:
         return None
 
-    # crop/upsample every component to full resolution (nearest)
-    full = []
-    ys = np.arange(h)
-    xs = np.arange(w)
-    for ci, comp in enumerate(comps):
-        yy = (ys * comp["v"]) // vmax
-        xx = (xs * comp["h"]) // hmax
-        full.append(planes[ci][np.ix_(yy, xx)])
-    if n_comp == 1:
-        r_arr = g_arr = b_arr = full[0]
-    else:
-        y_p, cb, cr = (a.astype(np.float64) for a in full)
-        r_f = y_p + 1.402 * (cr - 128.0)
-        g_f = y_p - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-        b_f = y_p + 1.772 * (cb - 128.0)
-        r_arr, g_arr, b_arr = (
-            np.clip(np.floor(a + 0.5), 0, 255).astype(np.int64)
-            for a in (r_f, g_f, b_f)
-        )
-    n = w * h
-    sr = int(r_arr.sum())
-    sg = int(g_arr.sum())
-    sb = int(b_arr.sum())
-    luma = (299 * sr + 587 * sg + 114 * sb) / (255000.0 * n)
-    return [
-        sr / (255.0 * n),
-        sg / (255.0 * n),
-        sb / (255.0 * n),
-        luma,
-        w / 4096.0,
-        h / 4096.0,
-        w / h,
-        4.0,
+    planes = [
+        _jpeg_idct_plane(coef_planes[ci], qt[comp["tq"]])
+        for ci, comp in enumerate(comps)
     ]
+    return _jpeg_features(comps, planes, w, h, hmax, vmax)
+
+
+def _decode_jpeg_progressive(b: bytes) -> list[float] | None:
+    """Pure-python+numpy decode of a PROGRESSIVE JPEG (SOF2) — the
+    last stubbed media format, now decoded for real (r9): ITU T.81
+    Annex G spectral-selection + successive-approximation scans
+    accumulated into per-component coefficient planes — first and
+    refinement DC scans (point-transform shift / bit-OR assembly,
+    interleaved or single-component), first and refinement AC scans
+    (EOB-run decoding, ZRL, the correction-bit traversal over
+    nonzero-history coefficients), per-scan Huffman table
+    redefinition, restart intervals resetting DC predictions and EOB
+    runs — then the SAME dequant + IDCT + upsample + YCbCr tail as
+    the baseline decoder (:func:`_jpeg_idct_plane` /
+    :func:`_jpeg_features`). Returns None — decode_ok False, never a
+    crash — on malformed/truncated input. The refinement algorithms
+    follow the public T.81 spec (G.1.2.2-G.1.2.3; the same logic
+    libjpeg/stb_image implement)."""
+    import numpy as np
+
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps: list[dict] = []
+    coef_planes: list | None = None
+    restart_interval = 0
+    w = h = hmax = vmax = mcus_x = mcus_y = 0
+
+    def _comp_blocks(ci: int) -> tuple[int, int]:
+        # non-interleaved scan dimensions (T.81 A.2.2): ceil of the
+        # component's own sample grid, NOT padded to the MCU grid
+        c = comps[ci]
+        cw = -(-(w * c["h"]) // hmax)
+        ch = -(-(h * c["v"]) // vmax)
+        return -(-cw // 8), -(-ch // 8)
+
+    def _scan(sos_body: bytes, intervals: list[bytes]) -> bool:
+        ns = sos_body[0]
+        if len(sos_body) != 1 + 2 * ns + 3:
+            return False
+        ss = sos_body[1 + 2 * ns]
+        se = sos_body[2 + 2 * ns]
+        ah, al = sos_body[3 + 2 * ns] >> 4, sos_body[3 + 2 * ns] & 15
+        scomps = []
+        for s in range(ns):
+            cid = sos_body[1 + 2 * s]
+            td, ta = sos_body[2 + 2 * s] >> 4, sos_body[2 + 2 * s] & 15
+            hits = [ci for ci, c in enumerate(comps) if c["id"] == cid]
+            if not hits:
+                return False
+            scomps.append((hits[0], td, ta))
+        reader = _JpegBits(intervals[0])
+        iv = 0
+
+        def _restart() -> _JpegBits:
+            nonlocal iv
+            iv += 1
+            if iv >= len(intervals):
+                raise IndexError("missing restart interval")
+            return _JpegBits(intervals[iv])
+
+        try:
+            if ss == 0:
+                if se != 0:
+                    return False
+                preds = [0] * len(comps)
+                if ns > 1:
+                    n_units = mcus_x * mcus_y
+                else:
+                    bw0, bh0 = _comp_blocks(scomps[0][0])
+                    n_units = bw0 * bh0
+                for m in range(n_units):
+                    if restart_interval and m and m % restart_interval == 0:
+                        reader = _restart()
+                        preds = [0] * len(comps)
+                    if ns > 1:
+                        my, mx = divmod(m, mcus_x)
+                        blocks = []
+                        for ci, td, _ta in scomps:
+                            c = comps[ci]
+                            for by in range(c["v"]):
+                                for bx in range(c["h"]):
+                                    blocks.append(
+                                        (ci, td, my * c["v"] + by,
+                                         mx * c["h"] + bx)
+                                    )
+                    else:
+                        ci, td, _ta = scomps[0]
+                        by, bx = divmod(m, _comp_blocks(ci)[0])
+                        blocks = [(ci, td, by, bx)]
+                    for ci, td, by, bx in blocks:
+                        if ah == 0:
+                            t = reader.huff(huff_dc[td])
+                            diff = _jpeg_extend(reader.receive(t), t)
+                            preds[ci] += diff
+                            coef_planes[ci][by, bx, 0] = preds[ci] << al
+                        elif reader.read1():
+                            coef_planes[ci][by, bx, 0] |= 1 << al
+                return True
+
+            # AC scan: single component only (T.81 G.1.1.1.1)
+            if ns != 1 or se > 63 or ss > se:
+                return False
+            ci, _td, ta = scomps[0]
+            act = huff_ac[ta]
+            bw, bh = _comp_blocks(ci)
+            plane = coef_planes[ci]
+            eobrun = 0
+            p1, n1 = 1 << al, -1 << al
+            for m in range(bw * bh):
+                if restart_interval and m and m % restart_interval == 0:
+                    reader = _restart()
+                    eobrun = 0
+                by, bx = divmod(m, bw)
+                blk = plane[by, bx]
+                if ah == 0:  # first AC scan for this band
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        sym = reader.huff(act)
+                        r, s = sym >> 4, sym & 15
+                        if s == 0:
+                            if r < 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += reader.receive(r)
+                                break
+                            k += 16  # ZRL
+                            continue
+                        k += r
+                        if k > se:
+                            return False
+                        blk[k] = _jpeg_extend(reader.receive(s), s) << al
+                        k += 1
+                    continue
+                # refinement AC scan (G.1.2.3): correction bits for
+                # nonzero-history coefficients are interleaved into
+                # the traversal; newly-nonzero arrive as s == 1
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = reader.huff(act)
+                        r, s = sym >> 4, sym & 15
+                        val = 0
+                        if s:
+                            if s != 1:
+                                return False
+                            val = p1 if reader.read1() else n1
+                        elif r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.receive(r)
+                            break
+                        while k <= se:
+                            c0 = int(blk[k])
+                            if c0 != 0:
+                                if reader.read1() and (c0 & p1) == 0:
+                                    blk[k] = c0 + (p1 if c0 >= 0 else n1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            blk[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        c0 = int(blk[k])
+                        if c0 != 0 and reader.read1() and (c0 & p1) == 0:
+                            blk[k] = c0 + (p1 if c0 >= 0 else n1)
+                        k += 1
+                    eobrun -= 1
+            return True
+        except (IndexError, KeyError):
+            return False
+
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker == 0xD8 or (0xD0 <= marker <= 0xD7):
+            i += 2
+            continue
+        if marker == 0xD9:
+            break
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        body = b[i + 4 : i + 2 + seg_len]
+        if len(body) != seg_len - 2:
+            return None
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 15
+                j += 1
+                if pq == 0:
+                    vals = list(body[j : j + 64])
+                    j += 64
+                else:
+                    vals = [
+                        int.from_bytes(body[j + 2 * k : j + 2 * k + 2], "big")
+                        for k in range(64)
+                    ]
+                    j += 128
+                if len(vals) != 64:
+                    return None
+                qt[tq] = vals
+        elif marker == 0xC2:  # SOF2
+            if coef_planes is not None or len(body) < 6:
+                return None
+            if body[0] != 8:
+                return None
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            n_comp = body[5]
+            if w <= 0 or h <= 0 or n_comp not in (1, 3):
+                return None
+            for c in range(n_comp):
+                o = 6 + 3 * c
+                if o + 3 > len(body):
+                    return None
+                comps.append(
+                    {"id": body[o], "h": body[o + 1] >> 4,
+                     "v": body[o + 1] & 15, "tq": body[o + 2]}
+                )
+                if not (1 <= comps[-1]["h"] <= 4
+                        and 1 <= comps[-1]["v"] <= 4):
+                    return None
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            coef_planes = [
+                np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64),
+                         dtype=np.int64)
+                for c in comps
+            ]
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # a second, different frame type: malformed
+        elif marker == 0xC4:  # DHT — tables legally redefine per scan
+            j = 0
+            while j + 17 <= len(body):
+                tc, th = body[j] >> 4, body[j] & 15
+                counts = body[j + 1 : j + 17]
+                n = sum(counts)
+                symbols = body[j + 17 : j + 17 + n]
+                if len(symbols) != n:
+                    return None
+                (huff_dc if tc == 0 else huff_ac)[th] = _jpeg_huffman(
+                    counts, symbols
+                )
+                j += 17 + n
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:  # SOS — one of possibly many scans
+            if coef_planes is None:
+                return None
+            intervals, nxt = _jpeg_scan_intervals(b, i + 2 + seg_len)
+            if not _scan(body, intervals):
+                return None
+            i = nxt
+            continue
+        i += 2 + seg_len
+    if coef_planes is None:
+        return None
+    for comp in comps:
+        if comp["tq"] not in qt:
+            return None
+    planes = [
+        _jpeg_idct_plane(coef_planes[ci], qt[comp["tq"]])
+        for ci, comp in enumerate(comps)
+    ]
+    return _jpeg_features(comps, planes, w, h, hmax, vmax)
 
 
 def real_decode(content: bytes | None) -> list[float] | None:
