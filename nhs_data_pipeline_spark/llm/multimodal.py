@@ -8,10 +8,12 @@ own are decoded for real (:func:`real_decode`: uncompressed 24-bit BMP,
 1/2/4/8-bit, sub-byte grayscale, Adam7 interlacing — via stdlib zlib +
 the five scanline filters; baseline-sequential JPEG — canonical
 Huffman + restart intervals, dequant, numpy IDCT, chroma upsampling,
-JFIF YCbCr->RGB; :func:`extract_image_meta`: PNG/JPEG header dims);
-codecs that need external libraries (progressive JPEG, MP3, video)
-remain stubbed behind ``NotImplementedError`` / a deterministic fake
-because this container ships no media libraries.
+JFIF YCbCr->RGB; progressive JPEG — T.81 Annex G spectral-selection
++ successive-approximation scans on the same Huffman/IDCT machinery;
+:func:`extract_image_meta`: PNG/JPEG header dims); codecs that need
+external libraries (MP3, video) remain stubbed behind
+``NotImplementedError`` / a deterministic fake because this container
+ships no media libraries.
 
 Scale design: decode/feature-extract runs as ``mapInPandas`` — one
 Arrow batch in, one out, executor-parallel, no shuffle. Batch size is
@@ -586,8 +588,9 @@ def _decode_jpeg(b: bytes) -> list[float] | None:
     for any h/v sampling factors, and the JFIF YCbCr->RGB transform
     with the portable floor-round. Grayscale (1 component) replicates;
     3 components are treated as JFIF YCbCr. Returns None — decode_ok
-    False, never a crash — for progressive (SOF2) / arithmetic-coded /
-    hierarchical / truncated / malformed files.
+    False, never a crash — for arithmetic-coded / hierarchical /
+    truncated / malformed files; SOF2 dispatches to
+    :func:`_decode_jpeg_progressive` (r9).
     Reference behavior: scripts feeding a vision pipeline decode JPEG
     via PIL; this is the library-free equivalent for the container."""
     import numpy as np
@@ -1039,10 +1042,10 @@ def real_decode(content: bytes | None) -> list[float] | None:
     parser can own: uncompressed 24-bit BMP, 16-bit PCM WAV, and
     PNG at every PLTE/depth/interlace combination the spec allows
     (zlib IDAT + exact inversion of all five scanline filters, Adam7
-    passes summed exactly), and baseline-sequential JPEG
-    (Huffman + IDCT).
-    Sniffs the magic bytes and dispatches; anything else (progressive
-    JPEG/MP3/...) returns None -> ``decode_ok = False``. Pass it
+    passes summed exactly), and JPEG — baseline-sequential AND
+    progressive (Huffman + T.81 Annex G scans + IDCT).
+    Sniffs the magic bytes and dispatches; anything else
+    (MP3/video/...) returns None -> ``decode_ok = False``. Pass it
     explicitly —
     ``decode_features(media, real_decoder=real_decode)`` — to run
     genuine decode work through the mapInPandas path (the tests do

@@ -1566,6 +1566,416 @@ def test_jpeg_decode_422_asymmetric_sampling():
     assert f[2] == int(bch.sum()) / (255.0 * n)
 
 
+def _encode_jpeg_progressive(comp_blocks, w, h, sampling, quant,
+                             restart_interval=0):
+    """Progressive JPEG ENCODER for tests (T.81 Annex G): emits SOF2
+    with a four-stage successive-approximation schedule — interleaved
+    DC first scan (Al=1), DC refinement (Ah=1, raw bits), per-component
+    AC first scans (Ss=1..63, Al=1, real EOB-run accumulation + ZRL),
+    per-component AC refinement scans (Ah=1, Al=0: correction bits
+    interleaved into the traversal, newly-nonzero as s=1, buffered
+    EOB-run correction bits) — so the decoder must reassemble EXACTLY
+    the given quantized coefficients. ``comp_blocks`` are RASTER-
+    ordered natural 8x8 blocks per component; dimensions must be
+    MCU-aligned (raster == interleaved grid). Each scan carries its
+    own canonical len-8 DHT built by a dry run of its own emission."""
+    zz = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+
+    class W:
+        def __init__(self):
+            self.out = bytearray()
+            self.acc = 0
+            self.nb = 0
+
+        def bits(self, v, n):
+            for i in range(n - 1, -1, -1):
+                self.acc = (self.acc << 1) | ((v >> i) & 1)
+                self.nb += 1
+                if self.nb == 8:
+                    self.out.append(self.acc)
+                    if self.acc == 0xFF:
+                        self.out.append(0x00)
+                    self.acc = 0
+                    self.nb = 0
+
+        def flush(self):
+            while self.nb:
+                self.bits(1, 1)
+
+    def cat(v):
+        a, t = abs(v), 0
+        while a:
+            a >>= 1
+            t += 1
+        return t
+
+    def chunk(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(
+            2, "big") + body
+
+    n_comp = len(comp_blocks)
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    # zigzag-order integer sequences, raster block order per comp
+    seqs = [
+        [[blk[zz[k] >> 3][zz[k] & 7] for k in range(64)] for blk in comp]
+        for comp in comp_blocks
+    ]
+    grids = [(mcus_x * sh, mcus_y * sv) for sh, sv in sampling]
+    for ci, (bw, bh) in enumerate(grids):
+        assert len(seqs[ci]) == bw * bh, "dimensions must be MCU-aligned"
+
+    def trunc1(v):  # AC point transform Al=1: magnitude shift
+        return (abs(v) >> 1) * (1 if v >= 0 else -1)
+
+    out = bytearray(b"\xff\xd8")
+    qzz = bytes([0]) + bytes(quant[zz[k]] for k in range(64))
+    out += chunk(0xDB, qzz)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(
+        [n_comp])
+    for ci, (sh, sv) in enumerate(sampling):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0])
+    out += chunk(0xC2, sof)
+    if restart_interval:
+        out += chunk(0xDD, restart_interval.to_bytes(2, "big"))
+
+    def emit_entropy(sym_list, body_fn):
+        """Entropy-code one scan: canonical len-8 table from the dry
+        run's symbol set, body_fn re-driven with writing emitters."""
+        syms = sorted(set(sym_list))
+        wtr = W()
+        state = {"rst": 0, "entropy": bytearray()}
+
+        def flushed():
+            wtr.flush()
+            state["entropy"] += wtr.out
+            wtr.out = bytearray()
+
+        def sym(s_):
+            wtr.bits(syms.index(s_), 8)
+
+        def bits(v, n):
+            if n:
+                wtr.bits(v, n)
+
+        def restart():
+            flushed()
+            state["entropy"] += bytes([0xFF, 0xD0 + (state["rst"] & 7)])
+            state["rst"] += 1
+
+        body_fn(sym, bits, restart)
+        flushed()
+        return syms, bytes(state["entropy"])
+
+    def dc_scan(ah, al):
+        # interleaved over MCUs; block order within an MCU: comps in
+        # order, sv x sh raster
+        def body(sym, bits, restart):
+            preds = [0] * n_comp
+            for m in range(mcus_x * mcus_y):
+                if restart_interval and m and m % restart_interval == 0:
+                    restart()
+                    preds = [0] * n_comp
+                my, mx = divmod(m, mcus_x)
+                for ci, (sh, sv) in enumerate(sampling):
+                    bw = grids[ci][0]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            dc = seqs[ci][(my * sv + by) * bw
+                                          + (mx * sh + bx)][0]
+                            if ah == 0:
+                                v = dc >> al  # arithmetic shift (T.81)
+                                diff = v - preds[ci]
+                                preds[ci] = v
+                                t = cat(diff)
+                                sym(t)
+                                bits(diff if diff >= 0
+                                     else diff + (1 << t) - 1, t)
+                            else:
+                                bits((dc >> al) & 1, 1)
+            return
+
+        # dry run for the symbol set (refinement DC has no symbols)
+        collected = []
+        if ah == 0:
+            body(lambda s: collected.append(s), lambda v, n: None,
+                 lambda: None)
+        else:
+            collected = [0]  # dummy: table unused by the decoder
+        syms, entropy = emit_entropy(collected, body)
+        counts = [0] * 16
+        counts[7] = len(syms)
+        dht = bytes([0x00]) + bytes(counts) + bytes(syms)
+        sos = bytes([n_comp])
+        for ci in range(n_comp):
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([0, 0, (ah << 4) | al])
+        return chunk(0xC4, dht) + chunk(0xDA, sos) + entropy
+
+    def ac_first_scan(ci, al):
+        sq = seqs[ci]
+        bw, bh = grids[ci]
+
+        def body(sym, bits, restart):
+            eobrun = [0]
+
+            def flush_eob():
+                if eobrun[0]:
+                    r = eobrun[0].bit_length() - 1
+                    sym(r << 4)
+                    bits(eobrun[0] - (1 << r), r)
+                    eobrun[0] = 0
+
+            for m in range(bw * bh):
+                if restart_interval and m and m % restart_interval == 0:
+                    flush_eob()
+                    restart()
+                band = [trunc1(v) for v in sq[m]]
+                last = max(
+                    (k for k in range(1, 64) if band[k]), default=0)
+                if last == 0:
+                    eobrun[0] += 1
+                    continue
+                flush_eob()
+                run = 0
+                for k in range(1, last + 1):
+                    if band[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        sym(0xF0)
+                        run -= 16
+                    s = cat(band[k])
+                    sym((run << 4) | s)
+                    v = band[k]
+                    bits(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last < 63:
+                    eobrun[0] += 1
+            flush_eob()
+
+        collected = []
+        body(lambda s: collected.append(s),
+             lambda v, n: None, lambda: None)
+        if not collected:
+            collected = [0]
+        syms, entropy = emit_entropy(collected, body)
+        counts = [0] * 16
+        counts[7] = len(syms)
+        dht = bytes([0x11]) + bytes(counts) + bytes(syms)
+        sos = bytes([1, ci + 1, 0x01, 1, 63, al])
+        return chunk(0xC4, dht) + chunk(0xDA, sos) + entropy
+
+    def ac_refine_scan(ci, al):
+        # Ah = al + 1 -> Al = al: history = trunc(v / 2^(al+1))
+        sq = seqs[ci]
+        bw, bh = grids[ci]
+
+        def body(sym, bits, restart):
+            eobrun = [0]
+            ebuf: list[int] = []
+
+            def flush_eob():
+                if eobrun[0]:
+                    r = eobrun[0].bit_length() - 1
+                    sym(r << 4)
+                    bits(eobrun[0] - (1 << r), r)
+                    for bit in ebuf:
+                        bits(bit, 1)
+                    eobrun[0] = 0
+                    ebuf.clear()
+
+            for m in range(bw * bh):
+                if restart_interval and m and m % restart_interval == 0:
+                    flush_eob()
+                    restart()
+                final = sq[m]
+                hist = [trunc1(v) for v in final]  # value after first
+                newly = [k for k in range(1, 64)
+                         if hist[k] == 0 and final[k] != 0]
+                if not newly:
+                    eobrun[0] += 1
+                    ebuf.extend(
+                        abs(final[k]) & 1
+                        for k in range(1, 64) if hist[k] != 0
+                    )
+                    continue
+                flush_eob()
+                pos = 1
+                for p in newly:
+                    z = sum(1 for k in range(pos, p) if hist[k] == 0)
+                    while z > 15:
+                        sym(0xF0)
+                        # consume 16 zero-history positions, emitting
+                        # correction bits for nonzero-history in between
+                        passed = 0
+                        while passed < 16:
+                            if hist[pos] != 0:
+                                bits(abs(final[pos]) & 1, 1)
+                            else:
+                                passed += 1
+                            pos += 1
+                        z -= 16
+                    sym((z << 4) | 1)
+                    bits(1 if final[p] > 0 else 0, 1)
+                    for k in range(pos, p):
+                        if hist[k] != 0:
+                            bits(abs(final[k]) & 1, 1)
+                    pos = p + 1
+                if pos <= 63:
+                    eobrun[0] += 1
+                    ebuf.extend(
+                        abs(final[k]) & 1
+                        for k in range(pos, 64) if hist[k] != 0
+                    )
+            flush_eob()
+
+        collected = []
+        body(lambda s: collected.append(s),
+             lambda v, n: None, lambda: None)
+        if not collected:
+            collected = [0]
+        syms, entropy = emit_entropy(collected, body)
+        counts = [0] * 16
+        counts[7] = len(syms)
+        dht = bytes([0x11]) + bytes(counts) + bytes(syms)
+        sos = bytes([1, ci + 1, 0x01, 1, 63, ((al + 1) << 4) | al])
+        return chunk(0xC4, dht) + chunk(0xDA, sos) + entropy
+
+    out += dc_scan(0, 1)
+    out += dc_scan(1, 0)
+    for ci in range(n_comp):
+        out += ac_first_scan(ci, 1)
+    for ci in range(n_comp):
+        out += ac_refine_scan(ci, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_progressive_grayscale_bit_exact():
+    """A 24x8 grayscale PROGRESSIVE JPEG (3 blocks; successive
+    approximation Al=1->0 on DC and AC, newly-nonzero |v|=1 coefs in
+    the refinement scan, a ZRL run, a 2-block EOB run with buffered
+    correction bits) must decode to EXACTLY the replica's means —
+    pinning the T.81 Annex G scan algebra against the same
+    independent-IDCT replica the baseline decoder is pinned to (r9:
+    the last stubbed media format)."""
+    quant = [1] * 64
+    quant[0] = 16
+    b1 = [[0] * 8 for _ in range(8)]
+    b1[0][0] = 41      # odd DC: refinement bit = 1
+    b1[0][1] = -13
+    b1[2][3] = 7
+    b1[1][1] = 1       # newly-nonzero in the AC refinement scan
+    b2 = [[0] * 8 for _ in range(8)]
+    b2[0][0] = -24     # even DC
+    b2[7][7] = 2       # ZRL run before the last coefficient
+    b2[5][0] = -1      # newly-nonzero deep in the band
+    b3 = [[0] * 8 for _ in range(8)]
+    b3[0][0] = 9       # all-zero AC band: extends the EOB run
+    blocks = [b1, b2, b3]
+    data = _encode_jpeg_progressive([blocks], 24, 8, [(1, 1)], quant)
+    f = mm.real_decode(data)
+    assert f is not None and f[7] == 4.0
+    plane = _jpeg_replica_plane(blocks, 3, quant)
+    n = 24 * 8
+    sg = int(plane.sum())
+    assert f[0] == f[1] == f[2] == sg / (255.0 * n)
+    assert f[3] == (299 * sg + 587 * sg + 114 * sg) / (255000.0 * n)
+    assert f[4:7] == [24 / 4096, 8 / 4096, 3.0]
+    # truncated progressive stream -> clean None
+    assert mm.real_decode(data[: len(data) - 20]) is None
+
+
+def test_jpeg_progressive_420_color_restart_bit_exact():
+    """A 32x16 4:2:0 progressive JPEG with restart_interval=1 — RST
+    markers inside EVERY scan (interleaved DC, per-component AC first
+    and refinement), DC predictor and EOB-run resets — matches the
+    replica's RGB means exactly."""
+    import numpy as np
+
+    quant = [2] * 64
+    rng = np.random.RandomState(17)
+
+    def blocks(n, dc_range=30, n_ac=4):
+        out = []
+        for _ in range(n):
+            blk = [[0] * 8 for _ in range(8)]
+            blk[0][0] = int(rng.randint(-dc_range, dc_range)) or 5
+            for _ in range(n_ac):
+                u, v = int(rng.randint(8)), int(rng.randint(8))
+                blk[u][v] = int(rng.randint(-9, 9))
+            out.append(blk)
+        return out
+
+    yb = blocks(8)       # raster order: 2 block-rows x 4 block-cols
+    cbb = blocks(2, 20, 2)
+    crb = blocks(2, 20, 2)
+    data = _encode_jpeg_progressive(
+        [yb, cbb, crb], 32, 16, [(2, 2), (1, 1), (1, 1)], quant,
+        restart_interval=1,
+    )
+    f = mm.real_decode(data)
+    assert f is not None and f[7] == 4.0
+    yp = _jpeg_replica_plane(yb, 4, quant)
+    cb = _jpeg_replica_plane(cbb, 2, quant)
+    cr = _jpeg_replica_plane(crb, 2, quant)
+    ys, xs = np.arange(16), np.arange(32)
+    cbf = cb[np.ix_(ys // 2, xs // 2)].astype(np.float64)
+    crf = cr[np.ix_(ys // 2, xs // 2)].astype(np.float64)
+    ypf = yp.astype(np.float64)
+    r = np.clip(np.floor(ypf + 1.402 * (crf - 128.0) + 0.5), 0, 255)
+    g = np.clip(
+        np.floor(
+            ypf - 0.344136 * (cbf - 128.0) - 0.714136 * (crf - 128.0) + 0.5
+        ), 0, 255,
+    )
+    bch = np.clip(np.floor(ypf + 1.772 * (cbf - 128.0) + 0.5), 0, 255)
+    n = 32 * 16
+    sr, sg, sb = int(r.sum()), int(g.sum()), int(bch.sum())
+    assert f[0] == sr / (255.0 * n)
+    assert f[1] == sg / (255.0 * n)
+    assert f[2] == sb / (255.0 * n)
+    assert f[3] == (299 * sr + 587 * sg + 114 * sb) / (255000.0 * n)
+
+
+def test_jpeg_progressive_property_random_coefficients():
+    """Randomized sweep: grayscale progressive files with random
+    coefficient patterns (dense bands, magnitude-1 coefficients that
+    land in the refinement scan, long zero runs, all-zero bands
+    forming multi-block EOB runs) all decode bit-exactly to the
+    replica plane."""
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    for trial in range(8):
+        n_blocks = int(rng.randint(1, 5))
+        quant = [int(rng.randint(1, 5)) for _ in range(64)]
+        blocks = []
+        for _ in range(n_blocks):
+            blk = [[0] * 8 for _ in range(8)]
+            blk[0][0] = int(rng.randint(-40, 40))
+            for _ in range(int(rng.randint(0, 10))):
+                u, v = int(rng.randint(8)), int(rng.randint(8))
+                if (u, v) != (0, 0):
+                    blk[u][v] = int(rng.randint(-15, 15))
+            blocks.append(blk)
+        data = _encode_jpeg_progressive(
+            [blocks], 8 * n_blocks, 8, [(1, 1)], quant)
+        f = mm.real_decode(data)
+        assert f is not None, trial
+        plane = _jpeg_replica_plane(blocks, n_blocks, quant)
+        n = 8 * n_blocks * 8
+        assert f[0] == int(plane.sum()) / (255.0 * n), trial
+
+
 def test_multimodal_frame_sampling(spark):
     rows = [(3, "video", bytearray(b"\x03"), ("video/mp4", None, None, 2500))]
     media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
