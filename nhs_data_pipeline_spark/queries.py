@@ -2338,16 +2338,23 @@ def _lsh_quality_frame(d: DataFrame) -> DataFrame:
     vs exact word-bigram Jaccard >= 0.6 truth over the SAME doc frame,
     reduced to (n_exact, n_candidates, n_hit, recall,
     candidate_precision)."""
-    # eager per-call persists: the hit join reads both pair tables a
-    # second time; released via the localCheckpoint'd scalar result
+    # eager per-call persists, all released before return: the doc
+    # frame feeds BOTH pipelines (shingling + bigram tokenize would
+    # otherwise each re-read/re-filter the wide text column — measured
+    # ~1.5 s at sf0.1 on the 30% sample); the candidate table is read
+    # by the hit join and its own count. The truth side needs NO outer
+    # persist: exact_jaccard_join already materializes its result via
+    # an internal localCheckpoint+count (r9 profiling: the removed
+    # persist+count was a redundant extra job).
+    d = d.persist()
+    d.count()
     cand = dd.minhash_lsh_pairs(d, hash_fn="portable").select(
         "id_a", "id_b"
     ).persist()
     cand.count()
     truth = dd.exact_jaccard_join(d, threshold=0.6).select(
         "id_a", "id_b"
-    ).persist()
-    truth.count()
+    )
     nh = cand.join(truth, ["id_a", "id_b"]).agg(
         F.count("*").cast("bigint").alias("n_hit")
     )
@@ -2385,7 +2392,7 @@ def _lsh_quality_frame(d: DataFrame) -> DataFrame:
     )
     out.count()
     cand.unpersist()
-    truth.unpersist()
+    d.unpersist()
     return out
 
 
@@ -2421,7 +2428,20 @@ def eval_lsh_sampled_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the ONLY way this eval runs at 100 TB — recall/precision are
     ratio estimates and concentrate fast at production pair counts.
     Same seeded sample inlined in the oracle; the full-width variant
-    stays registered for the sf0.01 gate."""
+    stays registered for the sf0.01 gate.
+
+    Latency (r8 verdict ask #6, measured r9 at sf0.1): the r9
+    restructure shares ONE persisted doc frame across both pipelines
+    and drops the redundant outer persist on the internally-
+    checkpointed truth side (alternating A/B, 4 reps: old-shape min
+    5.73 s vs new 4.90 s under measured co-load). The <3 s ask is
+    BELOW the sum of the eval's two constituent stages run standalone
+    with all their r8 persist-release optimizations (minhash_lsh_pairs
+    1.9 s + exact_jaccard_join 2.5 s on the same sample, same host
+    conditions) — the eval's own overhead is now one hit-join + three
+    scalar counts over materialized pair tables (~0.5 s). Going lower
+    means shrinking the sample (changing the eval's definition), not
+    removing waste."""
     d = osmp.deterministic_sample(
         _t(spark, sf_dir, "documents"), "doc_id", 0.3, salt="lshq"
     )
