@@ -2022,6 +2022,347 @@ def mann_whitney_u(
     )
 
 
+def kruskal_wallis(
+    df: DataFrame,
+    value_int_col: str,
+    group_col: str,
+    bucket_width: int = 1 << 16,
+) -> DataFrame:
+    """Exact Kruskal-Wallis H test across ALL groups of an integer-
+    quantized value — the k-sample generalization of
+    :func:`mann_whitney_u` (does at least one group's location
+    differ?). One row: ``(n_total, k_groups, h_stat, tie_correction,
+    h_corrected)``.
+
+    Exactness: the doubled-midrank device keeps every rank integer
+    (``2*prior + t + 1`` at a value with ``t`` ties); per-group
+    doubled rank sums AND their squares accumulate in DECIMAL(38,0)
+    (``R2^2 <= 4e24`` at a million rows — far inside 38 digits, and
+    inside DuckDB's HUGEINT); each group's ``R_i^2 / n_i`` term is ONE
+    double division of exact integers, folded in group-key order (the
+    model-sized float-fold rule; NULL group keys fold under a chr(0)
+    sentinel so both engines order them identically); the closing H
+    assembly is identically-spelled double arithmetic, floor-rounded
+    to 6 dp. NULL group keys form their own group (NULL-key
+    discipline); NULL values are excluded.
+
+    Scale shape: one (value, group) aggregate, the bucketed two-pass
+    rank cumulation over the model-sized value table (offsets window
+    over bucket counts, per-value walk partitioned by bucket), one
+    group-sized aggregate, one scalar fold — no corpus-sized window."""
+    D = "decimal(38,0)"
+    v = F.col(value_int_col)
+    base = df.filter(v.isNotNull()).select(
+        v.alias("__v"), F.col(group_col).alias("__g")
+    )
+    g = base.groupBy("__v", "__g").agg(F.count("*").cast(D).alias("__c"))
+    vt = g.groupBy("__v").agg(F.sum("__c").alias("__t"))
+    b = vt.withColumn("__b", (F.col("__v") / bucket_width).cast("bigint"))
+    counts = b.groupBy("__b").agg(F.sum("__t").alias("__bc"))
+    woff = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "__b",
+        F.coalesce(F.sum("__bc").over(woff), F.lit(0).cast(D)).alias(
+            "__off"
+        ),
+    )
+    wb = (
+        Window.partitionBy("__b")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    mr = (
+        b.join(F.broadcast(offs), "__b")
+        .select(
+            "__v",
+            "__t",
+            (
+                F.col("__off")
+                + F.coalesce(F.sum("__t").over(wb), F.lit(0).cast(D))
+            ).alias("__prior"),
+        )
+        .select(
+            "__v",
+            "__t",
+            (
+                F.lit(2).cast(D) * F.col("__prior")
+                + F.col("__t")
+                + F.lit(1).cast(D)
+            ).alias("__mr2"),
+        )
+    )
+    per_g = (
+        g.join(mr.select("__v", "__mr2"), "__v")
+        .groupBy("__g")
+        .agg(
+            F.sum("__c").alias("__n"),
+            F.sum(F.col("__c") * F.col("__mr2")).alias("__r2"),
+        )
+    )
+    tcor = mr.agg(
+        F.sum(
+            F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")
+        ).alias("__tcor")
+    )
+    terms = per_g.select(
+        F.coalesce(F.col("__g").cast("string"), F.lit("\x00")).alias("__k"),
+        F.expr(
+            "cast(__r2 * __r2 as double) / (4.0 * cast(__n as double))"
+        ).alias("__t"),
+        F.col("__n"),
+    )
+    fold = (
+        "aggregate(transform(sort_array(collect_list(struct(__k, __t))), "
+        "s -> s.__t), cast(0.0 as double), (a, x) -> a + x)"
+    )
+    folded = terms.agg(
+        F.expr(fold).alias("__s"),
+        F.count("*").cast("bigint").alias("k_groups"),
+        F.sum("__n").alias("__N"),
+    )
+    out = folded.crossJoin(F.broadcast(tcor))
+    nd = F.col("__N").cast("double")
+    h_raw = (
+        F.lit(12.0) / (nd * (nd + F.lit(1.0))) * F.col("__s")
+        - F.lit(3.0) * (nd + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.col("__tcor").cast("double") / (
+        nd * nd * nd - nd
+    )
+    ok = F.col("__N") > 1
+    return out.select(
+        F.col("__N").cast("bigint").alias("n_total"),
+        "k_groups",
+        F.when(ok, F.floor(h_raw * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+        .alias("h_stat"),
+        F.when(ok, F.floor(corr * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+        .alias("tie_correction"),
+        F.when(
+            ok & (corr > F.lit(0.0)),
+            F.floor(h_raw / corr * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+        ).alias("h_corrected"),
+    )
+
+
+def kendall_tau_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    x_int_col: str,
+    y_int_col: str,
+) -> DataFrame:
+    """Exact Kendall tau-b per group from the JOINT (x, y) value
+    histogram: concordant/discordant pair counts assemble from cell
+    products, tie corrections from the marginals — never a row-pair
+    explosion. Returns ``(*group_cols, n, concordant, discordant,
+    tau_b)``.
+
+    CONTRACT: the caller quantizes x and y to BOUNDED grids (day
+    indices, fixed-width value buckets) so the cell table is
+    model-sized — the C(cells, 2) product join is the cost model, and
+    it is broadcast. With n rows and tie vectors tx/ty:
+    ``A2 = n(n-1) - sum tx(tx-1)``, ``B2`` likewise for y, and
+    ``tau_b = 2(C - D) / sqrt(A2 * B2)`` — every count exact in
+    DECIMAL(38,0), the product inside the sqrt exact (<= 1e24 at a
+    million rows), ONE sqrt + division, floor-rounded to 6 dp.
+    NULL x/y rows are excluded; NULL group keys are kept (NULL-key
+    discipline, eqNullSafe cell join with explicit broadcast — the
+    r8 per-callsite broadcast rule)."""
+    from nhs_data_pipeline_spark.ops.sketch import _ns_join
+
+    D = "decimal(38,0)"
+    cells = (
+        df.filter(
+            F.col(x_int_col).isNotNull() & F.col(y_int_col).isNotNull()
+        )
+        .groupBy(
+            *group_cols,
+            F.col(x_int_col).alias("__x"),
+            F.col(y_int_col).alias("__y"),
+        )
+        .agg(F.count("*").cast(D).alias("__c"))
+    )
+    a = cells.select(
+        *group_cols,
+        F.col("__x").alias("__xa"),
+        F.col("__y").alias("__ya"),
+        F.col("__c").alias("__ca"),
+    )
+    bb = cells.select(
+        *[F.col(c).alias(f"__g_{c}") for c in group_cols],
+        F.col("__x").alias("__xb"),
+        F.col("__y").alias("__yb"),
+        F.col("__c").alias("__cb"),
+    )
+    cond = [a[c].eqNullSafe(bb[f"__g_{c}"]) for c in group_cols]
+    cd = (
+        a.join(F.broadcast(bb), cond)
+        .filter(F.col("__xa") < F.col("__xb"))
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("__ya") < F.col("__yb"),
+                    F.col("__ca") * F.col("__cb"),
+                ).otherwise(F.lit(0).cast(D))
+            ).alias("__C"),
+            F.sum(
+                F.when(
+                    F.col("__ya") > F.col("__yb"),
+                    F.col("__ca") * F.col("__cb"),
+                ).otherwise(F.lit(0).cast(D))
+            ).alias("__D"),
+        )
+    )
+    mx = (
+        cells.groupBy(*group_cols, "__x")
+        .agg(F.sum("__c").alias("__tx"))
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("__tx").alias("__n"),
+            F.sum(F.col("__tx") * F.col("__tx") - F.col("__tx")).alias(
+                "__sx"
+            ),
+        )
+    )
+    my = (
+        cells.groupBy(*group_cols, "__y")
+        .agg(F.sum("__c").alias("__ty"))
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(F.col("__ty") * F.col("__ty") - F.col("__ty")).alias(
+                "__sy"
+            )
+        )
+    )
+    j = _ns_join(
+        _ns_join(cd, mx, group_cols, broadcast_right=True),
+        my,
+        group_cols,
+        broadcast_right=True,
+    )
+    nn = F.col("__n")
+    a2 = nn * (nn - F.lit(1).cast(D)) - F.col("__sx")
+    b2 = nn * (nn - F.lit(1).cast(D)) - F.col("__sy")
+    return j.select(
+        *group_cols,
+        nn.cast("bigint").alias("n"),
+        F.col("__C").cast("bigint").alias("concordant"),
+        F.col("__D").cast("bigint").alias("discordant"),
+        F.when(
+            (a2 > 0) & (b2 > 0),
+            F.expr(
+                "floor(2.0 * cast(__C - __D as double)"
+                " / sqrt(cast((__n * (__n - 1) - __sx)"
+                " * (__n * (__n - 1) - __sy) as double))"
+                " * 1e6 + 0.5) / 1e6"
+            ),
+        ).alias("tau_b"),
+    )
+
+
+def exp_hazard_ratio(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    start_type: str = "signup",
+    event_type: str = "purchase",
+) -> DataFrame:
+    """Exponential (constant-hazard) MLE hazard-ratio A/B on
+    time-to-event with right censoring — the parametric sibling of
+    :func:`logrank_test` (cohort = user parity, the repo's standard
+    split): per cohort the MLE rate is ``lambda_i = d_i / T_i`` with
+    ``d`` observed conversions and ``T`` total exposure in days; the
+    ratio ``HR = lambda_a / lambda_b = (d_a * T_b) / (d_b * T_a)`` is
+    an exact RATIONAL of integer counts, ``ln HR`` quantizes to
+    integer micros immediately (house transcendental rule), and the
+    Wald ``z = ln HR / sqrt(1/d_a + 1/d_b)`` closes in
+    identically-spelled doubles. One row:
+    ``(d_a, t_a_days, d_b, t_b_days, hazard_ratio, z_wald)``.
+
+    Subject construction is the shared survival recipe (first signup
+    -> first subsequent purchase, censor at corpus max ts, NULL-t0
+    subjects dropped in both engines). Scale shape: two user-keyed
+    aggregates + one scalar aggregate — no windows at all."""
+    ev = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        F.col(type_col).alias("__et"),
+    )
+    cmax = ev.agg(F.max(F.unix_micros(F.col("__ts"))).alias("__cmax"))
+    starts = (
+        ev.filter(F.col("__et") == start_type)
+        .groupBy("__u")
+        .agg(F.min(F.unix_micros(F.col("__ts"))).alias("__t0"))
+        .filter(F.col("__t0").isNotNull())
+    )
+    hits = (
+        ev.filter(F.col("__et") == event_type)
+        .select("__u", F.unix_micros(F.col("__ts")).alias("__tp"))
+        .join(starts.select("__u", "__t0"), "__u")
+        .filter(F.col("__tp") >= F.col("__t0"))
+        .groupBy("__u")
+        .agg(F.min("__tp").alias("__te"))
+    )
+    subj = (
+        starts.join(hits, "__u", "left")
+        .crossJoin(F.broadcast(cmax))
+        .select(
+            (F.col("__u") % 2).cast("int").alias("__coh"),
+            F.expr(
+                "cast((coalesce(__te, __cmax) - __t0) div 86400000000"
+                " as bigint)"
+            ).alias("__dur"),
+            F.when(F.col("__te").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("__obs"),
+        )
+    )
+    agg = subj.agg(
+        F.sum(F.when(F.col("__coh") == 0, F.col("__obs")).otherwise(0))
+        .cast("bigint").alias("d_a"),
+        F.sum(F.when(F.col("__coh") == 0, F.col("__dur")).otherwise(0))
+        .cast("bigint").alias("t_a_days"),
+        F.sum(F.when(F.col("__coh") == 1, F.col("__obs")).otherwise(0))
+        .cast("bigint").alias("d_b"),
+        F.sum(F.when(F.col("__coh") == 1, F.col("__dur")).otherwise(0))
+        .cast("bigint").alias("t_b_days"),
+    )
+    ok = (
+        (F.col("d_a") > 0)
+        & (F.col("d_b") > 0)
+        & (F.col("t_a_days") > 0)
+        & (F.col("t_b_days") > 0)
+    )
+    lnm = F.expr(
+        "cast(floor(ln(cast(d_a * t_b_days as double)"
+        " / cast(d_b * t_a_days as double)) * 1e6 + 0.5) as bigint)"
+    )
+    return agg.select(
+        "d_a",
+        "t_a_days",
+        "d_b",
+        "t_b_days",
+        F.when(
+            ok,
+            F.expr(
+                "floor(cast(d_a * t_b_days as double)"
+                " / cast(d_b * t_a_days as double) * 1e6 + 0.5) / 1e6"
+            ),
+        ).alias("hazard_ratio"),
+        F.when(
+            ok,
+            F.expr(
+                "floor(cast(floor(ln(cast(d_a * t_b_days as double)"
+                " / cast(d_b * t_a_days as double)) * 1e6 + 0.5) as bigint)"
+                " / 1e6"
+                " / sqrt(1.0 / cast(d_a as double)"
+                " + 1.0 / cast(d_b as double)) * 1e6 + 0.5) / 1e6"
+            ),
+        ).alias("z_wald"),
+    )
+
+
 def group_acf(
     pts: DataFrame,
     group_cols: list[str],

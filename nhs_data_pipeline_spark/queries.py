@@ -1380,6 +1380,65 @@ def events_km_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_hazard_ratio",
+    """
+    WITH cmax AS (SELECT MAX(epoch_us(ts)) AS cm FROM events),
+    st AS (
+      SELECT user_id AS u, MIN(epoch_us(ts)) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+      HAVING MIN(epoch_us(ts)) IS NOT NULL
+    ),
+    ht AS (
+      SELECT e.user_id AS u, MIN(epoch_us(e.ts)) AS te
+      FROM events e JOIN st ON e.user_id = st.u
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= st.t0
+      GROUP BY 1
+    ),
+    subj AS (
+      SELECT CAST(s.u % 2 AS INTEGER) AS coh,
+             CAST((COALESCE(h.te, (SELECT cm FROM cmax)) - s.t0)
+                  // 86400000000 AS BIGINT) AS dur,
+             CASE WHEN h.te IS NOT NULL THEN 1 ELSE 0 END AS obs
+      FROM st s LEFT JOIN ht h ON s.u = h.u
+    ),
+    ag AS (
+      SELECT
+        CAST(SUM(CASE WHEN coh = 0 THEN obs ELSE 0 END) AS BIGINT) AS d_a,
+        CAST(SUM(CASE WHEN coh = 0 THEN dur ELSE 0 END) AS BIGINT)
+          AS t_a_days,
+        CAST(SUM(CASE WHEN coh = 1 THEN obs ELSE 0 END) AS BIGINT) AS d_b,
+        CAST(SUM(CASE WHEN coh = 1 THEN dur ELSE 0 END) AS BIGINT)
+          AS t_b_days
+      FROM subj
+    )
+    SELECT d_a, t_a_days, d_b, t_b_days,
+      CASE WHEN d_a > 0 AND d_b > 0 AND t_a_days > 0 AND t_b_days > 0 THEN
+        floor(CAST(d_a * t_b_days AS DOUBLE)
+              / CAST(d_b * t_a_days AS DOUBLE) * 1e6 + 0.5) / 1e6
+      END AS hazard_ratio,
+      CASE WHEN d_a > 0 AND d_b > 0 AND t_a_days > 0 AND t_b_days > 0 THEN
+        floor(CAST(floor(ln(CAST(d_a * t_b_days AS DOUBLE)
+              / CAST(d_b * t_a_days AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+              / 1e6
+              / sqrt(1.0 / CAST(d_a AS DOUBLE) + 1.0 / CAST(d_b AS DOUBLE))
+              * 1e6 + 0.5) / 1e6
+      END AS z_wald
+    FROM ag
+    """,
+)
+def events_hazard_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential (constant-hazard) MLE hazard-ratio A/B on
+    signup-to-purchase time (even vs odd users) — the parametric
+    sibling of events_logrank_test completing the survival family:
+    HR = (d_a*T_b)/(d_b*T_a) is an exact rational of integer
+    counts/exposures, ln HR quantizes to micros (house transcendental
+    rule), and the Wald z closes in identically-spelled doubles. Two
+    user-keyed aggregates + one scalar aggregate — no windows
+    (ops/analytics.exp_hazard_ratio)."""
+    return oan.exp_hazard_ratio(_events(spark, sf_dir))
+
+
+@query(
     "stats_theil_sen_trend",
     """
     WITH daily AS (
@@ -7116,6 +7175,38 @@ def entity_phonetic_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "entity_edit_blocked_suppliers",
+    """
+    WITH base AS (
+      SELECT s_suppkey AS id, s_name AS nm,
+             substring(s_name, 1,
+                       greatest(length(s_name) - 2, 1)) AS blk
+      FROM supplier WHERE s_name IS NOT NULL
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           a.nm AS name_a, b.nm AS name_b,
+           CAST(levenshtein(a.nm, b.nm) AS INTEGER) AS dist
+    FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id
+    WHERE levenshtein(a.nm, b.nm) <= 1
+    """,
+)
+def entity_edit_blocked_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Levenshtein self-join over supplier names: prefix
+    blocking (all but the last 2 chars) + exact edit-distance <= 1
+    verify — the general-distance dedup sibling of the
+    deletion-neighborhood matcher, with the blocked-pair volume
+    reportable and budget-guardable before any shuffle
+    (ops/fuzzy.edit_distance_blocked_join). Both engines run the
+    classic Levenshtein, so the pair set replays exactly."""
+    from nhs_data_pipeline_spark.ops import fuzzy as fz
+
+    return fz.edit_distance_blocked_join(
+        _t(spark, sf_dir, "supplier"), "s_name", "s_suppkey",
+        max_dist=1, block_drop=2,
+    )
+
+
+@query(
     "table_fingerprint_by_source",
     """
     SELECT source, COUNT(*) AS n_rows,
@@ -12189,6 +12280,154 @@ def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     return oan.mann_whitney_u(
         o, "__cents", "o_orderpriority", "1-URGENT", "5-LOW"
     )
+
+
+@query(
+    "stats_kruskal_wallis",
+    """
+    WITH base AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+             o_orderpriority AS g
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    gc AS (SELECT v, g, CAST(COUNT(*) AS HUGEINT) AS c
+           FROM base GROUP BY 1, 2),
+    vt AS (SELECT v, CAST(SUM(c) AS HUGEINT) AS t FROM gc GROUP BY 1),
+    mr AS (
+      SELECT v, t,
+             2 * COALESCE(SUM(t) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + t + 1 AS mr2
+      FROM vt
+    ),
+    pg AS (
+      SELECT g, CAST(SUM(c) AS HUGEINT) AS n,
+             CAST(SUM(c * mr.mr2) AS HUGEINT) AS r2
+      FROM gc JOIN mr USING (v) GROUP BY 1
+    ),
+    tc AS (SELECT CAST(SUM(t * t * t - t) AS HUGEINT) AS tcor FROM mr),
+    terms AS (
+      SELECT COALESCE(g, chr(0)) AS k,
+             CAST(r2 * r2 AS DOUBLE) / (4.0 * CAST(n AS DOUBLE)) AS term,
+             n
+      FROM pg
+    ),
+    fold AS (
+      SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(term ORDER BY k)), (a, x) -> a + x) AS s,
+             CAST(COUNT(*) AS BIGINT) AS k_groups,
+             CAST(SUM(n) AS HUGEINT) AS nn
+      FROM terms
+    )
+    SELECT CAST(nn AS BIGINT) AS n_total, k_groups,
+      CASE WHEN nn > 1 THEN
+        floor((12.0 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)) * s
+               - 3.0 * (CAST(nn AS DOUBLE) + 1.0)) * 1e6 + 0.5) / 1e6
+      END AS h_stat,
+      CASE WHEN nn > 1 THEN
+        floor((1.0 - CAST(tcor AS DOUBLE)
+               / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                  * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE)))
+              * 1e6 + 0.5) / 1e6
+      END AS tie_correction,
+      CASE WHEN nn > 1 AND (1.0 - CAST(tcor AS DOUBLE)
+             / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE))) > 0.0 THEN
+        floor((12.0 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)) * s
+               - 3.0 * (CAST(nn AS DOUBLE) + 1.0))
+              / (1.0 - CAST(tcor AS DOUBLE)
+                 / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                    * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE)))
+              * 1e6 + 0.5) / 1e6
+      END AS h_corrected
+    FROM fold CROSS JOIN tc
+    """,
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kruskal-Wallis H across ALL five order-priority groups —
+    the k-sample generalization of stats_mannwhitney_u (one omnibus
+    location test instead of C(5,2) pairwise U tests): doubled
+    midranks keep every rank integer, per-group rank sums and squares
+    accumulate exactly, the R_i^2/n_i terms fold in group order, and
+    H assembles in identically-spelled doubles with the tie-corrected
+    variant alongside (ops/analytics.kruskal_wallis)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    ).select(
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias(
+            "__cents"
+        ),
+        "o_orderpriority",
+    )
+    return oan.kruskal_wallis(o, "__cents", "o_orderpriority")
+
+
+@query(
+    "stats_kendall_daily",
+    """
+    WITH pts AS (
+      SELECT event_type AS g, CAST(day(ts) AS BIGINT) AS x,
+             CAST(LEAST(floor(value / 50.0), 12.0) AS BIGINT) AS y
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    cells AS (SELECT g, x, y, CAST(COUNT(*) AS HUGEINT) AS c
+              FROM pts GROUP BY 1, 2, 3),
+    cd AS (
+      SELECT a.g,
+        CAST(SUM(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END)
+             AS HUGEINT) AS cc,
+        CAST(SUM(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END)
+             AS HUGEINT) AS dd
+      FROM cells a JOIN cells b
+        ON a.g IS NOT DISTINCT FROM b.g AND a.x < b.x
+      GROUP BY 1
+    ),
+    mx AS (
+      SELECT g, CAST(SUM(tx) AS HUGEINT) AS n,
+             CAST(SUM(tx * tx - tx) AS HUGEINT) AS sx
+      FROM (SELECT g, x, CAST(SUM(c) AS HUGEINT) AS tx
+            FROM cells GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    my AS (
+      SELECT g, CAST(SUM(ty * ty - ty) AS HUGEINT) AS sy
+      FROM (SELECT g, y, CAST(SUM(c) AS HUGEINT) AS ty
+            FROM cells GROUP BY 1, 2)
+      GROUP BY 1
+    )
+    SELECT cd.g AS event_type, CAST(mx.n AS BIGINT) AS n,
+      CAST(cd.cc AS BIGINT) AS concordant,
+      CAST(cd.dd AS BIGINT) AS discordant,
+      CASE WHEN (mx.n * (mx.n - 1) - mx.sx) > 0
+            AND (mx.n * (mx.n - 1) - my.sy) > 0 THEN
+        floor(2.0 * CAST(cd.cc - cd.dd AS DOUBLE)
+              / sqrt(CAST((mx.n * (mx.n - 1) - mx.sx)
+                          * (mx.n * (mx.n - 1) - my.sy) AS DOUBLE))
+              * 1e6 + 0.5) / 1e6
+      END AS tau_b
+    FROM cd JOIN mx ON cd.g IS NOT DISTINCT FROM mx.g
+            JOIN my ON cd.g IS NOT DISTINCT FROM my.g
+    """,
+)
+def stats_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kendall tau-b per event type between day-of-month and a
+    fixed-width value bucket — the rank-concordance monotone-trend
+    test beside Spearman (tau is the pair-probability effect size;
+    Spearman the rank-Pearson): concordant/discordant counts assemble
+    from the JOINT (day, bucket) histogram cell products (<= 30x13
+    cells per type — model-sized, broadcast), ties from the
+    marginals, one sqrt + division over exact integers
+    (ops/analytics.kendall_tau_by_group)."""
+    ev = _events(spark, sf_dir)
+    pts = ev.select(
+        "event_type",
+        F.dayofmonth("ts").cast("bigint").alias("__x"),
+        F.least(
+            F.floor(F.col("value") / F.lit(50.0)), F.lit(12).cast("bigint")
+        ).cast("bigint").alias("__y"),
+    )
+    return oan.kendall_tau_by_group(pts, ["event_type"], "__x", "__y")
 
 
 @query("stats_bootstrap_ci", _bootstrap_oracle_sql(48))

@@ -1735,3 +1735,130 @@ def test_logrank_identical_cohorts_and_lifelines_replica(spark):
     v = 8 * (8 / 16) * (1 - 8 / 16) * (16 - 8) / (16 - 1)
     z = math.floor((8 - e) / math.sqrt(v) * 1e6 + 0.5) / 1e6
     assert abs(r2.e_a - e) < 2e-6 and abs(r2.z_logrank - z) < 2e-6
+
+
+def test_kruskal_wallis_matches_rank_replica(spark):
+    """3 groups with ties: H (raw + tie-corrected) matches a direct
+    numpy midrank replica of the textbook formula; single-row guard."""
+    import numpy as np
+
+    from nhs_data_pipeline_spark.ops import analytics as oan2
+
+    rng = np.random.RandomState(3)
+    vals, grps = [], []
+    for gi, (mu, n) in enumerate([(10, 40), (12, 35), (10, 25)]):
+        v = (mu + rng.randint(-4, 5, n)).tolist()  # heavy ties
+        vals += v
+        grps += [f"g{gi}"] * n
+    df = spark.createDataFrame(
+        list(zip(grps, vals)), "g string, v long"
+    )
+    r = oan2.kruskal_wallis(df, "v", "g").collect()[0]
+    # numpy replica: midranks over pooled values
+    arr = np.array(vals, dtype=np.float64)
+    order = np.argsort(arr, kind="stable")
+    ranks = np.empty_like(arr)
+    sorted_v = arr[order]
+    i = 0
+    pos = 1
+    while i < len(arr):
+        j = i
+        while j < len(arr) and sorted_v[j] == sorted_v[i]:
+            j += 1
+        mid = (pos + (pos + (j - i) - 1)) / 2.0
+        for k in range(i, j):
+            ranks[order[k]] = mid
+        pos += j - i
+        i = j
+    n_tot = len(arr)
+    garr = np.array(grps)
+    s = 0.0
+    for gname in ["g0", "g1", "g2"]:
+        rsum = ranks[garr == gname].sum()
+        s += rsum * rsum / (garr == gname).sum()
+    h_raw = 12.0 / (n_tot * (n_tot + 1)) * s - 3 * (n_tot + 1)
+    _, counts = np.unique(arr, return_counts=True)
+    corr = 1.0 - (counts ** 3 - counts).sum() / (n_tot ** 3 - n_tot)
+    assert r.n_total == n_tot and r.k_groups == 3
+    assert abs(r.h_stat - h_raw) < 2e-6
+    assert abs(r.tie_correction - corr) < 2e-6
+    assert abs(r.h_corrected - h_raw / corr) < 2e-6
+
+
+def test_kendall_tau_matches_bruteforce(spark):
+    """tau-b per group matches an O(n^2) pair replica (ties in both
+    x and y); NULL group kept as its own group (discipline)."""
+    import numpy as np
+
+    from nhs_data_pipeline_spark.ops import analytics as oan2
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for gname in ["a", "b", None]:
+        for _ in range(40):
+            x = int(rng.randint(0, 8))
+            rows.append((gname, x, x // 2 + int(rng.randint(-2, 3))))
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r.g: r for r in oan2.kendall_tau_by_group(
+        df, ["g"], "x", "y").collect()}
+    assert set(got) == {"a", "b", None}
+    for gname in got:
+        pts = [(x, y) for g, x, y in rows if g == gname]
+        C = Dd = 0
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                dx = pts[i][0] - pts[j][0]
+                dy = pts[i][1] - pts[j][1]
+                if dx * dy > 0:
+                    C += 1
+                elif dx * dy < 0:
+                    Dd += 1
+        n = len(pts)
+        from collections import Counter
+        sx = sum(t * t - t for t in Counter(p[0] for p in pts).values())
+        sy = sum(t * t - t for t in Counter(p[1] for p in pts).values())
+        a2 = n * (n - 1) - sx
+        b2 = n * (n - 1) - sy
+        import math
+        tau = 2.0 * (C - Dd) / math.sqrt(a2 * b2)
+        r = got[gname]
+        assert (r.concordant, r.discordant, r.n) == (C, Dd, n), gname
+        assert abs(r.tau_b - tau) < 2e-6, gname
+
+
+def test_exp_hazard_ratio_closed_form(spark):
+    """Two cohorts with known event counts / exposures: HR and the
+    Wald z match the closed form; NULL-t0 subjects dropped; empty
+    cohort yields NULL HR/z."""
+    import datetime as dt
+    import math
+
+    from nhs_data_pipeline_spark.ops import analytics as oan2
+
+    base = dt.datetime(2000, 1, 1)
+    rows = [(999, base + dt.timedelta(days=100), "view")]  # censor pin
+    # evens (coh 0): 2 convert at 5d and 10d, 1 censored (100d)
+    rows += [(0, base, "signup"), (0, base + dt.timedelta(days=5), "purchase")]
+    rows += [(2, base, "signup"), (2, base + dt.timedelta(days=10), "purchase")]
+    rows += [(4, base, "signup")]
+    # odds (coh 1): 1 converts at 20d, 1 censored
+    rows += [(1, base, "signup"), (1, base + dt.timedelta(days=20), "purchase")]
+    rows += [(3, base, "signup")]
+    rows += [(7, None, "signup")]  # NULL-t0: dropped
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    r = oan2.exp_hazard_ratio(ev).collect()[0]
+    assert (r.d_a, r.t_a_days, r.d_b, r.t_b_days) == (2, 115, 1, 120)
+    hr = (2 * 120) / (1 * 115)
+    assert abs(r.hazard_ratio - hr) < 2e-6
+    lnm = math.floor(math.log(hr) * 1e6 + 0.5) / 1e6
+    z = math.floor(lnm / math.sqrt(1 / 2 + 1 / 1) * 1e6 + 0.5) / 1e6
+    assert abs(r.z_wald - z) < 1e-9
+    # empty B cohort
+    ev2 = spark.createDataFrame(
+        [(0, base, "signup"), (999, base + dt.timedelta(days=9), "view")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    r2 = oan2.exp_hazard_ratio(ev2).collect()[0]
+    assert r2.hazard_ratio is None and r2.z_wald is None

@@ -95,3 +95,68 @@ class TestFuzzyMatchDist1:
             dirty.repartition(7), _canon(spark), "id", "name", "name"
         )
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_edit_distance_blocked_join_pairs_and_guard(spark):
+    """Blocked Levenshtein self-join: finds exactly the within-block
+    pairs at dist <= max_dist (python-replica verified), NULL names
+    drop, the blocked-pair volume reports exactly, and the budget
+    guard refuses before shuffling."""
+    import itertools
+
+    import pytest as _pytest
+
+    from nhs_data_pipeline_spark.ops import fuzzy as fz
+
+    names = ["widget_a1", "widget_a2", "widget_b1", "gadget_a1",
+             "widget_a1", None]
+    df = spark.createDataFrame(
+        list(enumerate(names)), "id long, nm string"
+    )
+    rep: dict = {}
+    got = sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in fz.edit_distance_blocked_join(
+            df, "nm", "id", max_dist=1, block_drop=2, report=rep
+        ).collect()
+    )
+    # python replica: same blocking, same classic levenshtein
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    rows = [(i, n) for i, n in enumerate(names) if n is not None]
+    expect = sorted(
+        (i, j, lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if a[:-2] == b[:-2] and lev(a, b) <= 1
+    )
+    assert got == expect and (0, 4, 0) in got  # exact dup pair found
+    exp_vol = sum(
+        c * (c - 1) // 2
+        for c in __import__("collections").Counter(
+            n[:-2] for _, n in rows
+        ).values()
+    )
+    assert rep["blocked_pairs"] == exp_vol
+    with _pytest.raises(ValueError, match="max_pairs"):
+        fz.edit_distance_blocked_join(
+            df, "nm", "id", max_pairs=0
+        )
+    # cross-engine levenshtein agreement on tricky shapes
+    import duckdb
+
+    cases = [("kitten", "sitting"), ("abc", "acb"), ("", "ab"),
+             ("aaa", "aa"), ("widget_a1", "widget_b2")]
+    sp = spark.createDataFrame(cases, "a string, b string").select(
+        F.levenshtein("a", "b").alias("d")
+    ).collect()
+    dk = [duckdb.sql(f"SELECT levenshtein('{a}','{b}')").fetchone()[0]
+          for a, b in cases]
+    assert [r.d for r in sp] == dk == [lev(a, b) for a, b in cases]

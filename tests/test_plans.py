@@ -319,8 +319,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 236, len(QUERIES)
-    assert len(ORACLES) == 233, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 240, len(QUERIES)
+    assert len(ORACLES) == 237, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_readme_registry_tallies_match():
@@ -545,6 +545,14 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # audited: censor-time + cohort-totals scalar crosses into the
         # per-day table (ops/analytics.logrank_test)
         "events_logrank_test",
+        # audited (r09): the same censor-time scalar cross feeding the
+        # ONE-row (d, T) cohort aggregate — no per-day table at all
+        # (ops/analytics.exp_hazard_ratio)
+        "events_hazard_ratio",
+        # audited (r09): the one-row tie-correction scalar aggregate
+        # crossed into the one-row folded H table
+        # (ops/analytics.kruskal_wallis) — scalar-broadcast shape
+        "stats_kruskal_wallis",
         # audited: the one-row norm / eigenvalue / sign / trace
         # aggregates crossed into the 64-row eigenvector table each
         # power-iteration round (llm/pca.power_pca) — scalar-broadcast
@@ -760,6 +768,10 @@ def test_registry_no_unaudited_global_sort_windows(spark, sf_dir):
         # cumulation — each runs over the model-sized value-BUCKET
         # table (ops/analytics.spearman_corr; ks_two_sample's shape)
         "stats_spearman_drift",
+        # r09: the same midrank bucket-offset shape, k-sample variant
+        # — the window runs over the value-BUCKET count table
+        # (ops/analytics.kruskal_wallis)
+        "stats_kruskal_wallis",
     }
     explain_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
     pat = re.compile(r"windowspecdefinition\(([^,)]*)")
