@@ -2363,6 +2363,93 @@ def exp_hazard_ratio(
     )
 
 
+def bh_fdr(
+    tests: DataFrame,
+    key_cols: list[str],
+    z_col: str,
+    q: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over a MODEL-sized battery of
+    two-sided z tests — the multiple-comparisons closer for the
+    per-segment test families (run k tests per round and 5% of
+    "significant" segments are false alarms; BH bounds the EXPECTED
+    false-discovery rate at ``q``). Returns ``(*key_cols, z, p_value,
+    p_rank, reject)``.
+
+    Two-sided p comes from the Abramowitz-Stegun 26.2.17 normal-CDF
+    polynomial — pure arithmetic plus ONE exp, every constant an
+    e-notation literal (parsed as DOUBLE by both engines; bare decimal
+    literals parse as DECIMAL in expr strings — the r04 HLL-alpha
+    trap), with p quantized to integer micros IMMEDIATELY after the
+    transcendental (house rule: libm ulp differences die in the
+    quantize). Every BH decision is then exact integer arithmetic on
+    the rationalized q: keep rank i iff ``p_micro * m * den <= i * num
+    * 1e6``; reject all ranks up to the largest kept (the step-up
+    rule). Ties in p break deterministically on the key columns.
+
+    NULL z tests (degenerate segments) are DROPPED — they carry no
+    p-value and cannot rank; run them through a presence check
+    upstream if absence matters. Scale contract: the battery is
+    model-sized (one row per tested segment), so the rank window and
+    the two scalar crosses are bounded by construction."""
+    from fractions import Fraction
+
+    fr = Fraction(str(q))
+    num, den = fr.numerator, fr.denominator
+    zc = F.col(z_col)
+    base = tests.filter(zc.isNotNull()).select(
+        *key_cols, zc.alias("__z")
+    )
+    az = F.abs(F.col("__z"))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(2.316419e-1) * az)
+    poly = t * (
+        F.lit(3.1938153e-1)
+        + t * (
+            F.lit(-3.56563782e-1)
+            + t * (
+                F.lit(1.781477937e0)
+                + t * (F.lit(-1.821255978e0) + t * F.lit(1.330274429e0))
+            )
+        )
+    )
+    p = (
+        F.lit(2.0)
+        * (F.lit(3.9894228040143267e-1) * F.exp(-(az * az) / F.lit(2.0)))
+        * poly
+    )
+    # the battery usually derives from an EXPENSIVE corpus aggregate
+    # and is referenced by THREE branches below (rank, m, k*):
+    # truncate the lineage at the model-sized scored table so the
+    # upstream chain runs once (the multi-branch-lineage rule)
+    scored = base.withColumn(
+        "__pm",
+        F.floor(p * F.lit(1e6) + F.lit(0.5)).cast("bigint"),
+    ).localCheckpoint(eager=False)
+    scored.count()
+    ranked = scored.withColumn(
+        "__rk",
+        F.row_number().over(Window.orderBy("__pm", *key_cols)),
+    )
+    m = scored.agg(F.count("*").cast("bigint").alias("__m"))
+    flagged = ranked.crossJoin(F.broadcast(m)).withColumn(
+        "__ok",
+        F.col("__pm") * F.col("__m") * F.lit(den)
+        <= F.col("__rk") * F.lit(num) * F.lit(1000000),
+    )
+    kstar = flagged.agg(
+        F.max(F.when(F.col("__ok"), F.col("__rk"))).alias("__k")
+    )
+    return flagged.crossJoin(F.broadcast(kstar)).select(
+        *key_cols,
+        F.col("__z").alias(z_col),
+        (F.col("__pm") / F.lit(1e6)).alias("p_value"),
+        F.col("__rk").cast("int").alias("p_rank"),
+        F.coalesce(
+            F.col("__rk") <= F.col("__k"), F.lit(False)
+        ).alias("reject"),
+    )
+
+
 def group_acf(
     pts: DataFrame,
     group_cols: list[str],

@@ -11933,6 +11933,105 @@ def events_mannwhitney_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stats_fdr_by_type",
+    """
+    WITH base AS (
+      SELECT event_type AS g,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ia,
+             CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS ib
+      FROM events
+      WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ),
+    gg AS (
+      SELECT g, v, CAST(SUM(ia) AS HUGEINT) AS ca,
+             CAST(SUM(ib) AS HUGEINT) AS cb
+      FROM base GROUP BY g, v
+    ),
+    pv AS (
+      SELECT g, ca, cb,
+             2 * COALESCE(SUM(ca + cb) OVER (PARTITION BY g ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + ca + cb + 1 AS mr2,
+             ca + cb AS t
+      FROM gg
+    ),
+    ag AS (
+      SELECT g, SUM(ca * mr2) AS r2a, SUM(t * t * t - t) AS tcor
+      FROM pv GROUP BY g
+    ),
+    tt AS (SELECT g, CAST(SUM(ia) AS HUGEINT) AS na,
+                  CAST(SUM(ib) AS HUGEINT) AS nb FROM base GROUP BY g),
+    fin AS (
+      SELECT a.g, CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+             CAST(a.r2a - t.na * (t.na + 1) AS DOUBLE) / 2.0 AS ua,
+             CAST(t.na AS DOUBLE) AS nad, CAST(t.nb AS DOUBLE) AS nbd,
+             CAST(a.tcor AS DOUBLE) AS tc
+      FROM ag a JOIN tt t ON a.g IS NOT DISTINCT FROM t.g
+    ),
+    mw AS (
+      SELECT g AS et,
+        CASE WHEN n_a > 0 AND n_b > 0 AND
+             (nad * nbd / 12.0 * ((nad + nbd + 1.0)
+               - tc / ((nad + nbd) * (nad + nbd - 1.0)))) > 0 THEN
+          floor((ua - nad * nbd / 2.0)
+                / sqrt(nad * nbd / 12.0 * ((nad + nbd + 1.0)
+                       - tc / ((nad + nbd) * (nad + nbd - 1.0))))
+                * 1e6 + 0.5) / 1e6 END AS z
+      FROM fin
+    ),
+    sc AS (
+      SELECT et, z,
+        CAST(floor(2.0
+          * (3.9894228040143267e-1 * exp(-(abs(z) * abs(z)) / 2.0))
+          * ((1.0 / (1.0 + 2.316419e-1 * abs(z))) * (3.1938153e-1
+            + (1.0 / (1.0 + 2.316419e-1 * abs(z))) * (-3.56563782e-1
+            + (1.0 / (1.0 + 2.316419e-1 * abs(z))) * (1.781477937e0
+            + (1.0 / (1.0 + 2.316419e-1 * abs(z))) * (-1.821255978e0
+            + (1.0 / (1.0 + 2.316419e-1 * abs(z)))
+              * 1.330274429e0)))))
+          * 1e6 + 0.5) AS BIGINT) AS pm
+      FROM mw WHERE z IS NOT NULL
+    ),
+    ranked AS (
+      SELECT et, z, pm,
+             CAST(row_number() OVER (ORDER BY pm, et) AS INTEGER) AS rk
+      FROM sc
+    ),
+    mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM sc),
+    ks AS (
+      SELECT MAX(CASE WHEN pm * mm.m * 20 <= rk * 1 * 1000000
+                 THEN rk END) AS k
+      FROM ranked CROSS JOIN mm
+    )
+    SELECT et AS event_type, z AS z_approx, pm / 1e6 AS p_value,
+           rk AS p_rank, COALESCE(rk <= ks.k, FALSE) AS reject
+    FROM ranked CROSS JOIN ks
+    """,
+)
+def stats_fdr_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR over the per-event-type Mann-Whitney
+    battery — the multiple-comparisons closer for the segmented test
+    families (5 segments tested per round means 5 chances at a false
+    alarm; BH bounds the expected false-discovery rate at q=0.05).
+    Two-sided p from the A&S 26.2.17 normal-CDF polynomial (e-notation
+    double literals, one exp, micro-quantized immediately); every BH
+    step-up decision exact integer arithmetic on the rationalized q
+    (ops/analytics.bh_fdr over ops/analytics.mann_whitney_by_group)."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        "event_type",
+        F.expr("cast(floor(value * 1e6 + 0.5) as bigint)").alias("__v"),
+        (F.col("user_id") % 2).cast("int").alias("__cohort"),
+    )
+    mw = oan.mann_whitney_by_group(
+        ev, ["event_type"], "__v", "__cohort", 0, 1
+    ).select("event_type", "z_approx")
+    return oan.bh_fdr(mw, ["event_type"], "z_approx", q=0.05)
+
+
+@query(
     "stats_rate_wilson_ci",
     """
     WITH agg AS (

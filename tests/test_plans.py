@@ -319,8 +319,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 240, len(QUERIES)
-    assert len(ORACLES) == 237, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 241, len(QUERIES)
+    assert len(ORACLES) == 238, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_readme_registry_tallies_match():
@@ -553,6 +553,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # crossed into the one-row folded H table
         # (ops/analytics.kruskal_wallis) — scalar-broadcast shape
         "stats_kruskal_wallis",
+        # audited (r09): the one-row battery-size (m) and step-up
+        # cutoff (k*) scalar crosses into the model-sized checkpointed
+        # battery (ops/analytics.bh_fdr) — scalar-broadcast shape
+        "stats_fdr_by_type",
         # audited: the one-row norm / eigenvalue / sign / trace
         # aggregates crossed into the 64-row eigenvector table each
         # power-iteration round (llm/pca.power_pca) — scalar-broadcast
@@ -772,6 +776,10 @@ def test_registry_no_unaudited_global_sort_windows(spark, sf_dir):
         # — the window runs over the value-BUCKET count table
         # (ops/analytics.kruskal_wallis)
         "stats_kruskal_wallis",
+        # r09: BH rank window over the checkpointed one-row-per-SEGMENT
+        # battery (5 event types; model-sized by the bh_fdr contract)
+        # atop the audited per-group MW bucket cumulation
+        "stats_fdr_by_type",
     }
     explain_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
     pat = re.compile(r"windowspecdefinition\(([^,)]*)")
