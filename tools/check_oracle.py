@@ -114,6 +114,35 @@ def main():
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
+            if "Out of Memory" in str(e):
+                # a hard OOM poisons the shared connection's allocator
+                # state and CASCADES tiny-allocation failures into the
+                # NEXT queries (observed in the r9 sf1 rehearsal:
+                # embed_kmeans_fit's unrolled-CTE oracle OOM'd, then
+                # 25-node graph queries failed 2 KB allocations) —
+                # reconnect so one heavy oracle can't fail its
+                # neighbors. The freed buffers can lag the close()
+                # (the rehearsal's reconnect itself failed a 2 KB
+                # view-create), so retry with a pause.
+                import gc
+                import time as _t
+
+                try:
+                    con.close()
+                except Exception:  # noqa: BLE001 — already wedged
+                    pass
+                con = None
+                gc.collect()
+                for _ in range(5):
+                    try:
+                        con = duck_con(sf_dir)
+                        break
+                    except Exception:  # noqa: BLE001 — still draining
+                        _t.sleep(5)
+                        gc.collect()
+                if con is None:
+                    print("FAIL  <reconnect>: duckdb would not reopen")
+                    break
             continue
         status = []
         if sorted(s_cols) != sorted(d_cols):
