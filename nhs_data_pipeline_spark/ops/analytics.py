@@ -2363,6 +2363,167 @@ def exp_hazard_ratio(
     )
 
 
+def anova_oneway(
+    df: DataFrame,
+    value_int_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Exact-moment one-way ANOVA F across ALL groups of an
+    integer-quantized value — the parametric sibling of
+    :func:`kruskal_wallis` (means instead of ranks). One row:
+    ``(n_total, k_groups, f_stat, ss_between, ss_within)``.
+
+    Exactness: per-group ``(n, sum, sum-of-squares)`` accumulate in
+    DECIMAL(38,0) (order-free integer moments — the house PCA trick);
+    ``sum_i s_i^2/n_i`` takes ONE double division per group with the
+    squares computed exactly in decimal first, folded in group-key
+    order (chr(0) NULL sentinel); SSB/SSW/F assemble in
+    identically-spelled doubles, floor-rounded to 6 dp. NULL groups
+    are their own group; NULL values excluded. Degenerate cases
+    (k < 2, N <= k, SSW == 0) yield NULL F.
+
+    Scale shape: ONE map-side-combinable aggregate on the group key,
+    then a k-row fold — nothing else touches the corpus."""
+    D = "decimal(38,0)"
+    v = F.col(value_int_col)
+    per_g = (
+        df.filter(v.isNotNull())
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(
+            F.count("*").cast(D).alias("__n"),
+            F.sum(v.cast(D)).alias("__s"),
+            F.sum(v.cast(D) * v.cast(D)).alias("__q"),
+        )
+    )
+    terms = per_g.select(
+        F.coalesce(F.col("__g").cast("string"), F.lit("\x00")).alias("__k"),
+        F.expr(
+            "cast(__s * __s as double) / cast(__n as double)"
+        ).alias("__t"),
+        "__n",
+        "__s",
+        "__q",
+    )
+    fold = (
+        "aggregate(transform(sort_array(collect_list(struct(__k, __t))), "
+        "s -> s.__t), cast(0.0 as double), (a, x) -> a + x)"
+    )
+    agg = terms.agg(
+        F.expr(fold).alias("__sb"),
+        F.count("*").cast("bigint").alias("k_groups"),
+        F.sum("__n").alias("__N"),
+        F.sum("__s").alias("__S"),
+        F.sum("__q").alias("__Q"),
+    )
+    nd = F.col("__N").cast("double")
+    kd = F.col("k_groups").cast("double")
+    grand = F.expr("cast(__S * __S as double)") / nd
+    ssb = F.col("__sb") - grand
+    ssw = F.col("__Q").cast("double") - F.col("__sb")
+    ok = (F.col("k_groups") > 1) & (F.col("__N") > F.col("k_groups"))
+    f_stat = (ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd))
+    return agg.select(
+        F.col("__N").cast("bigint").alias("n_total"),
+        "k_groups",
+        F.when(
+            ok & (ssw > F.lit(0.0)),
+            F.floor(f_stat * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+        ).alias("f_stat"),
+        F.when(ok, F.floor(ssb * F.lit(1e-6) + F.lit(0.5))).cast(
+            "bigint"
+        ).alias("ssb_micro"),
+        F.when(ok, F.floor(ssw * F.lit(1e-6) + F.lit(0.5))).cast(
+            "bigint"
+        ).alias("ssw_micro"),
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    value_int_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test on an
+    integer-quantized value — the parametric sibling of
+    :func:`mann_whitney_u` (mean difference instead of rank shift,
+    robust to unequal variances where Student's pooled t is not).
+    One row: ``(n_a, n_b, mean_a, mean_b, t_stat, df_welch)``.
+
+    Exactness: both sides' ``(n, sum, sum-of-squares)`` are exact
+    DECIMAL(38,0) integer moments from ONE aggregate; each sample
+    variance is assembled from those integers with single divisions
+    (``(q - s^2/n) / (n-1)``), and t plus the Welch-Satterthwaite df
+    close in identically-spelled doubles, floor-rounded to 6 dp.
+    NULL values excluded; a side with n < 2 (no variance) yields NULL
+    t/df."""
+    D = "decimal(38,0)"
+    v = F.col(value_int_col)
+    base = df.filter(
+        v.isNotNull() & F.col(group_col).isin([group_a, group_b])
+    )
+    agg = base.agg(
+        F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0))
+        .cast(D).alias("__na"),
+        F.sum(
+            F.when(F.col(group_col) == group_a, v).otherwise(0).cast(D)
+        ).alias("__sa"),
+        F.sum(
+            F.when(F.col(group_col) == group_a, v.cast(D) * v.cast(D))
+            .otherwise(F.lit(0).cast(D))
+        ).alias("__qa"),
+        F.sum(F.when(F.col(group_col) == group_b, 1).otherwise(0))
+        .cast(D).alias("__nb"),
+        F.sum(
+            F.when(F.col(group_col) == group_b, v).otherwise(0).cast(D)
+        ).alias("__sb"),
+        F.sum(
+            F.when(F.col(group_col) == group_b, v.cast(D) * v.cast(D))
+            .otherwise(F.lit(0).cast(D))
+        ).alias("__qb"),
+    )
+    na = F.col("__na").cast("double")
+    nb = F.col("__nb").cast("double")
+    ma = F.col("__sa").cast("double") / na
+    mb = F.col("__sb").cast("double") / nb
+    va = (
+        F.col("__qa").cast("double")
+        - F.expr("cast(__sa * __sa as double)") / na
+    ) / (na - F.lit(1.0))
+    vb = (
+        F.col("__qb").cast("double")
+        - F.expr("cast(__sb * __sb as double)") / nb
+    ) / (nb - F.lit(1.0))
+    se2 = va / na + vb / nb
+    tstat = (ma - mb) / F.sqrt(se2)
+    dfw = (se2 * se2) / (
+        (va / na) * (va / na) / (na - F.lit(1.0))
+        + (vb / nb) * (vb / nb) / (nb - F.lit(1.0))
+    )
+    ok = (F.col("__na") > 1) & (F.col("__nb") > 1)
+    return agg.select(
+        F.col("__na").cast("bigint").alias("n_a"),
+        F.col("__nb").cast("bigint").alias("n_b"),
+        F.when(
+            F.col("__na") > 0,
+            F.floor(ma * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+        ).alias("mean_a"),
+        F.when(
+            F.col("__nb") > 0,
+            F.floor(mb * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+        ).alias("mean_b"),
+        F.when(
+            ok & (se2 > F.lit(0.0)),
+            F.floor(tstat * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+        ).alias("t_stat"),
+        F.when(
+            ok & (se2 > F.lit(0.0)),
+            F.floor(dfw * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+        ).alias("df_welch"),
+    )
+
+
 def bh_fdr(
     tests: DataFrame,
     key_cols: list[str],

@@ -12529,6 +12529,180 @@ def stats_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return oan.kendall_tau_by_group(pts, ["event_type"], "__x", "__y")
 
 
+@query(
+    "stats_anova_f",
+    """
+    WITH base AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+             o_orderpriority AS g
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    pg AS (
+      SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(v) AS HUGEINT) AS s,
+             CAST(SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT))
+                  AS HUGEINT) AS q
+      FROM base GROUP BY 1
+    ),
+    terms AS (
+      SELECT COALESCE(g, chr(0)) AS k,
+             CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE) AS term,
+             n, s, q
+      FROM pg
+    ),
+    fold AS (
+      SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(term ORDER BY k)), (a, x) -> a + x) AS sb,
+             CAST(COUNT(*) AS BIGINT) AS k_groups,
+             CAST(SUM(n) AS HUGEINT) AS nn,
+             CAST(SUM(s) AS HUGEINT) AS ss,
+             CAST(SUM(q) AS HUGEINT) AS qq
+      FROM terms
+    )
+    SELECT CAST(nn AS BIGINT) AS n_total, k_groups,
+      CASE WHEN k_groups > 1 AND nn > k_groups
+            AND (CAST(qq AS DOUBLE) - sb) > 0.0 THEN
+        floor(((sb - CAST(ss * ss AS DOUBLE) / CAST(nn AS DOUBLE))
+               / (CAST(k_groups AS DOUBLE) - 1.0))
+              / ((CAST(qq AS DOUBLE) - sb)
+                 / (CAST(nn AS DOUBLE) - CAST(k_groups AS DOUBLE)))
+              * 1e6 + 0.5) / 1e6 END AS f_stat,
+      CASE WHEN k_groups > 1 AND nn > k_groups THEN
+        CAST(floor((sb - CAST(ss * ss AS DOUBLE) / CAST(nn AS DOUBLE))
+                   * 1e-6 + 0.5) AS BIGINT) END AS ssb_micro,
+      CASE WHEN k_groups > 1 AND nn > k_groups THEN
+        CAST(floor((CAST(qq AS DOUBLE) - sb) * 1e-6 + 0.5) AS BIGINT)
+      END AS ssw_micro
+    FROM fold
+    """,
+)
+def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-moment one-way ANOVA F across all five order priorities —
+    the parametric sibling of stats_kruskal_wallis (group means
+    instead of ranks): per-group integer (n, sum, sum-of-squares)
+    moments from ONE aggregate, s_i^2/n_i terms folded in group
+    order, SSB/SSW/F assembled in identically-spelled doubles
+    (ops/analytics.anova_oneway)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    ).select(
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias(
+            "__cents"
+        ),
+        "o_orderpriority",
+    )
+    return oan.anova_oneway(o, "__cents", "o_orderpriority")
+
+
+@query(
+    "stats_welch_ttest",
+    """
+    WITH base AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS ia,
+             CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS ib
+      FROM orders
+      WHERE o_totalprice IS NOT NULL
+        AND o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    ag AS (
+      SELECT CAST(SUM(ia) AS HUGEINT) AS na,
+             CAST(SUM(CASE WHEN ia = 1 THEN v ELSE 0 END) AS HUGEINT)
+               AS sa,
+             CAST(SUM(CASE WHEN ia = 1
+                  THEN CAST(v AS HUGEINT) * CAST(v AS HUGEINT)
+                  ELSE 0 END) AS HUGEINT) AS qa,
+             CAST(SUM(ib) AS HUGEINT) AS nb,
+             CAST(SUM(CASE WHEN ib = 1 THEN v ELSE 0 END) AS HUGEINT)
+               AS sb,
+             CAST(SUM(CASE WHEN ib = 1
+                  THEN CAST(v AS HUGEINT) * CAST(v AS HUGEINT)
+                  ELSE 0 END) AS HUGEINT) AS qb
+      FROM base
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      CASE WHEN na > 0 THEN
+        floor(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) * 1e6 + 0.5) / 1e6
+      END AS mean_a,
+      CASE WHEN nb > 0 THEN
+        floor(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) * 1e6 + 0.5) / 1e6
+      END AS mean_b,
+      CASE WHEN na > 1 AND nb > 1 AND
+        (((CAST(qa AS DOUBLE) - CAST(sa * sa AS DOUBLE)
+           / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0))
+         / CAST(na AS DOUBLE)
+         + ((CAST(qb AS DOUBLE) - CAST(sb * sb AS DOUBLE)
+             / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0))
+           / CAST(nb AS DOUBLE)) > 0.0 THEN
+        floor((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+               - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+              / sqrt(((CAST(qa AS DOUBLE) - CAST(sa * sa AS DOUBLE)
+                       / CAST(na AS DOUBLE))
+                      / (CAST(na AS DOUBLE) - 1.0)) / CAST(na AS DOUBLE)
+                     + ((CAST(qb AS DOUBLE) - CAST(sb * sb AS DOUBLE)
+                         / CAST(nb AS DOUBLE))
+                        / (CAST(nb AS DOUBLE) - 1.0))
+                       / CAST(nb AS DOUBLE))
+              * 1e6 + 0.5) / 1e6 END AS t_stat,
+      CASE WHEN na > 1 AND nb > 1 AND
+        (((CAST(qa AS DOUBLE) - CAST(sa * sa AS DOUBLE)
+           / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0))
+         / CAST(na AS DOUBLE)
+         + ((CAST(qb AS DOUBLE) - CAST(sb * sb AS DOUBLE)
+             / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0))
+           / CAST(nb AS DOUBLE)) > 0.0 THEN
+        floor(((((CAST(qa AS DOUBLE) - CAST(sa * sa AS DOUBLE)
+                  / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0))
+                 / CAST(na AS DOUBLE)
+                + ((CAST(qb AS DOUBLE) - CAST(sb * sb AS DOUBLE)
+                    / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0))
+                  / CAST(nb AS DOUBLE))
+               * (((CAST(qa AS DOUBLE) - CAST(sa * sa AS DOUBLE)
+                    / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0))
+                   / CAST(na AS DOUBLE)
+                  + ((CAST(qb AS DOUBLE) - CAST(sb * sb AS DOUBLE)
+                      / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0))
+                    / CAST(nb AS DOUBLE)))
+              / ((((CAST(qa AS DOUBLE) - CAST(sa * sa AS DOUBLE)
+                    / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0))
+                  / CAST(na AS DOUBLE))
+                 * (((CAST(qa AS DOUBLE) - CAST(sa * sa AS DOUBLE)
+                      / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0))
+                    / CAST(na AS DOUBLE))
+                 / (CAST(na AS DOUBLE) - 1.0)
+                 + (((CAST(qb AS DOUBLE) - CAST(sb * sb AS DOUBLE)
+                      / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0))
+                    / CAST(nb AS DOUBLE))
+                   * (((CAST(qb AS DOUBLE) - CAST(sb * sb AS DOUBLE)
+                        / CAST(nb AS DOUBLE))
+                       / (CAST(nb AS DOUBLE) - 1.0))
+                      / CAST(nb AS DOUBLE))
+                   / (CAST(nb AS DOUBLE) - 1.0))
+              * 1e6 + 0.5) / 1e6 END AS df_welch
+    FROM ag
+    """,
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between urgent and low-priority
+    order values — the parametric sibling of stats_mannwhitney_u
+    (mean difference instead of rank shift): exact integer
+    (n, sum, sum-of-squares) moments from ONE aggregate, sample
+    variances from single divisions, t and the Welch-Satterthwaite df
+    in identically-spelled doubles (ops/analytics.welch_ttest)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    ).select(
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias(
+            "__cents"
+        ),
+        "o_orderpriority",
+    )
+    return oan.welch_ttest(
+        o, "__cents", "o_orderpriority", "1-URGENT", "5-LOW"
+    )
+
+
 @query("stats_bootstrap_ci", _bootstrap_oracle_sql(48))
 def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic half-sample bootstrap 95% CI for the mean order

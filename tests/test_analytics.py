@@ -1914,3 +1914,73 @@ def test_bh_fdr_step_up_and_replica(spark):
     # verify the engineered shape before asserting the rescue
     assert ps2[1][0] * 3 > 2 * 0.1 and ps2[2][0] * 3 <= 3 * 0.1, ps2
     assert all(rej for _, rej in got2.values()), got2
+
+
+def test_anova_oneway_matches_numpy_replica(spark):
+    """F statistic matches a direct numpy decomposition (SSB/SSW from
+    group means); degenerate single-group and zero-variance cases are
+    NULL."""
+    import numpy as np
+
+    from nhs_data_pipeline_spark.ops import analytics as oan2
+
+    rng = np.random.RandomState(9)
+    vals, grps = [], []
+    for gi, (mu, n) in enumerate([(100, 50), (115, 40), (95, 30)]):
+        v = (mu + rng.randint(-20, 21, n)).tolist()
+        vals += v
+        grps += [f"g{gi}"] * n
+    df = spark.createDataFrame(list(zip(grps, vals)), "g string, v long")
+    r = oan2.anova_oneway(df, "v", "g").collect()[0]
+    arr = np.array(vals, dtype=np.float64)
+    garr = np.array(grps)
+    grand = arr.mean()
+    ssb = sum(
+        (garr == g).sum() * (arr[garr == g].mean() - grand) ** 2
+        for g in ["g0", "g1", "g2"]
+    )
+    ssw = sum(
+        ((arr[garr == g] - arr[garr == g].mean()) ** 2).sum()
+        for g in ["g0", "g1", "g2"]
+    )
+    f_exp = (ssb / 2) / (ssw / (len(arr) - 3))
+    assert r.n_total == len(arr) and r.k_groups == 3
+    assert abs(r.f_stat - f_exp) < 2e-5
+    # zero within-variance -> NULL F
+    z = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("b", 7), ("b", 7)], "g string, v long"
+    )
+    rz = oan2.anova_oneway(z, "v", "g").collect()[0]
+    assert rz.f_stat is None and rz.ssb_micro is not None
+
+
+def test_welch_ttest_matches_replica(spark):
+    """t and the Welch-Satterthwaite df match the closed form on
+    unequal-variance samples; n<2 side yields NULL t/df."""
+    import math
+
+    import numpy as np
+
+    from nhs_data_pipeline_spark.ops import analytics as oan2
+
+    rng = np.random.RandomState(4)
+    a = (1000 + rng.randint(-5, 6, 30)).tolist()
+    b = (900 + rng.randint(-200, 201, 50)).tolist()
+    rows = [("A", int(v)) for v in a] + [("B", int(v)) for v in b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = oan2.welch_ttest(df, "v", "g", "A", "B").collect()[0]
+    va = np.var(a, ddof=1)
+    vb = np.var(b, ddof=1)
+    se2 = va / 30 + vb / 50
+    t_exp = (np.mean(a) - np.mean(b)) / math.sqrt(se2)
+    df_exp = se2 ** 2 / (
+        (va / 30) ** 2 / 29 + (vb / 50) ** 2 / 49
+    )
+    assert (r.n_a, r.n_b) == (30, 50)
+    assert abs(r.t_stat - t_exp) < 2e-5
+    assert abs(r.df_welch - df_exp) < 2e-4
+    tiny = spark.createDataFrame(
+        [("A", 1), ("B", 2), ("B", 3)], "g string, v long"
+    )
+    rt = oan2.welch_ttest(tiny, "v", "g", "A", "B").collect()[0]
+    assert rt.t_stat is None and rt.df_welch is None
