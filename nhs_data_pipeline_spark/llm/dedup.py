@@ -1631,6 +1631,7 @@ def weighted_jaccard_join(
     idf_scale: int = 1000,
     report: dict | None = None,
     max_pairs: int | None = None,
+    mode: str = "countjoin",
 ) -> DataFrame:
     """EXACT IDF-weighted set-similarity self-join: every document
     pair whose word-bigram sets reach weighted Jaccard >= ``threshold``
@@ -1661,16 +1662,44 @@ def weighted_jaccard_join(
     into per-pair intersection weight. Volume is sum over tokens of
     C(df,2) — the documented dense-vocabulary cost model.
 
-    ``report`` (optional dict) receives the predicted countjoin
-    candidate volume ``cj_pairs`` (exact, from the token df histogram,
-    BEFORE the join runs); ``max_pairs`` is a refuse-above budget —
-    the op raises instead of shuffling a flood (weighted prefix
-    filtering needs weight-sorted PPJoin machinery, deferred; the
-    guard is the honest scale tool meanwhile)."""
+    Two physical strategies (r9 — the "weighted prefix filtering is
+    hard" deferral is now closed), dispatched like
+    :func:`exact_jaccard_join`:
+
+    - ``mode="countjoin"`` (default): the co-occurrence count join
+      with the weight joined from a broadcast probe — volume is the
+      documented sum-of-C(df,2) model; right on dense vocabularies.
+    - ``mode="prefix"``: WEIGHTED PPJoin prefix filtering. Tokens
+      order globally rarest-first (weight DESC == df ASC, then token);
+      a doc's prefix is the MINIMAL head such that the remaining
+      suffix weight drops below ``t * w(doc)`` — if a qualifying pair
+      shared no prefix token of A, then ``w(∩) <= w(suffix(A)) <
+      t*w(A) <= t*w(A∪B)``, contradiction (the weighted pigeonhole).
+      Every prefix-boundary decision is the exact integer comparison
+      ``den*(W - cum_prev) >= num*W``. Candidates add the lossless
+      weighted length filter (``den*min(WA,WB) >= num*max(WA,WB)``)
+      and the weighted positional filter (first-common-token bound
+      ``(den+num)*(w0 + min(suffix_a, suffix_b)) >= num*(WA+WB)``),
+      then verify with the exact intersection weight (struct-array
+      intersect; integer sum, order-free). Wins on sparse
+      vocabularies exactly like the unweighted prefix mode.
+    - ``mode="auto"``: the prefix table is built (join-free window
+      pass), its EXACT pre-filter candidate volume ``sum over tokens
+      of C(prefix_df, 2)`` is measured from one aggregate, and the
+      measured crossover factor arbitrates vs ``cj_pairs`` — a
+      sharper dispatch than the unweighted fill heuristic because the
+      weighted prefix volume is exact, not estimated.
+
+    Both modes are lossless — results (and the oracle) are identical.
+    ``report`` receives {mode, cj_pairs[, pf_pairs]}; ``max_pairs``
+    refuses above budget on the CHOSEN mode's predicted volume before
+    any pair shuffle runs."""
     from fractions import Fraction
 
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
+    if mode not in ("countjoin", "prefix", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
     fr = Fraction(str(threshold))
     num, den = fr.numerator, fr.denominator
 
@@ -1680,17 +1709,6 @@ def weighted_jaccard_join(
     # lineage
     toks = _bigram_tokens(df, text_col, id_col).persist()
     toks.count()
-    if report is not None or max_pairs is not None:
-        try:
-            _check_pair_budget(
-                "weighted_jaccard_join",
-                _countjoin_pair_volume(toks),
-                max_pairs,
-                report,
-            )
-        except ValueError:
-            toks.unpersist()
-            raise
     # N as a plan-side scalar (broadcast cross), never a driver literal
     # — the repo's scalar-aggregate rule: the oracle derives N the same
     # way, and no extra driver action runs
@@ -1715,29 +1733,212 @@ def weighted_jaccard_join(
     wsz = toks.join(F.broadcast(w_bg), "bg").groupBy("doc_id").agg(
         F.sum("__w").alias("__wt")
     )
-    a = toks.select(F.col("doc_id").alias("id_a"), "bg")
-    b = toks.select(F.col("doc_id").alias("id_b"), "bg")
-    inter = (
-        a.join(b, "bg")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .join(F.broadcast(w_bg), "bg")
-        .groupBy("id_a", "id_b")
-        .agg(F.sum("__w").alias("__iw"))
+
+    def _release_and_raise(e: Exception) -> None:
+        toks.unpersist()
+        raise e
+
+    prefix = None
+    if mode in ("prefix", "auto"):
+        # weighted prefix table: global rarest-first order (weight
+        # DESC == df ASC, tie token ASC), cumulative weights, the
+        # exact integer boundary keep den*(W - cum_prev) >= num*W
+        wt = (
+            toks.join(F.broadcast(w_bg), "bg")
+            .join(wsz, "doc_id")
+            .withColumn(
+                "__cw",
+                F.sum("__w").over(
+                    Window.partitionBy("doc_id")
+                    .orderBy(F.desc("__w"), F.asc("bg"))
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+        )
+        prefix = (
+            wt.filter(
+                F.lit(den) * (F.col("__wt") - (F.col("__cw") - F.col("__w")))
+                >= F.lit(num) * F.col("__wt")
+            )
+            .select("doc_id", "bg", "__w", "__wt", "__cw")
+            # eager: a lazy self-join would race its two scans through
+            # the whole lineage (the measured 2x trap)
+            .persist()
+        )
+        prefix.count()
+    if mode == "auto":
+        cj = _countjoin_pair_volume(toks)
+        pfrow = (
+            prefix.groupBy("bg")
+            .agg(F.count("*").alias("__pdf"))
+            .agg(
+                F.sum(F.expr("__pdf * (__pdf - 1) div 2"))
+                .cast("bigint")
+                .alias("__p")
+            )
+            .collect()[0]
+        )
+        pf = int(pfrow["__p"] or 0)
+        mode = (
+            "prefix" if pf * _JACCARD_PREFIX_COST_FACTOR < cj
+            else "countjoin"
+        )
+        if report is not None:
+            report.update(cj_pairs=cj, pf_pairs=pf, mode=mode)
+        if max_pairs is not None:
+            vol = pf if mode == "prefix" else cj
+            if vol > max_pairs:
+                prefix.unpersist()
+                _release_and_raise(ValueError(
+                    f"weighted_jaccard_join: predicted {mode} candidate "
+                    f"volume {vol} pairs exceeds max_pairs={max_pairs}"
+                ))
+        if mode == "countjoin":
+            prefix.unpersist()
+            prefix = None
+    elif report is not None or max_pairs is not None:
+        if mode == "countjoin":
+            try:
+                _check_pair_budget(
+                    "weighted_jaccard_join",
+                    _countjoin_pair_volume(toks),
+                    max_pairs,
+                    report,
+                )
+            except ValueError as e:
+                _release_and_raise(e)
+        else:
+            pfrow = (
+                prefix.groupBy("bg")
+                .agg(F.count("*").alias("__pdf"))
+                .agg(
+                    F.sum(F.expr("__pdf * (__pdf - 1) div 2"))
+                    .cast("bigint")
+                    .alias("__p")
+                )
+                .collect()[0]
+            )
+            pf = int(pfrow["__p"] or 0)
+            if report is not None:
+                report["pf_pairs"] = pf
+            if max_pairs is not None and pf > max_pairs:
+                prefix.unpersist()
+                _release_and_raise(ValueError(
+                    f"weighted_jaccard_join: predicted prefix candidate "
+                    f"volume {pf} pairs exceeds max_pairs={max_pairs}"
+                ))
+        if report is not None:
+            report["mode"] = mode
+
+    if mode == "countjoin":
+        a = toks.select(F.col("doc_id").alias("id_a"), "bg")
+        b = toks.select(F.col("doc_id").alias("id_b"), "bg")
+        inter = (
+            a.join(b, "bg")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .join(F.broadcast(w_bg), "bg")
+            .groupBy("id_a", "id_b")
+            .agg(F.sum("__w").alias("__iw"))
+        )
+        sa = wsz.select(
+            F.col("doc_id").alias("id_a"), F.col("__wt").alias("__wa")
+        )
+        sb = wsz.select(
+            F.col("doc_id").alias("id_b"), F.col("__wt").alias("__wb")
+        )
+        union_w = F.col("__wa") + F.col("__wb") - F.col("__iw")
+        wjac = F.col("__iw") / union_w
+        out = (
+            inter.join(sa, "id_a")
+            .join(sb, "id_b")
+            .filter((F.lit(den) * F.col("__iw")) >= (F.lit(num) * union_w))
+            .select(
+                "id_a",
+                "id_b",
+                (F.floor(wjac * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+                .alias("wjaccard"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        out.count()
+        toks.unpersist()
+        return out
+
+    # prefix mode: candidate join on prefix tokens with the weighted
+    # length + positional filters, then exact set-intersection verify
+    a = prefix.select(
+        F.col("doc_id").alias("id_a"),
+        "bg",
+        F.col("__w").alias("__w0a"),
+        F.col("__wt").alias("__Wa"),
+        F.col("__cw").alias("__cwa"),
     )
-    sa = wsz.select(F.col("doc_id").alias("id_a"), F.col("__wt").alias("__wa"))
-    sb = wsz.select(F.col("doc_id").alias("id_b"), F.col("__wt").alias("__wb"))
+    b = prefix.select(
+        F.col("doc_id").alias("id_b"),
+        "bg",
+        F.col("__wt").alias("__Wb"),
+        F.col("__cw").alias("__cwb"),
+    )
+    len_ok = F.lit(den) * F.least("__Wa", "__Wb") >= F.lit(num) * F.greatest(
+        "__Wa", "__Wb"
+    )
+    # first-common-token bound: shared weight <= w(token) +
+    # min(remaining suffix weight on either side)
+    pos_ok = F.lit(den + num) * (
+        F.col("__w0a")
+        + F.least(
+            F.col("__Wa") - F.col("__cwa"), F.col("__Wb") - F.col("__cwb")
+        )
+    ) >= F.lit(num) * (F.col("__Wa") + F.col("__Wb"))
+    cand = (
+        a.join(b, "bg")
+        .filter((F.col("id_a") < F.col("id_b")) & len_ok & pos_ok)
+        .select("id_a", "id_b")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cand.count()
+    prefix.unpersist()
+    sets = (
+        toks.join(F.broadcast(w_bg), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.collect_set(F.struct("bg", "__w")).alias("__S"),
+            F.sum("__w").alias("__wt"),
+        )
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("__S").alias("__Sa"),
+        F.col("__wt").alias("__wa"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("__S").alias("__Sb"),
+        F.col("__wt").alias("__wb"),
+    )
+    # exact intersection weight: struct equality (the weight is a
+    # global function of the token, so struct match == token match);
+    # integer sum — order-free, no fold needed
+    iw = F.expr(
+        "aggregate(array_intersect(__Sa, __Sb), cast(0 as bigint), "
+        "(a, s) -> a + s.__w)"
+    )
     union_w = F.col("__wa") + F.col("__wb") - F.col("__iw")
-    wjac = F.col("__iw") / union_w
     out = (
-        inter.join(sa, "id_a")
+        cand.join(sa, "id_a")
         .join(sb, "id_b")
+        .withColumn("__iw", iw)
         .filter((F.lit(den) * F.col("__iw")) >= (F.lit(num) * union_w))
         .select(
             "id_a",
             "id_b",
-            (F.floor(wjac * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
-                "wjaccard"
-            ),
+            (
+                F.floor(
+                    F.col("__iw") / union_w * F.lit(1e6) + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("wjaccard"),
         )
         .localCheckpoint(eager=False)
     )

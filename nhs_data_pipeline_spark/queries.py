@@ -5692,6 +5692,76 @@ def dedup_weighted_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_weighted_prefix_join",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS w
+      FROM ({_LSHQ_SAMPLE_SQL.replace(':lshq', ':wpfx')})
+    ),
+    bgs AS MATERIALIZED (
+      SELECT DISTINCT doc_id, w[__j] || ' ' || w[__j + 1] AS bg
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS __j
+            FROM base WHERE len(w) > 1)
+    ),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
+           FROM ({_LSHQ_SAMPLE_SQL.replace(':lshq', ':wpfx')})),
+    freq AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS df FROM bgs GROUP BY 1),
+    wt AS MATERIALIZED (
+      SELECT b.doc_id, b.bg, (nd.n * 1000) // f.df AS w
+      FROM bgs b JOIN freq f ON b.bg = f.bg, nd
+    ),
+    wsz AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS wtot
+            FROM wt GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(SUM(a.w) AS BIGINT) AS iw
+      FROM wt a JOIN wt b ON a.bg = b.bg AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT it.id_a, it.id_b, it.iw, sa.wtot AS wa, sb.wtot AS wb
+      FROM inter it JOIN wsz sa ON it.id_a = sa.doc_id
+                    JOIN wsz sb ON it.id_b = sb.doc_id
+    )
+    SELECT id_a, id_b,
+           floor(iw / (wa + wb - iw) * 1e6 + 0.5) / 1e6 AS wjaccard
+    FROM j WHERE (5 * iw) >= (4 * (wa + wb - iw))
+    """,
+)
+def dedup_weighted_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weighted-Jaccard join through the WEIGHTED PPJoin prefix
+    strategy (llm/dedup.weighted_jaccard_join mode='prefix', r9 —
+    closing the r8 'weighted prefix filtering is hard' deferral):
+    tokens order globally rarest-first, each doc keeps the minimal
+    prefix whose suffix weight drops below t*w(doc) (exact integer
+    boundary), candidates pass the weighted length + first-common-
+    token positional filters, survivors verify with the exact
+    intersection weight. Lossless — the SAME independently written
+    countjoin SQL checks the result. Runs on the deterministic 30%
+    md5 sample at t=0.8 (the eval_lsh_sampled_quality precedent):
+    the synthetic gate corpus is deliberately DENSE, which is
+    countjoin territory — forcing the prefix plan full-width there
+    measured 330 s of verification (the documented dense-vocabulary
+    failure mode this op's own auto-dispatch exists to avoid); the
+    sampled strict-threshold shape is where a forced-prefix
+    cross-engine check is honest. Full-width mode equality is pinned
+    in tests/test_retrieval_graph.py."""
+    report: dict = {}
+    out = dd.weighted_jaccard_join(
+        osmp.deterministic_sample(
+            _t(spark, sf_dir, "documents"), "doc_id", 0.3, salt="wpfx"
+        ),
+        threshold=0.8,
+        mode="prefix",
+        report=report,
+    )
+    assert report["mode"] == "prefix" and "pf_pairs" in report, report
+    return out
+
+
 @query("dedup_jaccard_auto", _jaccard_oracle(3, 5))
 def dedup_jaccard_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard >= 0.6 self-join through the MODE DISPATCHER

@@ -319,8 +319,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 243, len(QUERIES)
-    assert len(ORACLES) == 240, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 244, len(QUERIES)
+    assert len(ORACLES) == 241, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_readme_registry_tallies_match():

@@ -1825,3 +1825,95 @@ def test_exact_jaccard_auto_empty_corpus(spark):
     assert out.count() == 0
     assert rep["mode"] == "countjoin"
     assert rep["cj_pairs"] == 0 and rep["prefix_budget"] == 0
+
+
+def test_weighted_jaccard_modes_agree_and_match_python(spark):
+    """r9: the weighted PPJoin prefix mode is LOSSLESS — countjoin,
+    prefix, and auto return the identical pair set and values, and
+    they match an O(n^2) python replica of the integer-weight
+    definition (w = N*1000 div df)."""
+    import itertools
+    import random
+
+    from nhs_data_pipeline_spark.llm import dedup as dd2
+
+    rng = random.Random(29)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 18))))
+        for i in range(24)
+    ]
+    rows.append((24, rows[3][1]))  # exact duplicate
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    t = 0.5
+    rep_cj: dict = {}
+    rep_pf: dict = {}
+    rep_auto: dict = {}
+    cj = sorted(map(tuple, dd2.weighted_jaccard_join(
+        docs, t, report=rep_cj).collect()))
+    pf = sorted(map(tuple, dd2.weighted_jaccard_join(
+        docs, t, mode="prefix", report=rep_pf).collect()))
+    auto = sorted(map(tuple, dd2.weighted_jaccard_join(
+        docs, t, mode="auto", report=rep_auto).collect()))
+    assert cj == pf == auto
+    assert rep_pf["mode"] == "prefix" and rep_pf["pf_pairs"] >= 0
+    assert rep_auto["mode"] in ("countjoin", "prefix")
+    assert rep_auto["cj_pairs"] >= rep_auto["pf_pairs"]
+
+    # python replica
+    sets = {}
+    for i, txt in rows:
+        w = txt.split()
+        sets[i] = {f"{a} {b}" for a, b in zip(w, w[1:])}
+    n_docs = len(rows)
+    from collections import Counter
+    dfreq = Counter(bg for s in sets.values() for bg in s)
+    wmap = {bg: (n_docs * 1000) // d for bg, d in dfreq.items()}
+    exp = []
+    for a, b in itertools.combinations(sorted(sets), 2):
+        iw = sum(wmap[x] for x in sets[a] & sets[b])
+        if iw == 0:
+            continue
+        uw = (sum(wmap[x] for x in sets[a])
+              + sum(wmap[x] for x in sets[b]) - iw)
+        if 2 * iw >= uw:
+            import math
+            exp.append((a, b, math.floor(iw / uw * 1e6 + 0.5) / 1e6))
+    assert cj == sorted(exp)
+    assert any(p[2] == 1.0 for p in cj)  # the planted duplicate
+
+
+def test_weighted_jaccard_prefix_prunes_sparse_and_guards(spark):
+    """On a sparse vocabulary (near-unique tokens per doc) the exact
+    prefix volume collapses below the countjoin volume, auto picks
+    prefix, and the max_pairs guard fires per-mode BEFORE any pair
+    shuffle."""
+    import pytest as _pytest
+
+    from nhs_data_pipeline_spark.llm import dedup as dd2
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"u{i}_{k}" for k in range(12)) + " shared tail")
+         for i in range(30)],
+        ["doc_id", "text"],
+    )
+    rep: dict = {}
+    out = dd2.weighted_jaccard_join(
+        docs, 0.6, mode="auto", report=rep)
+    assert rep["pf_pairs"] < rep["cj_pairs"], rep
+    assert rep["mode"] == "prefix", rep
+    out.count()
+    # on THIS corpus every prefix token is unique -> pf_pairs == 0 and
+    # a zero budget has nothing to refuse (that IS the prefix win)
+    assert rep["pf_pairs"] == 0
+    # guard firing needs a corpus whose prefixes still collide: a
+    # dense self-similar one
+    dense = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta " + f"t{i % 2}")
+         for i in range(10)],
+        ["doc_id", "text"],
+    )
+    with _pytest.raises(ValueError, match="max_pairs"):
+        dd2.weighted_jaccard_join(dense, 0.6, mode="prefix", max_pairs=0)
+    with _pytest.raises(ValueError, match="max_pairs"):
+        dd2.weighted_jaccard_join(dense, 0.6, mode="auto", max_pairs=0)
