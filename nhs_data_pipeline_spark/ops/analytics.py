@@ -2161,9 +2161,13 @@ def kendall_tau_by_group(
     model-sized — the C(cells, 2) product join is the cost model, and
     it is broadcast. With n rows and tie vectors tx/ty:
     ``A2 = n(n-1) - sum tx(tx-1)``, ``B2`` likewise for y, and
-    ``tau_b = 2(C - D) / sqrt(A2 * B2)`` — every count exact in
-    DECIMAL(38,0), the product inside the sqrt exact (<= 1e24 at a
-    million rows), ONE sqrt + division, floor-rounded to 6 dp.
+    ``tau_b = 2(C - D) / sqrt(A2 * B2)`` — every count and the
+    product inside the sqrt computed exactly in
+    DECIMAL(38,0)/HUGEINT, then ONE identically-rounded cast to
+    double on each side (the portability invariant: both engines'
+    decimal→double casts are correctly rounded, NOT that the product
+    fits double's 2^53 exact range — at a million rows it doesn't),
+    ONE sqrt + division, floor-rounded to 6 dp.
     NULL x/y rows are excluded; NULL group keys are kept (NULL-key
     discipline, eqNullSafe cell join with explicit broadcast — the
     r8 per-callsite broadcast rule)."""
@@ -2371,7 +2375,9 @@ def anova_oneway(
     """Exact-moment one-way ANOVA F across ALL groups of an
     integer-quantized value — the parametric sibling of
     :func:`kruskal_wallis` (means instead of ranks). One row:
-    ``(n_total, k_groups, f_stat, ss_between, ss_within)``.
+    ``(n_total, k_groups, f_stat, ssb_micro, ssw_micro)`` — the sums
+    of squares ship as BIGINT micro-units (floor-quantized to 1e6
+    units of the squared input scale), not as raw doubles.
 
     Exactness: per-group ``(n, sum, sum-of-squares)`` accumulate in
     DECIMAL(38,0) (order-free integer moments — the house PCA trick);
@@ -2587,9 +2593,19 @@ def bh_fdr(
         F.floor(p * F.lit(1e6) + F.lit(0.5)).cast("bigint"),
     ).localCheckpoint(eager=False)
     scored.count()
+    # NULL-key tie-break parity: DuckDB's ORDER BY is NULLS LAST for
+    # ASC while Spark's default is NULLS FIRST — a NULL segment key
+    # tied on p_micro would get a different rank (hence a different
+    # reject frontier) per engine. asc_nulls_last matches the oracle's
+    # default without a type-changing string cast (r9 ADVICE).
     ranked = scored.withColumn(
         "__rk",
-        F.row_number().over(Window.orderBy("__pm", *key_cols)),
+        F.row_number().over(
+            Window.orderBy(
+                F.col("__pm").asc(),
+                *[F.col(c).asc_nulls_last() for c in key_cols],
+            )
+        ),
     )
     m = scored.agg(F.count("*").cast("bigint").alias("__m"))
     flagged = ranked.crossJoin(F.broadcast(m)).withColumn(

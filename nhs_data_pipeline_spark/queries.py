@@ -13136,136 +13136,79 @@ def curate_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DRIVER_WINDOW = [
-    # r09 rotation (7th): the r08 verdict's twenty never-driver-
-    # attested picks (the full list from VERDICT "Next round #1")
-    # swap in for the twenty most multiply-attested entries; every
-    # rotated-out family keeps an in-window sibling or its cumulative
-    # attestation + the all-entries local gate:
-    # o5_quantile_bands (2x; o4_weighted_median stays),
-    # eval_classifier_calibration (2x; eval_isotonic_calibration
-    # arrives as the calibration representative),
-    # classifier_logreg_fit (3x; classifier family keeps the
-    # isotonic/calibration eval), join_bloom_prefilter (3x),
-    # graph_label_propagation / graph_triangle_count (3x each;
-    # hits/kcore/shortest_paths stay), stats_ols_trend (3x;
-    # stats_theil_sen_trend arrives as the trend representative),
-    # simhash_near_pairs (3x; the jaccard/cdc near-dup sibs stay),
-    # stats_psi_drift (3x; stats_spearman_drift arrives as the drift
-    # representative), dedup_semantic_cells (3x; dedup_component_
-    # profile + dedup_incremental_near arrive), eval_classifier_auc
-    # (3x; precision_curve + retrieval_metrics stay), embed_pq_topk
-    # (3x; kcenter/pca family stays), feature_quantile_normalize
-    # (3x; feature_token_chi2 stays), sketch_quantile_hist (3x;
-    # layout_zorder_hist arrives as the histogram representative),
-    # merge_incremental_agg (3x), sample_dsir_scores (4x),
-    # curate_audit_panel (4x; curate_ccnet_buckets arrives),
-    # dedup_jaccard_exact_join (4x; auto/prefix/weighted/containment
-    # stay), embed_kmeans_fit (4x), tokenizer_bpe_encode (4x;
-    # tokenizer_fertility_by_source arrives).
-    "eval_lsh_sampled_quality",
-    "dedup_component_profile",
-    "dedup_incremental_near",
-    "curate_ccnet_buckets",
-    "tokenizer_fertility_by_source",
-    "eval_isotonic_calibration",
-    "stats_spearman_drift",
-    "events_logrank_test",
-    "events_km_by_cohort",
-    "events_conversion_ztest",
-    "events_mannwhitney_by_type",
-    "stats_theil_sen_trend",
-    "w7_rank_family",
-    "events_sessionize",
-    "layout_zorder_hist",
+    # r10 rotation (8th): 40 never-driver-attested faces + 10
+    # sentinels. The r9 verdict asked for >=25 new faces (at 20/round
+    # the 108-entry never-attested backlog takes 5+ rounds to drain;
+    # zero previously-attested entries have ever regressed, so
+    # sentinel slots are low-value) — this rotation spends 40 slots on
+    # new faces, leaving 65 never-attested for r11/r12.
+    #
+    # New faces, the r9 verdict's valid never-attested picks first
+    # (its list also named graph_kcore_nations / graph_label_
+    # propagation / simhash_near_pairs / classifier_logreg_fit /
+    # dedup_semantic_cells, which the CORRECTNESS_r01-r09 record
+    # shows already attested — replaced by the oldest never-seen):
+    "dedup_weighted_prefix_join",
+    "stats_anova_f",
+    "stats_welch_ttest",
+    "stats_fdr_by_type",
+    "stats_kruskal_wallis",
+    "stats_kendall_daily",
+    "events_hazard_ratio",
+    "entity_edit_blocked_suppliers",
+    "dedup_components_star",
+    "embed_topk_lsh",
+    "embed_topk_ivf",
+    "embed_topk_auto",
+    "contamination_ngram",
+    "a7_rollup_hierarchy",
+    "a8_cube_flags",
+    "a9_descriptive_stats",
+    "anomaly_mad_outliers",
+    "basket_pair_lift",
+    "dq_expectations",
+    "dedup_span_pairs",
+    # ... and 20 more never-attested: the TPC-H joins/aggs that have
+    # never had a window slot, the core relational family (pivot /
+    # set ops / exact percentiles / rolling window), the text-quality
+    # pillars, and the sampling/eval representatives:
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_nation_year_revenue",
+    "q12_late_shipments",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q21_waiting_supplier",
+    "r2_pivot_quarters",
+    "u3_intersect",
+    "u4_except",
+    "o3_exact_percentiles",
+    "w8_rolling_revenue",
+    "quality_gopher_rules",
+    "quality_c4_lines",
+    "text_lm_perplexity",
+    "text_pii_scan",
+    "sample_split_leakage_safe",
+    "sample_temperature",
+    "eval_ann_recall",
+    "mixture_jsd",
+    # Ten sentinels — one multiply-attested representative per major
+    # family (join-agg, streaming, dedup dispatch, embeddings, stats,
+    # graph, privacy, calibration eval, curation, weighted median),
+    # kept to catch a cross-engine regression of an already-attested
+    # shape without burning new-face slots:
     "q11_important_part_value",
-    "q13_customer_distribution",
-    "q16_supplier_part_count",
-    "q20_excess_shippers",
-    "q22_dormant_accounts",
-    # r08 in-round rotation (6th): the second session's eight
-    # strongest new operators swap in for eight 3x+-attested entries
-    # whose families keep in-window representatives:
-    # tokenizer_bpe_merges (encode stays), text_bm25_topk
-    # (eval_retrieval_metrics stays), events_zscore_outliers
-    # (robust_outliers + ks_by_type stay), graph_pagerank_nations
-    # (hits/kcore/shortest_paths/label_prop/triangles stay),
-    # sketch_hll_portable (sketch_quantile_hist stays),
-    # dedup_span_stats (five jaccard/cdc/semantic sibs stay),
-    # sample_weighted_ares (sample_dsir_scores stays),
-    # stats_winsorize_prices (corr/cramers/ks/psi/ols stay).
-    "embed_pca_power",
-    "embed_pca_scores",
-    "embed_class_separability",
-    "events_kaplan_meier",
-    "stats_mannwhitney_u",
-    "ts_autocorrelation",
-    "dedup_containment_join",
-    "privacy_dp_counts",
-    # r08 rotation (5th): the r07 verdict's twelve never-attested picks
-    # (this round's strongest claims) swap in for the twelve most
-    # multiply-attested entries (4-6x green r01-r07; every rotated-out
-    # family keeps an in-window sibling or its cumulative attestation +
-    # the all-entries local gate): skew_salted_sum (6x),
-    # w56_binned_stats (6x; sketch_quantile_hist stays),
-    # f_string_date_family (6x), sample_deterministic (6x;
-    # sample_dsir_scores + sample_weighted_ares stay),
-    # embed_topk_bruteforce (6x; embed_pq_topk/embed_kmeans_fit stay +
-    # embed_kcenter_coreset arrives), j5_asof_join/j6_range_join (5x
-    # each), shuffle_training_order (4x), merge_upsert_customers (4x;
-    # merge_incremental_agg stays), curate_mixture_v2 (4x;
-    # curate_audit_panel stays), scd2_point_in_time (4x),
-    # entity_resolve_suppliers (4x; entity_phonetic_match arrives as
-    # the entity-resolution representative).
+    "events_sessionize",
     "dedup_jaccard_auto",
-    "dedup_weighted_jaccard_join",
-    "eval_lsh_candidate_quality",
-    "graph_hits_nations",
-    "stats_ks_test",
-    "events_ks_by_type",
-    "eval_retrieval_metrics",
-    "embed_kcenter_coreset",
-    "eval_precision_curve",
-    "entity_phonetic_match",
-    "contamination_semantic",
-    "events_robust_outliers",
-    # r07 rotation (4th): twelve never-driver-attested flagships
-    # (the r06 verdict's exact list) swap in for the twelve most
-    # multiply-attested entries (each 5-6x green across r01-r06;
-    # every rotated-out family keeps an in-window sibling or its
-    # 5x cumulative attestation + the all-200 local gate): q1/q18
-    # (join-agg: 6x/5x, q-family shapes also inside curate/graph
-    # composites), j4 (semi/anti: 5x, j5/j6 stay), p123/p913/p10
-    # (P filters: 5x each), s8 (5x), a25 (5x, agg family: w56
-    # stays), w2u (5x, window family: w56 stays), r78 (5x),
-    # text_profile (5x; curate_audit_panel transitively attests
-    # the same signals), dedup_embed_cosine_pairs (5x; embed
-    # family keeps embed_pq_topk/embed_kmeans_fit/topk_bruteforce).
-    "o4_weighted_median",
+    "embed_pca_power",
     "stats_corr_matrix",
-    "stats_cramers_v",
-    "privacy_t_closeness",
     "graph_shortest_paths",
-    "graph_kcore_nations",
-    "events_markov_transitions",
-    "feature_token_chi2",
-    "dedup_cdc_chunks",
-    "dedup_jaccard_prefix_join",
-    # r06 rotation (3rd): ten never-driver-attested flagships swapped
-    # in for ten 4-5x-attested entries whose SURVEY §2 rows keep other
-    # attested representatives (q3/q5/q6/q7 -> q1/q14/q18 join-agg
-    # family; a1 -> a25; r4/f9 -> f_string_date_family;
-    # j3/orgchange -> 5x-attested through r05; minhash -> the four
-    # in-window near-dup siblings). embed_kmeans_fit STAYS: its r05
-    # red row was the harness array-column crash, and the flattened
-    # long-form output must be re-attested green.
-    # r06 fourth (in-round) rotation: the session's two strongest new
-    # flagships swap in for two multiply-attested entries whose
-    # families keep in-window representatives — q14 (join-agg family:
-    # q1 + q18 stay, driver-attested every round since r01) ->
-    # stats_psi_drift (drift detection), sample_stratified (md5-bucket
-    # rank mechanism shared with in-window sample_deterministic +
-    # sample_weighted_ares + sample_dsir_scores) ->
-    # merge_incremental_agg (incremental == rebuild proof).
+    "privacy_dp_counts",
+    "eval_isotonic_calibration",
+    "curate_ccnet_buckets",
+    "o4_weighted_median",
+    # (r06-r09 rotation history lives in git; see the r09 tag of this
+    # file for the per-rotation swap rationale.)
 ]
 
 

@@ -1916,6 +1916,24 @@ def test_bh_fdr_step_up_and_replica(spark):
     assert all(rej for _, rej in got2.values()), got2
 
 
+def test_bh_fdr_null_key_ties_rank_nulls_last(spark):
+    """A NULL segment key tied on p_micro must rank AFTER the non-NULL
+    keys — DuckDB's ORDER BY is NULLS LAST for ASC while Spark's
+    Window default is NULLS FIRST, and the divergent p_rank flips the
+    reject frontier cross-engine (r9 ADVICE regression)."""
+    from nhs_data_pipeline_spark.ops import analytics as oan2
+
+    # identical z -> identical p_micro -> the rank tie-break is
+    # entirely the key ordering
+    df = spark.createDataFrame(
+        [("a", 2.0), (None, 2.0), ("b", 2.0)], "seg string, z double"
+    )
+    got = oan2.bh_fdr(df, ["seg"], "z", q=0.05).collect()
+    ranks = {r["seg"]: r["p_rank"] for r in got}
+    assert ranks["a"] == 1 and ranks["b"] == 2, ranks
+    assert ranks[None] == 3, ranks  # NULL key ranks last, as in DuckDB
+
+
 def test_anova_oneway_matches_numpy_replica(spark):
     """F statistic matches a direct numpy decomposition (SSB/SSW from
     group means); degenerate single-group and zero-variance cases are

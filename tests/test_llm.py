@@ -1983,11 +1983,152 @@ def test_multimodal_frame_sampling(spark):
     assert [r.frame_ts_ms for r in frames.collect()] == [0, 1000, 2000]
 
 
-def test_resize_is_honest_stub(spark):
-    import pytest
+def test_resize_bilinear_hand_computed():
+    """The bilinear kernel pinned against a fully hand-computed 2x2 ->
+    4x4 case (half-pixel centers, edge clamp, floor(v+0.5) rounding):
+    source top row (R, white), bottom row (B, G). Axis weights are
+    [0, 0.25, 0.75, 1]; every expected byte below was derived by hand
+    from 255*lerp (r9 verdict ask #2 'done' criterion)."""
+    import numpy as np
 
-    with pytest.raises(NotImplementedError):
-        mm.resize_images(None, 100, 100)
+    src = np.array(
+        [[[255, 0, 0], [255, 255, 255]], [[0, 0, 255], [0, 255, 0]]],
+        dtype=np.uint8,
+    )
+    got = mm._resize_bilinear(src, 4, 4)
+    exp_r = np.array([[255] * 4, [191] * 4, [64] * 4, [0] * 4])
+    exp_g = np.array([[0, 64, 191, 255]] * 4)
+    exp_b = np.array(
+        [
+            [0, 64, 191, 255],
+            [64, 96, 159, 191],
+            [191, 159, 96, 64],
+            [255, 191, 64, 0],
+        ]
+    )
+    assert (got[:, :, 0] == exp_r).all(), got[:, :, 0]
+    assert (got[:, :, 1] == exp_g).all(), got[:, :, 1]
+    assert (got[:, :, 2] == exp_b).all(), got[:, :, 2]
+    # identity resize is exact (weights all land on pixel centers)
+    assert (mm._resize_bilinear(src, 2, 2) == src).all()
+
+
+def test_resize_nearest_block_replication():
+    """2x2 -> 4x4 nearest under half-pixel centers is exact 2x2 block
+    replication (floor((i+0.5)/2) = [0,0,1,1]); downscale 4x4 -> 2x2
+    picks the (1,1)-offset samples of each block."""
+    import numpy as np
+
+    src = np.array(
+        [[[255, 0, 0], [255, 255, 255]], [[0, 0, 255], [0, 255, 0]]],
+        dtype=np.uint8,
+    )
+    up = mm._resize_nearest(src, 4, 4)
+    assert (up == np.repeat(np.repeat(src, 2, 0), 2, 1)).all()
+    rng = np.random.default_rng(7)
+    big = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    down = mm._resize_nearest(big, 2, 2)
+    assert (down == big[1::2, 1::2]).all()
+
+
+def test_resize_images_spark_roundtrip(spark):
+    """decode -> resize -> re-measure round-trip through the REAL
+    mapInPandas path: a hand-built PNG and BMP come back as 24-bit BMP
+    bytes whose re-parsed dims equal the target, whose pixels equal
+    the local numpy resample bit-for-bit, and whose real_decode
+    channel means equal the numpy means; JPEG/garbage/NULL rows yield
+    resize_ok=False with NULL content, never a crash."""
+    import numpy as np
+
+    png = _make_png(
+        [
+            [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+            [(255, 255, 255), (0, 0, 0), (128, 64, 32)],
+        ],
+        color_type=2,
+        filters=[0, 2],
+    )
+    bmp = _make_bmp_2x2()
+    rows = [
+        (1, "image", bytearray(png), ("image/png", 3, 2, None)),
+        (2, "image", bytearray(bmp), ("image/bmp", 2, 2, None)),
+        (3, "image", bytearray(b"\xff\xd8\xff\xe0junk"), (None,) * 4),
+        (4, "image", None, (None,) * 4),
+    ]
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    got = {
+        r.media_id: r
+        for r in mm.resize_images(media, 4, 3, method="bilinear").collect()
+    }
+    assert not got[3].resize_ok and got[3].content is None
+    assert not got[4].resize_ok and got[4].content is None
+    for mid, src_bytes in [(1, png), (2, bmp)]:
+        r = got[mid]
+        assert r.resize_ok and (r.width, r.height) == (4, 3)
+        # re-measure dims via the header parser the engine ships
+        assert mm._parse_image_dims(bytes(r.content)) == ("bmp", 4, 3)
+        # pixels equal the local resample of the locally-decoded source
+        expect = mm._resize_bilinear(mm.decode_pixels(src_bytes), 4, 3)
+        back = mm.decode_pixels(bytes(r.content))
+        assert back.shape == (3, 4, 3)
+        assert (back == expect).all()
+        # and the resized bytes feed straight back into real_decode
+        feats = mm.real_decode(bytes(r.content))
+        n = 4 * 3
+        assert feats[2] == pytest.approx(expect[:, :, 0].sum() / (255.0 * n))
+        assert feats[1] == pytest.approx(expect[:, :, 1].sum() / (255.0 * n))
+        assert feats[0] == pytest.approx(expect[:, :, 2].sum() / (255.0 * n))
+    # nearest path through the same plan shape
+    near = {
+        r.media_id: r
+        for r in mm.resize_images(media, 2, 2, method="nearest").collect()
+    }
+    src_px = mm.decode_pixels(png)
+    assert (
+        mm.decode_pixels(bytes(near[1].content))
+        == mm._resize_nearest(src_px, 2, 2)
+    ).all()
+
+
+def test_resize_pixel_decoders_match_feature_decoders():
+    """decode_pixels must agree with the (independently written)
+    feature decoders on channel means, including the BMP bottom-up
+    flip, PNG palette mapping, gray replication, and alpha drop; the
+    BMP encoder round-trips odd widths (stride padding) exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)  # odd w
+    b = mm._encode_bmp24(arr)
+    assert (mm.decode_pixels(b) == arr).all()
+    f = mm.real_decode(b)
+    n = 15.0
+    assert f[2] == pytest.approx(arr[:, :, 0].sum() / (255 * n))  # mean_r
+    assert f[1] == pytest.approx(arr[:, :, 1].sum() / (255 * n))
+    assert f[0] == pytest.approx(arr[:, :, 2].sum() / (255 * n))
+    # paletted PNG: indices map through PLTE; gray+alpha replicates
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    pal_png = _make_png_raw(
+        [bytes([0, 1]), bytes([2, 0])], 2, 2, 8, 3, 1, [0, 1], plte
+    )
+    px = mm.decode_pixels(pal_png)
+    assert px is not None and px.shape == (2, 2, 3)
+    assert (px[0, 0] == [255, 0, 0]).all() and (px[1, 0] == [0, 0, 255]).all()
+    # out-of-range palette index fails cleanly
+    bad_pal = _make_png_raw(
+        [bytes([0, 7]), bytes([2, 0])], 2, 2, 8, 3, 1, [0, 1], plte
+    )
+    assert mm.decode_pixels(bad_pal) is None
+    ga_png = _make_png(
+        [[(10, 255), (200, 0)]], color_type=4, filters=[0]
+    )
+    g = mm.decode_pixels(ga_png)
+    assert (g[0, 0] == [10, 10, 10]).all() and (g[0, 1] == [200] * 3).all()
+    # resize parameter validation
+    with pytest.raises(ValueError):
+        mm.resize_images(None, 0, 4)
+    with pytest.raises(ValueError):
+        mm.resize_images(None, 4, 4, method="lanczos")
 
 
 def test_choose_topk_dispatcher_both_sides_of_crossover(spark):

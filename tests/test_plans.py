@@ -268,44 +268,34 @@ def test_driver_window_contract():
     missing_oracles = [n for n in DRIVER_WINDOW if n not in ORACLES]
     assert not missing_oracles, missing_oracles
     for flagship in [
-        # r09 rotation (7th): the r08 verdict's twenty never-attested
-        # picks (o5_quantile_bands/eval_classifier_calibration/
-        # classifier_logreg_fit/join_bloom_prefilter/
-        # graph_label_propagation/graph_triangle_count/stats_ols_trend/
-        # simhash_near_pairs/stats_psi_drift/dedup_semantic_cells/
-        # eval_classifier_auc/embed_pq_topk/feature_quantile_normalize/
-        # sketch_quantile_hist/merge_incremental_agg/sample_dsir_scores/
-        # curate_audit_panel/dedup_jaccard_exact_join/embed_kmeans_fit/
-        # tokenizer_bpe_encode rotated out — 2-4x driver-attested each,
-        # families keep in-window representatives)
-        "eval_lsh_sampled_quality", "dedup_component_profile",
-        "dedup_incremental_near", "curate_ccnet_buckets",
-        "tokenizer_fertility_by_source", "eval_isotonic_calibration",
-        "stats_spearman_drift", "events_logrank_test",
-        "events_km_by_cohort", "events_conversion_ztest",
-        "events_mannwhitney_by_type", "stats_theil_sen_trend",
-        "w7_rank_family", "events_sessionize", "layout_zorder_hist",
-        "q11_important_part_value", "q13_customer_distribution",
-        "q16_supplier_part_count", "q20_excess_shippers",
-        "q22_dormant_accounts",
-        # r07 rotation survivors still in-window (2x attested)
-        "o4_weighted_median", "stats_corr_matrix", "stats_cramers_v",
-        "privacy_t_closeness", "graph_shortest_paths",
-        "graph_kcore_nations", "events_markov_transitions",
-        "feature_token_chi2", "dedup_cdc_chunks",
-        "dedup_jaccard_prefix_join",
-        # r08 rotation (5th) survivors (1x attested)
-        "dedup_jaccard_auto", "dedup_weighted_jaccard_join",
-        "eval_lsh_candidate_quality", "graph_hits_nations",
-        "stats_ks_test", "events_ks_by_type", "eval_retrieval_metrics",
-        "embed_kcenter_coreset", "eval_precision_curve",
-        "entity_phonetic_match", "contamination_semantic",
-        "events_robust_outliers",
-        # r08 in-round rotation (6th) survivors (1x attested)
-        "embed_pca_power", "embed_pca_scores",
-        "embed_class_separability", "events_kaplan_meier",
-        "stats_mannwhitney_u", "ts_autocorrelation",
-        "dedup_containment_join", "privacy_dp_counts",
+        # r10 rotation (8th): 40 never-driver-attested faces (the r9
+        # verdict asked >=25; zero attested entries have ever
+        # regressed, so the rotation spends 40 slots draining the
+        # 108-entry backlog) + 10 multiply-attested family sentinels.
+        "dedup_weighted_prefix_join", "stats_anova_f",
+        "stats_welch_ttest", "stats_fdr_by_type",
+        "stats_kruskal_wallis", "stats_kendall_daily",
+        "events_hazard_ratio", "entity_edit_blocked_suppliers",
+        "dedup_components_star", "embed_topk_lsh", "embed_topk_ivf",
+        "embed_topk_auto", "contamination_ngram",
+        "a7_rollup_hierarchy", "a8_cube_flags",
+        "a9_descriptive_stats", "anomaly_mad_outliers",
+        "basket_pair_lift", "dq_expectations", "dedup_span_pairs",
+        "q2_min_cost_supplier", "q8_market_share",
+        "q9_nation_year_revenue", "q12_late_shipments",
+        "q15_top_supplier", "q17_small_quantity_revenue",
+        "q21_waiting_supplier", "r2_pivot_quarters", "u3_intersect",
+        "u4_except", "o3_exact_percentiles", "w8_rolling_revenue",
+        "quality_gopher_rules", "quality_c4_lines",
+        "text_lm_perplexity", "text_pii_scan",
+        "sample_split_leakage_safe", "sample_temperature",
+        "eval_ann_recall", "mixture_jsd",
+        # sentinels (one attested representative per major family)
+        "q11_important_part_value", "events_sessionize",
+        "dedup_jaccard_auto", "embed_pca_power", "stats_corr_matrix",
+        "graph_shortest_paths", "privacy_dp_counts",
+        "eval_isotonic_calibration", "curate_ccnet_buckets",
+        "o4_weighted_median",
     ]:
         assert flagship in DRIVER_WINDOW, flagship
 
@@ -800,3 +790,18 @@ def test_registry_no_unaudited_global_sort_windows(spark, sf_dir):
                 violations.append((name, first_arg.strip()))
                 break
     assert not violations, violations
+
+
+def test_check_oracle_unchecked_after_reports_tail():
+    """When the post-OOM DuckDB reconnect gives up, every not-yet-run
+    query must be reported as unchecked (r9 ADVICE: the silent break
+    under-reported gate coverage). unchecked_after returns exactly the
+    iteration-order tail, honoring an --only style subset."""
+    from nhs_data_pipeline_spark.queries import QUERIES
+    from tools.check_oracle import unchecked_after
+
+    order = list(QUERIES)
+    assert unchecked_after(order[0], set()) == order[1:]
+    assert unchecked_after(order[-1], set()) == []
+    subset = {order[3], order[1], order[7]}
+    assert unchecked_after(order[1], subset) == [order[3], order[7]]

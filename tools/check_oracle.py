@@ -79,6 +79,15 @@ def close(a, b):
     return False
 
 
+def unchecked_after(name, only):
+    """Gate-run names AFTER `name` in iteration order — the queries
+    that go unchecked when the post-OOM DuckDB reconnect exhausts its
+    retries. Reported as failures so the gate output reflects true
+    coverage (r9 ADVICE: a silent break under-reported the gap)."""
+    order = [n for n in QUERIES if not only or n in only]
+    return order[order.index(name) + 1 :]
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -141,7 +150,16 @@ def main():
                         _t.sleep(5)
                         gc.collect()
                 if con is None:
-                    print("FAIL  <reconnect>: duckdb would not reopen")
+                    # the remaining queries go UNCHECKED — record each
+                    # by name so the failure list reflects true
+                    # coverage, not just the OOM'd query (r9 ADVICE:
+                    # a silent break under-reported the gap)
+                    skipped = unchecked_after(name, only)
+                    failures.extend(skipped)
+                    print(
+                        "FAIL  <reconnect>: duckdb would not reopen; "
+                        f"{len(skipped)} queries UNCHECKED: {skipped}"
+                    )
                     break
             continue
         status = []
