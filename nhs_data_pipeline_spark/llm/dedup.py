@@ -686,13 +686,18 @@ def connected_components(
     singleton components; otherwise only ids appearing in pairs are
     labeled.
 
-    Algorithm: iterative min-label propagation — each round every node
-    takes the min of its own label and its neighbors' labels; fixpoint
-    when nothing moves. One shuffle join + one aggregate per round;
-    rounds = component diameter, and near-dup clusters are shallow
-    (dup groups, not long chains), so convergence is fast. For graphs
-    with adversarially long paths use ``connected_components_star``
-    (large-star/small-star rewrite, O(log n) rounds).
+    Algorithm: iterative min-label propagation WITH POINTER JUMPING —
+    each round every node takes the min of its own label, its
+    neighbors' labels, and its LABEL'S label (path halving), so rounds
+    grow with log2(diameter), not diameter; fixpoint when nothing
+    moves. Two shuffle joins + one aggregate per round. The r10
+    sampled-sf1 rehearsal caught the plain-propagation variant
+    silently returning NON-converged labels on a ~600-node chainy
+    component (diameter > the 30-round cap) — pointer jumping makes
+    30 rounds cover diameters past 2^29, and a residual non-fixpoint
+    now RAISES instead of returning wrong components.
+    ``connected_components_star`` (large-star/small-star rewrite)
+    remains the alternative O(log n) formulation.
     Like orgchange.closure, one Spark action per round: a lazy
     localCheckpoint truncates lineage and the convergence count
     materializes it.
@@ -711,6 +716,7 @@ def connected_components(
         base = edges.select(F.col("__s").alias("id")).distinct()
     labels = base.select("id", F.col("id").alias("component"))
 
+    converged = False
     for _ in range(max_iter):
         nb = (
             edges.join(labels, edges["__s"] == labels["id"])
@@ -718,19 +724,45 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("__nb").alias("__nb"))
         )
-        upd = labels.join(nb, "id", "left").select(
-            "id",
-            F.least(F.col("component"), F.coalesce("__nb", F.col("component"))).alias(
-                "component"
-            ),
-            (F.coalesce("__nb", F.col("component")) < F.col("component")).alias("__moved"),
+        # pointer jumping: my label's CURRENT label (labels is keyed by
+        # id == every label value, since labels start as identity and
+        # only ever take existing ids)
+        ptr = labels.select(
+            F.col("id").alias("__lid"), F.col("component").alias("__lc")
+        )
+        upd = (
+            labels.join(nb, "id", "left")
+            .join(ptr, F.col("component") == F.col("__lid"), "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("__nb", F.col("component")),
+                    F.coalesce("__lc", F.col("component")),
+                ).alias("component"),
+                (
+                    F.least(
+                        F.coalesce("__nb", F.col("component")),
+                        F.coalesce("__lc", F.col("component")),
+                    )
+                    < F.col("component")
+                ).alias("__moved"),
+            )
         )
         upd = upd.localCheckpoint(eager=False)
         moved = upd.filter("__moved").limit(1).count()
         labels = upd.drop("__moved")
         if moved == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not reach a fixpoint in "
+            f"{max_iter} pointer-jumping rounds (diameter would exceed "
+            f"2^{max_iter - 1}); raise max_iter or use "
+            "connected_components_star"
+        )
     return labels
 
 

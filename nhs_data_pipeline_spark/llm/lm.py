@@ -142,3 +142,109 @@ def lm_cross_entropy(
         F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
         "cross_entropy",
     )
+
+
+def lm_cross_entropy_kn(
+    df: DataFrame,
+    reference: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cross-entropy under an absolute-discount
+    KNESER-NEY bigram LM (D = 3/4) trained on a reference slice — the
+    smoothing the production perplexity filters (KenLM) actually use,
+    next to :func:`lm_cross_entropy`'s add-1 baseline. KN's insight:
+    back off not to unigram FREQUENCY but to continuation COUNT (how
+    many distinct histories a word follows) — "Francisco" is frequent
+    but follows only "San", so it gets almost no backoff mass.
+
+        p_cont(w2)  = (N1+(.w2) + 1) / (NT + V)          [add-1 so
+                       unseen words keep nonzero mass]
+        p(w2|w1)    = (max(C(w1w2) - D, 0)
+                       + D * N1+(w1.) * p_cont(w2)) / C(w1.)
+        unseen w1   -> p_cont(w2)
+
+    with N1+(w1.) = distinct continuations of w1, N1+(.w2) = distinct
+    histories of w2, NT = distinct bigram types, V = vocabulary + 1.
+    D = 0.75 is exactly representable in binary, every count is an
+    exact integer, and the assembled probability is one identically-
+    spelled IEEE sequence in both engines; the per-bigram ln rounds to
+    4 decimals before the position-ordered fold (the module's
+    bit-reproducibility discipline).
+
+    Scale shape: identical to :func:`lm_cross_entropy` — ONE
+    bigram-count aggregate is the model; history totals, continuation
+    counts, history fan-outs, NT and V all derive from that
+    model-sized table (persisted once); the corpus is tokenized twice
+    (model + probe), never more."""
+    big = _doc_bigrams(
+        df.withColumn("__ref", reference), text_col, id_col, carry=["__ref"]
+    )
+    ref_big = big.filter(F.col("__ref"))
+    cb = ref_big.groupBy("w1", "w2").agg(F.count("*").alias("cb")).persist()
+    cb.count()
+    cu = cb.groupBy("w1").agg(
+        F.sum("cb").alias("cu"), F.count("*").alias("n1f")
+    )
+    nh = cb.groupBy("w2").agg(F.count("*").alias("nh"))
+    vocab = cb.select(F.col("w1").alias("tok")).union(
+        cb.select(F.col("w2").alias("tok"))
+    )
+    consts = vocab.agg(
+        (F.count_distinct("tok") + 1).alias("__V")
+    ).crossJoin(F.broadcast(cb.agg(F.count("*").alias("__NT"))))
+
+    d_lit = F.lit(0.75)
+    pcont = (
+        (F.coalesce(F.col("nh"), F.lit(0)) + F.lit(1.0))
+        / (F.col("__NT") + F.col("__V")).cast("double")
+    )
+    seen = (
+        F.greatest(
+            F.coalesce(F.col("cb"), F.lit(0)).cast("double") - d_lit,
+            F.lit(0.0),
+        )
+        + d_lit * F.col("n1f").cast("double") * pcont
+    ) / F.col("cu").cast("double")
+    # explicit broadcast hints on the model-sized sides: cu/nh derive
+    # from the persisted cb and carry no stats, so Catalyst falls back
+    # to SortMergeJoin without them (the r8 per-callsite broadcast
+    # rule; the registry plan scan enforces it)
+    terms = (
+        big.join(F.broadcast(cb), ["w1", "w2"], "left")
+        .join(F.broadcast(cu), "w1", "left")
+        .join(F.broadcast(nh), "w2", "left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "doc_id",
+            "pos",
+            F.round(
+                F.log(F.when(F.col("cu").isNull(), pcont).otherwise(seen)),
+                4,
+            ).alias("term"),
+        )
+    )
+    scored = (
+        terms.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sort_array(F.collect_list(F.struct("pos", "term"))).alias("__st"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                -F.expr(
+                    "aggregate(transform(__st, __s -> __s.term), "
+                    "cast(0.0 as double), (__a, __x) -> __a + __x)"
+                )
+                / F.col("n_bigrams")
+            ).alias("cross_entropy_kn"),
+        )
+    )
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return ids.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        "cross_entropy_kn",
+    )

@@ -159,6 +159,99 @@ def token_budget_sample(
     return df.withColumn("__run", run).filter(F.col("__run") <= budget).drop("__run")
 
 
+def budget_waterfill(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    budget_num: int,
+    budget_den: int,
+) -> DataFrame:
+    """UniMax-style token-budget allocation across sources: spread a
+    total budget ``B = (sum tokens) * budget_num div budget_den``
+    over the strata so that no source is over-sampled — small sources
+    are CAPPED at their full token count and the remainder splits
+    evenly among the large ones (the waterfilling solution of
+    ``maximize min-share subject to alloc_i <= tokens_i, sum = B``).
+    This is the mixture-design move of UniMax sampling (Chung et al.
+    2023): epochs-capped uniform allocation beats both proportional
+    (duplicates the head) and uniform (starves nothing but over-epochs
+    the tail).
+
+    Closed form, exact integers end-to-end: sort strata by
+    ``(tokens ASC, key ASC)``; the capped set is always a PREFIX of
+    that order (proof: if ``S_{k-1} + t_k*(n-k+1) <= B`` then the same
+    holds at ``k-1``), so one window pass computes prefix sums and the
+    capped flag, ``m = |capped|``, and the uncapped sources get
+    ``base = (B - S_m) div u`` each (``u = n - m``), with the
+    ``r = (B - S_m) mod u`` leftover distributed +1 to the LARGEST r
+    (deterministic: last in sort order). ``base + 1 <= t_i`` holds for
+    every uncapped source by maximality of ``m``, so allocations never
+    exceed capacity. NULL strata keys are their own group and order
+    under the chr(0) sentinel (identical in both engines — the
+    NULLS FIRST/LAST divergence never reaches the sort).
+
+    Returns one row per stratum: ``(strata, tokens, alloc, capped)``
+    with ``sum(alloc) == min(B, sum tokens)``. Scale shape: ONE
+    map-side-combinable aggregate over the corpus; every window and
+    scalar cross after it runs on the strata-sized model table."""
+    if budget_num < 0 or budget_den <= 0:
+        raise ValueError("budget must be a non-negative rational")
+    per = df.groupBy(F.col(strata_col).alias("__g")).agg(
+        F.sum(F.col(token_col)).cast("bigint").alias("__t")
+    )
+    tot = per.agg(
+        F.sum("__t").cast("bigint").alias("__tt"),
+        F.count("*").cast("bigint").alias("__n"),
+    )
+    okey = F.coalesce(F.col("__g").cast("string"), F.lit("\x00"))
+    w = Window.orderBy(F.asc("__t"), okey.asc())
+    ranked = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__B", F.expr(f"__tt * {budget_num} div {budget_den}")
+        )
+        .withColumn("__k", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "__sprev",
+            F.coalesce(
+                F.sum("__t").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "__capped",
+            F.col("__sprev") + F.col("__t") * (F.col("__n") - F.col("__k") + 1)
+            <= F.col("__B"),
+        )
+    )
+    caps = ranked.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("__capped"), F.col("__t"))), F.lit(0)
+        ).cast("bigint").alias("__Sm"),
+        F.coalesce(
+            F.count(F.when(F.col("__capped"), F.lit(1))), F.lit(0)
+        ).cast("bigint").alias("__m"),
+    )
+    out = ranked.crossJoin(F.broadcast(caps)).select(
+        F.col("__g").alias(strata_col),
+        F.col("__t").alias("tokens"),
+        F.when(F.col("__capped"), F.col("__t"))
+        .otherwise(
+            F.expr("(__B - __Sm) div (__n - __m)")
+            + F.when(
+                F.col("__k") > F.col("__n") - F.expr("(__B - __Sm) % (__n - __m)"),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("alloc"),
+        F.col("__capped").alias("capped"),
+    )
+    return out
+
+
 def capped_per_stratum(
     df: DataFrame, key_col: str, strata_col: str, k: int, salt: str = "cap"
 ) -> DataFrame:

@@ -13135,6 +13135,169 @@ def curate_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "mixture_budget_waterfill",
+    """
+    WITH d AS (
+      SELECT source,
+             CAST(len(list_filter(string_split_regex(COALESCE(text, ''),
+                                                     '\\s+'),
+                                  w -> w <> '')) AS BIGINT) AS ntok
+      FROM documents
+    ),
+    per AS (SELECT source AS g, CAST(SUM(ntok) AS BIGINT) AS t
+            FROM d GROUP BY source),
+    tot AS (SELECT CAST(SUM(t) AS BIGINT) AS tt,
+                   CAST(COUNT(*) AS BIGINT) AS n FROM per),
+    rk AS (
+      SELECT g, t, tt, n, tt * 1 // 2 AS b,
+             CAST(row_number() OVER (
+               ORDER BY t, COALESCE(CAST(g AS VARCHAR), chr(0)))
+               AS BIGINT) AS k,
+             CAST(COALESCE(SUM(t) OVER (
+               ORDER BY t, COALESCE(CAST(g AS VARCHAR), chr(0))
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS sprev
+      FROM per CROSS JOIN tot
+    ),
+    c AS (SELECT *, (sprev + t * (n - k + 1)) <= b AS capped FROM rk),
+    agg AS (SELECT
+      CAST(COALESCE(SUM(CASE WHEN capped THEN t END), 0) AS BIGINT) AS sm,
+      CAST(COALESCE(SUM(CASE WHEN capped THEN 1 END), 0) AS BIGINT) AS m
+      FROM c)
+    SELECT g AS source, t AS tokens,
+           CAST(CASE WHEN capped THEN t
+                ELSE (b - sm) // (n - m)
+                     + CASE WHEN k > n - ((b - sm) % (n - m))
+                            THEN 1 ELSE 0 END
+                END AS BIGINT) AS alloc,
+           capped
+    FROM c CROSS JOIN agg
+    """,
+)
+def mixture_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax-style waterfilling token-budget allocation across
+    sources at half the corpus token total: small sources cap at their
+    full capacity, the rest split the remainder evenly (+1 to the
+    largest for the integer leftover) — the mixture-design optimizer
+    next to the admission-order samplers (sample_token_budget_mix
+    admits documents under a fixed per-source budget; this op SOLVES
+    for the per-source budgets). Exact integers end-to-end: one
+    corpus aggregate -> source-sized model table -> one window pass +
+    two scalar crosses (ops/sampling.budget_waterfill)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.size(
+            F.filter(
+                F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+                lambda w: w != F.lit(""),
+            )
+        ).cast("bigint").alias("__ntok"),
+    )
+    return osmp.budget_waterfill(docs, "source", "__ntok", 1, 2)
+
+
+@query(
+    "entity_sorted_neighborhood",
+    """
+    WITH base AS (
+      SELECT s_suppkey AS id, s_name AS nm
+      FROM supplier WHERE s_name IS NOT NULL
+    ),
+    rk AS (
+      SELECT id, nm,
+             CAST(row_number() OVER (ORDER BY nm, id) AS BIGINT) AS r
+      FROM base
+    )
+    SELECT a.id AS id_a, b.id AS id_b, a.nm AS name_a, b.nm AS name_b,
+           CAST(b.r - a.r AS INTEGER) AS rank_gap,
+           CAST(levenshtein(a.nm, b.nm) AS INTEGER) AS dist
+    FROM rk a JOIN rk b ON b.r > a.r AND b.r <= a.r + 3
+    WHERE levenshtein(a.nm, b.nm) <= 1
+    """,
+)
+def entity_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER self-join over supplier names: rank
+    lexicographically (two-pass bucket rank — no single-partition
+    window), candidate within 3 rank positions, verify Levenshtein
+    <= 1 — the linear-candidate (exactly n*w pairs) complement of the
+    prefix-blocked join, the multi-pass blocking standard of entity
+    resolution (ops/fuzzy.sorted_neighborhood_join)."""
+    from nhs_data_pipeline_spark.ops import fuzzy as ofz
+
+    sup = _t(spark, sf_dir, "supplier")
+    return ofz.sorted_neighborhood_join(
+        sup, "s_name", "s_suppkey", window=3, max_dist=1, bucket_len=12
+    )
+
+
+@query(
+    "text_lm_kneser_ney",
+    """
+    WITH base AS (
+      SELECT doc_id, (source = 'src1') AS ref,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS w
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, ref, CAST(pos AS BIGINT) AS pos,
+             w[pos] AS w1, w[pos + 1] AS w2
+      FROM (SELECT doc_id, ref, w,
+                   unnest(generate_series(1, len(w) - 1)) AS pos
+            FROM base WHERE len(w) > 1)
+    ),
+    cb AS MATERIALIZED (
+      SELECT w1, w2, COUNT(*) AS cb FROM big WHERE ref GROUP BY w1, w2
+    ),
+    cu AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu, COUNT(*) AS n1f
+           FROM cb GROUP BY w1),
+    nh AS (SELECT w2, COUNT(*) AS nh FROM cb GROUP BY w2),
+    cn AS (SELECT (SELECT COUNT(*) FROM cb) AS nt,
+                  (SELECT COUNT(DISTINCT tok) + 1 FROM (
+                     SELECT w1 AS tok FROM cb
+                     UNION ALL SELECT w2 FROM cb)) AS vv),
+    terms AS (
+      SELECT b.doc_id, b.pos,
+        ROUND(ln(CASE WHEN cu.cu IS NULL
+          THEN (COALESCE(nh.nh, 0) + 1.0) / CAST(cn.nt + cn.vv AS DOUBLE)
+          ELSE (GREATEST(CAST(COALESCE(cb.cb, 0) AS DOUBLE)
+                           - CAST(0.75 AS DOUBLE),
+                         CAST(0.0 AS DOUBLE))
+                + CAST(0.75 AS DOUBLE) * CAST(cu.n1f AS DOUBLE)
+                  * ((COALESCE(nh.nh, 0) + 1.0)
+                     / CAST(cn.nt + cn.vv AS DOUBLE)))
+               / CAST(cu.cu AS DOUBLE) END), 4) AS term
+      FROM big b LEFT JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+                 LEFT JOIN cu ON b.w1 = cu.w1
+                 LEFT JOIN nh ON b.w2 = nh.w2, cn
+    ),
+    sc AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             -list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                       list(term ORDER BY pos)),
+                          (__a, __b) -> __a + __b) / COUNT(*)
+               AS cross_entropy_kn
+      FROM terms GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           s.cross_entropy_kn
+    FROM documents d LEFT JOIN sc s USING (doc_id)
+    """,
+)
+def text_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-filter scoring under an absolute-discount KNESER-NEY
+    bigram LM (D=3/4, reference slice = source 'src1') — the smoothing
+    real KenLM filters use, beside text_lm_perplexity's add-1
+    baseline: backoff mass follows continuation counts (how many
+    distinct histories a word completes), not raw frequency. Exact
+    integer counts, one identically-spelled IEEE probability, ln
+    rounded to 4 dp before the position-ordered fold
+    (llm/lm.lm_cross_entropy_kn)."""
+    docs = _t(spark, sf_dir, "documents")
+    return lm.lm_cross_entropy_kn(docs, F.col("source") == "src1")
+
+
 DRIVER_WINDOW = [
     # r10 rotation (8th): 40 never-driver-attested faces + 10
     # sentinels. The r9 verdict asked for >=25 new faces (at 20/round

@@ -195,3 +195,77 @@ class TestDiffMergeRoundtrip:
         assert sorted(map(tuple, merged.collect())) == sorted(
             map(tuple, new.collect())
         )
+
+
+class TestBudgetWaterfill:
+    def test_matches_iterative_replica_and_invariants(self, spark):
+        """Closed-form waterfilling == the sequential iterative replica
+        (process sources smallest-first; alloc = min(t, remaining div
+        sources_left)) up to the documented remainder placement, and
+        the invariants hold: sum(alloc) == min(B, T), alloc_i <= t_i,
+        capped set is a prefix of the (t, key) order, uncapped allocs
+        differ by at most 1 with the +1s on the largest."""
+        import random
+
+        from nhs_data_pipeline_spark.ops.sampling import budget_waterfill
+
+        rng = random.Random(13)
+        for trial in range(6):
+            n = rng.randrange(1, 9)
+            sizes = {f"s{i}": rng.randrange(0, 500) for i in range(n)}
+            rows = [
+                (k, 1) for k, t in sizes.items() for _ in range(min(t, 1))
+            ]
+            # feed per-row tokens that sum to the chosen sizes
+            rows = []
+            for k, t in sizes.items():
+                left = t
+                while left > 0:
+                    c = min(left, rng.randrange(1, 50))
+                    rows.append((k, c))
+                    left -= c
+                if t == 0:
+                    rows.append((k, 0))
+            df = spark.createDataFrame(rows, "src string, toks long")
+            num, den = rng.choice([(1, 2), (1, 3), (2, 3), (1, 1), (3, 2)])
+            got = {
+                r["src"]: (r["tokens"], r["alloc"], r["capped"])
+                for r in budget_waterfill(df, "src", "toks", num, den).collect()
+            }
+            T = sum(sizes.values())
+            B = T * num // den
+            assert {k: v[0] for k, v in got.items()} == sizes, trial
+            assert sum(v[1] for v in got.values()) == min(B, T), (trial, got)
+            assert all(v[1] <= v[0] for v in got.values()), (trial, got)
+            order = sorted(sizes, key=lambda k: (sizes[k], k))
+            flags = [got[k][2] for k in order]
+            assert flags == sorted(flags, reverse=True), (trial, flags)
+            unc = [got[k][1] for k in order if not got[k][2]]
+            if unc:
+                assert max(unc) - min(unc) <= 1, (trial, unc)
+                # +1s go to the LAST uncapped sources in sort order
+                assert unc == sorted(unc), (trial, unc)
+                # every uncapped alloc stays below its capacity bound
+                base = min(unc)
+                for k in order:
+                    if not got[k][2]:
+                        assert got[k][0] >= base + (1 if got[k][1] > base else 0)
+
+    def test_all_capped_and_null_stratum(self, spark):
+        """B >= T caps every source at its capacity (no div-by-zero on
+        the empty uncapped set); a NULL stratum is its own group and
+        orders under the chr(0) sentinel like the oracle."""
+        from nhs_data_pipeline_spark.ops.sampling import budget_waterfill
+
+        df = spark.createDataFrame(
+            [("a", 10), (None, 3), ("b", 7)], "src string, toks long"
+        )
+        got = {
+            r["src"]: (r["alloc"], r["capped"])
+            for r in budget_waterfill(df, "src", "toks", 1, 1).collect()
+        }
+        assert got == {"a": (10, True), None: (3, True), "b": (7, True)}
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            budget_waterfill(df, "src", "toks", 1, 0)

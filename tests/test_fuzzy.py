@@ -160,3 +160,54 @@ def test_edit_distance_blocked_join_pairs_and_guard(spark):
     dk = [duckdb.sql(f"SELECT levenshtein('{a}','{b}')").fetchone()[0]
           for a, b in cases]
     assert [r.d for r in sp] == dk == [lev(a, b) for a, b in cases]
+
+
+def test_sorted_neighborhood_matches_python_replica(spark):
+    """Rank-window candidates + Levenshtein verify against a direct
+    python replica (sorted names, all pairs within `window` positions,
+    stdlib edit distance); NULL names drop; the two-pass bucket rank
+    must agree with the naive global sort even when names straddle
+    bucket boundaries."""
+    import itertools
+
+    from nhs_data_pipeline_spark.ops.fuzzy import sorted_neighborhood_join
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    names = [
+        "alpha", "alphb", "alpzz", "beta", "betaa", "bets",
+        "gamma", "gamma1", "zz", None,
+    ]
+    rows = [(i, n) for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, "id long, nm string")
+    W, D = 3, 2
+    got = sorted(
+        (r.id_a, r.id_b, r.rank_gap, r.dist)
+        for r in sorted_neighborhood_join(
+            df, "nm", "id", window=W, max_dist=D, bucket_len=2
+        ).collect()
+    )
+    ranked = sorted(
+        ((n, i) for i, n in rows if n is not None)
+    )
+    expect = []
+    for x, y in itertools.combinations(range(len(ranked)), 2):
+        gap = y - x
+        if gap <= W:
+            (na, ia), (nb, ib) = ranked[x], ranked[y]
+            d = lev(na, nb)
+            if d <= D:
+                expect.append((ia, ib, gap, d))
+    assert got == sorted(expect), (got, expect)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sorted_neighborhood_join(df, "nm", "id", window=0)

@@ -322,6 +322,30 @@ def test_star_components_chain_logarithmic_rounds(spark):
     assert report["rounds"] <= 12  # log-ish, not ~199
 
 
+def test_minlabel_components_chain_pointer_jumping(spark):
+    """r10 sampled-sf1 regression: a 120-node path (diameter 119) with
+    the DEFAULT max_iter=30. Plain min-label propagation silently
+    returned non-converged labels here (the ~600-node chainy component
+    in the sampled-sf1 embedding graph was mislabeled); pointer
+    jumping must converge in O(log diameter) rounds, and a true
+    non-fixpoint must RAISE rather than return wrong components."""
+    n = 120
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    out = dd.connected_components(pairs).collect()  # default max_iter
+    assert len(out) == n
+    assert all(r.component == 0 for r in out)
+    # the loud-failure path: 1 round cannot close a 10-node chain
+    import pytest as _pt
+
+    small = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["id_a", "id_b"]
+    )
+    with _pt.raises(RuntimeError, match="fixpoint"):
+        dd.connected_components(small, max_iter=1)
+
+
 def test_jaccard_pairs_exact_value(spark):
     docs = spark.createDataFrame(
         [(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"]

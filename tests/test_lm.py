@@ -2,6 +2,8 @@
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from nhs_data_pipeline_spark.llm import lm
@@ -95,3 +97,90 @@ def test_empty_reference_degenerates_to_uniform(spark):
     got = {r["doc_id"]: r["cross_entropy"] for r in out}
     # V = 1, all probs = (0+1)/(0+1) = 1 -> ln 1 = 0 -> ce = 0.
     assert got[1] == 0.0 and got[2] == 0.0
+
+
+def _py_ce_kn(rows, ref_source, D=0.75):
+    """Pure-python Kneser-Ney replica: absolute discount D, add-1
+    continuation distribution, 4-dp ln terms, position-ordered fold."""
+    cb: dict[tuple[str, str], int] = {}
+    for _, text, s in rows:
+        w = " ".join(text.split()).split(" ")
+        if s == ref_source and len(w) > 1:
+            for a, b in zip(w, w[1:]):
+                cb[(a, b)] = cb.get((a, b), 0) + 1
+    cu: dict[str, int] = {}
+    n1f: dict[str, int] = {}
+    nh: dict[str, int] = {}
+    vocab = set()
+    for (a, b), c in cb.items():
+        cu[a] = cu.get(a, 0) + c
+        n1f[a] = n1f.get(a, 0) + 1
+        nh[b] = nh.get(b, 0) + 1
+        vocab.update((a, b))
+    NT, V = len(cb), len(vocab) + 1
+
+    def pcont(b):
+        return (nh.get(b, 0) + 1.0) / float(NT + V)
+
+    out = {}
+    for i, text, _ in rows:
+        w = " ".join(text.split()).split(" ")
+        if len(w) < 2:
+            out[i] = (0, None)
+            continue
+        acc = 0.0
+        for a, b in zip(w, w[1:]):
+            if a not in cu:
+                p = pcont(b)
+            else:
+                p = (max(cb.get((a, b), 0) - D, 0.0)
+                     + D * n1f[a] * pcont(b)) / cu[a]
+            acc += round(math.log(p), 4)
+        n = len(w) - 1
+        out[i] = (n, (-acc) / n)
+    return out
+
+
+def test_kneser_ney_matches_python_replica(spark):
+    """KN bigram scoring == the python replica exactly (after the 4-dp
+    term quantize), covering: seen bigram above/below the discount,
+    unseen bigram under a seen history (pure backoff), unseen history
+    (continuation-only), and a <2-token doc. Also pins the KN insight:
+    a frequent single-history word gets LESS backoff mass than a rarer
+    multi-history word."""
+    rows = [
+        (1, "san francisco san francisco san francisco", "ref"),
+        (2, "a b c b a b", "ref"),
+        (3, "san b a francisco", "ref"),
+        (4, "a francisco c b san zz", "other"),   # unseen bigrams + zz
+        (5, "zz qq", "other"),                    # unseen history
+        (6, "one", "other"),                      # no bigrams
+    ]
+    df = _docs(spark, rows)
+    got = {
+        r.doc_id: (r.n_bigrams, r.cross_entropy_kn)
+        for r in lm.lm_cross_entropy_kn(df, F.col("source") == "ref")
+        .collect()
+    }
+    exp = _py_ce_kn(rows, "ref")
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0], (k, got[k], exp[k])
+        if exp[k][1] is None:
+            assert got[k][1] is None, (k, got[k])
+        else:
+            assert got[k][1] == pytest.approx(exp[k][1], abs=1e-12), (
+                k, got[k], exp[k],
+            )
+    # the Kneser-Ney property: 'francisco' is the most frequent token
+    # in-reference but follows only {san, b}; 'b' follows {a, c, san}
+    # -> p_cont(b) > p_cont(francisco) despite lower raw frequency
+    cb = {}
+    for _, text, s in rows:
+        w = text.split()
+        if s == "ref":
+            for a, b2 in zip(w, w[1:]):
+                cb[(a, b2)] = cb.get((a, b2), 0) + 1
+    nh_fr = len({a for (a, b2) in cb if b2 == "francisco"})
+    nh_b = len({a for (a, b2) in cb if b2 == "b"})
+    assert nh_b > nh_fr

@@ -309,8 +309,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 244, len(QUERIES)
-    assert len(ORACLES) == 241, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 247, len(QUERIES)
+    assert len(ORACLES) == 244, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_readme_registry_tallies_match():
@@ -373,6 +373,11 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # general shuffle join is correct and AQE broadcasts it when
         # the model is small
         "text_lm_perplexity",
+        # audited: the final all-docs LEFT JOIN scored-docs re-attach —
+        # corpus x corpus on doc_id, co-partitioned shuffle join is
+        # the correct plan (the KN variant's model probes are
+        # explicitly broadcast; llm/lm.lm_cross_entropy_kn)
+        "text_lm_kneser_ney",
         # audited: the sampled-doc bigram co-occurrence join is the
         # same corpus x corpus shape as dedup_jaccard_exact_join
         # (llm/dedup.ngram_overlap_scores reuses the countjoin plan on
@@ -477,6 +482,15 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # into the cumulative-deviation stream
         # (ops/analytics.ks_two_sample) — scalar-broadcast shape
         "stats_ks_test",
+        # audited: the one-row (total, n-strata) aggregate and the
+        # one-row capped-prefix (S_m, m) aggregate crossed into the
+        # STRATA-sized model table (ops/sampling.budget_waterfill)
+        # — scalar-broadcast shape, corpus touched once upstream
+        "mixture_budget_waterfill",
+        # audited: the one-row (V, NT) constants aggregate crossed into
+        # the bigram scoring stream (llm/lm.lm_cross_entropy_kn) —
+        # scalar-broadcast shape, same as the add-1 sibling's V cross
+        "text_lm_kneser_ney",
         # audited: the same one-row totals cross into the rank-sum
         # aggregate (ops/analytics.mann_whitney_u) — scalar-broadcast
         "stats_mannwhitney_u",
@@ -718,6 +732,16 @@ def test_registry_no_unaudited_global_sort_windows(spark, sf_dir):
         # rank, llm/classify.binary_auc (the r06 fix itself)
         "feature_quantile_normalize", "shuffle_training_order",
         "eval_classifier_auc",
+        # waterfilling rank/prefix-sum window over the STRATA-sized
+        # model table (n_sources rows — bounded by the source
+        # vocabulary, never the corpus; ops/sampling.budget_waterfill)
+        "mixture_budget_waterfill",
+        # sorted-neighborhood bucket-offset window over the
+        # BUCKET-COUNT table (<= 256^bucket_len buckets, model-sized;
+        # the per-name rank window partitions by bucket — the
+        # shuffle_training_order two-pass shape;
+        # ops/fuzzy.sorted_neighborhood_join)
+        "entity_sorted_neighborhood",
         # vocabulary-head ranked query set (post-LIMIT <= 11 rows by
         # the time the window ranks it; llm/retrieval data-derived
         # queries) — rrf embeds the same bm25 subplan
