@@ -248,3 +248,135 @@ def lm_cross_entropy_kn(
         F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
         "cross_entropy_kn",
     )
+
+
+def loo_source_cross_entropy(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source LEAVE-ONE-OUT cross-entropy: score every source's
+    bigrams under the add-1 bigram LM trained on ALL OTHER SOURCES —
+    the mixture diagnostic that ranks "which source looks least like
+    the rest of the corpus" (high LOO CE = distributional outlier:
+    candidate for re-weighting, re-cleaning, or exclusion). One row
+    per source: ``(source, n_bigrams, loo_cross_entropy)``.
+
+    The distributed trick: train nothing per source. The LOO counts
+    are SUBTRACTIONS — ``C_loo(s) = C_total - C_s`` for bigram counts,
+    history counts, and vocabulary (a token leaves source s's LOO
+    vocabulary only if s is the ONLY source containing it), so ONE
+    pass builds the total model + per-source deltas and every LOO
+    model materializes implicitly at probe time. A per-source retrain
+    would scan the corpus n_sources times; this scans it twice
+    (model + probe), independent of the source count.
+
+    Determinism: the per-bigram ``ln p`` quantizes to INTEGER
+    ten-thousandths via the portable floor-round (three IEEE ops,
+    identically spelled in both engines) immediately after the
+    transcendental, so the per-source sums are order-free exact
+    integer additions — no fold, no collect_list. The final mean
+    floor-rounds to 6 dp. A single-source corpus degenerates to
+    p = 1 (empty LOO model, V_loo = 0) — defined, documented.
+
+    NULL sources form their own group and survive every probe join:
+    the internal source key is chr(0)-sentinel-coalesced (a plain
+    equi-join on a NULL key silently drops the rows — the NULL-key
+    rule) and restored to NULL at output."""
+    big = _doc_bigrams(
+        df.withColumn(
+            "__src",
+            F.coalesce(F.col(source_col).cast("string"), F.lit("\x00")),
+        ),
+        text_col,
+        id_col,
+        carry=["__src"],
+    )
+    # total + per-source bigram/history counts, all from one stream
+    cbs = big.groupBy("__src", "w1", "w2").agg(
+        F.count("*").alias("cbs")
+    ).persist()
+    cbs.count()
+    cbt = cbs.groupBy("w1", "w2").agg(F.sum("cbs").alias("cbt"))
+    cus = cbs.groupBy("__src", "w1").agg(F.sum("cbs").alias("cus"))
+    cut = cbs.groupBy("w1").agg(F.sum("cbs").alias("cut"))
+    # vocabulary deltas: a token drops out of source s's LOO vocab iff
+    # s is the only source containing it
+    tok_src = (
+        cbs.select("__src", F.col("w1").alias("tok"))
+        .union(cbs.select("__src", F.col("w2").alias("tok")))
+        .distinct()
+    )
+    tok_stats = tok_src.groupBy("tok").agg(
+        F.count("*").alias("__ns"), F.min("__src").alias("__one")
+    )
+    d_total = tok_stats.agg(
+        F.count("*").cast("bigint").alias("__dt")
+    )
+    only_s = (
+        tok_stats.filter(F.col("__ns") == 1)
+        .groupBy(F.col("__one").alias("__src"))
+        .agg(F.count("*").cast("bigint").alias("__only"))
+    )
+    srcs = cbs.select("__src").distinct()
+    vloo = (
+        srcs.join(only_s, "__src", "left")
+        .crossJoin(F.broadcast(d_total))
+        .select(
+            "__src",
+            (
+                F.col("__dt") - F.coalesce(F.col("__only"), F.lit(0))
+            ).alias("__vloo"),
+        )
+    )
+    z = F.lit(0)
+    p = (
+        (
+            F.coalesce(F.col("cbt"), z) - F.coalesce(F.col("cbs"), z)
+            + F.lit(1.0)
+        )
+        / (
+            F.coalesce(F.col("cut"), z) - F.coalesce(F.col("cus"), z)
+            + F.col("__vloo") + F.lit(1)
+        ).cast("double")
+    )
+    terms = (
+        big.join(F.broadcast(cbs), ["__src", "w1", "w2"], "left")
+        .join(F.broadcast(cbt), ["w1", "w2"], "left")
+        .join(F.broadcast(cus), ["__src", "w1"], "left")
+        .join(F.broadcast(cut), "w1", "left")
+        .join(F.broadcast(vloo), "__src")
+        .select(
+            "__src",
+            F.floor(F.log(p) * F.lit(1e4) + F.lit(0.5))
+            .cast("bigint")
+            .alias("__tm"),
+        )
+    )
+    out = (
+        terms.groupBy("__src")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("__tm").alias("__s"),
+        )
+        .select(
+            F.when(F.col("__src") == "\x00", F.lit(None))
+            .otherwise(F.col("__src"))
+            .alias(source_col),
+            "n_bigrams",
+            (
+                F.floor(
+                    -F.col("__s").cast("double")
+                    / (F.col("n_bigrams").cast("double") * F.lit(1e4))
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("loo_cross_entropy"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    out.count()
+    cbs.unpersist()
+    return out

@@ -13298,6 +13298,73 @@ def text_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.lm_cross_entropy_kn(docs, F.col("source") == "src1")
 
 
+@query(
+    "mixture_loo_perplexity",
+    """
+    WITH base AS (
+      SELECT COALESCE(CAST(source AS VARCHAR), chr(0)) AS s,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS w
+      FROM documents
+    ),
+    big AS (
+      SELECT s, w[pos] AS w1, w[pos + 1] AS w2
+      FROM (SELECT s, w, unnest(generate_series(1, len(w) - 1)) AS pos
+            FROM base WHERE len(w) > 1)
+    ),
+    cbs AS MATERIALIZED (
+      SELECT s, w1, w2, CAST(COUNT(*) AS BIGINT) AS cbs
+      FROM big GROUP BY 1, 2, 3
+    ),
+    cbt AS (SELECT w1, w2, CAST(SUM(cbs) AS BIGINT) AS cbt
+            FROM cbs GROUP BY 1, 2),
+    cus AS (SELECT s, w1, CAST(SUM(cbs) AS BIGINT) AS cus
+            FROM cbs GROUP BY 1, 2),
+    cut AS (SELECT w1, CAST(SUM(cbs) AS BIGINT) AS cut FROM cbs GROUP BY 1),
+    ts AS (SELECT DISTINCT s, tok FROM (
+             SELECT s, w1 AS tok FROM cbs
+             UNION ALL SELECT s, w2 FROM cbs)),
+    tstat AS (SELECT tok, COUNT(*) AS ns, MIN(s) AS one
+              FROM ts GROUP BY tok),
+    dt AS (SELECT CAST(COUNT(*) AS BIGINT) AS dt FROM tstat),
+    onlys AS (SELECT one AS s, CAST(COUNT(*) AS BIGINT) AS onl
+              FROM tstat WHERE ns = 1 GROUP BY one),
+    vloo AS (SELECT srcs.s, dt.dt - COALESCE(onlys.onl, 0) AS vloo
+             FROM (SELECT DISTINCT s FROM cbs) srcs
+             LEFT JOIN onlys USING (s), dt),
+    terms AS (
+      SELECT b.s,
+        CAST(floor(ln((COALESCE(cbt.cbt, 0) - COALESCE(cbs.cbs, 0) + 1.0)
+                     / CAST(COALESCE(cut.cut, 0) - COALESCE(cus.cus, 0)
+                            + v.vloo + 1 AS DOUBLE))
+                   * 1e4 + 0.5) AS BIGINT) AS tm
+      FROM big b
+        LEFT JOIN cbs ON b.s = cbs.s AND b.w1 = cbs.w1 AND b.w2 = cbs.w2
+        LEFT JOIN cbt ON b.w1 = cbt.w1 AND b.w2 = cbt.w2
+        LEFT JOIN cus ON b.s = cus.s AND b.w1 = cus.w1
+        LEFT JOIN cut ON b.w1 = cut.w1
+        JOIN vloo v ON b.s = v.s
+    )
+    SELECT CASE WHEN s = chr(0) THEN NULL ELSE s END AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           floor(-CAST(SUM(tm) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE) * 1e4) * 1e6 + 0.5) / 1e6
+             AS loo_cross_entropy
+    FROM terms GROUP BY s
+    """,
+)
+def mixture_loo_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out source perplexity: each source's bigrams scored
+    under the add-1 LM trained on EVERY OTHER source — the mixture
+    outlier diagnostic (high = the source least like the rest). LOO
+    models are pure count SUBTRACTIONS from one total model (two
+    corpus scans total, independent of source count); per-bigram ln
+    floor-rounds to integer ten-thousandths immediately, so every sum
+    is order-free exact (llm/lm.loo_source_cross_entropy)."""
+    docs = _t(spark, sf_dir, "documents")
+    return lm.loo_source_cross_entropy(docs)
+
+
 DRIVER_WINDOW = [
     # r10 rotation (8th): 40 never-driver-attested faces + 10
     # sentinels. The r9 verdict asked for >=25 new faces (at 20/round

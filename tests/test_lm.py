@@ -184,3 +184,61 @@ def test_kneser_ney_matches_python_replica(spark):
     nh_fr = len({a for (a, b2) in cb if b2 == "francisco"})
     nh_b = len({a for (a, b2) in cb if b2 == "b"})
     assert nh_b > nh_fr
+
+
+def test_loo_source_cross_entropy_replica_and_null_source(spark):
+    """LOO-by-subtraction == a direct python per-source retrain
+    replica (train on all other sources, add-1, integer 1e-4 term
+    quantize, order-free sums); a NULL source is its own surviving
+    group; single-source corpora degenerate to CE 0 (p = 1)."""
+    rows = [
+        (1, "a b a b c", "s1"),
+        (2, "a b c d", "s1"),
+        (3, "c d c d", "s2"),
+        (4, "a b x", None),
+        (5, "q", "s2"),  # no bigrams
+    ]
+    df = _docs(spark, rows)
+    got = {
+        r.source: (r.n_bigrams, r.loo_cross_entropy)
+        for r in lm.loo_source_cross_entropy(df).collect()
+    }
+
+    def replica(src):
+        import math as _m
+
+        others = [r for r in rows if r[2] != src]
+        cb, cu, vocab = {}, {}, set()
+        for _, text, _s in others:
+            w = " ".join(text.split()).split(" ")
+            if len(w) > 1:
+                vocab.update(w)
+                for a, b in zip(w, w[1:]):
+                    cb[(a, b)] = cb.get((a, b), 0) + 1
+                    cu[a] = cu.get(a, 0) + 1
+        tot_micro, n = 0, 0
+        for _, text, _s in rows:
+            if _s != src:
+                continue
+            w = " ".join(text.split()).split(" ")
+            for a, b in zip(w, w[1:]):
+                p = (cb.get((a, b), 0) + 1.0) / (
+                    cu.get(a, 0) + len(vocab) + 1
+                )
+                tot_micro += _m.floor(_m.log(p) * 1e4 + 0.5)
+                n += 1
+        if n == 0:
+            return None
+        return n, _m.floor(-tot_micro / (n * 1e4) * 1e6 + 0.5) / 1e6
+
+    for src in ["s1", "s2", None]:
+        exp = replica(src)
+        assert got[src] == exp, (src, got[src], exp)
+    # vocabulary subtraction: 'x' appears ONLY in the NULL source, so
+    # it leaves the NULL source's LOO vocab but stays in s1's/s2's
+    # (the replica enforces this; equality above proves the engine's
+    # subtraction matches a true retrain)
+    # single-source degenerate: one source only -> p = 1 -> CE 0
+    solo = _docs(spark, [(1, "a b c", "only")])
+    r = lm.loo_source_cross_entropy(solo).collect()[0]
+    assert (r.source, r.n_bigrams, r.loo_cross_entropy) == ("only", 2, 0.0)
