@@ -3322,3 +3322,111 @@ def logrank_test(
             ),
         ).alias("z_logrank"),
     )
+
+
+def cuped_lift(
+    df: DataFrame,
+    user_col: str,
+    treat_col: str,
+    pre_col: str,
+    value_micro_col: str,
+) -> DataFrame:
+    """CUPED-adjusted treatment lift (Deng et al. 2013) — the variance
+    reduction every large experimentation platform runs: adjust each
+    user's post-period metric by their PRE-period covariate,
+    ``y_adj = y - theta * (x - mean(x))`` with
+    ``theta = cov(x, y) / var(x)``, which cannot bias the lift (the
+    covariate predates treatment) and shrinks its variance by the
+    squared correlation rho^2. One output row:
+    ``(n_users, theta, lift_raw, lift_cuped, var_reduction)`` where
+    var_reduction = rho^2 (the fraction of metric variance the
+    covariate explains).
+
+    Inputs: event rows with a user key, a 0/1 user-level treatment
+    flag, a boolean pre-period flag, and the metric as INTEGER micro
+    units. Per-user (x, y) sums are exact integers (a user with no
+    pre/post rows contributes 0 — the standard missing-covariate
+    convention); every moment (Sx, Sy, Sxx, Sxy, Syy, per-arm sums)
+    accumulates in DECIMAL(38,0), order-free; theta / lifts / rho^2
+    assemble in identically-spelled doubles from ONE decimal->double
+    cast each, floor-rounded to 6 dp. Degenerate var(x) = 0 yields
+    NULL theta/lift_cuped/var_reduction.
+
+    Scale shape: one map-side-combinable per-user aggregate, then one
+    single-row moment aggregate — nothing beyond the user table ever
+    shuffles, and the moment row is the only driver-visible object."""
+    D = "decimal(38,0)"
+    v = F.col(value_micro_col)
+    per_user = df.groupBy(F.col(user_col).alias("__u")).agg(
+        F.max(F.col(treat_col)).cast("int").alias("__t"),
+        F.coalesce(
+            F.sum(F.when(F.col(pre_col), v)), F.lit(0)
+        ).cast(D).alias("__x"),
+        F.coalesce(
+            F.sum(F.when(~F.col(pre_col), v)), F.lit(0)
+        ).cast(D).alias("__y"),
+    )
+    m = per_user.agg(
+        F.count("*").cast(D).alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.expr("__x * __x")).alias("__sxx"),
+        F.sum(F.expr("__x * __y")).alias("__sxy"),
+        F.sum(F.expr("__y * __y")).alias("__syy"),
+        F.sum(F.when(F.col("__t") == 1, F.lit(1)).otherwise(F.lit(0)))
+        .cast(D).alias("__n1"),
+        F.coalesce(F.sum(F.when(F.col("__t") == 1, F.col("__x"))), F.lit(0))
+        .cast(D).alias("__sx1"),
+        F.coalesce(F.sum(F.when(F.col("__t") == 1, F.col("__y"))), F.lit(0))
+        .cast(D).alias("__sy1"),
+    )
+    # every quantity below is ONE decimal->double cast of an exactly
+    # computed integer, assembled in identically-spelled IEEE ops
+    out = m.select(
+        F.col("__n").cast("bigint").alias("n_users"),
+        F.when(
+            F.expr("__n * __sxx - __sx * __sx") > 0,
+            F.expr(
+                "floor(cast(__n * __sxy - __sx * __sy as double)"
+                " / cast(__n * __sxx - __sx * __sx as double)"
+                " * 1e6 + 0.5) / 1e6"
+            ),
+        ).alias("theta"),
+        F.when(
+            (F.col("__n1") > 0) & (F.expr("__n - __n1") > 0),
+            F.expr(
+                "floor((cast(__sy1 as double) / cast(__n1 as double)"
+                " - cast(__sy - __sy1 as double)"
+                "   / cast(__n - __n1 as double)) / 1e6"
+                " * 1e6 + 0.5) / 1e6"
+            ),
+        ).alias("lift_raw"),
+        F.when(
+            (F.col("__n1") > 0)
+            & (F.expr("__n - __n1") > 0)
+            & (F.expr("__n * __sxx - __sx * __sx") > 0),
+            F.expr(
+                "floor(((cast(__sy1 as double) / cast(__n1 as double)"
+                " - cast(__sy - __sy1 as double)"
+                "   / cast(__n - __n1 as double))"
+                " - cast(__n * __sxy - __sx * __sy as double)"
+                "   / cast(__n * __sxx - __sx * __sx as double)"
+                "   * (cast(__sx1 as double) / cast(__n1 as double)"
+                "      - cast(__sx - __sx1 as double)"
+                "        / cast(__n - __n1 as double))) / 1e6"
+                " * 1e6 + 0.5) / 1e6"
+            ),
+        ).alias("lift_cuped"),
+        F.when(
+            (F.expr("__n * __sxx - __sx * __sx") > 0)
+            & (F.expr("__n * __syy - __sy * __sy") > 0),
+            F.expr(
+                "floor(cast(__n * __sxy - __sx * __sy as double)"
+                " * cast(__n * __sxy - __sx * __sy as double)"
+                " / cast(__n * __sxx - __sx * __sx as double)"
+                " / cast(__n * __syy - __sy * __sy as double)"
+                " * 1e6 + 0.5) / 1e6"
+            ),
+        ).alias("var_reduction"),
+    )
+    return out

@@ -234,3 +234,35 @@ def content_fingerprint(
     if group_by:
         return df.groupBy(*group_by).agg(*aggs)
     return df.agg(*aggs)
+
+
+def functional_dependency_report(
+    df: DataFrame,
+    det_cols: str | list[str],
+    dep_cols: str | list[str],
+) -> DataFrame:
+    """Functional-dependency audit: does ``det_cols -> dep_cols`` hold?
+    Returns the VIOLATION HISTOGRAM — one row per distinct-dependent
+    count: ``(n_distinct_dep, n_keys)`` — so a report of a single row
+    ``(1, n)`` proves the FD holds, and the tail (keys with 2, 3, ...
+    dependent values) sizes the cleanup a normalization/merge step
+    faces. The profiling primitive behind schema-normalization
+    decisions (is this column a safe join key? does org_code determine
+    region?) that the declarative expectation checks can't express.
+
+    NULL discipline: NULL determinant keys group together (groupBy
+    semantics); NULL dependent values count as a distinct value via
+    the struct wrapper (the check_unique rule), so ``(NULL, 'x')``
+    under one key is 2 distinct dependents, not 1. Two map-side
+    combinable aggregates; the report is at most max-multiplicity
+    rows."""
+    det = [det_cols] if isinstance(det_cols, str) else list(det_cols)
+    dep = [dep_cols] if isinstance(dep_cols, str) else list(dep_cols)
+    per_key = df.groupBy(*[F.col(c) for c in det]).agg(
+        F.count_distinct(
+            F.struct(*[F.col(c) for c in dep])
+        ).cast("bigint").alias("n_distinct_dep")
+    )
+    return per_key.groupBy("n_distinct_dep").agg(
+        F.count("*").cast("bigint").alias("n_keys")
+    )

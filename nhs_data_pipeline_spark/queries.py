@@ -13365,6 +13365,110 @@ def mixture_loo_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.loo_source_cross_entropy(docs)
 
 
+@query(
+    "dq_functional_dependency",
+    """
+    WITH per AS (
+      SELECT l_orderkey,
+             CAST(COUNT(DISTINCT COALESCE(CAST(l_returnflag AS VARCHAR),
+                                          chr(0))) AS BIGINT)
+               AS n_distinct_dep
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT n_distinct_dep, CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM per GROUP BY 1
+    """,
+)
+def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit histogram for l_orderkey ->
+    l_returnflag (violated: one order's lines can carry different
+    return flags): one row per distinct-dependent count with the
+    number of keys at that multiplicity — a (1, n)-only report proves
+    the FD; the tail sizes the normalization debt. The schema-design
+    profiling primitive beside the declarative dq_expectations checks
+    (ops/quality.functional_dependency_report)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return oq.functional_dependency_report(li, "l_orderkey", "l_returnflag")
+
+
+@query(
+    "events_cuped_lift",
+    """
+    WITH ev AS (
+      SELECT user_id, CAST(user_id % 2 AS INTEGER) AS t,
+             ts < TIMESTAMP '2024-01-16 00:00:00' AS pre,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+    ),
+    pu AS (
+      SELECT user_id AS u, MAX(t) AS t,
+             CAST(COALESCE(SUM(CASE WHEN pre THEN vm END), 0)
+                  AS HUGEINT) AS x,
+             CAST(COALESCE(SUM(CASE WHEN NOT pre THEN vm END), 0)
+                  AS HUGEINT) AS y
+      FROM ev GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy,
+             CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+               AS n1,
+             CAST(COALESCE(SUM(CASE WHEN t = 1 THEN x END), 0)
+                  AS HUGEINT) AS sx1,
+             CAST(COALESCE(SUM(CASE WHEN t = 1 THEN y END), 0)
+                  AS HUGEINT) AS sy1
+      FROM pu
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+             floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)
+                   * 1e6 + 0.5) / 1e6 END AS theta,
+           CASE WHEN n1 > 0 AND n - n1 > 0 THEN
+             floor((CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                    - CAST(sy - sy1 AS DOUBLE)
+                      / CAST(n - n1 AS DOUBLE)) / 1e6
+                   * 1e6 + 0.5) / 1e6 END AS lift_raw,
+           CASE WHEN n1 > 0 AND n - n1 > 0 AND n * sxx - sx * sx > 0 THEN
+             floor(((CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                     - CAST(sy - sy1 AS DOUBLE)
+                       / CAST(n - n1 AS DOUBLE))
+                    - CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE)
+                      * (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                         - CAST(sx - sx1 AS DOUBLE)
+                           / CAST(n - n1 AS DOUBLE))) / 1e6
+                   * 1e6 + 0.5) / 1e6 END AS lift_cuped,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+             floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                   * CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)
+                   / CAST(n * syy - sy * sy AS DOUBLE)
+                   * 1e6 + 0.5) / 1e6 END AS var_reduction
+    FROM m
+    """,
+)
+def events_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted treatment lift over the events table (treatment
+    = user_id parity, pre-period = the first half of January 2024):
+    the experimentation-platform variance-reduction standard — adjust
+    each user's post metric by their pre covariate, unbiased by
+    construction, variance shrunk by rho^2. Exact HUGEINT/DECIMAL
+    moments, single-cast double assembly, 6-dp floor rounds
+    (ops/analytics.cuped_lift)."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        (F.col("user_id") % 2).cast("int").alias("__t"),
+        (F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"))
+        .alias("__pre"),
+        F.expr("cast(floor(value * 1e6 + 0.5) as bigint)").alias("__vm"),
+    )
+    return oan.cuped_lift(ev, "user_id", "__t", "__pre", "__vm")
+
+
 DRIVER_WINDOW = [
     # r10 rotation (8th): 40 never-driver-attested faces + 10
     # sentinels. The r9 verdict asked for >=25 new faces (at 20/round

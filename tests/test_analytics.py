@@ -2002,3 +2002,111 @@ def test_welch_ttest_matches_replica(spark):
     )
     rt = oan2.welch_ttest(tiny, "v", "g", "A", "B").collect()[0]
     assert rt.t_stat is None and rt.df_welch is None
+
+
+def test_cuped_lift_matches_numpy_replica(spark):
+    """CUPED == the direct numpy estimator (theta from the covariance,
+    per-arm adjusted means) on a synthetic experiment where the pre
+    covariate strongly predicts the post metric; variance reduction
+    equals rho^2; zero-variance covariate and single-arm inputs
+    degrade to NULL, never crash."""
+    import math
+    import random
+
+    import numpy as np
+
+    from nhs_data_pipeline_spark.ops import analytics as oan2
+
+    rng = random.Random(17)
+    rows = []
+    truth = {}
+    for u in range(60):
+        t = u % 2
+        pre = rng.randrange(100, 1000)
+        post = 2 * pre + rng.randrange(0, 200) + (150 if t else 0)
+        truth[u] = (t, pre, post)
+        # split each user's totals across several event rows
+        for part in (pre // 2, pre - pre // 2):
+            rows.append((u, t, True, part))
+        rows.append((u, t, False, post))
+    df = spark.createDataFrame(
+        rows, "u long, t int, pre boolean, vm long"
+    )
+    got = oan2.cuped_lift(df, "u", "t", "pre", "vm").collect()[0]
+    x = np.array([truth[u][1] for u in sorted(truth)], dtype=float)
+    y = np.array([truth[u][2] for u in sorted(truth)], dtype=float)
+    tt = np.array([truth[u][0] for u in sorted(truth)])
+    n = len(x)
+    theta = ((n * (x * y).sum() - x.sum() * y.sum())
+             / (n * (x * x).sum() - x.sum() ** 2))
+    lift_raw = y[tt == 1].mean() - y[tt == 0].mean()
+    lift_cuped = lift_raw - theta * (x[tt == 1].mean() - x[tt == 0].mean())
+    rho2 = ((n * (x * y).sum() - x.sum() * y.sum()) ** 2
+            / ((n * (x * x).sum() - x.sum() ** 2)
+               * (n * (y * y).sum() - y.sum() ** 2)))
+
+    def fl6(v):
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    assert got.n_users == n
+    assert got.theta == pytest.approx(fl6(theta), abs=2e-6)
+    assert got.lift_raw == pytest.approx(fl6(lift_raw / 1e6), abs=2e-6)
+    assert got.lift_cuped == pytest.approx(fl6(lift_cuped / 1e6), abs=2e-6)
+    assert got.var_reduction == pytest.approx(fl6(rho2), abs=2e-6)
+    # CUPED must beat the raw estimator's noise here: the covariate
+    # explains most of the variance
+    assert got.var_reduction > 0.8
+    # degenerate: constant covariate -> NULL theta/lift_cuped/rho2
+    flat = spark.createDataFrame(
+        [(u, u % 2, True, 5) for u in range(10)]
+        + [(u, u % 2, False, u * 3) for u in range(10)],
+        "u long, t int, pre boolean, vm long",
+    )
+    g2 = oan2.cuped_lift(flat, "u", "t", "pre", "vm").collect()[0]
+    assert g2.theta is None and g2.lift_cuped is None
+    assert g2.var_reduction is None and g2.lift_raw is not None
+    # single-arm: lift undefined
+    solo = spark.createDataFrame(
+        [(u, 1, u % 2 == 0, u + 1) for u in range(8)],
+        "u long, t int, pre boolean, vm long",
+    )
+    g3 = oan2.cuped_lift(solo, "u", "t", "pre", "vm").collect()[0]
+    assert g3.lift_raw is None and g3.lift_cuped is None
+
+
+def test_functional_dependency_report(spark):
+    """FD histogram: a held dependency reports only (1, n); a violated
+    one shows the exact multiplicity tail; NULL determinants group
+    together and NULL dependents count as a distinct value (the
+    check_unique struct rule)."""
+    from nhs_data_pipeline_spark.ops.quality import (
+        functional_dependency_report,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "x"), (1, "a", "x"),        # key 1: dep {x} -> 1
+            (2, "b", "x"), (2, "b", "y"),        # key 2: {x, y} -> 2
+            (3, "c", None), (3, "c", "x"),       # key 3: {NULL, x} -> 2
+            (None, "d", "q"), (None, "d", "q"),  # NULL key: {q} -> 1
+        ],
+        "k int, d string, v string",
+    )
+    hist = {
+        r.n_distinct_dep: r.n_keys
+        for r in functional_dependency_report(df, "k", "v").collect()
+    }
+    assert hist == {1: 2, 2: 2}
+    held = {
+        r.n_distinct_dep: r.n_keys
+        for r in functional_dependency_report(df, "k", "d").collect()
+    }
+    assert held == {1: 4}  # k -> d holds everywhere incl. the NULL key
+    # composite determinant and composite dependent
+    comp = {
+        r.n_distinct_dep: r.n_keys
+        for r in functional_dependency_report(
+            df, ["k", "d"], ["v", "d"]
+        ).collect()
+    }
+    assert comp == {1: 2, 2: 2}
