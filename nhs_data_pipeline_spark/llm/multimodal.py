@@ -1463,3 +1463,117 @@ def chunk_media_segments(
             F.least(F.col("start_ms") + chunk_ms, F.col("__dur")).alias("end_ms"),
         )
     )
+
+
+def decode_pcm(content: bytes | None) -> "object":
+    """REAL bytes-to-SAMPLES decoder for 16-bit PCM RIFF/WAVE: returns
+    ``(samples int16 ndarray [n_frames, channels], sample_rate)`` or
+    None — the sample-level sibling of :func:`_decode_wav`'s summary
+    features, feeding the framed feature extractor below. Same
+    validity envelope (PCM, 16-bit, well-formed RIFF)."""
+    import numpy as np
+
+    if content is None:
+        return None
+    b = bytes(content)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        body = b[i + 8 : i + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        return None
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16 or channels < 1 or sample_rate < 1:
+        return None
+    n = len(data) // 2
+    if n == 0 or n % channels:
+        return None
+    arr = np.frombuffer(data, dtype="<i2", count=n).reshape(-1, channels)
+    return arr, sample_rate
+
+
+AUDIO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("start_ms", T.LongType(), True),
+        T.StructField("rms_milli", T.LongType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def audio_frame_features(media: DataFrame, frame_ms: int = 250) -> DataFrame:
+    """Framed audio feature extraction — the transcription-prep /
+    VAD-style front end: decode 16-bit PCM WAV to samples
+    (:func:`decode_pcm`), window into ``frame_ms`` frames (last frame
+    clips), and emit per-frame ``(rms_milli, zero_crossings, peak)``
+    on the first channel. One Arrow ``mapInPandas`` crossing, one
+    output row per frame (flat, join-able), matching
+    :func:`chunk_media_segments`'s window convention.
+
+    Determinism: RMS accumulates as an exact integer sum of squares
+    and quantizes to milli-units of full scale via floor(x*1e3 + 0.5)
+    — three IEEE ops after one exact integer; zero crossings count
+    negative/non-negative boundary flips between consecutive samples
+    (the exact :func:`_decode_wav` convention: 0 counts as
+    non-negative); peak is max |sample| (int). Undecodable rows emit
+    ONE row with NULL features and ``decode_ok = False`` — present in
+    the output, never silently dropped."""
+    import numpy as np
+
+    if frame_ms <= 0:
+        raise ValueError("frame_ms must be positive")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "start_ms": [],
+                "rms_milli": [], "zero_crossings": [], "peak": [],
+                "decode_ok": [],
+            }
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                dec = decode_pcm(c)
+                if dec is None:
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(None)
+                    out["start_ms"].append(None)
+                    out["rms_milli"].append(None)
+                    out["zero_crossings"].append(None)
+                    out["peak"].append(None)
+                    out["decode_ok"].append(False)
+                    continue
+                samples, sr = dec
+                ch0 = samples[:, 0].astype(np.int64)
+                step = max(1, sr * frame_ms // 1000)
+                for fi in range(0, (len(ch0) + step - 1) // step):
+                    seg = ch0[fi * step : (fi + 1) * step]
+                    sq = int((seg * seg).sum())
+                    rms = (sq / len(seg)) ** 0.5 / 32768.0
+                    neg = seg < 0
+                    zc = int(np.count_nonzero(neg[1:] != neg[:-1]))
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(fi)
+                    out["start_ms"].append(fi * step * 1000 // sr)
+                    out["rms_milli"].append(
+                        int(np.floor(rms * 1e3 + 0.5))
+                    )
+                    out["zero_crossings"].append(zc)
+                    out["peak"].append(int(np.abs(seg).max()))
+                    out["decode_ok"].append(True)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=AUDIO_FRAME_SCHEMA)

@@ -2964,3 +2964,58 @@ class TestIsotonicCalibrate:
         out = {r.bin: r for r in clf2.isotonic_calibrate(df).collect()}
         assert out[0].iso_rate == out[1].iso_rate == 0.2
         assert out[0].iso_num == 2 and out[0].iso_den == 10
+
+
+def test_audio_frame_features_hand_computed(spark):
+    """Framed audio features through the real mapInPandas path: a
+    hand-built square-wave WAV frames into exactly computable
+    (rms_milli, zero_crossings, peak) rows — RMS from exact integer
+    sums, the _decode_wav zero-crossing convention (0 counts
+    non-negative), last frame clipped; garbage/NULL rows emit one
+    decode_ok=False row each."""
+    import math
+
+    # 8000 Hz mono; 10 samples: +A x2, -A x2 repeating, then a zero
+    A = 16384
+    samples = [A, A, -A, -A, A, A, -A, -A, A, 0]
+    wav = _make_wav(samples, sample_rate=8000)
+    rows = [
+        (1, "audio", bytearray(wav), ("audio/wav", None, None, None)),
+        (2, "audio", bytearray(b"RIFFjunk"), (None,) * 4),
+        (3, "audio", None, (None,) * 4),
+    ]
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    # frame_ms=1000 at 8000 Hz -> step 8000 (one clipped frame of 10)
+    one = [r for r in mm.audio_frame_features(media, 1000).collect()
+           if r.media_id == 1]
+    assert len(one) == 1 and one[0].frame_idx == 0
+    sq = sum(v * v for v in samples)
+    exp_rms = math.floor(
+        (sq / len(samples)) ** 0.5 / 32768.0 * 1e3 + 0.5
+    )
+    assert one[0].rms_milli == exp_rms
+    # crossings: sign pattern ++--++--+0 -> flips at 4 boundaries
+    # (+->-, -->+, +->-, -->+) and none at the final +->0 (0 is
+    # non-negative)
+    assert one[0].zero_crossings == 4
+    assert one[0].peak == A and one[0].start_ms == 0
+    # fine frames: step = 8000 * 1 // 1000 = 8 -> frames of 8 + 2
+    fine = sorted(
+        (r.frame_idx, r.zero_crossings, r.peak)
+        for r in mm.audio_frame_features(media, 1).collect()
+        if r.media_id == 1
+    )
+    assert [f[0] for f in fine] == [0, 1]
+    # frame 0 = ++--++-- (3 flips); frame 1 = +0 (0 is non-negative,
+    # so NO flip)
+    assert fine[0][1] == 3 and fine[1][1] == 0
+    assert fine[1][2] == A
+    bad = {r.media_id: r for r in
+           mm.audio_frame_features(media, 1000).collect()
+           if r.media_id != 1}
+    assert not bad[2].decode_ok and bad[2].rms_milli is None
+    assert not bad[3].decode_ok and bad[3].frame_idx is None
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        mm.audio_frame_features(media, 0)
