@@ -1542,6 +1542,15 @@ def exact_jaccard_join(
     )
     cand.count()
     prefix.unpersist()
+    # verify-shape note (r10, measured at sf0.1 t=0.8 on calm host):
+    # this UNWEIGHTED path keeps the array-intersect verify — its
+    # ~210k post-filter candidates re-scanning the token stream via
+    # the co-occurrence shape measured 12.6-14.7 s vs 6.6-8.3 s for
+    # the array verify, the OPPOSITE of the weighted variant (~40k
+    # candidates, where co-occurrence won 6.2 s vs 9.8 s). The
+    # crossover is candidate volume x doc length: low-candidate
+    # strict-threshold runs favor co-occurrence, high-candidate runs
+    # favor one array ship per pair.
     sets = toks.groupBy("doc_id").agg(
         F.collect_set("bg").alias("__S"), F.count("*").alias("__n")
     )
