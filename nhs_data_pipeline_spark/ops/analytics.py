@@ -3430,3 +3430,100 @@ def cuped_lift(
         ).alias("var_reduction"),
     )
     return out
+
+
+def did_estimator(
+    df: DataFrame,
+    user_col: str,
+    treat_col: str,
+    pre_col: str,
+    value_micro_col: str,
+) -> DataFrame:
+    """Difference-in-differences treatment estimate — the
+    natural-experiment sibling of :func:`cuped_lift`: each user's
+    pre-to-post CHANGE ``d = post - pre`` differences out every
+    time-invariant user effect, and the estimator is the arm gap of
+    mean changes, ``DiD = mean(d | t=1) - mean(d | t=0)`` (the
+    parallel-trends identification). A Welch-style z accompanies it:
+    ``z = DiD / sqrt(s1^2/n1 + s0^2/n0)`` with per-arm sample
+    variances of d. One row:
+    ``(n_treat, n_control, did, z_did)``.
+
+    Exactness: per-user d is an exact integer (micro units); per-arm
+    ``(n, sum d, sum d^2)`` accumulate in DECIMAL(38,0); means,
+    variances (``(n*Sdd - Sd^2) / (n*(n-1))``), DiD and z assemble in
+    identically-spelled doubles with one decimal->double cast per
+    moment, floor-rounded to 6 dp. Degenerate arms (n < 2 or zero
+    variance in both) yield NULL z; a missing arm yields NULL did.
+
+    Scale: one map-side per-user aggregate + one single-row moment
+    aggregate — the same two-shuffle shape as cuped_lift."""
+    D = "decimal(38,0)"
+    v = F.col(value_micro_col)
+    per_user = df.groupBy(F.col(user_col).alias("__u")).agg(
+        F.max(F.col(treat_col)).cast("int").alias("__t"),
+        (
+            F.coalesce(F.sum(F.when(~F.col(pre_col), v)), F.lit(0))
+            - F.coalesce(F.sum(F.when(F.col(pre_col), v)), F.lit(0))
+        ).cast(D).alias("__d"),
+    )
+    m = per_user.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("__t") == 1, F.lit(1))), F.lit(0)
+        ).cast(D).alias("__n1"),
+        F.coalesce(
+            F.sum(F.when(F.col("__t") == 0, F.lit(1))), F.lit(0)
+        ).cast(D).alias("__n0"),
+        F.coalesce(
+            F.sum(F.when(F.col("__t") == 1, F.col("__d"))), F.lit(0)
+        ).cast(D).alias("__s1"),
+        F.coalesce(
+            F.sum(F.when(F.col("__t") == 0, F.col("__d"))), F.lit(0)
+        ).cast(D).alias("__s0"),
+        F.coalesce(
+            F.sum(F.when(F.col("__t") == 1, F.expr("__d * __d"))),
+            F.lit(0),
+        ).cast(D).alias("__q1"),
+        F.coalesce(
+            F.sum(F.when(F.col("__t") == 0, F.expr("__d * __d"))),
+            F.lit(0),
+        ).cast(D).alias("__q0"),
+    )
+    return m.select(
+        F.col("__n1").cast("bigint").alias("n_treat"),
+        F.col("__n0").cast("bigint").alias("n_control"),
+        F.when(
+            (F.col("__n1") > 0) & (F.col("__n0") > 0),
+            F.expr(
+                "floor((cast(__s1 as double) / cast(__n1 as double)"
+                " - cast(__s0 as double) / cast(__n0 as double)) / 1e6"
+                " * 1e6 + 0.5) / 1e6"
+            ),
+        ).alias("did"),
+        F.when(
+            (F.col("__n1") > 1)
+            & (F.col("__n0") > 1)
+            & (
+                F.expr(
+                    "cast(__n1 * __q1 - __s1 * __s1 as double)"
+                    " / cast(__n1 * (__n1 - 1) as double)"
+                    " / cast(__n1 as double)"
+                    " + cast(__n0 * __q0 - __s0 * __s0 as double)"
+                    " / cast(__n0 * (__n0 - 1) as double)"
+                    " / cast(__n0 as double)"
+                )
+                > 0
+            ),
+            F.expr(
+                "floor((cast(__s1 as double) / cast(__n1 as double)"
+                " - cast(__s0 as double) / cast(__n0 as double))"
+                " / sqrt(cast(__n1 * __q1 - __s1 * __s1 as double)"
+                "        / cast(__n1 * (__n1 - 1) as double)"
+                "        / cast(__n1 as double)"
+                "        + cast(__n0 * __q0 - __s0 * __s0 as double)"
+                "          / cast(__n0 * (__n0 - 1) as double)"
+                "          / cast(__n0 as double))"
+                " * 1e6 + 0.5) / 1e6"
+            ),
+        ).alias("z_did"),
+    )

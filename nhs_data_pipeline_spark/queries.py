@@ -13469,6 +13469,81 @@ def events_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return oan.cuped_lift(ev, "user_id", "__t", "__pre", "__vm")
 
 
+@query(
+    "events_did_estimate",
+    """
+    WITH ev AS (
+      SELECT user_id, CAST(user_id % 2 AS INTEGER) AS t,
+             ts < TIMESTAMP '2024-01-16 00:00:00' AS pre,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+    ),
+    pu AS (
+      SELECT user_id AS u, MAX(t) AS t,
+             CAST(COALESCE(SUM(CASE WHEN NOT pre THEN vm END), 0)
+                  - COALESCE(SUM(CASE WHEN pre THEN vm END), 0)
+                  AS HUGEINT) AS d
+      FROM ev GROUP BY user_id
+    ),
+    m AS (
+      SELECT
+        CAST(COALESCE(SUM(CASE WHEN t = 1 THEN 1 END), 0) AS HUGEINT)
+          AS n1,
+        CAST(COALESCE(SUM(CASE WHEN t = 0 THEN 1 END), 0) AS HUGEINT)
+          AS n0,
+        CAST(COALESCE(SUM(CASE WHEN t = 1 THEN d END), 0) AS HUGEINT)
+          AS s1,
+        CAST(COALESCE(SUM(CASE WHEN t = 0 THEN d END), 0) AS HUGEINT)
+          AS s0,
+        CAST(COALESCE(SUM(CASE WHEN t = 1 THEN d * d END), 0)
+             AS HUGEINT) AS q1,
+        CAST(COALESCE(SUM(CASE WHEN t = 0 THEN d * d END), 0)
+             AS HUGEINT) AS q0
+      FROM pu
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_treat, CAST(n0 AS BIGINT) AS n_control,
+           CASE WHEN n1 > 0 AND n0 > 0 THEN
+             floor((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                    - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / 1e6
+                   * 1e6 + 0.5) / 1e6 END AS did,
+           CASE WHEN n1 > 1 AND n0 > 1 AND
+                (CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+                   / CAST(n1 * (n1 - 1) AS DOUBLE) / CAST(n1 AS DOUBLE)
+                 + CAST(n0 * q0 - s0 * s0 AS DOUBLE)
+                   / CAST(n0 * (n0 - 1) AS DOUBLE)
+                   / CAST(n0 AS DOUBLE)) > 0 THEN
+             floor((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                    - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                   / sqrt(CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+                          / CAST(n1 * (n1 - 1) AS DOUBLE)
+                          / CAST(n1 AS DOUBLE)
+                          + CAST(n0 * q0 - s0 * s0 AS DOUBLE)
+                            / CAST(n0 * (n0 - 1) AS DOUBLE)
+                            / CAST(n0 AS DOUBLE))
+                   * 1e6 + 0.5) / 1e6 END AS z_did
+    FROM m
+    """,
+)
+def events_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences treatment estimate over the events
+    panel (treatment = user_id parity, pre-period = the first half of
+    January 2024): each user's pre-to-post change differences out
+    time-invariant user effects; the arm gap of mean changes is the
+    DiD point estimate with a Welch-style z — the natural-experiment
+    sibling of events_cuped_lift. Exact HUGEINT/DECIMAL moments,
+    single-cast double assembly (ops/analytics.did_estimator)."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        (F.col("user_id") % 2).cast("int").alias("__t"),
+        (F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"))
+        .alias("__pre"),
+        F.expr("cast(floor(value * 1e6 + 0.5) as bigint)").alias("__vm"),
+    )
+    return oan.did_estimator(ev, "user_id", "__t", "__pre", "__vm")
+
+
 DRIVER_WINDOW = [
     # r10 rotation (8th): 40 never-driver-attested faces + 10
     # sentinels. The r9 verdict asked for >=25 new faces (at 20/round

@@ -309,8 +309,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 250, len(QUERIES)
-    assert len(ORACLES) == 247, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 251, len(QUERIES)
+    assert len(ORACLES) == 248, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_readme_registry_tallies_match():
