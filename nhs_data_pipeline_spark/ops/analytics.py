@@ -3527,3 +3527,140 @@ def did_estimator(
             ),
         ).alias("z_did"),
     )
+
+
+def msprt_monitor(
+    df: DataFrame,
+    day_col: str,
+    treat_col: str,
+    value_micro_col: str,
+) -> DataFrame:
+    """Always-valid sequential experiment monitor (mixture SPRT,
+    Johari et al. 2017) — the 'peek whenever you want' replacement for
+    the fixed-horizon z test that silently inflates false positives
+    when checked daily. For each day's CUMULATIVE data the normal-
+    mixture likelihood ratio is
+
+        Lambda_t = sqrt(V_t / (V_t + tau^2))
+                   * exp(Delta_t^2 * tau^2 / (2 V_t (V_t + tau^2)))
+
+    with Delta_t the cumulative arm gap of means, V_t its Welch
+    variance, and tau^2 the mixture prior — pinned IN-PLAN to the
+    FIRST evaluable day's V (deterministic, scale-free: no magnitude-
+    coupled literal). The always-valid p is the running minimum of
+    1 / Lambda. One row per day:
+    ``(day, n_treat, n_control, delta, lambda_msprt,
+    p_always_valid)``.
+
+    Exactness: per-day per-arm (n, sum, sum-of-squares) accumulate in
+    DECIMAL(38,0) and CUMULATE via window sums on the day-count model
+    table; Delta/V assemble in identically-spelled doubles;
+    Lambda floor-rounds to 6 dp IMMEDIATELY after its one exp (the
+    A&S-polynomial precedent: libm ulp differences die in the
+    quantize), so the running min and p replay exactly cross-engine.
+    Days where either arm has n < 2 or V <= 0 emit NULL
+    lambda/p (and do not advance the running min).
+
+    Scale shape: one map-side day/arm aggregate over the corpus; every
+    window after it runs on the day-count table (bounded by the
+    calendar span of the data, never the row count)."""
+    D = "decimal(38,0)"
+    v = F.col(value_micro_col)
+    per_day = df.groupBy(F.col(day_col).alias("__day")).agg(
+        F.coalesce(
+            F.sum(F.when(F.col(treat_col) == 1, F.lit(1))), F.lit(0)
+        ).cast(D).alias("__n1"),
+        F.coalesce(
+            F.sum(F.when(F.col(treat_col) == 1, v)), F.lit(0)
+        ).cast(D).alias("__s1"),
+        F.coalesce(
+            F.sum(F.when(F.col(treat_col) == 1, v.cast(D) * v.cast(D))),
+            F.lit(0),
+        ).cast(D).alias("__q1"),
+        F.coalesce(
+            F.sum(F.when(F.col(treat_col) == 0, F.lit(1))), F.lit(0)
+        ).cast(D).alias("__n0"),
+        F.coalesce(
+            F.sum(F.when(F.col(treat_col) == 0, v)), F.lit(0)
+        ).cast(D).alias("__s0"),
+        F.coalesce(
+            F.sum(F.when(F.col(treat_col) == 0, v.cast(D) * v.cast(D))),
+            F.lit(0),
+        ).cast(D).alias("__q0"),
+    )
+    wcum = Window.orderBy("__day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_day.select(
+        "__day",
+        *[
+            F.sum(c).over(wcum).alias(c)
+            for c in ["__n1", "__s1", "__q1", "__n0", "__s0", "__q0"]
+        ],
+    )
+    # Welch variance of the cumulative arm gap, sample variances
+    vexpr = (
+        "cast(__n1 * __q1 - __s1 * __s1 as double)"
+        " / cast(__n1 * (__n1 - 1) as double) / cast(__n1 as double)"
+        " + cast(__n0 * __q0 - __s0 * __s0 as double)"
+        "   / cast(__n0 * (__n0 - 1) as double) / cast(__n0 as double)"
+    )
+    dexpr = (
+        "cast(__s1 as double) / cast(__n1 as double)"
+        " - cast(__s0 as double) / cast(__n0 as double)"
+    )
+    ok = (F.col("__n1") > 1) & (F.col("__n0") > 1) & (F.expr(vexpr) > 0)
+    scored = cum.withColumn(
+        "__v", F.when(ok, F.expr(vexpr))
+    ).withColumn("__dl", F.when(ok, F.expr(dexpr)))
+    wall = Window.orderBy("__day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # tau^2 = the first evaluable day's V (in-plan, deterministic)
+    tau2 = F.first("__v", ignorenulls=True).over(wall)
+    lam = F.when(
+        F.col("__v").isNotNull() & tau2.isNotNull(),
+        F.expr(
+            "floor(sqrt(__v / (__v + __tau2))"
+            " * exp(__dl * __dl * __tau2 / (2.0 * __v * (__v + __tau2)))"
+            " * 1e6 + 0.5) / 1e6"
+        ),
+    )
+    out = (
+        scored.withColumn("__tau2", tau2)
+        .withColumn("lambda_msprt", lam)
+        .withColumn(
+            "__rm",
+            F.min(
+                F.when(
+                    F.col("lambda_msprt") > 0,
+                    F.lit(1.0) / F.col("lambda_msprt"),
+                )
+            ).over(wall),
+        )
+        .withColumn(
+            # guard the NULL-before-first-evaluable-day rows EXPLICITLY:
+            # Spark's least() skips NULL arguments while DuckDB's
+            # returns NULL — never let least() see a NULL cross-engine
+            "p_always_valid",
+            F.when(
+                F.col("__rm").isNotNull(),
+                F.expr(
+                    "floor(least(cast(1.0 as double), __rm)"
+                    " * 1e6 + 0.5) / 1e6"
+                ),
+            ),
+        )
+        .select(
+            F.col("__day").alias(day_col),
+            F.col("__n1").cast("bigint").alias("n_treat"),
+            F.col("__n0").cast("bigint").alias("n_control"),
+            F.when(
+                F.col("__dl").isNotNull(),
+                F.expr("floor(__dl / 1e6 * 1e6 + 0.5) / 1e6"),
+            ).alias("delta"),
+            "lambda_msprt",
+            "p_always_valid",
+        )
+    )
+    return out

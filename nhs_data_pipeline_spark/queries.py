@@ -13544,6 +13544,111 @@ def events_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return oan.did_estimator(ev, "user_id", "__t", "__pre", "__vm")
 
 
+@query(
+    "events_msprt_monitor",
+    """
+    WITH ev AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(user_id % 2 AS INTEGER) AS t,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+    ),
+    pd AS (
+      SELECT day,
+        CAST(COALESCE(SUM(CASE WHEN t = 1 THEN 1 END), 0) AS HUGEINT)
+          AS n1,
+        CAST(COALESCE(SUM(CASE WHEN t = 1 THEN vm END), 0) AS HUGEINT)
+          AS s1,
+        CAST(COALESCE(SUM(CASE WHEN t = 1
+                           THEN CAST(vm AS HUGEINT) * vm END), 0)
+             AS HUGEINT) AS q1,
+        CAST(COALESCE(SUM(CASE WHEN t = 0 THEN 1 END), 0) AS HUGEINT)
+          AS n0,
+        CAST(COALESCE(SUM(CASE WHEN t = 0 THEN vm END), 0) AS HUGEINT)
+          AS s0,
+        CAST(COALESCE(SUM(CASE WHEN t = 0
+                           THEN CAST(vm AS HUGEINT) * vm END), 0)
+             AS HUGEINT) AS q0
+      FROM ev GROUP BY day
+    ),
+    cum AS (
+      SELECT day,
+        SUM(n1) OVER w AS n1, SUM(s1) OVER w AS s1, SUM(q1) OVER w AS q1,
+        SUM(n0) OVER w AS n0, SUM(s0) OVER w AS s0, SUM(q0) OVER w AS q0
+      FROM pd
+      WINDOW w AS (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    sc AS (
+      SELECT day, n1, n0,
+        CASE WHEN n1 > 1 AND n0 > 1 AND
+          (CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+             / CAST(n1 * (n1 - 1) AS DOUBLE) / CAST(n1 AS DOUBLE)
+           + CAST(n0 * q0 - s0 * s0 AS DOUBLE)
+             / CAST(n0 * (n0 - 1) AS DOUBLE)
+             / CAST(n0 AS DOUBLE)) > 0
+        THEN CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+               / CAST(n1 * (n1 - 1) AS DOUBLE) / CAST(n1 AS DOUBLE)
+             + CAST(n0 * q0 - s0 * s0 AS DOUBLE)
+               / CAST(n0 * (n0 - 1) AS DOUBLE)
+               / CAST(n0 AS DOUBLE) END AS v,
+        CASE WHEN n1 > 1 AND n0 > 1 AND
+          (CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+             / CAST(n1 * (n1 - 1) AS DOUBLE) / CAST(n1 AS DOUBLE)
+           + CAST(n0 * q0 - s0 * s0 AS DOUBLE)
+             / CAST(n0 * (n0 - 1) AS DOUBLE)
+             / CAST(n0 AS DOUBLE)) > 0
+        THEN CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) END AS dl
+      FROM cum
+    ),
+    tau AS (SELECT v AS tau2 FROM sc WHERE v IS NOT NULL
+            ORDER BY day LIMIT 1),
+    lamt AS (
+      SELECT day, n1, n0, dl,
+        CASE WHEN v IS NOT NULL THEN
+          floor(sqrt(v / (v + tau.tau2))
+                * exp(dl * dl * tau.tau2 / (2.0 * v * (v + tau.tau2)))
+                * 1e6 + 0.5) / 1e6 END AS lambda_msprt
+      FROM sc LEFT JOIN tau ON TRUE
+    ),
+    rm AS (
+      SELECT *,
+        MIN(CASE WHEN lambda_msprt > 0 THEN 1.0 / lambda_msprt END)
+          OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS rmv
+      FROM lamt
+    )
+    SELECT day, CAST(n1 AS BIGINT) AS n_treat,
+           CAST(n0 AS BIGINT) AS n_control,
+           CASE WHEN dl IS NOT NULL
+                THEN floor(dl / 1e6 * 1e6 + 0.5) / 1e6 END AS delta,
+           lambda_msprt,
+           CASE WHEN rmv IS NOT NULL
+                THEN floor(least(CAST(1.0 AS DOUBLE), rmv)
+                           * 1e6 + 0.5) / 1e6 END AS p_always_valid
+    FROM rm
+    """,
+)
+def events_msprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential monitor (mixture SPRT) over the events
+    experiment (treatment = user_id parity), one row per day of
+    cumulative data: the daily-peeking replacement for the fixed-
+    horizon z test — the always-valid p (running min of 1/Lambda)
+    never inflates false positives however often it is checked. tau^2
+    pins to the first evaluable day's Welch variance in-plan; exact
+    cumulative DECIMAL/HUGEINT moments; Lambda quantized to 6 dp
+    immediately after its one exp (ops/analytics.msprt_monitor)."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        F.to_date("ts").alias("day"),
+        (F.col("user_id") % 2).cast("int").alias("__t"),
+        F.expr("cast(floor(value * 1e6 + 0.5) as bigint)").alias("__vm"),
+    )
+    return oan.msprt_monitor(ev, "day", "__t", "__vm")
+
+
 DRIVER_WINDOW = [
     # r10 rotation (8th): 40 never-driver-attested faces + 10
     # sentinels. The r9 verdict asked for >=25 new faces (at 20/round

@@ -2159,3 +2159,80 @@ def test_did_estimator_matches_numpy_replica(spark):
     )
     g2 = oan2.did_estimator(solo, "u", "t", "pre", "vm").collect()[0]
     assert g2.did is None and g2.z_did is None and g2.n_control == 0
+
+
+def test_msprt_monitor_matches_python_replica(spark):
+    """Per-day mSPRT path == the python replica (cumulative Welch
+    moments, tau^2 = first evaluable day's V, 6-dp-quantized Lambda,
+    running-min always-valid p); p is non-increasing by construction
+    and falls as a real effect accumulates; pre-evaluable days carry
+    NULLs."""
+    import math
+    import random
+
+    from nhs_data_pipeline_spark.ops import analytics as oan2
+
+    rng = random.Random(31)
+    rows = []
+    for day in range(1, 7):
+        # day 1: single row per arm -> n < 2, not evaluable
+        per_arm = 1 if day == 1 else 8
+        for t in (0, 1):
+            for _ in range(per_arm):
+                rows.append(
+                    (day, t, rng.randrange(100, 200) + (40 if t else 0))
+                )
+    df = spark.createDataFrame(rows, "day int, t int, vm long")
+    got = {r.day: r for r in oan2.msprt_monitor(df, "day", "t", "vm")
+           .collect()}
+
+    # python replica
+    cum = {0: [0, 0, 0], 1: [0, 0, 0]}
+    tau2, rmin, exp = None, None, {}
+    by_day: dict[int, list] = {}
+    for d, t, vv in rows:
+        by_day.setdefault(d, []).append((t, vv))
+    for d in sorted(by_day):
+        for t, vv in by_day[d]:
+            cum[t][0] += 1
+            cum[t][1] += vv
+            cum[t][2] += vv * vv
+        (n1, s1, q1), (n0, s0, q0) = cum[1], cum[0]
+        lam = dl = None
+        if n1 > 1 and n0 > 1:
+            v = (
+                (n1 * q1 - s1 * s1) / (n1 * (n1 - 1)) / n1
+                + (n0 * q0 - s0 * s0) / (n0 * (n0 - 1)) / n0
+            )
+            if v > 0:
+                dl = s1 / n1 - s0 / n0
+                if tau2 is None:
+                    tau2 = v
+                lam = math.floor(
+                    math.sqrt(v / (v + tau2))
+                    * math.exp(dl * dl * tau2 / (2.0 * v * (v + tau2)))
+                    * 1e6 + 0.5
+                ) / 1e6
+        if lam is not None and lam > 0:
+            rmin = 1.0 / lam if rmin is None else min(rmin, 1.0 / lam)
+        p = (
+            math.floor(min(1.0, rmin) * 1e6 + 0.5) / 1e6
+            if rmin is not None else None
+        )
+        exp[d] = (
+            n1, n0,
+            None if dl is None
+            else math.floor(dl / 1e6 * 1e6 + 0.5) / 1e6,
+            lam, p,
+        )
+    for d in exp:
+        r = got[d]
+        assert (
+            r.n_treat, r.n_control, r.delta, r.lambda_msprt,
+            r.p_always_valid,
+        ) == exp[d], (d, tuple(r), exp[d])
+    # day 1 is pre-evaluable; the accumulated effect drives p down
+    assert got[1].lambda_msprt is None and got[1].p_always_valid is None
+    ps = [got[d].p_always_valid for d in range(2, 7)]
+    assert all(a >= b for a, b in zip(ps, ps[1:]))  # non-increasing
+    assert ps[-1] < ps[0]  # the injected 40-unit effect accumulates

@@ -309,8 +309,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 251, len(QUERIES)
-    assert len(ORACLES) == 248, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 252, len(QUERIES)
+    assert len(ORACLES) == 249, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_readme_registry_tallies_match():
@@ -736,6 +736,10 @@ def test_registry_no_unaudited_global_sort_windows(spark, sf_dir):
         # model table (n_sources rows — bounded by the source
         # vocabulary, never the corpus; ops/sampling.budget_waterfill)
         "mixture_budget_waterfill",
+        # mSPRT cumulative/first/running-min windows over the DAY-count
+        # model table (rows bounded by the data's calendar span, never
+        # its row count; ops/analytics.msprt_monitor)
+        "events_msprt_monitor",
         # sorted-neighborhood bucket-offset window over the
         # BUCKET-COUNT table (<= 256^bucket_len buckets, model-sized;
         # the per-name rank window partitions by bucket — the
