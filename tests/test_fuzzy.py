@@ -211,3 +211,31 @@ def test_sorted_neighborhood_matches_python_replica(spark):
 
     with _pt.raises(ValueError):
         sorted_neighborhood_join(df, "nm", "id", window=0)
+
+
+def test_snj_multipass_reversed_pass_catches_prefix_typos(spark):
+    """The reversed-name pass must catch a PREFIX typo the forward
+    sort scatters (e.g. 'aupplier_x' sorts far from 'supplier_x'
+    forward, adjacent reversed), and the canonical id ordering must
+    dedup pairs found by both passes."""
+    from nhs_data_pipeline_spark.ops.fuzzy import sorted_neighborhood_join
+    from pyspark.sql import functions as F
+
+    names = [
+        (0, "supplier_x"), (1, "aupplier_x"),   # prefix typo pair
+        (2, "supplier_y"),                      # suffix neighbor of 0
+        (3, "mmm"), (4, "qqq"), (5, "zzz"),     # spacers
+    ]
+    df = spark.createDataFrame(names, "id long, nm string")
+    fwd = sorted_neighborhood_join(df, "nm", "id", window=1, max_dist=1,
+                                   bucket_len=1)
+    fwd_pairs = {(r.id_a, r.id_b) for r in fwd.collect()}
+    # forward: (0,2) adjacent (supplier_x ~ supplier_y); the prefix
+    # typo (0,1) is NOT adjacent forward at window=1
+    assert (0, 2) in fwd_pairs and (0, 1) not in fwd_pairs
+    rev_in = df.select("id", F.reverse("nm").alias("rn"))
+    rev = sorted_neighborhood_join(rev_in, "rn", "id", window=1,
+                                   max_dist=1, bucket_len=1)
+    rev_pairs = {tuple(sorted((r.id_a, r.id_b))) for r in rev.collect()}
+    # reversed: x_reilppua ~ x_reilppus are adjacent -> caught
+    assert (0, 1) in rev_pairs

@@ -309,8 +309,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 252, len(QUERIES)
-    assert len(ORACLES) == 249, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 253, len(QUERIES)
+    assert len(ORACLES) == 250, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_readme_registry_tallies_match():
@@ -746,6 +746,8 @@ def test_registry_no_unaudited_global_sort_windows(spark, sf_dir):
         # shuffle_training_order two-pass shape;
         # ops/fuzzy.sorted_neighborhood_join)
         "entity_sorted_neighborhood",
+        # same shape, both passes (forward + reversed-name rank)
+        "entity_snj_multipass",
         # vocabulary-head ranked query set (post-LIMIT <= 11 rows by
         # the time the window ranks it; llm/retrieval data-derived
         # queries) — rrf embeds the same bm25 subplan
