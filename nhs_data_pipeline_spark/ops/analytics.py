@@ -1658,48 +1658,29 @@ def ks_by_group(
     )
 
 
-def kaplan_meier(
+def _survival_day_risk(
     events: DataFrame,
-    user_col: str = "user_id",
-    ts_col: str = "ts",
-    type_col: str = "event_type",
-    start_type: str = "signup",
-    event_type: str = "purchase",
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    start_type: str,
+    event_type: str,
 ) -> DataFrame:
-    """Kaplan-Meier survival curve for time-to-event cohorts (the
-    product-limit estimator — churn/retention/time-to-conversion
-    analysis): per subject, the duration in whole days from the first
-    ``start_type`` event to the first subsequent ``event_type`` event,
-    right-censored at the global observation end (the corpus max
-    timestamp) when no such event occurs.  Returns one row per event
-    time: ``(dur_days, n_risk, d_events, c_censored, log_surv_micro,
-    survival)`` where ``survival`` is the running product
-    ``prod(1 - d_i / n_i)`` over event times ``<= dur_days``.
-
-    100 TB shape: two subject-keyed aggregates (first start / first
-    qualifying event) and ONE day-granular aggregate; the risk-set
-    cumulation windows run over the MODEL-sized duration table (one
-    row per distinct day, bounded by the observation window), never
-    over subjects.  The observation-end scalar is an audited one-row
-    broadcast cross.
-
-    Cross-engine exactness: durations are integer micro-second
-    differences floor-divided to days (exact); risk counts are integer
-    window sums; the product folds as a cumulative INTEGER sum of
-    per-term ``ln(1 - d/n)`` quantized to millionths (the house
-    transcendental rule — libm ulp differences die in the quantize),
-    shipped exactly as ``log_surv_micro`` with ``survival`` derived by
-    one identically-spelled ``exp`` + floor-round."""
+    """Shared survival preprocessing (extracted r10 for Nelson-Aalen):
+    per-subject first-start -> first-qualifying-event durations in
+    whole days, right-censored at the corpus max timestamp, rolled to
+    the day-granular risk table ``(__dur, __d, __c, __nrisk)``. Two
+    subject-keyed aggregates + one day aggregate; the risk cumulation
+    windows run over the MODEL-sized duration table. Subjects whose
+    only start ts is NULL are dropped explicitly (Spark NULLS FIRST vs
+    DuckDB NULLS LAST would diverge the cumulative sums — r8
+    ADVICE)."""
     ev = events.select(
         F.col(user_col).alias("__u"),
         F.col(ts_col).alias("__ts"),
         F.col(type_col).alias("__et"),
     )
     cmax = ev.agg(F.max(F.unix_micros(F.col("__ts"))).alias("__cmax"))
-    # Subjects whose only signup ts is NULL get a NULL __t0/__dur;
-    # Spark windows sort NULLS FIRST while DuckDB sorts NULLS LAST, so
-    # the cumulative risk-set sums would diverge cross-engine (r8
-    # ADVICE). Drop them explicitly here and in the oracle's HAVING.
     starts = (
         ev.filter(F.col("__et") == start_type)
         .groupBy("__u")
@@ -1738,18 +1719,55 @@ def kaplan_meier(
     w_prior = Window.orderBy("__dur").rowsBetween(
         Window.unboundedPreceding, -1
     )
+    return day.crossJoin(F.broadcast(n_total)).withColumn(
+        "__nrisk",
+        F.col("__n")
+        - F.coalesce(
+            F.sum(F.col("__d") + F.col("__c")).over(w_prior), F.lit(0)
+        ),
+    )
+
+
+def kaplan_meier(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    start_type: str = "signup",
+    event_type: str = "purchase",
+) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-event cohorts (the
+    product-limit estimator — churn/retention/time-to-conversion
+    analysis): per subject, the duration in whole days from the first
+    ``start_type`` event to the first subsequent ``event_type`` event,
+    right-censored at the global observation end (the corpus max
+    timestamp) when no such event occurs.  Returns one row per event
+    time: ``(dur_days, n_risk, d_events, c_censored, log_surv_micro,
+    survival)`` where ``survival`` is the running product
+    ``prod(1 - d_i / n_i)`` over event times ``<= dur_days``.
+
+    100 TB shape: two subject-keyed aggregates (first start / first
+    qualifying event) and ONE day-granular aggregate; the risk-set
+    cumulation windows run over the MODEL-sized duration table (one
+    row per distinct day, bounded by the observation window), never
+    over subjects.  The observation-end scalar is an audited one-row
+    broadcast cross.
+
+    Cross-engine exactness: durations are integer micro-second
+    differences floor-divided to days (exact); risk counts are integer
+    window sums; the product folds as a cumulative INTEGER sum of
+    per-term ``ln(1 - d/n)`` quantized to millionths (the house
+    transcendental rule — libm ulp differences die in the quantize),
+    shipped exactly as ``log_surv_micro`` with ``survival`` derived by
+    one identically-spelled ``exp`` + floor-round."""
+    risked = _survival_day_risk(
+        events, user_col, ts_col, type_col, start_type, event_type
+    )
     w_cum = Window.orderBy("__dur").rowsBetween(
         Window.unboundedPreceding, 0
     )
     risked = (
-        day.crossJoin(F.broadcast(n_total))
-        .withColumn(
-            "__nrisk",
-            F.col("__n")
-            - F.coalesce(
-                F.sum(F.col("__d") + F.col("__c")).over(w_prior), F.lit(0)
-            ),
-        )
+        risked
         .withColumn(
             "__lnm",
             F.when(
@@ -1794,6 +1812,64 @@ def kaplan_meier(
         )
     )
     return out
+
+
+def nelson_aalen(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    start_type: str = "signup",
+    event_type: str = "purchase",
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator — the survival
+    family's closer next to :func:`kaplan_meier`: where KM estimates
+    the survival PROBABILITY via the product limit, Nelson-Aalen
+    estimates the cumulative HAZARD directly, ``H(t) = sum_{t_i <= t}
+    d_i / n_i``, with the standard variance ``sum d_i / n_i^2`` — the
+    preferred estimator for hazard-shape reading and for small risk
+    sets (no product collapse when a time kills every subject at
+    risk). One row per event time: ``(dur_days, n_risk, d_events,
+    cum_hazard, cum_hazard_var)``.
+
+    Shares the day-granular risk table with KM
+    (:func:`_survival_day_risk`); per-term ``d/n`` and ``d/n^2``
+    quantize to INTEGER micro / pico units immediately (one floor each
+    — pure rational terms, no transcendental), so the cumulative sums
+    are order-free exact integer additions that replay bit-identically
+    cross-engine; the reported doubles are single divisions of those
+    integers."""
+    risked = _survival_day_risk(
+        events, user_col, ts_col, type_col, start_type, event_type
+    )
+    w_cum = Window.orderBy("__dur").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    terms = risked.withColumn(
+        "__hm",
+        F.expr(
+            "cast(floor(cast(__d as double) / cast(__nrisk as double)"
+            " * 1e6 + 0.5) as bigint)"
+        ),
+    ).withColumn(
+        "__vp",
+        F.expr(
+            "cast(floor(cast(__d as double) / cast(__nrisk as double)"
+            " / cast(__nrisk as double) * 1e12 + 0.5) as bigint)"
+        ),
+    )
+    return (
+        terms.withColumn("__hs", F.sum("__hm").over(w_cum))
+        .withColumn("__vs", F.sum("__vp").over(w_cum))
+        .filter(F.col("__d") > 0)
+        .select(
+            F.col("__dur").alias("dur_days"),
+            F.col("__nrisk").cast("bigint").alias("n_risk"),
+            F.col("__d").alias("d_events"),
+            F.expr("cast(__hs as double) / 1e6").alias("cum_hazard"),
+            F.expr("cast(__vs as double) / 1e12").alias("cum_hazard_var"),
+        )
+    )
 
 
 def group_theil_sen(

@@ -13745,6 +13745,74 @@ def entity_snj_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_nelson_aalen",
+    """
+    WITH cmax AS (SELECT MAX(epoch_us(ts)) AS cm FROM events),
+    st AS (
+      SELECT user_id AS u, MIN(epoch_us(ts)) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+      HAVING MIN(epoch_us(ts)) IS NOT NULL
+    ),
+    ht AS (
+      SELECT e.user_id AS u, MIN(epoch_us(e.ts)) AS te
+      FROM events e JOIN st ON e.user_id = st.u
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= st.t0
+      GROUP BY 1
+    ),
+    subj AS (
+      SELECT CAST((COALESCE(h.te, (SELECT cm FROM cmax)) - s.t0)
+                  // 86400000000 AS BIGINT) AS dur,
+             CASE WHEN h.te IS NOT NULL THEN 1 ELSE 0 END AS obs
+      FROM st s LEFT JOIN ht h ON s.u = h.u
+    ),
+    day AS (
+      SELECT dur, CAST(SUM(obs) AS BIGINT) AS d,
+             CAST(SUM(1 - obs) AS BIGINT) AS c
+      FROM subj GROUP BY dur
+    ),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM subj),
+    risked AS (
+      SELECT dur, d, c,
+             CAST((SELECT n FROM nt)
+                  - COALESCE(SUM(d + c) OVER (ORDER BY dur
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS nrisk
+      FROM day
+    ),
+    terms AS (
+      SELECT dur, d, nrisk,
+        CAST(floor(CAST(d AS DOUBLE) / CAST(nrisk AS DOUBLE)
+                   * 1e6 + 0.5) AS BIGINT) AS hm,
+        CAST(floor(CAST(d AS DOUBLE) / CAST(nrisk AS DOUBLE)
+                   / CAST(nrisk AS DOUBLE) * 1e12 + 0.5) AS BIGINT) AS vp
+      FROM risked
+    ),
+    cum AS (
+      SELECT dur, d, nrisk,
+             CAST(SUM(hm) OVER w AS BIGINT) AS hs,
+             CAST(SUM(vp) OVER w AS BIGINT) AS vs
+      FROM terms
+      WINDOW w AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT dur AS dur_days, nrisk AS n_risk, d AS d_events,
+           CAST(hs AS DOUBLE) / 1e6 AS cum_hazard,
+           CAST(vs AS DOUBLE) / 1e12 AS cum_hazard_var
+    FROM cum WHERE d > 0
+    """,
+)
+def events_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard for the signup -> purchase
+    cohort — the survival family's hazard-shape estimator beside the
+    Kaplan-Meier curve (same day-granular risk table; ``H(t) = sum
+    d_i/n_i`` with variance ``sum d_i/n_i^2``). Per-term rationals
+    quantize to integer micro/pico units immediately, so the
+    cumulative sums are order-free exact
+    (ops/analytics.nelson_aalen)."""
+    return oan.nelson_aalen(_events(spark, sf_dir))
+
+
 DRIVER_WINDOW = [
     # r10 rotation (8th): 40 never-driver-attested faces + 10
     # sentinels. The r9 verdict asked for >=25 new faces (at 20/round

@@ -2236,3 +2236,72 @@ def test_msprt_monitor_matches_python_replica(spark):
     ps = [got[d].p_always_valid for d in range(2, 7)]
     assert all(a >= b for a, b in zip(ps, ps[1:]))  # non-increasing
     assert ps[-1] < ps[0]  # the injected 40-unit effect accumulates
+
+
+def test_nelson_aalen_matches_python_replica(spark):
+    """Nelson-Aalen == the direct lifelines-style replica (risk sets
+    from sorted durations, H = sum d/n, var = sum d/n^2, censoring at
+    the corpus max) on a hand-built cohort incl. ties, censored
+    subjects and a day where everyone at risk dies (KM collapses to 0
+    there; NA stays finite — the estimator's point)."""
+    import datetime as dt
+    import math
+
+    from nhs_data_pipeline_spark.ops import analytics as oan2
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # subjects 0..5 sign up on day 0; durations 1,1,2 observed;
+    # 3 censored at corpus end (day 4: the last purchase)
+    for u in range(6):
+        rows.append((u, base, "signup"))
+    for u, d in [(0, 1), (1, 1), (2, 2)]:
+        rows.append((u, base + dt.timedelta(days=d), "purchase"))
+    # subjects 6,7 sign up day 2, BOTH purchase day 4 -> at dur 2 all
+    # remaining risk dies at some time in the table
+    rows.append((6, base + dt.timedelta(days=2), "signup"))
+    rows.append((7, base + dt.timedelta(days=2), "signup"))
+    rows.append((6, base + dt.timedelta(days=4), "purchase"))
+    rows.append((7, base + dt.timedelta(days=4), "purchase"))
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {r.dur_days: r for r in oan2.nelson_aalen(ev).collect()}
+
+    # replica: durations per subject (censor at corpus max = day 4)
+    durs = {0: (1, 1), 1: (1, 1), 2: (2, 1), 3: (4, 0), 4: (4, 0),
+            5: (4, 0), 6: (2, 1), 7: (2, 1)}
+    from collections import Counter
+
+    dcount = Counter(d for d, o in durs.values() if o)
+    ccount = Counter(d for d, o in durs.values() if not o)
+    n = len(durs)
+    at_risk, H, V, exp = n, 0, 0, {}
+    for d in sorted(set(dcount) | set(ccount)):
+        ev_d, c_d = dcount.get(d, 0), ccount.get(d, 0)
+        if ev_d:
+            H += math.floor(ev_d / at_risk * 1e6 + 0.5)
+            V += math.floor(ev_d / at_risk / at_risk * 1e12 + 0.5)
+            exp[d] = (at_risk, ev_d, H / 1e6, V / 1e12)
+        at_risk -= ev_d + c_d
+    assert set(got) == set(exp)
+    for d, (nr, ev_d, h, v) in exp.items():
+        r = got[d]
+        assert (r.n_risk, r.d_events) == (nr, ev_d), (d, tuple(r))
+        assert r.cum_hazard == pytest.approx(h, abs=1e-12)
+        assert r.cum_hazard_var == pytest.approx(v, abs=1e-15)
+    # the KM-collapse case: a cohort where EVERY subject at risk
+    # events on the same day — KM's product hits exact 0 there, while
+    # NA adds d/n = 1.0 and stays finite (the estimator's point)
+    base2 = dt.datetime(2024, 2, 1)
+    ev2 = spark.createDataFrame(
+        [(10, base2, "signup"), (11, base2, "signup"),
+         (10, base2 + dt.timedelta(days=1), "purchase"),
+         (11, base2 + dt.timedelta(days=1), "purchase")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    r2 = {r.dur_days: r for r in oan2.nelson_aalen(ev2).collect()}
+    assert r2[1].n_risk == r2[1].d_events == 2
+    assert r2[1].cum_hazard == pytest.approx(1.0)
+    km2 = {r.dur_days: r for r in oan2.kaplan_meier(ev2).collect()}
+    assert km2[1].survival == 0.0  # KM collapses where NA is finite

@@ -309,8 +309,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 253, len(QUERIES)
-    assert len(ORACLES) == 250, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 254, len(QUERIES)
+    assert len(ORACLES) == 251, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_readme_registry_tallies_match():
@@ -542,7 +542,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # subject-total aggregates crossed into the subject / per-day
         # duration tables (ops/analytics.kaplan_meier) —
         # scalar-broadcast shape
-        "events_kaplan_meier",
+        "events_kaplan_meier", "events_nelson_aalen",
         # audited: the same censor-time scalar cross, cohort variant
         # (ops/analytics.kaplan_meier_by_group)
         "events_km_by_cohort",
@@ -777,8 +777,9 @@ def test_registry_no_unaudited_global_sort_windows(spark, sf_dir):
         "embed_pca_power", "embed_pca_scores",
         # risk-set cumulation over the per-DAY duration table
         # (bounded by the observation window, never subjects;
-        # ops/analytics.kaplan_meier)
-        "events_kaplan_meier",
+        # ops/analytics.kaplan_meier; nelson_aalen shares the same
+        # day-count risk table and windows)
+        "events_kaplan_meier", "events_nelson_aalen",
         # the same per-day risk-set cumulation, two-cohort variant
         # (ops/analytics.logrank_test)
         "events_logrank_test",
