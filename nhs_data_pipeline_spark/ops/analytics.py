@@ -3740,3 +3740,88 @@ def msprt_monitor(
         )
     )
     return out
+
+
+def effect_sizes_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    value_int_col: str,
+    cohort_col: str,
+    cohort_a,
+    cohort_b,
+) -> DataFrame:
+    """Standardized effect sizes per segment — the magnitude report
+    the p-value batteries (Welch t, Mann-Whitney) need beside them:
+    at scale EVERYTHING is significant, and the decision variable is
+    the effect SIZE. Per group: Cohen's d on the pooled SD,
+    ``d = (mean_a - mean_b) / s_pooled``, and the small-sample
+    corrected Hedges' g, ``g = d * (1 - 3/(4*df - 1))`` with
+    ``df = n_a + n_b - 2``. One row per group:
+    ``(*group_cols, n_a, n_b, cohen_d, hedges_g)``.
+
+    Exactness: both cohorts' ``(n, sum, sum-of-squares)`` accumulate
+    as exact DECIMAL(38,0) integer moments in ONE map-side-combinable
+    aggregate; the pooled variance assembles as
+    ``((qa - sa^2/na) + (qb - sb^2/nb)) / (na + nb - 2)`` in
+    identically-spelled doubles (one decimal->double cast per moment),
+    d and g floor-round to 6 dp. Degenerate groups (either side n < 1,
+    df < 1, or zero pooled variance) yield NULL d/g. NULL values are
+    excluded; NULL group keys are their own group."""
+    D = "decimal(38,0)"
+    v = F.col(value_int_col)
+    isa = F.col(cohort_col) == cohort_a
+    isb = F.col(cohort_col) == cohort_b
+    m = (
+        df.filter(v.isNotNull() & (isa | isb))
+        .groupBy(*[F.col(c) for c in group_cols])
+        .agg(
+            F.coalesce(F.sum(F.when(isa, F.lit(1))), F.lit(0))
+            .cast(D).alias("__na"),
+            F.coalesce(F.sum(F.when(isa, v)), F.lit(0))
+            .cast(D).alias("__sa"),
+            F.coalesce(F.sum(F.when(isa, v.cast(D) * v.cast(D))), F.lit(0))
+            .cast(D).alias("__qa"),
+            F.coalesce(F.sum(F.when(isb, F.lit(1))), F.lit(0))
+            .cast(D).alias("__nb"),
+            F.coalesce(F.sum(F.when(isb, v)), F.lit(0))
+            .cast(D).alias("__sb"),
+            F.coalesce(F.sum(F.when(isb, v.cast(D) * v.cast(D))), F.lit(0))
+            .cast(D).alias("__qb"),
+        )
+    )
+    # pooled variance numerator: exact integer (na*qa - sa^2)/na
+    # spelled as one double assembly per side
+    sp2 = (
+        "(cast(__na * __qa - __sa * __sa as double) / cast(__na as double)"
+        " + cast(__nb * __qb - __sb * __sb as double)"
+        "   / cast(__nb as double))"
+        " / cast(__na + __nb - 2 as double)"
+    )
+    dexpr = (
+        "(cast(__sa as double) / cast(__na as double)"
+        " - cast(__sb as double) / cast(__nb as double))"
+        f" / sqrt({sp2})"
+    )
+    ok = (
+        (F.col("__na") > 0)
+        & (F.col("__nb") > 0)
+        & (F.expr("__na + __nb - 2") > 0)
+        & (F.expr(sp2) > 0)
+    )
+    return m.select(
+        *group_cols,
+        F.col("__na").cast("bigint").alias("n_a"),
+        F.col("__nb").cast("bigint").alias("n_b"),
+        F.when(
+            ok, F.expr(f"floor({dexpr} * 1e6 + 0.5) / 1e6")
+        ).alias("cohen_d"),
+        F.when(
+            ok,
+            F.expr(
+                f"floor({dexpr}"
+                " * (1.0 - 3.0 / (4.0 * cast(__na + __nb - 2 as double)"
+                "                 - 1.0))"
+                " * 1e6 + 0.5) / 1e6"
+            ),
+        ).alias("hedges_g"),
+    )

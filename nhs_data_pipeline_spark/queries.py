@@ -13813,6 +13813,84 @@ def events_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return oan.nelson_aalen(_events(spark, sf_dir))
 
 
+@query(
+    "stats_effect_sizes",
+    """
+    WITH base AS (
+      SELECT event_type AS et,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm,
+             user_id % 2 = 0 AS ia, user_id % 2 = 1 AS ib
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ),
+    m AS (
+      SELECT et,
+        CAST(COALESCE(SUM(CASE WHEN ia THEN 1 END), 0) AS HUGEINT)
+          AS na,
+        CAST(COALESCE(SUM(CASE WHEN ia THEN vm END), 0) AS HUGEINT)
+          AS sa,
+        CAST(COALESCE(SUM(CASE WHEN ia
+                           THEN CAST(vm AS HUGEINT) * vm END), 0)
+             AS HUGEINT) AS qa,
+        CAST(COALESCE(SUM(CASE WHEN ib THEN 1 END), 0) AS HUGEINT)
+          AS nb,
+        CAST(COALESCE(SUM(CASE WHEN ib THEN vm END), 0) AS HUGEINT)
+          AS sb,
+        CAST(COALESCE(SUM(CASE WHEN ib
+                           THEN CAST(vm AS HUGEINT) * vm END), 0)
+             AS HUGEINT) AS qb
+      FROM base GROUP BY et
+    )
+    SELECT et AS event_type,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CASE WHEN na > 0 AND nb > 0 AND na + nb - 2 > 0 AND
+             ((CAST(na * qa - sa * sa AS DOUBLE) / CAST(na AS DOUBLE)
+               + CAST(nb * qb - sb * sb AS DOUBLE) / CAST(nb AS DOUBLE))
+              / CAST(na + nb - 2 AS DOUBLE)) > 0 THEN
+             floor((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                    - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                   / sqrt((CAST(na * qa - sa * sa AS DOUBLE)
+                           / CAST(na AS DOUBLE)
+                           + CAST(nb * qb - sb * sb AS DOUBLE)
+                             / CAST(nb AS DOUBLE))
+                          / CAST(na + nb - 2 AS DOUBLE))
+                   * 1e6 + 0.5) / 1e6 END AS cohen_d,
+           CASE WHEN na > 0 AND nb > 0 AND na + nb - 2 > 0 AND
+             ((CAST(na * qa - sa * sa AS DOUBLE) / CAST(na AS DOUBLE)
+               + CAST(nb * qb - sb * sb AS DOUBLE) / CAST(nb AS DOUBLE))
+              / CAST(na + nb - 2 AS DOUBLE)) > 0 THEN
+             floor((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                    - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                   / sqrt((CAST(na * qa - sa * sa AS DOUBLE)
+                           / CAST(na AS DOUBLE)
+                           + CAST(nb * qb - sb * sb AS DOUBLE)
+                             / CAST(nb AS DOUBLE))
+                          / CAST(na + nb - 2 AS DOUBLE))
+                   * (1.0 - 3.0 / (4.0 * CAST(na + nb - 2 AS DOUBLE)
+                                   - 1.0))
+                   * 1e6 + 0.5) / 1e6 END AS hedges_g
+    FROM m
+    """,
+)
+def stats_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d + Hedges' g per event-type segment (cohorts =
+    user-id parity) — the magnitude report beside the Welch/Mann-
+    Whitney p-value battery: at 100 TB everything is 'significant';
+    the decision variable is the standardized effect size. Exact
+    DECIMAL(38,0)/HUGEINT moments from one aggregate, single-cast
+    double assembly, 6-dp floor rounds
+    (ops/analytics.effect_sizes_by_group)."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        "event_type",
+        F.expr("cast(floor(value * 1e6 + 0.5) as bigint)").alias("__v"),
+        (F.col("user_id") % 2 == 0).alias("__ca"),
+    )
+    return oan.effect_sizes_by_group(
+        ev, ["event_type"], "__v", "__ca", True, False
+    )
+
+
 DRIVER_WINDOW = [
     # r10 rotation (8th): 40 never-driver-attested faces + 10
     # sentinels. The r9 verdict asked for >=25 new faces (at 20/round

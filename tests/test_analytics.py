@@ -2305,3 +2305,51 @@ def test_nelson_aalen_matches_python_replica(spark):
     assert r2[1].cum_hazard == pytest.approx(1.0)
     km2 = {r.dur_days: r for r in oan2.kaplan_meier(ev2).collect()}
     assert km2[1].survival == 0.0  # KM collapses where NA is finite
+
+
+def test_effect_sizes_match_numpy_replica(spark):
+    """Cohen's d / Hedges' g == the direct numpy pooled-SD estimator
+    per group; the Hedges correction shrinks toward zero; degenerate
+    groups (one-sided, zero pooled variance) yield NULLs."""
+    import math
+    import random
+
+    import numpy as np
+
+    from nhs_data_pipeline_spark.ops import analytics as oan2
+
+    rng = random.Random(41)
+    rows = []
+    data: dict[str, dict[bool, list]] = {"g1": {}, "g2": {}}
+    for g, shift in [("g1", 500), ("g2", 0)]:
+        for ca in (True, False):
+            vals = [rng.randrange(1000, 2000) + (shift if ca else 0)
+                    for _ in range(12 if ca else 9)]
+            data[g][ca] = vals
+            rows += [(g, v, ca) for v in vals]
+    rows.append(("solo", 7, True))        # one-sided group
+    rows += [("flat", 5, True), ("flat", 5, True), ("flat", 5, False)]
+    df = spark.createDataFrame(rows, "g string, v long, ca boolean")
+    got = {r.g: r for r in oan2.effect_sizes_by_group(
+        df, ["g"], "v", "ca", True, False).collect()}
+
+    def fl6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    for g in ("g1", "g2"):
+        a = np.array(data[g][True], dtype=float)
+        b = np.array(data[g][False], dtype=float)
+        sp = math.sqrt(
+            ((a.var(ddof=0) * len(a)) + (b.var(ddof=0) * len(b)))
+            / (len(a) + len(b) - 2)
+        )
+        d = (a.mean() - b.mean()) / sp
+        gg = d * (1 - 3 / (4 * (len(a) + len(b) - 2) - 1))
+        r = got[g]
+        assert (r.n_a, r.n_b) == (len(a), len(b))
+        assert r.cohen_d == pytest.approx(fl6(d), abs=2e-6), g
+        assert r.hedges_g == pytest.approx(fl6(gg), abs=2e-6), g
+        assert abs(r.hedges_g) < abs(r.cohen_d)  # correction shrinks
+    assert got["g1"].cohen_d > 1  # the injected 500-unit shift is large
+    assert got["solo"].cohen_d is None and got["solo"].n_b == 0
+    assert got["flat"].cohen_d is None  # zero pooled variance

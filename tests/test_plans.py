@@ -309,8 +309,8 @@ def test_registry_size_tripwire():
     drift."""
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
-    assert len(QUERIES) == 254, len(QUERIES)
-    assert len(ORACLES) == 251, len(ORACLES)  # 3 rows-only Datasketches
+    assert len(QUERIES) == 255, len(QUERIES)
+    assert len(ORACLES) == 252, len(ORACLES)  # 3 rows-only Datasketches
 
 
 def test_readme_registry_tallies_match():
