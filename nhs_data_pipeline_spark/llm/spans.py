@@ -32,6 +32,16 @@ Scale design (100 TB)
   the whole operator replays as plain SQL in DuckDB for the oracle
   gate. At 128 bits, corpus-scale collision probability is ~0 (a
   64-bit truncation would need a verify pass at 100 TB; md5 does not).
+
+Measured vs a true suffix array (r11): token-level coverage by
+duplicated k-windows is mathematically identical to membership in a
+verbatim-repeated run of >= k tokens, and
+``tools/exactsubstr_ground_truth.py`` verifies the implementation
+against an independent suffix-array + Kasai-LCP construction (Lee et
+al. §4.1 semantics): recall = precision = 1.0, zero mismatching
+documents, on both the sampled-sf1 and the sf0.1 corpora (SCALE.md
+r11). The difference vs the paper is the unit (whitespace tokens at
+k=8 vs bytes at 50 chars) — definitional, not a miss rate.
 """
 
 from __future__ import annotations
