@@ -958,6 +958,8 @@ def semantic_dedup(
     threshold: float = 0.7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_pairs: int | None = 100_000_000,
+    report: dict | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by k-means cell + within-cell cosine pruning. A
@@ -975,7 +977,20 @@ def semantic_dedup(
     back per candidate — same id-only-shuffle discipline as the LSH
     paths. Deterministic end-to-end from the centroid literals, so an
     external engine can replay the exact kept set (queries.py inlines
-    the same centroids into the DuckDB oracle)."""
+    the same centroids into the DuckDB oracle).
+
+    COST CONTRACT (r11, flagged by the sf1 timed bench): the pairwise
+    cost is sum(|cell|^2) — linear in corpus size ONLY when the
+    quantizer's cell count scales with the corpus (Abbas et al. train
+    k ~ n/target_cell_size clusters; a FIXED-k quantizer makes every
+    cell grow with n and the op quadratic: measured 102 s with k=8 vs
+    32 s with k=64 on the same 20k-vector sf1 corpus, SCALE.md r11).
+    ``max_cell_pairs`` enforces this contract the same way the
+    countjoin family's ``max_pairs`` does: the predicted
+    sum(|cell|^2) is computed from a model-sized (k-row) aggregate of
+    the already-persisted cell assignment BEFORE any pair shuffle
+    runs, lands in ``report`` for observability, and the op REFUSES
+    above the budget with retrain-the-quantizer guidance."""
     from nhs_data_pipeline_spark.llm import similarity as _sim
 
     cell_udf = _sim._make_cell_udf(centroids)
@@ -987,6 +1002,24 @@ def semantic_dedup(
     # final anti-join; lazy persist would recompute the assignment
     base = base.persist()
     base.count()
+    if report is not None or max_cell_pairs is not None:
+        sizes = base.groupBy("__cell").count()
+        cell_pairs = int(
+            sizes.agg(
+                F.coalesce(F.sum(F.col("count") * F.col("count")), F.lit(0))
+            ).collect()[0][0]
+        )
+        if report is not None:
+            report["cell_pairs"] = cell_pairs
+        if max_cell_pairs is not None and cell_pairs > max_cell_pairs:
+            base.unpersist()
+            raise ValueError(
+                f"semantic_dedup: predicted within-cell pair volume "
+                f"{cell_pairs} exceeds max_cell_pairs={max_cell_pairs}; "
+                f"the quantizer's {len(centroids)} cells are too few "
+                "for this corpus — retrain with k ~ n/target_cell_size "
+                "centroids (cost is sum(|cell|^2)), or raise the budget"
+            )
     a = base.select(
         F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "__cell"
     )

@@ -238,6 +238,33 @@ def test_semantic_dedup_keeps_min_id_per_clique(spark):
     assert kept == [1, 10]
 
 
+def test_semantic_dedup_cell_pair_budget_guard(spark):
+    """r11 (sf1 timed-bench flag): semantic_dedup's cost is
+    sum(|cell|^2); with a fixed-k quantizer that is quadratic in
+    corpus size, so the op must predict the volume from the k-row
+    cell-size aggregate, expose it via ``report``, and REFUSE above
+    ``max_cell_pairs`` before any pair shuffle runs."""
+    import numpy as np
+
+    import pytest
+
+    rng = np.random.RandomState(5)
+    base = rng.normal(size=8)
+    rows = [(i, _unit(base + 0.3 * rng.normal(size=8))) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = [list(np.asarray(_unit(base)))]  # one cell: 6^2 = 36
+    report: dict = {}
+    semantic_dedup(
+        df, centroids, threshold=0.99, report=report, max_cell_pairs=None
+    ).collect()
+    assert report["cell_pairs"] == 36
+    with pytest.raises(ValueError, match="max_cell_pairs"):
+        semantic_dedup(df, centroids, threshold=0.99, max_cell_pairs=35)
+    # at or under budget: runs
+    out = semantic_dedup(df, centroids, threshold=0.99, max_cell_pairs=36)
+    assert out.count() > 0
+
+
 def test_quantize_int8_grid_and_cosine(spark):
     import numpy as np
 

@@ -72,13 +72,18 @@ LINEAR = [
     "dedup_span_pairs",
     "stats_kruskal_wallis",
     "events_robust_outliers",
-    "dedup_semantic_cells",
     "text_bm25_topk",
     "embed_kmeans_fit",
 ]
 
 # Quadratic-by-design: timed on the declared sampled-sf1 dataset
 # (sf1s) — bounded-by-construction, not a scaling-exponent claim.
+# dedup_semantic_cells moved here in r11: its cost is sum(|cell|^2),
+# linear only when the quantizer's k scales with the corpus; the
+# registered query pins k=8 for the cross-engine oracle literals, so
+# at FULL sf1 every cell grows 10x and the op is honestly quadratic
+# (measured 72x; k=64 restores 3x-of-linear — SCALE.md r11). The
+# operator now carries a max_cell_pairs refuse-above-budget guard.
 QUADRATIC_SAMPLED = [
     "dedup_jaccard_auto",
     "dedup_jaccard_exact_join",
@@ -88,6 +93,7 @@ QUADRATIC_SAMPLED = [
     "dedup_containment_join",
     "dedup_component_profile",
     "eval_lsh_sampled_quality",
+    "dedup_semantic_cells",
 ]
 
 
@@ -129,6 +135,14 @@ def main() -> None:
         ("quadratic_sampled", QUADRATIC_SAMPLED, SF1S),
     ):
         for name in names:
+            # Per-query cache isolation (r11): operators that persist
+            # per-call (audit_panel's input cache, model tables) leak
+            # those caches into later queries' readings in a shared
+            # session — the first run of this tool read
+            # curate_audit_panel at 160 s where a fresh session
+            # measures 60 s. Real clusters run queries in their own
+            # jobs; clearing between queries is the honest analogue.
+            spark.catalog.clearCache()
             try:
                 # min-of-2 at sf0.1 (steady-state), single rep at sf1
                 # (the big reading is the one we can afford once)
