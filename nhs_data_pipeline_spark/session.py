@@ -45,6 +45,16 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Blob-aware Arrow batching (r11, measured): the 64m default
+        # lets a 10k-record mapInPandas batch of ~200 KB media blobs
+        # reach 64 MB per batch per worker — 32 workers of in-flight
+        # pandas copies churn memory and the decode path's median
+        # spikes 2.5x (7.5 -> 18.8 s on the 256x256-BMP throughput
+        # bench). 4m keeps blob batches small and stable (median ==
+        # min) and costs numeric pandas-UDF paths nothing (measured
+        # equal-or-faster on the 20k x 64-dim cell-assignment UDF);
+        # SCALE.md r11 has the A/B table.
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "4m")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
@@ -123,4 +133,6 @@ def cluster_conf(
         "spark.executor.memory": f"{executor_mem_gb}g",
         "spark.executor.cores": str(cores_per_executor),
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # see the local-builder comment: stable blob-batch memory
+        "spark.sql.execution.arrow.maxBytesPerBatch": "4m",
     }

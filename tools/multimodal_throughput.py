@@ -79,10 +79,11 @@ def build_jpeg(w: int, h: int, rng: np.random.RandomState) -> bytes:
     bx, by = w // 8, h // 8
     blocks = []
     for _ in range(bx * by):
-        blk = [0] * 64
-        blk[0] = int(rng.randint(-64, 64))
+        blk = [[0] * 8 for _ in range(8)]  # 8x8 quantized coefficients
+        blk[0][0] = int(rng.randint(-64, 64))
         for _k in range(6):  # sparse AC — typical natural-image energy
-            blk[int(rng.randint(1, 20))] = int(rng.randint(-16, 16))
+            z = int(rng.randint(1, 20))
+            blk[z >> 3][z & 7] = int(rng.randint(-16, 16))
         blocks.append(blk)
     quant = [16] * 64
     data, _ = _encode_jpeg([blocks], w, h, [(1, 1)], quant)
