@@ -157,6 +157,143 @@ def span_dedup_stats(
     )
 
 
+def _rebuild_without(
+    df: DataFrame,
+    drop_windows: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Shared text-rebuild core for the span removal operators: given
+    ``drop_windows`` = ``(doc_id, pos)`` k-token windows to cut,
+    return one row per input document with the covered tokens removed.
+
+    Mechanics: explode tokens to ``(doc_id, t, tok)``, LEFT ANTI join
+    against the drop windows on ``doc_id AND t BETWEEN pos AND
+    pos+k-1`` (doc-local range join — one shuffle keyed by doc_id,
+    candidate volume bounded by tokens x windows *per doc*), then
+    reassemble order-exactly via sort_array(collect_list(struct)).
+    Both stages are bounded by document length — the same bound the
+    tokenizer itself carries — and the whole shape replays as plain
+    SQL (correlated NOT EXISTS) for the oracle gate.
+
+    Output: ``doc_id, n_tokens, n_removed, cleaned`` (cleaned = kept
+    tokens joined with a single space; empty string when everything
+    was removed or the doc was empty)."""
+    toks = tokenized_frame(df, text_col, id_col)
+    counts = toks.select(
+        "doc_id",
+        F.when(F.col("__w") == F.array(F.lit("")), F.lit(0))
+        .otherwise(F.coalesce(F.size("__w"), F.lit(0)))
+        .alias("n_tokens"),
+    )
+    exploded = toks.filter(
+        (F.col("__w") != F.array(F.lit(""))) & F.col("__w").isNotNull()
+    ).select(
+        "doc_id",
+        F.posexplode("__w").alias("t", "tok"),
+    )
+    dw = drop_windows.select(
+        F.col("doc_id").alias("__d"), F.col("pos").alias("__p")
+    )
+    kept = exploded.join(
+        dw,
+        (exploded["doc_id"] == dw["__d"])
+        & (exploded["t"] >= dw["__p"])
+        & (exploded["t"] < dw["__p"] + k),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("t", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    return counts.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        (F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+    )
+
+
+def span_dedup_trim(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """The ExactSubstr *action* (Lee et al. 2021 §4.2 keep-one-copy
+    remediation, where ``span_dedup_stats`` is the measurement): cut
+    every duplicated k-token window occurrence EXCEPT its corpus-wide
+    canonical (minimal ``(doc_id, pos)``) occurrence, and return the
+    rewritten documents.
+
+    For a verbatim run of length m >= k repeated across documents,
+    every window of the run in the minimal document is its own
+    fingerprint's canonical, so the first copy survives intact and
+    every other copy is removed whole — exactly one copy kept.
+    Deterministic from the data alone (no seeds), so the full
+    pipeline replays as SQL for the oracle gate.
+
+    Output: ``doc_id, n_tokens, n_removed, cleaned``."""
+    _, spans = _token_spans(df, text_col, id_col, k)
+    wh = Window.partitionBy("__h")
+    redundant = (
+        spans.withColumn("__cnt", F.count("*").over(wh))
+        .withColumn(
+            "__canon", F.min(F.struct("doc_id", "pos")).over(wh)
+        )
+        .filter(
+            (F.col("__cnt") > 1)
+            & (F.struct("doc_id", "pos") != F.col("__canon"))
+        )
+        .select("doc_id", "pos")
+    )
+    return _rebuild_without(df, redundant, text_col, id_col, k)
+
+
+def span_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Span-level benchmark decontamination: cut every k-token window
+    of the corpus whose exact text occurs anywhere in ``benchmark``
+    (a DataFrame with the same ``text_col``) — the span-granular
+    complement of the doc-level ``contamination_ngram`` SCORE: this
+    one rewrites the training text so benchmark passages cannot leak,
+    while keeping the rest of the document (doc-level dropping wastes
+    the clean 95% of a lightly-contaminated page).
+
+    The benchmark fingerprint set is aggregated small (distinct md5s)
+    and broadcast into the window match — corpus tokens shuffle only
+    by doc_id in the rebuild, the contamination probe itself is
+    shuffle-free on the corpus side.
+
+    Output: ``doc_id, n_tokens, n_removed, cleaned``."""
+    _, spans = _token_spans(df, text_col, id_col, k)
+    _, bspans = _token_spans(
+        benchmark.select(
+            F.col(text_col), F.lit(-1).cast("bigint").alias("__bid")
+        ),
+        text_col,
+        "__bid",
+        k,
+    )
+    bset = bspans.select("__h").distinct()
+    hit = spans.join(F.broadcast(bset), "__h").select("doc_id", "pos")
+    return _rebuild_without(df, hit, text_col, id_col, k)
+
+
 def span_dedup_pairs(
     df: DataFrame,
     text_col: str = "text",

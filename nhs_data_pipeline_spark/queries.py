@@ -13899,6 +13899,107 @@ def stats_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _span_rebuild_sql(red_cte: str, doc_filter: str = "TRUE") -> str:
+    """Shared oracle tail for the span removal operators: given a CTE
+    named ``red`` = (doc_id, pos) windows to cut (``red_cte``), rebuild
+    each document under ``doc_filter`` with covered tokens removed —
+    the same explode / NOT-EXISTS-range / ordered string_agg shape the
+    engine runs (llm/spans._rebuild_without)."""
+    return f"""
+    {red_cte},
+    cnts AS (
+      SELECT doc_id,
+             CASE WHEN w IS NULL OR w = [''] THEN 0 ELSE len(w) END AS n_tokens
+      FROM toks WHERE {doc_filter}
+    ),
+    tokpos AS (
+      SELECT doc_id, w, unnest(generate_series(0, len(w) - 1)) AS t
+      FROM toks WHERE {doc_filter} AND w IS NOT NULL AND NOT (w = [''])
+    ),
+    tok AS (
+      SELECT doc_id, CAST(t AS BIGINT) AS t, w[CAST(t AS INTEGER) + 1] AS tok
+      FROM tokpos
+    ),
+    kept AS (
+      SELECT kk.doc_id, kk.t, kk.tok FROM tok kk
+      WHERE NOT EXISTS (
+        SELECT 1 FROM red r
+        WHERE r.doc_id = kk.doc_id AND kk.t >= r.pos AND kk.t < r.pos + 8
+      )
+    ),
+    rebuilt AS (
+      SELECT doc_id, COUNT(*) AS nk,
+             string_agg(tok, ' ' ORDER BY t) AS cleaned
+      FROM kept GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CAST(c.n_tokens AS BIGINT) AS n_tokens,
+           CAST(c.n_tokens - COALESCE(r.nk, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.cleaned, '') AS cleaned
+    FROM cnts c LEFT JOIN rebuilt r USING (doc_id)
+    """
+
+
+@query(
+    "dedup_span_trim",
+    f"""
+    WITH {_span_cte_sql(8)},
+    {_span_rebuild_sql('''marked AS (
+      SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY h) AS cnt,
+             MIN(struct_pack(d := doc_id, p := pos)) OVER (PARTITION BY h) AS canon
+      FROM spans
+    ),
+    red AS (
+      SELECT doc_id, pos FROM marked
+      WHERE cnt > 1 AND struct_pack(d := doc_id, p := pos) <> canon
+    )''')}
+    """,
+)
+def dedup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr ACTION (Lee et al. keep-one-copy): rewrite every
+    document with each duplicated 8-token window occurrence removed
+    except its corpus-wide canonical (minimal (doc_id, pos)) — the
+    remediation step whose measurement twin is dedup_span_stats, now
+    suffix-array-verified exact (SCALE.md r11). Doc-local range
+    anti-join rebuild; shuffles carry ids/positions and the rebuilt
+    doc, never intermediate window text (llm/spans.span_dedup_trim)."""
+    return sp.span_dedup_trim(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=8
+    )
+
+
+@query(
+    "contamination_span_trim",
+    f"""
+    WITH {_span_cte_sql(8)},
+    {_span_rebuild_sql('''bench AS (
+      SELECT DISTINCT h FROM spans WHERE doc_id < 25
+    ),
+    red AS (
+      SELECT s.doc_id, s.pos FROM spans s JOIN bench b USING (h)
+      WHERE s.doc_id >= 25
+    )''', 'doc_id >= 25')}
+    """,
+)
+def contamination_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark DECONTAMINATION (same benchmark split as
+    contamination_ngram: doc_id < 25 is the benchmark): every corpus
+    8-token window whose exact text appears in the benchmark is cut
+    and the document rewritten — surgical leak removal instead of
+    dropping the whole lightly-contaminated page. The benchmark
+    fingerprint set aggregates small and broadcasts; the corpus probe
+    is shuffle-free (llm/spans.span_decontaminate)."""
+    docs = _t(spark, sf_dir, "documents")
+    return sp.span_decontaminate(
+        docs.filter(F.col("doc_id") >= 25),
+        docs.filter(F.col("doc_id") < 25).select("text"),
+        "text",
+        "doc_id",
+        k=8,
+    )
+
+
 # Sentinel slots in DRIVER_WINDOW: multiply-attested names kept as
 # cross-engine regression canaries. The r11 rotation carries ZERO
 # sentinels — the judge's r10 ask #1 is to finish the attestation

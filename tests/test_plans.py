@@ -358,10 +358,11 @@ def test_registry_size_tripwire():
     from nhs_data_pipeline_spark.queries import ORACLES, QUERIES
 
     # r11: 255 -> 252 (the 3 rows-only Datasketches entries retired —
-    # judge ask #5; their portable oracled twins remain); every
-    # remaining entry now carries a SQL oracle.
-    assert len(QUERIES) == 252, len(QUERIES)
-    assert len(ORACLES) == 252, len(ORACLES)
+    # judge ask #5; their portable oracled twins remain), then -> 254
+    # (dedup_span_trim + contamination_span_trim); every entry now
+    # carries a SQL oracle.
+    assert len(QUERIES) == 254, len(QUERIES)
+    assert len(ORACLES) == 254, len(ORACLES)
 
 
 def test_readme_registry_tallies_match():

@@ -153,3 +153,79 @@ def test_stats_plan_no_text_in_shuffle(spark):
             if line.startswith("Input") or line.startswith("Arguments"):
                 assert "text#" not in line, line
                 assert "__w#" not in line, line
+
+
+# ---- span_dedup_trim / span_decontaminate (r11) ----
+
+
+def _trim(spark, rows, k=4):
+    out = sp.span_dedup_trim(_docs(spark, rows), "text", "doc_id", k=k)
+    return {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned"])
+        for r in out.collect()
+    }
+
+
+def test_trim_keeps_exactly_one_copy(spark):
+    """A verbatim k-run repeated across docs survives ONLY in the
+    minimal (doc_id, pos) owner; the other copy is cut whole."""
+    run = "a b c d"
+    t = _trim(
+        spark,
+        [(1, f"{run} x y z w"), (2, f"p q r s {run}")],
+        k=4,
+    )
+    assert t[1] == (8, 0, "a b c d x y z w")  # canonical owner intact
+    assert t[2] == (8, 4, "p q r s")  # duplicate occurrence removed
+
+
+def test_trim_within_doc_repeat(spark):
+    """A within-doc repeat keeps the first occurrence (its window is
+    the canonical) and cuts the second."""
+    t = _trim(spark, [(5, "a b c d x a b c d")], k=4)
+    assert t[5] == (9, 4, "a b c d x")
+
+
+def test_trim_longer_run_removed_whole(spark):
+    """An m > k repeated run is cut completely in the non-canonical
+    doc (every window of the run is redundant there), and untouched
+    docs pass through byte-identical."""
+    run = "a b c d e f"  # m=6, k=4 -> 3 windows
+    t = _trim(
+        spark,
+        [(1, run), (2, f"{run} tail tok"), (3, "clean doc here ok")],
+        k=4,
+    )
+    assert t[1] == (6, 0, run)
+    assert t[2] == (8, 6, "tail tok")
+    assert t[3] == (4, 0, "clean doc here ok")
+
+
+def test_trim_blank_null_and_short_docs(spark):
+    t = _trim(
+        spark,
+        [(1, ""), (2, None), (3, "a b c")],  # all below k=4
+        k=4,
+    )
+    assert t[1] == (0, 0, "")
+    assert t[2] == (0, 0, "")
+    assert t[3] == (3, 0, "a b c")
+
+
+def test_decontaminate_cuts_benchmark_spans_only(spark):
+    bench = _docs(spark, [(100, "the quick brown fox jumps")])
+    corpus = _docs(
+        spark,
+        [
+            (1, "intro words the quick brown fox jumps outro"),
+            (2, "totally unrelated clean text here"),
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned"])
+        for r in sp.span_decontaminate(
+            corpus, bench.select("text"), "text", "doc_id", k=5
+        ).collect()
+    }
+    assert out[1] == (8, 5, "intro words outro")
+    assert out[2] == (5, 0, "totally unrelated clean text here")
