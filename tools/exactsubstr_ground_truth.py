@@ -28,7 +28,15 @@ Corpus: the sampled-sf1 documents (.scratch/sf1s — the r10
 sampled-gate construction, sf1 doc lengths/vocab at bounded volume).
 Falls back to /root/testdata/sf0.1 with --sf01.
 
-Usage: python tools/exactsubstr_ground_truth.py [--sf01] [--k K]
+With ``--trim`` the tool additionally verifies ``span_dedup_trim``
+(r11's keep-one-copy ACTION) against the same suffix array: all
+occurrences of one k-window are CONTIGUOUS in suffix-array order
+(runs linked by LCP >= k), so each duplicate group falls out of one
+SA walk; the canonical = min (doc_id, pos) member, every other member
+is redundant, and the expected rewritten text is rebuilt token-wise
+in numpy/python and compared string-exactly per document.
+
+Usage: python tools/exactsubstr_ground_truth.py [--sf01] [--k K] [--trim]
 """
 
 from __future__ import annotations
@@ -207,6 +215,65 @@ def main() -> None:
     if mismatch:
         sys.exit(1)
     print("EXACT MATCH: operator == suffix-array ground truth")
+
+    if "--trim" not in sys.argv:
+        return
+
+    # ---- keep-one-copy trim ground truth (r11 operator)
+    # Duplicate k-window groups = maximal runs in SA order linked by
+    # LCP >= k. Walk once; groups of size >= 2 are the duplicated
+    # fingerprints, canonical = min (doc_id, offset).
+    pos_to_doc = np.full(n, -1, dtype=np.int64)
+    pos_to_off = np.full(n, -1, dtype=np.int64)
+    for di, (doc_id, start, n_tok) in enumerate(doc_bounds):
+        pos_to_doc[start : start + n_tok] = di
+        pos_to_off[start : start + n_tok] = np.arange(n_tok)
+    redundant: dict[int, list[int]] = {}  # doc index -> window offsets
+    i = 0
+    while i < n - 1:
+        if lcp[i] >= k:
+            j = i
+            while j < n - 1 and lcp[j] >= k:
+                j += 1
+            members = sa[i : j + 1]
+            keyed = sorted(
+                (int(pos_to_doc[p]), int(pos_to_off[p])) for p in members
+            )
+            for d_i, off in keyed[1:]:  # all but the canonical
+                redundant.setdefault(d_i, []).append(off)
+            i = j + 1
+        else:
+            i += 1
+    expected: dict[int, tuple[int, str]] = {}
+    for di, (doc_id, start, n_tok) in enumerate(doc_bounds):
+        toks = java_ws_tokens(rows[di][1])
+        assert len(toks) == n_tok
+        drop = np.zeros(n_tok, dtype=bool)
+        for off in redundant.get(di, ()):
+            drop[off : off + k] = True
+        kept = [t for t, dr in zip(toks, drop) if not dr]
+        expected[doc_id] = (int(drop.sum()), " ".join(kept))
+    print(f"trim ground truth: {len(redundant)} docs with redundant "
+          f"windows [{time.time() - t0:.1f}s]")
+
+    trim_rows = sp.span_dedup_trim(docs, "text", "doc_id", k=k).collect()
+    trim_op = {
+        r["doc_id"]: (r["n_removed"], r["cleaned"]) for r in trim_rows
+    }
+    assert set(trim_op) == set(expected), "trim doc_id set mismatch"
+    t_mis = [
+        (d, expected[d], trim_op[d])
+        for d in expected
+        if expected[d] != trim_op[d]
+    ]
+    removed_total = sum(v[0] for v in expected.values())
+    print(f"trim: docs={len(expected)} removed_tokens={removed_total} "
+          f"docs_mismatching={len(t_mis)}")
+    for d, ev, ov in t_mis[:5]:
+        print(f"  trim mismatch doc {d}: truth={ev[:80]} op={ov[:80]}")
+    if t_mis:
+        sys.exit(1)
+    print("EXACT MATCH: span_dedup_trim == suffix-array keep-one-copy")
 
 
 if __name__ == "__main__":
