@@ -269,8 +269,11 @@ def loo_source_cross_entropy(
     vocabulary only if s is the ONLY source containing it), so ONE
     pass builds the total model + per-source deltas and every LOO
     model materializes implicitly at probe time. A per-source retrain
-    would scan the corpus n_sources times; this scans it twice
-    (model + probe), independent of the source count.
+    would scan the corpus n_sources times; this scans it ONCE: the
+    probe itself runs on the (source, w1, w2) count model weighted by
+    its own counts (r11 — the per-occurrence term depends only on
+    that key, so per-source sums are sum(count * term)), independent
+    of the source count.
 
     Determinism: the per-bigram ``ln p`` quantizes to INTEGER
     ten-thousandths via the portable floor-round (three IEEE ops,
@@ -341,14 +344,24 @@ def loo_source_cross_entropy(
             + F.col("__vloo") + F.lit(1)
         ).cast("double")
     )
+    # Probe the MODEL, not the corpus (r11 optimization): the per-
+    # occurrence term depends only on (__src, w1, w2), and cbs already
+    # holds the occurrence count per such key — so scoring is a join
+    # over the model-sized count table weighted by cbs, and the
+    # per-source sums are sum(cbs * term) / sum(cbs). Integer-exact
+    # identical to the old per-occurrence probe (same multiset of
+    # integer ten-thousandth terms, order-free addition), but the
+    # SECOND corpus tokenize+explode pass disappears: one scan total,
+    # still independent of the source count. Measured 4.9 s -> see
+    # OPTIMIZATION_r11.md.
     terms = (
-        big.join(F.broadcast(cbs), ["__src", "w1", "w2"], "left")
-        .join(F.broadcast(cbt), ["w1", "w2"], "left")
+        cbs.join(F.broadcast(cbt), ["w1", "w2"], "left")
         .join(F.broadcast(cus), ["__src", "w1"], "left")
         .join(F.broadcast(cut), "w1", "left")
         .join(F.broadcast(vloo), "__src")
         .select(
             "__src",
+            F.col("cbs").alias("__cnt"),
             F.floor(F.log(p) * F.lit(1e4) + F.lit(0.5))
             .cast("bigint")
             .alias("__tm"),
@@ -357,8 +370,8 @@ def loo_source_cross_entropy(
     out = (
         terms.groupBy("__src")
         .agg(
-            F.count("*").cast("bigint").alias("n_bigrams"),
-            F.sum("__tm").alias("__s"),
+            F.sum("__cnt").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("__cnt") * F.col("__tm")).alias("__s"),
         )
         .select(
             F.when(F.col("__src") == "\x00", F.lit(None))

@@ -14,16 +14,19 @@ ordinary Catalyst plans, in two phases:
               64x64 covariance assembles from those moments in a
               handful of identically-spelled double ops.
     iterate:  classic power iteration on the MODEL-sized covariance
-              table: matvec (64x64 join, dim-ordered fold), L2
-              normalize, ``iterations`` rounds, Rayleigh-quotient
-              eigenvalue, then Hotelling deflation
-              ``C' = C - lambda v v^T`` for the next component.
+              (matvec with dim-ordered folds, L2 normalize,
+              ``iterations`` rounds, Rayleigh-quotient eigenvalue,
+              Hotelling deflation ``C' = C - lambda v v^T``) — run on
+              the DRIVER over the collected <= dim^2-row table since
+              r11: the state is parameter-bounded, and the previous
+              all-Catalyst loop spent 6.7-7.6 s/query in pure
+              driver-job scheduling to move a 64-row table
+              (power_pca docstring has the equivalence argument).
 
 Scale shape (100 TB): the corpus is touched exactly once, exploded to
 (i, j, x_i*x_j) with map-side partial aggregation onto dim^2 keys —
 the standard distributed Gram computation; everything after operates
-on 64- and 4096-row model tables (localCheckpoint per round, the
-iterative-loop lineage rule — see llm/cluster.py, ops/graph.py).
+on the collected dim^2 model (the k-means-centroid collect pattern).
 
 Cross-engine determinism (how an iterative float algorithm stays
 hash-exact)
@@ -52,14 +55,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window
-
-# dim-ordered left fold of __t keyed by __k: the portable sum for
-# model-sized float tables (== DuckDB list_reduce over ORDER BY __k)
-_FOLD = (
-    "aggregate(transform(sort_array(collect_list(struct(__k, __t))), "
-    "s -> s.__t), cast(0.0 as double), (a, x) -> a + x)"
-)
 
 
 def _quantized_micro(df: DataFrame, vec_col: str) -> DataFrame:
@@ -124,26 +119,6 @@ def covariance_table(
     )
 
 
-def _matvec(cov: DataFrame, v: DataFrame) -> DataFrame:
-    """(__d, __w) = C v with the dim-ordered fold (column __k = j)."""
-    return (
-        cov.join(F.broadcast(v), cov["__j"] == v["__d"])
-        .select(
-            cov["__i"],
-            F.col("__j").alias("__k"),
-            (F.col("__c") * F.col("__val")).alias("__t"),
-        )
-        .groupBy("__i")
-        .agg(F.expr(_FOLD).alias("__w"))
-        .select(F.col("__i").alias("__d"), "__w")
-    )
-
-
-def _scalar_cross(df: DataFrame, scalar: DataFrame) -> DataFrame:
-    """Audited scalar-broadcast cross join (one-row right side)."""
-    return df.crossJoin(F.broadcast(scalar))
-
-
 def power_pca(
     df: DataFrame,
     dim: int = 64,
@@ -160,94 +135,101 @@ def power_pca(
     Components are sign-canonicalized (the largest-|coordinate| entry
     is made positive, ties to the lowest dim) and floor-rounded to 6
     decimals; ``explained_ratio`` is lambda over the covariance trace.
-    """
+
+    Execution split (r11 optimization): the corpus-sized work — the
+    exact-integer moment scan — stays a Catalyst plan; the iteration
+    state is a <= dim^2-row table BOUNDED BY CONSTRUCTION (dim is a
+    parameter, never data-sized), so it collects once and the
+    ``n_pc * iterations`` matvec/normalize rounds run as plain Python
+    floats on the driver. Python floats are IEEE doubles and every
+    fold below replays the engine spelling exactly (dim-ordered left
+    folds from 0.0, one division per value, ``math.sqrt`` / ``floor``
+    correctly rounded), so the trajectory — and the oracle hash — is
+    bit-identical to the previous all-Catalyst loop (verified by the
+    unchanged unrolled-CTE oracle at sf0.01 and sf0.1). What it buys:
+    the old loop paid ~22 driver-scheduled jobs (localCheckpoint +
+    count per round) per call to move a 64-row table — pure scheduling
+    latency, 6.7-7.6 s per query at sf0.1 — for work a driver does in
+    microseconds. Same pattern as collecting k-means centroids: model
+    to the driver, corpus stays distributed."""
+    from math import floor, sqrt
+
     spark = df.sparkSession
-    cov = covariance_table(df, vec_col).localCheckpoint(eager=False)
-    cov.count()
+    cov_df = covariance_table(df, vec_col)
+    rows = cov_df.collect()  # <= dim^2 rows, parameter-bounded
+    cov = {(r["__i"], r["__j"]): r["__c"] for r in rows}
 
-    trace = (
-        cov.filter(F.col("__i") == F.col("__j"))
-        .select(F.col("__i").alias("__k"), F.col("__c").alias("__t"))
-        .agg(F.expr(_FOLD).alias("__tr"))
-    )
+    # trace: dim-ordered fold of the diagonal (engine _FOLD spelling)
+    tr = 0.0
+    for i in sorted(i for (i, j) in cov if i == j):
+        tr = tr + cov[(i, i)]
 
-    outs: list[DataFrame] = []
+    row_keys = sorted({i for (i, _) in cov})
+    cols_of = {i: sorted(j for (i2, j) in cov if i2 == i) for i in row_keys}
+
+    def matvec(c, v):
+        # per-row dim-ordered left fold of c[i][j] * v[j] from 0.0
+        w = {}
+        for i in row_keys:
+            acc = 0.0
+            for j in cols_of[i]:
+                if j in v:
+                    acc = acc + c[(i, j)] * v[j]
+            w[i] = acc
+        return w
+
+    out_rows: list[tuple] = []
     for p in range(n_pc):
-        v = spark.range(dim).select(
-            F.col("id").cast("int").alias("__d"), F.lit(1.0).alias("__val")
-        )
+        v = {d: 1.0 for d in range(dim)}
         for _ in range(iterations):
-            w = _matvec(cov, v)
-            nrm = w.select(
-                F.col("__d").alias("__k"),
-                (F.col("__w") * F.col("__w")).alias("__t"),
-            ).agg(F.sqrt(F.expr(_FOLD)).alias("__nrm"))
-            v = _scalar_cross(w, nrm).select(
-                "__d", (F.col("__w") / F.col("__nrm")).alias("__val")
-            )
-            # 64-row model table; truncate the unrolled lineage (A/B
-            # measured: every-2nd checkpoint saves nothing — ~8.7 s
-            # either way at sf0.1 — and NO checkpoint explodes the
-            # deflation lineage exponentially and never finishes, so
-            # the simple per-round recipe stands)
-            v = v.localCheckpoint(eager=False)
-            v.count()
+            w = matvec(cov, v)
+            acc = 0.0
+            for d in sorted(w):
+                acc = acc + w[d] * w[d]
+            nrm = sqrt(acc)
+            v = {d: w[d] / nrm for d in sorted(w)}
 
-        cv = _matvec(cov, v)
-        lam = (
-            v.join(F.broadcast(cv), "__d")
-            .select(
-                F.col("__d").alias("__k"),
-                (F.col("__val") * F.col("__w")).alias("__t"),
-            )
-            .agg(F.expr(_FOLD).alias("__lam"))
-        )
+        cv = matvec(cov, v)
+        lam = 0.0
+        for d in sorted(v):
+            if d in cv:
+                lam = lam + v[d] * cv[d]
 
-        w_sign = Window.orderBy(F.abs(F.col("__val")).desc(), F.col("__d").asc())
-        sgn = (
-            v.withColumn("__rk", F.row_number().over(w_sign))
-            .filter(F.col("__rk") == 1)
-            .select(
-                F.when(F.col("__val") < 0, F.lit(-1.0))
-                .otherwise(F.lit(1.0))
-                .alias("__sg")
+        # sign canonicalization: largest |coordinate| positive, ties
+        # to the lowest dim (the engine's row_number window order)
+        bd = sorted(v, key=lambda d: (-abs(v[d]), d))[0]
+        sg = -1.0 if v[bd] < 0 else 1.0
+
+        for d in sorted(v):
+            out_rows.append(
+                (
+                    p,
+                    d,
+                    floor(v[d] * sg * 1e6 + 0.5) / 1e6,
+                    floor(lam * 1e6 + 0.5) / 1e6,
+                    floor(lam / tr * 1e6 + 0.5) / 1e6,
+                )
             )
-        )
-        out = _scalar_cross(_scalar_cross(_scalar_cross(v, lam), sgn), trace).select(
-            F.lit(p).cast("int").alias("pc"),
-            F.col("__d").cast("int").alias("dim"),
-            F.expr("floor(__val * __sg * 1e6 + 0.5) / 1e6").alias("component"),
-            F.expr("floor(__lam * 1e6 + 0.5) / 1e6").alias("eigenvalue"),
-            F.expr("floor(__lam / __tr * 1e6 + 0.5) / 1e6").alias(
-                "explained_ratio"
-            ),
-        )
-        outs.append(out)
 
         if p + 1 < n_pc:
-            # Hotelling deflation: C' = C - lambda v v^T (model-sized)
-            vi = v.select(F.col("__d").alias("__di"), F.col("__val").alias("__vi"))
-            vj = v.select(F.col("__d").alias("__dj"), F.col("__val").alias("__vj"))
-            cov = (
-                _scalar_cross(cov, lam)
-                .join(F.broadcast(vi), F.col("__i") == F.col("__di"))
-                .join(F.broadcast(vj), F.col("__j") == F.col("__dj"))
-                .select(
-                    "__i",
-                    "__j",
-                    (
-                        F.col("__c")
-                        - F.col("__lam") * F.col("__vi") * F.col("__vj")
-                    ).alias("__c"),
-                )
-                .localCheckpoint(eager=False)
-            )
-            cov.count()
+            # Hotelling deflation: C' = C - lambda v v^T (the engine's
+            # inner-join key semantics: keep cells whose i AND j are
+            # live dims of v; multiply order lam * vi * vj)
+            cov = {
+                (i, j): cov[(i, j)] - lam * v[i] * v[j]
+                for (i, j) in cov
+                if i in v and j in v
+            }
+            row_keys = sorted({i for (i, _) in cov})
+            cols_of = {
+                i: sorted(j for (i2, j) in cov if i2 == i) for i in row_keys
+            }
 
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionByName(o)
-    return res
+    return spark.createDataFrame(
+        out_rows,
+        "pc int, dim int, component double, eigenvalue double, "
+        "explained_ratio double",
+    )
 
 
 def pca_scores_by_label(

@@ -288,32 +288,68 @@ def repetition_metrics(
     top2_frac, ...). Docs shorter than n grams count a single
     empty-window gram (matching word_ngrams' greatest() clamp).
 
-    Scale shape: per n, explode grams -> two-level aggregate
-    ((doc, gram) counts, then per-doc max/sum/distinct) — the shuffles
-    carry (id, gram) pairs and then (id, 3 longs); text never moves
-    after the first projection. Metrics join back on id (tiny rows)."""
-    from pyspark.sql import DataFrame as _DF
+    Scale shape (r11, single-pass): tokenize ONCE (the normalized
+    token array materializes across a repartition exchange — the
+    no-CSE-inside-lambda rule), build every n's gram list from that
+    array in one projection, explode them TAGGED with n, and shuffle
+    ONE (id, n, gram) stream instead of one exchange pair per n (3
+    scans + 3 gram shuffles -> 1 scan + 1 gram shuffle; same total
+    gram bytes). The per-(doc, n) aggregates then pivot to columns by
+    conditional aggregation — identical per-n gram multisets, counts
+    and rounded metrics as the per-n loop (values hash-equal; oracle
+    unchanged). Text never moves after the first projection; metrics
+    join back on id (tiny rows)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    out = df.select(F.col(id_col), token_count(text_col).alias("n_tokens"))
+    toks = df.select(
+        F.col(id_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
+    ).repartition(par)
+    def _tagged_grams(n: int):
+        # single-arg lambda: a 2-param lambda would make F.transform
+        # pass the element INDEX as the second argument, shadowing n
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size("__w") - n, F.lit(0))),
+            lambda i: F.struct(
+                F.lit(n).alias("__n"),
+                F.concat_ws(" ", F.slice("__w", i + 1, n)).alias("__g"),
+            ),
+        )
 
-    out: _DF = df.select(F.col(id_col), token_count(text_col).alias("n_tokens"))
+    gram_arrays = [_tagged_grams(n) for n in ns]
+    grams = toks.select(
+        F.col(id_col), F.explode(F.concat(*gram_arrays)).alias("__t")
+    ).select(id_col, "__t.__n", "__t.__g")
+    counts = grams.groupBy(id_col, "__n", "__g").agg(F.count("*").alias("__c"))
+    per_doc = counts.groupBy(id_col, "__n").agg(
+        F.sum("__c").alias("__total"),
+        F.max("__c").alias("__top"),
+        F.count("*").alias("__distinct"),
+    )
+    aggs = []
     for n in ns:
-        grams = df.select(
-            F.col(id_col), F.explode(word_ngrams_all(F.col(text_col), n)).alias("__g")
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("__n") == n,
+                    F.round(F.col("__top") / F.col("__total"), 6),
+                )
+            ).alias(f"top{n}_frac")
         )
-        counts = grams.groupBy(id_col, "__g").agg(F.count("*").alias("__c"))
-        per_doc = counts.groupBy(id_col).agg(
-            F.sum("__c").alias("__total"),
-            F.max("__c").alias("__top"),
-            F.count("*").alias("__distinct"),
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("__n") == n,
+                    F.round(
+                        (F.col("__total") - F.col("__distinct"))
+                        / F.col("__total"),
+                        6,
+                    ),
+                )
+            ).alias(f"dup{n}_frac")
         )
-        metrics = per_doc.select(
-            F.col(id_col),
-            F.round(F.col("__top") / F.col("__total"), 6).alias(f"top{n}_frac"),
-            F.round(
-                (F.col("__total") - F.col("__distinct")) / F.col("__total"), 6
-            ).alias(f"dup{n}_frac"),
-        )
-        out = out.join(metrics, id_col, "left")
-    return out
+    metrics = per_doc.groupBy(id_col).agg(*aggs)
+    return out.join(metrics, id_col, "left")
 
 
 # ---------------------------------------------------------------------------

@@ -45,8 +45,62 @@ see the ``pagerank`` docstring for the full trade.
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+# ---------------------------------------------------------------------------
+# Bounded local-model iteration (r11 optimization)
+#
+# Every operator below defaults to the distributed loop — the billion-
+# edge plan. But several REGISTERED queries run these loops over
+# key-aggregated graphs whose size is bounded by a DIMENSION of the
+# data (nation x nation: <= 625 edges), where each synchronous round
+# costs 2-3 driver-scheduled shuffle jobs of pure latency (~0.5-0.7 s
+# per round at sf0.1 on local[32], constant in corpus size — measured
+# r11). For those callers the operators take ``local_model=True``: the
+# corpus-scale edge AGGREGATION stays a Catalyst plan, the aggregated
+# edge table collects once (guarded by ``local_edge_cap`` — the
+# collect is refused, loudly, above it), and the rounds run as plain
+# Python arithmetic on the driver. Python floats are IEEE doubles and
+# each local loop below replays the engine spelling exactly (same
+# contribution expressions, same src-ordered left folds from 0.0, and
+# ``_round9`` == Spark's BigDecimal-HALF_UP round — the r5 build-notes
+# replica rule), so results are bit-identical to the distributed mode;
+# the integer operators (label propagation, shortest paths, k-core)
+# need no float discipline at all. This is the measured-dispatch
+# pattern of llm/similarity.choose_topk: same results, physical
+# strategy chosen from what the caller knows about the data.
+# ---------------------------------------------------------------------------
+
+
+def _round9(x: float) -> float:
+    """Spark F.round(col, 9) on a double: BigDecimal.valueOf (shortest
+    decimal repr — Python ``repr``) + HALF_UP at scale 9."""
+    return float(
+        Decimal(repr(x)).quantize(Decimal("1E-9"), rounding=ROUND_HALF_UP)
+    )
+
+
+def _collect_edges(e: DataFrame, cap: int, op: str) -> list:
+    """Collect an aggregated edge table under a hard row cap. The
+    ``limit(cap + 1)`` probe bounds what the driver can ever pull; a
+    capped result is a loud refusal, never a silent truncation."""
+    rows = e.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise RuntimeError(
+            f"{op}(local_model=True): aggregated edge table exceeds "
+            f"local_edge_cap={cap} rows; use the distributed mode "
+            "(local_model=False) for unbounded graphs"
+        )
+    return rows
 
 
 def _edge_and_node_tables(
@@ -104,6 +158,8 @@ def pagerank(
     dst: str = "dst",
     weight: str = "w",
     deterministic: bool = False,
+    local_model: bool = False,
+    local_edge_cap: int = 1_000_000,
 ) -> DataFrame:
     """Weighted PageRank after ``iterations`` synchronous rounds:
     ``(node, pr)`` with uniform ``1/N`` initial ranks and
@@ -128,7 +184,48 @@ def pagerank(
       array materializes ALL in-edges of a node in one aggregation
       buffer: an executor OOM on hub nodes at scale. Opt in only for
       cross-engine replay at verification scale.
+
+    ``local_model=True`` (bounded graphs only — module docstring):
+    collect the aggregated edges and run the rounds on the driver,
+    replaying the deterministic fold bit-exactly; identical results,
+    none of the per-round job latency.
     """
+    if local_model:
+        agg = (
+            edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+            .groupBy(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .agg(F.sum(weight).alias("w"))
+        )
+        rows = _collect_edges(agg, local_edge_cap, "pagerank")
+        ew = {(r["src"], r["dst"]): r["w"] for r in rows}
+        nodes_l = sorted({u for u, _ in ew} | {v for _, v in ew})
+        outw = {}
+        for (u, _v), w in ew.items():
+            outw[u] = outw.get(u, 0) + w
+        inn: dict = {v: [] for v in nodes_l}
+        for (u, v) in ew:
+            inn[v].append(u)
+        for v in inn:
+            inn[v].sort()  # the src-ordered fold key
+        n = len(nodes_l)
+        teleport = (1.0 - damping) / n
+        pr = {v: 1.0 / n for v in nodes_l}
+        for _ in range(iterations):
+            new = {}
+            for v in nodes_l:
+                acc = 0.0
+                for u in inn[v]:
+                    acc = acc + pr[u] * ew[(u, v)] / outw[u]
+                new[v] = _round9(teleport + damping * acc)
+            pr = new
+        node_t = agg.schema["src"].dataType
+        schema = StructType(
+            [StructField("node", node_t), StructField("pr", DoubleType())]
+        )
+        return edges.sparkSession.createDataFrame(
+            [(v, pr[v]) for v in nodes_l], schema
+        )
+
     e, nodes = _edge_and_node_tables(edges, src, dst, weight)
     outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
     n = nodes.count()  # also materializes the persists above
@@ -170,6 +267,8 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     weight: str = "w",
+    local_model: bool = False,
+    local_edge_cap: int = 1_000_000,
 ) -> DataFrame:
     """Synchronous weighted label propagation (community detection):
     every node starts in its own community (label = node id); each
@@ -190,7 +289,43 @@ def label_propagation(
     per-node argmax, labels localCheckpoint per round (the
     iterative-loop lineage rule). Pass a symmetrized edge table for
     undirected semantics. NULL endpoints are dropped like pagerank's.
+
+    ``local_model=True`` (bounded graphs only — module docstring):
+    all-integer rounds on the collected aggregated edges — identical
+    labels (the argmax tie-breaks totally; no float anywhere).
     """
+    if local_model:
+        agg = (
+            edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+            .groupBy(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .agg(F.sum(weight).alias("w"))
+        )
+        rows = _collect_edges(agg, local_edge_cap, "label_propagation")
+        ew = {(r["src"], r["dst"]): r["w"] for r in rows}
+        nodes_l = sorted({u for u, _ in ew} | {v for _, v in ew})
+        labels = {v: v for v in nodes_l}
+        for _ in range(iterations):
+            wt: dict = {}
+            for (u, v), w in ew.items():
+                key = (v, labels[u])
+                wt[key] = wt.get(key, 0) + w
+            best: dict = {}
+            for (v, lb), w in wt.items():
+                cur = best.get(v)
+                # argmax by (weight desc, label asc) — total order
+                if cur is None or (-w, lb) < (-cur[0], cur[1]):
+                    best[v] = (w, lb)
+            labels = {
+                v: (best[v][1] if v in best else labels[v]) for v in nodes_l
+            }
+        node_t = agg.schema["src"].dataType
+        schema = StructType(
+            [StructField("node", node_t), StructField("label", node_t)]
+        )
+        return edges.sparkSession.createDataFrame(
+            [(v, labels[v]) for v in nodes_l], schema
+        )
+
     e, nodes = _edge_and_node_tables(edges, src, dst, weight)
     nodes.count()
     labels = nodes.withColumn("label", F.col("node"))
@@ -286,6 +421,8 @@ def shortest_paths(
     src: str = "src",
     dst: str = "dst",
     weight: str = "w",
+    local_model: bool = False,
+    local_edge_cap: int = 1_000_000,
 ) -> DataFrame:
     """Single-source (or multi-source) shortest path distances after
     ``iterations`` synchronous Bellman-Ford rounds: ``(node, dist)``
@@ -303,7 +440,42 @@ def shortest_paths(
     diameter rounds); each round localCheckpoints — the iterative-loop
     lineage rule. Parallel edges pre-aggregate to their MINIMUM weight
     (cheapest link is the only one shortest paths can use), NULL
-    endpoints drop as in :func:`pagerank`."""
+    endpoints drop as in :func:`pagerank`.
+
+    ``local_model=True`` (bounded graphs only — module docstring):
+    all-integer synchronous relaxations on the collected aggregated
+    edges — identical distances (no float anywhere)."""
+    if local_model:
+        agg = (
+            edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+            .groupBy(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .agg(F.min(weight).cast("bigint").alias("w"))
+        )
+        rows = _collect_edges(agg, local_edge_cap, "shortest_paths")
+        ew = {(r["src"], r["dst"]): r["w"] for r in rows}
+        nodes_l = sorted({u for u, _ in ew} | {v for _, v in ew})
+        src_rows = _collect_edges(
+            sources.select("node").distinct(), local_edge_cap,
+            "shortest_paths(sources)",
+        )
+        srcs_set = {r["node"] for r in src_rows}
+        dist: dict = {v: (0 if v in srcs_set else None) for v in nodes_l}
+        for _ in range(iterations):
+            new = dict(dist)
+            for (u, v), w in ew.items():
+                if dist[u] is not None:
+                    c = dist[u] + w
+                    if new[v] is None or c < new[v]:
+                        new[v] = c
+            dist = new
+        node_t = agg.schema["src"].dataType
+        schema = StructType(
+            [StructField("node", node_t), StructField("dist", LongType())]
+        )
+        return edges.sparkSession.createDataFrame(
+            [(v, dist[v]) for v in nodes_l], schema
+        )
+
     e = (
         edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
         .groupBy(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -348,6 +520,8 @@ def kcore(
     rounds: int,
     src: str = "src",
     dst: str = "dst",
+    local_model: bool = False,
+    local_edge_cap: int = 1_000_000,
 ) -> DataFrame:
     """Iterative k-core peeling over an undirected edge table:
     repeatedly drop nodes whose *current* degree is below ``k`` (and
@@ -375,7 +549,39 @@ def kcore(
     rounds, converged or not — all-integer decisions, zero float
     discipline. Each round ``localCheckpoint``s the edge table (the
     iterative-loop lineage rule; plain persist leaves compounding
-    Catalyst analysis cost)."""
+    Catalyst analysis cost).
+
+    ``local_model=True`` (bounded graphs only — module docstring):
+    all-integer peeling on the collected edge list (multiplicity
+    preserved — degree is a row count, exactly as the distributed
+    aggregate sees it); ``k`` still derives from the data via the
+    one-row ``k_table`` collect — identical cores."""
+    if local_model:
+        filt = edges.filter(
+            F.col(src).isNotNull() & F.col(dst).isNotNull()
+        ).select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        e_l = [
+            (r["src"], r["dst"])
+            for r in _collect_edges(filt, local_edge_cap, "kcore")
+        ]
+        k = k_table.collect()[0]["k"]
+        for _ in range(rounds):
+            deg: dict = {}
+            for u, _v in e_l:
+                deg[u] = deg.get(u, 0) + 1
+            alive = {u for u, d in deg.items() if d >= k}
+            e_l = [(u, v) for (u, v) in e_l if u in alive and v in alive]
+        core: dict = {}
+        for u, _v in e_l:
+            core[u] = core.get(u, 0) + 1
+        node_t = filt.schema["src"].dataType
+        schema = StructType(
+            [StructField("node", node_t), StructField("core_deg", LongType())]
+        )
+        return edges.sparkSession.createDataFrame(
+            sorted(core.items()), schema
+        )
+
     e = edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull()).select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     )
@@ -406,6 +612,8 @@ def hits(
     dst: str = "dst",
     weight: str = "w",
     deterministic: bool = False,
+    local_model: bool = False,
+    local_edge_cap: int = 1_000_000,
 ) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg, public) after
     ``iterations`` synchronous rounds: ``(node, hub, authority)``.
@@ -428,7 +636,62 @@ def hits(
     replay at verification scale. Each round re-ranks off a
     ``localCheckpoint`` so the unrolled plan never compounds
     (module docstring); nodes with no in-edges (out-edges) hold
-    authority (hub) 0."""
+    authority (hub) 0.
+
+    ``local_model=True`` (bounded graphs only — module docstring):
+    the deterministic neighbor-ordered folds replayed on the
+    collected aggregated edges — bit-identical scores, none of the
+    ~2 checkpoint jobs per round."""
+    if local_model:
+        agg = (
+            edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+            .groupBy(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .agg(F.sum(weight).alias("w"))
+        )
+        rows = _collect_edges(agg, local_edge_cap, "hits")
+        ew = {(r["src"], r["dst"]): r["w"] for r in rows}
+        nodes_l = sorted({u for u, _ in ew} | {v for _, v in ew})
+        inn: dict = {v: [] for v in nodes_l}
+        outn: dict = {u: [] for u in nodes_l}
+        for (u, v) in ew:
+            inn[v].append(u)
+            outn[u].append(v)
+        for v in nodes_l:
+            inn[v].sort()   # authority fold key: src order
+            outn[v].sort()  # hub fold key: dst order
+        h = {v: 1.0 for v in nodes_l}
+        a = {}
+        for _ in range(iterations):
+            s_a = {}
+            for v in nodes_l:
+                if inn[v]:
+                    acc = 0.0
+                    for u in inn[v]:
+                        acc = acc + h[u] * ew[(u, v)]
+                    s_a[v] = acc
+            m = max(s_a.values())
+            a = {v: _round9(s_a.get(v, 0.0) / m) for v in nodes_l}
+            s_h = {}
+            for u in nodes_l:
+                if outn[u]:
+                    acc = 0.0
+                    for v in outn[u]:
+                        acc = acc + a[v] * ew[(u, v)]
+                    s_h[u] = acc
+            m2 = max(s_h.values())
+            h = {u: _round9(s_h.get(u, 0.0) / m2) for u in nodes_l}
+        node_t = agg.schema["src"].dataType
+        schema = StructType(
+            [
+                StructField("node", node_t),
+                StructField("hub", DoubleType()),
+                StructField("authority", DoubleType()),
+            ]
+        )
+        return edges.sparkSession.createDataFrame(
+            [(v, h[v], a[v]) for v in nodes_l], schema
+        )
+
     e, nodes = _edge_and_node_tables(edges, src, dst, weight)
     nodes.count()
     hubs = nodes.withColumn("h", F.lit(1.0))

@@ -8785,7 +8785,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
         )
     )
-    labels = og.label_propagation(sym, iterations=5)
+    # local_model: nation-keyed aggregated graph, <= 625 edges by
+    # construction (ops/graph module docstring — bounded-model dispatch)
+    labels = og.label_propagation(sym, iterations=5, local_model=True)
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return labels.join(
         F.broadcast(nation), labels.node == nation.n_nationkey
@@ -8814,7 +8816,12 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # deterministic=True: oracle-replay fold (bit-stable per-node sums);
     # the scale-safe default mode is plain F.sum (ops/graph.pagerank).
-    ranks = og.pagerank(edges, iterations=5, damping=0.85, deterministic=True)
+    # local_model: nation-keyed aggregated graph, <= 625 edges by
+    # construction (ops/graph module docstring — bounded-model dispatch)
+    ranks = og.pagerank(
+        edges, iterations=5, damping=0.85, deterministic=True,
+        local_model=True,
+    )
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return ranks.join(
         F.broadcast(nation), ranks.node == nation.n_nationkey
@@ -8905,7 +8912,9 @@ def graph_hits_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("w"))
     )
-    scores = og.hits(edges, iterations=4, deterministic=True)
+    # local_model: nation-keyed aggregated graph, <= 625 edges by
+    # construction (ops/graph module docstring — bounded-model dispatch)
+    scores = og.hits(edges, iterations=4, deterministic=True, local_model=True)
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return scores.join(
         F.broadcast(nation), scores.node == nation.n_nationkey
@@ -10662,7 +10671,9 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     )
     sources = spark.createDataFrame([(0,)], "node bigint")  # NATION_0
-    dist = og.shortest_paths(sym, sources, iterations=6)
+    # local_model: nation-keyed aggregated graph, <= 625 edges by
+    # construction (ops/graph module docstring — bounded-model dispatch)
+    dist = og.shortest_paths(sym, sources, iterations=6, local_model=True)
     e.unpersist()
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return nation.join(
@@ -10774,7 +10785,9 @@ def graph_kcore_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ktab = sym.agg(
         F.count("*").alias("ne"), F.count_distinct("src").alias("nv")
     ).select(F.expr("CAST((ne + nv - 1) div nv + 1 AS BIGINT)").alias("k"))
-    core = og.kcore(sym, ktab, rounds=4)
+    # local_model: nation-keyed aggregated graph, <= 625 edges by
+    # construction (ops/graph module docstring — bounded-model dispatch)
+    core = og.kcore(sym, ktab, rounds=4, local_model=True)
     e0.unpersist()
     sym.unpersist()
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")

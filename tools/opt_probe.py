@@ -1,0 +1,79 @@
+"""Per-query optimization probe (r11, guide §1).
+
+Times individual registry queries in ISOLATION with the noop sink
+(guide §1.4: evaluates every column of every row, no sink cost, shows
+up in the SQL tab as a plain write) and captures
+``.explain("formatted")`` for the plan record the judge checks
+(plans/r11/<query>_{before,after}.txt).
+
+Usage:
+    python tools/opt_probe.py [--sf DIR] [--reps N] [--plan TAG] q1 q2 ...
+
+--plan before|after  writes plans/r11/<q>_<tag>.txt for each query.
+Timings print one line per query: min/median over reps, after one
+untimed warm-up run (codegen + scan caches), mirroring bench.py's
+steady-state methodology. Each query's per-call artifacts are cleared
+between queries (clearCache + System.gc), like bench.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import io
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nhs_data_pipeline_spark.queries import QUERIES  # noqa: E402
+from nhs_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="+")
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--plan", default=None, help="before|after: dump plans/r11/<q>_<tag>.txt")
+    args = ap.parse_args()
+
+    spark = get_spark("opt_probe")
+    plan_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11")
+    if args.plan:
+        os.makedirs(plan_dir, exist_ok=True)
+
+    for name in args.queries:
+        fn = QUERIES.get(name)
+        if fn is None:
+            print(f"{name}: NOT IN REGISTRY", flush=True)
+            continue
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+        if args.plan:
+            df = fn(spark, args.sf)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            with open(os.path.join(plan_dir, f"{name}_{args.plan}.txt"), "w") as fh:
+                fh.write(buf.getvalue())
+        times = []
+        spark.sparkContext.setJobDescription(f"probe:{name}")
+        for i in range(args.reps + 1):
+            t0 = time.perf_counter()
+            fn(spark, args.sf).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            if i > 0:  # rep 0 is the untimed warm-up
+                times.append(dt)
+        spark.sparkContext.setJobDescription(None)
+        print(
+            f"{name}: min={min(times):.3f}s median={statistics.median(times):.3f}s "
+            f"reps={args.reps}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
