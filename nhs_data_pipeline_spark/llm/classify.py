@@ -47,10 +47,17 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, FloatType
+from pyspark.sql.types import (
+    DoubleType,
+    FloatType,
+    IntegerType,
+    StructField,
+    StructType,
+)
 
 from nhs_data_pipeline_spark.llm.dedup import _MD5_H60
 from nhs_data_pipeline_spark.llm.text import explode_terms
+from nhs_data_pipeline_spark.ops.graph import _round9
 
 #: Knuth multiplicative constant — spreads consecutive bucket ids.
 _MIX = 2654435761
@@ -172,99 +179,94 @@ def logreg_fit(
 
     ``label_col`` must be an integer 0/1 column on ``df``.
 
-    Spark-first shape (100 TB design): the corpus is featurized ONCE
-    into the persisted ``(doc, bucket, x)`` table (caller-transparent;
-    unpersisted on return); each round is one broadcast join of the
-    model-sized weight table + a doc-keyed fold (z), then one
-    bucket-keyed integer aggregate (gradient) — two shuffles per
-    round, weights localCheckpoint per round (the iterative-loop
-    lineage rule). N comes from a one-row broadcast aggregate, never a
-    driver literal, so the oracle carries no magnitude-coupled
-    constants.
+    Spark-first shape (100 TB design, reshaped r11 — guide §2.1/§2.2):
+    the corpus is featurized ONCE and immediately packed into a
+    persisted per-doc table ``(doc_id, __fx sorted[(bucket, x)], __y)``
+    — <= buckets+1 array elements per doc, never corpus-sized arrays.
+    Each round is then ONE scan of that table: the z fold and the
+    millionths-quantized sigmoid evaluate per row with the current
+    weights injected as a single 65-element constant array expression
+    (one F.expr string — the per-element F.lit py4j trap), and the only
+    aggregate is the 65-key integer gradient (map-side partials, ~no
+    shuffle bytes). The previous shape paid per round: a broadcast
+    weight join, a corpus-wide (doc,bucket) fold SHUFFLE, a doc-keyed
+    label join, the gradient shuffle, and a weight-table checkpoint
+    (2 more driver jobs) — measured 10.5 s at sf0.1; all of it driver/
+    shuffle latency on work whose per-round state is a 65-row model.
+    The weight update runs on the driver (the k-means-centroid collect
+    pattern: model to the driver, corpus stays distributed).
 
-    Cross-engine determinism: weights round to 9 decimals per round
-    (identical doubles in), the per-doc z folds in bucket order
-    (bounded array — <= buckets+1 elements, never corpus-sized), the
-    sigmoid is quantized to integer MILLIONTHS immediately after its
-    one ``exp`` (the build-notes transcendental rule: libms differ in
-    the last ulp, so the flip probability at the 1e-6 quantization is
-    ~1e-10 per evaluation), and the gradient then sums INTEGER
-    numerators — order-free and exact, the classify.py trick."""
-    feats = hashed_features(df, buckets, text_col, id_col).persist()
+    Cross-engine determinism: UNCHANGED trajectory. The per-doc z fold
+    still adds weight*x in bucket order from 0.0 (array is sorted by
+    the unique-per-doc bucket; fold replays the oracle's
+    ``list_reduce(list_prepend(0.0, list(w*x ORDER BY bucket)))``),
+    weights re-enter each round as exact shortest-repr string casts
+    (``CAST('<repr>' AS DOUBLE)`` — bit-exact round-trip; a bare
+    decimal literal would parse as DECIMAL under ANSI, the F.expr
+    trap), the sigmoid is quantized to integer MILLIONTHS immediately
+    after its one ``exp`` (the transcendental rule), the gradient sums
+    INTEGER numerators (order-free, exact), and the driver-side update
+    ``_round9(w + lr * (g / (1e6 * N)))`` replays Spark's
+    BigDecimal-HALF_UP F.round(col, 9) exactly (the r5 replica rule —
+    never python round())."""
+    feats = hashed_features(df, buckets, text_col, id_col)
     labels = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(label_col).cast("long").alias("__y"),
     )
-    # one-row (N) aggregate, broadcast-crossed where needed
-    nn = feats.select("doc_id").distinct().agg(
-        F.count("*").alias("__n")
-    ).persist()
-    nn.count()  # also materializes feats
-
-    spine = df.sparkSession.range(-1, buckets).select(
-        F.col("id").cast("int").alias("bucket")
+    perdoc = (
+        feats.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("bucket", "x"))).alias("__fx"))
+        .join(labels, "doc_id")
+        .persist()
     )
-    w = spine.withColumn("weight", F.lit(0.0))
+    n = perdoc.count()  # == COUNT(DISTINCT doc_id) over feats
+    denom = float(1000000 * n)
+
+    w = [0.0] * (buckets + 1)  # index i <-> bucket i - 1 (bias first)
     for _ in range(iterations):
-        terms = feats.join(F.broadcast(w), "bucket").select(
-            "doc_id", "bucket", (F.col("weight") * F.col("x")).alias("__t")
+        wa = F.expr(
+            "array(" + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in w) + ")"
         )
-        z = (
-            terms.groupBy("doc_id")
-            .agg(
-                F.sort_array(
-                    F.collect_list(F.struct("bucket", "__t"))
-                ).alias("__st")
-            )
-            .withColumn(
-                "__z",
-                F.expr(
-                    "aggregate(transform(__st, __x -> __x.__t), "
-                    "cast(0.0 as double), (__a, __b) -> __a + __b)"
-                ),
-            )
-            .select("doc_id", "__z")
+        z = F.aggregate(
+            F.transform(
+                F.col("__fx"),
+                lambda s: F.element_at(
+                    wa, (s["bucket"] + F.lit(2)).cast("int")
+                )
+                * s["x"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
         )
-        err = z.join(labels, "doc_id").select(
-            "doc_id",
-            (
-                F.col("__y") * F.lit(1000000)
-                - F.round(
-                    F.lit(1.0)
-                    / (F.lit(1.0) + F.exp(-F.col("__z")))
-                    * F.lit(1000000.0),
-                    0,
-                ).cast("long")
-            ).alias("__e"),
+        e = (
+            F.col("__y") * F.lit(1000000)
+            - F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) * F.lit(1000000.0),
+                0,
+            ).cast("long")
         )
         grad = (
-            feats.join(err, "doc_id")
-            .groupBy("bucket")
-            .agg(F.sum(F.col("x") * F.col("__e")).alias("__g"))
+            perdoc.select(F.explode("__fx").alias("__s"), e.alias("__e"))
+            .groupBy(F.col("__s.bucket").alias("bucket"))
+            .agg(F.sum(F.col("__s.x") * F.col("__e")).alias("__g"))
+            .collect()
         )
-        w = (
-            w.join(grad, "bucket", "left")
-            .crossJoin(F.broadcast(nn))
-            .select(
-                "bucket",
-                F.round(
-                    F.col("weight")
-                    + F.lit(lr)
-                    * (
-                        F.coalesce("__g", F.lit(0).cast("long")).cast("double")
-                        / (F.lit(1000000).cast("long") * F.col("__n")).cast(
-                            "double"
-                        )
-                    ),
-                    9,
-                ).alias("weight"),
-            )
-            .localCheckpoint(eager=False)
-        )
-        w.count()
-    feats.unpersist()
-    nn.unpersist()
-    return w
+        g = {r["bucket"]: r["__g"] for r in grad}
+        w = [
+            _round9(w[i] + lr * (float(g.get(i - 1, 0)) / denom))
+            for i in range(buckets + 1)
+        ]
+    perdoc.unpersist()
+    schema = StructType(
+        [
+            StructField("bucket", IntegerType()),
+            StructField("weight", DoubleType()),
+        ]
+    )
+    return df.sparkSession.createDataFrame(
+        [(i - 1, w[i]) for i in range(buckets + 1)], schema
+    )
 
 
 def binary_auc(
