@@ -902,15 +902,33 @@ def ngram_contamination(
     corpus-side explode joins map-side with no shuffle of corpus grams;
     set ``broadcast_benchmark=False`` for a giant benchmark and the
     join degrades gracefully to a hash-partitioned equi-join on the
-    gram string."""
-    c_grams = corpus.select(
-        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("__g")
-    )
-    b_grams = (
-        benchmark.select(F.explode(word_ngrams(F.col(text_col), n)).alias("__g"))
-        .distinct()
-        .withColumn("__hit", F.lit(1))
-    )
+    gram string.
+
+    r11 (guide §1.5/§2 — the no-CSE-inside-lambda rule): the token
+    array materializes ACROSS a repartition exchange before the gram
+    lambda. Calling :func:`word_ngrams` on the raw text column left
+    ``split(normalize(text))`` as a free subexpression INSIDE the
+    per-gram transform lambda — interpreted per element, O(tokens^2)
+    regex work per document (measured 6.4 s -> see
+    OPTIMIZATION_r11.md). Same gram multiset, values unchanged."""
+
+    def _grams(d: DataFrame, with_id: bool):
+        par = d.sparkSession.sparkContext.defaultParallelism
+        toks = d.select(
+            F.col(id_col),
+            F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
+        ).repartition(par)
+        arr = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("__w") - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice("__w", i + 1, n)),
+            )
+        )
+        cols = [F.col(id_col)] if with_id else []
+        return toks.select(*cols, F.explode(arr).alias("__g"))
+
+    c_grams = _grams(corpus, True)
+    b_grams = _grams(benchmark, False).distinct().withColumn("__hit", F.lit(1))
     if broadcast_benchmark:
         b_grams = F.broadcast(b_grams)
     joined = c_grams.join(b_grams, "__g", "left")

@@ -4407,45 +4407,60 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: double-correlated existence — suppliers who
     were the ONLY late shipper in finished multi-supplier orders.
-    Expressed as one precomputed late-flag join (the o_orderdate
-    dependency), a compound-condition left-semi (other supplier
-    exists), and a left-anti (no OTHER late supplier); nation and
-    supplier dims broadcast."""
+
+    r11 reshape (guide §2.1 — remove shuffles outright): both
+    correlated subqueries are ORDER-LOCAL, so they collapse into one
+    (l_orderkey, l_suppkey) aggregate instead of two corpus-sized
+    semi/anti join passes over a persisted lineitem x orders table.
+    Per pair: ``c`` = late-and-finished row count (the COUNT(*)
+    multiplicity the oracle's l1 rows carry), ``any_late``.
+    Per order: ``ns`` = #suppliers, ``nls`` = #late suppliers.
+    A pair qualifies iff ``c > 0`` (the row itself is late & 'F'),
+    ``ns >= 2`` (EXISTS another supplier) and ``nls == 1`` (NOT EXISTS
+    another LATE supplier — the pair's own any_late is true whenever
+    c > 0, so nls == 1 pins it as the sole late shipper);
+    ``numwait = SUM(c)``. Value-identical to the semi/anti form (the
+    driver's oracle is unchanged and green); the lineitem x orders
+    stream is scanned ONCE, nothing corpus-sized persists, and the
+    only wide exchange is the pair aggregate (map-side partials)."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderstatus")
-    li_o = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+    pair = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+            ).alias("late"),
+            "o_orderstatus",
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("late") & (F.col("o_orderstatus") == "F"), 1
+                ).otherwise(0)
+            ).alias("__c"),
+            F.max(F.col("late")).alias("__any_late"),
+        )
+    )
+    w_ord = Window.partitionBy("l_orderkey")
+    qual = pair.select(
         "l_orderkey",
         "l_suppkey",
-        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")).alias("late"),
-        "o_orderstatus",
-    )
-    li_o = li_o.persist()  # feeds base + both correlated sides
-    li_o.count()  # eager: lazy persist lets the scans race (CLAUDE.md)
-    base = li_o.filter(F.col("late") & (F.col("o_orderstatus") == "F"))
-    others = li_o.select(
-        F.col("l_orderkey").alias("r_orderkey"),
-        F.col("l_suppkey").alias("r_suppkey"),
-        F.col("late").alias("r_late"),
-    )
-    with_other = base.join(
-        others,
-        (F.col("l_orderkey") == F.col("r_orderkey"))
-        & (F.col("l_suppkey") != F.col("r_suppkey")),
-        "left_semi",
-    )
-    sole_late = with_other.join(
-        others.filter(F.col("r_late")),
-        (F.col("l_orderkey") == F.col("r_orderkey"))
-        & (F.col("l_suppkey") != F.col("r_suppkey")),
-        "left_anti",
-    )
+        "__c",
+        F.count("*").over(w_ord).alias("__ns"),
+        F.sum(F.col("__any_late").cast("int")).over(w_ord).alias("__nls"),
+    ).filter((F.col("__c") > 0) & (F.col("__ns") >= 2) & (F.col("__nls") == 1))
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     return (
-        sole_late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        qual.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("__c").alias("numwait"))
     )
 
 
