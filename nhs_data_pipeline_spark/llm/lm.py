@@ -301,9 +301,16 @@ def loo_source_cross_entropy(
         F.count("*").alias("cbs")
     ).persist()
     cbs.count()
-    cbt = cbs.groupBy("w1", "w2").agg(F.sum("cbs").alias("cbt"))
-    cus = cbs.groupBy("__src", "w1").agg(F.sum("cbs").alias("cus"))
-    cut = cbs.groupBy("w1").agg(F.sum("cbs").alias("cut"))
+    # r11: the total/history count tables are WINDOW aggregates over
+    # cbs, not separate groupBy branches — the previous shape built
+    # three vocabulary-sized broadcast tables (a driver collect + a
+    # broadcast build each) just to join them back onto cbs itself.
+    # As windows they share cbs's single exchange (all three partition
+    # sets contain w1, so one hash(w1) repartition satisfies every
+    # clustering) and, because every cbs row belongs to its own
+    # window group, the old left-join coalesce(NULL, 0) paths were
+    # unreachable — counts are identical integers.
+    from pyspark.sql import Window as _W
     # vocabulary deltas: a token drops out of source s's LOO vocab iff
     # s is the only source containing it
     tok_src = (
@@ -355,9 +362,16 @@ def loo_source_cross_entropy(
     # still independent of the source count. Measured 4.9 s -> see
     # OPTIMIZATION_r11.md.
     terms = (
-        cbs.join(F.broadcast(cbt), ["w1", "w2"], "left")
-        .join(F.broadcast(cus), ["__src", "w1"], "left")
-        .join(F.broadcast(cut), "w1", "left")
+        cbs.repartition(F.col("w1"))
+        .select(
+            "__src",
+            "w1",
+            "w2",
+            "cbs",
+            F.sum("cbs").over(_W.partitionBy("w1", "w2")).alias("cbt"),
+            F.sum("cbs").over(_W.partitionBy("__src", "w1")).alias("cus"),
+            F.sum("cbs").over(_W.partitionBy("w1")).alias("cut"),
+        )
         .join(F.broadcast(vloo), "__src")
         .select(
             "__src",
