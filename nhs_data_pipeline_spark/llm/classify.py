@@ -51,6 +51,7 @@ from pyspark.sql.types import (
     DoubleType,
     FloatType,
     IntegerType,
+    LongType,
     StructField,
     StructType,
 )
@@ -700,70 +701,77 @@ def isotonic_calibrate(
     bit-identically in any engine (oracle: unrolled CTE rounds — the
     kmeans pattern).
 
-    Scale shape: the input is already model-sized (<= bins rows); every
-    round is three tiny aggregates/windows, localCheckpoint per round
-    (the iterative-loop lineage rule).  The corpus-scale work — the
-    scored aggregate feeding ``bins_df`` — happens before this op."""
-    D = "decimal(38,0)"
-    st = bins_df.select(
+    Execution (r11 — the bounded-model driver-iteration pattern of
+    llm/pca.power_pca and ops/graph): the input is <= bins rows BY
+    CONSTRUCTION (the caller's reliability aggregate keys on a
+    parameter-bounded bucket id), so the corpus-scale work is whatever
+    lazy aggregate feeds ``bins_df`` — collecting it runs that plan
+    once — and the PAV rounds are pure Python INTEGER arithmetic on
+    the driver (Python ints are exact like the previous DECIMAL(38,0)
+    cross-multiplies; the two output divisions replay the engine's
+    IEEE double spelling). Identical trajectory, none of the previous
+    ~2 driver-scheduled jobs per round."""
+    from math import floor
+
+    rows = bins_df.select(
         F.col(order_col).cast("bigint").alias("bin"),
         F.col(n_col).cast("bigint").alias("__n"),
         F.col(pos_col).cast("bigint").alias("__p"),
-        F.col(order_col).cast("bigint").alias("__seg"),
-    )
-    n_rounds = rounds
-    if n_rounds is None:
-        n_rounds = max(int(bins_df.count()) - 1, 0)
-    w = Window.orderBy("__seg")
-    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    ).collect()
+    st = [(r["bin"], r["__n"], r["__p"], r["bin"]) for r in rows]
+    n_rounds = rounds if rounds is not None else max(len(rows) - 1, 0)
 
-    def _seg_sums(state: DataFrame) -> DataFrame:
-        return state.groupBy("__seg").agg(
-            F.sum("__n").cast("bigint").alias("__sw"),
-            F.sum("__p").cast("bigint").alias("__sy"),
-        )
+    def _seg_sums(state):
+        sums: dict = {}
+        for _b, n, p, seg in state:
+            sw, sy = sums.get(seg, (0, 0))
+            sums[seg] = (sw + n, sy + p)
+        return sums
 
     for _ in range(n_rounds):
-        sg = _seg_sums(st)
-        bd = sg.select(
-            "__seg",
-            F.when(
-                F.lag(F.col("__sy").cast(D)).over(w)
-                * F.col("__sw").cast(D)
-                > F.col("__sy").cast(D)
-                * F.lag(F.col("__sw").cast(D)).over(w),
-                F.lit(0),
-            )
-            .otherwise(F.lit(1))
-            .alias("__ng"),
-        )
-        gp = bd.withColumn("__gid", F.sum("__ng").over(wcum))
-        ld = gp.groupBy("__gid").agg(F.min("__seg").alias("__leader"))
-        st = (
-            st.join(F.broadcast(gp.select("__seg", "__gid")), "__seg")
-            .join(F.broadcast(ld), "__gid")
-            .select(
-                "bin", "__n", "__p", F.col("__leader").alias("__seg")
-            )
-        )
-        st = st.localCheckpoint(eager=False)
-        st.count()
+        sums = _seg_sums(st)
+        segs = sorted(sums)
+        gid_of: dict = {}
+        gid = 0
+        prev = None
+        for s in segs:
+            sw, sy = sums[s]
+            # new-group flag: 0 iff the previous segment's pooled rate
+            # strictly exceeds this one's (cross-multiplied, exact)
+            gid += 0 if (prev is not None and prev[1] * sw > sy * prev[0]) else 1
+            gid_of[s] = gid
+            prev = (sw, sy)
+        leader: dict = {}
+        for s in segs:
+            g = gid_of[s]
+            if g not in leader or s < leader[g]:
+                leader[g] = s
+        st = [(b, n, p, leader[gid_of[seg]]) for (b, n, p, seg) in st]
 
     fin = _seg_sums(st)
-    return (
-        st.join(F.broadcast(fin), "__seg")
-        .select(
-            "bin",
-            F.col("__n").alias("n_bin"),
-            F.col("__p").alias("n_pos"),
+    out_rows = []
+    for b, n, p, seg in st:
+        sw, sy = fin[seg]
+        out_rows.append(
             (
-                F.col("__p").cast("double") / F.col("__n").cast("double")
-            ).alias("raw_rate"),
-            F.col("__sy").alias("iso_num"),
-            F.col("__sw").alias("iso_den"),
-            F.expr(
-                "floor(cast(__sy as double) / cast(__sw as double)"
-                " * 1e6 + 0.5) / 1e6"
-            ).alias("iso_rate"),
+                b,
+                n,
+                p,
+                float(p) / float(n),
+                sy,
+                sw,
+                floor(float(sy) / float(sw) * 1e6 + 0.5) / 1e6,
+            )
         )
+    schema = StructType(
+        [
+            StructField("bin", LongType()),
+            StructField("n_bin", LongType()),
+            StructField("n_pos", LongType()),
+            StructField("raw_rate", DoubleType()),
+            StructField("iso_num", LongType()),
+            StructField("iso_den", LongType()),
+            StructField("iso_rate", DoubleType()),
+        ]
     )
+    return bins_df.sparkSession.createDataFrame(out_rows, schema)
