@@ -103,20 +103,32 @@ def linear_quality_scores(
     """
     # repartition before the CPU-heavy per-token md5 stage: a small
     # parquet input gives 2-3 splits and idles the other cores (the
-    # measured build-notes rule tokenized_frame used to apply here)
+    # measured build-notes rule tokenized_frame used to apply here).
+    # r11 (guide §2.3/§2.4): hash by doc id so the (doc, token) count
+    # aggregate and the per-doc score aggregate both reuse this one
+    # exchange, and the md5 runs once per DISTINCT (doc, token) pair
+    # with count weights (sum(cnt*k) == the per-occurrence sum — exact
+    # integers, values unchanged).
     par = df.sparkSession.sparkContext.defaultParallelism
-    toks = explode_terms(df.repartition(par), text_col, id_col).select(
-        F.col(id_col).alias("doc_id"), F.col("term").alias("__tok")
+    toks = (
+        explode_terms(df.repartition(par, F.col(id_col)), text_col, id_col)
+        .select(F.col(id_col).alias("doc_id"), F.col("term").alias("__tok"))
+        .groupBy("doc_id", "__tok")
+        .agg(F.count("*").alias("__cnt"))
     )
     feats = toks.select(
         "doc_id",
+        "__cnt",
         bucket_weight_millionths(
             F.pmod(F.expr(_MD5_H60.format(x="__tok")), F.lit(buckets))
         ).alias("__k"),
     )
     scored = (
         feats.groupBy("doc_id")
-        .agg(F.count("*").alias("n_tokens"), F.sum("__k").alias("__s"))
+        .agg(
+            F.sum("__cnt").alias("n_tokens"),
+            F.sum(F.col("__cnt") * F.col("__k")).alias("__s"),
+        )
         .withColumn(
             "logit",
             F.col("__s") / (F.lit(float(_RES)) * F.col("n_tokens")) - F.lit(0.5),
@@ -146,14 +158,25 @@ def hashed_features(
     every document that has at least one token. The training-set
     definition for :func:`logreg_fit`: docs with zero tokens carry no
     evidence and are excluded."""
+    # r11 (guide §2.3/§2.4, the linear_quality_scores shape): doc-hash
+    # partition once — (doc, term) counts, the bucket projection, and
+    # the (doc, bucket) re-aggregate all run exchange-free — and md5
+    # evaluates once per distinct (doc, term), not per occurrence.
     par = df.sparkSession.sparkContext.defaultParallelism
-    toks = explode_terms(df.repartition(par), text_col, id_col).select(
-        F.col(id_col).alias("doc_id"),
-        F.pmod(F.expr(_MD5_H60.format(x="term")), F.lit(buckets)).alias(
-            "bucket"
-        ),
+    toks = (
+        explode_terms(df.repartition(par, F.col(id_col)), text_col, id_col)
+        .select(F.col(id_col).alias("doc_id"), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("__cnt"))
+        .select(
+            "doc_id",
+            F.pmod(F.expr(_MD5_H60.format(x="term")), F.lit(buckets)).alias(
+                "bucket"
+            ),
+            "__cnt",
+        )
     )
-    counts = toks.groupBy("doc_id", "bucket").agg(F.count("*").alias("x"))
+    counts = toks.groupBy("doc_id", "bucket").agg(F.sum("__cnt").alias("x"))
     bias = counts.select("doc_id").distinct().select(
         "doc_id", F.lit(-1).alias("bucket"), F.lit(1).cast("long").alias("x")
     )

@@ -238,12 +238,14 @@ def _minhash_sig(
        lambdas (transform/filter) are ALWAYS interpreted — the array
        form of this same pipeline ran 3.3x slower (19.7s -> 5.9s).
     3. distinct via (id, hash) partial-aggregate, then the 64-min
-       signature aggregate — map-side combines keep both shuffles at
-       ~|distinct shingles| and |docs| rows respectively."""
+       signature aggregate — r11 (guide §2.4): the repartition hashes
+       on the doc id, so BOTH aggregates run exchange-free on that one
+       established partitioning (their grouping keys contain the id);
+       previously each paid its own shuffle."""
     par = df.sparkSession.sparkContext.defaultParallelism
     norm = df.select(
         F.col(id_col), normalize_text(F.col(text_col)).alias("__norm")
-    ).repartition(par)
+    ).repartition(par, F.col(id_col))
     pos = norm.select(
         F.col(id_col),
         "__norm",
@@ -562,10 +564,17 @@ def simhash64(
     """64-bit SimHash per document: per bit, the sign of the (+1/-1)
     vote sum across token hashes.
 
-    Shape: explode tokens -> one hash aggregate with 64 conditional-sum
-    expressions (literal bit shifts keep codegen tight) -> assemble the
-    fingerprint. Map-side partial aggregation means the shuffle carries
-    64 longs per document, not the tokens. Returns ``(id_col, simhash)``.
+    Shape (r11, guide §2.3/§2.4): ONE exchange — hash-partition by doc
+    id up front, so the ``(doc, token)`` count aggregate AND the final
+    per-doc vote aggregate both run exchange-free on the established
+    partitioning (HashPartitioning(id) satisfies both clusterings).
+    The token hashes and the 64 conditional-sum vote expressions then
+    evaluate once per DISTINCT (doc, token) pair with count weights
+    (``sum(cnt * (2*bit - 1))`` == the per-occurrence ±1 sum, exact
+    integer arithmetic — fingerprints bit-identical), a measured 2.3x
+    occurrence-to-pair compression on the gate corpus that shrinks the
+    expensive md5 work by the same factor. Returns ``(id_col,
+    simhash)``.
 
     ``hash_fn="md5"`` draws the 64 bits from two portable md5-prefix
     hashes (bits 0-59 from ``h(tok)``, 60-63 from ``h(tok || '#2')``)
@@ -575,13 +584,18 @@ def simhash64(
     par = df.sparkSession.sparkContext.defaultParallelism
     toks = (
         df.select(F.col(id_col), F.col(text_col))
-        .repartition(par)  # decouple CPU parallelism from input splits
+        # hash by doc, not round-robin: same split decoupling, but the
+        # partitioning is REUSED by both aggregates below (zero further
+        # exchanges) and skips round-robin's sort-before-repartition
+        .repartition(par, F.col(id_col))
         .select(
             F.col(id_col),
             F.explode(
                 F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(token_pattern), 0)
             ).alias("__tok"),
         )
+        .groupBy(id_col, "__tok")
+        .agg(F.count("*").alias("__cnt"))
     )
     if hash_fn == "md5":
         toks = toks.withColumn("__h", F.expr(_MD5_H60.format(x="__tok"))).withColumn(
@@ -600,7 +614,9 @@ def simhash64(
 
     votes = toks.groupBy(id_col).agg(
         *[
-            F.sum(F.when(_bit(b) == 1, 1).otherwise(-1)).alias(f"__v{b}")
+            F.sum(
+                F.when(_bit(b) == 1, F.col("__cnt")).otherwise(-F.col("__cnt"))
+            ).alias(f"__v{b}")
             for b in range(64)
         ]
     )

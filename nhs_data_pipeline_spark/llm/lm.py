@@ -321,26 +321,21 @@ def loo_source_cross_entropy(
     tok_stats = tok_src.groupBy("tok").agg(
         F.count("*").alias("__ns"), F.min("__src").alias("__one")
     )
-    d_total = tok_stats.agg(
-        F.count("*").cast("bigint").alias("__dt")
-    )
-    only_s = (
-        tok_stats.filter(F.col("__ns") == 1)
-        .groupBy(F.col("__one").alias("__src"))
-        .agg(F.count("*").cast("bigint").alias("__only"))
-    )
-    srcs = cbs.select("__src").distinct()
-    vloo = (
-        srcs.join(only_s, "__src", "left")
-        .crossJoin(F.broadcast(d_total))
-        .select(
-            "__src",
-            (
-                F.col("__dt") - F.coalesce(F.col("__only"), F.lit(0))
-            ).alias("__vloo"),
-        )
-    )
+    # r11b (guide §5.4 stage-count discipline): ONE aggregate buckets
+    # tokens by "the source they are exclusive to" (NULL = shared by
+    # several sources); the vocabulary total is its sum and the
+    # per-source singleton counts are its non-NULL rows — replacing
+    # three separate model-sized stages (d_total aggregate, only_s
+    # aggregate, a srcs-distinct + vloo join) with one aggregate, one
+    # 2-6-row sum, and an inline subtraction at probe time. Integer
+    # counts identical; the oracle is untouched.
+    sing = tok_stats.groupBy(
+        F.when(F.col("__ns") == 1, F.col("__one")).alias("__src")
+    ).agg(F.count("*").cast("bigint").alias("__only"))
+    d_total = sing.agg(F.sum("__only").cast("bigint").alias("__dt"))
+    only_s = sing.filter(F.col("__src").isNotNull())
     z = F.lit(0)
+    vloo_val = F.col("__dt") - F.coalesce(F.col("__only"), F.lit(0))
     p = (
         (
             F.coalesce(F.col("cbt"), z) - F.coalesce(F.col("cbs"), z)
@@ -348,7 +343,7 @@ def loo_source_cross_entropy(
         )
         / (
             F.coalesce(F.col("cut"), z) - F.coalesce(F.col("cus"), z)
-            + F.col("__vloo") + F.lit(1)
+            + vloo_val + F.lit(1)
         ).cast("double")
     )
     # Probe the MODEL, not the corpus (r11 optimization): the per-
@@ -372,7 +367,8 @@ def loo_source_cross_entropy(
             F.sum("cbs").over(_W.partitionBy("__src", "w1")).alias("cus"),
             F.sum("cbs").over(_W.partitionBy("w1")).alias("cut"),
         )
-        .join(F.broadcast(vloo), "__src")
+        .join(F.broadcast(only_s), "__src", "left")
+        .crossJoin(F.broadcast(d_total))
         .select(
             "__src",
             F.col("cbs").alias("__cnt"),

@@ -301,10 +301,14 @@ def repetition_metrics(
     join back on id (tiny rows)."""
     par = df.sparkSession.sparkContext.defaultParallelism
     out = df.select(F.col(id_col), token_count(text_col).alias("n_tokens"))
+    # r11 (guide §2.4): hash by doc id, not round-robin — the three
+    # per-doc aggregates below ((id,n,gram) counts, (id,n) stats, the
+    # metric pivot) all reuse this single exchange instead of paying
+    # one each; same gram multisets, values unchanged.
     toks = df.select(
         F.col(id_col),
         F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
-    ).repartition(par)
+    ).repartition(par, F.col(id_col))
     def _tagged_grams(n: int):
         # single-arg lambda: a 2-param lambda would make F.transform
         # pass the element INDEX as the second argument, shadowing n
@@ -1033,10 +1037,20 @@ def tokenized_frame(
     explode/hash stages are CPU-heavy, and a small parquet input's 2-3
     splits would otherwise pin them to 2-3 cores (measured 2.8-3.7x
     at the 10x corpus on local[32] — the build notes' standing rule).
+
+    r11 (guide §2.4): the repartition hashes on ``doc_id`` instead of
+    round-robin — same split decoupling and core count, but every
+    downstream PER-DOC aggregate (the LM/DSIR scoring folds, the span
+    interval union, dsir's (doc, tgt, bucket) counts) now reuses this
+    one exchange instead of paying its own (HashPartitioning(doc_id)
+    satisfies any clustering that contains doc_id), and round-robin's
+    sort-before-repartition is skipped. Doc keys are hash-spread, so
+    balance matches round-robin at any corpus size; per-partition work
+    stays bounded by document length.
     """
     norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
     par = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(par).select(
+    return df.repartition(par, F.col(id_col)).select(
         F.col(id_col).alias("doc_id"),
         *[F.col(c) for c in carry],
         F.split(norm, " ").alias("__w"),
