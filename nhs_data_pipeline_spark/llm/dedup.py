@@ -1618,8 +1618,30 @@ def exact_jaccard_join(
     # crossover is candidate volume x doc length: low-candidate
     # strict-threshold runs favor co-occurrence, high-candidate runs
     # favor one array ship per pair.
-    sets = toks.groupBy("doc_id").agg(
-        F.collect_set("bg").alias("__S"), F.count("*").alias("__n")
+    #
+    # r11 (guide §2.3 narrower types): intersect dense INTEGER token
+    # ids, never the bigram strings. array_intersect over string
+    # arrays builds a per-ROW hash set of UTF8Strings (jstack during
+    # the slow stage: SQLOpenHashSet init/rehash +
+    # PhysicalDataType.apply + Murmur3 hashUnsafeBytes per element),
+    # and the expression recurs in the filter and the jaccard
+    # projection — measured 42.8-246.6 s for the verify alone on the
+    # r11-regenerated corpus (667,400 post-filter candidates).
+    # Mapping each bigram to its dense vocabulary ordinal first
+    # (row_number over the ALREADY-AGGREGATED freq table — the same
+    # table the prefix build broadcasts, so the single-partition
+    # vocabulary sort adds no new memory assumption) makes the
+    # intersect a primitive-int set probe: 5.3-13.8 s, identical pair
+    # set and jaccard values (hash-sum verified; the bg -> ordinal
+    # map is a bijection, so set sizes and intersections are
+    # preserved exactly).
+    vid = freq.withColumn(
+        "__vid", F.row_number().over(Window.orderBy("bg"))
+    ).select("bg", "__vid")
+    sets = (
+        toks.join(F.broadcast(vid), "bg")
+        .groupBy("doc_id")
+        .agg(F.collect_set("__vid").alias("__S"), F.count("*").alias("__n"))
     )
     sa = sets.select(
         F.col("doc_id").alias("id_a"),

@@ -853,6 +853,13 @@ def test_registry_no_unaudited_global_sort_windows(spark, sf_dir):
         # battery (5 event types; model-sized by the bh_fdr contract)
         # atop the audited per-group MW bucket cumulation
         "stats_fdr_by_type",
+        # r11: dense vocabulary-ordinal window over the AGGREGATED
+        # token-frequency table — the same table the prefix build
+        # already BROADCASTS, so the single-partition sort adds no new
+        # memory assumption beyond the plan's existing broadcast
+        # (llm/dedup.exact_jaccard_join prefix verify: int-id
+        # array_intersect, 8x over UTF8String sets)
+        "dedup_jaccard_prefix_join",
     }
     explain_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
     pat = re.compile(r"windowspecdefinition\(([^,)]*)")
