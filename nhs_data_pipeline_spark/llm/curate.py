@@ -50,12 +50,21 @@ def audit_panel(
             f"valid: {sorted(defaults)}"
         )
     th = {**defaults, **(thresholds or {})}
-    # The six signal subplans each rescan the input; persist it once
-    # (eagerly, per the build notes' rule) so e.g. a JSONL corpus is
-    # parsed once, not per signal. Left cached for the caller's
-    # materialization of the lazy panel; df.unpersist() releases it.
-    df = df.persist()
-    df.count()
+    # The six signal subplans each rescan the input; materialize it
+    # once so e.g. a JSONL corpus is parsed once, not per signal.
+    # localCheckpoint, NOT persist (r12): a leaked persist registers
+    # the input plan in the CacheManager, so the NEXT call's signal
+    # subplans get silently rewritten over InMemoryRelation — a
+    # different plan shape whose giant fused codegen units all
+    # recompile (measured: rep1 13.0 s, rep2 134.1 s of near-pure
+    # Janino; jstack showed 28/32 executor threads blocked on the
+    # codegen KeyLock). A checkpointed input pins every call to the
+    # same Scan ExistingRDD shape (identical generated code, compiled
+    # once per JVM) and the blocks release via the ContextCleaner when
+    # the panel's refs drop — no cross-call cache mutation at all.
+    # Measured (5 reps, calm host, 32c): min 14.6 s / median 16.6 s
+    # before, ~4.4-6 s steady after.
+    df = df.localCheckpoint(eager=True)
     prof = df.select(
         F.col(id_col).alias("doc_id"),
         tx.token_count(text_col).alias("n_tokens"),

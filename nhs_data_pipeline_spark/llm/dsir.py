@@ -109,10 +109,16 @@ def dsir_scores(
     # persisted — from which raw counts, target counts, and both
     # totals derive. Two hashing passes total (model + probe); the
     # leaked cache is model-sized, not corpus-sized.
+    # localCheckpoint, not persist (r12): the model table must not
+    # leak a CacheManager entry across calls — a later call's plan
+    # would silently rewrite over InMemoryRelation, a new plan shape
+    # whose codegen units all recompile (the curate.audit_panel
+    # compile-storm root cause; blocks release via ContextCleaner).
     bucket_tgt = (
-        per_db.groupBy("bucket", "__tgt").agg(F.sum("c").alias("bc")).persist()
+        per_db.groupBy("bucket", "__tgt")
+        .agg(F.sum("c").alias("bc"))
+        .localCheckpoint(eager=True)
     )
-    bucket_tgt.count()
     braw = bucket_tgt.groupBy("bucket").agg(F.sum("bc").alias("r"))
     btgt = (
         bucket_tgt.filter(F.col("__tgt"))
@@ -125,7 +131,9 @@ def dsir_scores(
     )
 
     lls = (
-        braw.join(btgt, "bucket", "left")
+        # explicit broadcast: btgt derives from the checkpointed model
+        # table and carries no stats (the r8 per-callsite rule)
+        braw.join(F.broadcast(btgt), "bucket", "left")
         .crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(ttot))
         .select(

@@ -89,8 +89,17 @@ def lm_cross_entropy(
     # (model + probe), and the leaked cache is model-sized, not
     # corpus-sized.
     ref_big = big.filter(F.col("__ref"))
-    cb = ref_big.groupBy("w1", "w2").agg(F.count("*").alias("cb")).persist()
-    cb.count()
+    # localCheckpoint, not persist (r12): a leaked persist of the
+    # model table rewrites the NEXT call's plans over InMemoryRelation
+    # and recompiles every downstream codegen unit (the
+    # curate.audit_panel compile-storm root cause); the checkpointed
+    # table keeps one stable plan shape and releases via the
+    # ContextCleaner.
+    cb = (
+        ref_big.groupBy("w1", "w2")
+        .agg(F.count("*").alias("cb"))
+        .localCheckpoint(eager=True)
+    )
     cu = cb.groupBy("w1").agg(F.sum("cb").alias("cu"))
     # Vocabulary: distinct tokens in the reference slice (+1 unseen
     # mass). Every token of every >=2-token doc appears as the w1 or
@@ -100,9 +109,11 @@ def lm_cross_entropy(
     )
     vsz = vocab.agg((F.count_distinct("tok") + 1).alias("__V"))
 
+    # explicit broadcast hints on the model-sized sides: cb/cu carry
+    # no stats after the checkpoint (the r8 per-callsite rule)
     terms = (
-        big.join(cb, ["w1", "w2"], "left")
-        .join(cu, "w1", "left")
+        big.join(F.broadcast(cb), ["w1", "w2"], "left")
+        .join(F.broadcast(cu), "w1", "left")
         .crossJoin(F.broadcast(vsz))
         .select(
             "doc_id",
@@ -181,8 +192,12 @@ def lm_cross_entropy_kn(
         df.withColumn("__ref", reference), text_col, id_col, carry=["__ref"]
     )
     ref_big = big.filter(F.col("__ref"))
-    cb = ref_big.groupBy("w1", "w2").agg(F.count("*").alias("cb")).persist()
-    cb.count()
+    # localCheckpoint, not persist: see lm_cross_entropy (r12).
+    cb = (
+        ref_big.groupBy("w1", "w2")
+        .agg(F.count("*").alias("cb"))
+        .localCheckpoint(eager=True)
+    )
     cu = cb.groupBy("w1").agg(
         F.sum("cb").alias("cu"), F.count("*").alias("n1f")
     )
