@@ -398,22 +398,28 @@ def minhash_lsh_pairs(
     # cluster; storage level spills to disk if not. The count() makes
     # the persist EAGER: a lazy persist lets the join's two scans race
     # and compute the shared lineage twice (measured ~2x end-to-end).
+    # localCheckpoint, not persist (r12): banded outlives the call, and
+    # a leaked persist rewrites the next call's plan over
+    # InMemoryRelation — a new shape whose fused signature codegen
+    # units (64 min() aggregates) recompile every rep (the audit-panel
+    # compile-storm lesson). Checkpoint keeps one stable shape and
+    # releases via the ContextCleaner.
     if max_candidates_per_doc is None:
-        banded = _banded(bands).persist()
+        banded = _banded(bands).localCheckpoint(eager=False)
         banded.count()
     else:
         # Guardrail loop: re-band the SAME persisted signatures with
         # progressively fewer/stricter bands until the measured blocked
-        # pair count is within budget (or one band remains).
+        # pair count is within budget (or one band remains). sig is
+        # released in-call, so its persist cannot leak.
         sig = sig.persist()
         n_docs = sig.count()
         while True:
-            banded = _banded(bands).persist()
+            banded = _banded(bands).localCheckpoint(eager=False)
             banded.count()
             est = estimate_candidate_pairs(banded)
             if est <= max_candidates_per_doc * n_docs or bands <= 1:
                 break
-            banded.unpersist()
             bands = max(1, bands // 2)
         if band_report is not None:
             band_report.update(
@@ -537,8 +543,10 @@ def jaccard_pairs(
             )
         ).alias("__g"),
     )
-    grams = grams.persist()  # both join sides read this lineage
-    grams.count()  # eager: see minhash_lsh_pairs persist note
+    # both join sides read this lineage; localCheckpoint, not persist
+    # (r12): grams outlives the call — the stable-plan-shape rule
+    grams = grams.localCheckpoint(eager=False)
+    grams.count()  # eager: see minhash_lsh_pairs materialization note
     ga = grams.select(F.col(id_col).alias("id_a"), F.col("__g").alias("__ga"))
     gb = grams.select(F.col(id_col).alias("id_b"), F.col("__g").alias("__gb"))
     joined = candidate_pairs.join(ga, "id_a").join(gb, "id_b")
@@ -642,8 +650,16 @@ def simhash_pairs(
     sh = simhash64(df, text_col, id_col, hash_fn=hash_fn).withColumnRenamed(
         "simhash", "__sh"
     )
-    sh = sh.persist()  # self-joined below; avoid recomputing the explode+agg
-    sh.count()  # eager: see minhash_lsh_pairs persist note
+    # self-joined below; avoid recomputing the explode+agg.
+    # localCheckpoint, not persist (r12): the fingerprint table
+    # outlives the call, and a leaked persist rewrites the NEXT call's
+    # plan over InMemoryRelation — a new shape whose 64-expression
+    # fused codegen units recompile every rep (the audit-panel
+    # compile-storm lesson; in-suite simhash_near_pairs read 8.0 s vs
+    # 1.7 s isolated). Checkpoint keeps one stable ExistingRDD shape
+    # and releases via the ContextCleaner.
+    sh = sh.localCheckpoint(eager=False)
+    sh.count()  # eager: see minhash_lsh_pairs materialization note
     chunks = sh.select(
         id_col,
         "__sh",
@@ -1032,9 +1048,11 @@ def semantic_dedup(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
     ).withColumn("__cell", cell_udf(F.col("__v")))
-    # eager persist: cells feed both sides of the self-join and the
-    # final anti-join; lazy persist would recompute the assignment
-    base = base.persist()
+    # eager materialization: cells feed both sides of the self-join and
+    # the final anti-join; a lazy frame would recompute the assignment.
+    # localCheckpoint, not persist (r12): base outlives the call — the
+    # stable-plan-shape rule (audit-panel compile-storm lesson).
+    base = base.localCheckpoint(eager=False)
     base.count()
     if report is not None or max_cell_pairs is not None:
         sizes = base.groupBy("__cell").count()
@@ -1046,7 +1064,6 @@ def semantic_dedup(
         if report is not None:
             report["cell_pairs"] = cell_pairs
         if max_cell_pairs is not None and cell_pairs > max_cell_pairs:
-            base.unpersist()
             raise ValueError(
                 f"semantic_dedup: predicted within-cell pair volume "
                 f"{cell_pairs} exceeds max_cell_pairs={max_cell_pairs}; "
@@ -1978,19 +1995,54 @@ def weighted_jaccard_join(
             report["mode"] = mode
 
     if mode == "countjoin":
-        a = toks.select(F.col("doc_id").alias("id_a"), "bg")
-        b = toks.select(F.col("doc_id").alias("id_b"), "bg")
+        # r12 (guide §2.3 narrower types; the §11 dense-ordinal lesson
+        # propagated): the co-occurrence self-join ran on STRING bigram
+        # keys and then probed the broadcast weight table once per
+        # co-occurrence ROW — at the regenerated corpus that is ~36.5M
+        # UTF8String hash probes plus string sort-merge compares, and
+        # it measured 11.4 s in-suite (exact_jaccard's identical-volume
+        # unweighted countjoin: 1.9 s). Map each bigram to its dense
+        # vocabulary ordinal ONCE (row_number over the aggregated freq
+        # table — vocabulary-sized, audited in tests/test_plans.py
+        # unpart_ok), attach the integer weight in the same probe, and
+        # materialize (doc, vid, w) via localCheckpoint: strings are
+        # touched exactly once, the self-join keys/compares are
+        # primitive ints, and the weight rides the build side instead
+        # of a per-row broadcast probe. Bijection bg <-> vid preserves
+        # every set and weight exactly — pair set and wjaccard values
+        # are bit-identical (oracle unchanged).
+        vid = freq.crossJoin(F.broadcast(nd)).select(
+            "bg",
+            F.row_number().over(Window.orderBy("bg")).alias("__vid"),
+            F.expr(f"__nd * {idf_scale} div __df").alias("__w"),
+        )
+        # persist, not checkpoint: itoks is released IN-CALL (below),
+        # so it cannot leak across calls, and the cached stats let the
+        # planner keep the stats-driven broadcast of the probe side of
+        # the self-join at gate scale while falling back to SMJ at
+        # cluster scale (an explicit hint here would FORCE a
+        # corpus-sized broadcast at 100 TB — the r11 ADVICE trap; a
+        # checkpoint's missing stats forced SMJ and measured 2x slower,
+        # 5.7 -> 11.7 s on the inter stage alone)
+        itoks = (
+            toks.join(F.broadcast(vid), "bg")
+            .select("doc_id", "__vid", "__w")
+            .persist()
+        )
+        itoks.count()
+        a = itoks.select(F.col("doc_id").alias("id_a"), "__vid", "__w")
+        b = itoks.select(F.col("doc_id").alias("id_b"), "__vid")
         inter = (
-            a.join(b, "bg")
+            a.join(b, "__vid")
             .filter(F.col("id_a") < F.col("id_b"))
-            .join(F.broadcast(w_bg), "bg")
             .groupBy("id_a", "id_b")
             .agg(F.sum("__w").alias("__iw"))
         )
-        sa = wsz.select(
+        wsz_i = itoks.groupBy("doc_id").agg(F.sum("__w").alias("__wt"))
+        sa = wsz_i.select(
             F.col("doc_id").alias("id_a"), F.col("__wt").alias("__wa")
         )
-        sb = wsz.select(
+        sb = wsz_i.select(
             F.col("doc_id").alias("id_b"), F.col("__wt").alias("__wb")
         )
         union_w = F.col("__wa") + F.col("__wb") - F.col("__iw")
@@ -2008,6 +2060,7 @@ def weighted_jaccard_join(
             .localCheckpoint(eager=False)
         )
         out.count()
+        itoks.unpersist()
         toks.unpersist()
         return out
 

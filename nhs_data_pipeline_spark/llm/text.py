@@ -461,11 +461,15 @@ def tfidf_topk(
     vocabulary is unbounded at corpus scale, so no broadcast); the
     final top-k is a per-doc window row_number that pushes into
     WindowGroupLimit."""
+    # localCheckpoint, not persist (r12): tf outlives the call — a
+    # leaked persist rewrites the next call's plan over
+    # InMemoryRelation and recompiles its codegen units (the
+    # audit-panel compile-storm lesson)
     tf = (
         explode_terms(df, text_col, id_col)
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     tf.count()  # eager: see docstring
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
@@ -521,9 +525,15 @@ def source_token_kl(
         F.col(group_col).alias("__g"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
     ).filter(F.col("term") != "")
-    cs = toks.groupBy("__g", "term").agg(F.count("*").alias("c_gt")).persist()
+    # localCheckpoint, not persist (r12): cs outlives the call — the
+    # stable-plan-shape rule (audit-panel compile-storm lesson)
+    cs = (
+        toks.groupBy("__g", "term")
+        .agg(F.count("*").alias("c_gt"))
+        .localCheckpoint(eager=False)
+    )
     # eager: the numer plan scans cs through four branches (ct, two ns
-    # broadcasts, the direct join) — a lazy persist lets them race and
+    # broadcasts, the direct join) — a lazy frame lets them race and
     # recompute the tokenize+aggregate lineage (the measured 2x trap)
     cs.count()
     ct = cs.groupBy("term").agg(F.sum("c_gt").alias("c_t"))
@@ -966,7 +976,9 @@ def remove_boilerplate_lines(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
     ).filter(F.col("__line") != "")
-    lines = lines.persist()
+    # localCheckpoint, not persist (r12): lines outlives the call — the
+    # stable-plan-shape rule (audit-panel compile-storm lesson)
+    lines = lines.localCheckpoint(eager=False)
     lines.count()  # eager: feeds both the df-count and the join-back
     linedf = lines.groupBy("__line").agg(
         F.count_distinct(id_col).alias("__line_docs")

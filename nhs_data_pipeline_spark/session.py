@@ -55,6 +55,20 @@ def get_spark(
         # equal-or-faster on the 20k x 64-dim cell-assignment UDF);
         # SCALE.md r11 has the A/B table.
         .config("spark.sql.execution.arrow.maxBytesPerBatch", "4m")
+        # Whole-stage-codegen class cache (r12, measured): the default
+        # 100-entry LRU cannot hold one multi-query session's generated
+        # classes (the 254-query gate compiles thousands of units), so
+        # the big fused stages — the audit panel's six-signal join, the
+        # 64-expression simhash/minhash aggregates — were being Janino-
+        # recompiled on nearly every run (jstack: 28/32 executor
+        # threads blocked on the codegen KeyLock; the audit panel
+        # measured 10-130 s/run compile-bound vs ~6 s steady).
+        # Sizing: entries are generated-source->class maps, a few tens
+        # of KB each; 4096 is a few hundred MB of metaspace ceiling on
+        # a driver/executor JVM that, on a real long-lived cluster,
+        # pays compile once per class per JVM lifetime — the cache just
+        # stops a wide query mix from thrashing that guarantee.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
@@ -135,4 +149,7 @@ def cluster_conf(
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # see the local-builder comment: stable blob-batch memory
         "spark.sql.execution.arrow.maxBytesPerBatch": "4m",
+        # see the local-builder comment: hold the full query mix's
+        # generated classes (compile once per JVM lifetime)
+        "spark.sql.codegen.cache.maxEntries": "4096",
     }

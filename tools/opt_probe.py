@@ -37,11 +37,16 @@ def main() -> None:
     ap.add_argument("queries", nargs="+")
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--plan", default=None, help="before|after: dump plans/r11/<q>_<tag>.txt")
+    ap.add_argument("--plan", default=None, help="before|after: dump plans/<round>/<q>_<tag>.txt")
+    ap.add_argument("--plan-only", action="store_true", help="capture plans, skip timing")
     args = ap.parse_args()
 
     spark = get_spark("opt_probe")
-    plan_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11")
+    plan_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r12"),
+    )
     if args.plan:
         os.makedirs(plan_dir, exist_ok=True)
 
@@ -59,6 +64,9 @@ def main() -> None:
                 df.explain("formatted")
             with open(os.path.join(plan_dir, f"{name}_{args.plan}.txt"), "w") as fh:
                 fh.write(buf.getvalue())
+            if args.plan_only:
+                print(f"{name}: plan written", flush=True)
+                continue
         times = []
         spark.sparkContext.setJobDescription(f"probe:{name}")
         for i in range(args.reps + 1):
