@@ -59,17 +59,46 @@ def _quantized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+# per-centroid (distance, cid) structs from the collapsed centroid
+# array: the same dim-ordered fold as _DIST, run once per centroid in
+# cid order. struct comparison is lexicographic, so array_min /
+# array_sort over these structs IS the argmin with the (dist, cid)
+# tie-break — identical selection to the old row_number window.
+_DVEC = (
+    "transform(__cs, __cc -> named_struct("
+    "'d', aggregate(zip_with(__x, __cc.__c, (a, b) -> (a - b) * (a - b)), "
+    "cast(0.0 as double), (acc, t) -> acc + t), "
+    "'cid', __cc.cid))"
+)
+
+
+def _cent_arr(cent: DataFrame) -> DataFrame:
+    """One row: the k centroids collapsed into a cid-sorted array of
+    (cid, __c) structs — the broadcastable literal-free form the
+    fold-based assign consumes."""
+    return cent.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "__c"))).alias("__cs")
+    )
+
+
 def _assign(vecs: DataFrame, cent: DataFrame) -> DataFrame:
-    """(id, __x, cid): nearest centroid per vector — broadcast join of
-    the k-row centroid table, dim-ordered fold distance, argmin with
-    the (dist, cid) tie-break."""
-    w = Window.partitionBy("id").orderBy(F.asc("__d"), F.asc("cid"))
+    """(id, __x, cid): nearest centroid per vector.
+
+    r12 (guide §2.2/§2.4): the old shape cross-joined the k-row
+    centroid table (k rows PER VECTOR) and ran a row_number window
+    partitioned by id — shuffling k*n rows, each carrying the 64-dim
+    vector, just to pick the argmin. The argmin needs no shuffle at
+    all: collapse the centroids into ONE broadcast row holding a
+    cid-sorted struct array, compute the per-centroid distances in a
+    single projection (same dim-ordered IEEE fold), and take
+    array_min over (d, cid) structs — lexicographic struct order ==
+    the old (dist asc, cid asc) tie-break, so the assignment is
+    bit-identical. Per Lloyd iteration this leaves exactly one
+    exchange (the (cid, dim) update aggregate)."""
+    best = F.array_min(F.expr(_DVEC))
     return (
-        vecs.join(F.broadcast(cent.select("cid", F.col("__c"))), how="cross")
-        .withColumn("__d", F.expr(_DIST))
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .select("id", "__x", "cid")
+        vecs.join(F.broadcast(_cent_arr(cent)), how="cross")
+        .select("id", "__x", best["cid"].alias("cid"))
     )
 
 
@@ -179,17 +208,24 @@ def silhouette_by_cluster(
     vecs = _quantized(df, id_col, vec_col)
     model = kmeans_fit(df, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col)
     cent = model.select("cid", F.col("centroid").alias("__c"))
-    w = Window.partitionBy("id").orderBy(F.asc("__d"), F.asc("cid"))
+    # r12: top-2 via array_sort over the per-centroid (d, cid) structs
+    # (the _assign fold shape) — the old k*n cross join + id-window +
+    # per-id aggregate shuffled the whole vector table twice to pick
+    # two rows per id. Lexicographic struct sort == (dist asc, cid
+    # asc), so element 1 is the old rk=1 row and element 2 the rk=2
+    # row, bit-identically; a k=1 fit leaves element_at(.., 2) NULL
+    # exactly like the old max(when(rk==2)) over no rows. One
+    # projection, zero exchanges before the final (cid) aggregate.
+    ds = F.array_sort(F.expr(_DVEC))
     two = (
-        vecs.join(F.broadcast(cent), how="cross")
-        .withColumn("__d", F.expr(_DIST))
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= 2)
-        .groupBy("id")
-        .agg(
-            F.max(F.when(F.col("__rk") == 1, F.col("cid"))).alias("cid"),
-            F.max(F.when(F.col("__rk") == 1, F.col("__d"))).alias("__a2"),
-            F.max(F.when(F.col("__rk") == 2, F.col("__d"))).alias("__b2"),
+        vecs.join(F.broadcast(_cent_arr(cent)), how="cross")
+        .select(
+            F.element_at(ds, 1)["cid"].alias("cid"),
+            F.element_at(ds, 1)["d"].alias("__a2"),
+            # try_: a k=1 fit has no second centroid — NULL, exactly
+            # like the old max(when(rk==2)) over no rows (ANSI
+            # element_at would throw)
+            F.try_element_at(ds, F.lit(2))["d"].alias("__b2"),
         )
     )
     per = two.select(
