@@ -4640,7 +4640,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,10)")
             ).alias("total_rev")
         )
-        .persist()
+        # localCheckpoint, not persist (r12): rev outlives the call —
+        # the stable-plan-shape rule
+        .localCheckpoint(eager=False)
     )
     rev.count()  # eager: the scalar-max branch must not recompute the agg
     mx = rev.agg(F.max("total_rev").alias("__mx"))
@@ -4793,7 +4795,8 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("l_partkey").alias("p_partkey"))
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(30,10)")).alias("value"))
-        .persist()
+        # localCheckpoint, not persist (r12): val outlives the call
+        .localCheckpoint(eager=False)
     )
     val.count()  # eager: the scalar-total branch must not recompute the agg
     total = val.agg((F.sum("value").cast("double") * 0.001).alias("__thresh"))
@@ -4898,7 +4901,8 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp = (
         li.groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("supp_qty"))
-        .persist()
+        # localCheckpoint, not persist (r12): sp outlives the call
+        .localCheckpoint(eager=False)
     )
     sp.count()  # eager: pt re-aggregates sp; lazy persist would double-compute
     pt = sp.groupBy("l_partkey").agg(F.sum("supp_qty").alias("part_qty"))
@@ -8009,7 +8013,9 @@ def eval_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = rtv.derived_term_queries(
         docs, n_queries=3, terms_per_query=2, skip_top=5
     )
-    qs = qs.persist()
+    # localCheckpoint, not persist (r12): qs outlives the call —
+    # the stable-plan-shape rule
+    qs = qs.localCheckpoint(eager=False)
     qs.count()
     tf = rtv.term_doc_counts(docs, "text", "doc_id")
     run = rtv.tf_topk(docs, qs, k=5, tf=tf)
@@ -8084,7 +8090,9 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the query table is 6 rows but its SUBPLAN is a corpus vocabulary
     # aggregate, and bm25_topk references it twice — eager model-sized
     # persist (the lm/dsir precedent) collapses the duplicate pass
-    qs = qs.persist()
+    # localCheckpoint, not persist (r12): qs outlives the call —
+    # the stable-plan-shape rule
+    qs = qs.localCheckpoint(eager=False)
     qs.count()
     return rtv.bm25_topk(docs, qs, k=5)
 
@@ -10482,7 +10490,9 @@ def text_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     the expensive part (the runs) shares one persisted query table."""
     docs = _t(spark, sf_dir, "documents")
     qs = rtv.derived_term_queries(docs, n_queries=3, terms_per_query=2, skip_top=5)
-    qs = qs.persist()
+    # localCheckpoint, not persist (r12): qs outlives the call —
+    # the stable-plan-shape rule
+    qs = qs.localCheckpoint(eager=False)
     qs.count()
     # the two runs deliberately RECOMPUTE the token stream rather than
     # persist the corpus-sized (term, doc, tf) aggregate — measured
@@ -13128,7 +13138,8 @@ def curate_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cei"),
             F.lit(1).alias("__one"),
         )
-        .persist()
+        # localCheckpoint, not persist (r12): ww outlives the call
+        .localCheckpoint(eager=False)
     )
     ww.count()
     qb = oan.group_weighted_quantiles(
@@ -14029,76 +14040,80 @@ def contamination_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Sentinel slots in DRIVER_WINDOW: multiply-attested names kept as
-# cross-engine regression canaries. The r11 rotation carries ZERO
-# sentinels — the judge's r10 ask #1 is to finish the attestation
-# drain, every window slot goes to a never-attested face, and
+# cross-engine regression canaries. The r12 rotation (10th) closes the
+# never-attested backlog — all 28 remaining never-attested names get
+# slots — and spends its 22 sentinel slots on the r11/r12
+# OPTIMIZATION-touched paths, so every semantic-preservation claim of
+# the two optimization rounds gets a driver attestation on the
+# restructured plans (r11 verdict ask #8).
 # tests/test_plans.py:test_rotation_self_proving enforces the
-# discipline mechanically (window − SENTINELS ⊆ never-attested).
-DRIVER_WINDOW_SENTINELS: list[str] = []
+# discipline mechanically (window − SENTINELS ⊆ never-attested,
+# SENTINELS ⊆ attested, strict drain).
+DRIVER_WINDOW_SENTINELS: list[str] = [
+    # r12-optimized paths (leaked-persist/codegen fix, int-ordinal
+    # weighted countjoin, fold-based kmeans argmin, checkpointed
+    # model tables):
+    "curate_audit_panel",
+    "dedup_weighted_jaccard_join",
+    "embed_kmeans_fit",
+    "simhash_near_pairs",
+    "simhash_fingerprints",
+    "minhash_lsh_pairs",
+    "dedup_jaccard_pairs",
+    "text_tfidf_keywords",
+    "text_bm25_topk",
+    "text_boilerplate_removal",
+    "mixture_source_kl",
+    "text_lm_perplexity",
+    "sample_dsir_scores",
+    "q15_top_supplier",
+    "q11_important_part_value",
+    "q20_excess_shippers",
+    # r11-optimized paths never attested ON THE OPTIMIZED PLANS:
+    "embed_pca_power",
+    "embed_pca_scores",
+    "classifier_logreg_fit",
+    "graph_pagerank_nations",
+    "eval_isotonic_calibration",
+    "q21_waiting_supplier",
+]
 
 DRIVER_WINDOW = [
-    # r11 rotation (9th): ALL 50 slots are never-driver-attested faces
-    # (r10 verdict ask #1: ">=40", nearly finishing the drain). After
-    # r11 attests, 26 oracled never-attested names remain — they are
-    # r12's window, which closes the backlog. The 3 rows-only
-    # Datasketches entries were retired from the registry this round
-    # (verdict ask #5), so every remaining entry carries a SQL oracle.
-    #
-    # The r10 verdict's named picks first (42):
-    "events_nelson_aalen",
-    "events_msprt_monitor",
-    "events_did_estimate",
-    "entity_snj_multipass",
-    "mixture_source_kl",
-    "mixture_zipf_slopes",
-    "mixture_ngram_diversity",
-    "mixture_gini_concentration",
-    "mixture_loo_perplexity",
-    "mixture_budget_waterfill",
-    "text_top_terms",
-    "text_tfidf_keywords",
-    "text_rrf_fusion",
-    "text_inverted_index",
-    "text_repetition",
-    "text_pii_redact",
-    "text_boilerplate_removal",
-    "text_ngram_novelty",
-    "text_lm_kneser_ney",
-    "text_oov_rate",
-    "sketch_bitmap_distinct",
-    "sketch_count_min_terms",
-    "sketch_hll_rolling_users",
-    "sketch_hll_set_algebra",
-    "sketch_cm_join_cardinality",
-    "events_funnel",
-    "events_retention",
-    "events_peak_concurrency",
-    "events_time_weighted_avg",
-    "events_attribution_last_touch",
-    "events_path_trigrams",
-    "events_cuped_lift",
-    "privacy_k_anonymity",
-    "privacy_l_diversity",
-    "stats_bootstrap_ci",
-    "stats_hill_tail_index",
-    "stats_mutual_information",
-    "stats_effect_sizes",
-    "entity_sorted_neighborhood",
-    "snapshot_diff_customers",
-    "scd2_priority_history",
-    "table_fingerprint_by_source",
-    # ... and 8 more from the never-attested backlog (oldest
-    # registrations first — the dedup composite family and the
-    # remaining text/eval faces):
-    "dedup_components",
-    "dedup_incremental",
-    "dedup_canonical_docs",
-    "embed_label_centroids",
-    "text_pmi_collocations",
-    "diagnose_feature_collisions",
-    "text_chunk_windows",
-    "sample_kfold_counts",
-    # (r06-r10 rotation history lives in git; see the r10 tag of this
+    # r12 rotation (10th): the ENTIRE never-attested backlog (28
+    # names — after this round attests, every registered query has a
+    # driver attestation) ...
+    "sample_token_budget_bpe",
+    "pack_bpe_sequences",
+    "pack_sequences",
+    "ts_cusum_changepoint",
+    "events_funnel_latency",
+    "embed_quantize_int8",
+    "ts_gap_fill_interpolate",
+    "sample_token_budget_mix",
+    "sample_per_source_cap",
+    "skew_salted_join",
+    "media_chunk_segments",
+    "sample_dsir_ess",
+    "quality_linear_classifier",
+    "eval_kmeans_silhouette",
+    "ts_ewma_daily",
+    "diagnose_join_skew_orders",
+    "events_seasonal_deviation",
+    "report_dataset_card",
+    "eval_lang_confusion",
+    "feature_target_encode",
+    "embed_random_projection",
+    "eval_dedup_pair_overlap",
+    "quality_benford_digits",
+    "stats_psi_by_segment",
+    "stats_rate_wilson_ci",
+    "dq_functional_dependency",
+    "dedup_span_trim",
+    "contamination_span_trim",
+    # ... plus the 22 optimization sentinels (see
+    # DRIVER_WINDOW_SENTINELS above for the rationale):
+    *DRIVER_WINDOW_SENTINELS,
+    # (r06-r11 rotation history lives in git; see the r11 tag of this
     # file for the per-rotation swap rationale.)
 ]
 

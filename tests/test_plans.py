@@ -268,34 +268,35 @@ def test_driver_window_contract():
     missing_oracles = [n for n in DRIVER_WINDOW if n not in ORACLES]
     assert not missing_oracles, missing_oracles
     for flagship in [
-        # r11 rotation (9th): ALL 50 slots never-driver-attested (r10
-        # verdict ask #1 — finish the drain; zero sentinels, enforced
-        # by test_rotation_self_proving below). The verdict's 42 named
-        # picks + 8 oldest never-seen registrations.
-        "events_nelson_aalen", "events_msprt_monitor",
-        "events_did_estimate", "entity_snj_multipass",
-        "mixture_source_kl", "mixture_zipf_slopes",
-        "mixture_ngram_diversity", "mixture_gini_concentration",
-        "mixture_loo_perplexity", "mixture_budget_waterfill",
-        "text_top_terms", "text_tfidf_keywords", "text_rrf_fusion",
-        "text_inverted_index", "text_repetition", "text_pii_redact",
-        "text_boilerplate_removal", "text_ngram_novelty",
-        "text_lm_kneser_ney", "text_oov_rate",
-        "sketch_bitmap_distinct", "sketch_count_min_terms",
-        "sketch_hll_rolling_users", "sketch_hll_set_algebra",
-        "sketch_cm_join_cardinality", "events_funnel",
-        "events_retention", "events_peak_concurrency",
-        "events_time_weighted_avg", "events_attribution_last_touch",
-        "events_path_trigrams", "events_cuped_lift",
-        "privacy_k_anonymity", "privacy_l_diversity",
-        "stats_bootstrap_ci", "stats_hill_tail_index",
-        "stats_mutual_information", "stats_effect_sizes",
-        "entity_sorted_neighborhood", "snapshot_diff_customers",
-        "scd2_priority_history", "table_fingerprint_by_source",
-        "dedup_components", "dedup_incremental",
-        "dedup_canonical_docs", "embed_label_centroids",
-        "text_pmi_collocations", "diagnose_feature_collisions",
-        "text_chunk_windows", "sample_kfold_counts",
+        # r12 rotation (10th): the entire never-attested backlog (28
+        # names — closes the drain) + 22 optimization sentinels
+        # (r11/r12-optimized paths re-attested on the restructured
+        # plans; enforced by test_rotation_self_proving below).
+        "sample_token_budget_bpe", "pack_bpe_sequences",
+        "pack_sequences", "ts_cusum_changepoint",
+        "events_funnel_latency", "embed_quantize_int8",
+        "ts_gap_fill_interpolate", "sample_token_budget_mix",
+        "sample_per_source_cap", "skew_salted_join",
+        "media_chunk_segments", "sample_dsir_ess",
+        "quality_linear_classifier", "eval_kmeans_silhouette",
+        "ts_ewma_daily", "diagnose_join_skew_orders",
+        "events_seasonal_deviation", "report_dataset_card",
+        "eval_lang_confusion", "feature_target_encode",
+        "embed_random_projection", "eval_dedup_pair_overlap",
+        "quality_benford_digits", "stats_psi_by_segment",
+        "stats_rate_wilson_ci", "dq_functional_dependency",
+        "dedup_span_trim", "contamination_span_trim",
+        "curate_audit_panel", "dedup_weighted_jaccard_join",
+        "embed_kmeans_fit", "simhash_near_pairs",
+        "simhash_fingerprints", "minhash_lsh_pairs",
+        "dedup_jaccard_pairs", "text_tfidf_keywords",
+        "text_bm25_topk", "text_boilerplate_removal",
+        "mixture_source_kl", "text_lm_perplexity",
+        "sample_dsir_scores", "q15_top_supplier",
+        "q11_important_part_value", "q20_excess_shippers",
+        "embed_pca_power", "embed_pca_scores",
+        "classifier_logreg_fit", "graph_pagerank_nations",
+        "eval_isotonic_calibration", "q21_waiting_supplier",
     ]:
         assert flagship in DRIVER_WINDOW, flagship
 
@@ -667,10 +668,11 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # same BM25 subplan)
         "text_bm25_topk", "text_rrf_fusion",
         # audited: the Lloyd assign step crosses every vector with the
-        # broadcast k-row centroid table (llm/cluster._assign) — a
-        # keyless broadcast fan-out is the correct assign plan (the
-        # silhouette eval re-runs the same fit plus one more top-2
-        # distance cross against the same broadcast model)
+        # broadcast ONE-ROW collapsed centroid array (llm/cluster.
+        # _assign, r12 fold-based argmin — no k*n fan-out, no id
+        # window) — the scalar-broadcast shape (the silhouette eval
+        # re-runs the same fit plus one more top-2 distance cross
+        # against the same one-row model)
         "embed_kmeans_fit", "eval_kmeans_silhouette",
         # audited: each BPE round crosses the broadcast one-row winning
         # pair into the vocabulary for the in-plan merge (llm/bpe) —
@@ -860,6 +862,15 @@ def test_registry_no_unaudited_global_sort_windows(spark, sf_dir):
         # (llm/dedup.exact_jaccard_join prefix verify: int-id
         # array_intersect, 8x over UTF8String sets)
         "dedup_jaccard_prefix_join",
+        # r12: the same dense vocabulary-ordinal window in the WEIGHTED
+        # countjoin (llm/dedup.weighted_jaccard_join mode='countjoin'):
+        # row_number over the aggregated freq table, which the weight
+        # probe already broadcast — no new memory assumption. Entry is
+        # PREEMPTIVE: the registered plan is localCheckpoint-truncated,
+        # so this documents the pre-checkpoint lineage (the r11 ADVICE
+        # convention); the isolated verify plan is committed under
+        # plans/r12/.
+        "dedup_weighted_jaccard_join",
     }
     explain_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
     pat = re.compile(r"windowspecdefinition\(([^,)]*)")
