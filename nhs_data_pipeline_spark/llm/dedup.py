@@ -543,15 +543,43 @@ def jaccard_pairs(
             )
         ).alias("__g"),
     )
-    # both join sides read this lineage; localCheckpoint, not persist
-    # (r12): grams outlives the call — the stable-plan-shape rule
-    grams = grams.localCheckpoint(eager=False)
-    grams.count()  # eager: see minhash_lsh_pairs materialization note
-    ga = grams.select(F.col(id_col).alias("id_a"), F.col("__g").alias("__ga"))
-    gb = grams.select(F.col(id_col).alias("id_b"), F.col("__g").alias("__gb"))
+    # r12 (guide §2.3 narrower types — the r11 §11 lesson propagated to
+    # the LSH/blocked-candidate verify, the last string-array intersect
+    # in the family): array_intersect over STRING arrays builds a
+    # per-ROW hash set of UTF8Strings (SQLOpenHashSet init/rehash +
+    # Murmur3 over the bytes, once per candidate pair) — 33 s isolated
+    # at the 620k-candidate source-blocked volume. Map each n-gram to
+    # its dense vocabulary ordinal (row_number over the aggregated
+    # gram-frequency table; the vocab join is left UNHINTED so the
+    # planner/AQE picks broadcast at gate scale and a shuffle join at
+    # corpus scale — never a forced vocabulary broadcast), intersect
+    # primitive ints, and derive the union from the set sizes
+    # (|A∪B| = |A| + |B| − |A∩B| — array_union was a second per-row
+    # hash set for a number the sizes already determine). The
+    # gram↔ordinal map is a bijection, so intersection counts, sizes,
+    # and the single IEEE division are bit-identical.
+    gr = grams.select(F.col(id_col), F.explode("__g").alias("__gram"))
+    vid = (
+        gr.groupBy("__gram")
+        .agg(F.count("*").alias("__df"))
+        .select(
+            "__gram", F.row_number().over(Window.orderBy("__gram")).alias("__vid")
+        )
+    )
+    sets = (
+        gr.join(vid, "__gram")
+        .groupBy(id_col)
+        .agg(F.collect_set("__vid").alias("__S"))
+    )
+    # both join sides read this lineage; localCheckpoint, not persist:
+    # sets outlives the call — the stable-plan-shape rule
+    sets = sets.localCheckpoint(eager=False)
+    sets.count()  # eager: see minhash_lsh_pairs materialization note
+    ga = sets.select(F.col(id_col).alias("id_a"), F.col("__S").alias("__Sa"))
+    gb = sets.select(F.col(id_col).alias("id_b"), F.col("__S").alias("__Sb"))
     joined = candidate_pairs.join(ga, "id_a").join(gb, "id_b")
-    inter = F.size(F.array_intersect("__ga", "__gb"))
-    union = F.size(F.array_union("__ga", "__gb"))
+    inter = F.size(F.array_intersect("__Sa", "__Sb"))
+    union = F.size("__Sa") + F.size("__Sb") - inter
     return (
         joined.withColumn(
             "jaccard",

@@ -38,6 +38,7 @@ def events_df(spark):
     return spark.createDataFrame(rows, "event_id long, user_id string, ts timestamp, event_type string")
 
 
+@pytest.mark.slow
 def test_funnel_ordered_semantics(events_df):
     out = {
         r["step"]: r["users"]
@@ -1659,6 +1660,7 @@ def test_two_proportion_ztest_textbook(spark):
     assert d.rate_a == 1.0 and d.z_pooled is None
 
 
+@pytest.mark.slow
 def test_survival_ops_drop_null_start_ts(spark):
     """Regression (r8 ADVICE): a subject whose only signup ts is NULL
     gets a NULL __t0/__dur; Spark windows sort NULLS FIRST while

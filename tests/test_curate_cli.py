@@ -4,8 +4,10 @@ import glob
 import json
 
 from nhs_data_pipeline_spark.cli import main
+import pytest
 
 
+@pytest.mark.slow
 def test_curate_cli_end_to_end(spark, tmp_path):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     src = str(tmp_path / "corpus.parquet")

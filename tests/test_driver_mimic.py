@@ -43,6 +43,7 @@ def duck(sf_dir):
     con.close()
 
 
+@pytest.mark.slow
 def test_every_query_survives_driver_canonicalization(spark, sf_dir, duck):
     """Every registered query's Spark output AND its DuckDB oracle
     output must pass the driver-mimic canonicalizer without raising,

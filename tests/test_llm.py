@@ -280,6 +280,7 @@ def _union_find_components(edges, nodes):
     return {n: find(n) for n in nodes}
 
 
+@pytest.mark.slow
 def test_star_components_match_union_find_and_minlabel(spark):
     """Large-star/small-star equals union-find ground truth (and the
     min-label implementation) on a random graph + cliques + singletons."""
@@ -306,6 +307,7 @@ def test_star_components_match_union_find_and_minlabel(spark):
     assert minlabel == expected
 
 
+@pytest.mark.slow
 def test_star_components_chain_logarithmic_rounds(spark):
     """The adversarial case for min-label propagation: a 200-node path
     (diameter 199). The star algorithm must label it correctly in
@@ -2155,6 +2157,7 @@ def test_resize_pixel_decoders_match_feature_decoders():
         mm.resize_images(None, 4, 4, method="lanczos")
 
 
+@pytest.mark.slow
 def test_choose_topk_dispatcher_both_sides_of_crossover(spark):
     """choose_topk must pick the exact path under the pair budget and a
     bucketed path above it, matching the underlying implementations
@@ -2236,6 +2239,7 @@ def test_choose_topk_dispatcher_both_sides_of_crossover(spark):
         sim.choose_topk(q, df, k=5, nmu_bits=16)
 
 
+@pytest.mark.slow
 def test_ivf_topk_recall(spark):
     df, vecs = _emb(spark, n=200, dim=16, seed=5)
     exact = sim.brute_force_topk(df.filter(F.col("vec_id") < 10), df, k=5)
@@ -2293,6 +2297,7 @@ def test_extract_image_meta_real_headers(spark):
     assert got[4] == (None, None, None)
 
 
+@pytest.mark.slow
 def test_connected_components_matches_union_find(spark):
     import random
 

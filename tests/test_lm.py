@@ -186,6 +186,7 @@ def test_kneser_ney_matches_python_replica(spark):
     assert nh_b > nh_fr
 
 
+@pytest.mark.slow
 def test_loo_source_cross_entropy_replica_and_null_source(spark):
     """LOO-by-subtraction == a direct python per-source retrain
     replica (train on all other sources, add-1, integer 1e-4 term

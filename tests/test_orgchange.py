@@ -10,6 +10,7 @@ from nhs_data_pipeline_spark.orgchange import (
     successor_closure,
 )
 from nhs_data_pipeline_spark.orgchange.adjust import split_affected
+import pytest
 
 
 def _edges(spark, rows):
@@ -34,11 +35,13 @@ def test_closure_merge_then_split(spark):
     assert got == {("A", "X"), ("A", "Y"), ("B", "X"), ("B", "Y"), ("M", "X"), ("M", "Y")}
 
 
+@pytest.mark.slow
 def test_closure_cycle_terminates(spark):
     out = successor_closure(_edges(spark, [("A", "B"), ("B", "A")]), max_iter=5)
     assert out.count() > 0  # bounded, no hang
 
 
+@pytest.mark.slow
 def test_classify_changes(spark):
     e = _edges(spark, [("A", "M"), ("B", "M"), ("S", "X"), ("S", "Y"), ("N1", "N2")])
     got = {(r.old_code, r.new_code): r.change_type for r in classify_changes(e).collect()}
@@ -71,6 +74,7 @@ def _lookup(spark):
     )
 
 
+@pytest.mark.slow
 def test_adjust_merges_and_conserves_sums(spark):
     out = adjust_org_changes(
         _panel(spark), _lookup(spark), keys=["org_code", "period"],
@@ -98,6 +102,7 @@ def test_adjust_merges_and_conserves_sums(spark):
     assert rows[("NEW", 2001)].org_name == "New Trust"
 
 
+@pytest.mark.slow
 def test_adjust_idempotent(spark):
     """Adjusting an already-adjusted panel changes nothing (all old
     codes are gone after the first pass)."""
@@ -114,6 +119,7 @@ def test_adjust_idempotent(spark):
     assert a == b
 
 
+@pytest.mark.slow
 def test_split_affected_partitions(spark):
     aff, unaff = split_affected(_panel(spark), _lookup(spark))
     aff_codes = {r.org_code for r in aff.collect()}

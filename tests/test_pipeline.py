@@ -9,6 +9,7 @@ import csv
 from pyspark.sql import functions as F
 
 from nhs_data_pipeline_spark.pipelines import SeriesConfig, run_series
+import pytest
 
 
 def _write(path, rows):
@@ -47,6 +48,7 @@ def _era_b(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_supporting_facilities_slice(spark, tmp_path):
     lookup = spark.createDataFrame(
         [("OLD1", "NEW", 0, 0)],

@@ -9,6 +9,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from pyspark.sql import functions as F
+import pytest
 
 SETTINGS = dict(
     max_examples=12,
@@ -25,6 +26,7 @@ vals_strategy = st.lists(
 
 @given(vals=vals_strategy)
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_fill_matches_pandas_property(spark, vals):
     from nhs_data_pipeline_spark.ops.core import fill_directional
 
@@ -80,6 +82,7 @@ def test_binned_median_brackets_exact_median(spark, counts):
     )
 )
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_closure_reaches_terminals(spark, edges):
     """Every closure output's final_code has no outgoing edge (unless a
     cycle forced the iteration cap)."""
@@ -188,6 +191,7 @@ def _py_c4(text: str) -> dict:
 
 @given(docs=st.lists(_doc_strategy, min_size=1, max_size=5))
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_gopher_c4_match_python_replicas(spark, docs):
     """Fuzz the published-ruleset panels against independent python
     replicas over ASCII docs mixing bullets, ellipses, symbols,

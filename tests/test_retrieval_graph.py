@@ -152,6 +152,7 @@ def test_pagerank_two_node_cycle(spark):
     assert abs(out[1] - 0.5) < 1e-9 and abs(out[2] - 0.5) < 1e-9
 
 
+@pytest.mark.slow
 def test_pagerank_sink_gets_mass(spark):
     # star: 1->3, 2->3 ; 3->1 back-edge keeps everyone non-dangling
     e = spark.createDataFrame(
@@ -162,6 +163,7 @@ def test_pagerank_sink_gets_mass(spark):
     assert abs(sum(out.values()) - 1.0) < 1e-6  # closed graph conserves mass
 
 
+@pytest.mark.slow
 def test_pagerank_weighted_edges_split_mass(spark):
     # 1 sends 3x more weight to 2 than to 3
     e = spark.createDataFrame(
@@ -184,6 +186,7 @@ def test_pagerank_parallel_edges_preaggregate(spark):
     assert a == b
 
 
+@pytest.mark.slow
 def test_pagerank_partitioning_invariance(spark):
     rows = [(i, (i * 3 + 1) % 17, 1 + i % 4) for i in range(17)]
     e = spark.createDataFrame(rows, ["src", "dst", "w"])
@@ -194,6 +197,7 @@ def test_pagerank_partitioning_invariance(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+@pytest.mark.slow
 def test_pagerank_default_mode_matches_deterministic_approx(spark):
     # The scale-safe default (plain F.sum) must agree with the ordered
     # fold up to float reassociation — same semantics, different fold.
@@ -894,6 +898,7 @@ def test_label_prop_tiebreak_smallest_label(spark):
     assert out[2] == 1
 
 
+@pytest.mark.slow
 def test_label_prop_partitioning_invariance(spark):
     rows = [(i, (i * 5 + 2) % 23, 1 + i % 3) for i in range(23)]
     a = og.label_propagation(_sym(spark, rows), 4).collect()
@@ -1094,6 +1099,7 @@ def test_exact_jaccard_rejects_degenerate_threshold(spark):
         dd2.exact_jaccard_join(docs, 0.5, mode="bogus")
 
 
+@pytest.mark.slow
 def test_exact_jaccard_auto_dispatches_by_vocabulary_shape(spark):
     """The auto mode must pick countjoin on a DENSE vocabulary (every
     token frequent: truncated rarest-first volume stays a large
@@ -1195,11 +1201,13 @@ def test_triangle_null_endpoints_dropped(spark):
     assert got == {1: 1, 2: 1, 3: 1}
 
 
+@pytest.mark.slow
 def test_triangle_free_graph_is_empty(spark):
     # a 4-cycle has no triangles -> empty result table
     assert _tri(spark, [(1, 2), (2, 3), (3, 4), (4, 1)]) == {}
 
 
+@pytest.mark.slow
 def test_triangle_partitioning_invariance(spark):
     from nhs_data_pipeline_spark.ops.graph import triangle_count
 
@@ -1226,12 +1234,14 @@ def _sssp(spark, edges, sources=(1,), iterations=6):
     }
 
 
+@pytest.mark.slow
 def test_sssp_picks_cheaper_indirect_path(spark):
     # 1->3 direct costs 10; 1->2->3 costs 3
     got = _sssp(spark, [(1, 3, 10), (1, 2, 1), (2, 3, 2)])
     assert got == {1: 0, 2: 1, 3: 3}
 
 
+@pytest.mark.slow
 def test_sssp_unreachable_stays_null_and_direction_respected(spark):
     got = _sssp(spark, [(1, 2, 5), (3, 2, 1), (4, 5, 1)])
     assert got[1] == 0 and got[2] == 5
@@ -1239,6 +1249,7 @@ def test_sssp_unreachable_stays_null_and_direction_respected(spark):
     assert got[3] is None and got[4] is None and got[5] is None
 
 
+@pytest.mark.slow
 def test_sssp_parallel_edges_take_min_and_multi_source(spark):
     got = _sssp(
         spark,
@@ -1248,12 +1259,14 @@ def test_sssp_parallel_edges_take_min_and_multi_source(spark):
     assert got == {1: 0, 2: 1, 7: 0}
 
 
+@pytest.mark.slow
 def test_sssp_iteration_budget_bounds_depth(spark):
     chain = [(i, i + 1, 1) for i in range(1, 6)]  # 1-2-3-4-5-6
     got = _sssp(spark, chain, iterations=2)
     assert got[3] == 2 and got[4] is None  # 3 hops > budget
 
 
+@pytest.mark.slow
 def test_sssp_partitioning_invariance(spark):
     from nhs_data_pipeline_spark.ops.graph import shortest_paths
 
@@ -1340,6 +1353,7 @@ def _auc(spark, rows):
     return binary_auc(df, "score", "pos").collect()[0]
 
 
+@pytest.mark.slow
 def test_auc_perfect_and_inverted(spark):
     r = _auc(spark, [(1.0, True), (2.0, True), (0.1, False), (0.2, False)])
     assert (r.n_pos, r.n_neg, r.auc) == (2, 2, 1.0)
@@ -1355,6 +1369,7 @@ def test_auc_matches_sklearn_formula_with_ties(spark):
     assert r.auc == 2.5 / 4
 
 
+@pytest.mark.slow
 def test_auc_random_scores_near_half_and_degenerate_null(spark):
     import random
 
@@ -1471,6 +1486,7 @@ def test_kcore_cascade_needs_multiple_rounds(spark):
     assert after2 == {1, 2, 3}
 
 
+@pytest.mark.slow
 def test_kcore_converged_rounds_are_stable(spark):
     e = _sym_edges(spark, [(1, 2), (2, 3), (1, 3), (1, 4), (4, 5)])
     r3 = sorted(map(tuple, og.kcore(e, _ktab(spark, 2), rounds=3).collect()))
@@ -1478,6 +1494,7 @@ def test_kcore_converged_rounds_are_stable(spark):
     assert r3 == r5
 
 
+@pytest.mark.slow
 def test_kcore_partitioning_invariance(spark):
     e = _sym_edges(
         spark, [(i, j) for i in range(8) for j in range(i + 1, 8) if (i + j) % 3]
@@ -1557,6 +1574,7 @@ def test_token_chi2_repeated_token_counts_once_per_doc(spark):
 
 # ------------------------------------------------------------------- HITS
 
+@pytest.mark.slow
 def test_hits_bipartite_star_ranks_hub_and_authority(spark):
     # 1 points at both authorities; 10 is pointed at by everyone
     e = spark.createDataFrame(
@@ -1571,6 +1589,7 @@ def test_hits_bipartite_star_ranks_hub_and_authority(spark):
     assert out[10].hub == 0.0 and out[1].authority == 0.0
 
 
+@pytest.mark.slow
 def test_hits_matches_python_replica_bit_exact(spark):
     import random
     from decimal import ROUND_HALF_UP, Decimal
@@ -1623,6 +1642,7 @@ def test_hits_matches_python_replica_bit_exact(spark):
     assert got == {v: (h[v], a[v]) for v in nodes}
 
 
+@pytest.mark.slow
 def test_hits_partitioning_invariance_deterministic(spark):
     rows = [(i % 6, (i * 3) % 6 + 1, 1 + i % 3) for i in range(30)]
     e = spark.createDataFrame(rows, ["src", "dst", "w"])
@@ -1659,6 +1679,7 @@ def test_weighted_jaccard_downweights_boilerplate(spark):
     assert (0, 1) in u  # ...but passes unweighted (footer dominates)
 
 
+@pytest.mark.slow
 def test_weighted_jaccard_null_id_excluded_from_n(spark):
     """Regression (r8 ADVICE): N must be COUNT(doc_id)-style — a NULL
     doc_id row must not inflate the IDF numerator (the DuckDB oracle's
@@ -1827,6 +1848,7 @@ def test_exact_jaccard_auto_empty_corpus(spark):
     assert rep["cj_pairs"] == 0 and rep["prefix_budget"] == 0
 
 
+@pytest.mark.slow
 def test_weighted_jaccard_modes_agree_and_match_python(spark):
     """r9: the weighted PPJoin prefix mode is LOSSLESS — countjoin,
     prefix, and auto return the identical pair set and values, and

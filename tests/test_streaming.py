@@ -7,6 +7,8 @@ import datetime
 
 from pyspark.sql import types as T
 
+import pytest
+
 from nhs_data_pipeline_spark.streaming import (
     run_stream_to_memory,
     stream_files,
@@ -32,6 +34,7 @@ def _rows():
     return out
 
 
+@pytest.mark.slow
 def test_stream_matches_batch(spark, tmp_path):
     batch = spark.createDataFrame(_rows(), SCHEMA)
     src = str(tmp_path / "stream_src")
@@ -57,6 +60,7 @@ def test_stream_matches_batch(spark, tmp_path):
     assert got == expected
 
 
+@pytest.mark.slow
 def test_dedup_stream_matches_batch(spark, tmp_path):
     import datetime
 
@@ -88,6 +92,7 @@ def test_dedup_stream_matches_batch(spark, tmp_path):
     assert got == exp
 
 
+@pytest.mark.slow
 def test_interval_join_stream_matches_batch(spark, tmp_path):
     import datetime
 
@@ -134,6 +139,7 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
     assert got == exp
 
 
+@pytest.mark.slow
 def test_sessionize_stream_matches_batch(spark, tmp_path):
     import datetime
 
@@ -194,6 +200,7 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     assert got == exp
 
 
+@pytest.mark.slow
 def test_sessionize_stream_survives_late_batches(spark, tmp_path):
     """A later micro-batch carrying BELOW-WATERMARK events must not
     kill the query (unclamped setTimeoutTimestamp raised
@@ -275,6 +282,7 @@ def test_enrich_stream_matches_batch(spark, tmp_path):
     assert all(v is None for (_, et), v in got.items() if et == "t2")
 
 
+@pytest.mark.slow
 def test_dedup_stream_against_store_cross_batch(spark, tmp_path):
     """foreachBatch store-backed dedup: in-batch dups collapse to the
     min-id representative, cross-batch dups are dropped via the
@@ -329,6 +337,7 @@ def test_dedup_stream_against_store_cross_batch(spark, tmp_path):
     assert spark.read.parquet(store).count() == 3
 
 
+@pytest.mark.slow
 def test_near_dedup_stream_against_store(spark, tmp_path):
     """Streaming near-dup store (r8): exact re-submissions AND near
     duplicates of admitted docs are rejected cross-batch via the band
@@ -415,6 +424,7 @@ def test_near_dedup_stream_against_store(spark, tmp_path):
     assert screen == {100: False, 101: False, 102: True}
 
 
+@pytest.mark.slow
 def test_fingerprint_stream_matches_batch(spark, tmp_path):
     """Incremental XOR fingerprint store over a 2-batch stream must end
     exactly equal to the one-shot batch content_fingerprint of the
@@ -531,6 +541,7 @@ def test_fingerprint_stream_matches_batch(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_dedup_stream_same_id_duplicates(spark, tmp_path):
     """Regression: the survivor join must key on (id, fp), not id alone.
     Exact duplicate deliveries of one row collapse to a single admitted
@@ -674,6 +685,7 @@ def test_sessionize_stream_rejects_non_utc_session(spark):
         spark.conf.set("spark.sql.session.timeZone", prev)
 
 
+@pytest.mark.slow
 def test_cm_sketch_stream_matches_batch(spark, tmp_path):
     """Incremental count-min store over a 2-batch stream must equal the
     one-shot batch sketch of the union (cell-wise additivity), and
@@ -721,6 +733,7 @@ def test_cm_sketch_stream_matches_batch(spark, tmp_path):
     assert est == {"alpha": 3, "beta": 1, "gamma": 1, "never": 0}
 
 
+@pytest.mark.slow
 def test_hll_stream_matches_batch(spark, tmp_path):
     """Incremental HLL register store over a 2-batch stream must equal
     the one-shot batch register table of the union (per-bucket MAX
@@ -905,6 +918,7 @@ def test_bloom_stream_matches_batch_and_prefilters(spark, tmp_path):
     assert flagged.filter(~SF.col("bloom_pass")).count() == 0
 
 
+@pytest.mark.slow
 def test_agg_stream_matches_batch_rebuild(spark, tmp_path):
     """Incremental (count, sum) aggregate store over a 3-batch stream
     must equal a from-scratch GROUP BY of the union — the streaming
@@ -954,6 +968,7 @@ def test_agg_stream_matches_batch_rebuild(spark, tmp_path):
     assert None in streamed  # NULL group survives the eqNullSafe merge
 
 
+@pytest.mark.slow
 def test_agg_stream_replay_guard(spark, tmp_path):
     """A re-delivered batch (cloned checkpoint, last commit marker
     removed) must NOT double-count into the aggregate store; a FRESH
@@ -1030,6 +1045,7 @@ def test_agg_stream_replay_guard(spark, tmp_path):
     assert doubled == {k: (2 * n, 2 * t) for k, (n, t) in want.items()}
 
 
+@pytest.mark.slow
 def test_psi_stream_monitor_matches_batch_psi(spark, tmp_path):
     """The monitor's FINAL log row must equal a from-scratch batch
     psi_report(baseline, all streamed rows) — stream == batch through
@@ -1089,6 +1105,7 @@ def test_psi_stream_monitor_matches_batch_psi(spark, tmp_path):
     assert final.psi > log[min(log)].psi
 
 
+@pytest.mark.slow
 def test_psi_stream_monitor_new_bucket_accumulates(spark, tmp_path):
     """Regression (r8, ADVICE high): a bucket first seen AFTER batch 1
     that then receives data in two consecutive batches must accumulate
