@@ -63,12 +63,15 @@ def get_spark(
         # recompiled on nearly every run (jstack: 28/32 executor
         # threads blocked on the codegen KeyLock; the audit panel
         # measured 10-130 s/run compile-bound vs ~6 s steady).
-        # Sizing: entries are generated-source->class maps, a few tens
-        # of KB each; 4096 is a few hundred MB of metaspace ceiling on
-        # a driver/executor JVM that, on a real long-lived cluster,
-        # pays compile once per class per JVM lifetime — the cache just
-        # stops a wide query mix from thrashing that guarantee.
-        .config("spark.sql.codegen.cache.maxEntries", "4096")
+        # Sizing: each entry pins a generated classloader in metaspace
+        # until evicted, so the cap is a metaspace ceiling as much as a
+        # recompile shield. 512 holds the largest composite query's
+        # unit set (the panel: ~100-300) plus its bench-rep neighbors —
+        # an unbounded 4096 cap measured a progressive ~15% tail
+        # inflation over the 247-query suite (retained classloaders +
+        # GC scan growth), while 100 measured 10-130 s recompile storms
+        # on the composite queries. 512 is the measured middle.
+        .config("spark.sql.codegen.cache.maxEntries", "512")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
@@ -149,7 +152,7 @@ def cluster_conf(
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # see the local-builder comment: stable blob-batch memory
         "spark.sql.execution.arrow.maxBytesPerBatch": "4m",
-        # see the local-builder comment: hold the full query mix's
-        # generated classes (compile once per JVM lifetime)
-        "spark.sql.codegen.cache.maxEntries": "4096",
+        # see the local-builder comment: hold a composite query's full
+        # generated-class set without unbounded metaspace growth
+        "spark.sql.codegen.cache.maxEntries": "512",
     }
