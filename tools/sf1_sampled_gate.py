@@ -87,8 +87,11 @@ def build(rebuild: bool = False) -> None:
 
     if not os.path.isdir(SF1):
         print(f"{SF1} missing — regenerating via tools/make_sf.py")
+        # make_sf.py takes (out_dir, sf) positionally — calling it
+        # bare crashed whenever the driver wiped .scratch (r12 fix)
         subprocess.run(
-            [sys.executable, os.path.join(REPO, "tools", "make_sf.py")],
+            [sys.executable, os.path.join(REPO, "tools", "make_sf.py"),
+             SF1, "1.0"],
             check=True,
         )
     complete = all(
